@@ -1,0 +1,99 @@
+"""Text-analysis column expressions (north-star [N] operators).
+
+Everything here is a native Column expression (split/transform/
+sequence/regexp) — JVM-side, codegen'd, shuffle-free per row. The
+corpus `documents.text` is single-space-separated tokens, so the
+canonical tokenizer is `split(text, ' ')`; a BPE-ish regex tokenizer
+is provided for free-form text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# GPT-2-style pre-tokenizer family, simplified to RE2/Java-compatible
+# syntax: word pieces with leading space, numbers, punctuation runs.
+BPEISH_PATTERN = r"( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+)"
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokens (corpus canonical form)."""
+    return F.split(F.col(text) if isinstance(text, str) else text, sep)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpeish_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization approximating a BPE tokenizer's word
+    split; useful for stable token-count estimates on free-form text."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.regexp_extract_all(t, F.lit(BPEISH_PATTERN), 1),
+        lambda x: F.trim(x) != "",
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram word shingles, each joined by a single space.
+    Docs shorter than n tokens yield an empty array (guarded so
+    F.sequence never sees a negative range)."""
+    w = tokens(text)
+    k = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
+    return F.when(F.length(t) > 0, n_punct.cast("double") / F.length(t)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def uniq_token_ratio(text: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / total tokens."""
+    w = tokens(text)
+    return F.when(
+        F.size(w) > 0, F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    ).otherwise(F.lit(0.0))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length = non-space chars / token count."""
+    t = F.col(text) if isinstance(text, str) else text
+    w = tokens(t)
+    return F.when(
+        F.size(w) > 0,
+        F.length(F.regexp_replace(t, " ", "")).cast("double") / F.size(w),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality score in [0,1]: rewards mid-length
+    docs, lexical diversity, low punctuation density. Deterministic and
+    SQL-expressible (mirrored in the oracle corpus)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        0.5 * len_score + 0.4 * uniq_token_ratio(t) + 0.1 * (1.0 - punct_ratio(t)), 6
+    )
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the
+    token-normalized text (collapse runs of whitespace, lowercase).
+    Spark-native; not portable to the DuckDB oracle (different hash
+    family) — verified by property tests instead."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(F.lower(F.regexp_replace(t, r"\s+", " ")))

@@ -1,0 +1,267 @@
+"""Deduplication operators over the `documents` table ([N] north-star).
+
+Five strategies, cheapest-first; all are pure DataFrame plans — the
+expensive ones (pairwise jaccard) are *blocked* so no unbounded cross
+join ever appears in the plan:
+
+1. exact          — dropDuplicates on the raw columns
+2. content-hash   — sha256 of normalized text; canonical keeper =
+                    min id per hash (one shuffle on a 32-byte key;
+                    at 100 TB this beats comparing full text bodies)
+3. n-gram Jaccard — exact set similarity via shingle inverted index:
+                    explode distinct shingles -> self-equi-join on
+                    shingle -> per-pair intersection counts. The join
+                    key is the shingle, so only docs sharing >=1
+                    shingle ever meet — this is the blocking.
+4. MinHash + LSH  — signature = min over shingles of xxhash64(s, seed_i);
+                    band the signature, candidate pairs = equi-join on
+                    (band_idx, band_hash); estimate jaccard as matching
+                    signature fraction. Scales to 100 TB: cost is
+                    O(docs x num_hashes) + a join keyed on band hashes.
+5. SimHash        — 63-bit weighted-token fingerprint; near-dup =
+                    small hamming distance, banded for blocking.
+
+The reference has no dedup operator (its dependency surface has
+`distinct`, SURVEY §2.2 aggregation row); these are the [N] additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from archetype_spark.functions.text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (Q29 semantics)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a sha256 hex digest of the whitespace-normalized text."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn("content_sha", F.sha2(norm, 256))
+
+
+def hash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one canonical row (min id) per content hash. The shuffle
+    key is the 64-hex digest, not the document body."""
+    hashed = content_hash(df, text_col)
+    w_min = F.min(id_col).alias("_keep_id")
+    keepers = hashed.groupBy("content_sha").agg(w_min)
+    return (
+        hashed.join(keepers, "content_sha")
+        .filter(F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id", "content_sha")
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) exploded pairs + per-doc distinct-shingle counts."""
+    return df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
+    ).withColumn("_n_sh", F.size("_sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingles for every doc pair
+    sharing at least one shingle. Returns (doc_id, other_doc_id,
+    jaccard) with doc_id < other_doc_id, jaccard rounded to 6.
+
+    Scale: the self-join is keyed on the shingle (inverted index), so
+    frequency-skewed shingles are the only hazard — AQE skew-join
+    handles moderate skew; for web-scale corpora drop top-frequency
+    shingles first (stop-shingle filtering).
+    """
+    docs = _doc_shingles(df, id_col, text_col, n)
+    ex = docs.select("_id", "_n_sh", F.explode("_sh").alias("_s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("doc_id"),
+            F.col("b._id").alias("other_doc_id"),
+            F.col("a._n_sh").alias("_na"),
+            F.col("b._n_sh").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    jac = F.round(
+        F.col("_c").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_c")), 6
+    ).alias("jaccard")
+    return (
+        inter.select("doc_id", "other_doc_id", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_id", "other_doc_id")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures. Hash family is
+    xxhash64(shingle, seed_i) — JVM-native, no Python. Empty-shingle
+    docs get an empty signature and never produce candidates."""
+    sh = shingles(text_col, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.when(F.size(sh) > 0, sig).otherwise(F.array().cast("array<bigint>")).alias("_sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: returns (doc_id,
+    other_doc_id, est_jaccard) where est_jaccard = fraction of equal
+    signature slots, for candidate pairs that collide in >=1 band.
+
+    rows_per_band = num_hashes/bands tunes the S-curve; 64/16 -> 4
+    targets jaccard ~0.5+. All hashing is columnar; the only shuffles
+    are the band-key join and the final distinct.
+    """
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    # one xxhash64 per band over its rpb signature slots (unrolled with
+    # literal indices — keeps the expression flat for codegen)
+    band_hash = F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at("_sig", b * rpb + j + 1) for j in range(rpb)], F.lit(b)
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        sigs.filter(F.size("_sig") > 0)
+        .withColumn("_bands", band_hash)
+        .select("_id", "_sig", F.posexplode("_bands").alias("_band_idx", "_bh"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_id"),
+            F.col("b._id").alias("other_doc_id"),
+            F.col("a._sig").alias("_sa"),
+            F.col("b._sig").alias("_sb"),
+        )
+        .dropDuplicates(["doc_id", "other_doc_id"])
+    )
+    est = F.round(
+        F.aggregate(
+            F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(num_hashes),
+        6,
+    ).alias("est_jaccard")
+    return (
+        cand.select("doc_id", "other_doc_id", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("doc_id", "other_doc_id")
+    )
+
+
+def simhash63(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """63-bit SimHash fingerprint (bit 63 left clear to stay in signed
+    int64 under ANSI mode). bit_j = sign of sum over tokens of
+    (+1 if bit j of xxhash64(token) else -1)."""
+    tok = tokens(text_col)
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(tok).alias("_t")).withColumn(
+        "_h", F.xxhash64("_t")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(63)
+    ]
+    agg = ex.groupBy("_id").agg(*votes)
+    fp = None
+    for j in range(63):
+        bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ) * F.lit(1 << j).cast("bigint")
+        fp = bit if fp is None else fp + bit
+    return agg.select("_id", fp.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on any equal ~16-bit band of the
+    fingerprint (pigeonhole: hamming<=3 over 4 bands guarantees one
+    clean band), then filter by exact hamming via bit_count(xor)."""
+    fps = simhash63(df, id_col, text_col)
+    width = 64 // bands
+    banded = fps.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band_idx", "_bv"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_id"),
+            F.col("b._id").alias("other_doc_id"),
+            F.col("a.simhash").alias("_fa"),
+            F.col("b.simhash").alias("_fb"),
+        )
+        .dropDuplicates(["doc_id", "other_doc_id"])
+    )
+    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("hamming")
+    return (
+        cand.select("doc_id", "other_doc_id", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_id", "other_doc_id")
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis operators over `documents` ([N] north-star):
+per-doc stats, quality scoring, language-ID, fingerprinting.
+
+All are native-expression plans (no UDFs); language-ID is a
+stopword-profile scorer whose profile table is a broadcast literal —
+at 100 TB the work is one map-side join against a ~100-row dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from archetype_spark.functions.text import (
+    avg_token_len,
+    fingerprint64,
+    punct_ratio,
+    quality_score,
+    token_count,
+    uniq_token_ratio,
+)
+
+# Tiny deterministic stopword profiles. The corpus text is synthetic
+# English-ish word soup, so predictions are a deterministic function of
+# content, not expected to match the synthetic `lang` labels.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "ta"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic priority order for ties
+
+
+def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats: token count, avg token length, lexical
+    diversity, punctuation ratio, composite quality score."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
+        F.round(uniq_token_ratio(text_col), 6).alias("uniq_ratio"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+    )
+
+
+def lang_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit counts per (doc, lang) as columns score_<lang>.
+    Computed as one pass over the token array per language — a
+    codegen'd filter/size, no explode, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    cols = [F.col(id_col)]
+    for lang in LANGS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias(
+                f"score_{lang}"
+            )
+        )
+    return df.select(*cols)
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Predicted language = argmax stopword hits; ties break by lang
+    code ascending; zero hits everywhere -> 'unknown'."""
+    scored = lang_scores(df, id_col, text_col)
+    # array_max over struct(score, -lang_rank) gives (max score, then
+    # lowest lang index) without any shuffle.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"score_{lang}").alias("s"),
+                    F.lit(-i).alias("neg_rank"),
+                )
+                for i, lang in enumerate(LANGS)
+            ]
+        )
+    )
+    lang_arr = F.array(*[F.lit(lang) for lang in LANGS])
+    pred = F.when(best["s"] > 0, F.element_at(lang_arr, -best["neg_rank"] + 1)).otherwise(
+        F.lit("unknown")
+    )
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def doc_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit xxhash fingerprint of normalized text — the O(1)-space
+    doc identity for incremental dedup at ingest time."""
+    return df.select(F.col(id_col), fingerprint64(text_col).alias("fingerprint"))

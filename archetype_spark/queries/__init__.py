@@ -1,0 +1,22 @@
+"""Declared query corpus (SURVEY.md §2.4) + north-star operators.
+
+Each query is a `(spark, sf_dir) -> DataFrame` callable; each has a
+matching ANSI-SQL oracle string runnable by DuckDB over the same
+parquet tables. Column names/types are aligned between both sides —
+the driver sorts columns by name and hashes values, so every computed
+column is aliased identically in the DataFrame code and the SQL.
+"""
+
+from archetype_spark.queries import northstar, relational
+
+
+def all_queries():
+    q = dict(relational.QUERIES)
+    q.update(northstar.QUERIES)
+    return q
+
+
+def all_oracles():
+    o = dict(relational.ORACLES)
+    o.update(northstar.ORACLES)
+    return o

@@ -1,0 +1,305 @@
+"""North-star [N] query corpus: dedup, similarity, text analysis,
+multimodal — Q29/Q30 from SURVEY §2.4 plus the extended operator
+queries (q31+). Oracle-gated wherever DuckDB can express identical
+semantics; hash-family-dependent operators (minhash/simhash/LSH/
+fingerprint/multimodal) are rows-only here and property-tested in
+tests/ instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from archetype_spark.operators import dedup, multimodal, similarity, textstats
+from archetype_spark.tables import load
+
+
+# ------------------------------------------------------------------- Q29/Q30
+def q29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup then per-lang counts (SURVEY §2.4 Q29)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(d.select("text", "lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("lang")
+    )
+
+
+def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors (SURVEY §2.4 Q30): pairs with
+    vec_id < other_vec_id, ranked by rounded similarity desc, tie by
+    other_vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.topk_bruteforce(emb, k=5)
+
+
+# ------------------------------------------------------- extended [N] corpus
+def q31_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events props payload (the
+    reference's Daft surface exposes .json.query, SURVEY §2.2)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    ).orderBy("event_id")
+
+
+def q32_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (reshaping family, SURVEY §2.2): lineitem counts by
+    linestatus x returnflag. Values are pinned so the plan needs no
+    discovery pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["A", "N", "R"])
+        .orderBy("l_linestatus")
+    )
+
+
+def q33_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: distinct sha256(normalized text) per lang —
+    the 100 TB-friendly exact-dedup (shuffles 32-byte digests, not
+    bodies)."""
+    d = dedup.content_hash(load(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang")
+        .agg(F.countDistinct("content_sha").alias("uniq_docs"))
+        .orderBy("lang")
+    )
+
+
+def q34_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token statistics (text analysis family)."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        d.select("lang", n_tok.alias("_nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q35_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (operators/textstats.doc_stats)."""
+    return textstats.doc_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at >= 0.5 (the planted
+    near-duplicate family in the corpus)."""
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q37_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (cosine >= 0.35 — the corpus
+    embeddings are near-orthogonal, max observed sim ~0.51)."""
+    return similarity.dup_pairs_by_cosine(
+        load(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def q38_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID per document."""
+    return textstats.lang_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q39_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (explode + count + top-k)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------ rows-only (non-SQL) entries
+def q40_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (hash family not portable to
+    DuckDB -> rows-only check; recall vs exact jaccard is asserted in
+    tests/test_dedup.py)."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.45
+    )
+
+
+def q41_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; property-tested)."""
+    return dedup.simhash_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q42_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (rows-only; recall vs
+    q30 brute force asserted in tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, dim=64, k=5, n_planes=6, n_tables=6)
+
+
+def q43_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media table -> mapInPandas decode
+    (deterministic fake codec; rows-only)."""
+    media = multimodal.synth_media_from_documents(load(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media).orderBy("media_id")
+
+
+def q44_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 document fingerprints (rows-only; xxhash64 has no
+    DuckDB twin)."""
+    return textstats.doc_fingerprints(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+QUERIES = {
+    "q29_exact_dedup": q29_exact_dedup,
+    "q30_cosine_topk": q30_cosine_topk,
+    "q31_json_extract": q31_json_extract,
+    "q32_pivot": q32_pivot,
+    "q33_hash_dedup": q33_hash_dedup,
+    "q34_token_stats": q34_token_stats,
+    "q35_doc_quality": q35_doc_quality,
+    "q36_ngram_jaccard": q36_ngram_jaccard,
+    "q37_embedding_dups": q37_embedding_dups,
+    "q38_lang_id": q38_lang_id,
+    "q39_top_tokens": q39_top_tokens,
+    "q40_minhash_pairs": q40_minhash_pairs,
+    "q41_simhash_pairs": q41_simhash_pairs,
+    "q42_lsh_topk": q42_lsh_topk,
+    "q43_media_decode": q43_media_decode,
+    "q44_fingerprints": q44_fingerprints,
+}
+
+_STOPWORD_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang in textstats.LANGS
+    for w in textstats.STOPWORDS[lang]
+)
+
+ORACLES = {
+    "q29_exact_dedup": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs FROM
+          (SELECT DISTINCT text, lang FROM documents) t
+        GROUP BY lang ORDER BY lang
+    """,
+    "q30_cosine_topk": """
+        WITH pairs AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS other_vec_id,
+                 ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ), ranked AS (
+          SELECT vec_id, other_vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, other_vec_id) AS rnk
+          FROM pairs
+        )
+        SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, cos_sim
+        FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank
+    """,
+    "q31_json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        FROM events ORDER BY event_id
+    """,
+    "q32_pivot": """
+        SELECT l_linestatus,
+               CAST(COUNT(*) FILTER (l_returnflag = 'A') AS BIGINT) AS "A",
+               CAST(COUNT(*) FILTER (l_returnflag = 'N') AS BIGINT) AS "N",
+               CAST(COUNT(*) FILTER (l_returnflag = 'R') AS BIGINT) AS "R"
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "q33_hash_dedup": """
+        SELECT lang,
+               CAST(COUNT(DISTINCT sha256(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)
+                 AS uniq_docs
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "q34_token_stats": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "q35_doc_quality": """
+        WITH base AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS nt,
+                 len(list_distinct(string_split(text, ' '))) AS nu,
+                 length(replace(text, ' ', '')) AS nchar_nospace,
+                 length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS npunct,
+                 length(text) AS nchar
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(nt AS INT) AS n_tokens,
+                 CASE WHEN nt > 0 THEN nchar_nospace * 1.0 / nt ELSE 0.0 END AS atl,
+                 CASE WHEN nt > 0 THEN nu * 1.0 / nt ELSE 0.0 END AS ur,
+                 CASE WHEN nchar > 0 THEN npunct * 1.0 / nchar ELSE 0.0 END AS pr,
+                 nt
+          FROM base
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(atl, 6) AS avg_token_len,
+               ROUND(ur, 6) AS uniq_ratio,
+               ROUND(pr, 6) AS punct_ratio,
+               ROUND(0.5 * LEAST(nt / 50.0, 1.0) + 0.4 * ur + 0.1 * (1.0 - pr), 6) AS quality
+        FROM m ORDER BY doc_id
+    """,
+    "q36_ngram_jaccard": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        idx AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i, w
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS other_doc_id, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_id, i.other_doc_id,
+               ROUND(i.c * 1.0 / (ca.n + cb.n - i.c), 6) AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.doc_id
+        JOIN cnt cb ON cb.doc_id = i.other_doc_id
+        WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.5
+        ORDER BY i.doc_id, i.other_doc_id
+    """,
+    "q37_embedding_dups": """
+        SELECT a.vec_id AS vec_id, b.vec_id AS other_vec_id,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        ORDER BY vec_id, other_vec_id
+    """,
+    "q38_lang_id": f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        sw(lang, w) AS (VALUES {_STOPWORD_VALUES}),
+        hits AS (SELECT k.doc_id, s.lang, COUNT(*) AS score
+                 FROM toks k JOIN sw s ON k.t = s.w GROUP BY 1, 2),
+        best AS (SELECT doc_id, lang,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang) AS rn
+                 FROM hits)
+        SELECT d.doc_id, COALESCE(b.lang, 'unknown') AS pred_lang
+        FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+        USING (doc_id) ORDER BY doc_id
+    """,
+    "q39_top_tokens": """
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t ORDER BY freq DESC, token LIMIT 20
+    """,
+    # q40..q44: hash-family / UDF-based operators — no SQL oracle
+    # (driver records the weaker rows-only check; property tests in
+    # tests/ provide the semantic verification).
+}

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-minded defaults.
+
+The reference delegates execution to Daft's Rust runtime and LanceDB
+storage (reference: archetype/core/__init__.py:11-12 connects the
+store; pyproject.toml:7-10 pins the engines). Here the equivalent
+"connect" is building a SparkSession whose defaults are chosen for
+the 100 TB design point:
+
+- AQE on (runtime re-planning: join strategy switch, partition
+  coalescing, skew-join splitting) — on a 1000-executor cluster this
+  is what keeps a bad static plan from burning the job.
+- Arrow-based Python interchange on — every toPandas/createDataFrame
+  and every pandas_udf batch crosses Python<->JVM via Arrow.
+- Session timezone pinned to UTC so timestamp semantics are identical
+  to the DuckDB oracle (naive == UTC).
+- shuffle.partitions sized by env for local runs; on a real cluster
+  AQE coalescing makes the static number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "archetype-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    Env knobs (driver contract): SPARK_GRAFT_CPUS sets local
+    parallelism; defaults to all cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus != "*" else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
