@@ -1,0 +1,459 @@
+"""ArchetypeStore: per-archetype parquet tables, append-only, with
+latest-wins resolution — the Spark-native replacement for the
+reference's LanceDB-backed store (archetype/core/store.py).
+
+Layout
+------
+    {warehouse}/
+      archetype_<blake2b10>/            one table per archetype
+        _sig.json                       component names + field types
+        simulation=<s>/run=<r>/*.parquet   hive-partitioned data
+
+Naming parity: `archetype_` + blake2b(digest_size=10) over the sorted
+component class names (store.py:62-69) — a reference user's table
+names carry over byte-for-byte.
+
+Write model (the MERGE decision, SURVEY §7 phase 3): the reference
+upserts via LanceDB merge_insert on (entity_id, step, run, simulation)
+(store.py:258-264) and mutates rows in place for despawn
+(store.py:164-174). At 100 TB both are rewrite-heavy; here EVERY write
+is an append carrying a monotonically increasing `_commit_seq`, and
+readers resolve the winner per key with one window. Re-running a step
+appends a higher-seq version of the same (entity_id, step) key and
+wins — the same idempotent-commit semantics, without a shuffle-heavy
+MERGE on the write path. Despawn appends a full-row tombstone with
+is_active=False (world.py:46-48 semantics preserved: history retained,
+liveness filters drop the entity).
+
+Scale notes
+-----------
+- (simulation, run) are hive partition columns -> partition pruning
+  turns the reference's pushed `simulation == .. AND run == ..`
+  predicates (store.py:211-213) into directory pruning, strictly
+  stronger.
+- The latest-wins window shuffles by (sim, run, entity_id) only when
+  a consumer asks for resolved state; raw appends never shuffle. On a
+  real cluster, sortWithinPartitions("entity_id", "step") before the
+  write gives parquet row-group min/max stats that substitute for the
+  reference's BTree indexes (store.py:107-108; SURVEY §4 S11).
+- Driver state (catalog, counters) is rebuilt from storage on connect
+  — the reference's `_entity2sig`/`_hash2sig`/`_entity_counter`
+  (store.py:47-49) are process-local and lost on crash.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import uuid
+from hashlib import blake2b
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from archetype_spark.ecs.component import (
+    Component,
+    component_prefix,
+    component_schema,
+    flatten_component,
+    signature_of,
+)
+
+#: Base columns present on every archetype table (store.py:24-29).
+BASE_FIELDS = [
+    StructField("simulation", StringType(), False),
+    StructField("run", StringType(), False),
+    StructField("entity_id", LongType(), False),
+    StructField("step", LongType(), False),
+    StructField("is_active", BooleanType(), False),
+]
+
+#: Write-versioning column backing latest-wins upsert resolution.
+COMMIT_SEQ = "_commit_seq"
+
+PARTITION_COLS = ["simulation", "run"]
+
+
+def archetype_hash(sig: Sequence[type]) -> str:
+    """`archetype_` + blake2b-10 of concatenated sorted class names
+    (store.py:62-69); verified against the reference fixture
+    tests/data/archetype_739de3c63381a1824fed.lance."""
+    h = blake2b(digest_size=10)
+    for t in sig:
+        h.update(t.__name__.encode())
+    return f"archetype_{h.hexdigest()}"
+
+
+def _utc_stamp() -> str:
+    return datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+class ArchetypeStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        simulation: str | None = None,
+        run: str | None = None,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.simulation = simulation or f"sim_{_utc_stamp()}"
+        # ULID in the reference (store.py:44); uuid4 hex is the stdlib
+        # equivalent unique-run token.
+        self.run = run or f"run_{uuid.uuid4().hex}"
+
+        os.makedirs(warehouse, exist_ok=True)
+        # hash -> signature tuple; rebuilt from storage (cf. the
+        # reference's in-memory-only _hash2sig, store.py:48).
+        self._hash2sig: dict[str, tuple[type, ...]] = {}
+        # hash -> {component name} for catalog recovery of tables whose
+        # Python classes aren't imported in this process.
+        self._hash2names: dict[str, set[str]] = {}
+        self._recover_catalog()
+        self._entity_counter = self._recover_max_entity_id()
+        self._commit_counter = self._recover_max_commit_seq()
+        self._entity2sig: dict[int, tuple[type, ...]] = {}
+
+    # ------------------------------------------------------------ catalog
+    def _table_path(self, hash_val: str) -> str:
+        return os.path.join(self.warehouse, hash_val)
+
+    def _recover_catalog(self) -> None:
+        """Catalog listing (S6, store.py:102) from the filesystem plus
+        each table's _sig.json sidecar."""
+        if not os.path.isdir(self.warehouse):
+            return
+        for name in sorted(os.listdir(self.warehouse)):
+            sig_file = os.path.join(self.warehouse, name, "_sig.json")
+            if name.startswith("archetype_") and os.path.isfile(sig_file):
+                with open(sig_file) as fh:
+                    meta = json.load(fh)
+                self._hash2names[name] = set(meta["components"])
+
+    def _recover_max_entity_id(self) -> int:
+        """Entity ids must survive restarts — derive the counter from
+        storage instead of a process-local count() (store.py:49)."""
+        mx = 0
+        for hash_val in self._hash2names:
+            df = self._read_raw(hash_val)
+            if df is not None:
+                row = df.agg(F.max("entity_id").alias("m")).collect()[0]
+                mx = max(mx, row["m"] or 0)
+        return mx
+
+    def _recover_max_commit_seq(self) -> int:
+        mx = 0
+        for hash_val in self._hash2names:
+            df = self._read_raw(hash_val)
+            if df is not None and COMMIT_SEQ in df.columns:
+                row = df.agg(F.max(COMMIT_SEQ).alias("m")).collect()[0]
+                mx = max(mx, row["m"] or 0)
+        return mx
+
+    def table_names(self) -> list[str]:
+        return sorted(self._hash2names)
+
+    def max_committed_step(self) -> int:
+        """Highest committed step for this (simulation, run) — lets a
+        recovered World resume its step clock where the crashed one
+        stopped. The reference's clock is process-local and resets to 0
+        on restart (world.py:20), silently rewinding the simulation."""
+        mx = 0
+        for hash_val in self._hash2names:
+            df = self._read_raw(hash_val)
+            if df is None:
+                continue
+            row = (
+                df.filter(
+                    (F.col("simulation") == self.simulation)
+                    & (F.col("run") == self.run)
+                )
+                .agg(F.max("step").alias("m"))
+                .collect()[0]
+            )
+            mx = max(mx, row["m"] or 0)
+        return mx
+
+    # ------------------------------------------------------------ schema
+    def _build_schema(self, sig: tuple[type, ...]) -> StructType:
+        """Base columns + prefixed component fields (store.py:77-92)
+        + the commit-sequence column."""
+        fields = list(BASE_FIELDS)
+        for t in sig:
+            fields.extend(component_schema(t).fields)
+        fields.append(StructField(COMMIT_SEQ, LongType(), False))
+        return StructType(fields)
+
+    def _ensure_table(self, sig: tuple[type, ...]) -> str:
+        """Create-if-absent (S4, store.py:94-115): registers catalog
+        entries and writes the _sig.json sidecar on first spawn."""
+        hash_val = archetype_hash(sig)
+        if hash_val not in self._hash2sig:
+            self._hash2sig[hash_val] = sig
+            self._hash2names[hash_val] = {t.__name__ for t in sig}
+            path = self._table_path(hash_val)
+            os.makedirs(path, exist_ok=True)
+            sig_file = os.path.join(path, "_sig.json")
+            if not os.path.isfile(sig_file):
+                meta = {
+                    "components": sorted(t.__name__ for t in sig),
+                    "fields": {
+                        f.name: f.dataType.simpleString()
+                        for t in sig
+                        for f in component_schema(t).fields
+                    },
+                }
+                with open(sig_file, "w") as fh:
+                    json.dump(meta, fh, indent=1)
+        return hash_val
+
+    # ------------------------------------------------------------ reads
+    def _read_raw(self, hash_val: str) -> DataFrame | None:
+        """Raw scan of one archetype table; None if no data files yet."""
+        path = self._table_path(hash_val)
+        try:
+            return self.spark.read.option("basePath", path).parquet(
+                os.path.join(path, "simulation=*")
+            )
+        except Exception:
+            return None
+
+    @staticmethod
+    def resolve_upserts(df: DataFrame) -> DataFrame:
+        """Latest-wins per upsert key (entity_id, step, run, simulation)
+        — the read-side equivalent of the reference's merge_insert
+        (store.py:258-264): the highest _commit_seq version of a step
+        is the committed one."""
+        w = Window.partitionBy(
+            "simulation", "run", "entity_id", "step"
+        ).orderBy(F.col(COMMIT_SEQ).desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", COMMIT_SEQ)
+        )
+
+    @staticmethod
+    def latest_state(df: DataFrame, as_of_step: int | None = None) -> DataFrame:
+        """Latest-state-per-entity (M4) — the view the reference only
+        promised (store.py:18-20, store.py:215): one row per entity,
+        the highest committed step (optionally <= as_of_step)."""
+        if as_of_step is not None:
+            df = df.filter(F.col("step") <= as_of_step)
+        w = Window.partitionBy("simulation", "run", "entity_id").orderBy(
+            F.col("step").desc(), F.col(COMMIT_SEQ).desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", COMMIT_SEQ)
+        )
+
+    def _matching_hashes(self, component_types: Sequence[type]) -> list[str]:
+        """Signature subset match (M1, store.py:183-191): metadata-only
+        planning over the catalog, by component NAME so recovered
+        tables match without their classes imported."""
+        if not component_types:
+            raise ValueError("Must request at least one component type")
+        want = {t.__name__ for t in component_types}
+        return [
+            h for h, names in self._hash2names.items() if want.issubset(names)
+        ]
+
+    def get_archetypes(
+        self, *component_types: type, all_steps: bool = False
+    ) -> dict[str, DataFrame]:
+        """Multi-archetype fan-out (M2, store.py:193-223): one lazy
+        DataFrame per matching archetype, filtered to this
+        (simulation, run) via partition pruning, upsert-resolved."""
+        out: dict[str, DataFrame] = {}
+        for hash_val in self._matching_hashes(component_types):
+            df = self._read_raw(hash_val)
+            if df is None:
+                continue
+            df = df.filter(
+                (F.col("simulation") == self.simulation)
+                & (F.col("run") == self.run)
+            )
+            out[hash_val] = self.resolve_upserts(df)
+        return out
+
+    def get_history(
+        self, *component_types: type, include_all_runs: bool = False
+    ) -> dict[str, DataFrame]:
+        """History fan-out (M3, store.py:225-252): all committed steps;
+        include_all_runs drops the run predicate (one fewer pruning
+        key, same as store.py:241-244)."""
+        out: dict[str, DataFrame] = {}
+        for hash_val in self._matching_hashes(component_types):
+            df = self._read_raw(hash_val)
+            if df is None:
+                continue
+            df = df.filter(F.col("simulation") == self.simulation)
+            if not include_all_runs:
+                df = df.filter(F.col("run") == self.run)
+            out[hash_val] = self.resolve_upserts(df)
+        return out
+
+    # ------------------------------------------------------------ writes
+    def _next_commit_seq(self) -> int:
+        self._commit_counter += 1
+        return self._commit_counter
+
+    def _append(self, hash_val: str, df: DataFrame) -> None:
+        """All mutations funnel here: partition-local append, sorted
+        within partitions by (entity_id, step) so parquet row-group
+        stats serve the reference's BTree role (store.py:107-108)."""
+        (
+            df.sortWithinPartitions("entity_id", "step")
+            .write.mode("append")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(self._table_path(hash_val))
+        )
+
+    def add_entity(self, components: Sequence[Component], step: int = 0) -> int:
+        """Spawn one entity (O5, store.py:125-162)."""
+        return self.add_entities([list(components)], step=step)[0]
+
+    def add_entities(
+        self, entities: Sequence[Sequence[Component]], step: int = 0
+    ) -> list[int]:
+        """Batch spawn — the distributed-friendly path (SURVEY §7 phase
+        5): ids are allocated as prev_max + position, one append per
+        archetype, so a 10^9-entity spawn is one write job per
+        signature, not 10^9 driver round-trips."""
+        if not entities:
+            return []
+        by_sig: dict[tuple[type, ...], list[tuple[int, Sequence[Component]]]] = {}
+        ids: list[int] = []
+        for comps in entities:
+            if not comps:
+                raise ValueError("Cannot create an entity with no components")
+            self._entity_counter += 1
+            eid = self._entity_counter
+            ids.append(eid)
+            sig = signature_of(type(c) for c in comps)
+            by_sig.setdefault(sig, []).append((eid, comps))
+        for sig, members in by_sig.items():
+            hash_val = self._ensure_table(sig)
+            schema = self._build_schema(sig)
+            seq = self._next_commit_seq()
+            rows = []
+            for eid, comps in members:
+                row: dict = {
+                    "simulation": self.simulation,
+                    "run": self.run,
+                    "entity_id": eid,
+                    "step": step,
+                    "is_active": True,
+                    COMMIT_SEQ: seq,
+                }
+                for c in comps:
+                    row.update(flatten_component(c))
+                rows.append(Row(**{f.name: row.get(f.name) for f in schema.fields}))
+                self._entity2sig[eid] = sig
+            self._append(hash_val, self.spark.createDataFrame(rows, schema))
+        return ids
+
+    def remove_entity(self, entity_id: int, step: int) -> None:
+        """Despawn (O6): the reference mutates is_active in place
+        (store.py:164-174); append-only equivalent is a tombstone — the
+        entity's latest row re-appended at `step` with is_active=False
+        and a higher commit seq, so liveness filters and latest-state
+        views retire it while history stays intact."""
+        sig = self._entity2sig.get(entity_id) or self._sig_from_storage(entity_id)
+        if sig is None:
+            return
+        hash_val = archetype_hash(sig)
+        df = self._read_raw(hash_val)
+        if df is None:
+            return
+        current = self.latest_state(
+            df.filter(
+                (F.col("simulation") == self.simulation)
+                & (F.col("run") == self.run)
+                & (F.col("entity_id") == entity_id)
+            )
+        )
+        tomb = current.withColumn("is_active", F.lit(False)).withColumn(
+            "step", F.lit(step).cast("long")
+        ).withColumn(COMMIT_SEQ, F.lit(self._next_commit_seq()).cast("long"))
+        self._append(hash_val, tomb)
+        self._entity2sig.pop(entity_id, None)
+
+    def _sig_from_storage(self, entity_id: int) -> tuple[type, ...] | None:
+        """Entity->signature recovery by probing tables — replaces the
+        reference's lossy in-memory dict (store.py:47, 121-123)."""
+        for hash_val, sig in self._hash2sig.items():
+            df = self._read_raw(hash_val)
+            if df is not None and df.filter(
+                (F.col("simulation") == self.simulation)
+                & (F.col("run") == self.run)
+                & (F.col("entity_id") == entity_id)
+            ).limit(1).count():
+                return sig
+        return None
+
+    def upsert(self, sig: tuple[type, ...], df: DataFrame) -> None:
+        """Commit an updated archetype DataFrame (S9): append with a
+        fresh commit seq; resolve_upserts makes the newest version of
+        each (entity_id, step) the committed one — idempotent step
+        re-runs, as with the reference's merge_insert
+        (store.py:258-264)."""
+        hash_val = self._ensure_table(sig)
+        schema = self._build_schema(sig)
+        seq = self._next_commit_seq()
+        out = df.withColumn(COMMIT_SEQ, F.lit(seq).cast("long")).select(
+            *[f.name for f in schema.fields]
+        )
+        self._append(hash_val, out)
+
+    def compact(self, component_types: Iterable[type] | None = None) -> None:
+        """Compaction (S12, store.py:233-237): rewrite a table as its
+        resolved rows in few well-sorted files, dropping superseded
+        upsert versions. Write-to-temp + directory swap so a crash
+        mid-compact leaves the original table intact. Run periodically
+        (the reference runs it before every history scan — needless;
+        our readers resolve upserts lazily)."""
+        import shutil
+
+        hashes = (
+            self._matching_hashes(list(component_types))
+            if component_types
+            else list(self._hash2names)
+        )
+        for hash_val in hashes:
+            df = self._read_raw(hash_val)
+            if df is None:
+                continue
+            path = self._table_path(hash_val)
+            tmp = path + ".compacting"
+            resolved = self.resolve_upserts(df).withColumn(
+                COMMIT_SEQ, F.lit(self._next_commit_seq()).cast("long")
+            )
+            (
+                resolved.repartition(*PARTITION_COLS)
+                .sortWithinPartitions("entity_id", "step")
+                .write.mode("overwrite")
+                .partitionBy(*PARTITION_COLS)
+                .parquet(tmp)
+            )
+            for entry in os.listdir(path):
+                if entry.startswith("simulation="):
+                    shutil.rmtree(os.path.join(path, entry))
+            for entry in os.listdir(tmp):
+                if entry.startswith("simulation="):
+                    shutil.move(os.path.join(tmp, entry), os.path.join(path, entry))
+            shutil.rmtree(tmp, ignore_errors=True)

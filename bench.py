@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query corpus at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "corpus_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Per-query timing = wall time of plan construction + execution to a
+driver-side count-style materialization (we foreach(noop) rather than
+collect so the measured cost is the query, not result transfer —
+matching how a 1000-executor job is consumed: written to storage, not
+collected)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from archetype_spark.queries import all_queries
+from archetype_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="archetype-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+
+    # JVM + parquet-footer warmup outside the measured window
+    t_warm = time.monotonic()
+    queries["q12_grouped_agg"](spark, sf_dir).foreach(lambda r: None)
+    warm = time.monotonic() - t_warm
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.monotonic()
+        df = queries[name](spark, sf_dir)
+        # Execute the full plan; discard rows executor-side.
+        df.foreach(lambda r: None)
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "corpus_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "warmup_sec": round(warm, 3),
+        "config": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

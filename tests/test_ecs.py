@@ -1,0 +1,210 @@
+"""ECS core tests — strictly stronger than the reference's single
+value-free smoke (tests/test_toy.py:51-54): T-SIM asserts EXACT final
+positions and history depth per SURVEY §2.4 T-SIM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.ecs import Component, Processor, make_world, processor
+from archetype_spark.ecs.component import component_schema, signature_of
+from archetype_spark.ecs.store import ArchetypeStore, archetype_hash
+
+
+@dataclass
+class Position(Component):
+    x: float
+    y: float
+
+
+@dataclass
+class Velocity(Component):
+    vx: float
+    vy: float
+
+
+@processor(Position, Velocity, priority=1)
+class MovementProcessor(Processor):
+    """Kinematics update — reference tests/test_toy.py:14-21."""
+
+    def process(self, df, dt):
+        return df.withColumns(
+            {
+                "position__x": F.col("position__x") + F.col("velocity__vx") * dt,
+                "position__y": F.col("position__y") + F.col("velocity__vy") * dt,
+            }
+        )
+
+
+def test_archetype_hash_parity():
+    """blake2b-10 naming must match the reference fixture
+    tests/data/archetype_739de3c63381a1824fed.lance."""
+    sig = signature_of([Position, Velocity])
+    assert archetype_hash(sig) == "archetype_739de3c63381a1824fed"
+
+
+def test_component_schema_prefixing():
+    s = component_schema(Position)
+    assert [f.name for f in s.fields] == ["position__x", "position__y"]
+    assert all(f.dataType.simpleString() == "double" for f in s.fields)
+
+
+def test_tsim_exact(spark, tmp_path):
+    """T-SIM: 3 entities, 10 steps, dt=0.1 — exact final positions and
+    11 step-versions per entity (spawn + 10 commits)."""
+    world = make_world(spark, str(tmp_path / "wh"), simulation="toy")
+    world.add_processor(MovementProcessor())
+
+    e1 = world.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=1.0))
+    e2 = world.spawn(Position(x=10.0, y=5.0), Velocity(vx=2.0, vy=-1.0))
+    e3 = world.spawn(Position(x=-5.0, y=-10.0), Velocity(vx=-0.5, vy=0.5))
+
+    for _ in range(10):
+        world.step(dt=0.1)
+
+    latest = world.latest(Position)
+    assert len(latest) == 1
+    rows = {
+        r["entity_id"]: r
+        for df in latest.values()
+        for r in df.collect()
+    }
+    assert rows[e1]["position__x"] == pytest.approx(1.0)
+    assert rows[e1]["position__y"] == pytest.approx(1.0)
+    assert rows[e2]["position__x"] == pytest.approx(12.0)
+    assert rows[e2]["position__y"] == pytest.approx(4.0)
+    assert rows[e3]["position__x"] == pytest.approx(-5.5)
+    assert rows[e3]["position__y"] == pytest.approx(-9.5)
+    assert all(r["step"] == 10 for r in rows.values())
+
+    history = world.get_history(Position)
+    (hdf,) = history.values()
+    counts = {r["entity_id"]: r["n"] for r in hdf.groupBy("entity_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {e1: 11, e2: 11, e3: 11}
+
+
+def test_step_rerun_is_idempotent(spark, tmp_path):
+    """Re-committing the same step must overwrite, not duplicate —
+    latest-wins parity with the reference's merge_insert keyed on
+    (entity_id, step, run, simulation)."""
+    world = make_world(spark, str(tmp_path / "wh"), simulation="idem")
+    world.add_processor(MovementProcessor())
+    world.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=0.0))
+    world.step(dt=0.1)
+
+    # re-run commit for step 1 (crash-replay): same step stamped again
+    updated = world.execute(0, 0.1)
+    world.update(updated, 1)
+
+    (hdf,) = world.get_history(Position).values()
+    per_step = hdf.groupBy("entity_id", "step").count().collect()
+    assert all(r["count"] == 1 for r in per_step)
+    (latest_df,) = world.latest(Position).values()
+    row = latest_df.collect()[0]
+    assert row["position__x"] == pytest.approx(0.1)
+
+
+def test_despawn_tombstone(spark, tmp_path):
+    world = make_world(spark, str(tmp_path / "wh"), simulation="tomb")
+    world.add_processor(MovementProcessor())
+    e1 = world.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=1.0))
+    e2 = world.spawn(Position(x=1.0, y=1.0), Velocity(vx=1.0, vy=1.0))
+    world.step(dt=0.1)
+    world.despawn(e1)
+
+    (latest_df,) = world.latest(Position).values()
+    live = [r["entity_id"] for r in latest_df.collect()]
+    assert live == [e2]
+
+    # history keeps the dead entity's rows (soft delete, world.py:46-48)
+    (hdf,) = world.get_history(Position).values()
+    assert hdf.filter(F.col("entity_id") == e1).count() >= 2
+
+
+def test_intra_step_chaining(spark, tmp_path):
+    """Processor n+1 must see processor n's in-flight output
+    (system.py:40-53)."""
+
+    @processor(Position, priority=1)
+    class AddOne(Processor):
+        def process(self, df, dt):
+            return df.withColumn("position__x", F.col("position__x") + 1.0)
+
+    @processor(Position, priority=2)
+    class Double(Processor):
+        def process(self, df, dt):
+            return df.withColumn("position__x", F.col("position__x") * 2.0)
+
+    world = make_world(spark, str(tmp_path / "wh"), simulation="chain")
+    world.add_processor(Double())  # added first, but priority orders it second
+    world.add_processor(AddOne())
+    world.spawn(Position(x=1.0, y=0.0), Velocity(vx=0.0, vy=0.0))
+    world.step(dt=1.0)
+
+    (latest_df,) = world.latest(Position).values()
+    # (1 + 1) * 2 = 4 — order swapped would give 1*2+1 = 3
+    assert latest_df.collect()[0]["position__x"] == pytest.approx(4.0)
+
+
+def test_none_return_contract(spark, tmp_path):
+    @processor(Position)
+    class BadProc(Processor):
+        def process(self, df, dt):
+            return None
+
+    world = make_world(spark, str(tmp_path / "wh"), simulation="bad")
+    world.add_processor(BadProc())
+    world.spawn(Position(x=0.0, y=0.0), Velocity(vx=0.0, vy=0.0))
+    with pytest.raises(ValueError, match="returned None"):
+        world.step(dt=1.0)
+
+
+def test_catalog_and_counter_recovery(spark, tmp_path):
+    """A new store over an existing warehouse must rebuild the catalog,
+    entity counter, and commit sequence from storage — the reference
+    loses all three on restart (store.py:47-49)."""
+    wh = str(tmp_path / "wh")
+    w1 = make_world(spark, wh, simulation="rec", run="r1")
+    w1.add_processor(MovementProcessor())
+    ids1 = [
+        w1.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=1.0)),
+        w1.spawn(Position(x=1.0, y=1.0), Velocity(vx=1.0, vy=1.0)),
+    ]
+    w1.step(dt=0.1)
+
+    w2 = make_world(spark, wh, simulation="rec", run="r1")
+    assert w2.store.table_names() == ["archetype_739de3c63381a1824fed"]
+    new_id = w2.spawn(Position(x=5.0, y=5.0), Velocity(vx=0.0, vy=0.0))
+    assert new_id > max(ids1)  # counter recovered, no id collision
+
+    # catalog recovered by NAME: queries over the recovered table work
+    latest = w2.latest(Position)
+    assert sum(df.count() for df in latest.values()) == 3
+
+
+def test_batch_spawn_multi_archetype(spark, tmp_path):
+    """Batch spawn routes entities to per-signature tables in one write
+    per archetype and allocates distinct ids."""
+
+    @dataclass
+    class Tag(Component):
+        label: str
+
+    world = make_world(spark, str(tmp_path / "wh"), simulation="batch")
+    ids = world.spawn_many(
+        [
+            [Position(x=float(i), y=0.0), Velocity(vx=0.0, vy=0.0)]
+            for i in range(5)
+        ]
+        + [[Position(x=99.0, y=9.0), Tag(label="solo")]]
+    )
+    assert len(set(ids)) == 6
+    assert len(world.store.table_names()) == 2
+    # subset match (M1): querying Position fans out over BOTH archetypes
+    latest = world.latest(Position)
+    assert len(latest) == 2
+    assert sum(df.count() for df in latest.values()) == 6
