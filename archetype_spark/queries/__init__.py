@@ -7,16 +7,18 @@ the driver sorts columns by name and hashes values, so every computed
 column is aliased identically in the DataFrame code and the SQL.
 """
 
-from archetype_spark.queries import northstar, relational
+from archetype_spark.queries import northstar, relational, windows_q
 
 
 def all_queries():
     q = dict(relational.QUERIES)
     q.update(northstar.QUERIES)
+    q.update(windows_q.QUERIES)
     return q
 
 
 def all_oracles():
     o = dict(relational.ORACLES)
     o.update(northstar.ORACLES)
+    o.update(windows_q.ORACLES)
     return o

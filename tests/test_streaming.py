@@ -1,0 +1,173 @@
+"""Streaming lift tests: the window builders, stateful accumulator,
+and foreachBatch world driver run in REAL streaming mode (file source
+-> availableNow trigger -> memory sink) and agree with their batch
+faces (which are oracle-gated in tests/test_oracle_corpus.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.streaming.stateful import running_totals
+from archetype_spark.streaming.windows import (
+    dedup_within_watermark,
+    tumbling_agg,
+)
+from archetype_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_batch(spark, tmp_path):
+    """The events table rewritten as microsecond-timestamp parquet —
+    the raw driver file is TIMESTAMP(NANOS), which Spark's streaming
+    file source cannot read (tables.load handles it for batch)."""
+    out = tmp_path / "events_us"
+    load(spark, SF, "events").coalesce(1).write.parquet(str(out))
+    return spark.read.parquet(str(out))
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path, events_batch):
+    """File-source stream over the rewritten events (one parquet file
+    = one micro-batch under availableNow)."""
+    return spark.readStream.schema(events_batch.schema).parquet(
+        str(tmp_path / "events_us")
+    )
+
+
+def _run_to_memory(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_stream_matches_batch(spark, events_batch, events_stream):
+    batch = events_batch
+    expect = {
+        (r["user_id"], r["win_start"], r["n_events"])
+        for r in tumbling_agg(batch).collect()
+    }
+    streamed = _run_to_memory(
+        spark,
+        tumbling_agg(events_stream, watermark="10 minutes"),
+        "tumbling_sink",
+        mode="append",
+    )
+    got = {
+        (r["user_id"], r["win_start"], r["n_events"]) for r in streamed.collect()
+    }
+    # Append mode emits a window only once the watermark passes its
+    # end; windows still open when the stream drains are withheld —
+    # that holdback IS the late-data policy. Everything emitted must
+    # match batch, and only tail windows (those the final watermark
+    # couldn't close: end > max_ts - 10min) may be missing.
+    assert got <= expect
+    max_ts = max(r["ts"] for r in batch.select("ts").collect())
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    for user_id, win_start, n in expect - got:
+        assert win_start + datetime.timedelta(hours=1) > horizon
+    assert len(got) > 0.9 * len(expect)
+
+
+def test_stateful_running_totals(spark, events_batch, events_stream):
+    out = _run_to_memory(
+        spark, running_totals(events_stream), "running_sink", mode="update"
+    )
+    batch = events_batch
+    expect = {
+        (r["user_id"], r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["n_events"], round(r["sum_value"], 6))
+        for r in out.collect()
+    }
+    assert got == expect
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    ev = load(spark, SF, "events").limit(100)
+    ev.union(ev).coalesce(1).write.parquet(str(src / "batch0"))
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "batch0"))
+    out = _run_to_memory(
+        spark,
+        dedup_within_watermark(stream, ["event_id"], watermark="1 hour"),
+        "dedup_sink",
+    )
+    assert out.count() == 100
+
+
+def test_world_stream_steps(spark, tmp_path):
+    """foreachBatch drives real simulation steps from a stream."""
+    from archetype_spark.ecs import Component, Processor, make_world, processor
+    from archetype_spark.streaming.world_stream import run_stream_steps
+
+    @dataclass
+    class Position(Component):
+        x: float
+        y: float
+
+    @dataclass
+    class Velocity(Component):
+        vx: float
+        vy: float
+
+    @processor(Position, Velocity, priority=1)
+    class Movement(Processor):
+        def process(self, df, dt):
+            return df.withColumns(
+                {
+                    "position__x": F.col("position__x")
+                    + F.col("velocity__vx") * dt,
+                    "position__y": F.col("position__y")
+                    + F.col("velocity__vy") * dt,
+                }
+            )
+
+    src = tmp_path / "cmds"
+    src.mkdir()
+    ev = load(spark, SF, "events")
+    ev.limit(3).coalesce(1).write.parquet(str(src / "b0"))
+
+    world = make_world(spark, str(tmp_path / "wh"), simulation="stream")
+    world.add_processor(Movement())
+
+    def to_entities(batch_df):
+        return [
+            [Position(x=float(r["value"]), y=0.0), Velocity(vx=1.0, vy=0.0)]
+            for r in batch_df.collect()
+        ]
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "b0"))
+    q = run_stream_steps(
+        stream, world, to_entities, dt=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    assert world.current_step >= 1
+    (latest_df,) = world.latest(Position).values()
+    rows = latest_df.collect()
+    assert len(rows) == 3
+    # one step applied: x = value + 1.0*0.5
+    src_vals = sorted(float(r["value"]) for r in ev.limit(3).collect())
+    got_vals = sorted(round(r["position__x"] - 0.5, 6) for r in rows)
+    assert got_vals == [round(v, 6) for v in src_vals]
