@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from archetype_spark.functions.text import shingles, tokens
+from archetype_spark.operators.util import fan_out
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -62,8 +63,10 @@ def hash_dedup(
 def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, shingle) exploded pairs + per-doc distinct-shingle counts."""
-    return df.select(
+    """(id, shingle) exploded pairs + per-doc distinct-shingle counts.
+    Fanned out first: shingling is the per-row-expensive stage and
+    single-file inputs would otherwise run it in one task."""
+    return fan_out(df).select(
         F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
     ).withColumn("_n_sh", F.size("_sh"))
 
@@ -85,7 +88,13 @@ def ngram_jaccard_pairs(
     shingles first (stop-shingle filtering).
     """
     docs = _doc_shingles(df, id_col, text_col, n)
-    ex = docs.select("_id", "_n_sh", F.explode("_sh").alias("_s"))
+    # explode_OUTER on purpose: a plain explode lets
+    # InferFiltersFromGenerate push `size(_sh) > 0` (with the whole
+    # shingle tree inlined) below the fan-out exchange into a one-task
+    # map-side filter (same trap as the band hash in minhash_lsh_pairs).
+    # Outer generate implies no non-empty constraint; the inner equi-
+    # join on _s drops the null rows of empty docs anyway.
+    ex = docs.select("_id", "_n_sh", F.explode_outer("_sh").alias("_s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
@@ -116,15 +125,24 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures. Hash family is
     xxhash64(shingle, seed_i) — JVM-native, no Python. Empty-shingle
-    docs get an empty signature and never produce candidates."""
-    sh = shingles(text_col, shingle_n)
+    docs get an empty signature and never produce candidates.
+
+    The shingle array is materialized in its own projection BEFORE the
+    signature expression: inlining it would re-evaluate the whole
+    shingling subtree once per hash slot (64x per row — observed as a
+    multi-minute single-task stage at sf0.1)."""
+    shingled = fan_out(df).select(
+        F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, i))),
     )
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.when(F.size(sh) > 0, sig).otherwise(F.array().cast("array<bigint>")).alias("_sig"),
+    return shingled.select(
+        "_id",
+        F.when(F.size("_sh") > 0, sig)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_sig"),
     )
 
 
@@ -147,21 +165,33 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
-    # one xxhash64 per band over its rpb signature slots (unrolled with
-    # literal indices — keeps the expression flat for codegen)
-    band_hash = F.array(
-        *[
-            F.xxhash64(
-                *[F.element_at("_sig", b * rpb + j + 1) for j in range(rpb)], F.lit(b)
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = (
-        sigs.filter(F.size("_sig") > 0)
-        .withColumn("_bands", band_hash)
-        .select("_id", "_sig", F.posexplode("_bands").alias("_band_idx", "_bh"))
+    # Filter short docs on the CHEAP precondition (token count) before
+    # signatures exist. Filtering on size(_sig)>0 afterwards lets
+    # Catalyst push that predicate below the fan-out exchange, inlining
+    # the whole 64-slot signature tree into a map-side filter that runs
+    # in one task (observed: 214s single-task stage at sf0.1, with the
+    # signatures then recomputed after the shuffle anyway).
+    eligible = df.filter(F.size(tokens(text_col)) >= shingle_n)
+    sigs = minhash_signature(eligible, id_col, text_col, num_hashes, shingle_n)
+    # Explode a LITERAL band-index sequence first, then hash the band's
+    # rpb signature slots per exploded row. Exploding a computed
+    # array-of-hashes instead looks equivalent but is a trap:
+    # InferFiltersFromGenerate derives `size(bands_array) > 0`, and
+    # predicate pushdown substitutes the whole signature tree into a
+    # filter below the fan-out exchange — 64 signature evaluations per
+    # row in a single map task (observed: 214s one-task stage at
+    # sf0.1). A literal sequence folds the inferred filter away.
+    banded = sigs.select(
+        "_id", "_sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band_idx")
+    ).withColumn(
+        "_bh",
+        F.xxhash64(
+            *[
+                F.element_at("_sig", F.col("_band_idx") * rpb + j + 1)
+                for j in range(rpb)
+            ],
+            F.col("_band_idx"),
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -200,9 +230,9 @@ def simhash63(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     int64 under ANSI mode). bit_j = sign of sum over tokens of
     (+1 if bit j of xxhash64(token) else -1)."""
     tok = tokens(text_col)
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(tok).alias("_t")).withColumn(
-        "_h", F.xxhash64("_t")
-    )
+    ex = fan_out(df).select(
+        F.col(id_col).alias("_id"), F.explode(tok).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
     votes = [
         F.sum(
             F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -27,20 +27,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from archetype_spark.functions.vectors import cosine_prenormed, dot, norm
+from archetype_spark.operators.util import fan_out
 
 
 def _pairwise_cosine(
     emb: DataFrame, id_col: str, vec_col: str, extra_block_key=None
 ) -> DataFrame:
     """(id, other_id, cos_sim6) for id < other_id; optional equi-block
-    key turns the nested-loop join into a hash join."""
+    key turns the nested-loop join into a hash join.
+
+    Physical shape: the probe side is fanned out across the cluster
+    and the build side broadcast, so the O(n^2) kernel runs one task
+    per probe partition instead of one task total (single-file inputs
+    otherwise collapse the BroadcastNestedLoopJoin to 1 task)."""
     e = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         norm(vec_col).alias("_n"),
         *([extra_block_key.alias("_blk")] if extra_block_key is not None else []),
     )
-    a, b = e.alias("a"), e.alias("b")
+    a, b = fan_out(e).alias("a"), F.broadcast(e).alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if extra_block_key is not None:
         cond = (F.col("a._blk") == F.col("b._blk")) & cond
@@ -106,8 +112,8 @@ def random_hyperplane_buckets(
     """(id, table_idx, bucket) sign-bit LSH bucket assignment. The
     hyperplanes are literal arrays folded into the plan (Catalyst
     constant side), so bucketing is one codegen'd projection —
-    no UDF, no shuffle."""
-    out = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    no UDF; one fan-out shuffle parallelizes the projection."""
+    out = fan_out(emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
     rows = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)

@@ -1,0 +1,24 @@
+"""Shared operator plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition ahead of a per-row-expensive stage (shingling,
+    signature hashing, pairwise kernels).
+
+    Why: the driver corpus tables are single parquet files, so every
+    narrow pipeline downstream of the scan runs in ONE task no matter
+    how many cores the cluster has — a 15-60s single-thread stage at
+    sf0.1 where 32 cores sit idle (observed: q30 15.7s, q36 25.3s,
+    q37 60.4s, q40 8+ min, all in `(0 + 1) / 1` stages). One
+    round-robin shuffle of the (small) input rows buys full-width
+    execution of the expensive stage. At 100 TB inputs arrive in many
+    splits and this becomes a no-op-cost rebalance; the dominant term
+    stays the downstream stage, now correctly parallel.
+    """
+    sc = df.sparkSession.sparkContext
+    n = partitions or sc.defaultParallelism
+    return df.repartition(n)
