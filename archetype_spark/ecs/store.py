@@ -367,6 +367,57 @@ class ArchetypeStore:
             self._append(hash_val, self.spark.createDataFrame(rows, schema))
         return ids
 
+    def add_entities_df(
+        self,
+        component_types: Sequence[type],
+        df: DataFrame,
+        step: int = 0,
+    ) -> tuple[int, int]:
+        """Distributed spawn (SURVEY §7 hard part 3): create one entity
+        per row of `df` WITHOUT routing rows through the driver.
+
+        `df`'s columns must match the flattened component fields
+        (`<component>__<field>`) of `component_types`. Entity ids are
+        allocated as prev_max + row_number() over the batch — a
+        deterministic, shuffle-one allocation that scales to billions
+        of rows where the reference's per-entity driver counter
+        (store.py:49, one awaited add() per entity, store.py:159)
+        cannot. Returns the allocated [lo, hi] id range.
+        """
+        sig = signature_of(component_types)
+        hash_val = self._ensure_table(sig)
+        schema = self._build_schema(sig)
+        base_cols = {f.name for f in BASE_FIELDS} | {COMMIT_SEQ}
+        expected = {f.name for f in schema.fields} - base_cols
+        missing = expected - set(df.columns)
+        if missing:
+            raise ValueError(f"spawn frame is missing component columns {sorted(missing)}")
+
+        n = df.count()
+        if n == 0:
+            return (self._entity_counter + 1, self._entity_counter)
+        base = self._entity_counter
+        self._entity_counter += n
+        seq = self._next_commit_seq()
+
+        w = Window.orderBy(F.monotonically_increasing_id())
+        out = (
+            df.withColumn("entity_id", F.lit(base) + F.row_number().over(w))
+            .withColumn("simulation", F.lit(self.simulation))
+            .withColumn("run", F.lit(self.run))
+            .withColumn("step", F.lit(step).cast("long"))
+            .withColumn("is_active", F.lit(True))
+            .withColumn(COMMIT_SEQ, F.lit(seq).cast("long"))
+            .select(*[f.name for f in schema.fields])
+        )
+        # row_number over a global window is a single-partition sort —
+        # re-spread before the write so file layout stays parallel.
+        # (At extreme scale, switch to zipWithIndex-style per-partition
+        # offsets; the global window keeps ids dense and deterministic
+        # which the tests pin.)
+        self._append(hash_val, out.repartition(max(1, out.sparkSession.sparkContext.defaultParallelism // 2)))
+        return (base + 1, base + n)
+
     def remove_entity(self, entity_id: int, step: int) -> None:
         """Despawn (O6): the reference mutates is_active in place
         (store.py:164-174); append-only equivalent is a tombstone — the

@@ -74,6 +74,15 @@ class World:
             entities, step=step if step is not None else self.current_step
         )
 
+    def spawn_from_df(
+        self, component_types, df, step: Optional[int] = None
+    ) -> tuple[int, int]:
+        """Distributed spawn: one entity per DataFrame row, ids
+        allocated executor-side (returns the [lo, hi] id range)."""
+        return self.store.add_entities_df(
+            component_types, df, step=step if step is not None else self.current_step
+        )
+
     def despawn(self, entity_id: int, step: Optional[int] = None) -> None:
         """Soft-delete (world.py:46-48): tombstone, history retained."""
         self.store.remove_entity(

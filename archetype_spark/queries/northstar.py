@@ -142,8 +142,8 @@ def q41_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q42_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-k (rows-only; recall vs
-    q30 brute force asserted in tests/test_similarity.py)."""
+    """Random-hyperplane LSH approximate top-k (rows-only; planted-
+    near-dup recall asserted in tests/test_dedup.py)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, dim=64, k=5, n_planes=6, n_tables=6)
 
@@ -159,6 +159,23 @@ def q44_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64 document fingerprints (rows-only; xxhash64 has no
     DuckDB twin)."""
     return textstats.doc_fingerprints(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q48_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: image-kind payloads through the
+    Arrow-batched worker, re-emitted at 224x224 (deterministic fake
+    codec; rows-only)."""
+    media = multimodal.synth_media_from_documents(load(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, width=224, height=224).orderBy("media_id")
+
+
+def q49_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1-to-N frame sampling: every 500th frame of each
+    video-kind payload (deterministic fake codec; rows-only)."""
+    media = multimodal.synth_media_from_documents(load(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every_n=500).orderBy(
+        "media_id", "frame_idx"
+    )
 
 
 QUERIES = {
@@ -178,6 +195,8 @@ QUERIES = {
     "q42_lsh_topk": q42_lsh_topk,
     "q43_media_decode": q43_media_decode,
     "q44_fingerprints": q44_fingerprints,
+    "q48_media_resize": q48_media_resize,
+    "q49_frame_sample": q49_frame_sample,
 }
 
 _STOPWORD_VALUES = ", ".join(

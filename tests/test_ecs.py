@@ -186,6 +186,36 @@ def test_catalog_and_counter_recovery(spark, tmp_path):
     assert sum(df.count() for df in latest.values()) == 3
 
 
+def test_distributed_spawn_from_df(spark, tmp_path):
+    """spawn_from_df creates one entity per DataFrame row without a
+    driver loop: dense deterministic ids, processors see all of them."""
+    world = make_world(spark, str(tmp_path / "wh"), simulation="dist")
+    world.add_processor(MovementProcessor())
+    src = spark.range(1000).selectExpr(
+        "cast(id as double) as position__x",
+        "0.0 as position__y",
+        "1.0 as velocity__vx",
+        "0.0 as velocity__vy",
+    )
+    lo, hi = world.spawn_from_df([Position, Velocity], src)
+    assert (lo, hi) == (1, 1000)
+    world.step(dt=1.0)
+    (latest_df,) = world.latest(Position).values()
+    rows = latest_df.select("entity_id", "position__x").collect()
+    assert len(rows) == 1000
+    # entity ids are dense 1..1000 and each moved by exactly vx*dt
+    got = sorted((r["entity_id"], r["position__x"]) for r in rows)
+    assert got[0] == (1, pytest.approx(1.0))
+    assert got[-1][0] == 1000
+    # mixing spawn paths keeps ids collision-free
+    nxt = world.spawn(Position(x=0.0, y=0.0), Velocity(vx=0.0, vy=0.0))
+    assert nxt == 1001
+
+    # missing component column is rejected with a clear error
+    with pytest.raises(ValueError, match="missing component columns"):
+        world.spawn_from_df([Position, Velocity], src.drop("velocity__vy"))
+
+
 def test_batch_spawn_multi_archetype(spark, tmp_path):
     """Batch spawn routes entities to per-signature tables in one write
     per archetype and allocates distinct ids."""
