@@ -7,13 +7,14 @@ the driver sorts columns by name and hashes values, so every computed
 column is aliased identically in the DataFrame code and the SQL.
 """
 
-from archetype_spark.queries import northstar, relational, windows_q
+from archetype_spark.queries import ecs_q, northstar, relational, windows_q
 
 
 def all_queries():
     q = dict(relational.QUERIES)
     q.update(northstar.QUERIES)
     q.update(windows_q.QUERIES)
+    q.update(ecs_q.QUERIES)
     return q
 
 
@@ -21,4 +22,5 @@ def all_oracles():
     o = dict(relational.ORACLES)
     o.update(northstar.ORACLES)
     o.update(windows_q.ORACLES)
+    o.update(ecs_q.ORACLES)
     return o
