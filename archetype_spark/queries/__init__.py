@@ -7,20 +7,20 @@ the driver sorts columns by name and hashes values, so every computed
 column is aliased identically in the DataFrame code and the SQL.
 """
 
-from archetype_spark.queries import ecs_q, northstar, relational, windows_q
+from archetype_spark.queries import ecs_q, northstar, relational, temporal_q, windows_q
+
+_MODULES = (relational, northstar, windows_q, ecs_q, temporal_q)
 
 
 def all_queries():
-    q = dict(relational.QUERIES)
-    q.update(northstar.QUERIES)
-    q.update(windows_q.QUERIES)
-    q.update(ecs_q.QUERIES)
+    q = {}
+    for m in _MODULES:
+        q.update(m.QUERIES)
     return q
 
 
 def all_oracles():
-    o = dict(relational.ORACLES)
-    o.update(northstar.ORACLES)
-    o.update(windows_q.ORACLES)
-    o.update(ecs_q.ORACLES)
+    o = {}
+    for m in _MODULES:
+        o.update(m.ORACLES)
     return o

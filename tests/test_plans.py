@@ -100,6 +100,22 @@ def test_q40_no_single_task_signature_stage(spark, sf_dir):
         assert "xxhash64" not in m.group(1), m.group(1)[:500]
 
 
+def test_q51_asof_is_joinless_merge(spark, sf_dir):
+    """The as-of join must compile to the union+window merge — NO join
+    operator (an inequality join would be a per-key nested loop)."""
+    df = QS["q51_asof_join"](spark, sf_dir)
+    assert join_impls(df) == [], join_impls(df)
+    assert n_exchanges(df) <= 2
+
+
+def test_q52_range_join_is_equi(spark, sf_dir):
+    """The bucketed range join must be an equi join (hash/merge), never
+    a nested loop or cartesian over the inequality predicate."""
+    impls = join_impls(QS["q52_range_join"](spark, sf_dir))
+    assert impls, "expected a join"
+    assert set(impls) <= {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}, impls
+
+
 def test_ecs_hot_loop_shuffle_free(spark, tmp_path):
     """The per-step processor transform itself adds no exchange beyond
     the latest-state window's single shuffle (SURVEY §4.2: the ECS hot
