@@ -12,13 +12,29 @@ Layout:
   session    — SparkSession factory with scale-tuned defaults
   tables     — loaders for the driver's parquet corpus
   queries/   — the declared query corpus (SURVEY.md §2.4) + oracles
-  core/      — the ECS engine (Component/Store/World/System)
-  operators/ — dedup, similarity, text-analysis, multimodal
+  ecs/       — the ECS engine (Component/Store/World/System)
+  operators/ — dedup, similarity, temporal joins, text, multimodal
   functions/ — reusable column expressions (vector math, text)
   streaming/ — structured-streaming lift of the step loop
+  plans/     — physical-plan audit helpers
+  sources/   — uniform reader/writer surface
 """
 
+from archetype_spark.ecs import (
+    Component,
+    Processor,
+    World,
+    make_world,
+    processor,
+)
 from archetype_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "make_world",
+    "World",
+    "Component",
+    "Processor",
+    "processor",
+]
 __version__ = "0.1.0"

@@ -7,9 +7,16 @@ the driver sorts columns by name and hashes values, so every computed
 column is aliased identically in the DataFrame code and the SQL.
 """
 
-from archetype_spark.queries import ecs_q, northstar, relational, temporal_q, windows_q
+from archetype_spark.queries import (
+    ecs_q,
+    extras_q,
+    northstar,
+    relational,
+    temporal_q,
+    windows_q,
+)
 
-_MODULES = (relational, northstar, windows_q, ecs_q, temporal_q)
+_MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 
 
 def all_queries():

@@ -216,6 +216,49 @@ def test_distributed_spawn_from_df(spark, tmp_path):
         world.spawn_from_df([Position, Velocity], src.drop("velocity__vy"))
 
 
+def test_compaction_reduces_files_preserves_results(spark, tmp_path):
+    """compact() rewrites the table as resolved rows: file count drops,
+    superseded upsert versions disappear physically, and every read
+    (latest + history) is unchanged."""
+    import glob
+
+    wh = tmp_path / "wh"
+    world = make_world(spark, str(wh), simulation="cmp", run="r1")
+    world.add_processor(MovementProcessor())
+    world.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=0.0))
+    world.spawn(Position(x=5.0, y=0.0), Velocity(vx=-1.0, vy=0.0))
+    for _ in range(5):
+        world.step(dt=0.1)
+    # re-commit step 5 so a superseded version exists
+    world.update(world.execute(4, 0.1), 5)
+
+    (hash_val,) = world.store.table_names()
+    table_glob = str(wh / hash_val / "simulation=*" / "run=*" / "*.parquet")
+    before_files = len(glob.glob(table_glob))
+    before_hist = sorted(
+        tuple(r)
+        for df in world.get_history(Position).values()
+        for r in df.select("entity_id", "step", "position__x").collect()
+    )
+    raw_before = spark.read.parquet(str(wh / hash_val / "simulation=*")).count()
+
+    world.store.compact()
+
+    after_files = len(glob.glob(table_glob))
+    after_hist = sorted(
+        tuple(r)
+        for df in world.get_history(Position).values()
+        for r in df.select("entity_id", "step", "position__x").collect()
+    )
+    raw_after = spark.read.parquet(str(wh / hash_val / "simulation=*")).count()
+
+    assert after_files < before_files
+    assert after_hist == before_hist
+    # superseded step-5 version physically gone: raw rows = resolved rows
+    assert raw_after < raw_before
+    assert raw_after == len(after_hist)
+
+
 def test_batch_spawn_multi_archetype(spark, tmp_path):
     """Batch spawn routes entities to per-signature tables in one write
     per archetype and allocates distinct ids."""
