@@ -46,7 +46,35 @@ def q54_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q53_cube": q53_cube, "q54_percentiles": q54_percentiles}
+def q55_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (Spark 3.4+ native) == DuckDB UNPIVOT."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+def q56_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (intersectAll) — Q26 covers the DISTINCT
+    forms; the ALL variants preserve multiplicity."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s).orderBy("k")
+
+
+QUERIES = {
+    "q53_cube": q53_cube,
+    "q54_percentiles": q54_percentiles,
+    "q55_unpivot": q55_unpivot,
+    "q56_set_ops_all": q56_set_ops_all,
+}
 
 ORACLES = {
     "q53_cube": """
@@ -65,5 +93,18 @@ ORACLES = {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """,
+    "q55_unpivot": """
+        SELECT l_orderkey, l_linenumber, metric, val
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+              FROM lineitem)
+        UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+        ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    "q56_set_ops_all": """
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+        ORDER BY k
     """,
 }

@@ -30,6 +30,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # BASELINE.md protocol: official numbers are median of 5 after one
+    # warmup (`python bench.py --reps 5`); the driver's per-round run
+    # uses the single-rep default.
+    reps = 1
+    if "--reps" in sys.argv:
+        i = sys.argv.index("--reps")
+        if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+            sys.exit("usage: bench.py [--reps N]  (N = positive integer)")
+        reps = max(1, int(sys.argv[i + 1]))
 
     spark = get_spark(app_name="archetype-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -43,11 +52,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        t0 = time.monotonic()
-        df = queries[name](spark, sf_dir)
-        # Execute the full plan; discard rows executor-side.
-        df.foreach(lambda r: None)
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            df = queries[name](spark, sf_dir)
+            # Execute the full plan; discard rows executor-side.
+            df.foreach(lambda r: None)
+            samples.append(time.monotonic() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     out = {
         "metric": "corpus_wall_sec",
@@ -56,6 +69,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "warmup_sec": round(warm, 3),
+        "reps": reps,
         "config": {
             "master": spark.sparkContext.master,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
