@@ -1,0 +1,102 @@
+"""Seeded randomized parity checks for the engine-vs-oracle seams
+that bit us once already (see .claude/skills/verify/SKILL.md):
+
+- round_like_duckdb vs DuckDB ROUND on adversarial half-boundary
+  doubles — the q04 hash depends on exact agreement.
+- asof_join vs DuckDB's native ASOF JOIN on random key/ts frames,
+  including duplicate timestamps per key.
+
+Deterministic (fixed seeds), batch-style: one Spark job per test, the
+whole batch compared elementwise.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.operators.temporal import asof_join
+from archetype_spark.queries.relational import round_like_duckdb
+
+
+def test_round_parity_adversarial(spark):
+    rng = np.random.default_rng(42)
+    # uniform magnitudes + explicit half-cent boundary values (k+0.005)
+    # + TPC-H-style price*discount*tax products
+    uniform = rng.uniform(0, 200000, 20000)
+    halves = (rng.integers(0, 2_000_000, 20000) / 100.0) + 0.005
+    prices = rng.uniform(900, 105000, 20000)
+    disc = rng.integers(0, 11, 20000) / 100.0
+    tax = rng.integers(0, 9, 20000) / 100.0
+    products = prices * (1 - disc) * (1 + tax)
+    vals = np.concatenate([uniform, halves, products])
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = [
+        r["r"]
+        for r in df.select(round_like_duckdb(F.col("v"), 2).alias("r"))
+        .collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(float(v) for v in vals))
+    )
+    want = [r[0] for r in con.execute("SELECT ROUND(v, 2) FROM t ORDER BY i").fetchall()]
+
+    mismatches = [
+        (v, g, w) for v, g, w in zip(vals, got, want) if abs(g - w) > 1e-12
+    ]
+    assert not mismatches, f"{len(mismatches)} of {len(vals)}: {mismatches[:5]}"
+
+
+def test_asof_parity_random(spark):
+    rng = np.random.default_rng(7)
+    n_left, n_right = 2000, 3000
+    # duplicate-heavy integer timestamps force tie handling; keys 0-19
+    lrows = [
+        (int(k), int(t), int(i))
+        for i, (k, t) in enumerate(
+            zip(rng.integers(0, 20, n_left), rng.integers(0, 500, n_left))
+        )
+    ]
+    rrows = [
+        (int(k), int(t), int(i) + 10_000)
+        for i, (k, t) in enumerate(
+            zip(rng.integers(0, 20, n_right), rng.integers(0, 500, n_right))
+        )
+    ]
+    # make right (key, ts) unique so the as-of match is well-defined
+    seen: set[tuple[int, int]] = set()
+    rrows = [r for r in rrows if not ((r[0], r[1]) in seen or seen.add((r[0], r[1])))]
+
+    ldf = spark.createDataFrame(lrows, "k long, t long, lid long").withColumn(
+        "ts", F.timestamp_seconds("t")
+    )
+    rdf = spark.createDataFrame(rrows, "k long, t long, rid long").withColumn(
+        "ts", F.timestamp_seconds("t")
+    )
+    out = asof_join(
+        ldf.select("k", "ts", "lid"),
+        rdf.select("k", "ts", "rid"),
+        keys=["k"],
+        ts_col="ts",
+        right_cols=["rid"],
+    )
+    got = sorted((r["lid"], r["r_rid"]) for r in out.collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k BIGINT, t BIGINT, lid BIGINT)")
+    con.execute("CREATE TABLE r (k BIGINT, t BIGINT, rid BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+    want = sorted(
+        con.execute(
+            """SELECT l.lid, r.rid FROM l ASOF JOIN r
+               ON l.k = r.k AND l.t >= r.t"""
+        ).fetchall()
+    )
+    assert got == want, f"sizes {len(got)} vs {len(want)}"

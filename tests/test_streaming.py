@@ -82,6 +82,48 @@ def test_tumbling_stream_matches_batch(spark, events_batch, events_stream):
     assert len(got) > 0.9 * len(expect)
 
 
+def test_sliding_and_session_stream_match_batch(spark, events_batch, events_stream):
+    """The overlapping-window and session-window builders must agree
+    between their batch and streaming faces on everything the final
+    watermark can close (same holdback rule as tumbling)."""
+    import datetime
+
+    from archetype_spark.streaming.windows import session_agg, sliding_agg
+
+    max_ts = max(r["ts"] for r in events_batch.select("ts").collect())
+    horizon = max_ts - datetime.timedelta(minutes=10)
+
+    b_slide = {
+        (r["user_id"], r["win_start"], r["n_events"])
+        for r in sliding_agg(events_batch).collect()
+    }
+    s_slide = _run_to_memory(
+        spark, sliding_agg(events_stream, watermark="10 minutes"), "slide_sink"
+    )
+    got = {(r["user_id"], r["win_start"], r["n_events"]) for r in s_slide.collect()}
+    assert got <= b_slide
+    for _, win_start, _ in b_slide - got:
+        assert win_start + datetime.timedelta(hours=1) > horizon
+    assert len(got) > 0.9 * len(b_slide)
+
+    b_sess = {
+        (r["user_id"], r["sess_start"], r["n_events"])
+        for r in session_agg(events_batch).collect()
+    }
+    s_sess = _run_to_memory(
+        spark, session_agg(events_stream, watermark="10 minutes"), "sess_sink"
+    )
+    got_s = {
+        (r["user_id"], r["sess_start"], r["n_events"]) for r in s_sess.collect()
+    }
+    assert got_s <= b_sess
+    for _, sess_start, _ in b_sess - got_s:
+        # a session still open at drain (last event within gap+watermark
+        # of the end) is withheld
+        assert sess_start > horizon - datetime.timedelta(minutes=30)
+    assert len(got_s) > 0.9 * len(b_sess)
+
+
 def test_stateful_running_totals(spark, events_batch, events_stream):
     out = _run_to_memory(
         spark, running_totals(events_stream), "running_sink", mode="update"
