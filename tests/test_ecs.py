@@ -216,6 +216,37 @@ def test_distributed_spawn_from_df(spark, tmp_path):
         world.spawn_from_df([Position, Velocity], src.drop("velocity__vy"))
 
 
+def test_history_across_runs(spark, tmp_path):
+    """include_all_runs widens history to every run of the simulation
+    (reference store.py:241-244); default stays run-scoped."""
+    wh = str(tmp_path / "wh")
+    w1 = make_world(spark, wh, simulation="multi", run="r1")
+    w1.add_processor(MovementProcessor())
+    w1.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=0.0))
+    w1.step(dt=0.1)
+
+    w2 = make_world(spark, wh, simulation="multi", run="r2")
+    w2.add_processor(MovementProcessor())
+    w2.spawn(Position(x=9.0, y=0.0), Velocity(vx=1.0, vy=0.0))
+
+    (own,) = w2.get_history(Position).values()
+    assert {r["run"] for r in own.collect()} == {"r2"}
+    (all_runs,) = w2.get_history(Position, include_all_runs=True).values()
+    assert {r["run"] for r in all_runs.collect()} == {"r1", "r2"}
+
+
+def test_sql_entry_over_views(spark, sf_dir):
+    """SQL entry point ([D] daft.sql equivalent): corpus tables as
+    temp views + spark.sql."""
+    from archetype_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30"
+    ).collect()[0]
+    assert row["n"] > 0
+
+
 def test_compaction_reduces_files_preserves_results(spark, tmp_path):
     """compact() rewrites the table as resolved rows: file count drops,
     superseded upsert versions disappear physically, and every read
