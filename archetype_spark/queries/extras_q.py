@@ -69,11 +69,45 @@ def q56_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersectAll(s).orderBy("k")
 
 
+def q57_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline, oracle-gated: exact dedup
+    (deterministic min-doc_id winner per text) -> quality gate ->
+    language gate -> per-source corpus stats. The composition the
+    north-star operators exist for, as ONE lazy plan: dedup window +
+    quality projection + filters all happen in a single shuffle
+    (by text) before the final per-source aggregate."""
+    from pyspark.sql import Window
+
+    from archetype_spark.functions.text import quality_score, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    scored = deduped.withColumn("quality", quality_score("text")).withColumn(
+        "n_tokens", token_count("text")
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "q53_cube": q53_cube,
     "q54_percentiles": q54_percentiles,
     "q55_unpivot": q55_unpivot,
     "q56_set_ops_all": q56_set_ops_all,
+    "q57_training_pipeline": q57_training_pipeline,
 }
 
 ORACLES = {
@@ -106,5 +140,40 @@ ORACLES = {
         INTERSECT ALL
         SELECT s_nationkey FROM supplier
         ORDER BY k
+    """,
+    # mirrors functions/text.quality_score exactly (same formula as the
+    # q35 oracle), rounded to 6 BEFORE the gate like the Spark side
+    "q57_training_pipeline": """
+        WITH dedup AS (
+          SELECT * FROM (
+            SELECT d.*, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents d) t
+          WHERE rn = 1
+        ), m AS (
+          SELECT doc_id, source, lang,
+                 len(string_split(text, ' ')) AS nt,
+                 CASE WHEN len(string_split(text, ' ')) > 0
+                      THEN len(list_distinct(string_split(text, ' '))) * 1.0
+                           / len(string_split(text, ' '))
+                      ELSE 0.0 END AS ur,
+                 CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                           / length(text)
+                      ELSE 0.0 END AS pr
+          FROM dedup
+        ), scored AS (
+          SELECT source, lang, nt,
+                 ROUND(0.5 * least(nt / 50.0, 1.0) + 0.4 * ur + 0.1 * (1.0 - pr), 6)
+                   AS quality
+          FROM m
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               ROUND(AVG(quality), 6) AS avg_quality
+        FROM scored
+        WHERE quality >= 0.5 AND lang = 'en'
+        GROUP BY source
+        ORDER BY source
     """,
 }
