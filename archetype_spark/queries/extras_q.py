@@ -102,12 +102,31 @@ def q57_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/concat aggregation ([D] agg_list/agg_concat row):
+    per-region sorted nation-name list, exposed as a joined string —
+    collect_list is order-nondeterministic across partitions, so
+    sort_array before joining is what makes the result hashable."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 QUERIES = {
     "q53_cube": q53_cube,
     "q54_percentiles": q54_percentiles,
     "q55_unpivot": q55_unpivot,
     "q56_set_ops_all": q56_set_ops_all,
     "q57_training_pipeline": q57_training_pipeline,
+    "q58_list_agg": q58_list_agg,
 }
 
 ORACLES = {
@@ -175,5 +194,13 @@ ORACLES = {
         WHERE quality >= 0.5 AND lang = 'en'
         GROUP BY source
         ORDER BY source
+    """,
+    "q58_list_agg": """
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
     """,
 }

@@ -42,6 +42,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp outputs (q18/q24/q45-q47/q51) must serialize in UTC to
+    # hash-match the (timezone-naive) DuckDB oracle regardless of the
+    # caller's session defaults — the driver builds its own session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

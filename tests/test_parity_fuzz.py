@@ -53,6 +53,20 @@ def test_round_parity_adversarial(spark):
     assert not mismatches, f"{len(mismatches)} of {len(vals)}: {mismatches[:5]}"
 
 
+def test_approx_count_distinct_tolerance(spark):
+    """[D] approx_count_distinct row: HLL++ estimate within 3x the
+    requested relative standard deviation of the exact count."""
+    from archetype_spark.tables import load
+
+    o = load(spark, "/root/testdata/sf0.01", "orders")
+    exact = o.agg(F.countDistinct("o_custkey").alias("e")).collect()[0]["e"]
+    for rsd in (0.05, 0.01):
+        approx = o.agg(
+            F.approx_count_distinct("o_custkey", rsd=rsd).alias("a")
+        ).collect()[0]["a"]
+        assert abs(approx - exact) / exact <= 3 * rsd, (rsd, approx, exact)
+
+
 def test_asof_parity_random(spark):
     rng = np.random.default_rng(7)
     n_left, n_right = 2000, 3000
