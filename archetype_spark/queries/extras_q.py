@@ -120,6 +120,52 @@ def q58_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join flavor Q05-Q10 leave uncovered:
+    per-nation customer and supplier counts side by side, keeping
+    nations present on either side only."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            "nk",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nk")
+    )
+
+
+def q60_stats_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates + transcendental scalar functions:
+    stddev_samp/var_samp (Welford-style on both engines) and
+    sqrt/exp/ln inside the aggregate. Rounded to 6 so libm-vs-JVM
+    last-ulp differences can't flip the hash."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.avg(F.sqrt("l_extendedprice")), 6).alias("avg_sqrt_price"),
+            F.round(F.avg(F.log(F.col("l_extendedprice"))), 6).alias(
+                "avg_ln_price"
+            ),
+            F.round(F.avg(F.exp(F.col("l_discount"))), 6).alias("avg_exp_disc"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 QUERIES = {
     "q53_cube": q53_cube,
     "q54_percentiles": q54_percentiles,
@@ -127,6 +173,8 @@ QUERIES = {
     "q56_set_ops_all": q56_set_ops_all,
     "q57_training_pipeline": q57_training_pipeline,
     "q58_list_agg": q58_list_agg,
+    "q59_full_outer_join": q59_full_outer_join,
+    "q60_stats_math": q60_stats_math,
 }
 
 ORACLES = {
@@ -202,5 +250,30 @@ ORACLES = {
         FROM nation
         GROUP BY n_regionkey
         ORDER BY n_regionkey
+    """,
+    "q59_full_outer_join": """
+        WITH c AS (
+          SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM customer GROUP BY c_nationkey
+        ), s AS (
+          SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM supplier GROUP BY s_nationkey
+        )
+        SELECT COALESCE(c.nk, s.nk) AS nk,
+               COALESCE(n_cust, 0) AS n_cust,
+               COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        ORDER BY nk
+    """,
+    "q60_stats_math": """
+        SELECT l_linestatus,
+               ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+               ROUND(var_samp(l_discount), 6) AS var_disc,
+               ROUND(AVG(sqrt(l_extendedprice)), 6) AS avg_sqrt_price,
+               ROUND(AVG(ln(l_extendedprice)), 6) AS avg_ln_price,
+               ROUND(AVG(exp(l_discount)), 6) AS avg_exp_disc
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
     """,
 }
