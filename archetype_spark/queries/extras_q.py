@@ -91,12 +91,20 @@ def q57_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", token_count("text")
     )
     kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    # quality is a 6-decimal value; averaging it in floating point is
+    # accumulation-order dependent and a group mean can land exactly on
+    # a rounding boundary (observed: same query flipping 1 ulp between
+    # runs under different task scheduling). Summing exact integer
+    # micro-units makes the mean order-independent on both engines.
+    micro = F.round(F.col("quality") * 1e6).cast("bigint")
     return (
         kept.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                F.sum(micro) / (F.count(F.lit(1)) * F.lit(1e6)), 6
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -237,7 +245,8 @@ ORACLES = {
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(nt) AS BIGINT) AS total_tokens,
-               ROUND(AVG(quality), 6) AS avg_quality
+               ROUND(SUM(CAST(ROUND(quality * 1000000, 0) AS BIGINT))
+                     / (COUNT(*) * 1000000.0), 6) AS avg_quality
         FROM scored
         WHERE quality >= 0.5 AND lang = 'en'
         GROUP BY source
