@@ -424,10 +424,12 @@ class ArchetypeStore:
         entity's latest row re-appended at `step` with is_active=False
         and a higher commit seq, so liveness filters and latest-state
         views retire it while history stays intact."""
-        sig = self._entity2sig.get(entity_id) or self._sig_from_storage(entity_id)
-        if sig is None:
+        sig = self._entity2sig.get(entity_id)
+        hash_val = (
+            archetype_hash(sig) if sig else self._hash_from_storage(entity_id)
+        )
+        if hash_val is None:
             return
-        hash_val = archetype_hash(sig)
         df = self._read_raw(hash_val)
         if df is None:
             return
@@ -444,17 +446,20 @@ class ArchetypeStore:
         self._append(hash_val, tomb)
         self._entity2sig.pop(entity_id, None)
 
-    def _sig_from_storage(self, entity_id: int) -> tuple[type, ...] | None:
-        """Entity->signature recovery by probing tables — replaces the
-        reference's lossy in-memory dict (store.py:47, 121-123)."""
-        for hash_val, sig in self._hash2sig.items():
+    def _hash_from_storage(self, entity_id: int) -> str | None:
+        """Entity->table recovery by probing storage — replaces the
+        reference's lossy in-memory dict (store.py:47, 121-123).
+        Searches ALL cataloged tables (including ones recovered from a
+        previous session whose component classes were never imported
+        here — despawn needs only the table, not the Python types)."""
+        for hash_val in self._hash2names:
             df = self._read_raw(hash_val)
             if df is not None and df.filter(
                 (F.col("simulation") == self.simulation)
                 & (F.col("run") == self.run)
                 & (F.col("entity_id") == entity_id)
             ).limit(1).count():
-                return sig
+                return hash_val
         return None
 
     def upsert(self, sig: tuple[type, ...], df: DataFrame) -> None:

@@ -216,6 +216,21 @@ def test_distributed_spawn_from_df(spark, tmp_path):
         world.spawn_from_df([Position, Velocity], src.drop("velocity__vy"))
 
 
+def test_recovered_world_can_despawn(spark, tmp_path):
+    """A recovered session must be able to despawn entities living in
+    tables it never spawned into this process — the entity's table is
+    found by probing storage, not the in-memory signature dict."""
+    wh = str(tmp_path / "wh")
+    w1 = make_world(spark, wh, simulation="rd", run="r1")
+    e1 = w1.spawn(Position(x=0.0, y=0.0), Velocity(vx=0.0, vy=0.0))
+    e2 = w1.spawn(Position(x=1.0, y=0.0), Velocity(vx=0.0, vy=0.0))
+
+    w2 = make_world(spark, wh, simulation="rd", run="r1")
+    w2.despawn(e1)  # no spawn in w2: only the recovered catalog exists
+    (ldf,) = w2.latest(Position).values()
+    assert [r["entity_id"] for r in ldf.collect()] == [e2]
+
+
 def test_history_across_runs(spark, tmp_path):
     """include_all_runs widens history to every run of the simulation
     (reference store.py:241-244); default stays run-scoped."""
