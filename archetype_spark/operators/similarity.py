@@ -195,6 +195,88 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse
+    quantizer partitions vectors into cells; each query probes its
+    n_probe nearest cells and re-ranks candidates with exact cosine.
+
+    The classic ANN index layout at scale: the k-means fit is one
+    MLlib job, cell assignment is a projection, and the candidate join
+    is an equi-join on cell id — candidates per query ~ n_probe *
+    n/n_clusters, tuned independently of vector count. Complements
+    sign-bit LSH (lsh_topk): IVF adapts its cells to the data
+    distribution, LSH needs no training pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = fan_out(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    ).withColumn("_features", array_to_vector(F.col("_v").cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cell")
+    model = km.fit(base)
+    assigned = model.transform(base).select("_id", "_v", "_cell")
+
+    # distance of every vector to every centroid, via a literal
+    # centroid array folded into the plan (n_clusters is small)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    probed = assigned.withColumn(
+        "_probe",
+        F.slice(F.array_sort(dists), 1, n_probe),
+    ).select("_id", "_v", F.explode("_probe.cell").alias("_pcell"))
+
+    e = emb.select(
+        F.col(id_col).alias("_oid"),
+        F.col(vec_col).alias("_ov"),
+        norm(vec_col).alias("_on"),
+    )
+    qn = probed.withColumn("_qn", norm(F.col("_v")))
+    cand = qn.join(
+        assigned.select(F.col("_id").alias("_oid"), F.col("_cell").alias("_pcell")),
+        "_pcell",
+    ).filter(F.col("_id") != F.col("_oid"))
+    pairs = cand.join(e, "_oid").select(
+        F.col("_id").alias("vec_id"),
+        F.col("_oid").alias("other_vec_id"),
+        F.round(
+            cosine_prenormed(dot(F.col("_v"), F.col("_ov")), F.col("_qn"), F.col("_on")),
+            6,
+        ).alias("cos_sim"),
+    ).dropDuplicates(["vec_id", "other_vec_id"])
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("other_vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "other_vec_id", "cos_sim")
+        .orderBy("vec_id", "rank")
+    )
+
+
 def mllib_ann_pairs(
     emb: DataFrame,
     threshold_euclidean: float,

@@ -150,6 +150,14 @@ def q42_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, dim=64, k=5, n_planes=8, n_tables=6)
 
 
+def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells + probe + exact re-rank) approximate top-k —
+    the trained-quantizer ANN path next to q42's LSH (rows-only;
+    planted-near-dup recall asserted in tests/test_dedup.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=5, n_clusters=16, n_probe=4)
+
+
 def q43_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic media table -> mapInPandas decode
     (deterministic fake codec; rows-only)."""
@@ -199,6 +207,7 @@ QUERIES = {
     "q44_fingerprints": q44_fingerprints,
     "q48_media_resize": q48_media_resize,
     "q49_frame_sample": q49_frame_sample,
+    "q61_ivf_topk": q61_ivf_topk,
 }
 
 _STOPWORD_VALUES = ", ".join(

@@ -86,6 +86,30 @@ def test_lsh_finds_planted_near_dups(spark, emb):
     assert recall >= 0.9, recall
 
 
+def test_ivf_finds_planted_near_dups(spark, emb):
+    """IVF must place a vector and its jittered copy in the same
+    k-means cell (they're ~identical, so they quantize together) and
+    rank the copy first — same planted-pair protocol as the LSH test."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    dim = len(rows[0]["embedding"])
+    rng = np.random.default_rng(11)
+    planted = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v2 = v + 0.05 * np.linalg.norm(v) / np.sqrt(dim) * rng.standard_normal(dim)
+        planted.append((int(r["vec_id"]) + 100000, [float(x) for x in v2]))
+    both = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, emb.select("vec_id", "embedding").schema)
+    )
+    approx = similarity.ivf_topk(both, k=5, n_clusters=8, n_probe=3)
+    found = {(r["vec_id"], r["other_vec_id"]) for r in approx.collect()}
+    expected = {(int(r["vec_id"]), int(r["vec_id"]) + 100000) for r in rows}
+    recall = len(expected & found) / len(expected)
+    assert recall >= 0.9, recall
+
+
 def test_simhash_hamming_bound(spark, docs):
     pairs = dedup.simhash_dup_pairs(docs, max_hamming=3).collect()
     assert all(r["hamming"] <= 3 for r in pairs)
