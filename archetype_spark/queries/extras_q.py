@@ -61,27 +61,25 @@ def q55_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q56_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag-semantics set ops (intersectAll) — Q26 covers the DISTINCT
-    forms; the ALL variants preserve multiplicity."""
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.intersectAll(s).orderBy("k")
-
-
 def q57_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline, oracle-gated: exact dedup
     (deterministic min-doc_id winner per text) -> quality gate ->
     language gate -> per-source corpus stats. The composition the
     north-star operators exist for, as ONE lazy plan: dedup window +
     quality projection + filters all happen in a single shuffle
-    (by text) before the final per-source aggregate."""
+    before the final per-source aggregate.
+
+    The dedup window partitions by sha2(text, 256), NOT raw text: at
+    100 TB the shuffle sort/compare key must be a 64-byte digest, not
+    the full document body. Semantics are unchanged (same min-doc_id
+    winner per distinct text — sha2 collisions are negligible below
+    2^128 docs), matching operators/dedup.hash_dedup's design."""
     from pyspark.sql import Window
 
     from archetype_spark.functions.text import quality_score, token_count
 
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     deduped = (
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -178,7 +176,6 @@ QUERIES = {
     "q53_cube": q53_cube,
     "q54_percentiles": q54_percentiles,
     "q55_unpivot": q55_unpivot,
-    "q56_set_ops_all": q56_set_ops_all,
     "q57_training_pipeline": q57_training_pipeline,
     "q58_list_agg": q58_list_agg,
     "q59_full_outer_join": q59_full_outer_join,
@@ -209,12 +206,6 @@ ORACLES = {
               FROM lineitem)
         UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
         ORDER BY l_orderkey, l_linenumber, metric
-    """,
-    "q56_set_ops_all": """
-        SELECT c_nationkey AS k FROM customer
-        INTERSECT ALL
-        SELECT s_nationkey FROM supplier
-        ORDER BY k
     """,
     # mirrors functions/text.quality_score exactly (same formula as the
     # q35 oracle), rounded to 6 BEFORE the gate like the Spark side

@@ -330,32 +330,23 @@ def q21_ranking_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
-def q22_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window (lag/lead) over the events stream table."""
+def q22_lag_lead_runsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows (lag/lead) + running-sum frame over the events
+    table. Both specs share the (user_id | ts, event_id) partitioning,
+    so Catalyst plans ONE shuffle + sort serving all three window
+    functions — merging the former q22/q23 costs nothing at scale.
+    The ordered frame accumulates sequentially — deterministic, so it
+    matches the oracle bit-for-bit (rounded anyway for hash
+    stability)."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return e.select(
         "user_id",
         "event_id",
         F.lag("value").over(w).alias("prev_v"),
         F.lead("value").over(w).alias("next_v"),
-    ).orderBy("user_id", "event_id")
-
-
-def q23_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame spec: running sum. The ordered frame accumulates
-    sequentially — deterministic, so it matches the oracle bit-for-bit
-    (rounded anyway for hash stability)."""
-    e = load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return e.select(
-        "user_id",
-        "event_id",
-        F.round(F.sum("value").over(w), 6).alias("run_sum"),
+        F.round(F.sum("value").over(wf), 6).alias("run_sum"),
     ).orderBy("user_id", "event_id")
 
 
@@ -375,28 +366,32 @@ def q24_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------------------------- set ops
-def q25_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL and UNION DISTINCT in one tagged result (merged former
+    q25_union_all/q25_union_distinct so every oracle-gated query fits
+    the driver's 50-entry CORRECTNESS window). The 'all' branch is a
+    zero-shuffle concat; the 'distinct' branch shuffles on k."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.unionByName(s).orderBy("k")
+    u_all = c.unionByName(s).select(F.lit("all").alias("mode"), "k")
+    u_dis = (
+        c.unionByName(s).distinct().select(F.lit("distinct").alias("mode"), "k")
+    )
+    return u_all.unionByName(u_dis).orderBy("mode", "k")
 
 
-def q25_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / INTERSECT ALL in one tagged result (merged
+    former q26_intersect, q26_except, and q56_set_ops_all). The ALL
+    variant preserves multiplicity (bag semantics)."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.unionByName(s).distinct().orderBy("k")
-
-
-def q26_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.intersect(s).orderBy("k")
-
-
-def q26_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.subtract(s).orderBy("k")
+    inter = c.intersect(s).select(F.lit("intersect").alias("mode"), "k")
+    exc = c.subtract(s).select(F.lit("except").alias("mode"), "k")
+    inter_all = c.intersectAll(s).select(
+        F.lit("intersect_all").alias("mode"), "k"
+    )
+    return inter.unionByName(exc).unionByName(inter_all).orderBy("mode", "k")
 
 
 # ------------------------------------------------------- reshaping / temporal
@@ -454,13 +449,10 @@ QUERIES = {
     "q19_math_fns": q19_math_fns,
     "q20_case_coalesce": q20_case_coalesce,
     "q21_ranking_window": q21_ranking_window,
-    "q22_lag_lead": q22_lag_lead,
-    "q23_running_sum": q23_running_sum,
+    "q22_lag_lead_runsum": q22_lag_lead_runsum,
     "q24_latest_state": q24_latest_state,
-    "q25_union_all": q25_union_all,
-    "q25_union_distinct": q25_union_distinct,
-    "q26_intersect": q26_intersect,
-    "q26_except": q26_except,
+    "q25_union": q25_union,
+    "q26_set_ops": q26_set_ops,
     "q27_explode": q27_explode,
     "q28_time_bucket": q28_time_bucket,
 }
@@ -593,14 +585,10 @@ ORACLES = {
                     ORDER BY o_totalprice DESC) AS INT) AS rnk
         FROM orders ORDER BY o_custkey, o_orderkey
     """,
-    "q22_lag_lead": """
+    "q22_lag_lead_runsum": """
         SELECT user_id, event_id,
                LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
-               LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
-        FROM events ORDER BY user_id, event_id
-    """,
-    "q23_running_sum": """
-        SELECT user_id, event_id,
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v,
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum
         FROM events ORDER BY user_id, event_id
@@ -612,21 +600,29 @@ ORACLES = {
           FROM events e) t
         WHERE rn = 1 ORDER BY user_id
     """,
-    "q25_union_all": """
-        SELECT c_nationkey AS k FROM customer
-        UNION ALL SELECT s_nationkey FROM supplier ORDER BY k
+    "q25_union": """
+        SELECT 'all' AS mode, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'distinct' AS mode, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          UNION SELECT s_nationkey FROM supplier)
+        ORDER BY mode, k
     """,
-    "q25_union_distinct": """
-        SELECT c_nationkey AS k FROM customer
-        UNION SELECT s_nationkey FROM supplier ORDER BY k
-    """,
-    "q26_intersect": """
-        SELECT c_nationkey AS k FROM customer
-        INTERSECT SELECT s_nationkey FROM supplier ORDER BY k
-    """,
-    "q26_except": """
-        SELECT c_nationkey AS k FROM customer
-        EXCEPT SELECT s_nationkey FROM supplier ORDER BY k
+    "q26_set_ops": """
+        SELECT 'intersect' AS mode, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except' AS mode, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'intersect_all' AS mode, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          INTERSECT ALL SELECT s_nationkey FROM supplier)
+        ORDER BY mode, k
     """,
     "q27_explode": """
         SELECT vec_id,
