@@ -1,0 +1,275 @@
+"""Persisted ANN index state: fit once, store, probe many.
+
+Reference parity: the reference's store is LanceDB, which persists ANN
+indexes alongside the table data (reference pyproject.toml:10 —
+`table.create_index()` at ingest, probed by every later query). The
+Spark-native equivalent is index state as plain parquet tables under
+an index directory:
+
+- IVF (`fit_ivf`): run the k-means coarse quantizer ONCE and write
+  two tables — `centroids` (cell, centroid array<double>) and
+  `assignments` (id -> cell) — plus a `_params.json` sidecar. Probes
+  (similarity.ivf_topk) read these; cell selection is a one-row
+  broadcast of the centroid set and the candidate join is an
+  equi-join on cell id. No training job in the query path.
+- LSH (`fit_lsh`): the hyperplanes are seed-derived (no training),
+  but bucketing every stored vector is a full-corpus projection — at
+  100 TB that is the scan you do once at ingest, not per query.
+  `fit_lsh` materializes the bucket table (id, table_idx, bucket);
+  probes equi-join against it.
+
+Index builds are maintenance operations (LanceDB: create_index),
+not query work: bench.py builds missing indexes in its warmup phase
+and q42/q61 self-build on first call, so a cold run is still correct —
+it just pays the build once, on disk, instead of on every call.
+
+Durability: each build writes to a `<dir>.building-<uuid>` temp dir
+and swaps it in with directory renames, so a crash mid-build never
+leaves a half-written index where a loader can see it. `_params.json`
+is written last inside the temp dir and is the load-side validity
+marker. A params mismatch (different k/seed/columns) is treated as
+"no index" and triggers a rebuild on ensure_*.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from archetype_spark.operators.util import fan_out
+from archetype_spark.sources.io import read_table, write_table
+
+_PARAMS_FILE = "_params.json"
+
+
+def default_index_dir(sf_dir: str, name: str) -> str:
+    """Index location for a corpus dir: $SPARK_GRAFT_INDEX_DIR (default
+    <repo>/.ann_index) / <sf-basename> / <name>. Indexes live NEXT TO
+    the engine, never inside the read-only testdata tree."""
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".ann_index",
+        ),
+    )
+    return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
+# ----------------------------------------------------------------- fit (IVF)
+def fit_ivf_frames(
+    emb: DataFrame,
+    n_clusters: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """One k-means fit -> (centroids, assignments) DataFrames.
+
+    centroids: (cell int, centroid array<double>) — n_clusters rows.
+    assignments: (id, cell int) — one row per input vector.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    base = fan_out(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).withColumn("_features", array_to_vector(F.col("v").cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cell")
+    model = km.fit(base)
+    assignments = model.transform(base).select("id", F.col("cell").cast("int").alias("cell"))
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, centroid array<double>",
+    )
+    return centroids, assignments
+
+
+def fit_ivf(
+    emb: DataFrame,
+    index_dir: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist the IVF index (maintenance op, cf. LanceDB
+    create_index). Atomic directory swap; see module docstring."""
+    centroids, assignments = fit_ivf_frames(emb, n_clusters, seed, id_col, vec_col)
+    params = {
+        "kind": "ivf",
+        "n_clusters": n_clusters,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    _write_index(
+        index_dir,
+        params,
+        {"centroids": (centroids.coalesce(1), None), "assignments": (assignments, ["cell"])},
+    )
+
+
+def load_ivf(
+    spark: SparkSession, index_dir: str, expect: dict | None = None
+) -> tuple[DataFrame, DataFrame] | None:
+    """(centroids, assignments) if a valid index with matching params
+    exists, else None."""
+    params = _read_params(index_dir, "ivf", expect)
+    if params is None:
+        return None
+    return (
+        read_table(spark, os.path.join(index_dir, "centroids")),
+        read_table(spark, os.path.join(index_dir, "assignments")),
+    )
+
+
+def ensure_ivf(
+    emb: DataFrame,
+    index_dir: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Load the persisted IVF index, building it first only if absent
+    or built with different params."""
+    expect = {
+        "n_clusters": n_clusters,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    got = load_ivf(emb.sparkSession, index_dir, expect)
+    if got is None:
+        fit_ivf(emb, index_dir, n_clusters, seed, id_col, vec_col)
+        got = load_ivf(emb.sparkSession, index_dir, expect)
+        assert got is not None, f"IVF index build failed to land at {index_dir}"
+    return got
+
+
+# ----------------------------------------------------------------- fit (LSH)
+def fit_lsh_frames(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, table_idx, bucket) sign-bit bucket assignment for the whole
+    corpus — the full-scan half of LSH that an index does once."""
+    from archetype_spark.operators.similarity import random_hyperplane_buckets
+
+    return random_hyperplane_buckets(
+        emb, dim, n_planes, n_tables, seed, id_col, vec_col
+    ).withColumnRenamed("_id", "id")
+
+
+def fit_lsh(
+    emb: DataFrame,
+    index_dir: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist the LSH bucket table."""
+    buckets = fit_lsh_frames(emb, dim, n_planes, n_tables, seed, id_col, vec_col)
+    params = {
+        "kind": "lsh",
+        "dim": dim,
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    _write_index(index_dir, params, {"buckets": (buckets, ["table_idx", "bucket"])})
+
+
+def load_lsh(
+    spark: SparkSession, index_dir: str, expect: dict | None = None
+) -> DataFrame | None:
+    params = _read_params(index_dir, "lsh", expect)
+    if params is None:
+        return None
+    return read_table(spark, os.path.join(index_dir, "buckets"))
+
+
+def ensure_lsh(
+    emb: DataFrame,
+    index_dir: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    expect = {
+        "dim": dim,
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    got = load_lsh(emb.sparkSession, index_dir, expect)
+    if got is None:
+        fit_lsh(emb, index_dir, dim, n_planes, n_tables, seed, id_col, vec_col)
+        got = load_lsh(emb.sparkSession, index_dir, expect)
+        assert got is not None, f"LSH index build failed to land at {index_dir}"
+    return got
+
+
+# ------------------------------------------------------------------ plumbing
+def _read_params(index_dir: str, kind: str, expect: dict | None) -> dict | None:
+    path = os.path.join(index_dir, _PARAMS_FILE)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as fh:
+        params = json.load(fh)
+    if params.get("kind") != kind:
+        return None
+    if expect is not None:
+        for key, val in expect.items():
+            if params.get(key) != val:
+                return None
+    return params
+
+
+def _write_index(
+    index_dir: str,
+    params: dict,
+    tables: dict[str, tuple[DataFrame, list[str] | None]],
+) -> None:
+    """Write tables + params sidecar to a temp dir, then swap it into
+    place with renames. Sidecar last: its presence marks validity."""
+    os.makedirs(os.path.dirname(index_dir) or ".", exist_ok=True)
+    tmp = f"{index_dir}.building-{uuid.uuid4().hex}"
+    os.makedirs(tmp)
+    try:
+        for name, (df, sort_by) in tables.items():
+            write_table(df, os.path.join(tmp, name), sort_by=sort_by)
+        with open(os.path.join(tmp, _PARAMS_FILE), "w") as fh:
+            json.dump(params, fh, indent=1)
+        old = None
+        if os.path.isdir(index_dir):
+            old = f"{index_dir}.old-{uuid.uuid4().hex}"
+            os.rename(index_dir, old)
+        os.rename(tmp, index_dir)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

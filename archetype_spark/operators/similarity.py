@@ -12,8 +12,15 @@ Three tiers:
    tables). This is the 100 TB path: cost ~ O(n * tables) + within-
    bucket pairs. Deterministic (seeded numpy hyperplanes shipped as a
    broadcast literal array).
-3. `mllib_ann` — MLlib BucketedRandomProjectionLSH wrapper
+3. `ivf_topk` — k-means coarse quantizer + n_probe cell probing +
+   exact re-rank.
+4. `mllib_ann` — MLlib BucketedRandomProjectionLSH wrapper
    (approxSimilarityJoin) for parity with Spark's built-in ANN.
+
+Both ANN paths take `index_dir`: the quantizer/bucket state is then
+the persisted index built by operators/ann_index.py (fit-once /
+probe-many, LanceDB create_index parity) instead of being re-derived
+inside every call.
 
 The reference exposes vector search only through LanceDB's ANN
 indexes ([D], SURVEY §2.2 multimodal row); these are the Spark-native
@@ -150,14 +157,28 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = pairs colliding in any
     hash table's bucket; exact cosine re-ranking on candidates only.
     Recall is tuned by n_planes (bucket granularity) and n_tables
-    (probes); verified >= 0.8 vs brute force in tests."""
-    buckets = random_hyperplane_buckets(
-        emb, dim, n_planes, n_tables, seed, id_col, vec_col
-    )
+    (probes); verified >= 0.8 vs brute force in tests.
+
+    With `index_dir`, the bucket table is the PERSISTED one
+    (operators/ann_index.py, built once like LanceDB's create_index);
+    the full-corpus bucketing projection leaves the query path.
+    Without it, buckets are derived inline (fit-per-call) — fine for
+    ad-hoc frames, wrong for a corpus queried more than once."""
+    if index_dir is not None:
+        from archetype_spark.operators import ann_index
+
+        buckets = ann_index.ensure_lsh(
+            emb, index_dir, dim, n_planes, n_tables, seed, id_col, vec_col
+        ).withColumnRenamed("id", "_id")
+    else:
+        buckets = random_hyperplane_buckets(
+            emb, dim, n_planes, n_tables, seed, id_col, vec_col
+        )
     e = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), norm(vec_col).alias("_n")
     )
@@ -203,52 +224,64 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_dir: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer partitions vectors into cells; each query probes its
     n_probe nearest cells and re-ranks candidates with exact cosine.
 
-    The classic ANN index layout at scale: the k-means fit is one
-    MLlib job, cell assignment is a projection, and the candidate join
-    is an equi-join on cell id — candidates per query ~ n_probe *
-    n/n_clusters, tuned independently of vector count. Complements
-    sign-bit LSH (lsh_topk): IVF adapts its cells to the data
-    distribution, LSH needs no training pass.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    The classic ANN index layout at scale: cell assignment is an index
+    artifact, and the candidate join is an equi-join on cell id —
+    candidates per query ~ n_probe * n/n_clusters, tuned independently
+    of vector count. Complements sign-bit LSH (lsh_topk): IVF adapts
+    its cells to the data distribution, LSH needs no training pass.
 
-    base = fan_out(
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    ).withColumn("_features", array_to_vector(F.col("_v").cast("array<double>")))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cell")
-    model = km.fit(base)
-    assigned = model.transform(base).select("_id", "_v", "_cell")
+    With `index_dir`, the quantizer state (centroids + assignments) is
+    the PERSISTED index (operators/ann_index.py) — no training job in
+    the query path, matching LanceDB's create-index-then-probe
+    lifecycle. Without it, a k-means fit runs per call (ad-hoc frames
+    only)."""
+    from archetype_spark.operators import ann_index
 
-    # distance of every vector to every centroid, via a literal
-    # centroid array folded into the plan (n_clusters is small)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_v"),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centers)
-        ]
+    if index_dir is not None:
+        centroids, assignments = ann_index.ensure_ivf(
+            emb, index_dir, n_clusters, seed, id_col, vec_col
+        )
+    else:
+        centroids, assignments = ann_index.fit_ivf_frames(
+            emb, n_clusters, seed, id_col, vec_col
+        )
+
+    # every query vector's n_probe nearest cells, via ONE broadcast row
+    # carrying the whole centroid set (array<struct<cell,centroid>>) —
+    # a 1-row BroadcastNestedLoopJoin, so the centroid count scales
+    # past what literal-folding into the plan tolerates (~16 cells)
+    cent_row = F.broadcast(
+        centroids.agg(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid"))).alias("_cents")
+        )
     )
-    probed = assigned.withColumn(
-        "_probe",
-        F.slice(F.array_sort(dists), 1, n_probe),
-    ).select("_id", "_v", F.explode("_probe.cell").alias("_pcell"))
+    q = fan_out(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    ).crossJoin(cent_row)
+    dists = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    c["centroid"],
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    probed = q.withColumn("_probe", F.slice(F.array_sort(dists), 1, n_probe)).select(
+        "_id", "_v", F.explode("_probe.cell").alias("_pcell")
+    )
 
     e = emb.select(
         F.col(id_col).alias("_oid"),
@@ -256,8 +289,11 @@ def ivf_topk(
         norm(vec_col).alias("_on"),
     )
     qn = probed.withColumn("_qn", norm(F.col("_v")))
+    # each stored vector lives in exactly one cell and each query
+    # probes distinct cells, so candidate pairs are already unique —
+    # no dropDuplicates (and its shuffle) needed
     cand = qn.join(
-        assigned.select(F.col("_id").alias("_oid"), F.col("_cell").alias("_pcell")),
+        assignments.select(F.col("id").alias("_oid"), F.col("cell").alias("_pcell")),
         "_pcell",
     ).filter(F.col("_id") != F.col("_oid"))
     pairs = cand.join(e, "_oid").select(
@@ -267,7 +303,7 @@ def ivf_topk(
             cosine_prenormed(dot(F.col("_v"), F.col("_ov")), F.col("_qn"), F.col("_on")),
             6,
         ).alias("cos_sim"),
-    ).dropDuplicates(["vec_id", "other_vec_id"])
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("other_vec_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

@@ -41,10 +41,19 @@ def asof_join(
     with no prior right row are dropped (inner as-of). `right_cols`
     are exposed with `prefix` to avoid clashes."""
     keys = list(keys)
+    # One struct per right row, carried forward as a unit. Two reasons
+    # this beats carrying each projected column separately:
+    # (1) NULL-correctness — last(ignorenulls) over a column that is
+    #     legitimately NULL in the newest right row would skip back to
+    #     an OLDER row's value; the struct is never NULL as a whole, so
+    #     the newest right ROW always wins and its per-column NULLs
+    #     survive intact. The matched filter keys on the struct, not on
+    #     right_cols[0] (which may be NULL).
+    # (2) one window expression instead of len(right_cols).
     r = right.select(
         *keys,
         F.col(ts_col).alias(ts_col),
-        *[F.col(c).alias(prefix + c) for c in right_cols],
+        F.struct(*[F.col(c).alias(prefix + c) for c in right_cols]).alias("_rrow"),
     ).withColumn("_side", F.lit(0))
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -56,15 +65,14 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u
-    for c in right_cols:
-        carried = carried.withColumn(
-            prefix + c, F.last(prefix + c, ignorenulls=True).over(w)
-        )
+    carried = u.withColumn("_rrow", F.last("_rrow", ignorenulls=True).over(w))
     return (
         carried.filter(F.col("_side") == 1)
-        .filter(F.col(prefix + right_cols[0]).isNotNull())
-        .drop("_side")
+        .filter(F.col("_rrow").isNotNull())
+        .select(
+            *[c for c in carried.columns if c not in ("_rrow", "_side")],
+            *[F.col(f"_rrow.{prefix}{c}").alias(prefix + c) for c in right_cols],
+        )
     )
 
 

@@ -1,0 +1,92 @@
+"""Persisted ANN index lifecycle (operators/ann_index.py).
+
+Invariants:
+- indexed probe results == fit-per-call results (same seed/params);
+- a second probe REUSES the stored index (the fit never reruns —
+  pinned by poisoning the fit functions after the first build);
+- a params change invalidates the index and triggers a rebuild;
+- a failed build never corrupts the previously valid index.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from archetype_spark.operators import ann_index, similarity
+from archetype_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF, "embeddings")
+
+
+def _pairs(df):
+    return {(r["vec_id"], r["rank"], r["other_vec_id"], r["cos_sim"]) for r in df.collect()}
+
+
+def test_ivf_indexed_matches_inline_fit(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivf")
+    inline = similarity.ivf_topk(emb, k=5, n_clusters=8, n_probe=3)
+    indexed = similarity.ivf_topk(emb, k=5, n_clusters=8, n_probe=3, index_dir=idx)
+    assert _pairs(inline) == _pairs(indexed)
+
+
+def test_ivf_index_is_reused_not_refit(spark, emb, tmp_path, monkeypatch):
+    idx = str(tmp_path / "ivf")
+    first = similarity.ivf_topk(emb, k=5, n_clusters=8, n_probe=3, index_dir=idx)
+    got_first = _pairs(first)
+
+    def boom(*a, **kw):  # any refit after the build is a bug
+        raise AssertionError("fit_ivf_frames must not run on a warm index")
+
+    monkeypatch.setattr(ann_index, "fit_ivf_frames", boom)
+    second = similarity.ivf_topk(emb, k=5, n_clusters=8, n_probe=3, index_dir=idx)
+    assert _pairs(second) == got_first
+
+
+def test_lsh_index_is_reused_not_refit(spark, emb, tmp_path, monkeypatch):
+    idx = str(tmp_path / "lsh")
+    dim = len(emb.select("embedding").first()["embedding"])
+    first = similarity.lsh_topk(emb, dim=dim, k=5, n_planes=8, n_tables=4, index_dir=idx)
+    got_first = _pairs(first)
+
+    def boom(*a, **kw):
+        raise AssertionError("fit_lsh_frames must not run on a warm index")
+
+    monkeypatch.setattr(ann_index, "fit_lsh_frames", boom)
+    second = similarity.lsh_topk(emb, dim=dim, k=5, n_planes=8, n_tables=4, index_dir=idx)
+    assert _pairs(second) == got_first
+    inline = similarity.lsh_topk(emb, dim=dim, k=5, n_planes=8, n_tables=4)
+    assert _pairs(inline) == got_first
+
+
+def test_param_change_invalidates_index(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivf")
+    ann_index.ensure_ivf(emb, idx, n_clusters=4, seed=42)
+    assert ann_index.load_ivf(spark, idx, {"n_clusters": 8, "seed": 42}) is None
+    cents, _ = ann_index.ensure_ivf(emb, idx, n_clusters=8, seed=42)
+    assert cents.count() == 8
+    assert ann_index.load_ivf(spark, idx, {"n_clusters": 8, "seed": 42}) is not None
+
+
+def test_failed_build_leaves_valid_index_intact(spark, emb, tmp_path, monkeypatch):
+    idx = str(tmp_path / "ivf")
+    ann_index.fit_ivf(emb, idx, n_clusters=4, seed=42)
+    import archetype_spark.operators.ann_index as mod
+
+    def broken_write(*a, **kw):
+        raise RuntimeError("simulated executor loss mid-build")
+
+    monkeypatch.setattr(mod, "write_table", broken_write)
+    with pytest.raises(RuntimeError):
+        ann_index.fit_ivf(emb, idx, n_clusters=8, seed=42)
+    monkeypatch.undo()
+    # old index still valid and loadable; no .building debris
+    assert ann_index.load_ivf(spark, idx, {"n_clusters": 4, "seed": 42}) is not None
+    debris = [p for p in os.listdir(tmp_path) if ".building" in p]
+    assert debris == []

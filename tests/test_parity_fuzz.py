@@ -114,3 +114,64 @@ def test_asof_parity_random(spark):
         ).fetchall()
     )
     assert got == want, f"sizes {len(got)} vs {len(want)}"
+
+
+def test_asof_parity_null_payload(spark):
+    """Right rows whose FIRST projected column is legitimately NULL
+    must still match (and surface their NULL) — the newest right row
+    wins as a unit; an older row's non-null value must never bleed
+    through (VERDICT r2 'What's wrong' #5)."""
+    rng = np.random.default_rng(13)
+    n_left, n_right = 1500, 2000
+    lrows = [
+        (int(k), int(t), int(i))
+        for i, (k, t) in enumerate(
+            zip(rng.integers(0, 10, n_left), rng.integers(0, 300, n_left))
+        )
+    ]
+    # ~half the right payloads NULL, including entire keys' newest rows
+    rrows = []
+    seen: set[tuple[int, int]] = set()
+    for i, (k, t, nullit) in enumerate(
+        zip(
+            rng.integers(0, 10, n_right),
+            rng.integers(0, 300, n_right),
+            rng.random(n_right) < 0.5,
+        )
+    ):
+        if (int(k), int(t)) in seen:
+            continue
+        seen.add((int(k), int(t)))
+        rrows.append((int(k), int(t), None if nullit else int(i) + 10_000, int(i)))
+
+    ldf = spark.createDataFrame(lrows, "k long, t long, lid long").withColumn(
+        "ts", F.timestamp_seconds("t")
+    )
+    rdf = spark.createDataFrame(rrows, "k long, t long, v long, rid long").withColumn(
+        "ts", F.timestamp_seconds("t")
+    )
+    out = asof_join(
+        ldf.select("k", "ts", "lid"),
+        rdf.select("k", "ts", "v", "rid"),
+        keys=["k"],
+        ts_col="ts",
+        right_cols=["v", "rid"],  # v (nullable) deliberately first
+    )
+    got = sorted(
+        (r["lid"], r["r_v"], r["r_rid"]) for r in out.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k BIGINT, t BIGINT, lid BIGINT)")
+    con.execute("CREATE TABLE r (k BIGINT, t BIGINT, v BIGINT, rid BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)", rrows)
+    want = sorted(
+        con.execute(
+            """SELECT l.lid, r.v, r.rid FROM l ASOF JOIN r
+               ON l.k = r.k AND l.t >= r.t"""
+        ).fetchall()
+    )
+    assert got == want, f"sizes {len(got)} vs {len(want)}; first diff: " + str(
+        next((a, b) for a, b in zip(got, want) if a != b)
+    )
