@@ -75,18 +75,30 @@ class World:
         )
 
     def spawn_from_df(
-        self, component_types, df, step: Optional[int] = None
+        self, component_types, df, step: Optional[int] = None, order_by=None
     ) -> tuple[int, int]:
         """Distributed spawn: one entity per DataFrame row, ids
-        allocated executor-side (returns the [lo, hi] id range)."""
+        allocated executor-side via per-partition offsets (returns the
+        [lo, hi] id range). `order_by`: stable key for retry-
+        deterministic id assignment (see store.add_entities_df)."""
         return self.store.add_entities_df(
-            component_types, df, step=step if step is not None else self.current_step
+            component_types,
+            df,
+            step=step if step is not None else self.current_step,
+            order_by=order_by,
         )
 
     def despawn(self, entity_id: int, step: Optional[int] = None) -> None:
         """Soft-delete (world.py:46-48): tombstone, history retained."""
         self.store.remove_entity(
             entity_id, step if step is not None else self.current_step
+        )
+
+    def despawn_many(self, entity_ids, step: Optional[int] = None) -> None:
+        """Batch soft-delete: one tombstone-append job per involved
+        table regardless of how many entities retire."""
+        self.store.remove_entities(
+            entity_ids, step if step is not None else self.current_step
         )
 
     # --------------------------------------------------------------- queries
