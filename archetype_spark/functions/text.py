@@ -93,7 +93,20 @@ def quality_score(text: Column | str) -> Column:
 def fingerprint64(text: Column | str) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     token-normalized text (collapse runs of whitespace, lowercase).
-    Spark-native; not portable to the DuckDB oracle (different hash
-    family) — verified by property tests instead."""
+    The fast path — xxhash64 is a few ns/doc JVM-side, the right
+    choice for ingest-time identity at 100 TB. Not portable to the
+    DuckDB oracle (different hash family)."""
     t = F.col(text) if isinstance(text, str) else text
     return F.xxhash64(F.lower(F.regexp_replace(t, r"\s+", " ")))
+
+
+def fingerprint60_portable(text: Column | str) -> Column:
+    """Engine-portable 60-bit fingerprint: the first 15 hex chars of
+    sha256 over the same normalization, as a BIGINT. Any engine with
+    sha256 computes the identical value (DuckDB:
+    ('0x'||substr(sha256(norm),1,15))::UBIGINT) — this is the variant
+    the oracle-gated corpus query uses; prefer fingerprint64 when
+    cross-engine identity isn't required."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.regexp_replace(t, r"\s+", " "))
+    return F.conv(F.substring(F.sha2(norm, 256), 1, 15), 16, 10).cast("long")

@@ -91,6 +91,76 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def fetch_payloads(
+    media: DataFrame,
+    uri_col: str = "uri",
+    payload_col: str = "payload",
+    on_error: str = "null",
+) -> DataFrame:
+    """Resolve storage refs to bytes — the Daft `.url.download()` row
+    of the [D] surface (reference pyproject.toml:7-8): at PB scale
+    media tables carry URIs, and this stage materializes the payload
+    column right before a decode stage needs it.
+
+    Runs as Arrow-batched mapInPandas: each Python worker fetches its
+    batch's URIs (file:// reads locally; http(s):// via stdlib urllib,
+    which this container can't exercise — guarded, surfaced per-row).
+    Output = input columns with `payload_col` (re)bound to the fetched
+    bytes plus a `fetch_error` string column (NULL on success).
+    `on_error='error'` raises on the first failed row instead.
+
+    Scale notes: fetch is I/O-bound, so repartition the URI frame to
+    the cluster's concurrent-connection budget before this stage; only
+    the uri column shuffles (payload is born executor-side, exactly
+    like Daft's lazy download)."""
+    if on_error not in ("null", "error"):
+        raise ValueError(f"on_error must be 'null' or 'error', got {on_error!r}")
+    keep = [f for f in media.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        list(keep)
+        + [
+            StructField(payload_col, BinaryType(), True),
+            StructField("fetch_error", StringType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def _fetch_one(uri):
+        if uri is None:
+            return None, "null uri"
+        if uri.startswith("file://"):
+            try:
+                with open(uri[len("file://"):], "rb") as fh:
+                    return fh.read(), None
+            except OSError as exc:
+                return None, f"file error: {exc}"
+        if uri.startswith(("http://", "https://")):
+            try:
+                import urllib.request
+
+                with urllib.request.urlopen(uri, timeout=30) as resp:
+                    return resp.read(), None
+            except Exception as exc:  # no network in this container
+                return None, f"http error: {exc}"
+        return None, f"unsupported scheme: {uri.split(':', 1)[0]}"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, errors = [], []
+            for uri in pdf[uri_col]:
+                data, err = _fetch_one(uri)
+                if err is not None and on_error == "error":
+                    raise IOError(f"fetch_payloads: {uri!r}: {err}")
+                payloads.append(data)
+                errors.append(err)
+            out = pdf[keep_names].copy()
+            out[payload_col] = payloads
+            out["fetch_error"] = errors
+            yield out
+
+    return media.select(*keep_names).mapInPandas(process, schema=out_schema)
+
+
 def _fake_decode(kind: str, payload: bytes) -> dict:
     """Deterministic stand-in decoder: derives plausible media
     properties from a sha256 of the payload. Replace with PIL/librosa/

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from archetype_spark.functions.text import (
     avg_token_len,
+    fingerprint60_portable,
     fingerprint64,
     punct_ratio,
     quality_score,
@@ -87,8 +88,14 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def doc_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit xxhash fingerprint of normalized text — the O(1)-space
-    doc identity for incremental dedup at ingest time."""
-    return df.select(F.col(id_col), fingerprint64(text_col).alias("fingerprint"))
+    """Fingerprint of normalized text — the O(1)-space doc identity for
+    incremental dedup at ingest time. Default: 64-bit xxhash (fastest).
+    `portable=True`: sha256-prefix variant any engine reproduces — the
+    oracle-gated corpus query (q44) uses this form."""
+    fp = fingerprint60_portable(text_col) if portable else fingerprint64(text_col)
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

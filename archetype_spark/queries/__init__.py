@@ -24,9 +24,18 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 # oracle-gated query must land inside the window. Queries named here are
 # pushed to the end even if they have an oracle — use this only when the
 # oracle-gated count would otherwise exceed 50 (the local
-# tests/test_oracle_corpus.py run still checks them every time).
+# tests/test_oracle_corpus.py run still checks EVERY oracle every time,
+# deferred or not, so deferral trades driver visibility for a round, not
+# verification).
+#
+# Rotation log (change per round so every oracle gets driver rows in
+# some round's CORRECTNESS):
+#   r3: q43/q44/q48/q49 gained oracles (54 total) -> defer the scalar
+#       function-family quartet, driver-green in both r1 and r2.
 DRIVER_WINDOW = 50
-_DEFERRED: frozenset[str] = frozenset()
+_DEFERRED: frozenset[str] = frozenset(
+    {"q17_string_fns", "q18_date_fns", "q19_math_fns", "q20_case_coalesce"}
+)
 
 
 def all_queries():

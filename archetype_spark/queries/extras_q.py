@@ -70,10 +70,11 @@ def q57_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the final per-source aggregate.
 
     The dedup window partitions by sha2(text, 256), NOT raw text: at
-    100 TB the shuffle sort/compare key must be a 64-byte digest, not
-    the full document body. Semantics are unchanged (same min-doc_id
-    winner per distinct text — sha2 collisions are negligible below
-    2^128 docs), matching operators/dedup.hash_dedup's design."""
+    100 TB the shuffle sort/compare key must be a 64-char hex digest
+    (32-byte hash), not the full document body. The ORACLE keeps the
+    raw-text key on purpose — it is the semantic ground truth the
+    digest key must agree with (identical absent sha256 collisions,
+    negligible below 2^128 docs), matching operators/dedup.hash_dedup."""
     from pyspark.sql import Window
 
     from archetype_spark.functions.text import quality_score, token_count

@@ -6,17 +6,34 @@ driver rows in round 1)."""
 
 from __future__ import annotations
 
-from archetype_spark.queries import DRIVER_WINDOW, all_oracles, all_queries
+from archetype_spark.queries import (
+    _DEFERRED,
+    DRIVER_WINDOW,
+    all_oracles,
+    all_queries,
+)
 
 
 def test_every_oracle_gated_query_is_inside_driver_window():
+    """_DEFERRED names are the sanctioned escape hatch (rotation when
+    the oracle-gated count exceeds the window) — exempt, per ADVICE r2."""
     names = list(all_queries())
     oracles = set(all_oracles())
-    outside = [n for n in names[DRIVER_WINDOW:] if n in oracles]
+    outside = [
+        n for n in names[DRIVER_WINDOW:] if n in oracles and n not in _DEFERRED
+    ]
     assert outside == [], (
         f"oracle-gated queries registered outside the driver's "
         f"{DRIVER_WINDOW}-entry CORRECTNESS window: {outside}"
     )
+
+
+def test_deferred_names_are_oracle_gated_and_real():
+    """Deferral only makes sense for oracle-gated queries; a stale name
+    here would silently shrink the window's occupancy."""
+    assert _DEFERRED <= set(all_oracles()), _DEFERRED - set(all_oracles())
+    n_oracled = len(set(all_queries()) & set(all_oracles()))
+    assert n_oracled - len(_DEFERRED) <= DRIVER_WINDOW
 
 
 def test_window_is_not_wasted_on_rows_only_queries():
