@@ -381,9 +381,10 @@ def q25_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q26_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT / INTERSECT ALL in one tagged result (merged
-    former q26_intersect, q26_except, and q56_set_ops_all). The ALL
-    variant preserves multiplicity (bag semantics)."""
+    """INTERSECT / EXCEPT / INTERSECT ALL / EXCEPT ALL in one tagged
+    result (merged former q26_intersect, q26_except, and
+    q56_set_ops_all). The ALL variants preserve multiplicity (bag
+    semantics)."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     inter = c.intersect(s).select(F.lit("intersect").alias("mode"), "k")
@@ -391,7 +392,13 @@ def q26_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter_all = c.intersectAll(s).select(
         F.lit("intersect_all").alias("mode"), "k"
     )
-    return inter.unionByName(exc).unionByName(inter_all).orderBy("mode", "k")
+    exc_all = c.exceptAll(s).select(F.lit("except_all").alias("mode"), "k")
+    return (
+        inter.unionByName(exc)
+        .unionByName(inter_all)
+        .unionByName(exc_all)
+        .orderBy("mode", "k")
+    )
 
 
 # ------------------------------------------------------- reshaping / temporal
@@ -622,6 +629,10 @@ ORACLES = {
         SELECT 'intersect_all' AS mode, k FROM (
           SELECT c_nationkey AS k FROM customer
           INTERSECT ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except_all' AS mode, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          EXCEPT ALL SELECT s_nationkey FROM supplier)
         ORDER BY mode, k
     """,
     "q27_explode": """
