@@ -225,23 +225,43 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash63(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """63-bit SimHash fingerprint (bit 63 left clear to stay in signed
-    int64 under ANSI mode). bit_j = sign of sum over tokens of
-    (+1 if bit j of xxhash64(token) else -1)."""
+#: Bits per SimHash fingerprint by family. xxhash64: 63 (bit 63 left
+#: clear to stay in signed int64 under ANSI mode). portable: 60 — the
+#: sha256-prefix hash any engine reproduces is 15 hex chars = 60 bits.
+SIMHASH_BITS = {"xxhash64": 63, "portable": 60}
+
+
+def simhash63(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash fingerprint: bit_j = sign of sum over tokens of
+    (+1 if bit j of hash(token) else -1).
+
+    hash_family: 'xxhash64' (fastest, JVM-native — the default) or
+    'portable' (first 15 hex chars of sha256 as a 60-bit int), which a
+    DuckDB oracle computes identically — the oracle-gated corpus query
+    (q41) uses it."""
+    bits = SIMHASH_BITS[hash_family]
     tok = tokens(text_col)
+    if hash_family == "xxhash64":
+        h = F.xxhash64("_t")
+    else:
+        h = F.conv(F.substring(F.sha2(F.col("_t"), 256), 1, 15), 16, 10).cast("bigint")
     ex = fan_out(df).select(
         F.col(id_col).alias("_id"), F.explode(tok).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", h)
     votes = [
         F.sum(
             F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_v{j}")
-        for j in range(63)
+        for j in range(bits)
     ]
     agg = ex.groupBy("_id").agg(*votes)
     fp = None
-    for j in range(63):
+    for j in range(bits):
         bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         ) * F.lit(1 << j).cast("bigint")
@@ -255,12 +275,13 @@ def simhash_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on any equal ~16-bit band of the
-    fingerprint (pigeonhole: hamming<=3 over 4 bands guarantees one
-    clean band), then filter by exact hamming via bit_count(xor)."""
-    fps = simhash63(df, id_col, text_col)
-    width = 64 // bands
+    """SimHash near-dup pairs: block on any equal band of the
+    fingerprint (pigeonhole: hamming<=bands-1 guarantees one clean
+    band), then filter by exact hamming via bit_count(xor)."""
+    fps = simhash63(df, id_col, text_col, hash_family)
+    width = (SIMHASH_BITS[hash_family] + 1) // bands
     banded = fps.select(
         "_id",
         "simhash",

@@ -162,8 +162,14 @@ def q40_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q41_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; property-tested)."""
-    return dedup.simhash_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=8)
+    """SimHash near-dup pairs, portable hash family (sha256-prefix
+    token hashes) so the full pipeline — per-token hashing, 60 bit
+    votes, fingerprint assembly, banded blocking, hamming filter — is
+    diffed bit-for-bit against a pure-SQL DuckDB oracle. The xxhash64
+    fast path shares the identical structure (property-tested)."""
+    return dedup.simhash_dup_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=8, hash_family="portable"
+    )
 
 
 def q42_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +299,49 @@ _STOPWORD_VALUES = ", ".join(
     for lang in textstats.LANGS
     for w in textstats.STOPWORDS[lang]
 )
+
+# q41 oracle: the portable SimHash family replicated in pure SQL —
+# generated (60 vote aggregates + fingerprint assembly) to mirror
+# operators/dedup.simhash63(hash_family='portable') term for term.
+_SH_BITS = dedup.SIMHASH_BITS["portable"]  # 60
+_SH_BANDS = 4
+_SH_WIDTH = (_SH_BITS + 1) // _SH_BANDS  # 15
+_SH_VOTES = ",\n                 ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(_SH_BITS)
+)
+_SH_FP = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SH_BITS)
+)
+_SH_BAND_VALS = ", ".join(str(b) for b in range(_SH_BANDS))
+_SIMHASH_ORACLE = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(sha256(t), 1, 15))::UBIGINT AS BIGINT) AS h
+          FROM tok
+        ), votes AS (
+          SELECT doc_id,
+                 {_SH_VOTES}
+          FROM h GROUP BY doc_id
+        ), fp AS (
+          SELECT doc_id, CAST({_SH_FP} AS BIGINT) AS f FROM votes
+        ), banded AS (
+          SELECT doc_id, f, b AS band_idx,
+                 (f >> (b * {_SH_WIDTH})) & {(1 << _SH_WIDTH) - 1} AS bv
+          FROM fp, unnest([{_SH_BAND_VALS}]) AS u(b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other_doc_id,
+                 a.f AS fa, b.f AS fb
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT doc_id, other_doc_id,
+               CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(fa, fb)) <= 8
+        ORDER BY doc_id, other_doc_id
+"""
 
 ORACLES = {
     "q29_exact_dedup": """
@@ -428,6 +477,7 @@ ORACLES = {
           d AS content_digest
         FROM h ORDER BY media_id
     """,
+    "q41_simhash_pairs": _SIMHASH_ORACLE,
     "q44_fingerprints": """
         SELECT doc_id,
                CAST(('0x' || substr(sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15))::UBIGINT AS BIGINT)
@@ -452,9 +502,11 @@ ORACLES = {
         FROM f, unnest(generate_series(0, n_frames - 1, 500)) AS t(fi)
         ORDER BY media_id, frame_idx
     """,
-    # q40/q41/q42/q61: hash-family (minhash/simhash/LSH planes) or
-    # trained-index operators — no DuckDB twin; the driver records the
-    # weaker rows-only check and property tests in tests/ provide the
+    # q40/q42/q61: hash-family (xxhash64 minhash / float-dot LSH
+    # planes) or trained-index operators — no DuckDB twin (the LSH
+    # projection's float sign is additionally accumulation-order
+    # sensitive at the bucket boundary); the driver records the weaker
+    # rows-only check and property tests in tests/ provide the
     # semantic verification. q62: payloads come from the filesystem,
     # which the oracle's view-only harness can't reach.
 }
