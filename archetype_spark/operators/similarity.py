@@ -38,32 +38,79 @@ from archetype_spark.operators.util import fan_out
 
 
 def _pairwise_cosine(
-    emb: DataFrame, id_col: str, vec_col: str, extra_block_key=None
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    extra_block_key=None,
+    strategy: str = "broadcast",
+    grid: int = 8,
 ) -> DataFrame:
     """(id, other_id, cos_sim6) for id < other_id; optional equi-block
     key turns the nested-loop join into a hash join.
 
-    Physical shape: the probe side is fanned out across the cluster
-    and the build side broadcast, so the O(n^2) kernel runs one task
-    per probe partition instead of one task total (single-file inputs
-    otherwise collapse the BroadcastNestedLoopJoin to 1 task)."""
+    strategy='broadcast' (default): the probe side is fanned out
+    across the cluster and the build side broadcast, so the O(n^2)
+    kernel runs one task per probe partition instead of one task total
+    (single-file inputs otherwise collapse the
+    BroadcastNestedLoopJoin to 1 task). Right while the build side
+    fits the broadcast budget (~GBs of vectors).
+
+    strategy='grid': the triangle self-join for corpora PAST broadcast
+    limits — rows hash into `grid` blocks; each unordered block pair
+    (i<=j) is one equi-join cell, every pair of rows meets in exactly
+    one cell. Replication factor ~grid/2 per side, per-cell working
+    set 2n/grid rows: pick grid so a cell fits an executor and the
+    same O(n^2) kernel scales out horizontally with no broadcast of
+    the full table anywhere."""
     e = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         norm(vec_col).alias("_n"),
         *([extra_block_key.alias("_blk")] if extra_block_key is not None else []),
     )
-    a, b = fan_out(e).alias("a"), F.broadcast(e).alias("b")
-    cond = F.col("a._id") < F.col("b._id")
-    if extra_block_key is not None:
-        cond = (F.col("a._blk") == F.col("b._blk")) & cond
+    if strategy == "grid":
+        pairs = _grid_pairs(e, grid)
+    elif strategy == "broadcast":
+        a, b = fan_out(e).alias("a"), F.broadcast(e).alias("b")
+        cond = F.col("a._id") < F.col("b._id")
+        if extra_block_key is not None:
+            cond = (F.col("a._blk") == F.col("b._blk")) & cond
+        pairs = a.join(b, cond)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     sim = cosine_prenormed(
         dot(F.col("a._v"), F.col("b._v")), F.col("a._n"), F.col("b._n")
     )
-    return a.join(b, cond).select(
-        F.col("a._id").alias("vec_id"),
-        F.col("b._id").alias("other_vec_id"),
+    return pairs.select(
+        F.least(F.col("a._id"), F.col("b._id")).alias("vec_id"),
+        F.greatest(F.col("a._id"), F.col("b._id")).alias("other_vec_id"),
         F.round(sim, 6).alias("cos_sim"),
+    )
+
+
+def _grid_pairs(e: DataFrame, grid: int) -> DataFrame:
+    """All-pairs triangle join: row with block b goes to cells (b, j>=b)
+    on the a-side and (i<=b, b) on the b-side; a pair with blocks
+    (bx, by) meets exactly once, in cell (min, max). The diagonal cell
+    holds both orderings of its intra-block pairs, so it alone gets the
+    id< filter; off-diagonal pairs are canonicalized by least/greatest
+    in the caller's projection."""
+    blocked = e.withColumn("_b", F.pmod(F.xxhash64("_id"), F.lit(grid)).cast("int"))
+    cells = F.sequence(F.lit(0), F.lit(grid - 1))
+    a = blocked.withColumn(
+        "_cj", F.explode(F.filter(cells, lambda j: j >= F.col("_b")))
+    ).withColumnRenamed("_b", "_ci")
+    b = blocked.withColumn(
+        "_ci", F.explode(F.filter(cells, lambda i: i <= F.col("_b")))
+    ).withColumnRenamed("_b", "_cj")
+    return (
+        a.alias("a")
+        .join(b.alias("b"), ["_ci", "_cj"])
+        .filter(
+            (F.col("_ci") != F.col("_cj"))
+            | (F.col("a._id") < F.col("b._id"))
+        )
+        .filter(F.col("a._id") != F.col("b._id"))
     )
 
 
@@ -72,13 +119,16 @@ def topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "broadcast",
+    grid: int = 8,
 ) -> DataFrame:
     """Exact cosine top-k per vector over pairs with vec_id <
     other_vec_id (the Q30 declared semantics). Ranking uses the
     ROUNDED similarity with other_vec_id as tie-break, so rank order
     is stable across engines computing at slightly different
-    precision."""
-    pairs = _pairwise_cosine(emb, id_col, vec_col)
+    precision. strategy='grid' for corpora past broadcast limits
+    (see _pairwise_cosine)."""
+    pairs = _pairwise_cosine(emb, id_col, vec_col, strategy=strategy, grid=grid)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("other_vec_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -93,10 +143,13 @@ def dup_pairs_by_cosine(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "broadcast",
+    grid: int = 8,
 ) -> DataFrame:
-    """Embedding-space near-duplicate pairs: cosine >= threshold."""
+    """Embedding-space near-duplicate pairs: cosine >= threshold.
+    strategy='grid' for corpora past broadcast limits."""
     return (
-        _pairwise_cosine(emb, id_col, vec_col)
+        _pairwise_cosine(emb, id_col, vec_col, strategy=strategy, grid=grid)
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("vec_id", "other_vec_id")
     )

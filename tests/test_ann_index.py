@@ -74,6 +74,27 @@ def test_param_change_invalidates_index(spark, emb, tmp_path):
     assert ann_index.load_ivf(spark, idx, {"n_clusters": 8, "seed": 42}) is not None
 
 
+def test_grid_pairs_match_broadcast(spark, emb):
+    """The triangle-join exact path (scale strategy past broadcast
+    limits) must produce the identical pair set + similarities as the
+    broadcast path, and its plan must contain no broadcast of the
+    full table and no cartesian product."""
+    from archetype_spark.plans import formatted_plan, join_impls
+
+    bc = similarity.dup_pairs_by_cosine(emb, threshold=0.2)
+    gr = similarity.dup_pairs_by_cosine(emb, threshold=0.2, strategy="grid", grid=4)
+    rows_bc = {(r["vec_id"], r["other_vec_id"], r["cos_sim"]) for r in bc.collect()}
+    rows_gr = {(r["vec_id"], r["other_vec_id"], r["cos_sim"]) for r in gr.collect()}
+    assert rows_bc == rows_gr and rows_bc
+    impls = join_impls(gr)
+    assert "CartesianProduct" not in impls, impls
+    assert "BroadcastNestedLoopJoin" not in impls, formatted_plan(gr)
+
+    tk_bc = similarity.topk_bruteforce(emb, k=3)
+    tk_gr = similarity.topk_bruteforce(emb, k=3, strategy="grid", grid=4)
+    assert _pairs(tk_bc) == _pairs(tk_gr)
+
+
 def test_failed_build_leaves_valid_index_intact(spark, emb, tmp_path, monkeypatch):
     idx = str(tmp_path / "ivf")
     ann_index.fit_ivf(emb, idx, n_clusters=4, seed=42)
