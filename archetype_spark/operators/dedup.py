@@ -27,11 +27,30 @@ The reference has no dedup operator (its dependency surface has
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from archetype_spark.functions.text import shingles, tokens
 from archetype_spark.operators.util import fan_out
+
+#: Modulus of the portable MinHash family: Mersenne prime 2^31-1. With
+#: a 28-bit base hash and 31-bit coefficients, a*h+b < 2^60 — no 64-bit
+#: overflow in ANY engine (DuckDB BIGINT arithmetic errors on overflow
+#: rather than wrapping, so staying under 2^63 is a correctness
+#: requirement of the oracle, not a nicety).
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs of the universal family h_i = (a*h+b) mod P.
+    Deterministic: the DuckDB oracle embeds the same literals."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -122,23 +141,67 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig: array<bigint>) MinHash signatures. Hash family is
-    xxhash64(shingle, seed_i) — JVM-native, no Python. Empty-shingle
-    docs get an empty signature and never produce candidates.
+    """(id, sig: array<bigint>) MinHash signatures. Empty-shingle docs
+    get an empty signature and never produce candidates.
 
-    The shingle array is materialized in its own projection BEFORE the
-    signature expression: inlining it would re-evaluate the whole
-    shingling subtree once per hash slot (64x per row — observed as a
-    multi-minute single-task stage at sf0.1)."""
+    hash_family:
+    - 'xxhash64' (default): slot i = min over shingles of
+      xxhash64(shingle, i) — JVM-native, no Python.
+    - 'portable': one sha256-prefix base hash per shingle, then the
+      universal family (a_i*h + b_i) mod 2^31-1 per slot — any engine
+      reproduces the exact signature, and it's CHEAPER per row than
+      xxhash64 slots (1 strong hash + 64 mod-mults vs 64 hashes). The
+      oracle-gated corpus query (q40) uses it.
+
+    The shingle array (and the portable base-hash array) is
+    materialized in its own projection BEFORE the signature
+    expression: inlining would re-evaluate the whole subtree once per
+    hash slot (64x per row — observed as a multi-minute single-task
+    stage at sf0.1)."""
     shingled = fan_out(df).select(
         F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
     )
+    if hash_family == "xxhash64":
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, i))
+            ),
+        )
+        return shingled.select(
+            "_id",
+            F.when(F.size("_sh") > 0, sig)
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("_sig"),
+        )
+    coeffs = minhash_coeffs(num_hashes)
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+    based = shingled.select(
+        "_id",
+        "_sh",
+        F.transform(
+            F.col("_sh"),
+            lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 7), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("_bh"),
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("_bh"),
+                lambda h: (
+                    F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1)
+                )
+                % F.lit(MINHASH_P),
+            )
+        ),
     )
-    return shingled.select(
+    return based.select(
         "_id",
         F.when(F.size("_sh") > 0, sig)
         .otherwise(F.array().cast("array<bigint>"))
@@ -154,6 +217,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: returns (doc_id,
     other_doc_id, est_jaccard) where est_jaccard = fraction of equal
@@ -172,7 +236,9 @@ def minhash_lsh_pairs(
     # in one task (observed: 214s single-task stage at sf0.1, with the
     # signatures then recomputed after the shuffle anyway).
     eligible = df.filter(F.size(tokens(text_col)) >= shingle_n)
-    sigs = minhash_signature(eligible, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signature(
+        eligible, id_col, text_col, num_hashes, shingle_n, hash_family
+    )
     # Explode a LITERAL band-index sequence first, then hash the band's
     # rpb signature slots per exploded row. Exploding a computed
     # array-of-hashes instead looks equivalent but is a trap:
@@ -181,18 +247,22 @@ def minhash_lsh_pairs(
     # filter below the fan-out exchange — 64 signature evaluations per
     # row in a single map task (observed: 214s one-task stage at
     # sf0.1). A literal sequence folds the inferred filter away.
+    # Band key: xxhash64 over the band's slots (fast path), or the
+    # slot values joined as a string (portable path) — string equality
+    # is exactly slot-tuple equality, so the candidate set the oracle
+    # derives is identical by construction, no hash collisions to
+    # reason about.
+    band_slots = [
+        F.element_at("_sig", F.col("_band_idx") * rpb + j + 1) for j in range(rpb)
+    ]
+    band_key = (
+        F.xxhash64(*band_slots, F.col("_band_idx"))
+        if hash_family == "xxhash64"
+        else F.concat_ws("_", *band_slots)
+    )
     banded = sigs.select(
         "_id", "_sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band_idx")
-    ).withColumn(
-        "_bh",
-        F.xxhash64(
-            *[
-                F.element_at("_sig", F.col("_band_idx") * rpb + j + 1)
-                for j in range(rpb)
-            ],
-            F.col("_band_idx"),
-        ),
-    )
+    ).withColumn("_bh", band_key)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

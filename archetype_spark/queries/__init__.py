@@ -30,9 +30,9 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #
 # Rotation log (change per round so every oracle gets driver rows in
 # some round's CORRECTNESS):
-#   r3: q41/q43/q44/q48/q49 gained oracles (55 total) -> defer the
-#       scalar function-family quartet + ranking window, all
-#       driver-green in both r1 and r2.
+#   r3: q40/q41/q43/q44/q48/q49 gained oracles (56 total) -> defer the
+#       scalar function-family quartet + the two window-function
+#       queries, all driver-green in both r1 and r2.
 DRIVER_WINDOW = 50
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -41,6 +41,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q19_math_fns",
         "q20_case_coalesce",
         "q21_ranking_window",
+        "q22_lag_lead_runsum",
     }
 )
 

@@ -153,11 +153,18 @@ def q39_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ rows-only (non-SQL) entries
 def q40_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (hash family not portable to
-    DuckDB -> rows-only check; recall vs exact jaccard is asserted in
-    tests/test_dedup.py)."""
+    """MinHash-LSH near-dup candidates, portable universal-hash family
+    ((a*h+b) mod 2^31-1 over a sha256-prefix base hash) so the entire
+    pipeline — shingling, 64-slot signatures, 16-band blocking,
+    estimated-jaccard filter — is diffed exactly against a pure-SQL
+    DuckDB oracle. The xxhash64 fast path shares the structure; recall
+    vs exact jaccard is asserted in tests/test_dedup.py."""
     return dedup.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.45
+        load(spark, sf_dir, "documents"),
+        num_hashes=64,
+        bands=16,
+        threshold=0.45,
+        hash_family="portable",
     )
 
 
@@ -299,6 +306,60 @@ _STOPWORD_VALUES = ", ".join(
     for lang in textstats.LANGS
     for w in textstats.STOPWORDS[lang]
 )
+
+# q40 oracle: the portable MinHash family replicated in pure SQL —
+# 64 MIN aggregates over (a_i*h+b_i) mod 2^31-1 with the SAME seeded
+# coefficient literals the Spark operator uses, identical banding
+# (concat_ws slot keys), identical estimate arithmetic.
+_MH_N = 64
+_MH_BANDS = 16
+_MH_RPB = _MH_N // _MH_BANDS
+_MH_COEFFS = dedup.minhash_coeffs(_MH_N)
+_MH_SIG = ",\n                 ".join(
+    f"MIN(({a} * h + {b}) % {dedup.MINHASH_P}) AS s{i}"
+    for i, (a, b) in enumerate(_MH_COEFFS)
+)
+_MH_BAND_CASES = "\n                   ".join(
+    f"WHEN {b} THEN concat_ws('_', "
+    + ", ".join(f"s{b * _MH_RPB + j}" for j in range(_MH_RPB))
+    + ")"
+    for b in range(_MH_BANDS)
+)
+_MH_EST = " + ".join(
+    f"(CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END)" for i in range(_MH_N)
+)
+_MINHASH_ORACLE = f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        elig AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
+        idx AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w
+                FROM elig),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+               FROM idx),
+        bh AS (SELECT doc_id,
+                      CAST(('0x' || substr(sha256(s), 1, 7))::UBIGINT AS BIGINT) AS h
+               FROM sh),
+        sig AS (SELECT doc_id,
+                 {_MH_SIG}
+                FROM bh GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, b AS band_idx,
+                 CASE b {_MH_BAND_CASES}
+                 END AS bk
+          FROM sig, unnest(generate_series(0, {_MH_BANDS - 1})) AS u(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other_doc_id
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_id, c.other_doc_id,
+               ROUND(({_MH_EST}) / {_MH_N}.0, 6) AS est_jaccard
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.doc_id
+        JOIN sig y ON y.doc_id = c.other_doc_id
+        WHERE ({_MH_EST}) / {_MH_N}.0 >= 0.45
+        ORDER BY c.doc_id, c.other_doc_id
+"""
 
 # q41 oracle: the portable SimHash family replicated in pure SQL —
 # generated (60 vote aggregates + fingerprint assembly) to mirror
@@ -477,6 +538,7 @@ ORACLES = {
           d AS content_digest
         FROM h ORDER BY media_id
     """,
+    "q40_minhash_pairs": _MINHASH_ORACLE,
     "q41_simhash_pairs": _SIMHASH_ORACLE,
     "q44_fingerprints": """
         SELECT doc_id,
@@ -502,11 +564,12 @@ ORACLES = {
         FROM f, unnest(generate_series(0, n_frames - 1, 500)) AS t(fi)
         ORDER BY media_id, frame_idx
     """,
-    # q40/q42/q61: hash-family (xxhash64 minhash / float-dot LSH
-    # planes) or trained-index operators — no DuckDB twin (the LSH
-    # projection's float sign is additionally accumulation-order
-    # sensitive at the bucket boundary); the driver records the weaker
-    # rows-only check and property tests in tests/ provide the
-    # semantic verification. q62: payloads come from the filesystem,
-    # which the oracle's view-only harness can't reach.
+    # Rows-only remainder, each with a hard reason: q42 — the LSH
+    # plane projection is a float dot product whose sign is
+    # accumulation-order sensitive at the bucket boundary (an oracle
+    # would be flaky by construction); q61 — the IVF quantizer is a
+    # trained MLlib model, not expressible in SQL; q50 — full ECS
+    # simulation; q62 — payloads come from the filesystem, which the
+    # oracle's view-only harness can't reach. Property tests in tests/
+    # pin each of their semantics.
 }
