@@ -30,9 +30,9 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #
 # Rotation log (change per round so every oracle gets driver rows in
 # some round's CORRECTNESS):
-#   r3: q40/q41/q43/q44/q48/q49 gained oracles (56 total) -> defer the
-#       scalar function-family quartet + the two window-function
-#       queries, all driver-green in both r1 and r2.
+#   r3: q40/q41/q42/q43/q44/q48/q49 gained oracles (57 total) -> defer
+#       the scalar function-family quartet, the two window-function
+#       queries, and explode — all driver-green in both r1 and r2.
 DRIVER_WINDOW = 50
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -42,6 +42,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q20_case_coalesce",
         "q21_ranking_window",
         "q22_lag_lead_runsum",
+        "q27_explode",
     }
 )
 

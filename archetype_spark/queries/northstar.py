@@ -361,6 +361,74 @@ _MINHASH_ORACLE = f"""
         ORDER BY c.doc_id, c.other_doc_id
 """
 
+# q42 oracle: the sign-bit LSH pipeline replicated in pure SQL. The
+# hazard with float-based oracles is the bucket SIGN: a projection
+# near 0 flips under a different accumulation order. Spark's
+# aggregate(zip_with(...)) is a deterministic LEFT fold, and SQL's
+# `+` chain is left-associative — so the oracle unrolls every dot
+# product term-by-term in the same order, making each IEEE operation
+# bit-identical on both engines (plane literals round-trip exactly via
+# repr). The re-rank cosine needs no such care: ROUND(...,6) absorbs
+# last-ulp differences away from (measure-zero) rounding boundaries.
+def _lsh_oracle() -> str:
+    from archetype_spark.operators.similarity import _hyperplanes
+
+    dim, n_planes, n_tables, seed, k = (
+        LSH_INDEX["dim"],
+        LSH_INDEX["n_planes"],
+        LSH_INDEX["n_tables"],
+        LSH_INDEX["seed"],
+        5,
+    )
+    per_table = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bits = []
+        for j, p in enumerate(planes):
+            proj = " + ".join(f"v[{i + 1}] * {p[i]!r}" for i in range(dim))
+            bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << j} ELSE 0 END)")
+        bucket = " + ".join(bits)
+        per_table.append(
+            f"SELECT vec_id, v, n, {t} AS table_idx,"
+            f" CAST({bucket} AS BIGINT) AS bucket FROM e"
+        )
+    buckets_sql = "\n          UNION ALL\n          ".join(per_table)
+    dot_ab = " + ".join(f"a.v[{i + 1}] * b.v[{i + 1}]" for i in range(dim))
+    norm_terms = " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(dim))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt({norm_terms}) AS n
+          FROM embeddings
+        ),
+        b AS (
+          {buckets_sql}
+        ),
+        cand AS (
+          SELECT DISTINCT ba.vec_id AS ida, bb.vec_id AS idb
+          FROM b ba JOIN b bb
+            ON ba.table_idx = bb.table_idx AND ba.bucket = bb.bucket
+           AND ba.vec_id < bb.vec_id
+        ),
+        pairs AS (
+          SELECT c.ida AS vec_id, c.idb AS other_vec_id,
+                 ROUND(CASE WHEN a.n * b.n > 0
+                            THEN ({dot_ab}) / (a.n * b.n) END, 6) AS cos_sim
+          FROM cand c
+          JOIN e a ON a.vec_id = c.ida
+          JOIN e b ON b.vec_id = c.idb
+        ),
+        ranked AS (
+          SELECT vec_id, other_vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, other_vec_id) AS rnk
+          FROM pairs
+        )
+        SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, cos_sim
+        FROM ranked WHERE rnk <= {k} ORDER BY vec_id, rank
+    """
+
+
 # q41 oracle: the portable SimHash family replicated in pure SQL —
 # generated (60 vote aggregates + fingerprint assembly) to mirror
 # operators/dedup.simhash63(hash_family='portable') term for term.
@@ -540,6 +608,7 @@ ORACLES = {
     """,
     "q40_minhash_pairs": _MINHASH_ORACLE,
     "q41_simhash_pairs": _SIMHASH_ORACLE,
+    "q42_lsh_topk": _lsh_oracle(),
     "q44_fingerprints": """
         SELECT doc_id,
                CAST(('0x' || substr(sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15))::UBIGINT AS BIGINT)
@@ -564,12 +633,9 @@ ORACLES = {
         FROM f, unnest(generate_series(0, n_frames - 1, 500)) AS t(fi)
         ORDER BY media_id, frame_idx
     """,
-    # Rows-only remainder, each with a hard reason: q42 — the LSH
-    # plane projection is a float dot product whose sign is
-    # accumulation-order sensitive at the bucket boundary (an oracle
-    # would be flaky by construction); q61 — the IVF quantizer is a
-    # trained MLlib model, not expressible in SQL; q50 — full ECS
-    # simulation; q62 — payloads come from the filesystem, which the
-    # oracle's view-only harness can't reach. Property tests in tests/
-    # pin each of their semantics.
+    # Rows-only remainder, each with a hard reason: q61 — the IVF
+    # quantizer is a trained MLlib model, not expressible in SQL;
+    # q50 — full ECS simulation; q62 — payloads come from the
+    # filesystem, which the oracle's view-only harness can't reach.
+    # Property tests in tests/ pin each of their semantics.
 }
