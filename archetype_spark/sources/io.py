@@ -21,6 +21,9 @@ BTree indexes (parquet min/max row-group stats; store.py:107-108).
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,3 +73,72 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def merge_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> None:
+    """MERGE INTO for plain-parquet tables (SURVEY §4.3): the lakehouse
+    formats run their own `MERGE INTO` when their jars are on the
+    classpath (delta/iceberg dispatch above); this is the
+    copy-on-write equivalent for tables that are just a parquet dir.
+
+    Semantics per merge key:
+    - when_matched='update': the update row replaces the target row;
+      'delete': the target row is dropped; 'ignore': target kept.
+    - when_not_matched='insert': unmatched update rows are appended;
+      'ignore': dropped.
+
+    Shape at scale: one shuffle (the anti/semi join on `keys` —
+    hash-partitioned like any join, AQE skew handling applies), then a
+    full rewrite. Copy-on-write is the right trade for bulk merges
+    (the reference's LanceDB merge_insert is the same model); for
+    high-frequency small upserts prefer the ECS store's append +
+    latest-wins resolution, which never rewrites history.
+
+    Durability: the merged table is written to a temp dir and swapped
+    in with directory renames (old table aside -> new in place -> old
+    removed), so a crash leaves either the old or the new table, never
+    a half-rewrite."""
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched must be update/delete/ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert/ignore, got {when_not_matched!r}")
+    keys = list(keys)
+    target = read_table(spark, path)
+
+    if when_matched == "ignore":
+        kept = target
+    elif when_matched == "delete":
+        kept = target.join(updates.select(*keys), keys, "left_anti")
+    else:  # update: unmatched target rows survive; matched get replaced
+        kept = target.join(updates.select(*keys), keys, "left_anti")
+
+    parts = [kept]
+    if when_matched == "update":
+        matched = updates.join(target.select(*keys), keys, "left_semi")
+        parts.append(matched.select(*target.columns))
+    if when_not_matched == "insert":
+        fresh = updates.join(target.select(*keys), keys, "left_anti")
+        parts.append(fresh.select(*target.columns))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+
+    # the write to tmp EXECUTES the plan (which reads `path`) and
+    # completes before any rename below — no read/swap race
+    tmp = f"{path}.merging-{uuid.uuid4().hex}"
+    try:
+        write_table(merged, tmp, sort_by=keys)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = f"{path}.old-{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

@@ -50,3 +50,68 @@ def test_unknown_format_rejected(spark, nation, tmp_path):
         read_table(spark, "/nope", fmt="xml")
     with pytest.raises(ValueError, match="unknown format"):
         write_table(nation, str(tmp_path / "x"), fmt="xml")
+
+
+def _mk_table(spark, tmp_path, name):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    path = str(tmp_path / name)
+    write_table(df, path)
+    return path
+
+
+def test_merge_upsert(spark, tmp_path):
+    """MERGE INTO semantics on plain parquet: matched rows replaced,
+    unmatched update rows inserted, untouched rows survive."""
+    from archetype_spark.sources import merge_table
+
+    path = _mk_table(spark, tmp_path, "m1")
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    merge_table(spark, path, updates, keys=["k"])
+    got = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert got == [(1, "a", 10.0), (2, "b2", 21.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_merge_delete_and_ignore_modes(spark, tmp_path):
+    from archetype_spark.sources import merge_table
+
+    path = _mk_table(spark, tmp_path, "m2")
+    updates = spark.createDataFrame(
+        [(2, "x", 0.0), (9, "z", 90.0)], "k long, name string, v double"
+    )
+    # matched -> delete, unmatched -> ignore
+    merge_table(
+        spark, path, updates, keys=["k"], when_matched="delete", when_not_matched="ignore"
+    )
+    got = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert got == [(1, "a", 10.0), (3, "c", 30.0)]
+
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_table(spark, path, updates, keys=["k"], when_matched="upsert")
+
+
+def test_merge_swap_never_leaves_half_table(spark, tmp_path, monkeypatch):
+    """A crash during the merged write must leave the ORIGINAL table
+    fully readable (copy-on-write: the swap is rename-only)."""
+    import archetype_spark.sources.io as io_mod
+    from archetype_spark.sources import merge_table
+
+    path = _mk_table(spark, tmp_path, "m3")
+    updates = spark.createDataFrame([(2, "x", 0.0)], "k long, name string, v double")
+
+    real_write = io_mod.write_table
+
+    def dying_write(df, p, **kw):
+        if ".merging-" in p:
+            raise RuntimeError("simulated crash mid-merge-write")
+        return real_write(df, p, **kw)
+
+    monkeypatch.setattr(io_mod, "write_table", dying_write)
+    with pytest.raises(RuntimeError, match="mid-merge-write"):
+        merge_table(spark, path, updates, keys=["k"])
+    monkeypatch.undo()
+    got = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
