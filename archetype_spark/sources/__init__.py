@@ -1,3 +1,8 @@
-from archetype_spark.sources.io import merge_table, read_table, write_table
+from archetype_spark.sources.io import (
+    merge_table,
+    read_table,
+    write_bucketed_table,
+    write_table,
+)
 
-__all__ = ["merge_table", "read_table", "write_table"]
+__all__ = ["merge_table", "read_table", "write_bucketed_table", "write_table"]

@@ -75,6 +75,31 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Bucketed managed table (SURVEY §4: co-located joins). Two
+    tables bucketed to the SAME count on the join key hash-land their
+    matching rows in the same bucket file, so a join between them is
+    shuffle-free — the exchange that dominates a big fact-fact join
+    disappears (pinned by tests/test_sources.py's no-Exchange plan
+    assertion). The pre-paid cost is one shuffle at WRITE time: the
+    classic trade for a join that runs repeatedly.
+
+    Spark's bucketing lives in the session catalog, so this writes a
+    managed table (`saveAsTable`), not a bare path; read it back with
+    `spark.table(name)`."""
+    writer = df.write.bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode(mode).format("parquet").saveAsTable(name)
+
+
 def merge_table(
     spark: SparkSession,
     path: str,

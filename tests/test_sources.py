@@ -115,3 +115,31 @@ def test_merge_swap_never_leaves_half_table(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     got = sorted(tuple(r) for r in read_table(spark, path).collect())
     assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed to the same count on the join key must join
+    with NO exchange — the co-located-join contract the write-time
+    shuffle pays for."""
+    from archetype_spark.plans import formatted_plan, n_exchanges
+    from archetype_spark.sources import write_bucketed_table
+
+    o = load(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(o, "b_orders", 8, ["o_orderkey"], ["o_orderkey"], mode="overwrite")
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", 8, ["o_orderkey"], ["o_orderkey"], mode="overwrite",
+    )
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, "o_orderkey")
+        plan = formatted_plan(joined)
+        assert n_exchanges(joined) == 0, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
