@@ -87,6 +87,37 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return scored.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(doc, token) smoothed TF-IDF:
+    tf * (ln((N+1)/(df+1)) + 1), rounded to 6.
+
+    Fully lazy composition — no driver-side scalar: the corpus size N
+    rides along as a one-row broadcast cross join, document frequency
+    is one shuffle on token, and the tf/df join shuffles token keys
+    (AQE skew-split covers stopword-grade hot tokens; drop-top-k
+    filtering is the knob past that). At 100 TB this is the standard
+    two-aggregation shape — nothing materializes on the driver."""
+    toks = df.select(
+        F.col(id_col).alias(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(F.col("tf") * idf, 6).alias("tf_idf"),
+        )
+    )
+
+
 def doc_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

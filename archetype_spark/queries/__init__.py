@@ -43,6 +43,10 @@ _DEFERRED: frozenset[str] = frozenset(
         "q21_ranking_window",
         "q22_lag_lead_runsum",
         "q27_explode",
+        # q63 entered AFTER the window filled — deferred from birth;
+        # locally hash-checked every run, rotates into the driver
+        # window in a later round.
+        "q63_tf_idf",
     }
 )
 

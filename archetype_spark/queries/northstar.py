@@ -278,6 +278,15 @@ def q49_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (text-analysis family): smoothed per-(doc, token)
+    weights, diffed exactly against the same arithmetic in DuckDB
+    (ROUND 6 absorbs libm ln ulps)."""
+    return textstats.tf_idf(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "token"
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -299,6 +308,7 @@ QUERIES = {
     "q49_frame_sample": q49_frame_sample,
     "q61_ivf_topk": q61_ivf_topk,
     "q62_url_fetch": q62_url_fetch,
+    "q63_tf_idf": q63_tf_idf,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -605,6 +615,20 @@ ORACLES = {
           CASE WHEN kind = 'video' THEN CAST(1 + (h // 16) % 10000 AS INT) END AS n_frames,
           d AS content_digest
         FROM h ORDER BY media_id
+    """,
+    "q63_tf_idf": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT t.doc_id, t.token, CAST(t.tf AS BIGINT) AS tf,
+               ROUND(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6)
+                 AS tf_idf
+        FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+        ORDER BY doc_id, token
     """,
     "q40_minhash_pairs": _MINHASH_ORACLE,
     "q41_simhash_pairs": _SIMHASH_ORACLE,
