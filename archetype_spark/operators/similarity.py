@@ -366,6 +366,53 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, scale, q) with
+    q[i] = round(v[i]/scale), scale = max|v|/127 (zero vectors get
+    q = 0s, scale = 0).
+
+    The 100 TB lever for embedding pipelines: candidate-generation
+    stages (bucket joins, probes) shuffle 1 byte/dim instead of 4,
+    and cosine is SCALE-INVARIANT, so cos(qa, qb) approximates
+    cos(va, vb) with no rescaling at all — quantize once, generate
+    candidates on int8, re-rank survivors on the float column.
+    Error bound per component: |v[i] - q[i]*scale| <= scale/2
+    (test-pinned, with observed cosine error << 0.01 on unit-scale
+    vectors). Pure codegen'd expressions, no UDF."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    staged = emb.select(
+        F.col(id_col).alias(id_col),
+        v.alias("_v"),
+        (amax / F.lit(127.0)).alias("scale"),
+    )
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.when(
+            F.col("scale") > 0, F.round(x.cast("double") / F.col("scale"))
+        )
+        .otherwise(F.lit(0.0))
+        .cast("tinyint"),
+    )
+    return staged.select(id_col, "scale", q.alias("q"))
+
+
+def dequantize_int8(
+    qdf: DataFrame, id_col: str = "vec_id", q_col: str = "q", scale_col: str = "scale"
+) -> DataFrame:
+    """(id, embedding array<double>) reconstruction: v[i] ~ q[i]*scale."""
+    return qdf.select(
+        F.col(id_col),
+        F.transform(
+            F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
+        ).alias("embedding"),
+    )
+
+
 def mllib_ann_pairs(
     emb: DataFrame,
     threshold_euclidean: float,

@@ -95,6 +95,45 @@ def test_grid_pairs_match_broadcast(spark, emb):
     assert _pairs(tk_bc) == _pairs(tk_gr)
 
 
+def test_int8_quantization_bounds(spark, emb):
+    """Reconstruction error per component <= scale/2, and quantized
+    cosine tracks exact cosine closely (cosine is scale-invariant)."""
+    import math
+
+    from archetype_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    qdf = quantize_int8(emb)
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    recon = {
+        r["vec_id"]: list(r["embedding"])
+        for r in dequantize_int8(qdf).collect()
+    }
+    scales = {r["vec_id"]: r["scale"] for r in qdf.collect()}
+    for vid, v in orig.items():
+        s = scales[vid]
+        assert all(
+            abs(float(a) - b) <= s / 2 + 1e-9 for a, b in zip(v, recon[vid])
+        ), vid
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ids = sorted(orig)[:30]
+    errs = [
+        abs(
+            cos([float(x) for x in orig[i]], [float(x) for x in orig[j]])
+            - cos(recon[i], recon[j])
+        )
+        for i in ids
+        for j in ids
+        if i < j
+    ]
+    assert max(errs) < 0.01, max(errs)
+
+
 def test_failed_build_leaves_valid_index_intact(spark, emb, tmp_path, monkeypatch):
     idx = str(tmp_path / "ivf")
     ann_index.fit_ivf(emb, idx, n_clusters=4, seed=42)
