@@ -21,7 +21,6 @@ def test_sample_is_seed_deterministic(spark):
     assert ra == rb
     # Bernoulli sampling: expect ~10%, allow generous slack
     assert 0.05 * n < len(ra) < 0.15 * n
-    assert li.sample(fraction=0.1, seed=7).count() != len(ra) or True
 
 
 def test_any_value_on_functionally_dependent_group(spark):
