@@ -29,14 +29,27 @@ leaves a half-written index where a loader can see it. `_params.json`
 is written last inside the temp dir and is the load-side validity
 marker. A params mismatch (different k/seed/columns) is treated as
 "no index" and triggers a rebuild on ensure_*.
+
+Freshness: `_params.json` also records a CORPUS fingerprint taken at
+fit time (the table's data files + sizes + mtimes — metadata only, no
+scan; content aggregate fallback for in-memory frames). ensure_*
+recomputes it and rebuilds on mismatch, so vectors appended (or
+rewritten) after a fit can never be silently absent from candidate
+sets — the reference's LanceDB counterpart serves appended rows even
+with a stale index by scanning the unindexed tail (reference
+store.py:107-108 creates indexes once at table-create, then appends
+freely); rebuilding on a changed corpus is the plain-parquet
+equivalent that keeps probes exact-complete.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,7 +62,10 @@ _PARAMS_FILE = "_params.json"
 
 def default_index_dir(sf_dir: str, name: str) -> str:
     """Index location for a corpus dir: $SPARK_GRAFT_INDEX_DIR (default
-    <repo>/.ann_index) / <sf-basename> / <name>. Indexes live NEXT TO
+    <repo>/.ann_index) / <sf-basename>-<abspath-hash> / <name>. The
+    path hash keys the slot on the FULL corpus location, so two
+    different corpora that happen to share a basename (two `data/`
+    dirs) can never collide on one index slot. Indexes live NEXT TO
     the engine, never inside the read-only testdata tree."""
     root = os.environ.get(
         "SPARK_GRAFT_INDEX_DIR",
@@ -58,7 +74,42 @@ def default_index_dir(sf_dir: str, name: str) -> str:
             ".ann_index",
         ),
     )
-    return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)), name)
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    slot = f"{os.path.basename(norm)}-{hashlib.sha256(norm.encode()).hexdigest()[:8]}"
+    return os.path.join(root, slot, name)
+
+
+def corpus_fingerprint(emb: DataFrame, id_col: str, vec_col: str) -> dict:
+    """Cheap, order-insensitive identity of the corpus behind `emb`.
+
+    File-backed frames (the normal case): the sorted list of data
+    files with their sizes and mtimes, hashed — pure driver-side
+    metadata, O(#files), no Spark job, so checking freshness on every
+    probe costs microseconds even at 100 TB. Any append/rewrite of the
+    table changes the file set and invalidates the index. In-memory
+    frames (no input files) fall back to one content aggregate
+    (count + order-insensitive xxhash64 sums) — a scan, but ad-hoc
+    frames are exactly the case where no persisted index exists yet.
+    """
+    files = sorted(emb.inputFiles())
+    if files:
+        lines = []
+        for uri in files:
+            parsed = urlparse(uri)
+            path = unquote(parsed.path) if parsed.scheme in ("file", "") else None
+            if path and os.path.isfile(path):
+                st = os.stat(path)
+                lines.append(f"{uri}:{st.st_size}:{st.st_mtime_ns}")
+            else:
+                lines.append(uri)  # remote FS: identity by URI alone
+        sig = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+        return {"mode": "files", "n_files": len(files), "sig": sig}
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(F.col(id_col))).alias("h1"),
+        F.sum(F.xxhash64(F.col(id_col), F.col(vec_col).cast("string"))).alias("h2"),
+    ).first()
+    return {"mode": "content", "n_rows": row["n"], "sig": f"{row['h1']}:{row['h2']}"}
 
 
 # ----------------------------------------------------------------- fit (IVF)
@@ -108,6 +159,7 @@ def fit_ivf(
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
+        "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
     _write_index(
         index_dir,
@@ -138,13 +190,16 @@ def ensure_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """Load the persisted IVF index, building it first only if absent
-    or built with different params."""
+    """Load the persisted IVF index, building it first only if absent,
+    built with different params, or built against a corpus that has
+    since changed (fingerprint mismatch -> rebuild, never a silent
+    stale probe)."""
     expect = {
         "n_clusters": n_clusters,
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
+        "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
     got = load_ivf(emb.sparkSession, index_dir, expect)
     if got is None:
@@ -193,6 +248,7 @@ def fit_lsh(
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
+        "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
     _write_index(index_dir, params, {"buckets": (buckets, ["table_idx", "bucket"])})
 
@@ -223,6 +279,7 @@ def ensure_lsh(
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
+        "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
     got = load_lsh(emb.sparkSession, index_dir, expect)
     if got is None:

