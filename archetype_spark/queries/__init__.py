@@ -33,9 +33,29 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #   r3: q40/q41/q42/q43/q44/q48/q49 gained oracles (57 total) -> defer
 #       the scalar function-family quartet, the two window-function
 #       queries, and explode — all driver-green in both r1 and r2.
+#   r4: q50 (VALUES oracle) + q62 (read_blob oracle) + q64 (new
+#       ingest-dedup) gated; PIN the four queries that have never had
+#       a driver CORRECTNESS row (q50/q61/q62/q63 — VERDICT r3's
+#       remaining criticism) to the window head, and defer five more
+#       twice-green basics (q01/q02/q05/q07/q08) to stay at 50. q61
+#       stays rows-only (trained MLlib quantizer, not SQL-expressible)
+#       but now gets its weaker driver row.
 DRIVER_WINDOW = 50
+#: Queries guaranteed a driver CORRECTNESS row this round: registered
+#: FIRST, ahead of the alphabetical oracle-gated block.
+_PINNED: tuple[str, ...] = (
+    "q50_ecs_tsim",
+    "q61_ivf_topk",
+    "q62_url_fetch",
+    "q63_tf_idf",
+)
 _DEFERRED: frozenset[str] = frozenset(
     {
+        "q01_scan_filter_project",
+        "q02_in_list",
+        "q05_inner_join",
+        "q07_left_join",
+        "q08_semi_join",
         "q17_string_fns",
         "q18_date_fns",
         "q19_math_fns",
@@ -43,10 +63,6 @@ _DEFERRED: frozenset[str] = frozenset(
         "q21_ranking_window",
         "q22_lag_lead_runsum",
         "q27_explode",
-        # q63 entered AFTER the window filled — deferred from birth;
-        # locally hash-checked every run, rotates into the driver
-        # window in a later round.
-        "q63_tf_idf",
     }
 )
 
@@ -56,9 +72,14 @@ def all_queries():
     for m in _MODULES:
         merged.update(m.QUERIES)
     oracles = all_oracles()
-    ordered = {
-        k: v for k, v in merged.items() if k in oracles and k not in _DEFERRED
-    }
+    ordered = {k: merged[k] for k in _PINNED if k in merged}
+    ordered.update(
+        {
+            k: v
+            for k, v in merged.items()
+            if k in oracles and k not in _DEFERRED and k not in ordered
+        }
+    )
     ordered.update({k: v for k, v in merged.items() if k not in ordered})
     return ordered
 

@@ -1,12 +1,15 @@
-"""T-SIM through the driver contract (rows-only).
+"""T-SIM through the driver contract (oracle-gated).
 
 Runs the reference's toy kinematics simulation (SURVEY §2.4 T-SIM;
 reference tests/test_toy.py:24-58) on the ECS core in a temp
 warehouse and returns the full Position history: 3 entities x
-(spawn + 10 steps) = 33 deterministic rows. Exact final positions are
-asserted in tests/test_ecs.py::test_tsim_exact; this entry makes the
-driver's smoke/correctness runs exercise the ECS engine end-to-end,
-not just the relational corpus.
+(spawn + 10 steps) = 33 deterministic rows. The oracle is a literal
+VALUES table computed from the same spec arithmetic the reference's
+own test pins (tests/test_toy.py:17-21 — entity 1 ends at exactly
+x=1.0), so the driver hash-verifies the whole ECS write/read path:
+spawn id allocation, per-step upsert commits, history resolution.
+Exact final positions are additionally asserted in
+tests/test_ecs.py::test_tsim_exact.
 """
 
 from __future__ import annotations
@@ -64,5 +67,41 @@ def q50_ecs_tsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("entity_id", "step")
 
 
+#: (entity_id, (x0, y0), (vx, vy)) — the reference toy fixture
+#: (tests/test_toy.py:24-58), spawned in this order so ids are 1..3.
+_TSIM_ENTITIES = [
+    (1, (0.0, 0.0), (1.0, 1.0)),
+    (2, (10.0, 5.0), (2.0, -1.0)),
+    (3, (-5.0, -10.0), (-0.5, 0.5)),
+]
+
+
+def _tsim_values() -> str:
+    """The expected history as SQL literals: per entity, the spawn row
+    (step 0) then 10 Euler steps of p += v*dt at dt=0.1 — the same
+    accumulation the MovementProcessor performs, rounded to 6 like the
+    query output (float accumulation noise ~1e-16 is far below the
+    rounding step, so these literals are exact on both engines)."""
+    rows = []
+    for eid, (x, y), (vx, vy) in _TSIM_ENTITIES:
+        rows.append((eid, 0, round(x, 6), round(y, 6)))
+        for s in range(1, 11):
+            x += vx * 0.1
+            y += vy * 0.1
+            rows.append((eid, s, round(x, 6), round(y, 6)))
+    return ", ".join(f"({e}, {s}, {x!r}, {y!r})" for e, s, x, y in rows)
+
+
+ORACLES: dict[str, str] = {
+    "q50_ecs_tsim": f"""
+        SELECT CAST(entity_id AS BIGINT) AS entity_id,
+               CAST(step AS BIGINT) AS step,
+               CAST(x AS DOUBLE) AS x,
+               CAST(y AS DOUBLE) AS y,
+               TRUE AS is_active
+        FROM (VALUES {_tsim_values()}) t(entity_id, step, x, y)
+        ORDER BY entity_id, step
+    """
+}
+
 QUERIES = {"q50_ecs_tsim": q50_ecs_tsim}
-ORACLES: dict[str, str] = {}

@@ -8,6 +8,8 @@ tests/ instead.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -181,8 +183,10 @@ def q41_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q42_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k over the PERSISTED
-    bucket index (rows-only; planted-near-dup recall asserted in
-    tests/test_dedup.py at the same 8-plane/6-table setting)."""
+    bucket index. Oracle-gated since r3: the DuckDB oracle replicates
+    the sign-bit pipeline with fold-order-exact unrolled dot products
+    (see _lsh_oracle); planted-near-dup recall additionally asserted
+    in tests/test_dedup.py at the same 8-plane/6-table setting."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         emb,
@@ -208,19 +212,30 @@ def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q62's fetch fixture set. Pinned to the smallest always-present
+#: corpus tier rather than the caller's sf_dir: the DuckDB oracle is a
+#: fixed SQL string that must name the same files read_blob reads, and
+#: fetch semantics (executor-side materialization + digest) don't
+#: change with corpus scale. Overridable for ad-hoc runs.
+FETCH_FIXTURE_DIR = os.environ.get(
+    "SPARK_GRAFT_FETCH_FIXTURES", "/root/testdata/sf0.001"
+)
+_FETCH_TABLES = ["region", "nation", "documents", "embeddings", "events"]
+
+
 def q62_url_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-fetch stage (Daft `.url.download()` parity, reference
-    pyproject.toml:7-8): file:// refs — here to the corpus' own
-    parquet artifacts, the only local fixtures guaranteed present —
-    materialized to payload bytes executor-side, then digested
-    (rows-only; per-scheme behavior pinned in tests/test_multimodal.py)."""
-    import os as _os
-
-    tables = ["region", "nation", "documents", "embeddings", "events"]
+    pyproject.toml:7-8): file:// refs to the FETCH_FIXTURE_DIR parquet
+    artifacts, materialized to payload bytes executor-side, then
+    digested. Oracle-gated: DuckDB read_blob fetches the same files
+    and both engines digest sha256 over the uppercase-hex encoding
+    (DuckDB 1.0 has no sha256(BLOB) overload; hex() canonicalizes
+    identically on both). Per-scheme fetch behavior is pinned in
+    tests/test_multimodal.py."""
     media = spark.createDataFrame(
         [
-            (i, f"file://{_os.path.join(sf_dir, t)}.parquet")
-            for i, t in enumerate(tables)
+            (i, f"file://{os.path.join(FETCH_FIXTURE_DIR, t)}.parquet")
+            for i, t in enumerate(_FETCH_TABLES)
         ],
         "media_id long, uri string",
     )
@@ -229,7 +244,7 @@ def q62_url_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "uri",
         F.length("payload").cast("bigint").alias("n_bytes"),
-        F.sha2("payload", 256).alias("digest"),
+        F.sha2(F.hex("payload"), 256).alias("digest"),
         "fetch_error",
     ).orderBy("media_id")
 
@@ -287,6 +302,44 @@ def q63_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash path: xxhash64 family (JVM-native slot
+    hashes + bigint band keys). q40 benches the portable sha256-prefix
+    family because only it is oracle-reproducible (string band keys =
+    slot-tuple equality by construction); this entry keeps the
+    headline number tracking what an ingest pipeline actually runs —
+    the ~2x delta between the two IS the oracle-portability tax, not a
+    regression (profiled r4: signatures +0.6s for sha256+conv, band
+    join +1s for string keys). Rows-only: xxhash64 has no DuckDB
+    counterpart; recall vs exact jaccard is property-tested in
+    tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        num_hashes=64,
+        bands=16,
+        threshold=0.45,
+        hash_family="xxhash64",
+    )
+
+
+def q64_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup ingest end-to-end (operators/dedup.py
+    ingest_dedup): ingest the even-doc_id half of the corpus into a
+    fresh table, then re-ingest the FULL corpus — only texts whose
+    fingerprint was never seen append. Returns the final table's
+    (doc_id, fingerprint); the oracle derives the same set
+    algebraically (batch-1 keepers, then min-id keepers among the
+    fingerprints batch 1 never saw). Portable fingerprint family so
+    the values diff exactly."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    tbl = os.path.join(tempfile.mkdtemp(prefix="ingest_dedup_"), "docs")
+    dedup.ingest_dedup(spark, d.filter(F.col("doc_id") % 2 == 0), tbl, portable=True)
+    dedup.ingest_dedup(spark, d, tbl, portable=True)
+    return spark.read.parquet(tbl).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -309,6 +362,8 @@ QUERIES = {
     "q61_ivf_topk": q61_ivf_topk,
     "q62_url_fetch": q62_url_fetch,
     "q63_tf_idf": q63_tf_idf,
+    "q64_ingest_dedup": q64_ingest_dedup,
+    "q65_minhash_fast": q65_minhash_fast,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -657,9 +712,45 @@ ORACLES = {
         FROM f, unnest(generate_series(0, n_frames - 1, 500)) AS t(fi)
         ORDER BY media_id, frame_idx
     """,
-    # Rows-only remainder, each with a hard reason: q61 — the IVF
-    # quantizer is a trained MLlib model, not expressible in SQL;
-    # q50 — full ECS simulation; q62 — payloads come from the
-    # filesystem, which the oracle's view-only harness can't reach.
-    # Property tests in tests/ pin each of their semantics.
+    "q62_url_fetch": None,  # filled below — needs the fixture paths
+    "q64_ingest_dedup": """
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15))::UBIGINT AS BIGINT)
+                   AS fingerprint
+          FROM documents
+        ), b1 AS (
+          SELECT fingerprint, MIN(doc_id) AS doc_id
+          FROM f WHERE doc_id % 2 = 0 GROUP BY 1
+        ), b2 AS (
+          SELECT fingerprint, MIN(doc_id) AS doc_id
+          FROM f WHERE fingerprint NOT IN (SELECT fingerprint FROM b1)
+          GROUP BY 1
+        )
+        SELECT doc_id, fingerprint FROM b1
+        UNION ALL
+        SELECT doc_id, fingerprint FROM b2
+        ORDER BY doc_id
+    """,
+    # Rows-only remainder with a hard reason: q61 — the IVF quantizer
+    # is a trained MLlib model, not expressible in SQL (recall + index
+    # lifecycle pinned in tests/test_ann_index.py and test_dedup.py).
 }
+
+_FETCH_PATHS = [
+    os.path.join(FETCH_FIXTURE_DIR, t) + ".parquet" for t in _FETCH_TABLES
+]
+_FETCH_VALUES = ", ".join(
+    f"({i}, 'file://{p}', '{p}')" for i, p in enumerate(_FETCH_PATHS)
+)
+_FETCH_LIST = ", ".join(f"'{p}'" for p in _FETCH_PATHS)
+ORACLES["q62_url_fetch"] = f"""
+        WITH u(media_id, uri, path) AS (VALUES {_FETCH_VALUES}),
+        b AS (SELECT filename, content FROM read_blob([{_FETCH_LIST}]))
+        SELECT u.media_id, u.uri,
+               CAST(octet_length(b.content) AS BIGINT) AS n_bytes,
+               sha256(hex(b.content)) AS digest,
+               CAST(NULL AS VARCHAR) AS fetch_error
+        FROM u JOIN b ON b.filename = u.path
+        ORDER BY media_id
+"""
