@@ -21,6 +21,7 @@ BTree indexes (parquet min/max row-group stats; store.py:107-108).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -44,6 +45,7 @@ def read_table(
     mandatory practice on large inputs."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {sorted(_FORMATS)}")
+    _heal_merge(path)  # replay a committed-but-unswapped merge, if any
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -126,16 +128,20 @@ def merge_table(
     high-frequency small upserts prefer the ECS store's append +
     latest-wins resolution, which never rewrites history.
 
-    Durability: the merged table is written to a temp dir and swapped
-    in with directory renames (old table aside -> new in place -> old
-    removed), so a crash leaves either the old or the new table, never
-    a half-rewrite."""
+    Durability (same marker-replay protocol as ArchetypeStore.compact):
+    the merged table is written to a temp dir, then a commit marker
+    naming the temp/old dirs is published atomically BEFORE the two
+    swap renames. A crash at any point leaves either the old table
+    (no marker yet -> temp is discarded debris) or a replayable swap
+    (marker present -> `_heal_merge`, invoked from read_table and from
+    the next merge_table call, rolls the committed merge forward), so
+    a reader never observes a missing or half-rewritten table."""
     if when_matched not in ("update", "delete", "ignore"):
         raise ValueError(f"when_matched must be update/delete/ignore, got {when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(f"when_not_matched must be insert/ignore, got {when_not_matched!r}")
     keys = list(keys)
-    target = read_table(spark, path)
+    target = read_table(spark, path)  # read_table heals any prior crash first
 
     if when_matched == "ignore":
         kept = target
@@ -164,6 +170,38 @@ def merge_table(
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     old = f"{path}.old-{uuid.uuid4().hex}"
-    os.rename(path, old)
-    os.rename(tmp, path)
+    marker = _merge_marker(path)
+    marker_tmp = marker + ".tmp"
+    with open(marker_tmp, "w") as fh:
+        json.dump({"tmp": tmp, "old": old}, fh)
+    os.replace(marker_tmp, marker)  # commit point (atomic)
+    _heal_merge(path)  # performs the swap; crash-resumable from here
+
+
+def _merge_marker(path: str) -> str:
+    return os.path.normpath(path) + ".merge-commit.json"
+
+
+def _heal_merge(path: str) -> None:
+    """(Re)play a committed merge swap. Idempotent and safe at ANY
+    crash point past the marker publish:
+
+    - tmp still present: the merged table is tmp; move the live table
+      (if any) aside to `old` and rename tmp into place;
+    - tmp gone: the swap already happened; only cleanup remains.
+
+    No marker (the overwhelmingly common case) = one os.path stat."""
+    marker = _merge_marker(path)
+    if not os.path.isfile(marker):
+        return
+    with open(marker) as fh:
+        meta = json.load(fh)
+    tmp, old = meta["tmp"], meta["old"]
+    if os.path.isdir(tmp):
+        if os.path.isdir(path):
+            if os.path.isdir(old):  # defensive: half-moved old
+                shutil.rmtree(old)
+            os.rename(path, old)
+        os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)

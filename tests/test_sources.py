@@ -117,6 +117,62 @@ def test_merge_swap_never_leaves_half_table(spark, tmp_path, monkeypatch):
     assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
 
 
+MERGED_EXPECT = [(1, "a", 10.0), (2, "x", 0.0), (3, "c", 30.0)]
+
+
+def test_merge_crash_between_renames_heals_forward(spark, tmp_path, monkeypatch):
+    """ADVICE r3: a crash BETWEEN os.rename(path, old) and
+    os.rename(tmp, path) used to leave NO table at `path`. With the
+    marker-replay protocol, the next read_table rolls the committed
+    merge forward."""
+    import archetype_spark.sources.io as io_mod
+    from archetype_spark.sources import merge_table
+
+    path = _mk_table(spark, tmp_path, "m4")
+    updates = spark.createDataFrame([(2, "x", 0.0)], "k long, name string, v double")
+
+    real_rename = io_mod.os.rename
+    calls = []
+
+    def dying_rename(src, dst):
+        calls.append((src, dst))
+        if len(calls) == 2:  # tmp -> path, the second swap rename
+            raise RuntimeError("simulated crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(io_mod.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        merge_table(spark, path, updates, keys=["k"])
+    monkeypatch.undo()
+    assert not io_mod.os.path.isdir(path)  # the crash window ADVICE named
+    got = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert got == MERGED_EXPECT
+    assert not io_mod.os.path.isfile(io_mod._merge_marker(path))
+    debris = [p for p in io_mod.os.listdir(tmp_path) if ".merging-" in p or ".old-" in p]
+    assert debris == []
+
+
+def test_merge_crash_before_any_rename_heals_forward(spark, tmp_path, monkeypatch):
+    """Marker published but neither rename ran: the merge is committed
+    (the merged data is fully written), so healing completes it."""
+    import archetype_spark.sources.io as io_mod
+    from archetype_spark.sources import merge_table
+
+    path = _mk_table(spark, tmp_path, "m5")
+    updates = spark.createDataFrame([(2, "x", 0.0)], "k long, name string, v double")
+
+    def dying_rename(src, dst):
+        raise RuntimeError("simulated crash pre-swap")
+
+    monkeypatch.setattr(io_mod.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="pre-swap"):
+        merge_table(spark, path, updates, keys=["k"])
+    monkeypatch.undo()
+    got = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert got == MERGED_EXPECT
+    assert not io_mod.os.path.isfile(io_mod._merge_marker(path))
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path):
     """Two tables bucketed to the same count on the join key must join
     with NO exchange — the co-located-join contract the write-time
