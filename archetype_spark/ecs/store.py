@@ -419,9 +419,12 @@ class ArchetypeStore:
         `order_by`: a stable input key to allocate ids by. With it, the
         batch is range-exchanged on the key (a PARALLEL total order)
         and id assignment is deterministic under task retries. Without
-        it, ids follow the input's scan order — deterministic for
-        file-backed frames, but a shuffled upstream recomputed by a
-        retry may renumber; pass a key when the frame has one.
+        it, ids follow the input's scan order; the batch is pinned with
+        localCheckpoint before counting, so the count job and the write
+        job always see the same partition layout even for a
+        nondeterministic upstream (an executor loss that drops
+        checkpointed blocks fails the job loudly rather than
+        renumbering silently). Pass a key when the frame has one.
         Returns the allocated [lo, hi] id range.
         """
         sig = signature_of(component_types)
@@ -448,6 +451,16 @@ class ArchetypeStore:
                 "_mid", F.monotonically_increasing_id()
             ).withColumn("_pid", F.spark_partition_id())
 
+        # PIN the stamped frame before counting: the count and the
+        # write below are two separate jobs, and a nondeterministic
+        # upstream recomputed with different partition sizes between
+        # them would make offset_of[_pid] yield NULL (or collide) for
+        # unseen pids — a silent id-corruption, worse than the
+        # documented 'retry may renumber' caveat. localCheckpoint
+        # materializes the partitions once so both jobs see the same
+        # layout; spawn batches are ingest-sized, so executor-local
+        # storage of one batch is the cheap end of the trade.
+        stamped = stamped.localCheckpoint(eager=True)
         counts = {
             r["_pid"]: r["_cnt"]
             for r in stamped.groupBy("_pid")
@@ -490,6 +503,11 @@ class ArchetypeStore:
         self._append(hash_val, out)
         return (base + 1, base + n)
 
+    #: Largest despawn batch embedded as `isin(...)` literals; larger
+    #: batches join against a broadcast ids frame instead — a
+    #: multi-million-literal plan stalls analysis before any task runs.
+    _ISIN_LITERAL_LIMIT = 1000
+
     def remove_entity(self, entity_id: int, step: int) -> None:
         """Despawn one entity (O6) — the batch path with one id."""
         self.remove_entities([entity_id], step)
@@ -505,12 +523,16 @@ class ArchetypeStore:
         Job shape: ONE tombstone-append job per involved table, whose
         scan carries an `entity_id IN (...)` membership filter (pushed
         to parquet row-group stats — the sorted-write layout keys on
-        entity_id). Ids whose table is known from the in-process cache
-        route only to that table; unknown ids (recovered sessions whose
-        classes were never imported) are resolved by the SAME filtered
-        scan against every cataloged table — no per-entity probe jobs
-        (the r1/r2 'despawn job storm': limit(1).count() per table per
-        entity)."""
+        entity_id). Past _ISIN_LITERAL_LIMIT ids the literal list would
+        bloat plan analysis (a multi-million-entry isin is itself a
+        scale bug), so large batches switch to a broadcast-hash
+        left-semi join against an ids DataFrame instead — same rows,
+        bounded plan size. Ids whose table is known from the in-process
+        cache route only to that table; unknown ids (recovered sessions
+        whose classes were never imported) are resolved by the SAME
+        filtered scan against every cataloged table — no per-entity
+        probe jobs (the r1/r2 'despawn job storm': limit(1).count()
+        per table per entity)."""
         ids = [int(e) for e in entity_ids]
         if not ids:
             return
@@ -530,13 +552,18 @@ class ArchetypeStore:
             df = self._read_raw(hash_val)
             if df is None:
                 continue
-            current = self.latest_state(
-                df.filter(
-                    (F.col("simulation") == self.simulation)
-                    & (F.col("run") == self.run)
-                    & F.col("entity_id").isin(cand)
-                )
+            scoped = df.filter(
+                (F.col("simulation") == self.simulation)
+                & (F.col("run") == self.run)
             )
+            if len(cand) <= self._ISIN_LITERAL_LIMIT:
+                scoped = scoped.filter(F.col("entity_id").isin(cand))
+            else:
+                ids_df = self.spark.createDataFrame(
+                    [(i,) for i in cand], "entity_id long"
+                )
+                scoped = scoped.join(F.broadcast(ids_df), "entity_id", "left_semi")
+            current = self.latest_state(scoped)
             tomb = (
                 current.withColumn("is_active", F.lit(False))
                 .withColumn("step", F.lit(step).cast("long"))

@@ -95,6 +95,29 @@ def test_grid_pairs_match_broadcast(spark, emb):
     assert _pairs(tk_bc) == _pairs(tk_gr)
 
 
+def test_auto_strategy_degrades_to_grid(spark, emb):
+    """strategy='auto' must pick broadcast under the build-side budget
+    and grid past it (VERDICT r3 #4: no more OOM-by-default), with
+    identical results either way."""
+    from archetype_spark.plans import join_impls
+
+    small_budget = similarity.topk_bruteforce(emb, k=3, auto_max_bytes=1024)
+    big_budget = similarity.topk_bruteforce(emb, k=3, auto_max_bytes=1 << 40)
+    impls_small = join_impls(small_budget)
+    impls_big = join_impls(big_budget)
+    assert "BroadcastNestedLoopJoin" not in impls_small, impls_small
+    assert "BroadcastNestedLoopJoin" in impls_big, impls_big
+    assert _pairs(small_budget) == _pairs(big_budget)
+    assert (
+        similarity._resolve_strategy(emb, "embedding", "auto", max_bytes=1024)
+        == "grid"
+    )
+    assert (
+        similarity._resolve_strategy(emb, "embedding", "auto", max_bytes=1 << 40)
+        == "broadcast"
+    )
+
+
 def test_int8_quantization_bounds(spark, emb):
     """Reconstruction error per component <= scale/2, and quantized
     cosine tracks exact cosine closely (cosine is scale-invariant)."""

@@ -164,6 +164,26 @@ def test_batch_despawn_job_count(spark, tmp_path):
     assert sorted(r["entity_id"] for r in latest_df.collect()) == [ids[11]]
 
 
+def test_large_despawn_batch_uses_join_not_isin(spark, tmp_path, monkeypatch):
+    """Past _ISIN_LITERAL_LIMIT the despawn filter must be a broadcast
+    semi join, not an isin literal list (ADVICE r3: a multi-million-id
+    isin blows up plan size), with identical tombstone results."""
+    from archetype_spark.ecs.store import ArchetypeStore
+
+    monkeypatch.setattr(ArchetypeStore, "_ISIN_LITERAL_LIMIT", 3)
+    world = make_world(spark, str(tmp_path / "wh"), simulation="big_tomb")
+    ids = [
+        world.spawn(Position(x=float(i), y=0.0), Velocity(vx=0.0, vy=0.0))
+        for i in range(8)
+    ]
+    world.despawn_many(ids[:6])  # 6 > 3 -> join path
+    (latest_df,) = world.latest(Position).values()
+    assert sorted(r["entity_id"] for r in latest_df.collect()) == ids[6:]
+    (hdf,) = world.get_history(Position).values()
+    dead = hdf.filter(~F.col("is_active")).select("entity_id").distinct()
+    assert sorted(r["entity_id"] for r in dead.collect()) == ids[:6]
+
+
 def test_connect_job_count_constant_in_tables(spark, tmp_path):
     """Connect-time recovery (counters + step clock) must cost O(1)
     Spark jobs regardless of how many archetype tables the warehouse
