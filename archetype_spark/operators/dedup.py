@@ -27,6 +27,7 @@ The reference has no dedup operator (its dependency surface has
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame
@@ -293,6 +294,64 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .orderBy("doc_id", "other_doc_id")
     )
+
+
+def ingest_dedup(
+    spark,
+    batch: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental-dedup ingest (VERDICT r3 ask #9): the composed
+    entry point a pipeline user calls per arriving batch —
+
+      1. fingerprint the batch (functions/text.py: xxhash64 fast path,
+         or the sha256-prefix portable family when an external engine
+         must reproduce the table);
+      2. collapse in-batch duplicates to the canonical keeper
+         (min id per fingerprint — same policy as hash_dedup);
+      3. anti-join survivors against the ALREADY-INGESTED fingerprints;
+      4. append only the new rows to `table_path`.
+
+    Returns the appended rows (id, fingerprint, text columns), already
+    materialized. Re-ingesting any previously-seen batch appends 0
+    rows (idempotence is property-tested).
+
+    Scale shape: the anti-join is keyed on the 8-byte fingerprint, so
+    the shuffle moves (fingerprint, id) of the EXISTING corpus — the
+    column-pruned scan reads one bigint column of the table, never the
+    text bodies (exactly the content-hash-dedup trade). The append
+    itself is parquet mode=append: at 100 TB you'd funnel it through a
+    transactional table format; the dedup algebra is identical.
+    """
+    from archetype_spark.functions.text import fingerprint60_portable, fingerprint64
+
+    fp = (fingerprint60_portable if portable else fingerprint64)(text_col)
+    stamped = batch.withColumn("fingerprint", fp)
+    keepers = stamped.groupBy("fingerprint").agg(F.min(id_col).alias("_keep_id"))
+    batch_uniq = (
+        stamped.join(keepers, "fingerprint")
+        .filter(F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )
+    if os.path.isdir(table_path):
+        seen = spark.read.parquet(table_path).select("fingerprint")
+        fresh = batch_uniq.join(seen, "fingerprint", "left_anti")
+    else:
+        fresh = batch_uniq
+    out_cols = [id_col, "fingerprint"] + [
+        c for c in batch.columns if c not in (id_col, "fingerprint")
+    ]
+    # localCheckpoint BEFORE the append: `fresh`'s lineage reads
+    # table_path (the seen-fingerprint scan), so writing to the same
+    # path from the live plan would race its own input; pinning also
+    # keeps the returned frame valid after the append.
+    fresh = fresh.select(*out_cols).localCheckpoint(eager=True)
+    if fresh.count() > 0:
+        fresh.write.mode("append").parquet(table_path)
+    return fresh
 
 
 #: Bits per SimHash fingerprint by family. xxhash64: 63 (bit 63 left

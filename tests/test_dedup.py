@@ -113,3 +113,41 @@ def test_ivf_finds_planted_near_dups(spark, emb):
 def test_simhash_hamming_bound(spark, docs):
     pairs = dedup.simhash_dup_pairs(docs, max_hamming=3).collect()
     assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_ingest_dedup_idempotent(spark, tmp_path):
+    """ingest_dedup appends only never-seen fingerprints; re-ingesting
+    any already-seen batch appends nothing (idempotent ingest)."""
+    tbl = str(tmp_path / "docs_tbl")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "ALPHA  beta gamma")],
+        "doc_id long, text string",
+    )
+    first = dedup.ingest_dedup(spark, b1, tbl)
+    # doc 3 normalizes to doc 1's text -> in-batch collapsed to min id
+    assert sorted(r["doc_id"] for r in first.collect()) == [1, 2]
+
+    again = dedup.ingest_dedup(spark, b1, tbl)
+    assert again.count() == 0
+    assert spark.read.parquet(tbl).count() == 2
+
+    b2 = spark.createDataFrame(
+        [(4, "delta epsilon"), (5, "zeta eta")], "doc_id long, text string"
+    )
+    second = dedup.ingest_dedup(spark, b2, tbl)
+    assert [r["doc_id"] for r in second.collect()] == [5]
+    final = spark.read.parquet(tbl)
+    assert sorted(r["doc_id"] for r in final.collect()) == [1, 2, 5]
+    # portable family writes the oracle-reproducible fingerprint
+    tbl_p = str(tmp_path / "docs_tbl_p")
+    dedup.ingest_dedup(spark, b1, tbl_p, portable=True)
+    got = {r["doc_id"]: r["fingerprint"] for r in spark.read.parquet(tbl_p).collect()}
+    import duckdb
+
+    exp = dict(
+        duckdb.sql(
+            "SELECT doc_id, CAST(('0x' || substr(sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15))::UBIGINT AS BIGINT)"
+            " FROM (VALUES (1, 'alpha beta gamma'), (2, 'delta epsilon')) t(doc_id, text)"
+        ).fetchall()
+    )
+    assert got == exp

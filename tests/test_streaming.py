@@ -213,3 +213,87 @@ def test_world_stream_steps(spark, tmp_path):
     src_vals = sorted(float(r["value"]) for r in ev.limit(3).collect())
     got_vals = sorted(round(r["position__x"] - 0.5, 6) for r in rows)
     assert got_vals == [round(v, 6) for v in src_vals]
+
+
+def test_world_stream_multi_batch_matches_batch_loop(spark, tmp_path):
+    """A multi-micro-batch stream (maxFilesPerTrigger=1) must drive the
+    SAME simulation the plain driver-side step loop produces — one
+    spawn group + one step per micro-batch, identical Position history
+    (VERDICT r3 ask #8: the §7-phase-7 seam exercised end-to-end)."""
+    from dataclasses import dataclass
+
+    from archetype_spark.ecs import Component, Processor, make_world, processor
+    from archetype_spark.streaming.world_stream import run_stream_steps
+
+    @dataclass
+    class Position(Component):
+        x: float
+        y: float
+
+    @dataclass
+    class Velocity(Component):
+        vx: float
+        vy: float
+
+    @processor(Position, Velocity, priority=1)
+    class Movement(Processor):
+        def process(self, df, dt):
+            return df.withColumns(
+                {
+                    "position__x": F.col("position__x") + F.col("velocity__vx") * dt,
+                    "position__y": F.col("position__y") + F.col("velocity__vy") * dt,
+                }
+            )
+
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [[1.0, 2.0], [3.0], [4.0, 5.0]]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, vals in enumerate(batches):
+        f = str(src / f"b{i}.parquet")
+        pq.write_table(pa.table({"value": pa.array(vals, pa.float64())}), f)
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    def to_entities(batch_df):
+        return [
+            [Position(x=float(v), y=0.0), Velocity(vx=1.0, vy=0.0)]
+            for v in sorted(r["value"] for r in batch_df.collect())
+        ]
+
+    sworld = make_world(spark, str(tmp_path / "wh_s"), simulation="ms_stream")
+    sworld.add_processor(Movement())
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_stream_steps(
+        stream, sworld, to_entities, dt=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt_ms"),
+    )
+    q.awaitTermination(180)
+    assert sworld.current_step == len(batches)
+
+    bworld = make_world(spark, str(tmp_path / "wh_b"), simulation="ms_batch")
+    bworld.add_processor(Movement())
+    for vals in batches:
+        bworld.spawn_many(
+            [
+                [Position(x=float(v), y=0.0), Velocity(vx=1.0, vy=0.0)]
+                for v in sorted(vals)
+            ]
+        )
+        bworld.step(dt=0.5)
+
+    def hist(world):
+        (hdf,) = world.get_history(Position).values()
+        return sorted(
+            (r["entity_id"], r["step"], round(r["position__x"], 6),
+             round(r["position__y"], 6), r["is_active"])
+            for r in hdf.collect()
+        )
+
+    assert hist(sworld) == hist(bworld)
