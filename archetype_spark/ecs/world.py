@@ -48,6 +48,11 @@ class World:
         # clock is process-local, world.py:20).
         self.current_step = store.max_committed_step()
         self.step_seconds: list[float] = []  # O8 instrumentation
+        # The reference prints per-step timing unconditionally
+        # (world.py:32-33); here it is opt-in — bench.py's contract is
+        # ONE JSON line on stdout, and step timings are recorded in
+        # step_seconds either way.
+        self.verbose = False
 
     # ------------------------------------------------------------- step loop
     def step(self, dt: float) -> None:
@@ -61,7 +66,8 @@ class World:
         self.current_step = commit_step
         elapsed = time.time() - start
         self.step_seconds.append(elapsed)
-        print(f"Step {self.current_step} done in {elapsed:.3f}s")
+        if self.verbose:
+            print(f"Step {self.current_step} done in {elapsed:.3f}s")
 
     # ------------------------------------------------------- entity management
     def spawn(self, *components: Component, step: Optional[int] = None) -> int:
