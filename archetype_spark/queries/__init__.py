@@ -38,8 +38,10 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       a driver CORRECTNESS row (q50/q61/q62/q63 — VERDICT r3's
 #       remaining criticism) to the window head, and defer five more
 #       twice-green basics (q01/q02/q05/q07/q08) to stay at 50. q61
-#       stays rows-only (trained MLlib quantizer, not SQL-expressible)
-#       but now gets its weaker driver row.
+#       is oracle-gated too: the quantizer is a trained MLlib model no
+#       SQL can re-derive, but the persisted index is parquet DATA —
+#       the oracle (northstar.ivf_oracle) replays the probe over the
+#       very same centroid/assignment files the Spark query reads.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -84,8 +86,20 @@ def all_queries():
     return ordered
 
 
-def all_oracles():
+def all_oracles(
+    sf_dir: str | None = None, require_live_index: bool = True
+) -> dict[str, str]:
+    """Merged oracle map. q61's oracle reads the persisted IVF index
+    for `sf_dir` (default: the driver's CORRECTNESS scale), so it is
+    built here per-dir rather than stored statically; with
+    `require_live_index` it is included only when the index exists on
+    disk (cold checkout -> q61 degrades to rows-only, never errors)."""
     o = {}
     for m in _MODULES:
         o.update(m.ORACLES)
+    ivf = northstar.ivf_oracle(
+        sf_dir or northstar.CORRECTNESS_SF_DIR, require_live_index=require_live_index
+    )
+    if ivf is not None:
+        o["q61_ivf_topk"] = ivf
     return o

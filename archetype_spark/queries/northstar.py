@@ -1,9 +1,11 @@
 """North-star [N] query corpus: dedup, similarity, text analysis,
 multimodal — Q29/Q30 from SURVEY §2.4 plus the extended operator
-queries (q31+). Oracle-gated wherever DuckDB can express identical
-semantics; hash-family-dependent operators (minhash/simhash/LSH/
-fingerprint/multimodal) are rows-only here and property-tested in
-tests/ instead.
+queries (q31+). Oracle-gated throughout — including the hash-family
+operators (portable sha256-based families diff exactly in DuckDB)
+and q61's IVF probe (the oracle reads the same persisted index
+parquet the query probes). The only rows-only entry left is
+q65_minhash_fast, the xxhash64 fast path benched beside the
+oracle-gated portable q40.
 """
 
 from __future__ import annotations
@@ -199,9 +201,10 @@ def q42_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells + probe + exact re-rank) approximate top-k —
     the trained-quantizer ANN path next to q42's LSH, probing the
-    PERSISTED centroid/assignment index instead of refitting per call
-    (rows-only; planted-near-dup recall asserted in
-    tests/test_dedup.py)."""
+    PERSISTED centroid/assignment index instead of refitting per call.
+    Oracle-gated via ivf_oracle(): DuckDB replays the probe over the
+    same index parquet; planted-near-dup recall additionally asserted
+    in tests/test_dedup.py."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb,
@@ -251,7 +254,7 @@ def q62_url_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q43_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic media table -> mapInPandas decode
-    (deterministic fake codec; rows-only)."""
+    (deterministic fake codec; oracle-gated since r3)."""
     media = multimodal.synth_media_from_documents(load(spark, sf_dir, "documents"))
     return multimodal.decode_media(media).orderBy("media_id")
 
@@ -286,7 +289,8 @@ def q48_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q49_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal 1-to-N frame sampling: every 500th frame of each
-    video-kind payload (deterministic fake codec; rows-only)."""
+    video-kind payload (deterministic fake codec; oracle-gated since
+    r3)."""
     media = multimodal.synth_media_from_documents(load(spark, sf_dir, "documents"))
     return multimodal.sample_frames(media, every_n=500).orderBy(
         "media_id", "frame_idx"
@@ -732,9 +736,9 @@ ORACLES = {
         SELECT doc_id, fingerprint FROM b2
         ORDER BY doc_id
     """,
-    # Rows-only remainder with a hard reason: q61 — the IVF quantizer
-    # is a trained MLlib model, not expressible in SQL (recall + index
-    # lifecycle pinned in tests/test_ann_index.py and test_dedup.py).
+    # q61's oracle is built per-sf_dir by ivf_oracle() below (it reads
+    # the PERSISTED index parquet, whose path depends on the corpus
+    # dir) and merged in by all_oracles() — not a static entry here.
 }
 
 _FETCH_PATHS = [
@@ -754,3 +758,69 @@ ORACLES["q62_url_fetch"] = f"""
         FROM u JOIN b ON b.filename = u.path
         ORDER BY media_id
 """
+
+#: The scale the driver's CORRECTNESS protocol runs at; all_oracles()
+#: builds q61's index-reading oracle against this dir by default.
+CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
+
+
+def ivf_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """DuckDB SQL replicating q61's IVF probe against the PERSISTED
+    index for `sf_dir`'s embeddings table.
+
+    The trained k-means quantizer itself is a MLlib artifact no SQL
+    engine can re-derive — but it doesn't have to: the index IS data
+    (centroids + assignments parquet, operators/ann_index.py), and the
+    probe is plain SQL over it. Both engines read the SAME index
+    files, so fit nondeterminism (k-means init depends on input
+    partitioning) can never split them; only the probe semantics —
+    n_probe nearest cells by L2 distance (squared in Spark, DuckDB's
+    list_distance is its sqrt: same ordering), cell-equi-join
+    candidates, exact cosine re-rank rounded to 6dp (the q30-proven
+    portable form) — are re-expressed.
+
+    With `require_live_index` (the driver path), returns None when no
+    index exists on disk yet, degrading q61 to the rows-only check
+    instead of erroring if the oracle were somehow evaluated before
+    the Spark side ever built the index. `__spark_entry__.entry()`
+    warm-builds the CORRECTNESS_SF_DIR index during the driver's
+    smoke phase, which precedes correctness, so in practice the
+    oracle is present. Constants mirror q61: IVF_INDEX (n_clusters=16
+    via the committed index), n_probe=4, k=5."""
+    idx = ann_index.default_index_dir(sf_dir, "ivf_embeddings")
+    if require_live_index and not os.path.isdir(idx):
+        return None
+    return f"""
+        WITH cents AS (
+          SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
+          FROM read_parquet('{idx}/centroids/*.parquet')
+        ), assign AS (
+          SELECT id, CAST(cell AS INT) AS cell
+          FROM read_parquet('{idx}/assignments/**/*.parquet', hive_partitioning=true)
+        ), probe AS (
+          SELECT e.vec_id, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid),
+                              c.cell) AS pr
+          FROM embeddings e CROSS JOIN cents c
+        ), probed AS (
+          SELECT vec_id, cell FROM probe WHERE pr <= 4
+        ), cand AS (
+          SELECT p.vec_id, a.id AS other_vec_id
+          FROM probed p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.id
+        ), pairs AS (
+          SELECT c.vec_id, c.other_vec_id,
+                 ROUND(list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+                                              CAST(qb.embedding AS DOUBLE[])), 6) AS cos_sim
+          FROM cand c
+          JOIN embeddings qa ON qa.vec_id = c.vec_id
+          JOIN embeddings qb ON qb.vec_id = c.other_vec_id
+        ), ranked AS (
+          SELECT vec_id, other_vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY cos_sim DESC, other_vec_id) AS rnk
+          FROM pairs
+        )
+        SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, cos_sim
+        FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank
+    """

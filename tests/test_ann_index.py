@@ -211,3 +211,18 @@ def test_failed_build_leaves_valid_index_intact(spark, emb, tmp_path, monkeypatc
     assert ann_index.load_ivf(spark, idx, {"n_clusters": 4, "seed": 42}) is not None
     debris = [p for p in os.listdir(tmp_path) if ".building" in p]
     assert debris == []
+
+
+def test_ivf_oracle_degrades_without_live_index(monkeypatch, tmp_path):
+    """Driver path: no index on disk -> q61's oracle is omitted (the
+    driver then records the rows-only check) instead of pointing
+    DuckDB at nonexistent parquet."""
+    from archetype_spark.queries import all_oracles, northstar
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "empty"))
+    assert northstar.ivf_oracle("/root/testdata/sf0.01") is None
+    assert "q61_ivf_topk" not in all_oracles()
+    # but the unconditional (local-test) form always yields the SQL
+    sql = northstar.ivf_oracle("/root/testdata/sf0.01", require_live_index=False)
+    assert "read_parquet" in sql and "list_cosine_similarity" in sql
+    assert "q61_ivf_topk" in all_oracles(require_live_index=False)

@@ -7,9 +7,13 @@ from __future__ import annotations
 import pytest
 
 from archetype_spark.queries import all_oracles, all_queries
+from tests.conftest import SF_SMOKE
 from tests.oracle_diff import compare
 
-ORACLES = all_oracles()
+# require_live_index=False: q61's index-reading oracle is always
+# included — the Spark side (ensure_ivf) builds the index eagerly at
+# DataFrame-construction time, before compare() runs DuckDB.
+ORACLES = all_oracles(SF_SMOKE, require_live_index=False)
 QUERIES = all_queries()
 
 
