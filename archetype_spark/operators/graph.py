@@ -1,0 +1,111 @@
+"""Graph connectivity for cluster-level dedup.
+
+Pair generators (MinHash/SimHash/Jaccard/embedding near-dup,
+operators/dedup.py and operators/similarity.py) emit EDGES; a real
+dedup pipeline then needs the transitive closure — if A~B and B~C,
+all three are one duplicate cluster and exactly one canonical doc
+survives. The reference delegates its relational surface to Daft and
+has no cluster step; this is part of the beyond-reference
+training-data-pipeline tier (brief: dedup as a first-class 100 TB
+concern).
+
+Algorithm: iterative min-label propagation. Every node starts
+labeled with itself; each round every node takes the min label over
+itself and its neighbors; fixpoint = each node labeled with the
+smallest node id in its component (deterministic, so oracle-able —
+DuckDB replays it as a recursive CTE).
+
+Scale: each round is one equi-join (edges x labels, keyed on node)
+plus one groupBy-min — ordinary shuffles on the node id, no driver
+materialization of nodes or edges. Rounds needed = graph diameter.
+Near-dup graphs are quasi-cliques (pair generators emit most intra-
+cluster edges directly), so diameter is ~2-3 in practice; a chain-
+shaped adversarial graph needs O(n) rounds — for such workloads swap
+in star-contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond"), which halves diameter per round with the
+same join+min building blocks. Lineage is truncated every round with
+an eager localCheckpoint, so the plan stays O(1) deep regardless of
+iteration count (the classic iterative-algorithm trap: without it,
+round k replays rounds 1..k-1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_id",
+    dst_col: str = "other_doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge; component
+    is the MIN node id in the node's connected component.
+
+    Raises RuntimeError if `max_iter` rounds don't reach the fixpoint
+    (diameter > max_iter: pathological chain — see module docstring
+    for the star-contraction escape hatch) rather than silently
+    returning a partial clustering.
+    """
+    e = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+    sym = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["_b"] == labels["node"]).select(
+            F.col("_a").alias("node"), F.col("component")
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds max_iter (use star contraction for "
+        "chain-shaped graphs)"
+    )
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id",
+    dst_col: str = "other_doc_id",
+) -> DataFrame:
+    """Canonical cluster assignment for EVERY id in `ids`: docs in no
+    pair are their own singleton cluster; paired docs get the min id
+    of their transitive component. Returns (id_col, cluster_id,
+    is_keeper) — is_keeper marks the one doc per cluster a dedup
+    pipeline retains (the deterministic min-id keeper policy, same as
+    hash_dedup's)."""
+    comp = connected_components(pairs, src_col, dst_col).withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        ids.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("cluster_id") == F.col(id_col))
+    )

@@ -1,0 +1,81 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+`df.sample()` / `sampleBy()` are seeded but PARTITIONING-dependent:
+the same row can land in a different split when the input is
+repartitioned, compacted, or re-read at a different parallelism —
+poison for train/test hygiene at 100 TB, where the physical layout
+changes constantly. The right primitive is a content hash of a
+stable row key: assignment depends only on the key's bytes, so it is
+reproducible across engines, re-ingests, cluster sizes, and time
+(and auditable in SQL — the DuckDB oracle computes the identical
+buckets). This is the beyond-reference training-data tier of the
+brief; the reference itself has no sampling surface.
+
+Everything is a JVM-side column expression (sha2 + conv) — no UDFs,
+no shuffle: split assignment is a narrow map, so it composes with
+any downstream groupBy/write without adding an exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (name, percent) split spec; percents must sum to 100.
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 80),
+    ("val", 10),
+    ("test", 10),
+)
+
+
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from the sha256 of
+    the key's string form — the first 4 hex chars (16 bits) mod
+    buckets. Portable: DuckDB computes the identical value as
+    ('0x' || substr(sha256(CAST(k AS VARCHAR)), 1, 4))::UBIGINT %
+    buckets, so split membership can be audited outside Spark."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.sha2(c.cast("string"), 256), 1, 4), 16, 10)
+        .cast("int")
+        % buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket of `id_col`.
+
+    Buckets [0,80) -> train, [80,90) -> val, [90,100) -> test under
+    DEFAULT_SPLITS; custom specs just move the fences. Rows never
+    migrate between splits as the corpus grows (assignment is per-key,
+    not per-quantile), which is exactly the property a 100 TB ingest
+    needs: append-only batches extend each split without touching
+    prior assignments."""
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percents must sum to 100, got {total}")
+    b = hash_bucket(id_col)
+    fence = 0
+    expr = None
+    for name, pct in splits:
+        fence += pct
+        cond = b < F.lit(fence)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str = "doc_id", percent: int = 10
+) -> DataFrame:
+    """Keep a reproducible ~percent% of rows by hash bucket — the
+    layout-independent replacement for df.sample() in pipelines that
+    re-read their inputs (same rows survive every run and engine)."""
+    if not 0 <= percent <= 100:
+        raise ValueError(f"percent must be in [0, 100], got {percent}")
+    return df.filter(hash_bucket(id_col) < F.lit(percent))

@@ -42,6 +42,10 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       SQL can re-derive, but the persisted index is parquet DATA —
 #       the oracle (northstar.ivf_oracle) replays the probe over the
 #       very same centroid/assignment files the Spark query reads.
+#       Late-r4 additions q66 (connected-components dedup clusters,
+#       recursive-CTE oracle) + q67 (hash-split training mix) push the
+#       oracle-gated count to 52 -> defer two more thrice-green
+#       basics (q03/q04).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -55,6 +59,8 @@ _DEFERRED: frozenset[str] = frozenset(
     {
         "q01_scan_filter_project",
         "q02_in_list",
+        "q03_compound_predicate",
+        "q04_computed_columns",
         "q05_inner_join",
         "q07_left_join",
         "q08_semi_join",

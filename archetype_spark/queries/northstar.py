@@ -344,6 +344,40 @@ def q64_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(tbl).select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: the 3-gram Jaccard pair generator (q36)
+    feeds connected components (operators/graph.py min-label
+    propagation), assigning EVERY doc its transitive duplicate
+    cluster and the min-id keeper flag — the step a real pipeline
+    runs between pair generation and corpus filtering. Oracle: the
+    same closure as a DuckDB recursive CTE."""
+    from archetype_spark.operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return graph.dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
+
+
+def q67_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test mix table: every doc assigned a
+    split by portable sha256 hash bucket of doc_id
+    (operators/sampling.py — layout-independent, append-stable), then
+    the per-lang x split doc and token counts a training run reads as
+    its data card. No UDFs, one aggregation shuffle."""
+    from archetype_spark.operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(d, id_col="doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -368,6 +402,8 @@ QUERIES = {
     "q63_tf_idf": q63_tf_idf,
     "q64_ingest_dedup": q64_ingest_dedup,
     "q65_minhash_fast": q65_minhash_fast,
+    "q66_dedup_clusters": q66_dedup_clusters,
+    "q67_training_mix": q67_training_mix,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -610,23 +646,8 @@ ORACLES = {
                ROUND(0.5 * LEAST(nt / 50.0, 1.0) + 0.4 * ur + 0.1 * (1.0 - pr), 6) AS quality
         FROM m ORDER BY doc_id
     """,
-    "q36_ngram_jaccard": """
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        idx AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i, w
-                FROM toks),
-        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
-        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS other_doc_id, COUNT(*) AS c
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT i.doc_id, i.other_doc_id,
-               ROUND(i.c * 1.0 / (ca.n + cb.n - i.c), 6) AS jaccard
-        FROM inter i
-        JOIN cnt ca ON ca.doc_id = i.doc_id
-        JOIN cnt cb ON cb.doc_id = i.other_doc_id
-        WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.5
-        ORDER BY i.doc_id, i.other_doc_id
-    """,
+    "q36_ngram_jaccard": None,  # filled below from _JACCARD_CTES
+
     "q37_embedding_dups": """
         SELECT a.vec_id AS vec_id, b.vec_id AS other_vec_id,
                ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -758,6 +779,73 @@ ORACLES["q62_url_fetch"] = f"""
         FROM u JOIN b ON b.filename = u.path
         ORDER BY media_id
 """
+
+# Shared 3-gram Jaccard pair derivation (the q36 semantics): q36
+# emits the pairs themselves; q66 feeds them into a recursive-CTE
+# transitive closure. One text, two oracles — no drift possible.
+_JACCARD_CTES = """
+        toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        idx AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i, w
+                FROM toks),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS other_doc_id, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+"""
+
+ORACLES["q36_ngram_jaccard"] = f"""
+        WITH {_JACCARD_CTES}
+        SELECT i.doc_id, i.other_doc_id,
+               ROUND(i.c * 1.0 / (ca.n + cb.n - i.c), 6) AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.doc_id
+        JOIN cnt cb ON cb.doc_id = i.other_doc_id
+        WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.5
+        ORDER BY i.doc_id, i.other_doc_id
+    """
+
+# q66: same pairs -> symmetric edges -> recursive min-label closure
+# (exactly what operators/graph.py iterates in Spark), then singleton
+# back-fill over all docs. Spark filters on the ROUNDED jaccard (q36
+# output contract), so the prs CTE here does too.
+ORACLES["q66_dedup_clusters"] = f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        prs AS (
+          SELECT i.doc_id AS a, i.other_doc_id AS b
+          FROM inter i
+          JOIN cnt ca ON ca.doc_id = i.doc_id
+          JOIN cnt cb ON cb.doc_id = i.other_doc_id
+          WHERE ROUND(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5
+        ),
+        edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+               (MIN(lbl) = node) AS is_keeper
+        FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+ORACLES["q67_training_mix"] = """
+        WITH s AS (
+          SELECT lang,
+                 CASE
+                   WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 < 80
+                     THEN 'train'
+                   WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 < 90
+                     THEN 'val'
+                   ELSE 'test'
+                 END AS split,
+                 len(string_split(text, ' ')) AS nt
+          FROM documents
+        )
+        SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens
+        FROM s GROUP BY lang, split ORDER BY lang, split
+    """
 
 #: The scale the driver's CORRECTNESS protocol runs at; all_oracles()
 #: builds q61's index-reading oracle against this dir by default.

@@ -1,0 +1,124 @@
+"""Connected-components dedup clustering + deterministic sampling.
+
+Ground truth for components is an in-test union-find over the same
+edges (pure Python, no graph library needed), exercised on both
+hand-built shapes and randomized graphs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.operators import graph, sampling
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component, for every node incident to an edge
+    touched = {x for e in edges for x in e}
+    comp_min = {}
+    for x in touched:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in touched}
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_id int, other_doc_id int")
+    got = graph.connected_components(df).collect()
+    return {r["node"]: r["component"] for r in got}
+
+
+def test_cc_chain_triangle_and_isolated_pair(spark):
+    # chain 0-1-2-3, triangle 10-11-12 (with a redundant edge), pair 20-21
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    assert _cc(spark, edges) == _uf_components(30, edges)
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "doc_id int, other_doc_id int")
+    assert graph.connected_components(df).count() == 0
+
+
+def test_cc_randomized_vs_union_find(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc(spark, edges) == _uf_components(60, edges)
+
+
+def test_cc_long_chain_needs_diameter_rounds(spark):
+    # diameter 12 chain still converges (min ripples one hop per round)
+    edges = [(i, i + 1) for i in range(12)]
+    got = _cc(spark, edges)
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_cc_raises_past_max_iter(spark):
+    edges = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(edges, "doc_id int, other_doc_id int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, max_iter=2)
+
+
+def test_dedup_clusters_singletons_and_keepers(spark):
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id int")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_id int, other_doc_id int")
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in graph.dedup_clusters(ids, pairs).collect()
+    }
+    assert rows == {
+        0: (0, True),
+        1: (1, True),
+        2: (2, True),
+        3: (1, False),
+        4: (4, True),
+        5: (1, False),
+    }
+
+
+# ------------------------------------------------------------------ sampling
+def test_hash_split_partitioning_independent(spark):
+    ids = spark.createDataFrame([(i,) for i in range(500)], "doc_id int")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(ids).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(ids.repartition(17)).collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9  # 16-bit bucket is near-uniform
+
+
+def test_hash_split_exhaustive_and_validated(spark):
+    ids = spark.createDataFrame([(i,) for i in range(100)], "doc_id int")
+    out = sampling.hash_split(ids)
+    assert out.filter(F.col("split").isNull()).count() == 0
+    with pytest.raises(ValueError, match="sum to 100"):
+        sampling.hash_split(ids, splits=(("train", 50),))
+
+
+def test_deterministic_sample_is_subset_stable(spark):
+    ids = spark.createDataFrame([(i,) for i in range(400)], "doc_id int")
+    s10 = {r["doc_id"] for r in sampling.deterministic_sample(ids, percent=10).collect()}
+    s25 = {r["doc_id"] for r in sampling.deterministic_sample(ids, percent=25).collect()}
+    assert s10 <= s25  # growing the rate only ADDS rows — nested samples
+    assert 0.02 < len(s10) / 400 < 0.25
