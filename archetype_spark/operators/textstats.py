@@ -130,3 +130,54 @@ def doc_fingerprints(
     oracle-gated corpus query (q44) uses this form."""
     fp = fingerprint60_portable(text_col) if portable else fingerprint64(text_col)
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_frac: float = 0.2,
+) -> DataFrame:
+    """Per-doc n-gram repetition signal (the Gopher-rules quality
+    family: a document whose single most frequent n-gram accounts for
+    more than `max_frac` of all its n-grams is boilerplate/spam-like
+    and gets keep=false).
+
+    Returns (id, n_ngrams, top_ngram_frac, keep). Docs with fewer
+    than n tokens have zero n-grams: frac 0.0, keep true.
+
+    Scale: explode + two aggregations, both shuffling (id, ngram)
+    /(id) keys — no UDFs, no per-doc maps materialized driver-side.
+    The count table is the same shape TF-IDF builds; at 100 TB this
+    is two map-side-combinable aggs over the token stream.
+    """
+    w = F.split(F.col(text_col), " ")
+    k = F.size(w)
+    # non-distinct n-grams (repetition is the point); guarded so
+    # F.sequence never sees stop < start (it would count DOWN)
+    grams_arr = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(F.col(id_col), F.explode(grams_arr).alias("_g"))
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_ngrams"), F.max("_c").alias("_top")
+    )
+    frac = F.round(F.col("_top").cast("double") / F.col("n_ngrams"), 6)
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce(frac, F.lit(0.0)).alias("top_ngram_frac"),
+        )
+        .withColumn("keep", F.col("top_ngram_frac") <= F.lit(max_frac))
+    )

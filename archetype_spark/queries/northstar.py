@@ -378,6 +378,38 @@ def q67_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): docs are
+    laid out per-lang in doc_id order, a partitioned running token
+    sum assigns each doc a sequence index (offset // 2048), and the
+    result is the per-(lang, seq) manifest a training-data writer
+    consumes. The window is partitioned by the shard column — never
+    global — so the layout scales with the cluster."""
+    from archetype_spark.operators import packing
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return (
+        packing.pack_sequences(d, budget=2048)
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+def q69_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filter (operators/textstats.py
+    repetition_stats): per-doc bigram totals, the top-bigram fraction,
+    and the keep verdict at the 0.2 boilerplate threshold."""
+    return textstats.repetition_stats(
+        load(spark, sf_dir, "documents"), n=2, max_frac=0.2
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -404,6 +436,8 @@ QUERIES = {
     "q65_minhash_fast": q65_minhash_fast,
     "q66_dedup_clusters": q66_dedup_clusters,
     "q67_training_mix": q67_training_mix,
+    "q68_sequence_pack": q68_sequence_pack,
+    "q69_repetition": q69_repetition,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -827,6 +861,35 @@ ORACLES["q66_dedup_clusters"] = f"""
         SELECT node AS doc_id, MIN(lbl) AS cluster_id,
                (MIN(lbl) = node) AS is_keeper
         FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+ORACLES["q68_sequence_pack"] = """
+        WITH t AS (
+          SELECT doc_id, lang, len(string_split(text, ' ')) AS nt FROM documents
+        ), s AS (
+          SELECT lang, nt,
+                 COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          FROM t
+        )
+        SELECT lang, CAST(start // 2048 AS BIGINT) AS seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS seq_tokens
+        FROM s GROUP BY lang, seq_id ORDER BY lang, seq_id
+    """
+
+ORACLES["q69_repetition"] = """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        gr AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+               FROM toks, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)),
+        pg AS (SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY doc_id, g),
+        pd AS (SELECT doc_id, SUM(c) AS n_ngrams, MAX(c) AS top FROM pg GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(pd.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+               COALESCE(ROUND(pd.top * 1.0 / pd.n_ngrams, 6), 0.0) AS top_ngram_frac,
+               COALESCE(ROUND(pd.top * 1.0 / pd.n_ngrams, 6), 0.0) <= 0.2 AS keep
+        FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        ORDER BY d.doc_id
     """
 
 ORACLES["q67_training_mix"] = """

@@ -1,0 +1,81 @@
+"""Sequence packing + repetition stats: exact hand-computed cases and
+the partitioning/determinism contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.operators import packing, textstats
+
+
+def _pack(spark, rows, budget):
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int")
+    out = packing.pack_sequences(df, budget=budget)
+    return {
+        (r["lang"], r["doc_id"]): (r["seq_id"], r["seq_offset"])
+        for r in out.collect()
+    }
+
+
+def test_pack_sequences_exact_layout(spark):
+    rows = [
+        (1, "en", 600),
+        (2, "en", 500),
+        (3, "en", 10),
+        (4, "de", 1200),
+        (5, "de", 100),
+    ]
+    got = _pack(spark, rows, budget=1000)
+    assert got == {
+        ("en", 1): (0, 0),     # starts at 0
+        ("en", 2): (0, 600),   # fits budget boundary at 1100 -> seq 1? no: start=600
+        ("en", 3): (1, 100),   # start=1100 -> seq 1, offset 100
+        ("de", 4): (0, 0),
+        ("de", 5): (1, 200),   # start=1200 -> seq 1
+    }
+
+
+def test_pack_sequences_layout_independent(spark):
+    rows = [(i, "en" if i % 2 else "de", 50 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int")
+    a = packing.pack_sequences(df, budget=512).orderBy("doc_id").collect()
+    b = (
+        packing.pack_sequences(df.repartition(13), budget=512)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, "en", 5)], "doc_id int, lang string, n_tokens int")
+    with pytest.raises(ValueError, match="budget"):
+        packing.pack_sequences(df, budget=0)
+
+
+def test_repetition_stats_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> top 'a b' 3/5
+            (2, "x y z"),            # 2 distinct bigrams -> top 1/2
+            (3, "w"),                # no bigrams
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["top_ngram_frac"], r["keep"])
+        for r in textstats.repetition_stats(df, n=2, max_frac=0.5).collect()
+    }
+    assert got == {
+        1: (5, 0.6, False),
+        2: (2, 0.5, True),
+        3: (0, 0.0, True),
+    }
+
+
+def test_repetition_keep_threshold_boundary(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    out = textstats.repetition_stats(df, n=2, max_frac=0.25).collect()[0]
+    assert out["n_ngrams"] == 4 and out["top_ngram_frac"] == 0.25
+    assert out["keep"] is True  # <= threshold keeps
