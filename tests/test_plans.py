@@ -135,3 +135,31 @@ def test_ecs_hot_loop_shuffle_free(spark, tmp_path):
     (df,) = world.latest(P).values()
     transformed = df.withColumn("p__x", F.col("p__x") + 1.0)
     assert n_exchanges(transformed) <= 1, formatted_plan(transformed)
+
+
+def test_hash_split_is_narrow(spark, sf_dir):
+    """Split assignment is a map-only column expression: zero
+    exchanges on top of the scan — at 100 TB the train/test fence
+    costs nothing."""
+    from archetype_spark.operators import sampling
+    from archetype_spark.tables import load
+
+    df = sampling.hash_split(load(spark, sf_dir, "documents"), id_col="doc_id")
+    assert n_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """The packing window must hash-partition on the shard column —
+    a SinglePartition window would serialize the whole corpus through
+    one task (the global-sort trap SCALE.md forbids)."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.operators import packing
+    from archetype_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    plan = formatted_plan(packing.pack_sequences(d, budget=2048))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
