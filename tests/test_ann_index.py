@@ -75,38 +75,35 @@ def test_param_change_invalidates_index(spark, emb, tmp_path):
 
 
 def test_grid_pairs_match_broadcast(spark, emb):
-    """The triangle-join exact path (scale strategy past broadcast
-    limits) must produce the identical pair set + similarities as the
-    broadcast path, and its plan must contain no broadcast of the
-    full table and no cartesian product."""
+    """Every exact tier (gemm candidates, JVM broadcast kernel, grid
+    triangle join) must produce the identical pair set + similarities,
+    and the grid plan must contain no broadcast of the full table and
+    no cartesian product."""
     from archetype_spark.plans import formatted_plan, join_impls
 
-    bc = similarity.dup_pairs_by_cosine(emb, threshold=0.2)
+    gm = similarity.dup_pairs_by_cosine(emb, threshold=0.2)  # auto -> gemm
+    bc = similarity.dup_pairs_by_cosine(emb, threshold=0.2, strategy="broadcast")
     gr = similarity.dup_pairs_by_cosine(emb, threshold=0.2, strategy="grid", grid=4)
+    rows_gm = {(r["vec_id"], r["other_vec_id"], r["cos_sim"]) for r in gm.collect()}
     rows_bc = {(r["vec_id"], r["other_vec_id"], r["cos_sim"]) for r in bc.collect()}
     rows_gr = {(r["vec_id"], r["other_vec_id"], r["cos_sim"]) for r in gr.collect()}
-    assert rows_bc == rows_gr and rows_bc
+    assert rows_gm == rows_bc == rows_gr and rows_bc
     impls = join_impls(gr)
     assert "CartesianProduct" not in impls, impls
     assert "BroadcastNestedLoopJoin" not in impls, formatted_plan(gr)
 
-    tk_bc = similarity.topk_bruteforce(emb, k=3)
+    tk_gm = similarity.topk_bruteforce(emb, k=3)  # auto -> gemm
+    tk_bc = similarity.topk_bruteforce(emb, k=3, strategy="broadcast")
     tk_gr = similarity.topk_bruteforce(emb, k=3, strategy="grid", grid=4)
-    assert _pairs(tk_bc) == _pairs(tk_gr)
+    assert _pairs(tk_gm) == _pairs(tk_bc) == _pairs(tk_gr)
 
 
 def test_auto_strategy_degrades_to_grid(spark, emb):
-    """strategy='auto' must pick broadcast under the build-side budget
-    and grid past it (VERDICT r3 #4: no more OOM-by-default), with
-    identical results either way."""
-    from archetype_spark.plans import join_impls
-
+    """strategy='auto' must pick the gemm tier under the build-side
+    budget and grid past it (VERDICT r3 #4: no more OOM-by-default),
+    with identical results either way."""
     small_budget = similarity.topk_bruteforce(emb, k=3, auto_max_bytes=1024)
     big_budget = similarity.topk_bruteforce(emb, k=3, auto_max_bytes=1 << 40)
-    impls_small = join_impls(small_budget)
-    impls_big = join_impls(big_budget)
-    assert "BroadcastNestedLoopJoin" not in impls_small, impls_small
-    assert "BroadcastNestedLoopJoin" in impls_big, impls_big
     assert _pairs(small_budget) == _pairs(big_budget)
     assert (
         similarity._resolve_strategy(emb, "embedding", "auto", max_bytes=1024)
@@ -114,7 +111,7 @@ def test_auto_strategy_degrades_to_grid(spark, emb):
     )
     assert (
         similarity._resolve_strategy(emb, "embedding", "auto", max_bytes=1 << 40)
-        == "broadcast"
+        == "gemm"
     )
 
 

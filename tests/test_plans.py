@@ -76,13 +76,18 @@ def test_q24_latest_state_single_shuffle(spark, sf_dir):
     assert n_exchanges(df) <= 2, formatted_plan(df)
 
 
-def test_q30_pairwise_is_broadcast_fanned(spark, sf_dir):
-    """The brute-force cosine kernel must run as a broadcast nested
-    loop over a fanned-out probe side — not a 1-task cartesian."""
+def test_q30_pairwise_is_gemm_fanned(spark, sf_dir):
+    """The exact cosine kernel's auto tier is GEMM candidates (an
+    Arrow mapInPandas stage over the fanned-out probe side) feeding
+    broadcast-hash candidate re-score joins — never a 1-task
+    cartesian or nested loop."""
     df = QS["q30_cosine_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan
     impls = join_impls(df)
-    assert "BroadcastNestedLoopJoin" in impls, impls
-    assert "CartesianProduct" not in impls
+    assert "CartesianProduct" not in impls, impls
+    assert "BroadcastNestedLoopJoin" not in impls, impls
+    assert "BroadcastHashJoin" in impls, impls
 
 
 def test_q40_no_single_task_signature_stage(spark, sf_dir):
