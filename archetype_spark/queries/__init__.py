@@ -45,10 +45,11 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       Late-r4 additions q66 (connected-components dedup clusters,
 #       recursive-CTE oracle) + q67 (hash-split training mix) + q68
 #       (token-budget sequence packing) + q69 (Gopher repetition
-#       filter) push the oracle-gated count to 54 -> defer four more
-#       thrice-green basics (q03/q04/q06/q09). Locally every oracle
-#       still runs every pytest pass; deferral only trades one round
-#       of driver visibility for queries green in r1+r2+r3.
+#       filter) + q70 (the composed curation pipeline) push the
+#       oracle-gated count to 55 -> defer five more thrice-green
+#       basics (q03/q04/q06/q09/q10). Locally every oracle still runs
+#       every pytest pass; deferral only trades one round of driver
+#       visibility for queries green in r1+r2+r3.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -67,6 +68,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q05_inner_join",
         "q06_multiway_join",
         "q09_anti_join",
+        "q10_cross_join",
         "q07_left_join",
         "q08_semi_join",
         "q17_string_fns",

@@ -410,6 +410,49 @@ def q69_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q70_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline the round-4 operators exist
+    for, as ONE lazy composition: near-dup CLUSTER dedup (q36 Jaccard
+    pairs -> q66 connected components, min-id keepers) AND the q69
+    repetition gate AND the quality gate (>= 0.5) survive; survivors
+    get the q67 hash split; output is the per-(split, lang) corpus
+    manifest. Deeper than q57 (which dedups exact copies only): this
+    removes whole TRANSITIVE near-duplicate families. Oracle: the
+    identical composition in SQL (recursive closure + the shared
+    shingle CTEs)."""
+    from archetype_spark.functions.text import quality_score, token_count
+    from archetype_spark.operators import graph, sampling
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    keepers = (
+        graph.dedup_clusters(docs, pairs, id_col="doc_id")
+        .filter(F.col("is_keeper"))
+        .select("doc_id")
+    )
+    rep_ok = (
+        textstats.repetition_stats(docs, n=2, max_frac=0.2)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(keepers, "doc_id")
+        .join(rep_ok, "doc_id")
+        .withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= 0.5)
+        .withColumn("n_tokens", token_count("text"))
+    )
+    return (
+        sampling.hash_split(kept, id_col="doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -438,6 +481,7 @@ QUERIES = {
     "q67_training_mix": q67_training_mix,
     "q68_sequence_pack": q68_sequence_pack,
     "q69_repetition": q69_repetition,
+    "q70_corpus_curation": q70_corpus_curation,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -890,6 +934,69 @@ ORACLES["q69_repetition"] = """
                COALESCE(ROUND(pd.top * 1.0 / pd.n_ngrams, 6), 0.0) <= 0.2 AS keep
         FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
         ORDER BY d.doc_id
+    """
+
+ORACLES["q70_corpus_curation"] = f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        prs AS (
+          SELECT i.doc_id AS a, i.other_doc_id AS b
+          FROM inter i
+          JOIN cnt ca ON ca.doc_id = i.doc_id
+          JOIN cnt cb ON cb.doc_id = i.other_doc_id
+          WHERE ROUND(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5
+        ),
+        edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        keepers AS (
+          SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(lbl) = node
+        ),
+        bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+               FROM toks, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)),
+        pg AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+        pd AS (SELECT doc_id, SUM(c) AS n_ngrams, MAX(c) AS top FROM pg GROUP BY doc_id),
+        rep_ok AS (
+          SELECT d.doc_id FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+          WHERE COALESCE(ROUND(pd.top * 1.0 / pd.n_ngrams, 6), 0.0) <= 0.2
+        ),
+        m AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS nt,
+                 CASE WHEN len(string_split(text, ' ')) > 0
+                      THEN len(list_distinct(string_split(text, ' '))) * 1.0
+                           / len(string_split(text, ' '))
+                      ELSE 0.0 END AS ur,
+                 CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                           / length(text)
+                      ELSE 0.0 END AS pr
+          FROM documents
+        ),
+        kept AS (
+          SELECT m.doc_id, m.lang, m.nt
+          FROM m
+          JOIN keepers USING (doc_id)
+          JOIN rep_ok USING (doc_id)
+          WHERE ROUND(0.5 * least(m.nt / 50.0, 1.0) + 0.4 * m.ur
+                      + 0.1 * (1.0 - m.pr), 6) >= 0.5
+        ),
+        s AS (
+          SELECT lang, nt,
+                 CASE
+                   WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 < 80
+                     THEN 'train'
+                   WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 < 90
+                     THEN 'val'
+                   ELSE 'test'
+                 END AS split
+          FROM kept
+        )
+        SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens
+        FROM s GROUP BY split, lang ORDER BY split, lang
     """
 
 ORACLES["q67_training_mix"] = """
