@@ -6,7 +6,8 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Query implementations live in archetype_spark/queries/ (relational
-corpus Q01-Q28 + north-star q29-q44); oracles are colocated with each
+corpus Q01-Q28, north-star q29-q49, ECS/temporal/streaming q50-q52 +
+q45-q47, extended surface q53-q70); oracles are colocated with each
 query module.
 """
 

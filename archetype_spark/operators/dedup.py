@@ -102,10 +102,16 @@ def ngram_jaccard_pairs(
     sharing at least one shingle. Returns (doc_id, other_doc_id,
     jaccard) with doc_id < other_doc_id, jaccard rounded to 6.
 
-    Scale: the self-join is keyed on the shingle (inverted index), so
-    frequency-skewed shingles are the only hazard — AQE skew-join
-    handles moderate skew; for web-scale corpora drop top-frequency
-    shingles first (stop-shingle filtering).
+    Scale: the self-join is keyed on xxhash64 of the shingle, not the
+    shingle string — an 8-byte shuffle/compare key instead of a
+    multi-word text key (the same digest-for-body trade hash_dedup
+    and q57 make: agreement with raw-string equality is exact absent
+    64-bit collisions, ~n_distinct^2/2^65 — immaterial below ~1e8
+    distinct shingles per skew domain; the DuckDB oracle keeps the
+    raw-string join as the semantic ground truth the digest must
+    match). Frequency-skewed shingles are the remaining hazard — AQE
+    skew-join handles moderate skew; for web-scale corpora drop
+    top-frequency shingles first (stop-shingle filtering).
     """
     docs = _doc_shingles(df, id_col, text_col, n)
     # explode_OUTER on purpose: a plain explode lets
@@ -113,8 +119,14 @@ def ngram_jaccard_pairs(
     # shingle tree inlined) below the fan-out exchange into a one-task
     # map-side filter (same trap as the band hash in minhash_lsh_pairs).
     # Outer generate implies no non-empty constraint; the inner equi-
-    # join on _s drops the null rows of empty docs anyway.
-    ex = docs.select("_id", "_n_sh", F.explode_outer("_sh").alias("_s"))
+    # join on _s drops the null rows of empty docs anyway — which is
+    # why the hash wrap must preserve NULL (xxhash64 of a NULL input
+    # is a constant, and empty docs must NOT join each other).
+    ex = docs.select("_id", "_n_sh", F.explode_outer("_sh").alias("_s0")).select(
+        "_id",
+        "_n_sh",
+        F.when(F.col("_s0").isNotNull(), F.xxhash64("_s0")).alias("_s"),
+    )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
