@@ -260,19 +260,19 @@ def minhash_lsh_pairs(
     # filter below the fan-out exchange — 64 signature evaluations per
     # row in a single map task (observed: 214s one-task stage at
     # sf0.1). A literal sequence folds the inferred filter away.
-    # Band key: xxhash64 over the band's slots (fast path), or the
-    # slot values joined as a string (portable path) — string equality
-    # is exactly slot-tuple equality, so the candidate set the oracle
-    # derives is identical by construction, no hash collisions to
-    # reason about.
+    # Band key: xxhash64 over the band's slots for BOTH families — an
+    # 8-byte join key either way. The oracle joins on slot-tuple
+    # equality directly; agreement is exact absent 64-bit collisions
+    # (the key never reaches the output, so a collision could only add
+    # a candidate pair, which the est_jaccard filter then re-checks
+    # against the full signature — a collision-admitted pair below
+    # threshold is still dropped, making the emitted set fully
+    # collision-immune unless a colliding pair ALSO matches >=
+    # threshold slots by chance).
     band_slots = [
         F.element_at("_sig", F.col("_band_idx") * rpb + j + 1) for j in range(rpb)
     ]
-    band_key = (
-        F.xxhash64(*band_slots, F.col("_band_idx"))
-        if hash_family == "xxhash64"
-        else F.concat_ws("_", *band_slots)
-    )
+    band_key = F.xxhash64(*band_slots, F.col("_band_idx"))
     banded = sigs.select(
         "_id", "_sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band_idx")
     ).withColumn("_bh", band_key)

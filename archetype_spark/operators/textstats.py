@@ -165,8 +165,18 @@ def repetition_stats(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(F.col(id_col), F.explode(grams_arr).alias("_g"))
-    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    # fan_out: single-file corpora otherwise run the whole
+    # gram-generation projection in ONE task (observed: q69's 3 s was
+    # dominated by (0+1)/1 stages); group on the gram's xxhash64, not
+    # the string — counts are identical absent 64-bit collisions and
+    # the shuffle key is 8 bytes (same digest-for-body trade as the
+    # Jaccard inverted index).
+    from archetype_spark.operators.util import fan_out
+
+    grams = fan_out(df).select(F.col(id_col), F.explode(grams_arr).alias("_g"))
+    per_gram = grams.groupBy(id_col, F.xxhash64("_g").alias("_g")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     per_doc = per_gram.groupBy(id_col).agg(
         F.sum("_c").alias("n_ngrams"), F.max("_c").alias("_top")
     )
