@@ -103,7 +103,10 @@ def corpus_fingerprint(emb: DataFrame, id_col: str, vec_col: str) -> dict:
             else:
                 lines.append(uri)  # remote FS: identity by URI alone
         sig = hashlib.sha256("\n".join(lines).encode()).hexdigest()
-        return {"mode": "files", "n_files": len(files), "sig": sig}
+        # `files` carries the per-file identity lines so ensure_* can
+        # tell "corpus grew by these files" (incremental append) apart
+        # from "corpus changed" (full rebuild).
+        return {"mode": "files", "n_files": len(files), "sig": sig, "files": lines}
     row = emb.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64(F.col(id_col))).alias("h1"),
@@ -190,10 +193,17 @@ def ensure_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """Load the persisted IVF index, building it first only if absent,
-    built with different params, or built against a corpus that has
-    since changed (fingerprint mismatch -> rebuild, never a silent
-    stale probe)."""
+    """Load the persisted IVF index, maintaining it first if stale:
+
+    - corpus GREW by whole files (the append-only ingest case):
+      assign ONLY the new vectors to their nearest existing centroid
+      and hardlink-append to the assignments table — cost proportional
+      to the delta, not the corpus; centroids stay fixed (LanceDB
+      create-index-once-then-append parity, reference
+      store.py:107-108). Probes remain exact-complete: every vector
+      has an assignment row.
+    - corpus changed any other way, params differ, or no index:
+      full rebuild. Never a silent stale probe."""
     expect = {
         "n_clusters": n_clusters,
         "seed": seed,
@@ -201,10 +211,24 @@ def ensure_ivf(
         "vec_col": vec_col,
         "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
-    got = load_ivf(emb.sparkSession, index_dir, expect)
+    spark = emb.sparkSession
+    got = load_ivf(spark, index_dir, expect)
+    if got is None:
+        hyper = {k: v for k, v in expect.items() if k != "corpus"}
+        params = _read_params(index_dir, "ivf", hyper)
+        delta = _delta_files(params, expect) if params else None
+        if delta:
+            centroids = read_table(spark, os.path.join(index_dir, "centroids"))
+            assign = _assign_cells(
+                spark.read.parquet(*delta), centroids, id_col, vec_col
+            )
+            _append_index_table(
+                index_dir, "assignments", assign, {**params, "corpus": expect["corpus"]}
+            )
+            got = load_ivf(spark, index_dir, expect)
     if got is None:
         fit_ivf(emb, index_dir, n_clusters, seed, id_col, vec_col)
-        got = load_ivf(emb.sparkSession, index_dir, expect)
+        got = load_ivf(spark, index_dir, expect)
         assert got is not None, f"IVF index build failed to land at {index_dir}"
     return got
 
@@ -272,6 +296,11 @@ def ensure_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Load the persisted LSH bucket index; on an append-only corpus
+    growth, bucket ONLY the new vectors (the hyperplanes are
+    seed-derived, so no training state is involved at all) and
+    hardlink-append them; any other staleness triggers a full
+    rebuild. See ensure_ivf for the maintenance contract."""
     expect = {
         "dim": dim,
         "n_planes": n_planes,
@@ -281,12 +310,120 @@ def ensure_lsh(
         "vec_col": vec_col,
         "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
-    got = load_lsh(emb.sparkSession, index_dir, expect)
+    spark = emb.sparkSession
+    got = load_lsh(spark, index_dir, expect)
+    if got is None:
+        hyper = {k: v for k, v in expect.items() if k != "corpus"}
+        params = _read_params(index_dir, "lsh", hyper)
+        delta = _delta_files(params, expect) if params else None
+        if delta:
+            buckets = fit_lsh_frames(
+                spark.read.parquet(*delta), dim, n_planes, n_tables, seed,
+                id_col, vec_col,
+            )
+            _append_index_table(
+                index_dir, "buckets", buckets, {**params, "corpus": expect["corpus"]}
+            )
+            got = load_lsh(spark, index_dir, expect)
     if got is None:
         fit_lsh(emb, index_dir, dim, n_planes, n_tables, seed, id_col, vec_col)
-        got = load_lsh(emb.sparkSession, index_dir, expect)
+        got = load_lsh(spark, index_dir, expect)
         assert got is not None, f"LSH index build failed to land at {index_dir}"
     return got
+
+
+# ------------------------------------------------------- incremental append
+def _delta_files(params: dict, expect: dict) -> list[str] | None:
+    """URIs added since the index was built, or None when incremental
+    maintenance doesn't apply (non-file corpora, shrunk/rewritten
+    files, or a pre-`files` params sidecar)."""
+    old_c, new_c = params.get("corpus") or {}, expect.get("corpus") or {}
+    if old_c.get("mode") != "files" or new_c.get("mode") != "files":
+        return None
+    old_lines, new_lines = old_c.get("files"), new_c.get("files")
+    if not old_lines or new_lines is None:
+        return None
+    old_set, new_set = set(old_lines), set(new_lines)
+    if not old_set < new_set:  # every old file must be byte-identical
+        return None
+    return [line.rsplit(":", 2)[0] for line in sorted(new_set - old_set)]
+
+
+def _append_index_table(
+    index_dir: str, table: str, delta_df: DataFrame, params: dict
+) -> None:
+    """Append `delta_df`'s rows to one index table and publish the new
+    params, with the SAME atomic-swap durability as a full build — but
+    the existing data files are HARDLINKED into the new directory
+    (O(#files) metadata ops, zero bytes copied), so maintaining an
+    index over an append-only corpus costs only the delta's own
+    projection + write. A crash anywhere leaves either the old or the
+    new index; nothing in between is ever visible to a loader."""
+    tmp = f"{index_dir}.building-{uuid.uuid4().hex}"
+    scratch = f"{index_dir}.delta-{uuid.uuid4().hex}"
+    try:
+        for root, _dirs, files in os.walk(index_dir):
+            rel = os.path.relpath(root, index_dir)
+            dst_root = os.path.join(tmp, rel) if rel != "." else tmp
+            os.makedirs(dst_root, exist_ok=True)
+            for f in files:
+                if rel == "." and f == _PARAMS_FILE:
+                    continue
+                os.link(os.path.join(root, f), os.path.join(dst_root, f))
+        write_table(delta_df, scratch)
+        dst_table = os.path.join(tmp, table)
+        os.makedirs(dst_table, exist_ok=True)
+        for f in os.listdir(scratch):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(scratch, f), os.path.join(dst_table, f))
+        with open(os.path.join(tmp, _PARAMS_FILE), "w") as fh:
+            json.dump(params, fh, indent=1)
+        old = f"{index_dir}.old-{uuid.uuid4().hex}"
+        os.rename(index_dir, old)
+        os.rename(tmp, index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _assign_cells(vecs: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, cell) nearest-centroid assignment as a pure column plan —
+    the n_probe=1 case of ivf_topk's probe (one-row broadcast of the
+    centroid set, argmin by squared L2 then cell id). Used to fold
+    appended vectors into a persisted IVF index without MLlib or a
+    refit: centroids stay FIXED, mirroring LanceDB's
+    create-index-once-then-append lifecycle (reference
+    store.py:107-108)."""
+    cent_row = F.broadcast(
+        centroids.agg(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid"))).alias("_cents")
+        )
+    )
+    q = fan_out(
+        vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    ).crossJoin(cent_row)
+    dists = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    c["centroid"],
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return q.select(
+        "id",
+        F.element_at(F.array_sort(dists), 1)["cell"].cast("int").alias("cell"),
+    )
 
 
 # ------------------------------------------------------------------ plumbing

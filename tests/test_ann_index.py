@@ -157,7 +157,9 @@ def test_int8_quantization_bounds(spark, emb):
 def test_append_after_fit_invalidates_index(spark, emb, tmp_path):
     """The stale-index hazard (VERDICT r3 'What's wrong' #1): vectors
     appended AFTER fit_* must still appear as candidates — the corpus
-    fingerprint in _params.json forces a rebuild, so a planted exact
+    fingerprint in _params.json detects the growth and ensure_*
+    folds the new vectors in (incremental append when the corpus grew
+    by whole files, full rebuild otherwise), so a planted exact
     duplicate added post-fit surfaces at rank 1 in both ANN paths."""
     tbl = str(tmp_path / "emb_tbl")
     emb.write.parquet(tbl)
@@ -223,3 +225,53 @@ def test_ivf_oracle_degrades_without_live_index(monkeypatch, tmp_path):
     sql = northstar.ivf_oracle("/root/testdata/sf0.01", require_live_index=False)
     assert "read_parquet" in sql and "list_cosine_similarity" in sql
     assert "q61_ivf_topk" in all_oracles(require_live_index=False)
+
+
+def test_append_only_growth_is_incremental_not_refit(spark, emb, tmp_path, monkeypatch):
+    """When the corpus grows by whole files, ensure_* must extend the
+    index by assigning ONLY the new vectors — never re-running the
+    fit (poisoned here), and never touching the stored centroids.
+    The 100 TB contract: index maintenance cost is proportional to
+    the delta, mirroring LanceDB's create-index-once-then-append."""
+    import duckdb
+
+    tbl = str(tmp_path / "emb_tbl")
+    emb.write.parquet(tbl)
+    e1 = spark.read.parquet(tbl)
+    dim = len(e1.select("embedding").first()["embedding"])
+    lsh_idx, ivf_idx = str(tmp_path / "lsh"), str(tmp_path / "ivf")
+    ann_index.fit_ivf(e1, ivf_idx, n_clusters=8, seed=42)
+    ann_index.fit_lsh(e1, lsh_idx, dim=dim, n_planes=8, n_tables=4, seed=42)
+    cents_before = duckdb.sql(
+        f"SELECT cell, centroid FROM read_parquet('{ivf_idx}/centroids/*.parquet') ORDER BY cell"
+    ).fetchall()
+
+    new_id = e1.agg({"vec_id": "max"}).first()[0] + 1
+    base = e1.orderBy("vec_id").first()
+    spark.createDataFrame(
+        [(new_id, base["embedding"], base["label"])], schema=e1.schema
+    ).write.mode("append").parquet(tbl)
+    e2 = spark.read.parquet(tbl)
+
+    def poisoned(*a, **kw):
+        raise AssertionError("full fit ran on an append-only growth")
+
+    monkeypatch.setattr(ann_index, "fit_ivf", poisoned)
+    monkeypatch.setattr(ann_index, "fit_lsh", poisoned)
+
+    _cents, assigned = ann_index.ensure_ivf(e2, ivf_idx, n_clusters=8, seed=42)
+    ids = {r["id"] for r in assigned.collect()}
+    assert new_id in ids and len(ids) == e2.count()
+    cents_after = duckdb.sql(
+        f"SELECT cell, centroid FROM read_parquet('{ivf_idx}/centroids/*.parquet') ORDER BY cell"
+    ).fetchall()
+    assert cents_after == cents_before  # quantizer untouched
+
+    buckets = ann_index.ensure_lsh(
+        e2, lsh_idx, dim=dim, n_planes=8, n_tables=4, seed=42
+    )
+    assert buckets.filter(f"id = {new_id}").count() == 4  # one row per table
+    # idempotence: a second ensure on the same corpus loads, no append
+    monkeypatch.setattr(ann_index, "_append_index_table", poisoned)
+    ann_index.ensure_ivf(e2, ivf_idx, n_clusters=8, seed=42)
+    ann_index.ensure_lsh(e2, lsh_idx, dim=dim, n_planes=8, n_tables=4, seed=42)

@@ -297,3 +297,54 @@ def test_world_stream_multi_batch_matches_batch_loop(spark, tmp_path):
         )
 
     assert hist(sworld) == hist(bworld)
+
+
+def test_stream_ingest_dedup_matches_batch(spark, tmp_path):
+    """Streaming ingest-dedup: a file stream drained one file per
+    micro-batch through foreachBatch(ingest_dedup) must land the same
+    deduped table as one batch ingest of the full corpus — the
+    composition a production pipeline runs on arriving data."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = str(tmp_path / "arrivals")
+    # three arrival files in doc_id order (lexicographic listing order)
+    for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 10**9)]):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.parquet(f"{src}/batch={i:02d}")
+    tbl = str(tmp_path / "stream_tbl")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/batch=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: dedup.ingest_dedup(spark, b, tbl)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in spark.read.parquet(tbl).select("doc_id", "fingerprint").collect()
+    }
+    expect_tbl = str(tmp_path / "batch_tbl")
+    dedup.ingest_dedup(spark, docs, expect_tbl)
+    expect = {
+        (r["doc_id"], r["fingerprint"])
+        for r in spark.read.parquet(expect_tbl)
+        .select("doc_id", "fingerprint")
+        .collect()
+    }
+    assert got == expect and got
