@@ -275,3 +275,36 @@ def test_append_only_growth_is_incremental_not_refit(spark, emb, tmp_path, monke
     monkeypatch.setattr(ann_index, "_append_index_table", poisoned)
     ann_index.ensure_ivf(e2, ivf_idx, n_clusters=8, seed=42)
     ann_index.ensure_lsh(e2, lsh_idx, dim=dim, n_planes=8, n_tables=4, seed=42)
+
+
+def test_failed_incremental_append_leaves_valid_index(spark, emb, tmp_path, monkeypatch):
+    """A crash mid-append (delta write fails) must leave the OLD index
+    fully valid and loadable with its original corpus params, with no
+    .building/.delta debris — same durability bar as full builds."""
+    tbl = str(tmp_path / "emb_tbl")
+    emb.write.parquet(tbl)
+    e1 = spark.read.parquet(tbl)
+    idx = str(tmp_path / "ivf")
+    ann_index.fit_ivf(e1, idx, n_clusters=8, seed=42)
+    old_corpus = ann_index.corpus_fingerprint(e1, "vec_id", "embedding")
+
+    new_id = e1.agg({"vec_id": "max"}).first()[0] + 1
+    base = e1.orderBy("vec_id").first()
+    spark.createDataFrame(
+        [(new_id, base["embedding"], base["label"])], schema=e1.schema
+    ).write.mode("append").parquet(tbl)
+    e2 = spark.read.parquet(tbl)
+
+    def broken_write(*a, **kw):
+        raise RuntimeError("simulated executor loss mid-delta")
+
+    monkeypatch.setattr(ann_index, "write_table", broken_write)
+    with pytest.raises(RuntimeError):
+        ann_index.ensure_ivf(e2, idx, n_clusters=8, seed=42)
+    monkeypatch.undo()
+    assert ann_index.load_ivf(spark, idx, {"corpus": old_corpus}) is not None
+    debris = [p for p in os.listdir(tmp_path) if ".building" in p or ".delta" in p]
+    assert debris == []
+    # and the retry completes the append normally
+    _c, assigned = ann_index.ensure_ivf(e2, idx, n_clusters=8, seed=42)
+    assert assigned.filter(f"id = {new_id}").count() == 1
