@@ -107,10 +107,16 @@ def corpus_fingerprint(emb: DataFrame, id_col: str, vec_col: str) -> dict:
         # tell "corpus grew by these files" (incremental append) apart
         # from "corpus changed" (full rebuild).
         return {"mode": "files", "n_files": len(files), "sig": sig, "files": lines}
+    # decimal(38,0) accumulator: a plain bigint SUM of uniform 64-bit
+    # hashes overflows long (ANSI mode raises ARITHMETIC_OVERFLOW on
+    # the first hot partition); 38 digits holds ~1e19 row-hashes.
+    dec = "decimal(38,0)"
     row = emb.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(F.col(id_col))).alias("h1"),
-        F.sum(F.xxhash64(F.col(id_col), F.col(vec_col).cast("string"))).alias("h2"),
+        F.sum(F.xxhash64(F.col(id_col)).cast(dec)).alias("h1"),
+        F.sum(
+            F.xxhash64(F.col(id_col), F.col(vec_col).cast("string")).cast(dec)
+        ).alias("h2"),
     ).first()
     return {"mode": "content", "n_rows": row["n"], "sig": f"{row['h1']}:{row['h2']}"}
 

@@ -1,0 +1,97 @@
+"""Benchmark decontamination ([N] training-data tier).
+
+A training corpus must not contain the evaluation data it will be
+judged against. The standard contamination test (GPT-3 appendix C /
+Gopher §A.5 lineage) is n-gram overlap: a training document is
+contaminated when a large-enough fraction of its n-grams also occur
+anywhere in the eval set. This module computes, per training doc,
+the overlap fraction against an eval corpus and the keep/drop
+verdict — the step a pipeline runs between dedup and packing.
+
+Scale shape (the whole point at 100 TB): eval sets are tiny —
+benchmarks are MBs while the corpus is TBs — so the eval shingle
+set is BROADCAST and the training side is never shuffled at all:
+explode shingles -> broadcast-hash semi-join -> per-doc count, with
+the count aggregation map-side combinable on the already-co-located
+doc_id. The join key is xxhash64 of the shingle (8-byte compare, the
+same digest-for-body trade the Jaccard inverted index makes; the
+DuckDB oracle joins raw strings as the semantic ground truth).
+
+The reference has no decontamination surface (its dedup story stops
+at `distinct`); this is a beyond-reference operator from the brief's
+training-pipeline tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from archetype_spark.functions.text import shingles
+from archetype_spark.operators.util import fan_out
+
+
+def eval_shingle_set(
+    eval_df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct xxhash64'd n-gram shingles of the eval corpus — the
+    small side every training partition probes. One column, 8 bytes a
+    row: benchmark-sized eval sets stay well under broadcast budgets."""
+    return (
+        fan_out(eval_df)
+        .select(F.explode(shingles(text_col, n)).alias("_s"))
+        .select(F.xxhash64("_s").alias("_es"))
+        .dropDuplicates()
+    )
+
+
+def contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_frac: float = 0.2,
+) -> DataFrame:
+    """Per-training-doc eval overlap: (id, n_shingles, n_shared,
+    contam_frac, keep) where n_shared counts the doc's DISTINCT
+    n-gram shingles that appear anywhere in the eval corpus and
+    contam_frac = n_shared / n_shingles (0.0 for shingle-less docs).
+    keep = contam_frac <= max_frac.
+
+    The eval side is broadcast (see module docstring): the training
+    corpus is scanned once, shuffles only per-doc partial counts."""
+    ev = F.broadcast(eval_shingle_set(eval_df, text_col, n))
+    docs = fan_out(train_df).select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
+    ).withColumn("_n_sh", F.size("_sh"))
+    # explode_outer + NULL-preserving hash wrap: same
+    # InferFiltersFromGenerate dodge as ngram_jaccard_pairs — a plain
+    # explode would let the inferred size(_sh)>0 filter inline the
+    # whole shingle tree below the fan-out exchange into one task.
+    ex = docs.select(
+        "_id", "_n_sh", F.explode_outer("_sh").alias("_s0")
+    ).select(
+        "_id",
+        "_n_sh",
+        F.when(F.col("_s0").isNotNull(), F.xxhash64("_s0")).alias("_s"),
+    )
+    shared = (
+        ex.join(ev, ex["_s"] == ev["_es"])
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+    )
+    frac = F.round(
+        F.col("_n_shared").cast("double") / F.col("_n_sh"), 6
+    )
+    return (
+        docs.select("_id", "_n_sh")
+        .join(shared, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n_sh").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("_n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            F.coalesce(frac, F.lit(0.0)).alias("contam_frac"),
+        )
+        .withColumn("keep", F.col("contam_frac") <= F.lit(max_frac))
+    )

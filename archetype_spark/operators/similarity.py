@@ -581,6 +581,86 @@ def dequantize_int8(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding-space dedup verdict, blocked by the
+    IVF quantizer cells: two vectors are semantic duplicates when they
+    share a k-means cell AND their rounded cosine >= threshold; each
+    vector's verdict is (vec_id, cell, n_dups, is_keeper) with
+    is_keeper = no same-cell duplicate has a smaller id (deterministic
+    min-id keeper, the same canonical policy as hash_dedup).
+
+    This is the scale path for embedding dedup that q37's exact
+    pairwise tier can't walk: the O(n^2) kernel becomes per-cell
+    O((n/k)^2) equi-join cells — the SemDeDup observation that near-
+    duplicates co-locate under a coarse quantizer, so cross-cell pairs
+    need never be scored. With `index_dir` the cells are the PERSISTED
+    IVF index (operators/ann_index.py — shared with q61's probe; one
+    index, two consumers), so the dedup pass trains nothing.
+
+    A vector pair straddling a cell boundary is missed by design —
+    recall-vs-cost is the quantizer's k knob, property-tested against
+    the exact tier in tests/test_dedup.py."""
+    from archetype_spark.operators import ann_index
+
+    if index_dir is not None:
+        _, assignments = ann_index.ensure_ivf(
+            emb, index_dir, n_clusters, seed, id_col, vec_col
+        )
+    else:
+        _, assignments = ann_index.fit_ivf_frames(
+            emb, n_clusters, seed, id_col, vec_col
+        )
+    asg = assignments.select(F.col("id").alias("_id"), F.col("cell").cast("int"))
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(vec_col).alias("_n"),
+    ).join(asg, "_id")
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine_prenormed(
+        dot(F.col("a._v"), F.col("b._v")), F.col("a._n"), F.col("b._n")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("_ida"),
+            F.col("b._id").alias("_idb"),
+            F.round(sim, 6).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+    )
+    n_larger = pairs.groupBy(F.col("_ida").alias("_id")).agg(
+        F.count(F.lit(1)).alias("_nl")
+    )
+    n_smaller = pairs.groupBy(F.col("_idb").alias("_id")).agg(
+        F.count(F.lit(1)).alias("_ns")
+    )
+    return (
+        asg.join(n_larger, "_id", "left")
+        .join(n_smaller, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cell"),
+            (F.coalesce(F.col("_nl"), F.lit(0)) + F.coalesce(F.col("_ns"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dups"),
+            (F.coalesce(F.col("_ns"), F.lit(0)) == 0).alias("is_keeper"),
+        )
+    )
+
+
 def mllib_ann_pairs(
     emb: DataFrame,
     threshold_euclidean: float,

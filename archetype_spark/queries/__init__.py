@@ -50,14 +50,22 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       basics (q03/q04/q06/q09/q10). Locally every oracle still runs
 #       every pytest pass; deferral only trades one round of driver
 #       visibility for queries green in r1+r2+r3.
+#   r5: driver re-ran r4's code unchanged (no engine commits that
+#       round); CORRECTNESS_r05 went 50/50 green including the four
+#       first-time pins (q50/q61/q62/q63) — every oracle-gated query
+#       has now had a driver-green round.
+#   r6: new q71 (decontamination) + q72 (semantic dedup) gated ->
+#       57... the gated count net of deferrals must stay at 50, so
+#       PIN the two new queries (first driver rows) and defer two
+#       more multi-round-green entries (q24, q25 — green r1/r2/r3/r5).
+#       r4's pins all got their green row in r5 and rotate back into
+#       the plain gated block.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
-    "q50_ecs_tsim",
-    "q61_ivf_topk",
-    "q62_url_fetch",
-    "q63_tf_idf",
+    "q71_decontamination",
+    "q72_semantic_dedup",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -77,6 +85,8 @@ _DEFERRED: frozenset[str] = frozenset(
         "q20_case_coalesce",
         "q21_ranking_window",
         "q22_lag_lead_runsum",
+        "q24_latest_state",
+        "q25_union",
         "q27_explode",
     }
 )
@@ -110,9 +120,11 @@ def all_oracles(
     o = {}
     for m in _MODULES:
         o.update(m.ORACLES)
-    ivf = northstar.ivf_oracle(
-        sf_dir or northstar.CORRECTNESS_SF_DIR, require_live_index=require_live_index
-    )
+    d = sf_dir or northstar.CORRECTNESS_SF_DIR
+    ivf = northstar.ivf_oracle(d, require_live_index=require_live_index)
     if ivf is not None:
         o["q61_ivf_topk"] = ivf
+    sem = northstar.semantic_dedup_oracle(d, require_live_index=require_live_index)
+    if sem is not None:
+        o["q72_semantic_dedup"] = sem
     return o

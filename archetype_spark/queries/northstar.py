@@ -453,6 +453,40 @@ def q70_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): the q67
+    hash-split's train docs checked for 3-gram overlap against its
+    test split (the eval set a training run must not contain), with
+    the keep verdict at 20% overlap. The eval shingle set is
+    broadcast — the training side never shuffles (see the operator's
+    100 TB notes). The corpus' planted near-duplicate families
+    straddle split fences, so real contamination exists to catch."""
+    from archetype_spark.operators import decontam, sampling
+
+    s = sampling.hash_split(load(spark, sf_dir, "documents"), id_col="doc_id")
+    train = s.filter(F.col("split") == "train")
+    eval_set = s.filter(F.col("split") == "test")
+    return decontam.contamination(
+        train, eval_set, n=3, max_frac=0.2
+    ).orderBy("doc_id")
+
+
+def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup verdict blocked by the PERSISTED
+    IVF cells (operators/similarity.semantic_dedup) — the same
+    ivf_embeddings index q61 probes, reused as dedup blocking: one
+    index, two consumers. Oracle-gated via semantic_dedup_oracle():
+    DuckDB replays the within-cell pairing over the same assignment
+    parquet."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb,
+        threshold=0.35,
+        index_dir=ann_index.default_index_dir(sf_dir, "ivf_embeddings"),
+        **IVF_INDEX,
+    ).orderBy("vec_id")
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -482,6 +516,8 @@ QUERIES = {
     "q68_sequence_pack": q68_sequence_pack,
     "q69_repetition": q69_repetition,
     "q70_corpus_curation": q70_corpus_curation,
+    "q71_decontamination": q71_decontamination,
+    "q72_semantic_dedup": q72_semantic_dedup,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -999,6 +1035,40 @@ ORACLES["q70_corpus_curation"] = f"""
         FROM s GROUP BY split, lang ORDER BY split, lang
     """
 
+# q71: the q67 split fences + the q36 shingle derivation, composed —
+# train docs' distinct 3-gram shingles probed against the test
+# split's shingle union. The oracle joins raw shingle STRINGS (the
+# semantic ground truth); Spark joins xxhash64 digests (exact absent
+# 64-bit collisions, same trade as the Jaccard inverted index).
+ORACLES["q71_decontamination"] = """
+        WITH b AS (
+          SELECT doc_id, text,
+                 ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 AS bk
+          FROM documents
+        ),
+        tr AS (SELECT doc_id, text FROM b WHERE bk < 80),
+        ev AS (SELECT text FROM b WHERE bk >= 90),
+        tt AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+        tidx AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i, w
+                 FROM tt),
+        tsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM tidx),
+        tcnt AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY doc_id),
+        et AS (SELECT string_split(text, ' ') AS w FROM ev),
+        eidx AS (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i, w FROM et),
+        esh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM eidx),
+        shared AS (SELECT t.doc_id, COUNT(*) AS c
+                   FROM tsh t JOIN esh e ON t.s = e.s GROUP BY 1)
+        SELECT tr.doc_id,
+               CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(sh.c, 0) AS BIGINT) AS n_shared,
+               COALESCE(ROUND(sh.c * 1.0 / tc.n, 6), 0.0) AS contam_frac,
+               COALESCE(ROUND(sh.c * 1.0 / tc.n, 6), 0.0) <= 0.2 AS keep
+        FROM tr
+        LEFT JOIN tcnt tc USING (doc_id)
+        LEFT JOIN shared sh USING (doc_id)
+        ORDER BY doc_id
+    """
+
 ORACLES["q67_training_mix"] = """
         WITH s AS (
           SELECT lang,
@@ -1081,4 +1151,37 @@ def ivf_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
         )
         SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, cos_sim
         FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank
+    """
+
+
+def semantic_dedup_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """DuckDB SQL replicating q72's within-cell dedup over the SAME
+    persisted IVF assignment parquet the Spark operator reads (the
+    ivf_oracle contract: the trained quantizer is index DATA both
+    engines consume; only the pairing/verdict algebra is re-expressed).
+    Returns None when the index isn't on disk yet (rows-only degrade,
+    same as q61)."""
+    idx = ann_index.default_index_dir(sf_dir, "ivf_embeddings")
+    if require_live_index and not os.path.isdir(idx):
+        return None
+    return f"""
+        WITH assign AS (
+          SELECT id, CAST(cell AS INT) AS cell
+          FROM read_parquet('{idx}/assignments/**/*.parquet', hive_partitioning=true)
+        ), e AS (
+          SELECT a.id, a.cell, CAST(m.embedding AS DOUBLE[]) AS v
+          FROM assign a JOIN embeddings m ON m.vec_id = a.id
+        ), prs AS (
+          SELECT a.id AS ida, b.id AS idb
+          FROM e a JOIN e b ON a.cell = b.cell AND a.id < b.id
+          WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        ), nl AS (SELECT ida AS id, COUNT(*) AS c FROM prs GROUP BY 1),
+        ns AS (SELECT idb AS id, COUNT(*) AS c FROM prs GROUP BY 1)
+        SELECT a.id AS vec_id, a.cell,
+               CAST(COALESCE(nl.c, 0) + COALESCE(ns.c, 0) AS BIGINT) AS n_dups,
+               (COALESCE(ns.c, 0) = 0) AS is_keeper
+        FROM assign a
+        LEFT JOIN nl ON nl.id = a.id
+        LEFT JOIN ns ON ns.id = a.id
+        ORDER BY vec_id
     """

@@ -23,8 +23,18 @@ from pyspark.sql import functions as F
 
 def with_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
     """Apply a watermark iff the frame is streaming; no-op on batch so
-    the same builder is oracle-testable."""
+    the same builder is oracle-testable.
+
+    TIMESTAMP_NTZ event times are cast to TIMESTAMP first: Spark
+    refuses watermarks on NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    and parquet timestamps without isAdjustedToUTC — the corpus
+    events table since the driver moved it to plain timestamp[us] —
+    read as NTZ. The engine pins the session timezone to UTC
+    (session.py / tables.load), so the cast reinterprets the same
+    wall-clock instant losslessly and window bounds are unchanged."""
     if delay and df.isStreaming:
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         return df.withWatermark(ts_col, delay)
     return df
 
@@ -115,6 +125,10 @@ def dedup_within_watermark(
     reclaimed. Batch mode falls back to dropDuplicates (unbounded but
     finite input)."""
     if events.isStreaming:
+        if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+            # same NTZ->LTZ reinterpretation as with_watermark (UTC
+            # session): watermarks reject NTZ event times
+            events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             keys
         )
