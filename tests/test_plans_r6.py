@@ -1,0 +1,55 @@
+"""Plan-shape pins for the round-6 operators (SURVEY §4 contract):
+decontamination's broadcast eval side and semantic dedup's
+equi-join-on-cell blocking."""
+
+from __future__ import annotations
+
+from archetype_spark.plans import formatted_plan, join_impls
+from archetype_spark.queries import all_queries
+
+QS = all_queries()
+
+
+def test_q71_eval_side_broadcasts(spark, sf_dir):
+    """The contamination probe must be a broadcast hash join against
+    the eval shingle set — the training corpus is never shuffled for
+    the join (the whole 100 TB story of the operator). The per-doc
+    count and the final left join remain; what must NOT appear is a
+    shuffle join against the eval set."""
+    df = QS["q71_decontamination"](spark, sf_dir)
+    impls = join_impls(df)
+    assert "BroadcastHashJoin" in impls, impls
+    plan = formatted_plan(df)
+    # the eval-shingle probe join must not be a shuffled join: every
+    # SortMergeJoin in the plan belongs to the per-doc backfill join,
+    # which keys on _id, never on the shingle hash
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line and "_s" in line and "_es" in line:
+            raise AssertionError(f"eval probe shuffled: {line}")
+
+
+def test_q72_pairs_block_on_cell_equijoin(spark, sf_dir):
+    """Semantic dedup's pair stage must be an equi-join keyed on the
+    IVF cell — never a nested-loop/cartesian over the corpus. (The
+    id< predicate rides along as a join condition filter.)"""
+    df = QS["q72_semantic_dedup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, "unblocked O(n^2) pair join"
+    assert "BroadcastNestedLoopJoin" not in plan, "unblocked pair join"
+    impls = join_impls(df)
+    assert impls, "expected joins in the semantic dedup plan"
+
+
+def test_q40_signature_barrier_present(spark, sf_dir):
+    """The MinHash signature projection must sit below an exchange
+    barrier so the banded stage's five signature references resolve
+    to carried attributes, not five inlined recomputations (r6 fix:
+    q40 3.4s -> 2.3s at sf0.1). The recompute itself is invisible in
+    the truncated plan text, so pin its structural cure: each join
+    side must carry TWO round-robin exchanges (the shingling fan_out
+    AND the post-signature barrier); losing the barrier drops the
+    count to one per side."""
+    df = QS["q40_minhash_pairs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    n = plan.count("RoundRobinPartitioning")
+    assert n >= 4, f"expected fan_out + signature barrier per side, saw {n}"
