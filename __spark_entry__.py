@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Query implementations live in archetype_spark/queries/ (relational
 corpus Q01-Q28, north-star q29-q49, ECS/temporal/streaming q50-q52 +
-q45-q47, extended surface q53-q70); oracles are colocated with each
+q45-q47, extended surface q53-q72); oracles are colocated with each
 query module.
 """
 

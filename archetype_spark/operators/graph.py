@@ -58,6 +58,14 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
+    def _label_sum(lbl: DataFrame) -> int:
+        # decimal accumulator: node ids are arbitrary bigints and a
+        # bigint SUM can overflow under ANSI mode
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["_b"] == labels["node"]).select(
             F.col("_a").alias("node"), F.col("component")
@@ -68,15 +76,16 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # fixpoint check via the label-sum invariant: min-label
+        # propagation only ever LOWERS a node's label, so the total is
+        # strictly decreasing until the fixpoint — one cheap aggregate
+        # over the (already checkpointed) labels instead of the former
+        # join + filter + count job per round
+        new_sum = _label_sum(new)
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter exceeds max_iter (use star contraction for "

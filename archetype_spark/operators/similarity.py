@@ -641,23 +641,29 @@ def semantic_dedup(
         )
         .filter(F.col("_cos") >= threshold)
     )
-    n_larger = pairs.groupBy(F.col("_ida").alias("_id")).agg(
-        F.count(F.lit(1)).alias("_nl")
+    # one shuffle for both verdict inputs: each pair EXPLODES into its
+    # two endpoint rows (same plan branch — a union of two selects
+    # over `pairs` would evaluate the within-cell cosine join twice),
+    # tagged with whether the other endpoint had the smaller id;
+    # n_dups = rows per id, keeper = no smaller neighbor. Two
+    # aggregates over one explode instead of two grouped counts + two
+    # left joins.
+    endpoints = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_ida").alias("_id"), F.lit(0).alias("_smaller")),
+                F.struct(F.col("_idb").alias("_id"), F.lit(1).alias("_smaller")),
+            )
+        ).alias("_e")
+    ).select("_e._id", "_e._smaller")
+    counts = endpoints.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_nd"), F.sum("_smaller").alias("_ns")
     )
-    n_smaller = pairs.groupBy(F.col("_idb").alias("_id")).agg(
-        F.count(F.lit(1)).alias("_ns")
-    )
-    return (
-        asg.join(n_larger, "_id", "left")
-        .join(n_smaller, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("cell"),
-            (F.coalesce(F.col("_nl"), F.lit(0)) + F.coalesce(F.col("_ns"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_dups"),
-            (F.coalesce(F.col("_ns"), F.lit(0)) == 0).alias("is_keeper"),
-        )
+    return asg.join(counts, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("cell"),
+        F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint").alias("n_dups"),
+        (F.coalesce(F.col("_ns"), F.lit(0)) == 0).alias("is_keeper"),
     )
 
 
