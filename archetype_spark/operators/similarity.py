@@ -606,8 +606,9 @@ def semantic_dedup(
     index, two consumers), so the dedup pass trains nothing.
 
     A vector pair straddling a cell boundary is missed by design —
-    recall-vs-cost is the quantizer's k knob, property-tested against
-    the exact tier in tests/test_dedup.py."""
+    recall-vs-cost is the quantizer's k knob; planted-duplicate and
+    exact-tier-consistency tests live in
+    tests/test_decontam_semdedup.py."""
     from archetype_spark.operators import ann_index
 
     if index_dir is not None:
