@@ -97,6 +97,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingles for every doc pair
     sharing at least one shingle. Returns (doc_id, other_doc_id,
@@ -110,8 +111,22 @@ def ngram_jaccard_pairs(
     distinct shingles per skew domain; the DuckDB oracle keeps the
     raw-string join as the semantic ground truth the digest must
     match). Frequency-skewed shingles are the remaining hazard — AQE
-    skew-join handles moderate skew; for web-scale corpora drop
-    top-frequency shingles first (stop-shingle filtering).
+    skew-join handles moderate skew; for web-scale corpora set
+    `max_shingle_df`.
+
+    max_shingle_df (the stop-shingle knob): drop shingles appearing
+    in more than this many documents BEFORE the self-join, and
+    compute Jaccard exactly over the REDUCED shingle universe (both
+    the intersection and the per-doc set sizes exclude stop
+    shingles — the IR stopword-removal semantics, deterministic and
+    SQL-expressible). A boilerplate shingle shared by k documents
+    contributes k² join rows; at web scale a single hot navigation
+    string is a straggler task AQE can only split, not shrink.
+    Filtering costs one extra aggregation + semi-join on the shingle
+    hash and removes the quadratic term at its source; pairs sharing
+    ONLY stop shingles (boilerplate-overlap, the classic false
+    positive) stop surfacing at all. Off (None) by default — the
+    oracle-gated corpus query (q36) runs the unfiltered exact form.
     """
     docs = _doc_shingles(df, id_col, text_col, n)
     # explode_OUTER on purpose: a plain explode lets
@@ -127,6 +142,17 @@ def ngram_jaccard_pairs(
         "_n_sh",
         F.when(F.col("_s0").isNotNull(), F.xxhash64("_s0")).alias("_s"),
     )
+    if max_shingle_df is not None:
+        keep = (
+            ex.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("_s")
+        )
+        ex = ex.join(keep, "_s", "left_semi")
+        # set sizes must match the reduced universe: recount per doc
+        n_sh = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_sh2"))
+        ex = ex.drop("_n_sh").join(n_sh, "_id").withColumnRenamed("_n_sh2", "_n_sh")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))

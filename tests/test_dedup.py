@@ -151,3 +151,60 @@ def test_ingest_dedup_idempotent(spark, tmp_path):
         ).fetchall()
     )
     assert got == exp
+
+
+def _py_jaccard_pairs(texts: dict[int, str], n: int, max_df: int | None):
+    """Pure-Python reference: exact Jaccard over distinct n-gram
+    shingles, optionally over the stop-shingle-reduced universe."""
+    sh = {
+        i: {
+            " ".join(w[k : k + n])
+            for k in range(len(w) - n + 1)
+        }
+        for i, t in texts.items()
+        for w in [t.split(" ")]
+    }
+    if max_df is not None:
+        df_count: dict[str, int] = {}
+        for s in sh.values():
+            for g in s:
+                df_count[g] = df_count.get(g, 0) + 1
+        sh = {i: {g for g in s if df_count[g] <= max_df} for i, s in sh.items()}
+    out = {}
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i < j and sh[i] & sh[j]:
+                inter = len(sh[i] & sh[j])
+                out[(i, j)] = round(inter / (len(sh[i]) + len(sh[j]) - inter), 6)
+    return out
+
+
+def test_stop_shingle_filtering_matches_reference(spark):
+    """max_shingle_df drops boilerplate shingles from the whole
+    universe: pairs sharing ONLY boilerplate vanish, surviving pairs
+    score Jaccard over the reduced sets — pinned against a
+    pure-Python reference implementation."""
+    texts = {
+        1: "the quick fox a b c d",
+        2: "the quick fox a b c e",
+        3: "the quick fox x y z w",
+        4: "the quick fox p q r s",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got_all = {
+        (r["doc_id"], r["other_doc_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    }
+    assert got_all == _py_jaccard_pairs(texts, 3, None)
+    # boilerplate trigram appears in all 4 docs -> dropped at max_df=3
+    got = {
+        (r["doc_id"], r["other_doc_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, n=3, threshold=0.0, max_shingle_df=3
+        ).collect()
+    }
+    expect = _py_jaccard_pairs(texts, 3, 3)
+    assert got == expect
+    # the boilerplate-only pairs are exactly the ones that vanished
+    assert set(got_all) - set(got) == {(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}

@@ -175,3 +175,51 @@ def test_asof_parity_null_payload(spark):
     assert got == want, f"sizes {len(got)} vs {len(want)}; first diff: " + str(
         next((a, b) for a, b in zip(got, want) if a != b)
     )
+
+
+def test_contamination_parity_random(spark):
+    """Randomized decontamination parity: operator vs a pure-Python
+    reference on word-soup docs drawn from a small vocabulary (so
+    train/eval shingle overlap actually occurs). Pins the whole
+    semantics — distinct-shingle universe, shared counts, rounded
+    fraction, keep verdict."""
+    from archetype_spark.operators.decontam import contamination
+
+    rng = np.random.default_rng(2026)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+        for i in range(120)
+    }
+    train_ids = [i for i in docs if i % 3 != 0]
+    eval_ids = [i for i in docs if i % 3 == 0]
+    n = 2
+
+    def shingle_set(t):
+        w = t.split(" ")
+        return {" ".join(w[k : k + n]) for k in range(len(w) - n + 1)}
+
+    eval_union = set().union(*(shingle_set(docs[i]) for i in eval_ids))
+    expect = {}
+    for i in train_ids:
+        s = shingle_set(docs[i])
+        shared = len(s & eval_union)
+        frac = round(shared / len(s), 6) if s else 0.0
+        expect[i] = (len(s), shared, frac, frac <= 0.2)
+
+    train_df = spark.createDataFrame(
+        [(i, docs[i]) for i in train_ids], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(i, docs[i]) for i in eval_ids], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_shared"],
+            r["contam_frac"],
+            r["keep"],
+        )
+        for r in contamination(train_df, eval_df, n=n, max_frac=0.2).collect()
+    }
+    assert got == expect
