@@ -6,11 +6,17 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "corpus_wall_sec", "value": N, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
-Per-query timing = wall time of plan construction + execution to a
-driver-side count-style materialization (we foreach(noop) rather than
-collect so the measured cost is the query, not result transfer —
-matching how a 1000-executor job is consumed: written to storage, not
-collected)."""
+Per-query timing = wall time of plan construction + execution into
+the JVM-side `noop` write sink — the standard Spark benchmarking
+sink: the full plan executes with every output column materialized,
+nothing crosses to Python and nothing lands on disk, matching how a
+1000-executor job is consumed (written to storage, not collected).
+Earlier rounds used foreach(no-op), which ships every result row
+through Python workers — a per-query Python-roundtrip tax that
+belongs to neither the query nor a real sink. A count() sink would
+be worse in the other direction: Catalyst prunes columns and
+eliminates provably-non-multiplying joins under count, silently
+skipping real work."""
 
 from __future__ import annotations
 
@@ -24,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from archetype_spark.queries import all_queries
 from archetype_spark.session import get_spark
+
+
+def _materialize(df) -> None:
+    """Execute the full plan into the JVM noop sink (see module
+    docstring for why not foreach/count)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -54,7 +66,7 @@ def main() -> None:
     from archetype_spark.queries.northstar import ensure_ann_indexes
 
     t_warm = time.monotonic()
-    queries["q12_grouped_agg"](spark, sf_dir).foreach(lambda r: None)
+    _materialize(queries["q12_grouped_agg"](spark, sf_dir))
     ensure_ann_indexes(spark, sf_dir)
     # Warm the Arrow binary-payload mapInPandas path + sha2/hex
     # codegen: the first such stage pays ~3-4 s of one-off worker and
@@ -67,7 +79,7 @@ def main() -> None:
     one = spark.createDataFrame(
         [(0, f"file://{sf_dir}/region.parquet")], "media_id long, uri string"
     )
-    fetch_payloads(one).select(F.sha2(F.hex("payload"), 256)).foreach(lambda r: None)
+    _materialize(fetch_payloads(one).select(F.sha2(F.hex("payload"), 256)))
     warm = time.monotonic() - t_warm
 
     timings: dict[str, float] = {}
@@ -79,13 +91,13 @@ def main() -> None:
         # per-round run) measures the same steady state the
         # median-of-5 protocol reports, so BENCH_r{N} and BASELINE.md
         # are directly comparable.
-        queries[name](spark, sf_dir).foreach(lambda r: None)
+        _materialize(queries[name](spark, sf_dir))
         samples = []
         for _ in range(reps):
             t0 = time.monotonic()
             df = queries[name](spark, sf_dir)
-            # Execute the full plan; discard rows executor-side.
-            df.foreach(lambda r: None)
+            # Execute the full plan; discard rows in the JVM sink.
+            _materialize(df)
             samples.append(time.monotonic() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
@@ -99,6 +111,7 @@ def main() -> None:
         "warmup_sec": round(warm, 3),
         "reps": reps,
         "per_query_warmup": True,
+        "sink": "noop",
         "config": {
             "master": spark.sparkContext.master,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
