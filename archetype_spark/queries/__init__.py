@@ -54,18 +54,20 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       round); CORRECTNESS_r05 went 50/50 green including the four
 #       first-time pins (q50/q61/q62/q63) — every oracle-gated query
 #       has now had a driver-green round.
-#   r6: new q71 (decontamination) + q72 (semantic dedup) gated ->
-#       57... the gated count net of deferrals must stay at 50, so
-#       PIN the two new queries (first driver rows) and defer two
-#       more multi-round-green entries (q24, q25 — green r1/r2/r3/r5).
-#       r4's pins all got their green row in r5 and rotate back into
-#       the plain gated block.
+#   r6: new q71 (decontamination) + q72 (semantic dedup) + q73
+#       (stop-shingle Jaccard) gated -> the gated count net of
+#       deferrals must stay at 50, so PIN the three new queries
+#       (first driver rows) and defer three more multi-round-green
+#       entries (q24, q25, q26 — all green r1/r2/r3/r5). r4's pins
+#       all got their green row in r5 and rotate back into the plain
+#       gated block.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
     "q71_decontamination",
     "q72_semantic_dedup",
+    "q73_stop_shingle_jaccard",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -87,6 +89,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q22_lag_lead_runsum",
         "q24_latest_state",
         "q25_union",
+        "q26_set_ops",
         "q27_explode",
     }
 )

@@ -487,6 +487,18 @@ def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q73_stop_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-shingle knob, oracle-gated: exact Jaccard over the
+    universe with shingles of document frequency > 2 removed before
+    the inverted-index self-join (dedup.ngram_jaccard_pairs
+    max_shingle_df — the web-scale hot-key control). Same pair
+    contract as q36; boilerplate-only pairs vanish and surviving
+    scores are exact over the reduced sets."""
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.4, max_shingle_df=2
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -518,6 +530,7 @@ QUERIES = {
     "q70_corpus_curation": q70_corpus_curation,
     "q71_decontamination": q71_decontamination,
     "q72_semantic_dedup": q72_semantic_dedup,
+    "q73_stop_shingle_jaccard": q73_stop_shingle_jaccard,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -896,12 +909,16 @@ ORACLES["q62_url_fetch"] = f"""
 
 # Shared 3-gram Jaccard pair derivation (the q36 semantics): q36
 # emits the pairs themselves; q66 feeds them into a recursive-CTE
-# transitive closure. One text, two oracles — no drift possible.
-_JACCARD_CTES = """
+# transitive closure; q73 reuses the shingle derivation with the
+# stop-shingle filter spliced between derivation and pairing. One
+# text, all oracles — no drift possible.
+_SHINGLE_CTES = """
         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         idx AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i, w
                 FROM toks),
-        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx)
+"""
+_JACCARD_CTES = _SHINGLE_CTES + """,
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS other_doc_id, COUNT(*) AS c
                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1033,6 +1050,31 @@ ORACLES["q70_corpus_curation"] = f"""
         SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(nt) AS BIGINT) AS total_tokens
         FROM s GROUP BY split, lang ORDER BY split, lang
+    """
+
+# q73: the q36 shingle derivation with the stop-shingle filter in
+# SQL — shingles above document frequency 2 leave the universe, set
+# sizes and intersections recomputed over what remains. The oracle
+# filters on raw shingle strings (the semantic ground truth for the
+# xxhash64-keyed Spark semi-join, as in q36).
+ORACLES["q73_stop_shingle_jaccard"] = f"""
+        WITH {_SHINGLE_CTES},
+        dfc AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s),
+        kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s)
+                 WHERE dfc.c <= 2),
+        kcnt AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        kinter AS (SELECT a.doc_id AS doc_id, b.doc_id AS other_doc_id,
+                          COUNT(*) AS c
+                   FROM kept a JOIN kept b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        SELECT i.doc_id, i.other_doc_id,
+               ROUND(i.c * 1.0 / (ca.n + cb.n - i.c), 6) AS jaccard
+        FROM kinter i
+        JOIN kcnt ca ON ca.doc_id = i.doc_id
+        JOIN kcnt cb ON cb.doc_id = i.other_doc_id
+        WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.4
+        ORDER BY i.doc_id, i.other_doc_id
     """
 
 # q71: the q67 split fences + the q36 shingle derivation, composed —
