@@ -118,3 +118,43 @@ def dedup_clusters(
         )
         .withColumn("is_keeper", F.col("cluster_id") == F.col(id_col))
     )
+
+
+def keep_best_per_cluster(
+    scored: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id",
+    dst_col: str = "other_doc_id",
+) -> DataFrame:
+    """Quality-aware keeper policy: one row per duplicate cluster with
+    the HIGHEST-scoring member (ties -> min id) instead of
+    `dedup_clusters`' blind min-id keeper — what a curation pipeline
+    actually wants, since the canonical copy should be the best one,
+    not the one that happened to be ingested first. `scored` is
+    (id_col, score_col, ...); returns (cluster_id, keeper_id,
+    score_col, n_docs).
+
+    Scale: the argmax is a single groupBy-max over a (score, -id)
+    struct — lexicographic struct MAX gets partial aggregation
+    (map-side combine), so unlike a row_number() window there is no
+    per-cluster sort and no skew hazard when one boilerplate cluster
+    holds millions of docs. One shuffle on cluster_id beyond the
+    closure itself.
+    """
+    clusters = dedup_clusters(scored, pairs, id_col, src_col, dst_col)
+    joined = clusters.join(scored.select(id_col, score_col), id_col)
+    best = F.max(
+        F.struct(F.col(score_col).alias("_s"), (-F.col(id_col)).alias("_nid"))
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), best.alias("_best"))
+        .select(
+            "cluster_id",
+            (-F.col("_best._nid")).alias("keeper_id"),
+            F.col("_best._s").alias(score_col),
+            "n_docs",
+        )
+    )

@@ -70,6 +70,39 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 100,
+) -> DataFrame:
+    """Deterministic per-group downsampling to target mixture rates —
+    the domain/language rebalancing step of a training-data pipeline
+    (e.g. keep 35% of an over-represented `en`, all of everything
+    else), expressed as ONE narrow filter: a row survives iff its
+    sha256 hash bucket is below its group's keep-percent.
+
+    Unlike `df.sampleBy()`, membership depends only on the row key's
+    bytes: re-ingests, repartitions, and engine changes keep the same
+    rows, appended batches are sampled consistently with history, and
+    the kept set is auditable in plain SQL. No shuffle, no UDF; the
+    CASE over groups folds into the scan's filter, so at 100 TB the
+    dropped fraction is discarded at read time rather than carried
+    into the pipeline."""
+    for g, p in rates.items():
+        if not 0 <= p <= 100:
+            raise ValueError(f"rate for {g!r} must be in [0, 100], got {p}")
+    if not 0 <= default_pct <= 100:
+        raise ValueError(f"default_pct must be in [0, 100], got {default_pct}")
+    expr = None
+    for g, p in sorted(rates.items()):
+        cond = F.col(group_col) == F.lit(g)
+        expr = F.when(cond, F.lit(p)) if expr is None else expr.when(cond, F.lit(p))
+    pct = F.lit(default_pct) if expr is None else expr.otherwise(F.lit(default_pct))
+    return df.filter(hash_bucket(id_col) < pct)
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str = "doc_id", percent: int = 10
 ) -> DataFrame:

@@ -499,6 +499,53 @@ def q73_stop_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster keeper (operators/graph.py
+    keep_best_per_cluster): the q36 Jaccard pairs feed connected
+    components, then each duplicate cluster keeps its HIGHEST-quality
+    member (q35's composite score; ties -> min doc_id) instead of
+    q66's blind min-id policy — the canonical copy a curation
+    pipeline should retain is the best one. Output is the per-cluster
+    manifest (cluster_id, keeper_id, quality, n_docs). The argmax is
+    a struct-MAX aggregation (map-side combinable), not a window —
+    no per-cluster sort at scale."""
+    from archetype_spark.functions.text import quality_score
+    from archetype_spark.operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    return graph.keep_best_per_cluster(scored, pairs, "quality").orderBy(
+        "cluster_id"
+    )
+
+
+def q75_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture rebalancing (operators/sampling.py
+    mixture_sample): the corpus' over-represented languages are
+    hash-downsampled to target keep-rates (en 35%, es 80%, rest
+    untouched) with the same portable sha256 bucket as q67 — then the
+    per-lang data card (docs kept, tokens kept, doc_id checksum) the
+    mixture report reads. The filter is a narrow map over the scan;
+    nothing dropped is ever shuffled."""
+    from archetype_spark.operators import sampling
+
+    kept = sampling.mixture_sample(
+        load(spark, sf_dir, "documents"), "lang", {"en": 35, "es": 80}
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -531,6 +578,8 @@ QUERIES = {
     "q71_decontamination": q71_decontamination,
     "q72_semantic_dedup": q72_semantic_dedup,
     "q73_stop_shingle_jaccard": q73_stop_shingle_jaccard,
+    "q74_quality_keeper": q74_quality_keeper,
+    "q75_mixture_sample": q75_mixture_sample,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -936,12 +985,14 @@ ORACLES["q36_ngram_jaccard"] = f"""
         ORDER BY i.doc_id, i.other_doc_id
     """
 
-# q66: same pairs -> symmetric edges -> recursive min-label closure
-# (exactly what operators/graph.py iterates in Spark), then singleton
-# back-fill over all docs. Spark filters on the ROUNDED jaccard (q36
-# output contract), so the prs CTE here does too.
-ORACLES["q66_dedup_clusters"] = f"""
-        WITH RECURSIVE {_JACCARD_CTES},
+# Shared duplicate-cluster closure at the 0.5 threshold: the q36
+# pair derivation -> symmetric edges -> recursive min-label closure
+# (exactly what operators/graph.py iterates in Spark). Spark filters
+# on the ROUNDED jaccard (q36 output contract), so the prs CTE here
+# does too. Consumers: q66 (singleton back-fill over all docs), q70
+# (min-id keepers feeding the curation gates), q74 (quality-argmax
+# keepers). One text, all oracles — no drift possible.
+_CLUSTER_CTES = f"""{_JACCARD_CTES},
         prs AS (
           SELECT i.doc_id AS a, i.other_doc_id AS b
           FROM inter i
@@ -954,7 +1005,10 @@ ORACLES["q66_dedup_clusters"] = f"""
           SELECT doc_id, doc_id FROM documents
           UNION
           SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-        )
+        )"""
+
+ORACLES["q66_dedup_clusters"] = f"""
+        WITH RECURSIVE {_CLUSTER_CTES}
         SELECT node AS doc_id, MIN(lbl) AS cluster_id,
                (MIN(lbl) = node) AS is_keeper
         FROM reach GROUP BY node ORDER BY doc_id
@@ -990,20 +1044,7 @@ ORACLES["q69_repetition"] = """
     """
 
 ORACLES["q70_corpus_curation"] = f"""
-        WITH RECURSIVE {_JACCARD_CTES},
-        prs AS (
-          SELECT i.doc_id AS a, i.other_doc_id AS b
-          FROM inter i
-          JOIN cnt ca ON ca.doc_id = i.doc_id
-          JOIN cnt cb ON cb.doc_id = i.other_doc_id
-          WHERE ROUND(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5
-        ),
-        edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
-        reach(node, lbl) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-        ),
+        WITH RECURSIVE {_CLUSTER_CTES},
         keepers AS (
           SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(lbl) = node
         ),
@@ -1075,6 +1116,68 @@ ORACLES["q73_stop_shingle_jaccard"] = f"""
         JOIN kcnt cb ON cb.doc_id = i.other_doc_id
         WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.4
         ORDER BY i.doc_id, i.other_doc_id
+    """
+
+# q74: the shared cluster closure + the q35 quality computation,
+# argmax per cluster replayed as a window (quality DESC, doc_id ASC
+# — the exact order the Spark struct-MAX over (quality, -doc_id)
+# encodes). Quality values are identical to q35's green oracle, so
+# the ROUND semantics carry over unchanged.
+ORACLES["q74_quality_keeper"] = f"""
+        WITH RECURSIVE {_CLUSTER_CTES},
+        clu AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+                FROM reach GROUP BY node),
+        m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS nt,
+                 CASE WHEN len(string_split(text, ' ')) > 0
+                      THEN len(list_distinct(string_split(text, ' '))) * 1.0
+                           / len(string_split(text, ' '))
+                      ELSE 0.0 END AS ur,
+                 CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                           / length(text)
+                      ELSE 0.0 END AS pr
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id,
+                 ROUND(0.5 * least(nt / 50.0, 1.0) + 0.4 * ur
+                       + 0.1 * (1.0 - pr), 6) AS quality
+          FROM m
+        ),
+        r AS (
+          SELECT c.cluster_id, c.doc_id, q.quality,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY c.cluster_id) AS nd
+          FROM clu c JOIN q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS keeper_id, quality,
+               CAST(nd AS BIGINT) AS n_docs
+        FROM r WHERE rn = 1 ORDER BY cluster_id
+    """
+
+# q75: the q67 sha256 bucket with per-lang keep fences — the kept
+# set is recomputed independently in SQL and summarized to the same
+# data card (the doc_id checksum pins the exact membership, not just
+# the counts).
+ORACLES["q75_mixture_sample"] = """
+        WITH b AS (
+          SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
+                 ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                   % 100 AS bucket
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM b
+          WHERE bucket < CASE lang WHEN 'en' THEN 35 WHEN 'es' THEN 80
+                                   ELSE 100 END
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM kept GROUP BY lang ORDER BY lang
     """
 
 # q71: the q67 split fences + the q36 shingle derivation, composed —

@@ -92,6 +92,43 @@ def test_dedup_clusters_singletons_and_keepers(spark):
     }
 
 
+def test_keep_best_per_cluster_argmax_and_ties(spark):
+    # cluster {1,3,5}: 3 has the best score; cluster {2,4}: tie on
+    # score -> min id 2 wins; 0 is a singleton keeper of itself
+    scored = spark.createDataFrame(
+        [(0, 0.1), (1, 0.5), (2, 0.7), (3, 0.9), (4, 0.7), (5, 0.2)],
+        "doc_id int, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4)], "doc_id int, other_doc_id int"
+    )
+    rows = {
+        r["cluster_id"]: (r["keeper_id"], r["quality"], r["n_docs"])
+        for r in graph.keep_best_per_cluster(scored, pairs, "quality").collect()
+    }
+    assert rows == {0: (0, 0.1, 1), 1: (3, 0.9, 3), 2: (2, 0.7, 2)}
+
+
+def test_keep_best_matches_min_id_policy_when_scores_constant(spark):
+    # constant scores degrade to dedup_clusters' min-id keepers
+    scored = spark.createDataFrame(
+        [(i, 1.0) for i in range(8)], "doc_id int, quality double"
+    )
+    pairs = spark.createDataFrame(
+        [(6, 2), (2, 7), (4, 5)], "doc_id int, other_doc_id int"
+    )
+    best = {
+        r["cluster_id"]: r["keeper_id"]
+        for r in graph.keep_best_per_cluster(scored, pairs, "quality").collect()
+    }
+    minid = {
+        r["cluster_id"]: r["doc_id"]
+        for r in graph.dedup_clusters(scored, pairs).collect()
+        if r["is_keeper"]
+    }
+    assert best == minid
+
+
 # ------------------------------------------------------------------ sampling
 def test_hash_split_partitioning_independent(spark):
     ids = spark.createDataFrame([(i,) for i in range(500)], "doc_id int")
@@ -114,6 +151,43 @@ def test_hash_split_exhaustive_and_validated(spark):
     assert out.filter(F.col("split").isNull()).count() == 0
     with pytest.raises(ValueError, match="sum to 100"):
         sampling.hash_split(ids, splits=(("train", 50),))
+
+
+def test_mixture_sample_per_group_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    kept = sampling.mixture_sample(df, "lang", {"en": 20})
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["de"] == 300  # default 100% untouched
+    assert 0.05 < by_lang["en"] / 300 < 0.4  # ~20% of the en half
+    # layout-independence: same kept set after a repartition
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.mixture_sample(
+            df.repartition(13), "lang", {"en": 20}
+        ).collect()
+    }
+    assert a == b
+    # kept en rows are exactly the deterministic_sample(20) subset
+    en20 = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            df.filter(F.col("lang") == "en"), percent=20
+        ).collect()
+    }
+    assert {x for x in a if x % 2 == 0} == en20
+
+
+def test_mixture_sample_validates_rates(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id int, lang string")
+    with pytest.raises(ValueError, match="must be in"):
+        sampling.mixture_sample(df, "lang", {"en": 120})
+    with pytest.raises(ValueError, match="default_pct"):
+        sampling.mixture_sample(df, "lang", {}, default_pct=-1)
 
 
 def test_deterministic_sample_is_subset_stable(spark):
