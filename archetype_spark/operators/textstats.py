@@ -191,3 +191,53 @@ def repetition_stats(
         )
         .withColumn("keep", F.col("top_ngram_frac") <= F.lit(max_frac))
     )
+
+
+def relative_quality_gate(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float = 0.5,
+) -> DataFrame:
+    """Keep rows at or above their group's q-th score percentile —
+    relative quality filtering (keep the top half of every domain,
+    DCLM/FineWeb-style) rather than one global absolute threshold
+    that over-prunes hard domains and under-prunes easy ones.
+
+    The fence is the exact DISCRETE percentile (smallest score whose
+    cumulative count reaches ceil(q * n)): no interpolation, so the
+    boundary is an actual element and engines agree bit-for-bit (a
+    continuous percentile's `lo + (hi-lo)*frac` differs in the last
+    ulp across engines and flips boundary rows).
+
+    Scale: no per-group sort over the data. Scores are rounded to 6
+    decimals, so the per-(group, score) histogram — a map-side
+    combinable aggregation — is bounded at ~1e6 rows per group
+    regardless of corpus size; the cumulative window runs over the
+    histogram, not the corpus, and the per-group fences broadcast
+    back for a narrow filter. Two passes over the input, which any
+    relative (data-dependent) threshold requires.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    hist = scored.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = hist.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    fences = (
+        cum.join(tot, group_col)
+        .filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+        .groupBy(group_col)
+        .agg(F.min(score_col).alias("_fence"))
+    )
+    return (
+        scored.join(F.broadcast(fences), group_col)
+        .filter(F.col(score_col) >= F.col("_fence"))
+        .drop("_fence")
+    )

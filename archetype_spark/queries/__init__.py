@@ -56,11 +56,12 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       has now had a driver-green round.
 #   r6: new q71 (decontamination) + q72 (semantic dedup) + q73
 #       (stop-shingle Jaccard) + q74 (quality keeper) + q75 (mixture
-#       sample) gated -> the gated count net of deferrals must stay
-#       at 50, so PIN the five new queries (first driver rows) and
-#       defer five more multi-round-green entries (q24, q25, q26,
-#       q11, q12 — all green r1/r2/r3/r5). r4's pins all got their
-#       green row in r5 and rotate back into the plain gated block.
+#       sample) + q76 (relative quality gate) gated -> the gated
+#       count net of deferrals must stay at 50, so PIN the six new
+#       queries (first driver rows) and defer six more multi-round-
+#       green entries (q24, q25, q26, q11, q12, q13 — all green
+#       r1/r2/r3/r5). r4's pins all got their green row in r5 and
+#       rotate back into the plain gated block.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -70,6 +71,7 @@ _PINNED: tuple[str, ...] = (
     "q73_stop_shingle_jaccard",
     "q74_quality_keeper",
     "q75_mixture_sample",
+    "q76_relative_quality_gate",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -77,6 +79,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q02_in_list",
         "q11_global_agg",
         "q12_grouped_agg",
+        "q13_count_distinct",
         "q03_compound_predicate",
         "q04_computed_columns",
         "q05_inner_join",

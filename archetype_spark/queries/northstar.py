@@ -546,6 +546,32 @@ def q75_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_relative_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain relative quality filtering (operators/textstats.py
+    relative_quality_gate): keep docs at/above their LANGUAGE's median
+    quality — the DCLM/FineWeb-style relative gate that a single
+    global threshold can't express (it over-prunes hard domains and
+    under-prunes easy ones). The fence is the exact discrete
+    percentile from a bounded per-(lang, score) histogram — no
+    per-lang sort over the corpus, no interpolation — and broadcasts
+    back as a narrow filter. Output: the per-lang gate report (docs
+    kept, the fence actually applied, membership checksum)."""
+    from archetype_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+    kept = textstats.relative_quality_gate(scored, "lang", "quality", q=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("quality"), 6).alias("fence"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -580,6 +606,7 @@ QUERIES = {
     "q73_stop_shingle_jaccard": q73_stop_shingle_jaccard,
     "q74_quality_keeper": q74_quality_keeper,
     "q75_mixture_sample": q75_mixture_sample,
+    "q76_relative_quality_gate": q76_relative_quality_gate,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -1176,6 +1203,47 @@ ORACLES["q75_mixture_sample"] = """
         )
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM kept GROUP BY lang ORDER BY lang
+    """
+
+# q76: the q35 quality formula + the discrete-percentile histogram
+# fence, replayed verbatim — per-(lang, quality) counts, cumulative
+# sum over the histogram, fence = smallest quality reaching
+# ceil(0.5 * n), gate at quality >= fence. No interpolation anywhere,
+# so the fence is an actual element both engines agree on.
+ORACLES["q76_relative_quality_gate"] = """
+        WITH m AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS nt,
+                 CASE WHEN len(string_split(text, ' ')) > 0
+                      THEN len(list_distinct(string_split(text, ' '))) * 1.0
+                           / len(string_split(text, ' '))
+                      ELSE 0.0 END AS ur,
+                 CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                           / length(text)
+                      ELSE 0.0 END AS pr
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, lang,
+                 ROUND(0.5 * least(nt / 50.0, 1.0) + 0.4 * ur
+                       + 0.1 * (1.0 - pr), 6) AS quality
+          FROM m
+        ),
+        h AS (SELECT lang, quality, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        cum AS (SELECT lang, quality,
+                       SUM(c) OVER (PARTITION BY lang ORDER BY quality) AS cumc
+                FROM h),
+        tot AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY 1),
+        f AS (SELECT cum.lang, MIN(cum.quality) AS fence
+              FROM cum JOIN tot USING (lang)
+              WHERE cumc >= CEIL(0.5 * n) GROUP BY 1),
+        kept AS (SELECT s.* FROM s JOIN f USING (lang)
+                 WHERE s.quality >= f.fence)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               ROUND(MIN(quality), 6) AS fence,
                CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
         FROM kept GROUP BY lang ORDER BY lang
     """

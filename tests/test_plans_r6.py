@@ -53,3 +53,40 @@ def test_q40_signature_barrier_present(spark, sf_dir):
     plan = formatted_plan(df)
     n = plan.count("RoundRobinPartitioning")
     assert n >= 4, f"expected fan_out + signature barrier per side, saw {n}"
+
+
+def test_q74_keeper_argmax_is_partial_aggregated(spark, sf_dir):
+    """The per-cluster argmax must be an aggregation with a partial
+    (map-side combine) phase — never a row_number window, whose
+    per-cluster sort melts on a million-doc boilerplate cluster."""
+    df = QS["q74_quality_keeper"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, "argmax regressed to a window sort"
+    assert "partial_max(struct" in plan or "partial_max, struct" in plan or (
+        "partial" in plan and "max(struct" in plan
+    ), "struct-MAX lost its partial aggregation phase"
+
+
+def test_q75_mixture_filter_is_narrow(spark, sf_dir):
+    """mixture_sample must cost zero exchanges of its own: q75's two
+    shuffles are the per-lang aggregation and the presentation
+    orderBy — the CASE-fence hash filter stays in the scan stage, so
+    dropped rows never reach an exchange."""
+    from archetype_spark.plans import n_exchanges
+
+    df = QS["q75_mixture_sample"](spark, sf_dir)
+    assert n_exchanges(df) <= 2, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "sha2" in plan and "Filter" in plan
+
+
+def test_q76_fence_joins_broadcast(spark, sf_dir):
+    """The per-group fences are a handful of rows and must broadcast
+    back onto the corpus — the gate pass may not shuffle the scored
+    input. The histogram window runs over the bounded histogram, not
+    the corpus, which the plan shows as the window's input being an
+    aggregate, not a scan."""
+    df = QS["q76_relative_quality_gate"](spark, sf_dir)
+    impls = join_impls(df)
+    assert "BroadcastHashJoin" in impls, impls
+    assert "SortMergeJoin" not in impls or impls.count("SortMergeJoin") <= 1, impls

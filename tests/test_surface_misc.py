@@ -44,3 +44,27 @@ def test_any_value_on_functionally_dependent_group(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_relative_quality_gate_median_fence_and_ties(spark):
+    import pytest
+
+    from archetype_spark.operators.textstats import relative_quality_gate
+
+    # group A: scores 0.1..1.0 -> ceil(0.5*10)=5th smallest = 0.5 is
+    # the fence; 0.5..1.0 (6 rows) survive. group B: all-tied scores
+    # -> fence is the tie value, everyone survives.
+    rows = [(i, "A", (i + 1) / 10.0) for i in range(10)]
+    rows += [(100 + i, "B", 0.3) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, score double")
+    kept = relative_quality_gate(df, "grp", "score", q=0.5)
+    got = {(r["grp"], r["doc_id"]) for r in kept.collect()}
+    assert got == {("A", i) for i in range(4, 10)} | {
+        ("B", 100 + i) for i in range(4)
+    }
+    # q=1.0 keeps only the max (and its ties)
+    top = relative_quality_gate(df, "grp", "score", q=1.0)
+    got_top = {(r["grp"], r["doc_id"]) for r in top.collect()}
+    assert got_top == {("A", 9)} | {("B", 100 + i) for i in range(4)}
+    with pytest.raises(ValueError, match="q must be"):
+        relative_quality_gate(df, "grp", "score", q=0.0)
