@@ -446,6 +446,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_dir: str | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer partitions vectors into cells; each query probes its
@@ -461,7 +462,18 @@ def ivf_topk(
     the PERSISTED index (operators/ann_index.py) — no training job in
     the query path, matching LanceDB's create-index-then-probe
     lifecycle. Without it, a k-means fit runs per call (ad-hoc frames
-    only)."""
+    only).
+
+    `where` restricts the SEARCHABLE set (filtered vector search,
+    LanceDB `.search().where(...)` parity — reference
+    archetype/core/store.py delegates exactly this to LanceDB):
+    every vector still queries, but only rows passing the predicate
+    can be returned as neighbors, and each query's top-k re-ranks
+    within the filtered candidates. The filter lands on the stored
+    side of the candidate join (a post-filter over the probed cells),
+    so the index needs no per-predicate state; ranks are computed
+    after the filter, so k results survive whenever the probed cells
+    hold k eligible vectors."""
     from archetype_spark.operators import ann_index
 
     if index_dir is not None:
@@ -504,7 +516,8 @@ def ivf_topk(
         "_id", "_v", F.explode("_probe.cell").alias("_pcell")
     )
 
-    e = emb.select(
+    store = emb if where is None else emb.filter(where)
+    e = store.select(
         F.col(id_col).alias("_oid"),
         F.col(vec_col).alias("_ov"),
         norm(vec_col).alias("_on"),

@@ -56,12 +56,13 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       has now had a driver-green round.
 #   r6: new q71 (decontamination) + q72 (semantic dedup) + q73
 #       (stop-shingle Jaccard) + q74 (quality keeper) + q75 (mixture
-#       sample) + q76 (relative quality gate) gated -> the gated
-#       count net of deferrals must stay at 50, so PIN the six new
-#       queries (first driver rows) and defer six more multi-round-
-#       green entries (q24, q25, q26, q11, q12, q13 — all green
-#       r1/r2/r3/r5). r4's pins all got their green row in r5 and
-#       rotate back into the plain gated block.
+#       sample) + q76 (relative quality gate) + q77 (filtered IVF
+#       search) gated -> the gated count net of deferrals must stay
+#       at 50, so PIN the seven new queries (first driver rows) and
+#       defer seven more multi-round-green entries (q24, q25, q26,
+#       q11, q12, q13, q14 — all green r1/r2/r3/r5). r4's pins all
+#       got their green row in r5 and rotate back into the plain
+#       gated block.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -72,6 +73,7 @@ _PINNED: tuple[str, ...] = (
     "q74_quality_keeper",
     "q75_mixture_sample",
     "q76_relative_quality_gate",
+    "q77_filtered_ivf_topk",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -80,6 +82,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q11_global_agg",
         "q12_grouped_agg",
         "q13_count_distinct",
+        "q14_having",
         "q03_compound_predicate",
         "q04_computed_columns",
         "q05_inner_join",
@@ -137,4 +140,7 @@ def all_oracles(
     sem = northstar.semantic_dedup_oracle(d, require_live_index=require_live_index)
     if sem is not None:
         o["q72_semantic_dedup"] = sem
+    fivf = northstar.ivf_oracle(d, require_live_index=require_live_index, label=2)
+    if fivf is not None:
+        o["q77_filtered_ivf_topk"] = fivf
     return o

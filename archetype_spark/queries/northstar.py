@@ -215,6 +215,25 @@ def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: q61's persisted-IVF probe with the
+    searchable set restricted to label=2 vectors (similarity.ivf_topk
+    `where=` — LanceDB `.search().where()` parity, the metadata
+    predicate every vector store must compose with ANN). Same index
+    parquet as q61 — the filter is a post-filter on the candidate
+    side, no per-predicate index state; each query's top-5 re-ranks
+    within eligible candidates only."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb,
+        k=5,
+        n_probe=4,
+        index_dir=ann_index.default_index_dir(sf_dir, "ivf_embeddings"),
+        where=F.col("label") == 2,
+        **IVF_INDEX,
+    )
+
+
 #: q62's fetch fixture set. Pinned to the smallest always-present
 #: corpus tier rather than the caller's sf_dir: the DuckDB oracle is a
 #: fixed SQL string that must name the same files read_blob reads, and
@@ -607,6 +626,7 @@ QUERIES = {
     "q74_quality_keeper": q74_quality_keeper,
     "q75_mixture_sample": q75_mixture_sample,
     "q76_relative_quality_gate": q76_relative_quality_gate,
+    "q77_filtered_ivf_topk": q77_filtered_ivf_topk,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -1305,7 +1325,9 @@ ORACLES["q67_training_mix"] = """
 CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
 
 
-def ivf_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+def ivf_oracle(
+    sf_dir: str, require_live_index: bool = True, label: int | None = None
+) -> str | None:
     """DuckDB SQL replicating q61's IVF probe against the PERSISTED
     index for `sf_dir`'s embeddings table.
 
@@ -1327,10 +1349,20 @@ def ivf_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
     warm-builds the CORRECTNESS_SF_DIR index during the driver's
     smoke phase, which precedes correctness, so in practice the
     oracle is present. Constants mirror q61: IVF_INDEX (n_clusters=16
-    via the committed index), n_probe=4, k=5."""
+    via the committed index), n_probe=4, k=5.
+
+    With `label`, replicates q77's FILTERED search instead: the
+    candidate side is restricted to embeddings of that label before
+    ranking — the same post-filter position the Spark operator's
+    `where=` applies."""
     idx = ann_index.default_index_dir(sf_dir, "ivf_embeddings")
     if require_live_index and not os.path.isdir(idx):
         return None
+    label_join = (
+        f" JOIN embeddings lf ON lf.vec_id = a.id AND lf.label = {label}"
+        if label is not None
+        else ""
+    )
     return f"""
         WITH cents AS (
           SELECT CAST(cell AS INT) AS cell, CAST(centroid AS DOUBLE[]) AS centroid
@@ -1348,7 +1380,7 @@ def ivf_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
           SELECT vec_id, cell FROM probe WHERE pr <= 4
         ), cand AS (
           SELECT p.vec_id, a.id AS other_vec_id
-          FROM probed p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.id
+          FROM probed p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.id{label_join}
         ), pairs AS (
           SELECT c.vec_id, c.other_vec_id,
                  ROUND(list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),

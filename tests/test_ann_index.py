@@ -308,3 +308,43 @@ def test_failed_incremental_append_leaves_valid_index(spark, emb, tmp_path, monk
     # and the retry completes the append normally
     _c, assigned = ann_index.ensure_ivf(e2, idx, n_clusters=8, seed=42)
     assert assigned.filter(f"id = {new_id}").count() == 1
+
+
+def test_filtered_search_restricts_and_reranks(spark, emb, tmp_path):
+    """`where=` must (a) return only eligible neighbors, (b) equal
+    the unfiltered candidate set restricted to the predicate and
+    re-ranked — the filter may not change which cells are probed."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "ivf")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    # k large enough to surface EVERY candidate the probe produces
+    full = similarity.ivf_topk(
+        emb, k=10**6, n_clusters=8, n_probe=3, index_dir=idx
+    )
+    filt = similarity.ivf_topk(
+        emb,
+        k=5,
+        n_clusters=8,
+        n_probe=3,
+        index_dir=idx,
+        where=F.col("label") == 2,
+    )
+    got = [
+        (r["vec_id"], r["rank"], r["other_vec_id"], r["cos_sim"])
+        for r in filt.collect()
+    ]
+    assert got, "filtered search returned nothing"
+    assert all(labels[o] == 2 for _, _, o, _ in got)
+    # re-rank the unfiltered candidates under the predicate
+    by_query = {}
+    for r in full.collect():
+        if labels[r["other_vec_id"]] == 2:
+            by_query.setdefault(r["vec_id"], []).append(
+                (-r["cos_sim"], r["other_vec_id"])
+            )
+    want = []
+    for q, cands in by_query.items():
+        for rank, (neg, o) in enumerate(sorted(cands)[:5], 1):
+            want.append((q, rank, o, -neg))
+    assert sorted(got) == sorted(want)
