@@ -379,6 +379,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_dir: str | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = pairs colliding in any
     hash table's bucket; exact cosine re-ranking on candidates only.
@@ -389,7 +390,13 @@ def lsh_topk(
     (operators/ann_index.py, built once like LanceDB's create_index);
     the full-corpus bucketing projection leaves the query path.
     Without it, buckets are derived inline (fit-per-call) — fine for
-    ad-hoc frames, wrong for a corpus queried more than once."""
+    ad-hoc frames, wrong for a corpus queried more than once.
+
+    `where` restricts the returnable-neighbor side (same filtered-
+    search contract as ivf_topk's: the predicate prunes at the
+    existing re-rank join, no per-predicate index state, ranks
+    assigned within the eligible set under this operator's
+    id-ordered pair contract)."""
     if index_dir is not None:
         from archetype_spark.operators import ann_index
 
@@ -401,6 +408,10 @@ def lsh_topk(
             emb, dim, n_planes, n_tables, seed, id_col, vec_col
         )
     e = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), norm(vec_col).alias("_n")
+    )
+    store = emb if where is None else emb.filter(where)
+    eb = store.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), norm(vec_col).alias("_n")
     )
     ba, bb = buckets.alias("ba"), buckets.alias("bb")
@@ -416,7 +427,7 @@ def lsh_topk(
     )
     pairs = (
         cand_ids.join(e.alias("a"), F.col("_ida") == F.col("a._id"))
-        .join(e.alias("b"), F.col("_idb") == F.col("b._id"))
+        .join(eb.alias("b"), F.col("_idb") == F.col("b._id"))
         .select(
             F.col("_ida").alias("vec_id"),
             F.col("_idb").alias("other_vec_id"),

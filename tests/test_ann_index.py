@@ -348,3 +348,42 @@ def test_filtered_search_restricts_and_reranks(spark, emb, tmp_path):
         for rank, (neg, o) in enumerate(sorted(cands)[:5], 1):
             want.append((q, rank, o, -neg))
     assert sorted(got) == sorted(want)
+
+
+def test_lsh_filtered_search_restricts_and_reranks(spark, emb, tmp_path):
+    """lsh_topk's `where=` mirrors ivf_topk's filtered-search
+    contract under its id-ordered pair convention."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "lsh")
+    dim = len(emb.select("embedding").first()["embedding"])
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    full = similarity.lsh_topk(
+        emb, dim=dim, k=10**6, n_planes=8, n_tables=4, index_dir=idx
+    )
+    filt = similarity.lsh_topk(
+        emb,
+        dim=dim,
+        k=5,
+        n_planes=8,
+        n_tables=4,
+        index_dir=idx,
+        where=F.col("label") == 1,
+    )
+    got = [
+        (r["vec_id"], r["rank"], r["other_vec_id"], r["cos_sim"])
+        for r in filt.collect()
+    ]
+    assert got, "filtered search returned nothing"
+    assert all(labels[o] == 1 for _, _, o, _ in got)
+    by_query = {}
+    for r in full.collect():
+        if labels[r["other_vec_id"]] == 1:
+            by_query.setdefault(r["vec_id"], []).append(
+                (-r["cos_sim"], r["other_vec_id"])
+            )
+    want = []
+    for q, cands in by_query.items():
+        for rank, (neg, o) in enumerate(sorted(cands)[:5], 1):
+            want.append((q, rank, o, -neg))
+    assert sorted(got) == sorted(want)
