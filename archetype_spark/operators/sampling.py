@@ -103,6 +103,47 @@ def mixture_sample(
     return df.filter(hash_bucket(id_col) < pct)
 
 
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 100,
+) -> DataFrame:
+    """`mixture_sample` generalized to rates ABOVE 100%: training
+    mixtures upsample under-represented domains by repeating them
+    (epochs-per-domain), so a rate of 250 emits two full copies of
+    every row plus a deterministic hash-chosen half for the third.
+    Adds `dup_idx` (0-based copy index) so downstream shuffles and
+    writers see distinct rows; rate <= 100 degrades to exactly
+    `mixture_sample` membership with dup_idx=0.
+
+    Scale: copies come from exploding a per-row `sequence(0, n-1)` —
+    a narrow generate, no shuffle, no self-join; the copy count is
+    data-independent per group (+1 fenced by the same sha256 bucket
+    as every sampler here, so the fractional copy set is
+    layout-independent and auditable in SQL)."""
+    for g, p in rates.items():
+        if p < 0:
+            raise ValueError(f"rate for {g!r} must be >= 0, got {p}")
+    if default_pct < 0:
+        raise ValueError(f"default_pct must be >= 0, got {default_pct}")
+    expr = None
+    for g, p in sorted(rates.items()):
+        cond = F.col(group_col) == F.lit(g)
+        expr = F.when(cond, F.lit(p)) if expr is None else expr.when(cond, F.lit(p))
+    pct = F.lit(default_pct) if expr is None else expr.otherwise(F.lit(default_pct))
+    n = (pct / 100).cast("int") + (hash_bucket(id_col) < pct % 100).cast("int")
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "dup_idx", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+    )
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str = "doc_id", percent: int = 10
 ) -> DataFrame:

@@ -215,6 +215,32 @@ def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain upsampling (operators/sampling.py mixture_resample):
+    rates above 100% repeat under-represented languages (fr 2.5x,
+    zh 1.3x) while en downsamples to 35% — the full two-sided mixture
+    rebalance a training run's data card specifies. Copies are a
+    narrow sequence-explode (no shuffle, no self-join); the
+    fractional copy is fenced by the same portable sha256 bucket as
+    q67/q75. Output: per-lang rows/unique-docs/checksums — sum_dup_idx
+    pins the exact per-doc copy counts, not just totals."""
+    from archetype_spark.operators import sampling
+
+    out = sampling.mixture_resample(
+        load(spark, sf_dir, "documents"), "lang", {"fr": 250, "zh": 130, "en": 35}
+    )
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("dup_idx").cast("bigint").alias("sum_dup_idx"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q77_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search: q61's persisted-IVF probe with the
     searchable set restricted to label=2 vectors (similarity.ivf_topk
@@ -627,6 +653,7 @@ QUERIES = {
     "q75_mixture_sample": q75_mixture_sample,
     "q76_relative_quality_gate": q76_relative_quality_gate,
     "q77_filtered_ivf_topk": q77_filtered_ivf_topk,
+    "q78_mixture_resample": q78_mixture_resample,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -1266,6 +1293,37 @@ ORACLES["q76_relative_quality_gate"] = """
                ROUND(MIN(quality), 6) AS fence,
                CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
         FROM kept GROUP BY lang ORDER BY lang
+    """
+
+# q78: the q75 bucket with repeat semantics — copies = pct // 100
+# plus a bucket-fenced fractional copy, exploded via
+# generate_series (inclusive 0..n-1 in both engines). sum_dup_idx
+# pins per-doc copy counts: a doc with n copies contributes
+# n(n-1)/2, so any miscounted doc shifts the checksum.
+ORACLES["q78_mixture_resample"] = """
+        WITH b AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                   % 100 AS bucket,
+                 CASE lang WHEN 'fr' THEN 250 WHEN 'zh' THEN 130
+                           WHEN 'en' THEN 35 ELSE 100 END AS pct
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, lang,
+                 CAST(pct // 100 AS INT)
+                   + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END AS n
+          FROM b
+        ),
+        xp AS (
+          SELECT doc_id, lang, unnest(generate_series(0, n - 1)) AS dup_idx
+          FROM c WHERE n > 0
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(dup_idx) AS BIGINT) AS sum_dup_idx
+        FROM xp GROUP BY lang ORDER BY lang
     """
 
 # q71: the q67 split fences + the q36 shingle derivation, composed —

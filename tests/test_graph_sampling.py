@@ -196,3 +196,40 @@ def test_deterministic_sample_is_subset_stable(spark):
     s25 = {r["doc_id"] for r in sampling.deterministic_sample(ids, percent=25).collect()}
     assert s10 <= s25  # growing the rate only ADDS rows — nested samples
     assert 0.02 < len(s10) / 400 < 0.25
+
+
+def test_mixture_resample_copy_counts(spark):
+    rows = [(i, "fr" if i % 3 == 0 else "en") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    out = sampling.mixture_resample(df, "lang", {"fr": 250, "en": 35})
+    counts = {}
+    for r in out.collect():
+        counts.setdefault(r["doc_id"], []).append(r["dup_idx"])
+    # fr docs: 2 or 3 copies with contiguous dup_idx; en: 0 or 1
+    fr_sizes, en_sizes = set(), set()
+    for i, idxs in counts.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+        (fr_sizes if i % 3 == 0 else en_sizes).add(len(idxs))
+    assert fr_sizes <= {2, 3} and 3 in fr_sizes and 2 in fr_sizes
+    assert en_sizes == {1}
+    # en membership identical to mixture_sample at the same rate
+    en_kept = {i for i in counts if i % 3 != 0}
+    ms = {
+        r["doc_id"]
+        for r in sampling.mixture_sample(
+            df.filter(F.col("lang") == "en"), "lang", {"en": 35}
+        ).collect()
+    }
+    assert en_kept == ms
+    # rate 100 (default) == exactly one copy of everything
+    plain = sampling.mixture_resample(df, "lang", {})
+    assert plain.count() == 300
+    assert plain.filter(F.col("dup_idx") != 0).count() == 0
+
+
+def test_mixture_resample_validates(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id int, lang string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match=">= 0"):
+        sampling.mixture_resample(df, "lang", {"en": -5})
