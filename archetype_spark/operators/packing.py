@@ -46,3 +46,41 @@ def pack_sequences(
     return df.withColumn("seq_id", (start / budget).cast("bigint")).withColumn(
         "seq_offset", start % budget
     )
+
+
+def pack_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str = "n_tokens",
+    shard_col: str = "lang",
+    budget: int = 1024,
+    sep: str = "\n",
+) -> DataFrame:
+    """The writer stage after `pack_sequences`: materialize each
+    (shard, seq_id) group's actual training payload — member docs
+    concatenated with `sep` in the same deterministic id order the
+    offsets were computed in. Returns one row per sequence:
+    (shard_col, seq_id, n_docs, payload).
+
+    Scale: the per-group collect is SAFE here, uniquely, because
+    group size is capped by the token budget (a sequence holds at
+    most ~budget tokens plus one overflowing doc) — this is the one
+    place a collect_list can't skew. Sorting happens inside each
+    collected array (array_sort on (offset, id) structs), not as a
+    shuffle sort; the groupBy is the same single shard-key exchange
+    the packing window already established."""
+    packed = pack_sequences(df, id_col, tokens_col, shard_col, budget)
+    member = F.struct(F.col("seq_offset"), F.col(id_col), F.col(text_col).alias("_t"))
+    return (
+        packed.groupBy(shard_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(member)).alias("_m"),
+        )
+        .withColumn(
+            "payload",
+            F.array_join(F.transform(F.col("_m"), lambda m: m["_t"]), sep),
+        )
+        .drop("_m")
+    )

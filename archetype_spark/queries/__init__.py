@@ -57,12 +57,13 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #   r6: new q71 (decontamination) + q72 (semantic dedup) + q73
 #       (stop-shingle Jaccard) + q74 (quality keeper) + q75 (mixture
 #       sample) + q76 (relative quality gate) + q77 (filtered IVF
-#       search) + q78 (mixture resample) gated -> the gated count
-#       net of deferrals must stay at 50, so PIN the eight new
-#       queries (first driver rows) and defer eight more multi-
-#       round-green entries (q24, q25, q26, q11, q12, q13, q14,
-#       q15 — all green r1/r2/r3/r5). r4's pins all got their green
-#       row in r5 and rotate back into the plain gated block.
+#       search) + q78 (mixture resample) + q79 (pack payloads)
+#       gated -> the gated count net of deferrals must stay at 50,
+#       so PIN the nine new queries (first driver rows) and defer
+#       nine more multi-round-green entries (q24, q25, q26, q11,
+#       q12, q13, q14, q15, q16 — all green r1/r2/r3/r5). r4's pins
+#       all got their green row in r5 and rotate back into the
+#       plain gated block.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -75,6 +76,7 @@ _PINNED: tuple[str, ...] = (
     "q76_relative_quality_gate",
     "q77_filtered_ivf_topk",
     "q78_mixture_resample",
+    "q79_pack_payloads",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -85,6 +87,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q13_count_distinct",
         "q14_having",
         "q15_rollup",
+        "q16_topk",
         "q03_compound_predicate",
         "q04_computed_columns",
         "q05_inner_join",

@@ -241,6 +241,32 @@ def q78_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_pack_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer stage q68's manifest feeds (operators/packing.py
+    pack_payloads): each (lang, seq_id) training sequence's ACTUAL
+    payload — member docs joined in deterministic offset order —
+    reported as (n_docs, byte length, sha256) so the oracle pins the
+    exact packed bytes without shipping them. The per-group collect
+    is budget-bounded (the one safe collect_list), so the writer
+    costs the same single shard-key shuffle as the manifest."""
+    from archetype_spark.operators import packing
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    p = packing.pack_payloads(d, budget=2048, sep="\n")
+    return p.select(
+        "lang",
+        "seq_id",
+        "n_docs",
+        F.length("payload").cast("bigint").alias("payload_len"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    ).orderBy("lang", "seq_id")
+
+
 def q77_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search: q61's persisted-IVF probe with the
     searchable set restricted to label=2 vectors (similarity.ivf_topk
@@ -654,6 +680,7 @@ QUERIES = {
     "q76_relative_quality_gate": q76_relative_quality_gate,
     "q77_filtered_ivf_topk": q77_filtered_ivf_topk,
     "q78_mixture_resample": q78_mixture_resample,
+    "q79_pack_payloads": q79_pack_payloads,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -1324,6 +1351,31 @@ ORACLES["q78_mixture_resample"] = """
                CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
                CAST(SUM(dup_idx) AS BIGINT) AS sum_dup_idx
         FROM xp GROUP BY lang ORDER BY lang
+    """
+
+# q79: q68's running-sum bucketing + ordered string_agg — the
+# payload digest pins byte-exact packing (separator, order, and
+# membership all feed the sha256; both engines emit lowercase hex,
+# the q33/q62-proven digest parity).
+ORACLES["q79_pack_payloads"] = """
+        WITH t AS (
+          SELECT doc_id, lang, text, len(string_split(text, ' ')) AS nt
+          FROM documents
+        ), s AS (
+          SELECT doc_id, lang, text,
+                 COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          FROM t
+        ), g AS (
+          SELECT lang, CAST(start // 2048 AS BIGINT) AS seq_id,
+                 COUNT(*) AS n_docs,
+                 string_agg(text, chr(10) ORDER BY doc_id) AS payload
+          FROM s GROUP BY 1, 2
+        )
+        SELECT lang, seq_id, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(length(payload) AS BIGINT) AS payload_len,
+               sha256(payload) AS payload_sha
+        FROM g ORDER BY lang, seq_id
     """
 
 # q71: the q67 split fences + the q36 shingle derivation, composed —

@@ -79,3 +79,25 @@ def test_repetition_keep_threshold_boundary(spark):
     out = textstats.repetition_stats(df, n=2, max_frac=0.25).collect()[0]
     assert out["n_ngrams"] == 4 and out["top_ngram_frac"] == 0.25
     assert out["keep"] is True  # <= threshold keeps
+
+
+def test_pack_payloads_exact_concat(spark):
+    from archetype_spark.operators.packing import pack_payloads
+
+    rows = [
+        (1, "en", "aa bb", 2),
+        (2, "en", "cc", 1),
+        (3, "en", "dd ee ff", 3),  # overflows seq 0 (budget 4) -> starts seq 0? offset 3 -> seq 0
+        (4, "en", "gg", 1),
+        (10, "de", "xx yy", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string, n_tokens int")
+    out = {
+        (r["lang"], r["seq_id"]): (r["n_docs"], r["payload"])
+        for r in pack_payloads(df, budget=4, sep="|").collect()
+    }
+    # en offsets: doc1 start 0 (seq 0), doc2 start 2 (seq 0), doc3
+    # start 3 (seq 0, overflowing), doc4 start 6 (seq 1)
+    assert out[("en", 0)] == (3, "aa bb|cc|dd ee ff")
+    assert out[("en", 1)] == (1, "gg")
+    assert out[("de", 0)] == (1, "xx yy")
