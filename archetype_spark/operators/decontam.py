@@ -60,38 +60,42 @@ def contamination(
     keep = contam_frac <= max_frac.
 
     The eval side is broadcast (see module docstring): the training
-    corpus is scanned once, shuffles only per-doc partial counts."""
+    corpus is scanned — and its shingle expression evaluated — exactly
+    once. The exploded branch carries everything the verdict needs:
+    a broadcast LEFT join marks which shingles the eval set contains
+    (the distinct probe side guarantees at most one match per row),
+    and ONE per-doc aggregation counts both totals and matches — no
+    second derivation of the document shingles, no backfill join.
+    The only shuffle is the per-doc partial counts."""
     ev = F.broadcast(eval_shingle_set(eval_df, text_col, n))
     docs = fan_out(train_df).select(
         F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh")
-    ).withColumn("_n_sh", F.size("_sh"))
+    )
     # explode_outer + NULL-preserving hash wrap: same
     # InferFiltersFromGenerate dodge as ngram_jaccard_pairs — a plain
     # explode would let the inferred size(_sh)>0 filter inline the
     # whole shingle tree below the fan-out exchange into one task.
-    ex = docs.select(
-        "_id", "_n_sh", F.explode_outer("_sh").alias("_s0")
-    ).select(
+    # The outer explode also keeps shingle-less docs as one NULL row,
+    # so every doc reaches the aggregate (count("_s") skips it).
+    ex = docs.select("_id", F.explode_outer("_sh").alias("_s0")).select(
         "_id",
-        "_n_sh",
         F.when(F.col("_s0").isNotNull(), F.xxhash64("_s0")).alias("_s"),
     )
-    shared = (
-        ex.join(ev, ex["_s"] == ev["_es"])
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("_n_shared"))
+    marked = ex.join(ev, ex["_s"] == ev["_es"], "left")
+    counts = marked.groupBy("_id").agg(
+        F.count("_s").alias("_n_sh"),
+        F.count("_es").alias("_n_shared"),
     )
-    frac = F.round(
-        F.col("_n_shared").cast("double") / F.col("_n_sh"), 6
-    )
+    frac = F.when(
+        F.col("_n_sh") > 0,
+        F.round(F.col("_n_shared").cast("double") / F.col("_n_sh"), 6),
+    ).otherwise(F.lit(0.0))
     return (
-        docs.select("_id", "_n_sh")
-        .join(shared, "_id", "left")
-        .select(
+        counts.select(
             F.col("_id").alias(id_col),
             F.col("_n_sh").cast("bigint").alias("n_shingles"),
-            F.coalesce(F.col("_n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
-            F.coalesce(frac, F.lit(0.0)).alias("contam_frac"),
+            F.col("_n_shared").cast("bigint").alias("n_shared"),
+            frac.alias("contam_frac"),
         )
         .withColumn("keep", F.col("contam_frac") <= F.lit(max_frac))
     )

@@ -210,18 +210,23 @@ def relative_quality_gate(
     continuous percentile's `lo + (hi-lo)*frac` differs in the last
     ulp across engines and flips boundary rows).
 
-    Scale: no per-group sort over the data. Scores are rounded to 6
-    decimals, so the per-(group, score) histogram — a map-side
-    combinable aggregation — is bounded at ~1e6 rows per group
-    regardless of corpus size; the cumulative window runs over the
-    histogram, not the corpus, and the per-group fences broadcast
-    back for a narrow filter. Two passes over the input, which any
-    relative (data-dependent) threshold requires.
+    Scale: no per-group sort over the data. The score column is
+    rounded to 6 decimals HERE (not assumed pre-rounded — quality
+    scores in (0, 1] then yield <= ~1e6 distinct values), so the
+    per-(group, score) histogram — a map-side combinable
+    aggregation — stays bounded regardless of corpus size; the
+    cumulative window runs over the histogram, not the corpus, and
+    the per-group fences broadcast back for a narrow filter. Two
+    passes over the input, which any relative (data-dependent)
+    threshold requires. Output rows carry the rounded score.
     """
     from pyspark.sql import Window
 
     if not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0, 1], got {q}")
+    scored = scored.withColumn(
+        score_col, F.round(F.col(score_col).cast("double"), 6)
+    )
     hist = scored.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("_c"))
     w = (
         Window.partitionBy(group_col)

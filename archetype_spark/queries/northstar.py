@@ -1082,7 +1082,7 @@ ORACLES["q36_ngram_jaccard"] = f"""
         FROM inter i
         JOIN cnt ca ON ca.doc_id = i.doc_id
         JOIN cnt cb ON cb.doc_id = i.other_doc_id
-        WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.5
+        WHERE ROUND(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5
         ORDER BY i.doc_id, i.other_doc_id
     """
 
@@ -1215,7 +1215,7 @@ ORACLES["q73_stop_shingle_jaccard"] = f"""
         FROM kinter i
         JOIN kcnt ca ON ca.doc_id = i.doc_id
         JOIN kcnt cb ON cb.doc_id = i.other_doc_id
-        WHERE i.c * 1.0 / (ca.n + cb.n - i.c) >= 0.4
+        WHERE ROUND(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.4
         ORDER BY i.doc_id, i.other_doc_id
     """
 
