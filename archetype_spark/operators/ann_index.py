@@ -338,6 +338,113 @@ def ensure_lsh(
     return got
 
 
+# ------------------------------------------------------ fit (MinHash sigs)
+def fit_minhash_frames(
+    docs: DataFrame,
+    num_hashes: int,
+    shingle_n: int,
+    hash_family: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures for every ELIGIBLE
+    document (>= shingle_n tokens — the same precondition
+    minhash_lsh_pairs applies, so a replay over this table and the
+    in-flight path see the identical doc set). Signatures are pure
+    per-row functions of the text: computing them per arriving file
+    (the delta-append path) yields byte-identical rows to a full
+    rebuild, which is what makes incremental maintenance exact."""
+    from archetype_spark.functions.text import tokens
+    from archetype_spark.operators.dedup import minhash_signature
+
+    eligible = docs.filter(F.size(tokens(text_col)) >= shingle_n)
+    return minhash_signature(
+        eligible, id_col, text_col, num_hashes, shingle_n, hash_family
+    ).select(F.col("_id").alias("id"), F.col("_sig").alias("sig"))
+
+
+def fit_minhash(
+    docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build + persist the signature table (ingest-time maintenance:
+    at 100 TB signatures are computed once per document on arrival,
+    not per dedup sweep). Atomic directory swap as for IVF/LSH."""
+    sigs = fit_minhash_frames(
+        docs, num_hashes, shingle_n, hash_family, id_col, text_col
+    )
+    params = {
+        "kind": "minhash",
+        "num_hashes": num_hashes,
+        "shingle_n": shingle_n,
+        "hash_family": hash_family,
+        "id_col": id_col,
+        "text_col": text_col,
+        "corpus": corpus_fingerprint(docs, id_col, text_col),
+    }
+    _write_index(index_dir, params, {"signatures": (sigs, ["id"])})
+
+
+def load_minhash(
+    spark: SparkSession, index_dir: str, expect: dict | None = None
+) -> DataFrame | None:
+    params = _read_params(index_dir, "minhash", expect)
+    if params is None:
+        return None
+    return read_table(spark, os.path.join(index_dir, "signatures"))
+
+
+def ensure_minhash(
+    docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Load the persisted signature table, maintaining it first if
+    stale: append-only corpus growth signs ONLY the new files'
+    documents and hardlink-appends (per-row determinism makes the
+    result identical to a full rebuild); any other change rebuilds.
+    See ensure_ivf for the maintenance contract."""
+    expect = {
+        "num_hashes": num_hashes,
+        "shingle_n": shingle_n,
+        "hash_family": hash_family,
+        "id_col": id_col,
+        "text_col": text_col,
+        "corpus": corpus_fingerprint(docs, id_col, text_col),
+    }
+    spark = docs.sparkSession
+    got = load_minhash(spark, index_dir, expect)
+    if got is None:
+        hyper = {k: v for k, v in expect.items() if k != "corpus"}
+        params = _read_params(index_dir, "minhash", hyper)
+        delta = _delta_files(params, expect) if params else None
+        if delta:
+            sigs = fit_minhash_frames(
+                spark.read.parquet(*delta),
+                num_hashes, shingle_n, hash_family, id_col, text_col,
+            )
+            _append_index_table(
+                index_dir, "signatures", sigs, {**params, "corpus": expect["corpus"]}
+            )
+            got = load_minhash(spark, index_dir, expect)
+    if got is None:
+        fit_minhash(
+            docs, index_dir, num_hashes, shingle_n, hash_family, id_col, text_col
+        )
+        got = load_minhash(spark, index_dir, expect)
+        assert got is not None, f"MinHash index build failed to land at {index_dir}"
+    return got
+
+
 # ------------------------------------------------------- incremental append
 def _delta_files(params: dict, expect: dict) -> list[str] | None:
     """URIs added since the index was built, or None when incremental

@@ -267,7 +267,6 @@ def minhash_lsh_pairs(
     are the band-key join and the final distinct.
     """
     assert num_hashes % bands == 0
-    rpb = num_hashes // bands
     # Filter short docs on the CHEAP precondition (token count) before
     # signatures exist. Filtering on size(_sig)>0 afterwards lets
     # Catalyst push that predicate below the fan-out exchange, inlining
@@ -278,6 +277,27 @@ def minhash_lsh_pairs(
     sigs = minhash_signature(
         eligible, id_col, text_col, num_hashes, shingle_n, hash_family
     )
+    return minhash_pairs_from_signatures(sigs, num_hashes, bands, threshold)
+
+
+def minhash_pairs_from_signatures(
+    sigs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "_id",
+    sig_col: str = "_sig",
+) -> DataFrame:
+    """Banding + estimate stage of MinHash-LSH over an EXISTING
+    signature table — either the in-flight projection
+    minhash_lsh_pairs builds, or a PERSISTED (id, sig) parquet table
+    maintained at ingest (operators/ann_index.py ensure_minhash, the
+    LanceDB create-index-once lifecycle): at 100 TB signatures are
+    computed once when a document arrives, while dedup sweeps re-run
+    the cheap banding join against the stored table many times."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sigs = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     # Exchange barrier AFTER the signature projection: the banded
     # stage below references `_sig` five times (4 band-slot
     # element_at's + the carry-through), and without a barrier the
@@ -287,8 +307,10 @@ def minhash_lsh_pairs(
     # identical). One round-robin shuffle of (id, 64-slot sig) rows is
     # strictly smaller than the banded-explode shuffle that follows,
     # so at 100 TB this trades a recompute-per-reference for a
-    # fraction of an exchange already being paid.
-    sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # fraction of an exchange already being paid. For a parquet-backed
+    # signature table the same repartition is the fan-out that keeps a
+    # small-file scan from running the banding in one task.
+    sigs = sigs.repartition(sigs.sparkSession.sparkContext.defaultParallelism)
     # Explode a LITERAL band-index sequence first, then hash the band's
     # rpb signature slots per exploded row. Exploding a computed
     # array-of-hashes instead looks equivalent but is a trap:

@@ -64,19 +64,21 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       q12, q13, q14, q15, q16 — all green r1/r2/r3/r5). r4's pins
 #       all got their green row in r5 and rotate back into the
 #       plain gated block.
+#   r7: q65_minhash_fast gains an oracle (the persisted-signature
+#       replay, northstar.minhash_oracle — VERDICT r6's last
+#       verification gap) -> PIN it for its first driver row, and
+#       rotate the LONGEST-deferred basics back into the window for
+#       driver freshness: q17-q22 and q27 (no driver row since r2)
+#       return; in exchange defer northstar basics green in r1-r6
+#       (q29-q35, q38). New r7 queries (q80 line-dedup, q81 PII
+#       scrub, q82 split-packing) pin as they land, each trading one
+#       more multi-green deferral (q39, q43, q44). r6's nine pins
+#       all got their green row and rotate into the plain block.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
-    "q71_decontamination",
-    "q72_semantic_dedup",
-    "q73_stop_shingle_jaccard",
-    "q74_quality_keeper",
-    "q75_mixture_sample",
-    "q76_relative_quality_gate",
-    "q77_filtered_ivf_topk",
-    "q78_mixture_resample",
-    "q79_pack_payloads",
+    "q65_minhash_fast",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -96,16 +98,17 @@ _DEFERRED: frozenset[str] = frozenset(
         "q10_cross_join",
         "q07_left_join",
         "q08_semi_join",
-        "q17_string_fns",
-        "q18_date_fns",
-        "q19_math_fns",
-        "q20_case_coalesce",
-        "q21_ranking_window",
-        "q22_lag_lead_runsum",
         "q24_latest_state",
         "q25_union",
         "q26_set_ops",
-        "q27_explode",
+        "q29_exact_dedup",
+        "q30_cosine_topk",
+        "q31_json_extract",
+        "q32_pivot",
+        "q33_hash_dedup",
+        "q34_token_stats",
+        "q35_doc_quality",
+        "q38_lang_id",
     }
 )
 
@@ -148,4 +151,7 @@ def all_oracles(
     fivf = northstar.ivf_oracle(d, require_live_index=require_live_index, label=2)
     if fivf is not None:
         o["q77_filtered_ivf_topk"] = fivf
+    mh = northstar.minhash_oracle(d, require_live_index=require_live_index)
+    if mh is not None:
+        o["q65_minhash_fast"] = mh
     return o

@@ -387,3 +387,62 @@ def test_lsh_filtered_search_restricts_and_reranks(spark, emb, tmp_path):
         for rank, (neg, o) in enumerate(sorted(cands)[:5], 1):
             want.append((q, rank, o, -neg))
     assert sorted(got) == sorted(want)
+
+
+def test_minhash_signature_index_lifecycle(spark, tmp_path, monkeypatch):
+    """The persisted xxhash64 signature table (q65's probe side) must
+    (a) make the banded sweep equal the fully in-flight path, (b) be
+    reused — never re-signed — on a warm index, and (c) extend
+    incrementally on append-only corpus growth with rows identical to
+    a full rebuild (signatures are per-row functions of the text, so
+    delta-signing is exact, not approximate)."""
+    from archetype_spark.operators import dedup
+    from archetype_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    tbl = str(tmp_path / "docs_tbl")
+    docs.write.parquet(tbl)
+    d1 = spark.read.parquet(tbl)
+    idx = str(tmp_path / "minhash")
+
+    inline = dedup.minhash_lsh_pairs(
+        d1, num_hashes=64, bands=16, threshold=0.45, hash_family="xxhash64"
+    )
+    sigs = ann_index.ensure_minhash(d1, idx, num_hashes=64, shingle_n=3)
+    swept = dedup.minhash_pairs_from_signatures(
+        sigs, num_hashes=64, bands=16, threshold=0.45, id_col="id", sig_col="sig"
+    )
+    want = {tuple(r) for r in inline.collect()}
+    assert {tuple(r) for r in swept.collect()} == want
+
+    def boom(*a, **kw):
+        raise AssertionError("fit_minhash_frames must not run on a warm index")
+
+    monkeypatch.setattr(ann_index, "fit_minhash_frames", boom)
+    again = ann_index.ensure_minhash(d1, idx, num_hashes=64, shingle_n=3)
+    assert again.count() == sigs.count()
+    monkeypatch.undo()
+
+    # append one new document as a whole file -> delta-sign only it
+    new_id = d1.agg({"doc_id": "max"}).first()[0] + 1
+    base = d1.orderBy("doc_id").first()
+    spark.createDataFrame(
+        [(new_id, base["text"], base["lang"], base["source"], base["n_chars"])],
+        schema=d1.schema,
+    ).write.mode("append").parquet(tbl)
+    d2 = spark.read.parquet(tbl)
+
+    def poisoned(*a, **kw):
+        raise AssertionError("full fit ran on an append-only growth")
+
+    monkeypatch.setattr(ann_index, "fit_minhash", poisoned)
+    grown = ann_index.ensure_minhash(d2, idx, num_hashes=64, shingle_n=3)
+    got = {(r["id"], tuple(r["sig"])) for r in grown.collect()}
+    monkeypatch.undo()
+    full = {
+        (r["id"], tuple(r["sig"]))
+        for r in ann_index.fit_minhash_frames(
+            d2, 64, 3, "xxhash64", "doc_id", "text"
+        ).collect()
+    }
+    assert got == full and any(i == new_id for i, _ in got)
