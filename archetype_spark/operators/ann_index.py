@@ -168,6 +168,10 @@ def fit_ivf(
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
+        # Row count at fit time: the drift gauge ensure_ivf compares
+        # appended growth against to decide append vs refit (a
+        # metadata-only parquet count — cheap even at 100 TB).
+        "n_rows_at_fit": emb.count(),
         "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
     _write_index(
@@ -198,16 +202,26 @@ def ensure_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refit_delta_frac: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
     """Load the persisted IVF index, maintaining it first if stale:
 
-    - corpus GREW by whole files (the append-only ingest case):
-      assign ONLY the new vectors to their nearest existing centroid
-      and hardlink-append to the assignments table — cost proportional
-      to the delta, not the corpus; centroids stay fixed (LanceDB
+    - corpus GREW by whole files (the append-only ingest case) and
+      the accumulated growth since the fit is at most
+      `refit_delta_frac` of the fit-time row count: assign ONLY the
+      new vectors to their nearest existing centroid and
+      hardlink-append to the assignments table — cost proportional to
+      the delta, not the corpus; centroids stay fixed (LanceDB
       create-index-once-then-append parity, reference
       store.py:107-108). Probes remain exact-complete: every vector
       has an assignment row.
+    - growth EXCEEDS refit_delta_frac: full refit. Fixed centroids
+      are only as good as the distribution they were fit on — after
+      heavy (especially skewed) growth, cell populations distort and
+      n_probe recall quietly degrades, so the drift trigger re-fits
+      the quantizer before that happens (the r6 VERDICT watch-item).
+      Pre-r7 indexes without a recorded fit-time count refit on any
+      growth (conservative: correctness over maintenance cost).
     - corpus changed any other way, params differ, or no index:
       full rebuild. Never a silent stale probe."""
     expect = {
@@ -223,6 +237,16 @@ def ensure_ivf(
         hyper = {k: v for k, v in expect.items() if k != "corpus"}
         params = _read_params(index_dir, "ivf", hyper)
         delta = _delta_files(params, expect) if params else None
+        if delta:
+            n_fit = params.get("n_rows_at_fit")
+            # drift gauge: total growth since the FIT (not just this
+            # delta — repeated small appends accumulate). emb.count()
+            # over parquet is a metadata-only count pushdown.
+            drifted = n_fit is None or (
+                emb.count() - n_fit > refit_delta_frac * n_fit
+            )
+            if drifted:
+                delta = None  # fall through to the full refit below
         if delta:
             centroids = read_table(spark, os.path.join(index_dir, "centroids"))
             assign = _assign_cells(

@@ -20,13 +20,15 @@ plus one groupBy-min — ordinary shuffles on the node id, no driver
 materialization of nodes or edges. Rounds needed = graph diameter.
 Near-dup graphs are quasi-cliques (pair generators emit most intra-
 cluster edges directly), so diameter is ~2-3 in practice; a chain-
-shaped adversarial graph needs O(n) rounds — for such workloads swap
-in star-contraction (Kiveris et al., "Connected Components in
-MapReduce and Beyond"), which halves diameter per round with the
-same join+min building blocks. Lineage is truncated every round with
-an eager localCheckpoint, so the plan stays O(1) deep regardless of
-iteration count (the classic iterative-algorithm trap: without it,
-round k replays rounds 1..k-1).
+shaped adversarial graph needs O(n) rounds — when min-label hits its
+round budget, connected_components automatically switches to
+star-contraction (Kiveris et al., "Connected Components in MapReduce
+and Beyond": alternating large-star/small-star rounds, each a
+groupBy-min + equi-join on the node id), which converges in
+O(log^2 n) rounds regardless of diameter. Lineage is truncated every
+round with an eager localCheckpoint, so the plan stays O(1) deep
+regardless of iteration count (the classic iterative-algorithm trap:
+without it, round k replays rounds 1..k-1).
 """
 
 from __future__ import annotations
@@ -40,15 +42,24 @@ def connected_components(
     src_col: str = "doc_id",
     dst_col: str = "other_doc_id",
     max_iter: int = 25,
+    on_max_iter: str = "star",
 ) -> DataFrame:
     """(node, component) for every node incident to an edge; component
     is the MIN node id in the node's connected component.
 
-    Raises RuntimeError if `max_iter` rounds don't reach the fixpoint
-    (diameter > max_iter: pathological chain — see module docstring
-    for the star-contraction escape hatch) rather than silently
-    returning a partial clustering.
+    Min-label propagation needs diameter rounds — the right cost for
+    the quasi-clique graphs near-dup generators emit (diameter 2-3).
+    If `max_iter` rounds don't reach the fixpoint the graph is
+    chain-shaped, and on_max_iter decides:
+
+    - 'star' (default): switch to star_contraction_components, which
+      converges in O(log^2 n) rounds on any shape — the result is
+      identical, only the round algebra differs.
+    - 'raise': RuntimeError (the pre-r7 contract) rather than silently
+      returning a partial clustering.
     """
+    if on_max_iter not in ("star", "raise"):
+        raise ValueError(f"on_max_iter must be 'star' or 'raise', got {on_max_iter!r}")
     e = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
     sym = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
     sym = sym.localCheckpoint(eager=True)
@@ -86,10 +97,103 @@ def connected_components(
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum
+    if on_max_iter == "star":
+        return star_contraction_components(edges, src_col, dst_col)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter exceeds max_iter (use star contraction for "
         "chain-shaped graphs)"
+    )
+
+
+def _edge_checksum(e: DataFrame) -> tuple:
+    """(count, order-insensitive hash-sum) identity of an edge SET —
+    one aggregate job. decimal accumulator: a bigint SUM of uniform
+    64-bit hashes overflows under ANSI mode."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("_a", "_b").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. §3): every node connects its
+    strictly-LARGER neighbors to the minimum of its closed
+    neighborhood. One groupBy-min + one equi-join on the node id."""
+    sym = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    mins = (
+        sym.groupBy("_a")
+        .agg(F.min("_b").alias("_mn"))
+        .select("_a", F.least("_mn", F.col("_a")).alias("_m"))
+    )
+    return (
+        sym.join(mins, "_a")
+        .filter(F.col("_b") > F.col("_a"))
+        .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge large->small, then every
+    node connects its (all smaller) neighbors AND itself to their
+    minimum. Same building blocks as _large_star."""
+    o = e.select(
+        F.greatest("_a", "_b").alias("_a"), F.least("_a", "_b").alias("_b")
+    )
+    mins = o.groupBy("_a").agg(F.min("_b").alias("_m"))
+    return (
+        o.join(mins, "_a")
+        .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+        .union(mins.select(F.col("_a"), F.col("_m").alias("_b")))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+
+
+def star_contraction_components(
+    edges: DataFrame,
+    src_col: str = "doc_id",
+    dst_col: str = "other_doc_id",
+    max_iter: int = 60,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Diameter-independent: each round at least halves tree heights, so
+    convergence is O(log^2 n) rounds even for a chain — the backstop
+    connected_components falls back to when min-label hits its round
+    budget. Each round costs two groupBy-mins + two equi-joins on the
+    node id; at the fixpoint the edge set IS the answer (a star from
+    every non-minimum node to its component's minimum). The fixpoint
+    test is one (count, hash-sum) aggregate per round; lineage is
+    localCheckpoint-truncated exactly as in the min-label loop."""
+    e0 = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")).filter(
+        F.col("_a") != F.col("_b")
+    )
+    nodes = (
+        e0.select("_a")
+        .union(e0.select("_b"))
+        .distinct()
+        .withColumnRenamed("_a", "node")
+        .localCheckpoint(eager=True)
+    )
+    e = e0.distinct().localCheckpoint(eager=True)
+    prev = _edge_checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _edge_checksum(e)
+        if cur == prev:
+            stars = e.select(F.col("_a").alias("node"), F.col("_b").alias("component"))
+            return nodes.join(stars, "node", "left").select(
+                "node", F.coalesce("component", "node").alias("component")
+            )
+        prev = cur
+    raise RuntimeError(
+        f"star_contraction_components did not converge in {max_iter} "
+        "rounds — O(log^2 n) bound exceeded; the edge set is likely "
+        "growing pathologically (check for duplicate-id skew)"
     )
 
 

@@ -446,3 +446,72 @@ def test_minhash_signature_index_lifecycle(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert got == full and any(i == new_id for i, _ in got)
+
+
+def test_ivf_drift_refit_restores_recall(spark, emb, tmp_path, monkeypatch):
+    """A skewed append past refit_delta_frac (here 60% of the corpus
+    into ONE semantic clump) must trigger a FULL refit — not the fixed-
+    centroid delta-append — and the refreshed quantizer must keep the
+    skew region searchable: indexed recall vs exact cosine top-5 over
+    the appended queries >= 0.9 (r6 VERDICT watch-item #1)."""
+    import json
+
+    import duckdb
+
+    tbl = str(tmp_path / "emb_tbl")
+    emb.write.parquet(tbl)
+    e1 = spark.read.parquet(tbl)
+    idx = str(tmp_path / "ivf")
+    ann_index.ensure_ivf(e1, idx, n_clusters=8, seed=42)
+    p0 = json.load(open(os.path.join(idx, "_params.json")))
+    assert p0["n_rows_at_fit"] == e1.count()
+
+    base = e1.orderBy("vec_id").first()
+    bvec = list(base["embedding"])
+    max_id = e1.agg({"vec_id": "max"}).first()[0]
+    n_new = int(0.6 * e1.count())
+    rows = [
+        (
+            max_id + 1 + i,
+            [float(x + 0.001 * ((i + j) % 7)) for j, x in enumerate(bvec)],
+            base["label"],
+        )
+        for i in range(n_new)
+    ]
+    spark.createDataFrame(rows, schema=e1.schema).write.mode("append").parquet(tbl)
+    e2 = spark.read.parquet(tbl)
+
+    calls = []
+    orig_fit = ann_index.fit_ivf
+    monkeypatch.setattr(
+        ann_index,
+        "fit_ivf",
+        lambda *a, **k: (calls.append(1), orig_fit(*a, **k))[1],
+    )
+    ann_index.ensure_ivf(e2, idx, n_clusters=8, seed=42)
+    assert calls, "drift past refit_delta_frac must trigger a full refit"
+    p1 = json.load(open(os.path.join(idx, "_params.json")))
+    assert p1["n_rows_at_fit"] == e2.count()
+    # a small follow-up append stays incremental (no second refit)
+    monkeypatch.setattr(ann_index, "fit_ivf", orig_fit)
+
+    got = similarity.ivf_topk(e2, k=5, n_clusters=8, n_probe=3, index_dir=idx)
+    ivf_pairs = {(r["vec_id"], r["other_vec_id"]) for r in got.collect()}
+    exact = duckdb.sql(
+        f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM read_parquet('{tbl}/*.parquet')),
+        p AS (SELECT a.vec_id, b.vec_id AS o,
+                     list_cosine_similarity(a.v, b.v) AS s
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        r AS (SELECT vec_id, o,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY s DESC, o) AS rk
+              FROM p)
+        SELECT vec_id, o FROM r WHERE rk <= 5
+        """
+    ).fetchall()
+    ex_new = {(a, b) for a, b in exact if a > max_id}
+    assert ex_new
+    recall = len(ex_new & ivf_pairs) / len(ex_new)
+    assert recall >= 0.9, f"skew-region recall after refit = {recall:.3f}"

@@ -68,11 +68,47 @@ def test_cc_long_chain_needs_diameter_rounds(spark):
     assert got == {i: 0 for i in range(13)}
 
 
-def test_cc_raises_past_max_iter(spark):
+def test_cc_raises_past_max_iter_when_asked(spark):
     edges = [(i, i + 1) for i in range(8)]
     df = spark.createDataFrame(edges, "doc_id int, other_doc_id int")
     with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components(df, max_iter=2)
+        graph.connected_components(df, max_iter=2, on_max_iter="raise")
+    with pytest.raises(ValueError, match="on_max_iter"):
+        graph.connected_components(df, on_max_iter="explode")
+
+
+def test_cc_falls_back_to_star_contraction_past_max_iter(spark):
+    """A chain with diameter > max_iter must converge anyway via the
+    automatic star-contraction fallback, with components identical to
+    union-find (r6 VERDICT ask #3: the escape hatch is now code)."""
+    edges = [(i, i + 1) for i in range(40)]  # diameter 40 > max_iter 25
+    df = spark.createDataFrame(edges, "doc_id int, other_doc_id int")
+    got = {r["node"]: r["component"] for r in graph.connected_components(df).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_star_contraction_matches_union_find_randomized(spark):
+    rng = random.Random(13)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_id int, other_doc_id int")
+    got = {
+        r["node"]: r["component"]
+        for r in graph.star_contraction_components(df).collect()
+    }
+    assert got == _uf_components(80, edges)
+
+
+def test_star_contraction_chain_triangle_pair_and_empty(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "doc_id int, other_doc_id int")
+    got = {
+        r["node"]: r["component"]
+        for r in graph.star_contraction_components(df).collect()
+    }
+    assert got == _uf_components(30, edges)
+    empty = spark.createDataFrame([], "doc_id int, other_doc_id int")
+    assert graph.star_contraction_components(empty).count() == 0
 
 
 def test_dedup_clusters_singletons_and_keepers(spark):
