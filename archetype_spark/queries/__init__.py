@@ -79,6 +79,8 @@ DRIVER_WINDOW = 50
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
     "q65_minhash_fast",
+    "q80_boilerplate_lines",
+    "q81_pii_scrub",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -109,6 +111,8 @@ _DEFERRED: frozenset[str] = frozenset(
         "q34_token_stats",
         "q35_doc_quality",
         "q38_lang_id",
+        "q39_top_tokens",
+        "q43_media_decode",
     }
 )
 

@@ -15,7 +15,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from archetype_spark.operators import ann_index, dedup, multimodal, similarity, textstats
+from archetype_spark.operators import (
+    ann_index,
+    cleaning,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 from archetype_spark.tables import load
 
 # q42/q61 probe PERSISTED ANN indexes (operators/ann_index.py). The
@@ -661,6 +668,70 @@ def q76_relative_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/cleaning.py
+    remove_boilerplate_lines — the CCNet/RefinedWeb curation stage):
+    drop lines appearing in more than 3 distinct documents, reassemble
+    in original order. The synthetic corpus has no newlines, so the
+    query first gives every document line structure by chunking its
+    tokens into aligned 3-token lines (deterministic, replayed exactly
+    by the oracle) — at sf0.01 that yields ~7.5k distinct lines of
+    which ~50 are cross-document boilerplate. Output: per-doc line
+    audit + sha256 of the reassembled text, so the oracle pins the
+    exact reassembly, not just the counts."""
+    from archetype_spark.operators import cleaning
+
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(3.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(F.slice(w, (i - 1) * 3 + 1, 3), " "),
+    )
+    lined = d.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    cleaned = cleaning.remove_boilerplate_lines(lined, max_line_df=3)
+    return cleaned.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.sha2(F.col("text"), 256).alias("clean_sha"),
+    ).orderBy("doc_id")
+
+
+def q81_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (operators/cleaning.py scrub_pii): the corpus
+    text carries no PII, so the query plants one deterministic email,
+    phone and IPv4 per document (derived from doc_id — the synthetic-
+    seam pattern the multimodal fakes use), then scrubs and audits.
+    Every stage is a narrow JVM regex expression; the plan has zero
+    exchanges beyond the presentation orderBy. Output: per-class match
+    counts + sha256 of the scrubbed text (pinning the exact
+    redactions, same contract as q80)."""
+    from archetype_spark.operators import cleaning
+
+    d = load(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), doc.cast("string"), F.lit("@example.com or 555-"),
+            F.lpad((doc % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((doc % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (doc % 256).cast("string"),
+            F.lit("."), ((doc * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    scrubbed = cleaning.scrub_pii(seeded)
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.sha2(F.col("text"), 256).alias("clean_sha"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -699,6 +770,8 @@ QUERIES = {
     "q77_filtered_ivf_topk": q77_filtered_ivf_topk,
     "q78_mixture_resample": q78_mixture_resample,
     "q79_pack_payloads": q79_pack_payloads,
+    "q80_boilerplate_lines": q80_boilerplate_lines,
+    "q81_pii_scrub": q81_pii_scrub,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -1394,6 +1467,68 @@ ORACLES["q79_pack_payloads"] = """
                CAST(length(payload) AS BIGINT) AS payload_len,
                sha256(payload) AS payload_sha
         FROM g ORDER BY lang, seq_id
+    """
+
+# q80: the 3-token chunk "lines", line document-frequency, hot-line
+# drop and position-ordered reassembly replayed in SQL. The oracle
+# counts/joins raw line STRINGS (ground truth for the Spark side's
+# xxhash64 line keys, the usual digest-for-body trade); the sha256
+# pins the exact reassembled text byte-for-byte.
+ORACLES["q80_boilerplate_lines"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ln AS (SELECT doc_id, i AS pos,
+                      array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' ') AS line
+               FROM t, unnest(generate_series(1, CAST(ceil(len(w)/3.0) AS INT))) AS u(i)),
+        dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS d FROM ln GROUP BY line),
+        hot AS (SELECT line FROM dfc WHERE d > 3),
+        fl AS (SELECT l.doc_id, l.pos, l.line, h.line IS NOT NULL AS is_hot
+               FROM ln l LEFT JOIN hot h ON l.line = h.line)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) FILTER (NOT is_hot) AS BIGINT) AS n_kept,
+               sha256(COALESCE(string_agg(CASE WHEN NOT is_hot THEN line END,
+                                          chr(10) ORDER BY pos), '')) AS clean_sha
+        FROM fl GROUP BY doc_id ORDER BY doc_id
+    """
+
+# q81: the same seeded-PII derivation, then the scrub_pii pattern
+# sequence replayed with identical regex literals (the pattern subset
+# runs identically under Java regex and RE2) — counts taken at each
+# class's turn, redactions nested in the same order.
+_PII_EMAIL = cleaning.PII_PATTERNS["email"][0]
+_PII_PHONE = cleaning.PII_PATTERNS["phone"][0]
+_PII_IP = cleaning.PII_PATTERNS["ip"][0]
+ORACLES["q81_pii_scrub"] = f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-'
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+                 regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+          FROM seeded
+        ), s2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+                 regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g') AS t
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, n_email, n_phone,
+                 len(regexp_extract_all(t, '{_PII_IP}')) AS n_ip,
+                 regexp_replace(t, '{_PII_IP}', '<IP>', 'g') AS t
+          FROM s2
+        )
+        SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+               CAST(n_phone AS BIGINT) AS n_phone,
+               CAST(n_ip AS BIGINT) AS n_ip,
+               sha256(t) AS clean_sha
+        FROM s3 ORDER BY doc_id
     """
 
 # q71: the q67 split fences + the q36 shingle derivation, composed —

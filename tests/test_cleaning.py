@@ -1,0 +1,69 @@
+"""Cleaning operators (operators/cleaning.py): line-level boilerplate
+removal semantics and the PII scrub pass."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from archetype_spark.operators import cleaning
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """Lines above the df threshold vanish from every document; order
+    is preserved; within-doc repeats count once toward df; a document
+    that was ALL boilerplate survives as an empty string."""
+    rows = [
+        (1, "nav\nalpha\nnav\nbeta"),   # nav repeats in-doc: df still 3
+        (2, "nav\ngamma"),
+        (3, "nav\ndelta\nbeta"),
+        (4, "nav"),                       # all-boilerplate doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+        for r in cleaning.remove_boilerplate_lines(df, max_line_df=2).collect()
+    }
+    assert out == {
+        1: ("alpha\nbeta", 4, 2),
+        2: ("gamma", 2, 1),
+        3: ("delta\nbeta", 3, 2),
+        4: ("", 1, 0),
+    }
+    # threshold high enough -> nothing dropped, text round-trips
+    kept_all = {
+        r["doc_id"]: r["text"]
+        for r in cleaning.remove_boilerplate_lines(df, max_line_df=10).collect()
+    }
+    assert kept_all == {i: t for i, t in rows}
+
+
+def test_scrub_pii_counts_and_redactions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@x-mail.co.uk now"),
+            (2, "call 555-123-4567 or 555.000.1111 from 10.0.0.1"),
+            (3, "no pii here, v1.2 and 12.5 are versions"),
+            (4, "two mails a@b.io c@d.org and ip 192.168.254.3"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ip"], r["text"])
+        for r in cleaning.scrub_pii(df).collect()
+    }
+    assert got[1] == (1, 0, 0, "mail <EMAIL> now")
+    assert got[2] == (0, 2, 1, "call <PHONE> or <PHONE> from <IP>")
+    assert got[3] == (0, 0, 0, "no pii here, v1.2 and 12.5 are versions")
+    assert got[4] == (2, 0, 1, "two mails <EMAIL> <EMAIL> and ip <IP>")
+    # audit=False keeps only the scrubbed text
+    cols = cleaning.scrub_pii(df, audit=False).columns
+    assert cols == ["doc_id", "text"]
+
+
+def test_scrub_pii_is_narrow(spark):
+    """The scrub pass must add zero exchanges — pure per-row
+    expressions that fuse into the input scan."""
+    from archetype_spark.plans import n_exchanges
+
+    df = spark.createDataFrame([(1, "x@y.zz")], "doc_id int, text string")
+    assert n_exchanges(cleaning.scrub_pii(df)) == 0
