@@ -17,6 +17,13 @@ shuffle on the shard key; shards are independent, so width scales
 with the cluster. Docs longer than the budget inflate their sequence
 past the budget rather than being split — token-level splitting
 needs a tokenizer and belongs to the writer stage downstream.
+
+`pack_exact_sequences` is that writer-stage complement: it cuts the
+shard's concatenated token stream at EXACT budget boundaries, so a
+doc crossing a cut emits one piece per overlapped sequence and every
+sequence holds exactly `budget` tokens (the shard's last one
+excepted) — the GPT-style pretraining layout where nothing inflates
+past the context window.
 """
 
 from __future__ import annotations
@@ -83,4 +90,71 @@ def pack_payloads(
             F.array_join(F.transform(F.col("_m"), lambda m: m["_t"]), sep),
         )
         .drop("_m")
+    )
+
+
+def pack_exact_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "lang",
+    budget: int = 1024,
+) -> DataFrame:
+    """Token-split packing: conceptually concatenate each shard's
+    whitespace-token stream in `id_col` order and cut it every
+    `budget` tokens. Each document emits one row per sequence it
+    overlaps — (shard_col, seq_id, id_col, piece_idx, piece_tokens,
+    piece_text) — so EVERY sequence totals exactly `budget` tokens
+    (the shard's final partial sequence excepted), unlike
+    pack_sequences, which keeps documents whole and lets an
+    over-budget doc inflate its sequence.
+
+    Scale: the same single partitioned running-sum window as
+    pack_sequences, then a NARROW sequence+explode (the
+    mixture_resample shape — pieces per doc = overlapped sequences,
+    no join, no extra shuffle) and per-piece token slicing as plain
+    column work. The token model is the corpus-wide whitespace
+    convention (functions/text.tokens); a subword tokenizer would
+    slot into the same offsets downstream."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(shard_col), F.col(id_col), F.col(text_col), F.size(toks).alias("_nt")
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("_nt").over(w), F.lit(0)).cast("bigint")
+    spanned = base.select(
+        shard_col, id_col, text_col, "_nt", start.alias("_start")
+    ).filter(F.col("_nt") > 0)
+    k0 = F.floor(F.col("_start") / budget)
+    k1 = F.floor((F.col("_start") + F.col("_nt") - 1) / budget)
+    pieces = spanned.select(
+        shard_col,
+        id_col,
+        text_col,
+        "_nt",
+        "_start",
+        F.posexplode(F.sequence(k0, k1)).alias("piece_idx", "seq_id"),
+    )
+    lo = F.greatest(F.col("_start"), F.col("seq_id") * budget)
+    hi = F.least(F.col("_start") + F.col("_nt"), (F.col("seq_id") + 1) * budget)
+    return pieces.select(
+        shard_col,
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        id_col,
+        F.col("piece_idx").cast("int").alias("piece_idx"),
+        (hi - lo).cast("bigint").alias("piece_tokens"),
+        F.array_join(
+            F.slice(
+                F.split(F.col(text_col), " "),
+                (lo - F.col("_start") + 1).cast("int"),
+                (hi - lo).cast("int"),
+            ),
+            " ",
+        ).alias("piece_text"),
     )

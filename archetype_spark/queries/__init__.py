@@ -81,6 +81,7 @@ _PINNED: tuple[str, ...] = (
     "q65_minhash_fast",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
+    "q82_exact_pack",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -113,6 +114,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q38_lang_id",
         "q39_top_tokens",
         "q43_media_decode",
+        "q44_fingerprints",
     }
 )
 

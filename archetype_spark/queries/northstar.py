@@ -732,6 +732,43 @@ def q81_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q82_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget token-split packing (operators/packing.py
+    pack_exact_sequences): the shard token stream cut every 32 tokens,
+    docs crossing a cut split into per-sequence pieces — every
+    sequence totals exactly the budget except each lang's last
+    (self-evident in the seq_tokens column), closing q68's documented
+    over-budget-doc caveat. The budget is deliberately below the
+    corpus's median doc length so splitting triggers on nearly every
+    document. Output mirrors q79: per-sequence piece/token counts and
+    the sha256-pinned payload."""
+    from archetype_spark.operators import packing
+
+    d = load(spark, sf_dir, "documents")
+    pieces = packing.pack_exact_sequences(d, budget=32)
+    member = F.struct(F.col("doc_id"), F.col("piece_text").alias("_t"))
+    payload = F.array_join(
+        F.transform(F.array_sort(F.collect_list(member)), lambda m: m["_t"]), " "
+    )
+    return (
+        pieces.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+            F.sum("piece_tokens").cast("bigint").alias("seq_tokens"),
+            payload.alias("_p"),
+        )
+        .select(
+            "lang",
+            "seq_id",
+            "n_pieces",
+            "seq_tokens",
+            F.length("_p").cast("bigint").alias("payload_len"),
+            F.sha2(F.col("_p"), 256).alias("payload_sha"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -772,6 +809,7 @@ QUERIES = {
     "q79_pack_payloads": q79_pack_payloads,
     "q80_boilerplate_lines": q80_boilerplate_lines,
     "q81_pii_scrub": q81_pii_scrub,
+    "q82_exact_pack": q82_exact_pack,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -1529,6 +1567,38 @@ ORACLES["q81_pii_scrub"] = f"""
                CAST(n_ip AS BIGINT) AS n_ip,
                sha256(t) AS clean_sha
         FROM s3 ORDER BY doc_id
+    """
+
+# q82: the q68 running-sum window + generate_series over the
+# overlapped sequence range per doc, token slices via 1-based
+# inclusive list slicing — DuckDB replays the exact cut points and
+# the sha256 pins every payload byte.
+ORACLES["q82_exact_pack"] = """
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        s AS (SELECT doc_id, lang, w, len(w) AS nt,
+                COALESCE(SUM(len(w)) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+              FROM t),
+        p AS (SELECT doc_id, lang, w, nt, start,
+                     unnest(generate_series(CAST(start // 32 AS BIGINT),
+                                            CAST((start + nt - 1) // 32 AS BIGINT))) AS k
+              FROM s WHERE nt > 0),
+        pc AS (SELECT lang, k AS seq_id, doc_id, w, start,
+                      greatest(start, k * 32) AS lo,
+                      least(start + nt, (k + 1) * 32) AS hi
+               FROM p),
+        px AS (SELECT lang, seq_id, doc_id, hi - lo AS ptok,
+                      array_to_string(w[CAST(lo - start + 1 AS INT):CAST(hi - start AS INT)], ' ') AS ptext
+               FROM pc),
+        g AS (SELECT lang, seq_id, COUNT(*) AS n_pieces, SUM(ptok) AS seq_tokens,
+                     string_agg(ptext, ' ' ORDER BY doc_id) AS payload
+              FROM px GROUP BY 1, 2)
+        SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(n_pieces AS BIGINT) AS n_pieces,
+               CAST(seq_tokens AS BIGINT) AS seq_tokens,
+               CAST(length(payload) AS BIGINT) AS payload_len,
+               sha256(payload) AS payload_sha
+        FROM g ORDER BY lang, seq_id
     """
 
 # q71: the q67 split fences + the q36 shingle derivation, composed —

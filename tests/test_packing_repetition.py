@@ -101,3 +101,43 @@ def test_pack_payloads_exact_concat(spark):
     assert out[("en", 0)] == (3, "aa bb|cc|dd ee ff")
     assert out[("en", 1)] == (1, "gg")
     assert out[("de", 0)] == (1, "xx yy")
+
+
+def test_pack_exact_sequences_invariants(spark):
+    """Every sequence totals exactly the budget except each shard's
+    last; pieces never exceed the budget; concatenating a doc's pieces
+    in piece_idx order reconstructs the document exactly."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.operators import packing
+    from archetype_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    pieces = packing.pack_exact_sequences(docs, budget=32)
+    rows = pieces.collect()
+    assert all(0 < r["piece_tokens"] <= 32 for r in rows)
+
+    per_seq = {}
+    for r in rows:
+        per_seq.setdefault(r["lang"], {}).setdefault(r["seq_id"], 0)
+        per_seq[r["lang"]][r["seq_id"]] += r["piece_tokens"]
+    for lang, seqs in per_seq.items():
+        last = max(seqs)
+        for sid, tot in seqs.items():
+            if sid != last:
+                assert tot == 32, (lang, sid, tot)
+        assert 0 < seqs[last] <= 32
+        # seq ids are contiguous from 0 (the stream has no holes)
+        assert sorted(seqs) == list(range(last + 1))
+
+    rebuilt = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["piece_idx"])):
+        rebuilt[r["doc_id"]] = (
+            rebuilt.get(r["doc_id"], "") + (" " if r["doc_id"] in rebuilt else "")
+            + r["piece_text"]
+        )
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rebuilt == want
+
+    with __import__("pytest").raises(ValueError, match="budget"):
+        packing.pack_exact_sequences(docs, budget=0)
