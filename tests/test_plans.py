@@ -77,13 +77,14 @@ def test_q24_latest_state_single_shuffle(spark, sf_dir):
 
 
 def test_q30_pairwise_is_gemm_fanned(spark, sf_dir):
-    """The exact cosine kernel's auto tier is GEMM candidates (an
-    Arrow mapInPandas stage over the fanned-out probe side) feeding
-    broadcast-hash candidate re-score joins — never a 1-task
-    cartesian or nested loop."""
+    """The exact cosine kernel's auto tier is GEMM candidates — since
+    r7 an EXECUTOR-SIDE cogrouped Arrow stage (probe groups x
+    replicated build side: the corpus never lands on the driver, r6
+    VERDICT wrong-item #2) feeding broadcast-hash candidate re-score
+    joins — never a 1-task cartesian or nested loop."""
     df = QS["q30_cosine_topk"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "MapInPandas" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     impls = join_impls(df)
     assert "CartesianProduct" not in impls, impls
     assert "BroadcastNestedLoopJoin" not in impls, impls
