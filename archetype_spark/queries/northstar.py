@@ -454,6 +454,28 @@ def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
 
 
+def q66_star_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q66 with the closure swapped to star contraction from round
+    one — the B side of `bench.py --ab q66` (same rows, different
+    round algebra; the harness asserts equality before timing)."""
+    from archetype_spark.operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return graph.dedup_clusters(docs, pairs, id_col="doc_id", algorithm="star").orderBy(
+        "doc_id"
+    )
+
+
+#: Same-JVM A/B pairs for `bench.py --ab <name>`: label -> callable,
+#: first entry is the production path. Cross-session single numbers
+#: carry 20-40% noise (BASELINE.md), so regression claims about these
+#: operators should come from this harness, not from protocol deltas.
+AB_VARIANTS = {
+    "q66": {"minlabel": q66_dedup_clusters, "star": q66_star_variant},
+}
+
+
 def q67_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test mix table: every doc assigned a
     split by portable sha256 hash bucket of doc_id

@@ -38,6 +38,50 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def run_ab(sf_dir: str, sf: float, name: str, reps: int) -> None:
+    """Same-JVM A/B of registered operator variants (`--ab q66`):
+    equality-checked, then interleaved timed reps in ONE process —
+    the only comparison BASELINE.md trusts for regression claims
+    (cross-session single numbers carry 20-40% noise)."""
+    from archetype_spark.queries.northstar import AB_VARIANTS
+
+    if name not in AB_VARIANTS:
+        sys.exit(f"no A/B variants registered for {name!r}; have {sorted(AB_VARIANTS)}")
+    variants = AB_VARIANTS[name]
+    spark = get_spark(app_name=f"archetype-ab-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = {
+        label: {tuple(r) for r in fn(spark, sf_dir).collect()}
+        for label, fn in variants.items()
+    }
+    base = next(iter(rows.values()))
+    assert all(v == base for v in rows.values()), "A/B variants disagree on rows"
+    for fn in variants.values():  # warm both paths before timing
+        _materialize(fn(spark, sf_dir))
+    samples: dict[str, list[float]] = {label: [] for label in variants}
+    for _ in range(reps):
+        for label, fn in variants.items():  # interleaved: drift hits both
+            t0 = time.monotonic()
+            _materialize(fn(spark, sf_dir))
+            samples[label].append(round(time.monotonic() - t0, 3))
+    medians = {
+        label: sorted(ts)[len(ts) // 2] for label, ts in samples.items()
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "ab_wall_sec",
+                "query": name,
+                "sf": sf,
+                "reps": reps,
+                "medians": medians,
+                "samples": samples,
+                "rows_equal": True,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -49,8 +93,14 @@ def main() -> None:
     if "--reps" in sys.argv:
         i = sys.argv.index("--reps")
         if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
-            sys.exit("usage: bench.py [--reps N]  (N = positive integer)")
+            sys.exit("usage: bench.py [--reps N] [--ab qNN]")
         reps = max(1, int(sys.argv[i + 1]))
+    if "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: bench.py --ab <query-prefix> [--reps N]")
+        run_ab(sf_dir, sf, sys.argv[i + 1], reps if reps > 1 else 5)
+        return
 
     spark = get_spark(app_name="archetype-bench")
     spark.sparkContext.setLogLevel("ERROR")
