@@ -144,6 +144,50 @@ def mixture_resample(
     )
 
 
+def shuffle_key(key: Column | str, seed: int = 0) -> Column:
+    """60-bit portable pseudorandom sort key: sha256 of 'seed:key'
+    (first 15 hex chars as BIGINT). Any engine reproduces the exact
+    ordering — DuckDB:
+    ('0x' || substr(sha256(seed || ':' || CAST(k AS VARCHAR)), 1,
+    15))::UBIGINT."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(
+            F.sha2(F.concat_ws(":", F.lit(str(seed)), c.cast("string")), 256), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    seed: int = 0,
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Reproducible pseudorandom training order — the writer-stage
+    shuffle every LLM run needs (example order affects convergence;
+    irreproducible order makes runs uncomparable). Epoch reshuffles
+    are just a different `seed`.
+
+    With `shard_col`: adds a per-shard 1-based `rank_col` via a
+    PARTITIONED row_number over the hash key (shards shuffle
+    independently and interleave at read time — a GLOBAL rank would
+    be the single-task window trap, so it is simply not offered).
+    Without: returns the frame globally sorted by the key — a
+    parallel range-exchange sort, the right shape when the writer
+    just needs files in shuffled order rather than explicit ranks."""
+    k = shuffle_key(id_col, seed)
+    if shard_col is None:
+        return df.orderBy(k, F.col(id_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy(k, F.col(id_col))
+    return df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str = "doc_id", percent: int = 10
 ) -> DataFrame:

@@ -71,9 +71,10 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       driver freshness: q17-q22 and q27 (no driver row since r2)
 #       return; in exchange defer northstar basics green in r1-r6
 #       (q29-q35, q38). New r7 queries (q80 line-dedup, q81 PII
-#       scrub, q82 split-packing) pin as they land, each trading one
-#       more multi-green deferral (q39, q43, q44). r6's nine pins
-#       all got their green row and rotate into the plain block.
+#       scrub, q82 split-packing, q83 deterministic shuffle) pin as
+#       they land, each trading one more multi-green deferral
+#       (q39, q43, q44, q48). r6's nine pins all got their green
+#       row and rotate into the plain block.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -82,6 +83,7 @@ _PINNED: tuple[str, ...] = (
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q82_exact_pack",
+    "q83_deterministic_shuffle",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -115,6 +117,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q39_top_tokens",
         "q43_media_decode",
         "q44_fingerprints",
+        "q48_media_resize",
     }
 )
 

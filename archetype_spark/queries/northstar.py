@@ -791,6 +791,23 @@ def q82_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-stage deterministic shuffle (operators/sampling.py
+    deterministic_shuffle): reproducible pseudorandom training order
+    per shard via a portable sha256 sort key and a PARTITIONED
+    row_number — per-lang ranks, never a global single-task window.
+    The oracle recomputes the identical key and ranking in DuckDB, so
+    the exact example order a training run would consume is
+    hash-verified."""
+    from archetype_spark.operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    out = sampling.deterministic_shuffle(d, shard_col="lang", seed=7)
+    return out.select("lang", "shuffle_rank", "doc_id").orderBy(
+        "lang", "shuffle_rank"
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_cosine_topk": q30_cosine_topk,
@@ -832,6 +849,7 @@ QUERIES = {
     "q80_boilerplate_lines": q80_boilerplate_lines,
     "q81_pii_scrub": q81_pii_scrub,
     "q82_exact_pack": q82_exact_pack,
+    "q83_deterministic_shuffle": q83_deterministic_shuffle,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -1621,6 +1639,21 @@ ORACLES["q82_exact_pack"] = """
                CAST(length(payload) AS BIGINT) AS payload_len,
                sha256(payload) AS payload_sha
         FROM g ORDER BY lang, seq_id
+    """
+
+# q83: the portable shuffle key + per-shard ranking replayed in SQL.
+ORACLES["q83_deterministic_shuffle"] = """
+        WITH k AS (
+          SELECT lang, doc_id,
+                 CAST(('0x' || substr(sha256('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                      AS BIGINT) AS sk
+          FROM documents
+        )
+        SELECT lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS BIGINT)
+                 AS shuffle_rank,
+               doc_id
+        FROM k ORDER BY lang, shuffle_rank
     """
 
 # q71: the q67 split fences + the q36 shingle derivation, composed —

@@ -284,3 +284,37 @@ def test_dedup_clusters_star_algorithm_matches(spark):
     assert a == b
     with pytest.raises(ValueError, match="algorithm"):
         graph.dedup_clusters(ids, pairs, algorithm="bogus")
+
+
+def test_deterministic_shuffle_layout_and_seed(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    a = {
+        (r["lang"], r["shuffle_rank"]): r["doc_id"]
+        for r in sampling.deterministic_shuffle(df, shard_col="lang", seed=7).collect()
+    }
+    # layout-independent: same ranks after a repartition
+    b = {
+        (r["lang"], r["shuffle_rank"]): r["doc_id"]
+        for r in sampling.deterministic_shuffle(
+            df.repartition(13), shard_col="lang", seed=7
+        ).collect()
+    }
+    assert a == b
+    # ranks are a permutation 1..n per shard, and NOT the identity order
+    for lang, n in (("en", 100), ("de", 100)):
+        ranks = sorted(k[1] for k in a if k[0] == lang)
+        assert ranks == list(range(1, n + 1))
+    assert [a[("en", r)] for r in range(1, 101)] != sorted(
+        a[("en", r)] for r in range(1, 101)
+    )
+    # a different seed is a different permutation (epoch reshuffle)
+    c = {
+        (r["lang"], r["shuffle_rank"]): r["doc_id"]
+        for r in sampling.deterministic_shuffle(df, shard_col="lang", seed=8).collect()
+    }
+    assert a != c
+    # global mode: sorted by the portable key, no rank column
+    g = sampling.deterministic_shuffle(df, seed=7)
+    assert "shuffle_rank" not in g.columns
+    assert g.count() == 200
