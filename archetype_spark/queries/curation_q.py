@@ -1,0 +1,128 @@
+"""Round-7 curation-tier query corpus (q84+): the next ring of
+training-data-pipeline stages beyond the SURVEY §2 inventory —
+paragraph dedup, vocabulary coverage, chunking, mixture derivation.
+
+Same contract as every query module: each query is a
+`(spark, sf_dir) -> DataFrame` callable with a colocated DuckDB
+oracle; every computed column is aliased identically on both sides.
+The reference has no curation surface (its dependency chain stops at
+Daft's relational layer) — these are beyond-reference additions from
+the brief's training-pipeline tier, kept in their own module so
+northstar.py stays navigable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from archetype_spark.tables import load
+
+
+def _chunked(d: DataFrame, k: int) -> DataFrame:
+    """Give the (newline-free) synthetic corpus paragraph structure:
+    deterministic k-token chunks joined by newlines — the q80 seam,
+    replayed exactly by each oracle's `ln` CTE."""
+    w = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(F.slice(w, (i - 1) * k + 1, k), " "),
+    )
+    return d.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+
+
+def q84_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup, keep-first (operators/cleaning.py
+    dedup_paragraphs): every distinct paragraph survives only at its
+    globally-first (doc_id, position); ~6% of the corpus's 4-token
+    paragraphs are cross- or within-document repeats at sf0.01.
+    Output: per-doc paragraph audit + sha256 of the reassembled text
+    (pinning the exact survivor set and order)."""
+    from archetype_spark.operators import cleaning
+
+    d = load(spark, sf_dir, "documents")
+    lined = _chunked(d, 4)
+    deduped = cleaning.dedup_paragraphs(lined)
+    return deduped.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.sha2(F.col("text"), 256).alias("clean_sha"),
+    ).orderBy("doc_id")
+
+
+def q85_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sign random projection (operators/projections.py
+    random_sign_projection): 64-dim float vectors to 8 integer
+    micro-unit dimensions via the seed-derived sha256 sign matrix —
+    the JL dimensionality-reduction pre-step ahead of ANN indexing.
+    Integer-exact, so the oracle reproduces every value bit-for-bit
+    from the seed alone. Output long-form: one row per (vec_id,
+    proj_dim)."""
+    from archetype_spark.operators import projections
+
+    e = load(spark, sf_dir, "embeddings")
+    proj = projections.random_sign_projection(e, k=8, seed=0)
+    return (
+        proj.select(
+            "vec_id", F.posexplode("proj").alias("proj_dim", "proj")
+        )
+        .select(
+            "vec_id",
+            F.col("proj_dim").cast("bigint").alias("proj_dim"),
+            F.col("proj").cast("bigint").alias("proj"),
+        )
+        .orderBy("vec_id", "proj_dim")
+    )
+
+
+QUERIES = {
+    "q84_paragraph_dedup": q84_paragraph_dedup,
+    "q85_random_projection": q85_random_projection,
+}
+
+# q84: the 4-token chunk paragraphs, global first-occurrence winner
+# per paragraph (min (doc_id, pos)), position-ordered reassembly of
+# the kept occurrences. The oracle keys on raw paragraph STRINGS (the
+# semantic ground truth for Spark's xxhash64 keys — the usual
+# digest-for-body trade); sha256 pins the reassembled bytes.
+ORACLES = {
+    "q84_paragraph_dedup": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ln AS (SELECT doc_id, i AS pos,
+                      array_to_string(w[(i-1)*4+1:(i-1)*4+4], ' ') AS para
+               FROM t, unnest(generate_series(1, CAST(ceil(len(w)/4.0) AS INT))) AS u(i)),
+        fl AS (SELECT doc_id, pos, para,
+                      ROW_NUMBER() OVER (PARTITION BY para
+                                         ORDER BY doc_id, pos) = 1 AS keep
+               FROM ln)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+               sha256(COALESCE(string_agg(CASE WHEN keep THEN para END,
+                                          chr(10) ORDER BY pos), '')) AS clean_sha
+        FROM fl GROUP BY doc_id ORDER BY doc_id
+    """,
+    # q85: the sign matrix rebuilt entry-by-entry from the same
+    # sha256 derivation, inputs quantized with the same half-away
+    # ROUND, and the projection summed as exact integers — identical
+    # across engines by construction (no float accumulation).
+    "q85_random_projection": """
+        WITH u AS (SELECT vec_id, i - 1 AS d,
+                          CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+                   FROM embeddings,
+                        unnest(generate_series(1, len(embedding))) AS t(i)),
+        m AS (SELECT d.d, j.j,
+                     CASE WHEN ('0x' || substr(sha256('rp:0:' || d.d || ':' || j.j), 1, 1))::UBIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM (SELECT unnest(generate_series(0, 63)) AS d) d,
+                   (SELECT unnest(generate_series(0, 7)) AS j) j)
+        SELECT u.vec_id,
+               CAST(m.j AS BIGINT) AS proj_dim,
+               CAST(SUM(u.qv * m.s) AS BIGINT) AS proj
+        FROM u JOIN m ON u.d = m.d
+        GROUP BY u.vec_id, m.j
+        ORDER BY vec_id, proj_dim
+    """,
+}

@@ -67,3 +67,26 @@ def test_scrub_pii_is_narrow(spark):
 
     df = spark.createDataFrame([(1, "x@y.zz")], "doc_id int, text string")
     assert n_exchanges(cleaning.scrub_pii(df)) == 0
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """Each distinct paragraph survives only at its globally-first
+    (doc_id, pos); order is preserved; a doc whose every paragraph
+    appeared earlier survives as an empty string."""
+    rows = [
+        (1, "alpha\nshared\nbeta"),
+        (2, "shared\ngamma\nalpha"),   # shared+alpha first seen in doc 1
+        (3, "shared"),                  # fully duplicate doc
+        (4, "delta\ndelta"),            # within-doc repeat: keep pos 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in cleaning.dedup_paragraphs(df).collect()
+    }
+    assert out == {
+        1: ("alpha\nshared\nbeta", 3, 3),
+        2: ("gamma", 3, 1),
+        3: ("", 1, 0),
+        4: ("delta", 2, 1),
+    }

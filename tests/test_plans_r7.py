@@ -33,3 +33,17 @@ def test_q81_scrub_is_exchange_free(spark, sf_dir):
     assert n_exchanges(df) <= 1, formatted_plan(df)
     plan = formatted_plan(df)
     assert "regexp_replace" in plan
+
+
+def test_q84_winner_is_partial_aggregated_no_window(spark, sf_dir):
+    """The first-occurrence winner must be a struct-MIN aggregation
+    with a map-side partial phase (hot paragraphs — e.g. the empty
+    line — cost one partial min per task), never a row_number window
+    buffering the hot key in one task. Probe join keys on the 8-byte
+    paragraph hash."""
+    df = QS["q84_paragraph_dedup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, "winner regressed to a window sort"
+    assert "partial_min" in plan, "struct-MIN lost its map-side combine"
+    assert "xxhash64" in plan, "winner join must key on the 8-byte hash"
+    assert "CartesianProduct" not in plan
