@@ -246,3 +246,76 @@ def relative_quality_gate(
         .filter(F.col(score_col) >= F.col("_fence"))
         .drop("_fence")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    top_v: int = 500,
+) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary scoring: build the
+    top-`top_v` n-gram vocabulary by corpus term frequency (ties
+    broken by n-gram text ascending — a total order both engines
+    reproduce), then score every document by the fraction of its
+    n-gram occurrences falling OUTSIDE that vocabulary. High OOV
+    rate flags text unlike the corpus mainstream (boilerplate
+    soup, wrong-language shards, OCR noise) — the cheap engine-side
+    stand-in for tokenizer-fit / perplexity screening.
+
+    Returns (id_col, n_ngrams, n_oov, oov_rate). Documents shorter
+    than `n` tokens have zero n-grams and report oov_rate 0.
+
+    Scale: n-gram counts are one map-side-combinable aggregation on
+    the gram string; the vocabulary is a top-V TakeOrdered (never a
+    global sort) and broadcasts back — V rows by construction — so
+    the per-doc pass is scan + broadcast probe + one groupBy on the
+    doc id. Hot n-grams cost one counter each; nothing driver-side
+    except the V-row limit."""
+    from archetype_spark.operators.util import fan_out
+    from archetype_spark.queries.relational import round_like_duckdb
+
+    w = F.split(F.col(text_col), " ")
+    grams = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            # guard: Spark's sequence(1, 0) counts DOWN, so short docs
+            # need an explicit empty array, not a clamped upper bound
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - n + 1),
+                    lambda i: F.array_join(F.slice(w, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    )
+    vocab = (
+        grams.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .orderBy(F.col("_tf").desc(), F.col("_g"))
+        .limit(top_v)
+        .select("_g", F.lit(True).alias("_in_vocab"))
+    )
+    probed = grams.join(F.broadcast(vocab), "_g", "left")
+    per_doc = probed.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+        F.count(F.when(F.col("_in_vocab").isNull(), 1)).cast("bigint").alias("n_oov"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.when(
+                F.coalesce(F.col("n_ngrams"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                round_like_duckdb(F.col("n_oov") / F.col("n_ngrams"), 6)
+            )
+            .alias("oov_rate"),
+        )
+    )

@@ -99,6 +99,7 @@ _PINNED: tuple[str, ...] = (
     "q83_deterministic_shuffle",
     "q84_paragraph_dedup",
     "q85_random_projection",
+    "q86_oov_rate",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -135,6 +136,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q48_media_resize",
         "q36_ngram_jaccard",
         "q37_embedding_dups",
+        "q42_lsh_topk",
     }
 )
 

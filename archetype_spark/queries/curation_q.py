@@ -77,9 +77,24 @@ def q85_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage scoring (operators/textstats.py
+    vocab_coverage): top-500 corpus bigram vocabulary (term
+    frequency, ties by text — at sf0.01 it covers ~63% of bigram
+    occurrences), each doc scored by its out-of-vocabulary bigram
+    fraction — the engine-side stand-in for tokenizer-fit/perplexity
+    screening. Per-row ratios round with DuckDB semantics
+    (round_like_duckdb) so boundary rows hash identically."""
+    from archetype_spark.operators import textstats
+
+    d = load(spark, sf_dir, "documents")
+    return textstats.vocab_coverage(d, n=2, top_v=500).orderBy("doc_id")
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
+    "q86_oov_rate": q86_oov_rate,
 }
 
 # q84: the 4-token chunk paragraphs, global first-occurrence winner
@@ -124,5 +139,24 @@ ORACLES = {
         FROM u JOIN m ON u.d = m.d
         GROUP BY u.vec_id, m.j
         ORDER BY vec_id, proj_dim
+    """,
+    # q86: bigram term-frequency vocabulary (top-500, ties by text),
+    # per-doc OOV fraction over a left probe — docs shorter than the
+    # n-gram width report zero grams and rate 0.
+    "q86_oov_rate": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS ng
+              FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)),
+        c AS (SELECT ng, COUNT(*) AS tf FROM g GROUP BY ng),
+        v AS (SELECT ng FROM c ORDER BY tf DESC, ng LIMIT 500),
+        p AS (SELECT g.doc_id, COUNT(*) AS n_ngrams,
+                     COUNT(*) FILTER (v.ng IS NULL) AS n_oov
+              FROM g LEFT JOIN v ON g.ng = v.ng GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+               CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CASE WHEN COALESCE(p.n_ngrams, 0) = 0 THEN 0.0
+                    ELSE ROUND(p.n_oov * 1.0 / p.n_ngrams, 6) END AS oov_rate
+        FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id
     """,
 }

@@ -90,3 +90,26 @@ def test_dedup_paragraphs_keep_first(spark):
         3: ("", 1, 0),
         4: ("delta", 2, 1),
     }
+
+
+def test_vocab_coverage_short_docs_and_rates(spark):
+    """Docs shorter than n tokens report zero grams / rate 0; OOV
+    counts occurrences (term frequency), not distinct grams."""
+    from archetype_spark.operators import textstats
+
+    rows = [
+        (1, "a b a b a b"),   # grams: "a b" x3, "b a" x2
+        (2, "a b c"),          # "a b", "b c"
+        (3, "x"),              # too short: 0 grams
+        (4, "c c c"),          # "c c" x2
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["n_oov"], r["oov_rate"])
+        for r in textstats.vocab_coverage(df, n=2, top_v=2).collect()
+    }
+    # vocab by tf desc, text asc: "a b"(3), "b a"(2) -- "c c"(2) loses tie
+    assert out[1] == (5, 0, 0.0)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (0, 0, 0.0)
+    assert out[4] == (2, 2, 1.0)

@@ -47,3 +47,14 @@ def test_q84_winner_is_partial_aggregated_no_window(spark, sf_dir):
     assert "partial_min" in plan, "struct-MIN lost its map-side combine"
     assert "xxhash64" in plan, "winner join must key on the 8-byte hash"
     assert "CartesianProduct" not in plan
+
+
+def test_q86_vocab_broadcasts_no_global_sort(spark, sf_dir):
+    """The top-V vocabulary must reach the per-doc probe as a
+    broadcast (V rows by construction) and the limit must be a
+    TakeOrdered, never a full global Sort of the gram counts."""
+    df = QS["q86_oov_rate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in join_impls(df), join_impls(df)
+    assert "TakeOrderedAndProject" in plan, "top-V regressed to global sort"
+    assert "CartesianProduct" not in plan
