@@ -158,3 +158,51 @@ def pack_exact_sequences(
             " ",
         ).alias("piece_text"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/embedding
+    prep stage (split long docs into `window`-token chunks whose
+    starts step by `stride`, so consecutive chunks overlap by
+    window - stride tokens and every token is covered). Chunk count
+    per doc: 1 + ceil(max(n_tokens - window, 0) / stride); the last
+    chunk may be shorter than `window`; every doc emits at least one
+    chunk. Returns (id_col, chunk_id, chunk_tokens, chunk_text).
+
+    Scale: entirely narrow — a literal-bounded sequence+explode plus
+    per-chunk list slicing as plain column work; zero exchanges, so
+    chunking fuses onto the scan and downstream stages (e.g. the
+    embedding mapInPandas) see chunk rows without a shuffle having
+    happened. Contrast with `pack_exact_sequences` (cuts a SHARD's
+    concatenated stream at budget boundaries for pretraining):
+    chunking is per-document and overlap-friendly, packing is
+    cross-document and exact-budget."""
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window/stride must be positive, got {window}/{stride}")
+    w = F.split(F.col(text_col), " ")
+    nt = F.size(w)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(nt - window, F.lit(0)) / F.lit(float(stride)))
+    ).cast("int")
+    out = (
+        df.withColumn("_w", w)
+        .withColumn("_nt", nt)
+        .withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+    )
+    lo = F.col("chunk_id") * stride + 1
+    hi = F.least(F.col("chunk_id") * stride + window, F.col("_nt"))
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        (hi - lo + 1).cast("bigint").alias("chunk_tokens"),
+        F.array_join(F.slice("_w", lo, hi - lo + 1), " ").alias("chunk_text"),
+    )

@@ -100,6 +100,7 @@ _PINNED: tuple[str, ...] = (
     "q84_paragraph_dedup",
     "q85_random_projection",
     "q86_oov_rate",
+    "q87_doc_chunks",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -137,6 +138,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q36_ngram_jaccard",
         "q37_embedding_dups",
         "q42_lsh_topk",
+        "q49_frame_sample",
     }
 )
 

@@ -91,10 +91,30 @@ def q86_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_coverage(d, n=2, top_v=500).orderBy("doc_id")
 
 
+def q87_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/packing.py
+    chunk_documents): 32-token windows stepping by 24 (8-token
+    overlap) — the retrieval/embedding prep stage, per-document and
+    entirely narrow (zero exchanges before the presentation sort).
+    Output: one row per chunk with its token count and sha256-pinned
+    text."""
+    from archetype_spark.operators import packing
+
+    d = load(spark, sf_dir, "documents")
+    chunks = packing.chunk_documents(d, window=32, stride=24)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_tokens",
+        F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
     "q86_oov_rate": q86_oov_rate,
+    "q87_doc_chunks": q87_doc_chunks,
 }
 
 # q84: the 4-token chunk paragraphs, global first-occurrence winner
@@ -158,5 +178,24 @@ ORACLES = {
                CASE WHEN COALESCE(p.n_ngrams, 0) = 0 THEN 0.0
                     ELSE ROUND(p.n_oov * 1.0 / p.n_ngrams, 6) END AS oov_rate
         FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id
+    """,
+    # q87: same chunk-count formula and per-chunk slice bounds; the
+    # sha256 pins every chunk's exact text.
+    "q87_doc_chunks": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                          len(string_split(text, ' ')) AS nt
+                   FROM documents),
+        c AS (SELECT doc_id, w, nt,
+                     unnest(generate_series(0,
+                        CAST(ceil(greatest(nt - 32, 0) / 24.0) AS BIGINT))) AS k
+              FROM t)
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_id,
+               CAST(least(k * 24 + 32, nt) - (k * 24 + 1) + 1 AS BIGINT)
+                 AS chunk_tokens,
+               sha256(array_to_string(
+                 w[CAST(k * 24 + 1 AS INT):CAST(least(k * 24 + 32, nt) AS INT)],
+                 ' ')) AS chunk_sha
+        FROM c ORDER BY doc_id, chunk_id
     """,
 }

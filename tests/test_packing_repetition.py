@@ -141,3 +141,35 @@ def test_pack_exact_sequences_invariants(spark):
 
     with __import__("pytest").raises(ValueError, match="budget"):
         packing.pack_exact_sequences(docs, budget=0)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token covered; starts step by stride; last chunk may be
+    short; single-chunk docs emit exactly one chunk; invariants hold
+    for window-divisible and ragged lengths."""
+    from archetype_spark.operators import packing
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(56))),  # 56 = 32 + 24 exactly
+        (2, " ".join(f"t{i}" for i in range(33))),  # one token past a window
+        (3, " ".join(f"t{i}" for i in range(10))),  # shorter than window
+        (4, ""),                                     # empty text -> [''] 1 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = packing.chunk_documents(df, window=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [len(by_doc[d]) for d in (1, 2, 3, 4)] == [2, 2, 1, 1]
+    # doc 1: chunk 1 covers tokens 24..55 (32 tokens, ends exactly)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [c["chunk_tokens"] for c in c1] == [32, 32]
+    assert c1[1]["chunk_text"].split(" ")[0] == "t24"
+    assert c1[1]["chunk_text"].split(" ")[-1] == "t55"
+    # doc 2: ragged last chunk of 33 - 24 = 9 tokens
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [c["chunk_tokens"] for c in c2] == [32, 9]
+    # zero exchanges: chunking is narrow
+    from archetype_spark.plans import n_exchanges
+
+    assert n_exchanges(packing.chunk_documents(df)) == 0
