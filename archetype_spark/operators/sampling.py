@@ -197,3 +197,73 @@ def deterministic_sample(
     if not 0 <= percent <= 100:
         raise ValueError(f"percent must be in [0, 100], got {percent}")
     return df.filter(hash_bucket(id_col) < F.lit(percent))
+
+
+def temperature_mixture_rates(
+    df: DataFrame, group_col: str, alpha_sqrt: bool = True
+) -> DataFrame:
+    """Derive per-group resampling rates that flatten the corpus
+    mixture with temperature alpha = 0.5 — the multilingual/domain
+    rebalancing rule (target share ∝ n_g^alpha): over-represented
+    groups downsample, under-represented ones upsample, totals stay
+    ~corpus-sized. Returns one row per group:
+    (group_col, n_g, rate_pct) with rate_pct = floor(100 * t_g / n_g)
+    where t_g = N * w_g / sum(w_g) and w_g = round(sqrt(n_g) * 1000).
+
+    Portability is engineered, not hoped for: sqrt is IEEE-exact
+    (unlike pow — hence alpha fixed at 0.5), weights quantize to
+    integer milli-units with DuckDB ROUND semantics, the products
+    100*N*w and sum_w*n_g are exact integers, and the single double
+    division of two exact integers is bit-identical everywhere —
+    zero float-accumulation anywhere. (Past ~2^53-magnitude products
+    — N around 10^12 docs — promote the two products to
+    decimal(38,0); the division stays one exact-input op.)
+
+    Scale: one map-side-combinable count per group + a one-row
+    broadcast of the totals; G rows out. Feed `temperature_resample`
+    (or `mixture_resample` after a G-row collect) to apply."""
+    from archetype_spark.queries.relational import round_like_duckdb
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    w = counts.withColumn(
+        "_w", round_like_duckdb(F.sqrt("n_g") * 1000, 0).cast("bigint")
+    )
+    tot = w.agg(
+        F.sum("n_g").alias("_n"), F.sum("_w").alias("_sw")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.col("n_g").cast("bigint").alias("n_g"),
+            F.floor(
+                (F.lit(100) * F.col("_n") * F.col("_w")).cast("double")
+                / (F.col("_sw") * F.col("n_g")).cast("double")
+            )
+            .cast("int")
+            .alias("rate_pct"),
+        )
+    )
+
+
+def temperature_resample(
+    df: DataFrame, group_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply `temperature_mixture_rates` end-to-end without any
+    driver round-trip: the G-row rate table broadcasts back onto the
+    corpus and rows repeat/drop exactly as `mixture_resample` would
+    (floor(rate/100) full copies + one hash-fenced fractional copy),
+    with the same layout-independent sha256 bucket fence. Adds
+    (dup_idx, rate_pct)."""
+    rates = temperature_mixture_rates(df, group_col)
+    pct = F.col("rate_pct")
+    n = (pct / 100).cast("int") + (hash_bucket(id_col) < pct % 100).cast("int")
+    return (
+        df.join(F.broadcast(rates.drop("n_g")), group_col)
+        .withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "dup_idx", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+    )

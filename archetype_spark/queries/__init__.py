@@ -101,6 +101,7 @@ _PINNED: tuple[str, ...] = (
     "q85_random_projection",
     "q86_oov_rate",
     "q87_doc_chunks",
+    "q88_temperature_mix",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -139,6 +140,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q37_embedding_dups",
         "q42_lsh_topk",
         "q49_frame_sample",
+        "q62_url_fetch",
     }
 )
 

@@ -110,11 +110,37 @@ def q87_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+def q88_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture resampling (operators/sampling.py
+    temperature_resample): per-language rates derived from corpus
+    counts with target share ∝ sqrt(n_g) (alpha = 0.5 — sqrt chosen
+    because it is IEEE-exact, so both engines derive identical
+    rates), then the q78 repeat/drop machinery applies them with the
+    portable hash fence. Output: per-lang rate + emitted-set
+    checksums."""
+    from archetype_spark.operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    out = sampling.temperature_resample(d, "lang")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.max("rate_pct").cast("int").alias("rate_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("dup_idx").cast("bigint").alias("sum_dup_idx"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
     "q86_oov_rate": q86_oov_rate,
     "q87_doc_chunks": q87_doc_chunks,
+    "q88_temperature_mix": q88_temperature_mix,
 }
 
 # q84: the 4-token chunk paragraphs, global first-occurrence winner
@@ -197,5 +223,35 @@ ORACLES = {
                  w[CAST(k * 24 + 1 AS INT):CAST(least(k * 24 + 32, nt) AS INT)],
                  ' ')) AS chunk_sha
         FROM c ORDER BY doc_id, chunk_id
+    """,
+    # q88: rates rebuilt from counts with the identical exact-input
+    # arithmetic (IEEE sqrt, milli-unit ROUND, integer products, one
+    # double division), then the q78 repeat/drop replay.
+    "q88_temperature_mix": """
+        WITH c AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+        w AS (SELECT lang, n_g, CAST(ROUND(sqrt(n_g) * 1000) AS BIGINT) AS w
+              FROM c),
+        t AS (SELECT SUM(n_g) AS n, SUM(w) AS sw FROM w),
+        r AS (SELECT lang, n_g,
+                     CAST(FLOOR((100 * t.n * w.w) * 1.0 / (t.sw * w.n_g)) AS INT)
+                       AS rate_pct
+              FROM w, t),
+        b AS (SELECT d.doc_id, d.lang, r.rate_pct,
+                     ('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                       % 100 AS bucket
+              FROM documents d JOIN r USING (lang)),
+        cc AS (SELECT doc_id, lang, rate_pct,
+                      CAST(rate_pct // 100 AS INT)
+                        + CASE WHEN bucket < rate_pct % 100 THEN 1 ELSE 0 END AS n
+               FROM b),
+        xp AS (SELECT doc_id, lang, rate_pct,
+                      unnest(generate_series(0, n - 1)) AS dup_idx
+               FROM cc WHERE n > 0)
+        SELECT lang, CAST(MAX(rate_pct) AS INT) AS rate_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(dup_idx) AS BIGINT) AS sum_dup_idx
+        FROM xp GROUP BY lang ORDER BY lang
     """,
 }

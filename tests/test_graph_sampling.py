@@ -318,3 +318,41 @@ def test_deterministic_shuffle_layout_and_seed(spark):
     g = sampling.deterministic_shuffle(df, seed=7)
     assert "shuffle_rank" not in g.columns
     assert g.count() == 200
+
+
+def test_temperature_mixture_rates_flatten(spark):
+    """alpha=0.5 flattening: over-represented groups get rate < 100,
+    under-represented > 100; rates match the hand-derived integer
+    formula; emitted total stays ~corpus-sized."""
+    from archetype_spark.operators import sampling
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {
+        r["lang"]: (r["n_g"], r["rate_pct"])
+        for r in sampling.temperature_mixture_rates(df, "lang").collect()
+    }
+    import math
+
+    w_big = round(math.sqrt(900) * 1000)    # 30000
+    w_small = round(math.sqrt(100) * 1000)  # 10000
+    sw = w_big + w_small
+    assert rates["big"] == (900, (100 * 1000 * w_big) // (sw * 900))
+    assert rates["small"] == (100, (100 * 1000 * w_small) // (sw * 100))
+    assert rates["big"][1] < 100 < rates["small"][1]
+    out = sampling.temperature_resample(df, "lang")
+    n = out.count()
+    assert abs(n - 1000) < 60, n  # hash fence keeps totals ~N
+
+
+def test_temperature_resample_broadcasts_rates(spark):
+    """The G-row rate table must broadcast back onto the corpus —
+    the corpus never shuffles to meet its own mixture stats."""
+    from archetype_spark.operators import sampling
+    from archetype_spark.plans import formatted_plan
+
+    rows = [(i, "ab"[i % 2] ) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    plan = formatted_plan(sampling.temperature_resample(df, "lang"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
