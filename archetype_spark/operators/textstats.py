@@ -319,3 +319,87 @@ def vocab_coverage(
             .alias("oov_rate"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram surprisal scoring — the engine-side
+    analog of perplexity filtering (CCNet trains KenLM; here the
+    corpus itself is the LM): per document, the mean negative log
+    probability of its token bigrams under add-one-smoothed corpus
+    statistics, p(b|a) = (c(a,b) + 1) / (c(a) + V). High surprisal
+    flags text the corpus finds improbable (noise, wrong language);
+    low flags rote repetition.
+
+    Returns (id_col, n_bigrams, sum_micro_nats, avg_surprisal):
+    per-bigram surprisals quantize to integer micro-nats
+    (round(-ln(p) * 1e6), DuckDB ROUND semantics) and SUM as exact
+    integers — the q57 lesson: float log-sums differ across engines
+    by accumulation order, integer sums never do. The single ln per
+    DISTINCT (a, b) pair is the only float op; its 1-ulp engine
+    variance only matters within 1e-12 of a rounding boundary.
+
+    Scale: two map-side-combinable count aggregations (bigram pairs,
+    unigram contexts) + a one-row distinct-token broadcast; the
+    per-position probe joins key on the gram strings — the TF-IDF
+    shuffle shape. Hot bigrams cost one counter; nothing driver-side.
+    """
+    from archetype_spark.operators.util import fan_out
+    from archetype_spark.queries.relational import round_like_duckdb
+
+    w = F.split(F.col(text_col), " ")
+    toks = fan_out(df).select(
+        F.col(id_col).alias("_id"), F.explode(w).alias("_a")
+    )
+    grams = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("_a"),
+                        F.element_at(w, i + 1).alias("_b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<_a:string,_b:string>>"))
+        ).alias("_g"),
+    ).select("_id", F.col("_g._a").alias("_a"), F.col("_g._b").alias("_b"))
+    cab = grams.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_cab"))
+    ca = toks.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
+    v = toks.agg(F.countDistinct("_a").alias("_v"))
+    s_int = round_like_duckdb(
+        -F.log((F.col("_cab") + 1) / (F.col("_ca") + F.col("_v"))) * 1e6, 0
+    ).cast("bigint")
+    scored = (
+        grams.join(cab, ["_a", "_b"])
+        .join(ca, "_a")
+        .crossJoin(F.broadcast(v))
+        .select("_id", s_int.alias("_s"))
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("_s").cast("bigint").alias("sum_micro_nats"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("sum_micro_nats", F.lit(0))
+            .cast("bigint")
+            .alias("sum_micro_nats"),
+            F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                round_like_duckdb(
+                    F.col("sum_micro_nats") / (F.col("n_bigrams") * F.lit(1e6)), 6
+                )
+            )
+            .alias("avg_surprisal"),
+        )
+    )

@@ -84,10 +84,12 @@ _MODULES = (
 #       they land, each trading one more multi-green deferral
 #       (q39, q43, q44, q48). r6's nine pins all got their green
 #       row and rotate into the plain block. Mid-r7 curation tier
-#       (curation_q.py): q84 paragraph-dedup pins, q36 (green
-#       r3-r6) defers; further qNN additions each pin + defer one
-#       more multi-green northstar basic (q37, q42, q49, q62, q63,
-#       q64 queued in that order).
+#       (curation_q.py): each new query pins and defers one more
+#       multi-green northstar basic — q84 paragraph-dedup/q36,
+#       q85 random projection/q37, q86 OOV rate/q42, q87 chunks/q49,
+#       q88 temperature mix/q62, q89 bigram surprisal/q63 (all
+#       deferred entries green in >=3 rounds, still locally
+#       hash-checked every pytest run).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -102,6 +104,7 @@ _PINNED: tuple[str, ...] = (
     "q86_oov_rate",
     "q87_doc_chunks",
     "q88_temperature_mix",
+    "q89_bigram_surprisal",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -141,6 +144,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q42_lsh_topk",
         "q49_frame_sample",
         "q62_url_fetch",
+        "q63_tf_idf",
     }
 )
 

@@ -135,12 +135,26 @@ def q88_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q89_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram surprisal (operators/textstats.py
+    bigram_surprisal): mean -ln p(b|a) per document under add-one
+    smoothed corpus bigram statistics — the perplexity-filter analog
+    with the corpus as its own LM. Per-bigram surprisals quantize to
+    integer micro-nats and SUM exactly, so engines agree without
+    float-sum tolerances."""
+    from archetype_spark.operators import textstats
+
+    d = load(spark, sf_dir, "documents")
+    return textstats.bigram_surprisal(d).orderBy("doc_id")
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
     "q86_oov_rate": q86_oov_rate,
     "q87_doc_chunks": q87_doc_chunks,
     "q88_temperature_mix": q88_temperature_mix,
+    "q89_bigram_surprisal": q89_bigram_surprisal,
 }
 
 # q84: the 4-token chunk paragraphs, global first-occurrence winner
@@ -253,5 +267,30 @@ ORACLES = {
                CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
                CAST(SUM(dup_idx) AS BIGINT) AS sum_dup_idx
         FROM xp GROUP BY lang ORDER BY lang
+    """,
+    # q89: identical smoothed-probability derivation; the only float
+    # ops are the shared-input ln and two exact-integer divisions,
+    # quantized to micro-nats before any summation.
+    "q89_bigram_surprisal": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS a FROM t),
+        g AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
+              FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)),
+        cab AS (SELECT a, b, COUNT(*) AS cab FROM g GROUP BY a, b),
+        ca AS (SELECT a, COUNT(*) AS ca FROM tok GROUP BY a),
+        v AS (SELECT COUNT(DISTINCT a) AS v FROM tok),
+        s AS (SELECT g.doc_id,
+                     CAST(ROUND(-ln((cab.cab + 1) * 1.0 / (ca.ca + v.v)) * 1000000)
+                          AS BIGINT) AS s
+              FROM g JOIN cab USING (a, b) JOIN ca USING (a), v),
+        p AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(s) AS sm
+              FROM s GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(p.sm, 0) AS BIGINT) AS sum_micro_nats,
+               CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE ROUND(p.sm * 1.0 / (p.n_bigrams * 1000000.0), 6)
+               END AS avg_surprisal
+        FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id
     """,
 }

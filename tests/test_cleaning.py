@@ -113,3 +113,25 @@ def test_vocab_coverage_short_docs_and_rates(spark):
     assert out[2] == (2, 1, 0.5)
     assert out[3] == (0, 0, 0.0)
     assert out[4] == (2, 2, 1.0)
+
+
+def test_bigram_surprisal_exact_small(spark):
+    """Hand-computed add-one-smoothed surprisal on a 2-doc corpus;
+    short docs report zero bigrams."""
+    import math
+
+    from archetype_spark.operators import textstats
+
+    rows = [(1, "a b"), (2, "a b"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_micro_nats"], r["avg_surprisal"])
+        for r in textstats.bigram_surprisal(df).collect()
+    }
+    # tokens: a,b,a,b,x -> ca: a=2,b=2,x=1; V=3; c(a,b)=2
+    # p(b|a) = (2+1)/(2+3) = 0.6; s = round(-ln(0.6)*1e6)
+    s = math.floor(-math.log(0.6) * 1e6 + 0.5)
+    avg = round(s / 1e6, 6)
+    assert out[1] == (1, s, avg)
+    assert out[2] == (1, s, avg)
+    assert out[3] == (0, 0, 0.0)
