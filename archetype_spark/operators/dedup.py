@@ -548,3 +548,61 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_id", "other_doc_id")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Shingle CONTAINMENT (Broder's asymmetric cousin of Jaccard):
+    for every doc pair sharing a shingle, c(A in B) = |A∩B| / |A| —
+    the signal Jaccard structurally misses: a short document wholly
+    embedded in a long one (quote farms, article+comments mirrors,
+    wrapper pages) has tiny Jaccard (union is the long doc) but
+    containment ~1 for the short side. Emits (doc_id, other_doc_id,
+    containment, other_containment, max_containment) for unordered
+    pairs (doc_id < other_doc_id) with max_containment >= threshold;
+    ratios round to 6 with DuckDB semantics so both engines gate on
+    the identical rounded value (the q36 pair-oracle alignment).
+
+    Scale: identical shape to `ngram_jaccard_pairs` — the pair join
+    keys on the shingle's xxhash64 (8-byte key), candidate pairs are
+    blocked by shared shingles, and the per-pair intersection count
+    is one map-side-combinable aggregation. Same skew caveats; the
+    stop-shingle knob belongs upstream if boilerplate shingles
+    dominate."""
+    from archetype_spark.queries.relational import round_like_duckdb
+
+    docs = _doc_shingles(df, id_col, text_col, n)
+    ex = docs.select("_id", "_n_sh", F.explode_outer("_sh").alias("_s0")).select(
+        "_id",
+        "_n_sh",
+        F.when(F.col("_s0").isNotNull(), F.xxhash64("_s0")).alias("_s"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("doc_id"),
+            F.col("b._id").alias("other_doc_id"),
+            F.col("a._n_sh").alias("_na"),
+            F.col("b._n_sh").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    c_ab = round_like_duckdb(F.col("_c").cast("double") / F.col("_na"), 6)
+    c_ba = round_like_duckdb(F.col("_c").cast("double") / F.col("_nb"), 6)
+    return (
+        inter.select(
+            "doc_id",
+            "other_doc_id",
+            c_ab.alias("containment"),
+            c_ba.alias("other_containment"),
+            F.greatest(c_ab, c_ba).alias("max_containment"),
+        )
+        .filter(F.col("max_containment") >= threshold)
+        .orderBy("doc_id", "other_doc_id")
+    )

@@ -87,7 +87,8 @@ _MODULES = (
 #       (curation_q.py): each new query pins and defers one more
 #       multi-green northstar basic — q84 paragraph-dedup/q36,
 #       q85 random projection/q37, q86 OOV rate/q42, q87 chunks/q49,
-#       q88 temperature mix/q62, q89 bigram surprisal/q63 (all
+#       q88 temperature mix/q62, q89 bigram surprisal/q63,
+#       q90 containment pairs/q64 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
 DRIVER_WINDOW = 50
@@ -105,6 +106,7 @@ _PINNED: tuple[str, ...] = (
     "q87_doc_chunks",
     "q88_temperature_mix",
     "q89_bigram_surprisal",
+    "q90_containment_pairs",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -145,6 +147,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q49_frame_sample",
         "q62_url_fetch",
         "q63_tf_idf",
+        "q64_ingest_dedup",
     }
 )
 

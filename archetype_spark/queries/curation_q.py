@@ -148,6 +148,19 @@ def q89_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_surprisal(d).orderBy("doc_id")
 
 
+def q90_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment pairs (operators/dedup.py
+    containment_pairs): the asymmetric dedup signal — a short doc
+    embedded in a long one scores containment ~1 where Jaccard stays
+    tiny. 3-gram shingles, max-containment gate at 0.1 (the corpus's
+    organic overlap band: 168 pairs at sf0.01); both directed ratios
+    emitted, rounded with DuckDB semantics on both sides."""
+    from archetype_spark.operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, n=3, threshold=0.1)
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
@@ -155,6 +168,7 @@ QUERIES = {
     "q87_doc_chunks": q87_doc_chunks,
     "q88_temperature_mix": q88_temperature_mix,
     "q89_bigram_surprisal": q89_bigram_surprisal,
+    "q90_containment_pairs": q90_containment_pairs,
 }
 
 # q84: the 4-token chunk paragraphs, global first-occurrence winner
@@ -292,5 +306,27 @@ ORACLES = {
                     ELSE ROUND(p.sm * 1.0 / (p.n_bigrams * 1000000.0), 6)
                END AS avg_surprisal
         FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id
+    """,
+    # q90: raw-string shingle join (ground truth for Spark's xxhash64
+    # keys); both engines gate on the ROUND(...,6) values.
+    "q90_containment_pairs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        idx AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i, w
+                FROM t),
+        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+               FROM idx),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        r AS (SELECT i.da AS doc_id, i.db AS other_doc_id,
+                     ROUND(i.c * 1.0 / ca.n, 6) AS containment,
+                     ROUND(i.c * 1.0 / cb.n, 6) AS other_containment,
+                     GREATEST(ROUND(i.c * 1.0 / ca.n, 6),
+                              ROUND(i.c * 1.0 / cb.n, 6)) AS max_containment
+              FROM i JOIN cnt ca ON i.da = ca.doc_id
+                     JOIN cnt cb ON i.db = cb.doc_id)
+        SELECT * FROM r WHERE max_containment >= 0.1
+        ORDER BY doc_id, other_doc_id
     """,
 }

@@ -208,3 +208,23 @@ def test_stop_shingle_filtering_matches_reference(spark):
     assert got == expect
     # the boilerplate-only pairs are exactly the ones that vanished
     assert set(got_all) - set(got) == {(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment of the
+    short side ~1 while Jaccard stays below a dedup threshold."""
+    from archetype_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon"
+    longdoc = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, longdoc)], "doc_id int, text string"
+    )
+    pairs = dedup.containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r["doc_id"], r["other_doc_id"]) == (1, 2)
+    assert r["containment"] == 1.0          # short fully inside long
+    assert r["other_containment"] < 0.2     # long barely covered
+    jac = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert jac == []                         # Jaccard misses it
