@@ -141,3 +141,99 @@ def projection_distance_preserved(
         ).alias("proj_sq"),
     )
     return orig.join(pr, id_col)
+
+
+def signcode_topk(
+    emb: DataFrame,
+    k: int = 3,
+    code_bits: int = 4,
+    n_bands: int = 4,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-code banded ANN: the projection's downstream purpose,
+    end-to-end. The vector projects to n_bands * code_bits integer
+    dimensions (one `random_sign_projection` call — the same portable
+    integer projection q85 verifies, so every blocking key is
+    engine-exact by construction); each band's `code_bits` signs form
+    a bucket code (random-hyperplane LSH); candidates are pairs
+    sharing ANY band's bucket (OR-amplification — a single band's
+    ~(1 - θ/π)^bits recall compounds to 1-(1-p^bits)^bands, the
+    standard banded-LSH S-curve); exact round-6 cosine re-ranks and
+    keeps the top-k per vector.
+
+    Returns (vec_id, rank, other_vec_id, cos_sim) — the q30 schema,
+    restricted to banded candidates.
+
+    Scale: the candidate join keys on (band, code) — an equi-join
+    whose bucket population is ~n / 2^code_bits per band (size the
+    bits to the corpus); pair dedup across bands is a distinct on the
+    8-byte id pair; scoring joins key on vector ids (shuffle joins,
+    no broadcast of the corpus); ranking is a per-vector window over
+    candidate rows only. The projection adds no exchange."""
+    proj = random_sign_projection(
+        emb, id_col, vec_col, k=n_bands * code_bits, seed=seed
+    )
+    # static literal band codes (code_bits/n_bands are Python ints):
+    # plain codegen arithmetic, no higher-order lambdas
+    band_codes = F.array(
+        *[
+            sum(
+                (
+                    F.when(
+                        F.element_at("proj", b * code_bits + j + 1) >= 0,
+                        F.lit(1 << j),
+                    ).otherwise(F.lit(0))
+                    for j in range(code_bits)
+                ),
+                F.lit(0),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    coded = proj.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(band_codes).alias("_band", "_code"),
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    # UNORDERED candidates (a < b): halves the dedup exchange and the
+    # scoring work; cosine is symmetric, so the directed view needed
+    # for per-vector ranking is a cheap post-score mirror union.
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._code") == F.col("b._code"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("_cand_a"), F.col("b._id").alias("_cand_b"))
+        .dropDuplicates()
+    )
+    # Re-rank through the shared budget-gated broadcast scorer (the
+    # GEMM tier's funnel): candidate rows carry only two 8-byte ids
+    # through the shuffle; vectors attach map-side from the broadcast
+    # while the corpus fits the similarity budget (id-keyed shuffle
+    # joins are the documented fallback past it — same trade as
+    # similarity.topk_bruteforce's tiers).
+    from archetype_spark.operators.similarity import _exact_pairs_from_candidates
+
+    once = _exact_pairs_from_candidates(emb, cand, id_col, vec_col)
+    scored = once.unionByName(
+        once.select(
+            F.col("other_vec_id").alias("vec_id"),
+            F.col("vec_id").alias("other_vec_id"),
+            "cos_sim",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("other_vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "other_vec_id", "cos_sim")
+        .orderBy("vec_id", "rank")
+    )

@@ -52,6 +52,24 @@ def q84_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q84_window_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-only (`bench.py --ab q84`): q84 with the window row_number
+    winner instead of the struct-MIN aggregate + join — one text scan
+    and one shuffle, but hot-key buffering; the harness quantifies
+    the trade on this corpus. Not registered as a query."""
+    from archetype_spark.operators import cleaning
+
+    d = load(spark, sf_dir, "documents")
+    lined = _chunked(d, 4)
+    deduped = cleaning.dedup_paragraphs(lined, winner="window")
+    return deduped.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.sha2(F.col("text"), 256).alias("clean_sha"),
+    ).orderBy("doc_id")
+
+
 def q85_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sign random projection (operators/projections.py
     random_sign_projection): 64-dim float vectors to 8 integer
@@ -161,6 +179,20 @@ def q90_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(d, n=3, threshold=0.1)
 
 
+def q91_signcode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-code banded ANN (operators/projections.py signcode_topk):
+    the q85 projection's downstream purpose end-to-end — 4 bands of
+    4-bit random-hyperplane bucket codes from the projected signs
+    (integer-exact, so every blocking key agrees across engines
+    bit-for-bit), candidates share any band's bucket
+    (OR-amplification), exact round-6 cosine re-rank, top-3 per
+    vector. The q30 output schema restricted to banded candidates."""
+    from archetype_spark.operators import projections
+
+    e = load(spark, sf_dir, "embeddings")
+    return projections.signcode_topk(e, k=3, code_bits=4, n_bands=4, seed=0)
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
@@ -169,6 +201,17 @@ QUERIES = {
     "q88_temperature_mix": q88_temperature_mix,
     "q89_bigram_surprisal": q89_bigram_surprisal,
     "q90_containment_pairs": q90_containment_pairs,
+    "q91_signcode_topk": q91_signcode_topk,
+}
+
+# Same-JVM A/B pairs (`bench.py --ab q84`): registered into the
+# shared northstar registry; one-way import, no cycle (northstar
+# never imports this module).
+from archetype_spark.queries.northstar import AB_VARIANTS  # noqa: E402
+
+AB_VARIANTS["q84"] = {
+    "agg_join": q84_paragraph_dedup,
+    "window": q84_window_variant,
 }
 
 # q84: the 4-token chunk paragraphs, global first-occurrence winner
@@ -328,5 +371,42 @@ ORACLES = {
                      JOIN cnt cb ON i.db = cb.doc_id)
         SELECT * FROM r WHERE max_containment >= 0.1
         ORDER BY doc_id, other_doc_id
+    """,
+    # q91: the q85 projection CTEs (16 dims = 4 bands x 4 bits) +
+    # per-band sign codes + any-band candidate union + the q30
+    # cosine/rank replay.
+    "q91_signcode_topk": """
+        WITH u AS (SELECT vec_id, i - 1 AS d,
+                          CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+                   FROM embeddings,
+                        unnest(generate_series(1, len(embedding))) AS t(i)),
+        m AS (SELECT d.d, j.j,
+                     CASE WHEN ('0x' || substr(sha256('rp:0:' || d.d || ':' || j.j), 1, 1))::UBIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM (SELECT unnest(generate_series(0, 63)) AS d) d,
+                   (SELECT unnest(generate_series(0, 15)) AS j) j),
+        p AS (SELECT u.vec_id, m.j, SUM(u.qv * m.s) AS proj
+              FROM u JOIN m ON u.d = m.d GROUP BY u.vec_id, m.j),
+        code AS (SELECT vec_id, j // 4 AS band,
+                        SUM(CASE WHEN proj >= 0
+                                 THEN CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                                 WHEN 2 THEN 4 ELSE 8 END
+                                 ELSE 0 END) AS c
+                 FROM p GROUP BY vec_id, j // 4),
+        cand AS (SELECT DISTINCT a.vec_id AS ca, b.vec_id AS cb
+                 FROM code a JOIN code b
+                   ON a.band = b.band AND a.c = b.c AND a.vec_id <> b.vec_id),
+        scored AS (SELECT ca AS vec_id, cb AS other_vec_id,
+                          ROUND(list_cosine_similarity(
+                            CAST(ea.embedding AS DOUBLE[]),
+                            CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+                   FROM cand JOIN embeddings ea ON ca = ea.vec_id
+                             JOIN embeddings eb ON cb = eb.vec_id),
+        ranked AS (SELECT vec_id, other_vec_id, cos_sim,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, other_vec_id) AS rnk
+                   FROM scored)
+        SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, cos_sim
+        FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank
     """,
 }

@@ -474,6 +474,8 @@ def q66_star_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 AB_VARIANTS = {
     "q66": {"minlabel": q66_dedup_clusters, "star": q66_star_variant},
 }
+# curation_q appends its own variant pairs at import time (one-way
+# dependency: curation_q -> northstar, never back).
 
 
 def q67_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,3 +66,46 @@ def test_projection_norm_preservation(spark):
         8 * sum(float(r["orig_sq"]) for r in rowvals)
     )
     assert 0.5 < ratio < 2.0, ratio
+
+
+def test_signcode_topk_recall_and_plan(spark, sf_dir):
+    """Candidates must block on the (band, code) equi-join (no
+    cartesian), scores must equal the exact cosine for emitted pairs,
+    and top-1 recall vs exact brute force is measured, not assumed —
+    a single 4-bit code recalls ~0.12 on this corpus (~2x chance);
+    4-band OR-amplification must lift it well past that."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.operators import projections, similarity
+    from archetype_spark.plans import formatted_plan
+    from archetype_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    approx = projections.signcode_topk(emb, k=3, code_bits=4)
+    plan = formatted_plan(approx)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = approx.collect()
+    exact = {
+        (r["vec_id"], r["other_vec_id"]): r["cos_sim"]
+        for r in similarity.topk_bruteforce(emb, k=5).collect()
+    }
+    ex1 = {
+        r["vec_id"]: r["other_vec_id"]
+        for r in similarity.topk_bruteforce(emb, k=1).collect()
+    }
+    ap = {}
+    for r in got:
+        ap.setdefault(r["vec_id"], set()).add(r["other_vec_id"])
+    # scores agree with the exact kernel on emitted pairs (spot-check
+    # via the brute-force table where the pair appears there too)
+    for r in got[:50]:
+        key = (r["vec_id"], r["other_vec_id"])
+        if key in exact:
+            assert abs(r["cos_sim"] - exact[key]) < 1e-9
+    # note: topk_bruteforce pairs are undirected (vec_id < other);
+    # recall counts a hit if the exact top-1 appears in the approx
+    # candidate set of the query vector
+    hits = sum(1 for v, o in ex1.items() if o in ap.get(v, set()))
+    recall = hits / len(ex1)
+    assert recall > 0.25, recall
