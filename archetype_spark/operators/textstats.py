@@ -63,28 +63,33 @@ def lang_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(*cols)
 
 
+def pred_lang_col(text_col: str = "text") -> F.Column:
+    """Predicted-language COLUMN: argmax stopword hits over the text,
+    ties by lang code ascending, zero hits everywhere -> 'unknown'.
+    Pure narrow expression (array filter/size + array_max over
+    struct(score, -lang_rank)) — usable per document (lang_id) or per
+    chunk (mixed_language_stats) without a shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    structs = []
+    for i, lang in enumerate(LANGS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        structs.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("s"),
+                F.lit(-i).alias("neg_rank"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    lang_arr = F.array(*[F.lit(lang) for lang in LANGS])
+    return F.when(
+        best["s"] > 0, F.element_at(lang_arr, -best["neg_rank"] + 1)
+    ).otherwise(F.lit("unknown"))
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Predicted language = argmax stopword hits; ties break by lang
     code ascending; zero hits everywhere -> 'unknown'."""
-    scored = lang_scores(df, id_col, text_col)
-    # array_max over struct(score, -lang_rank) gives (max score, then
-    # lowest lang index) without any shuffle.
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.col(f"score_{lang}").alias("s"),
-                    F.lit(-i).alias("neg_rank"),
-                )
-                for i, lang in enumerate(LANGS)
-            ]
-        )
-    )
-    lang_arr = F.array(*[F.lit(lang) for lang in LANGS])
-    pred = F.when(best["s"] > 0, F.element_at(lang_arr, -best["neg_rank"] + 1)).otherwise(
-        F.lit("unknown")
-    )
-    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+    return df.select(F.col(id_col), pred_lang_col(text_col).alias("pred_lang"))
 
 
 def tf_idf(
@@ -402,4 +407,55 @@ def bigram_surprisal(
             )
             .alias("avg_surprisal"),
         )
+    )
+
+
+def mixed_language_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    majority_frac: float = 0.8,
+) -> DataFrame:
+    """Mixed-language / code-switching detection: language-ID each
+    non-overlapping `window`-token chunk (the per-chunk granularity
+    document-level lang-id cannot see), then measure per-document
+    agreement. A document whose majority-language share falls below
+    `majority_frac` is flagged mixed — the curation gate for
+    concatenation artifacts, wrong-language embeds and boilerplate
+    stitched across languages. `n_langs` counts distinct predicted
+    chunk languages, 'unknown' included.
+
+    Returns (id_col, n_chunks, n_langs, major_lang, major_share,
+    is_mixed); majority ties break by lang code ascending.
+
+    Scale: chunking and per-chunk prediction are narrow expressions
+    (zero exchanges — see chunk_documents); the agreement is two
+    map-side-combinable aggregations on the doc id, with the majority
+    argmax a struct-MIN (no window over chunk rows)."""
+    from archetype_spark.operators.packing import chunk_documents
+    from archetype_spark.queries.relational import round_like_duckdb
+
+    chunks = chunk_documents(df, id_col, text_col, window=window, stride=window)
+    pred = chunks.select(
+        id_col, pred_lang_col("chunk_text").alias("_pl")
+    )
+    per_lang = pred.groupBy(id_col, "_pl").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_lang.groupBy(id_col).agg(
+        F.sum("_c").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.min(
+            F.struct((-F.col("_c")).alias("_negc"), F.col("_pl").alias("_l"))
+        ).alias("_m"),
+    )
+    share = round_like_duckdb(
+        (-F.col("_m._negc")).cast("double") / F.col("n_chunks"), 6
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("_m._l").alias("major_lang"),
+        share.alias("major_share"),
+        (share < majority_frac).alias("is_mixed"),
     )

@@ -88,7 +88,8 @@ _MODULES = (
 #       multi-green northstar basic — q84 paragraph-dedup/q36,
 #       q85 random projection/q37, q86 OOV rate/q42, q87 chunks/q49,
 #       q88 temperature mix/q62, q89 bigram surprisal/q63,
-#       q90 containment pairs/q64, q91 sign-code ANN/q67 (all
+#       q90 containment pairs/q64, q91 sign-code ANN/q67,
+#       q92 mixed-language/q28 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
 DRIVER_WINDOW = 50
@@ -108,6 +109,7 @@ _PINNED: tuple[str, ...] = (
     "q89_bigram_surprisal",
     "q90_containment_pairs",
     "q91_signcode_topk",
+    "q92_mixed_language",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -150,6 +152,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q63_tf_idf",
         "q64_ingest_dedup",
         "q67_training_mix",
+        "q28_time_bucket",
     }
 )
 

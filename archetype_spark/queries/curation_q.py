@@ -193,6 +193,19 @@ def q91_signcode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projections.signcode_topk(e, k=3, code_bits=4, n_bands=4, seed=0)
 
 
+def q92_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language / code-switching detection (operators/
+    textstats.py mixed_language_stats): language-ID every
+    non-overlapping 16-token chunk with the q38 stopword scorer, then
+    per-doc agreement — majority share below 0.8 flags the document
+    mixed. Chunking + per-chunk prediction are narrow; the agreement
+    is two map-side aggs with a struct-MIN majority argmax."""
+    from archetype_spark.operators import textstats
+
+    d = load(spark, sf_dir, "documents")
+    return textstats.mixed_language_stats(d, window=16).orderBy("doc_id")
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
@@ -202,23 +215,9 @@ QUERIES = {
     "q89_bigram_surprisal": q89_bigram_surprisal,
     "q90_containment_pairs": q90_containment_pairs,
     "q91_signcode_topk": q91_signcode_topk,
+    "q92_mixed_language": q92_mixed_language,
 }
 
-# Same-JVM A/B pairs (`bench.py --ab q84`): registered into the
-# shared northstar registry; one-way import, no cycle (northstar
-# never imports this module).
-from archetype_spark.queries.northstar import AB_VARIANTS  # noqa: E402
-
-AB_VARIANTS["q84"] = {
-    "agg_join": q84_paragraph_dedup,
-    "window": q84_window_variant,
-}
-
-# q84: the 4-token chunk paragraphs, global first-occurrence winner
-# per paragraph (min (doc_id, pos)), position-ordered reassembly of
-# the kept occurrences. The oracle keys on raw paragraph STRINGS (the
-# semantic ground truth for Spark's xxhash64 keys — the usual
-# digest-for-body trade); sha256 pins the reassembled bytes.
 ORACLES = {
     "q84_paragraph_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -410,3 +409,66 @@ ORACLES = {
         FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rank
     """,
 }
+
+
+# Same-JVM A/B pairs (`bench.py --ab q84`): registered into the
+# shared northstar registry; one-way import, no cycle (northstar
+# never imports this module).
+from archetype_spark.queries.northstar import AB_VARIANTS  # noqa: E402
+
+AB_VARIANTS["q84"] = {
+    "agg_join": q84_paragraph_dedup,
+    "window": q84_window_variant,
+}
+
+# q92's oracle needs northstar's stopword VALUES literal, available
+# once the import above has run: the q87 chunk bounds (stride ==
+# window), the q38 per-chunk lang scorer, a ROW_NUMBER majority with
+# the same (count DESC, lang ASC) tie order as Spark's struct-MIN.
+from archetype_spark.queries.northstar import _STOPWORD_VALUES  # noqa: E402
+
+ORACLES["q92_mixed_language"] = f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                          len(string_split(text, ' ')) AS nt
+                   FROM documents),
+        ch AS (SELECT doc_id, k,
+                      array_to_string(
+                        w[CAST(k * 16 + 1 AS INT):CAST(least(k * 16 + 16, nt) AS INT)],
+                        ' ') AS ctext
+               FROM (SELECT doc_id, w, nt,
+                            unnest(generate_series(0,
+                               CAST(ceil(greatest(nt - 16, 0) / 16.0) AS BIGINT))) AS k
+                     FROM t)),
+        ctoks AS (SELECT doc_id, k, unnest(string_split(ctext, ' ')) AS tkn FROM ch),
+        sw(lang, w) AS (VALUES {_STOPWORD_VALUES}),
+        hits AS (SELECT c.doc_id, c.k, s.lang, COUNT(*) AS score
+                 FROM ctoks c JOIN sw s ON c.tkn = s.w GROUP BY 1, 2, 3),
+        best AS (SELECT doc_id, k, lang,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id, k
+                              ORDER BY score DESC, lang) AS rn
+                 FROM hits),
+        pl AS (SELECT c.doc_id, c.k, COALESCE(b.lang, 'unknown') AS lang
+               FROM ch c LEFT JOIN (SELECT doc_id, k, lang FROM best WHERE rn = 1) b
+               ON c.doc_id = b.doc_id AND c.k = b.k),
+        cnt AS (SELECT doc_id, lang, COUNT(*) AS c FROM pl GROUP BY 1, 2),
+        major AS (SELECT doc_id, lang, c,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY c DESC, lang) AS rn
+                  FROM cnt),
+        agg AS (SELECT doc_id, SUM(c) AS n_chunks, COUNT(*) AS n_langs
+                FROM cnt GROUP BY 1)
+        SELECT a.doc_id,
+               CAST(a.n_chunks AS BIGINT) AS n_chunks,
+               CAST(a.n_langs AS BIGINT) AS n_langs,
+               m.lang AS major_lang,
+               ROUND(m.c * 1.0 / a.n_chunks, 6) AS major_share,
+               ROUND(m.c * 1.0 / a.n_chunks, 6) < 0.8 AS is_mixed
+        FROM agg a JOIN major m ON a.doc_id = m.doc_id AND m.rn = 1
+        ORDER BY a.doc_id
+    """
+
+# q84: the 4-token chunk paragraphs, global first-occurrence winner
+# per paragraph (min (doc_id, pos)), position-ordered reassembly of
+# the kept occurrences. The oracle keys on raw paragraph STRINGS (the
+# semantic ground truth for Spark's xxhash64 keys — the usual
+# digest-for-body trade); sha256 pins the reassembled bytes.

@@ -135,3 +135,29 @@ def test_bigram_surprisal_exact_small(spark):
     assert out[1] == (1, s, avg)
     assert out[2] == (1, s, avg)
     assert out[3] == (0, 0, 0.0)
+
+
+def test_mixed_language_stats(spark):
+    """Per-chunk lang-id agreement: an en+de concatenation flags
+    mixed; a pure doc doesn't; majority ties break by lang asc;
+    no-stopword text predicts 'unknown' but is not mixed."""
+    from archetype_spark.operators import textstats
+
+    en16 = ("the a of and " * 4).strip()
+    de16 = ("der die und ist " * 4).strip()
+    rows = [
+        (1, en16 + " " + de16),   # chunks: en, de -> tie, major de (asc)
+        (2, en16 + " " + en16),   # pure en
+        (3, "zz yy"),             # unknown, single chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (
+            r["n_chunks"], r["n_langs"], r["major_lang"],
+            r["major_share"], r["is_mixed"],
+        )
+        for r in textstats.mixed_language_stats(df, window=16).collect()
+    }
+    assert out[1] == (2, 2, "de", 0.5, True)
+    assert out[2] == (2, 1, "en", 1.0, False)
+    assert out[3] == (1, 1, "unknown", 1.0, False)
