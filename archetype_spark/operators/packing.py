@@ -206,3 +206,79 @@ def chunk_documents(
         (hi - lo + 1).cast("bigint").alias("chunk_tokens"),
         F.array_join(F.slice("_w", lo, hi - lo + 1), " ").alias("chunk_text"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 3,
+    mask_pct: int = 15,
+) -> DataFrame:
+    """T5-style span-corruption example construction: partition each
+    document's tokens into consecutive `span_tokens` blocks, mask
+    ~`mask_pct`% of blocks (chosen by the portable sha256 bucket of
+    (doc_id, block) — layout-independent and engine-replayable, the
+    sampling-module fence), replace each masked block with an
+    incremental `<extra_id_k>` sentinel in the input and emit the
+    `<extra_id_k> original tokens` concatenation as the target — the
+    denoising-objective writer stage.
+
+    Returns (id_col, n_blocks, n_masked, input_text, target_text).
+
+    Scale: entirely narrow column work — flags, sentinel numbering
+    and reassembly are array expressions per row; zero exchanges, so
+    corruption fuses onto the scan like the chunker. Sentinel
+    numbering uses a prefix-count over the flags array (O(blocks²)
+    per doc — fine to ~1k-token docs; for book-length inputs switch
+    to the exploded/window formulation, the q68 shape)."""
+    from archetype_spark.operators.sampling import hash_bucket
+
+    w = F.split(F.col(text_col), " ")
+    nb = F.ceil(F.size(w) / F.lit(float(span_tokens))).cast("int")
+    key = lambda b: F.concat_ws(  # noqa: E731
+        ":", F.col(id_col).cast("string"), b.cast("string")
+    )
+    flags = F.transform(
+        F.sequence(F.lit(1), nb), lambda b: hash_bucket(key(b)) < mask_pct
+    )
+    out = df.withColumn("_w", w).withColumn("_f", flags)
+    prefix_masked = lambda b: F.size(  # noqa: E731
+        F.filter(F.slice("_f", 1, b - 1), lambda x: x)
+    )
+    sentinel = lambda b: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), prefix_masked(b).cast("string"), F.lit(">")
+    )
+    w2 = F.col("_w")
+    btxt2 = lambda b: F.array_join(  # noqa: E731
+        F.slice(w2, (b - 1) * span_tokens + 1, span_tokens), " "
+    )
+    input_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_f")),
+            lambda b: F.when(F.element_at("_f", b), sentinel(b)).otherwise(
+                btxt2(b)
+            ),
+        ),
+        " ",
+    )
+    target_text = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_f")),
+                lambda b: F.when(
+                    F.element_at("_f", b),
+                    F.concat(sentinel(b), F.lit(" "), btxt2(b)),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("_f").cast("bigint").alias("n_blocks"),
+        F.size(F.filter("_f", lambda x: x)).cast("bigint").alias("n_masked"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )

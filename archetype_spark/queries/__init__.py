@@ -89,7 +89,7 @@ _MODULES = (
 #       q85 random projection/q37, q86 OOV rate/q42, q87 chunks/q49,
 #       q88 temperature mix/q62, q89 bigram surprisal/q63,
 #       q90 containment pairs/q64, q91 sign-code ANN/q67,
-#       q92 mixed-language/q28 (all
+#       q92 mixed-language/q28, q93 span corruption/q45 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
 DRIVER_WINDOW = 50
@@ -110,6 +110,7 @@ _PINNED: tuple[str, ...] = (
     "q90_containment_pairs",
     "q91_signcode_topk",
     "q92_mixed_language",
+    "q93_span_corruption",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -153,6 +154,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q64_ingest_dedup",
         "q67_training_mix",
         "q28_time_bucket",
+        "q45_tumbling_window",
     }
 )
 

@@ -206,6 +206,25 @@ def q92_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.mixed_language_stats(d, window=16).orderBy("doc_id")
 
 
+def q93_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (operators/packing.py
+    span_corruption): 3-token blocks, ~15% masked by the portable
+    hash fence, incremental <extra_id_k> sentinels, input/target
+    construction — the denoising-objective writer stage, entirely
+    narrow. Output pins both constructed texts by sha256."""
+    from archetype_spark.operators import packing
+
+    d = load(spark, sf_dir, "documents")
+    out = packing.span_corruption(d, span_tokens=3, mask_pct=15)
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_masked",
+        F.sha2(F.col("input_text"), 256).alias("input_sha"),
+        F.sha2(F.col("target_text"), 256).alias("target_sha"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
@@ -216,6 +235,7 @@ QUERIES = {
     "q90_containment_pairs": q90_containment_pairs,
     "q91_signcode_topk": q91_signcode_topk,
     "q92_mixed_language": q92_mixed_language,
+    "q93_span_corruption": q93_span_corruption,
 }
 
 ORACLES = {
@@ -472,3 +492,31 @@ ORACLES["q92_mixed_language"] = f"""
 # the kept occurrences. The oracle keys on raw paragraph STRINGS (the
 # semantic ground truth for Spark's xxhash64 keys — the usual
 # digest-for-body trade); sha256 pins the reassembled bytes.
+
+# q93: blocks via generate_series, the same sha256 mask fence, a
+# prefix-count window for sentinel numbering, ordered string_agg
+# reassembly of both constructed texts.
+ORACLES["q93_span_corruption"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT doc_id, i AS blk,
+                     array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' ') AS btxt,
+                     ('0x' || substr(sha256(doc_id || ':' || i), 1, 4))::UBIGINT
+                       % 100 < 15 AS m
+              FROM t, unnest(generate_series(1, CAST(ceil(len(w)/3.0) AS INT))) AS u(i)),
+        k AS (SELECT *, COALESCE(COUNT(*) FILTER (m) OVER (
+                          PARTITION BY doc_id ORDER BY blk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kk
+              FROM b),
+        agg AS (SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                       CAST(COUNT(*) FILTER (m) AS BIGINT) AS n_masked,
+                       string_agg(CASE WHEN m THEN '<extra_id_' || kk || '>'
+                                       ELSE btxt END, ' ' ORDER BY blk) AS itext,
+                       COALESCE(string_agg(CASE WHEN m THEN
+                                  '<extra_id_' || kk || '> ' || btxt END,
+                                  ' ' ORDER BY blk), '') AS ttext
+                FROM k GROUP BY doc_id)
+        SELECT doc_id, n_blocks, n_masked,
+               sha256(itext) AS input_sha, sha256(ttext) AS target_sha
+        FROM agg ORDER BY doc_id
+    """

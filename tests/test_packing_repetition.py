@@ -173,3 +173,25 @@ def test_chunk_documents_coverage_and_overlap(spark):
     from archetype_spark.plans import n_exchanges
 
     assert n_exchanges(packing.chunk_documents(df)) == 0
+
+
+def test_span_corruption_construction(spark):
+    """Sentinels number masked blocks in order; target holds exactly
+    the masked content; unmasked docs round-trip; plan is narrow."""
+    from archetype_spark.operators import packing
+    from archetype_spark.plans import n_exchanges
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12)))], "doc_id int, text string"
+    )
+    # mask_pct=100: every block masked
+    allm = packing.span_corruption(df, span_tokens=3, mask_pct=100).collect()[0]
+    assert allm["n_blocks"] == 4 and allm["n_masked"] == 4
+    assert allm["input_text"] == "<extra_id_0> <extra_id_1> <extra_id_2> <extra_id_3>"
+    assert allm["target_text"].startswith("<extra_id_0> t0 t1 t2 <extra_id_1> t3")
+    # mask_pct=0: identity input, empty target
+    none = packing.span_corruption(df, span_tokens=3, mask_pct=0).collect()[0]
+    assert none["n_masked"] == 0
+    assert none["input_text"] == " ".join(f"t{i}" for i in range(12))
+    assert none["target_text"] == ""
+    assert n_exchanges(packing.span_corruption(df)) == 0
