@@ -267,3 +267,47 @@ def temperature_resample(
         )
         .drop("_n_copies")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): keep the k rows minimizing -ln(u)/w, where u is the
+    portable 60-bit hash uniform — inclusion probability proportional
+    to `weight_col` (quality-weighted data selection), reproducible
+    across engines/layouts/epochs (new seed = new draw). Zero-weight
+    rows are never sampled and are filtered before the key (their key
+    would be +inf).
+
+    The key quantizes to integer micro-units with DuckDB ROUND
+    semantics, so selection compares integers in both engines; the
+    one float op (ln of a shared exact ratio) carries the usual
+    negligible last-ulp-at-a-boundary caveat. The integer hash is
+    incremented BEFORE the double cast (adding 1.0 to a 2^60-scale
+    double is a no-op — the cast must see the integer sum).
+
+    Scale: a narrow key projection + TakeOrdered top-k (per-partition
+    heads then a k-row reduce — never a global sort); the final rank
+    window runs over k rows only."""
+    from pyspark.sql import Window
+
+    from archetype_spark.queries.relational import round_like_duckdb
+
+    sk = shuffle_key(id_col, seed)
+    u = (sk + F.lit(1)).cast("double") / F.lit(float(2**60))
+    w = F.col(weight_col).cast("double")
+    key_micro = round_like_duckdb(-F.log(u) / w * F.lit(1e6), 0).cast("bigint")
+    top = (
+        df.filter(w > 0)
+        .withColumn("sample_key", key_micro)
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )
+    win = Window.orderBy("sample_key", id_col)
+    return top.withColumn(rank_col, F.row_number().over(win).cast("bigint"))

@@ -89,7 +89,8 @@ _MODULES = (
 #       q85 random projection/q37, q86 OOV rate/q42, q87 chunks/q49,
 #       q88 temperature mix/q62, q89 bigram surprisal/q63,
 #       q90 containment pairs/q64, q91 sign-code ANN/q67,
-#       q92 mixed-language/q28, q93 span corruption/q45 (all
+#       q92 mixed-language/q28, q93 span corruption/q45,
+#       q94 weighted sample/q46 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
 DRIVER_WINDOW = 50
@@ -111,6 +112,7 @@ _PINNED: tuple[str, ...] = (
     "q91_signcode_topk",
     "q92_mixed_language",
     "q93_span_corruption",
+    "q94_weighted_sample",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -155,6 +157,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q67_training_mix",
         "q28_time_bucket",
         "q45_tumbling_window",
+        "q46_sliding_window",
     }
 )
 

@@ -225,6 +225,23 @@ def q93_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q94_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (operators/
+    sampling.py weighted_sample, Efraimidis-Spirakis): top-100 docs
+    by the -ln(u)/quality key — inclusion odds proportional to the
+    q35 quality score, draw reproducible from the seed alone. Output:
+    the ranked sample manifest."""
+    from archetype_spark.functions.text import quality_score
+    from archetype_spark.operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score("text").alias("weight"))
+    out = sampling.weighted_sample(scored, "weight", k=100, seed=0)
+    return out.select("sample_rank", "doc_id", "sample_key", "weight").orderBy(
+        "sample_rank"
+    )
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
@@ -236,6 +253,7 @@ QUERIES = {
     "q91_signcode_topk": q91_signcode_topk,
     "q92_mixed_language": q92_mixed_language,
     "q93_span_corruption": q93_span_corruption,
+    "q94_weighted_sample": q94_weighted_sample,
 }
 
 ORACLES = {
@@ -519,4 +537,39 @@ ORACLES["q93_span_corruption"] = """
         SELECT doc_id, n_blocks, n_masked,
                sha256(itext) AS input_sha, sha256(ttext) AS target_sha
         FROM agg ORDER BY doc_id
+    """
+
+# q94: the q35 quality derivation, the q83 hash uniform (+1 BEFORE
+# the double cast), the A-ES key in integer micro-units, top-100.
+ORACLES["q94_weighted_sample"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS nt,
+                 len(list_distinct(string_split(text, ' '))) AS nu,
+                 length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS npunct,
+                 length(text) AS nchar
+          FROM documents
+        ), q AS (
+          SELECT doc_id,
+                 ROUND(0.5 * LEAST(nt / 50.0, 1.0)
+                       + 0.4 * (CASE WHEN nt > 0 THEN nu * 1.0 / nt ELSE 0.0 END)
+                       + 0.1 * (1.0 - CASE WHEN nchar > 0
+                                           THEN npunct * 1.0 / nchar ELSE 0.0 END),
+                       6) AS weight
+          FROM base
+        ), keyed AS (
+          SELECT doc_id, weight,
+                 CAST(ROUND(-ln(
+                     CAST(('0x' || substr(sha256('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT + 1
+                          AS DOUBLE) / 1152921504606846976.0)
+                   / weight * 1000000) AS BIGINT) AS sample_key
+          FROM q WHERE weight > 0
+        ), ranked AS (
+          SELECT doc_id, weight, sample_key,
+                 ROW_NUMBER() OVER (ORDER BY sample_key, doc_id) AS sample_rank
+          FROM keyed
+        )
+        SELECT CAST(sample_rank AS BIGINT) AS sample_rank, doc_id,
+               sample_key, weight
+        FROM ranked WHERE sample_rank <= 100 ORDER BY sample_rank
     """

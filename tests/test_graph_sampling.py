@@ -356,3 +356,31 @@ def test_temperature_resample_broadcasts_rates(spark):
     plan = formatted_plan(sampling.temperature_resample(df, "lang"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Inclusion odds track the weight (10x-weight rows dominate an
+    equal-split population), zero-weight rows never appear, the draw
+    is seed-deterministic, and top-k is a TakeOrdered, not a global
+    sort."""
+    from archetype_spark.operators import sampling
+    from archetype_spark.plans import formatted_plan
+
+    rows = [(i, 1.0 if i < 500 else 0.1) for i in range(1000)] + [
+        (1000, 0.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    out = sampling.weighted_sample(df, "weight", k=200, seed=0).collect()
+    assert len(out) == 200
+    ids = [r["doc_id"] for r in out]
+    assert 1000 not in ids, "zero-weight row sampled"
+    heavy = sum(1 for i in ids if i < 500)
+    assert heavy > 140, heavy  # ~10x odds -> heavy class dominates
+    again = [r["doc_id"] for r in
+             sampling.weighted_sample(df, "weight", k=200, seed=0).collect()]
+    assert ids == again
+    other = [r["doc_id"] for r in
+             sampling.weighted_sample(df, "weight", k=200, seed=1).collect()]
+    assert ids != other
+    plan = formatted_plan(sampling.weighted_sample(df, "weight", k=200))
+    assert "TakeOrderedAndProject" in plan, "top-k regressed to global sort"
