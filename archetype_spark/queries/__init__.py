@@ -90,7 +90,7 @@ _MODULES = (
 #       q88 temperature mix/q62, q89 bigram surprisal/q63,
 #       q90 containment pairs/q64, q91 sign-code ANN/q67,
 #       q92 mixed-language/q28, q93 span corruption/q45,
-#       q94 weighted sample/q46 (all
+#       q94 weighted sample/q46, q95 curation-v2/q47 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
 DRIVER_WINDOW = 50
@@ -113,6 +113,7 @@ _PINNED: tuple[str, ...] = (
     "q92_mixed_language",
     "q93_span_corruption",
     "q94_weighted_sample",
+    "q95_curation_v2",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -158,6 +159,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q28_time_bucket",
         "q45_tumbling_window",
         "q46_sliding_window",
+        "q47_session_window",
     }
 )
 

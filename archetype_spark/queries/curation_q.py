@@ -242,6 +242,48 @@ def q94_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 stages composed as ONE lazy plan (the q70
+    pattern): line-level boilerplate removal -> structural gate (at
+    least half the lines survive, none-empty) -> mixed-language gate
+    on the cleaned text -> temperature-flattened resampling of the
+    survivors -> per-lang manifest. Catalyst sees a single tree, so
+    column pruning and filter placement work across stage boundaries
+    — the composability claim, verified end-to-end by one oracle.
+    Output: per-lang rate + survivor checksums + total clean bytes."""
+    from archetype_spark.operators import cleaning, sampling, textstats
+
+    d = load(spark, sf_dir, "documents")
+    lined = _chunked(d, 3)
+    cleaned = cleaning.remove_boilerplate_lines(lined, max_line_df=3)
+    kept = cleaned.filter(
+        (F.col("n_kept") * 2 >= F.col("n_lines")) & (F.col("n_kept") > 0)
+    )
+    flat = kept.select(
+        "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
+    )
+    pure = textstats.mixed_language_stats(flat, window=16).filter(
+        ~F.col("is_mixed")
+    )
+    pool = (
+        flat.join(pure.select("doc_id"), "doc_id", "left_semi")
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    mixed = sampling.temperature_resample(pool, "lang")
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.max("rate_pct").cast("int").alias("rate_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("dup_idx").cast("bigint").alias("sum_dup_idx"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
@@ -254,6 +296,7 @@ QUERIES = {
     "q92_mixed_language": q92_mixed_language,
     "q93_span_corruption": q93_span_corruption,
     "q94_weighted_sample": q94_weighted_sample,
+    "q95_curation_v2": q95_curation_v2,
 }
 
 ORACLES = {
@@ -572,4 +615,84 @@ ORACLES["q94_weighted_sample"] = """
         SELECT CAST(sample_rank AS BIGINT) AS sample_rank, doc_id,
                sample_key, weight
         FROM ranked WHERE sample_rank <= 100 ORDER BY sample_rank
+    """
+
+# q95: the q80 clean CTEs -> structural gate -> the q92 scorer over
+# the CLEANED text -> the q88 temperature replay over the survivor
+# pool, all in one statement — the composition oracle.
+ORACLES["q95_curation_v2"] = f"""
+        WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ln AS (SELECT doc_id, i AS pos,
+                      array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' ') AS line
+               FROM t0, unnest(generate_series(1, CAST(ceil(len(w)/3.0) AS INT))) AS u(i)),
+        dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS d FROM ln GROUP BY line),
+        hot AS (SELECT line FROM dfc WHERE d > 3),
+        fl AS (SELECT l.doc_id, l.pos, l.line, h.line IS NOT NULL AS is_hot
+               FROM ln l LEFT JOIN hot h ON l.line = h.line),
+        cl AS (SELECT doc_id, COUNT(*) AS n_lines,
+                      COUNT(*) FILTER (NOT is_hot) AS n_kept,
+                      COALESCE(string_agg(CASE WHEN NOT is_hot THEN line END,
+                                          ' ' ORDER BY pos), '') AS ctext
+               FROM fl GROUP BY doc_id),
+        kept AS (SELECT doc_id, ctext FROM cl
+                 WHERE n_kept * 2 >= n_lines AND n_kept > 0),
+        t1 AS (SELECT doc_id, string_split(ctext, ' ') AS w,
+                      len(string_split(ctext, ' ')) AS nt
+               FROM kept),
+        ch AS (SELECT doc_id, k,
+                      array_to_string(
+                        w[CAST(k * 16 + 1 AS INT):CAST(least(k * 16 + 16, nt) AS INT)],
+                        ' ') AS chtext
+               FROM (SELECT doc_id, w, nt,
+                            unnest(generate_series(0,
+                               CAST(ceil(greatest(nt - 16, 0) / 16.0) AS BIGINT))) AS k
+                     FROM t1)),
+        ctoks AS (SELECT doc_id, k, unnest(string_split(chtext, ' ')) AS tkn FROM ch),
+        sw(lang, w) AS (VALUES {_STOPWORD_VALUES}),
+        hits AS (SELECT c.doc_id, c.k, s.lang, COUNT(*) AS score
+                 FROM ctoks c JOIN sw s ON c.tkn = s.w GROUP BY 1, 2, 3),
+        best AS (SELECT doc_id, k, lang,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id, k
+                              ORDER BY score DESC, lang) AS rn
+                 FROM hits),
+        pl AS (SELECT c.doc_id, c.k, COALESCE(b.lang, 'unknown') AS plang
+               FROM ch c LEFT JOIN (SELECT doc_id, k, lang FROM best WHERE rn = 1) b
+               ON c.doc_id = b.doc_id AND c.k = b.k),
+        cnt AS (SELECT doc_id, plang, COUNT(*) AS c FROM pl GROUP BY 1, 2),
+        major AS (SELECT doc_id, plang, c,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY c DESC, plang) AS rn
+                  FROM cnt),
+        aggm AS (SELECT doc_id, SUM(c) AS n_chunks FROM cnt GROUP BY 1),
+        pure AS (SELECT a.doc_id FROM aggm a JOIN major m
+                   ON a.doc_id = m.doc_id AND m.rn = 1
+                 WHERE NOT (ROUND(m.c * 1.0 / a.n_chunks, 6) < 0.8)),
+        pool AS (SELECT k.doc_id, d.lang, k.ctext
+                 FROM kept k JOIN pure USING (doc_id)
+                        JOIN documents d USING (doc_id)),
+        c2 AS (SELECT lang, COUNT(*) AS n_g FROM pool GROUP BY lang),
+        w2 AS (SELECT lang, n_g, CAST(ROUND(sqrt(n_g) * 1000) AS BIGINT) AS w FROM c2),
+        tt AS (SELECT SUM(n_g) AS n, SUM(w) AS sw FROM w2),
+        r2 AS (SELECT lang, n_g,
+                      CAST(FLOOR((100 * tt.n * w2.w) * 1.0 / (tt.sw * w2.n_g)) AS INT)
+                        AS rate_pct
+               FROM w2, tt),
+        b2 AS (SELECT p.doc_id, p.lang, p.ctext, r2.rate_pct,
+                      ('0x' || substr(sha256(CAST(p.doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                        % 100 AS bucket
+               FROM pool p JOIN r2 USING (lang)),
+        cc2 AS (SELECT doc_id, lang, ctext, rate_pct,
+                       CAST(rate_pct // 100 AS INT)
+                         + CASE WHEN bucket < rate_pct % 100 THEN 1 ELSE 0 END AS n
+                FROM b2),
+        xp2 AS (SELECT doc_id, lang, ctext, rate_pct,
+                       unnest(generate_series(0, n - 1)) AS dup_idx
+                FROM cc2 WHERE n > 0)
+        SELECT lang, CAST(MAX(rate_pct) AS INT) AS rate_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(dup_idx) AS BIGINT) AS sum_dup_idx,
+               CAST(SUM(length(ctext)) AS BIGINT) AS total_chars
+        FROM xp2 GROUP BY lang ORDER BY lang
     """

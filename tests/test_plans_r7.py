@@ -58,3 +58,14 @@ def test_q86_vocab_broadcasts_no_global_sort(spark, sf_dir):
     assert "BroadcastHashJoin" in join_impls(df), join_impls(df)
     assert "TakeOrderedAndProject" in plan, "top-V regressed to global sort"
     assert "CartesianProduct" not in plan
+
+
+def test_q95_composition_single_tree(spark, sf_dir):
+    """The composed pipeline must stay one lazy Catalyst tree: no
+    cartesian products, no per-row Python UDFs (BatchEvalPython), the
+    mixture rates still reach the corpus as a broadcast."""
+    df = QS["q95_curation_v2"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan, "per-row Python UDF crept in"
+    assert "BroadcastHashJoin" in join_impls(df)
