@@ -748,3 +748,61 @@ def mllib_ann_pairs(
         )
         .orderBy("vec_id", "other_vec_id")
     )
+
+
+def cluster_cap(
+    emb: DataFrame,
+    cap: int = 20,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_dir: str | None = None,
+    hash_seed: int = 0,
+) -> DataFrame:
+    """Per-cluster diversity cap: keep at most `cap` vectors per IVF
+    cell, chosen by the portable hash order — the topic-balance
+    enforcement stage (a web-scale corpus's head topics otherwise
+    dominate the training mixture; capping each semantic cell bounds
+    any one region's share). Membership is layout-independent and
+    reproducible (new `hash_seed` = new draw); with `index_dir` the
+    cells are the PERSISTED IVF index shared with the q61 probe and
+    q72's dedup — one quantizer, three consumers, trained once.
+
+    Returns the per-cell report (cell, n_vecs, n_kept, sum_kept_ids);
+    join kept membership back by rank <= cap when the filtered corpus
+    itself is wanted.
+
+    Scale: one shuffle on the cell key; the rank window is partitioned
+    by cell (cell populations are ~n/k by construction — the same
+    bounded-window argument as deterministic_shuffle's shards, and a
+    skewed mega-cell is the quantizer's k knob, not the window's
+    problem). The report aggregation reuses the window's exchange."""
+    from pyspark.sql import Window
+
+    from archetype_spark.operators import ann_index
+    from archetype_spark.operators.sampling import shuffle_key
+
+    if index_dir is not None:
+        _, assignments = ann_index.ensure_ivf(
+            emb, index_dir, n_clusters, seed, id_col, vec_col
+        )
+    else:
+        _, assignments = ann_index.fit_ivf_frames(
+            emb, n_clusters, seed, id_col, vec_col
+        )
+    asg = assignments.select(
+        F.col("id").alias("_id"), F.col("cell").cast("int").alias("cell")
+    )
+    win = Window.partitionBy("cell").orderBy(shuffle_key("_id", hash_seed), "_id")
+    ranked = asg.withColumn("_rk", F.row_number().over(win))
+    kept = F.col("_rk") <= cap
+    return (
+        ranked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("_id"))).cast("bigint").alias("sum_kept_ids"),
+        )
+        .orderBy("cell")
+    )

@@ -90,7 +90,8 @@ _MODULES = (
 #       q88 temperature mix/q62, q89 bigram surprisal/q63,
 #       q90 containment pairs/q64, q91 sign-code ANN/q67,
 #       q92 mixed-language/q28, q93 span corruption/q45,
-#       q94 weighted sample/q46, q95 curation-v2/q47 (all
+#       q94 weighted sample/q46, q95 curation-v2/q47,
+#       q96 cluster-cap/q51 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
 DRIVER_WINDOW = 50
@@ -114,6 +115,7 @@ _PINNED: tuple[str, ...] = (
     "q93_span_corruption",
     "q94_weighted_sample",
     "q95_curation_v2",
+    "q96_cluster_cap",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -160,6 +162,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q45_tumbling_window",
         "q46_sliding_window",
         "q47_session_window",
+        "q51_asof_join",
     }
 )
 
@@ -205,4 +208,7 @@ def all_oracles(
     mh = northstar.minhash_oracle(d, require_live_index=require_live_index)
     if mh is not None:
         o["q65_minhash_fast"] = mh
+    cc = curation_q.cluster_cap_oracle(d, require_live_index=require_live_index)
+    if cc is not None:
+        o["q96_cluster_cap"] = cc
     return o

@@ -284,6 +284,52 @@ def q95_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster diversity cap (operators/similarity.py
+    cluster_cap): at most 20 vectors per persisted-IVF cell, chosen
+    by the portable hash order — topic-balance enforcement over the
+    SAME index q61 probes and q72 dedups (one quantizer, three
+    consumers). Output: the per-cell cap report."""
+    import os
+
+    from archetype_spark.operators import ann_index, similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    idx = ann_index.default_index_dir(sf_dir, "ivf_embeddings")
+    os.makedirs(os.path.dirname(idx), exist_ok=True)
+    return similarity.cluster_cap(e, cap=20, index_dir=idx)
+
+
+def cluster_cap_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """DuckDB SQL replaying q96 over the SAME persisted assignment
+    parquet (the ivf_oracle contract); None when the index isn't on
+    disk yet (rows-only degrade, same as q61/q72/q77)."""
+    import os
+
+    from archetype_spark.operators import ann_index
+
+    idx = ann_index.default_index_dir(sf_dir, "ivf_embeddings")
+    if require_live_index and not os.path.isdir(idx):
+        return None
+    return f"""
+        WITH assign AS (
+          SELECT id, CAST(cell AS INT) AS cell
+          FROM read_parquet('{idx}/assignments/**/*.parquet', hive_partitioning=true)
+        ), r AS (
+          SELECT id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+                   CAST(('0x' || substr(sha256('0:' || CAST(id AS VARCHAR)), 1, 15))::UBIGINT
+                        AS BIGINT), id) AS rk
+          FROM assign
+        )
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) FILTER (rk <= 20) AS BIGINT) AS n_kept,
+               CAST(SUM(id) FILTER (rk <= 20) AS BIGINT) AS sum_kept_ids
+        FROM r GROUP BY cell ORDER BY cell
+    """
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
@@ -297,6 +343,7 @@ QUERIES = {
     "q93_span_corruption": q93_span_corruption,
     "q94_weighted_sample": q94_weighted_sample,
     "q95_curation_v2": q95_curation_v2,
+    "q96_cluster_cap": q96_cluster_cap,
 }
 
 ORACLES = {
