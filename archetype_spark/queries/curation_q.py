@@ -290,13 +290,10 @@ def q96_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the portable hash order — topic-balance enforcement over the
     SAME index q61 probes and q72 dedups (one quantizer, three
     consumers). Output: the per-cell cap report."""
-    import os
-
     from archetype_spark.operators import ann_index, similarity
 
     e = load(spark, sf_dir, "embeddings")
     idx = ann_index.default_index_dir(sf_dir, "ivf_embeddings")
-    os.makedirs(os.path.dirname(idx), exist_ok=True)
     return similarity.cluster_cap(e, cap=20, index_dir=idx)
 
 
