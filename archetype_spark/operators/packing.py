@@ -185,6 +185,11 @@ def chunk_documents(
     cross-document and exact-budget."""
     if window <= 0 or stride <= 0:
         raise ValueError(f"window/stride must be positive, got {window}/{stride}")
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would skip tokens — the "
+            "every-token-covered contract requires stride <= window"
+        )
     w = F.split(F.col(text_col), " ")
     nt = F.size(w)
     n_chunks = (

@@ -195,3 +195,26 @@ def test_span_corruption_construction(spark):
     assert none["input_text"] == " ".join(f"t{i}" for i in range(12))
     assert none["target_text"] == ""
     assert n_exchanges(packing.span_corruption(df)) == 0
+
+
+def test_chunk_documents_rejects_gapped_stride(spark):
+    import pytest
+
+    from archetype_spark.operators import packing
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="skip tokens"):
+        packing.chunk_documents(df, window=8, stride=9)
+
+
+def test_weighted_sample_k_exceeds_population(spark):
+    """k larger than the (positive-weight) population returns every
+    eligible row, still ranked."""
+    from archetype_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.5), (3, 0.0)], "doc_id long, weight double"
+    )
+    out = sampling.weighted_sample(df, "weight", k=10).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    assert sorted(r["sample_rank"] for r in out) == [1, 2]
