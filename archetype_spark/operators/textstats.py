@@ -330,6 +330,7 @@ def bigram_surprisal(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    score_distinct: bool = False,
 ) -> DataFrame:
     """Corpus-trained bigram surprisal scoring — the engine-side
     analog of perplexity filtering (CCNet trains KenLM; here the
@@ -380,16 +381,43 @@ def bigram_surprisal(
     s_int = round_like_duckdb(
         -F.log((F.col("_cab") + 1) / (F.col("_ca") + F.col("_v"))) * 1e6, 0
     ).cast("bigint")
-    scored = (
-        grams.join(cab, ["_a", "_b"])
-        .join(ca, "_a")
-        .crossJoin(F.broadcast(v))
-        .select("_id", s_int.alias("_s"))
-    )
-    per_doc = scored.groupBy("_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.sum("_s").cast("bigint").alias("sum_micro_nats"),
-    )
+    if score_distinct:
+        # A/B alternative (`bench.py --ab q89`): pre-aggregate term
+        # frequency per (doc, a, b), score each DISTINCT pair once on
+        # the count table, and weight by tf — the ln evaluates
+        # ~n_distinct_pairs times instead of once per occurrence, and
+        # the probe join carries the smaller doc-bigram table. Row
+        # results are identical by construction (sum of s per
+        # occurrence == s * tf).
+        dtf = grams.groupBy("_id", "_a", "_b").agg(
+            F.count(F.lit(1)).alias("_tf")
+        )
+        pair_scores = (
+            cab.join(ca, "_a")
+            .crossJoin(F.broadcast(v))
+            .select("_a", "_b", s_int.alias("_s"))
+        )
+        per_doc = (
+            dtf.join(pair_scores, ["_a", "_b"])
+            .groupBy("_id")
+            .agg(
+                F.sum("_tf").cast("bigint").alias("n_bigrams"),
+                F.sum(F.col("_s") * F.col("_tf"))
+                .cast("bigint")
+                .alias("sum_micro_nats"),
+            )
+        )
+    else:
+        scored = (
+            grams.join(cab, ["_a", "_b"])
+            .join(ca, "_a")
+            .crossJoin(F.broadcast(v))
+            .select("_id", s_int.alias("_s"))
+        )
+        per_doc = scored.groupBy("_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("_s").cast("bigint").alias("sum_micro_nats"),
+        )
     return (
         df.select(F.col(id_col).alias("_id"))
         .join(per_doc, "_id", "left")

@@ -546,6 +546,22 @@ AB_VARIANTS["q84"] = {
     "window": q84_window_variant,
 }
 
+
+def q89_distinct_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-only (`bench.py --ab q89`): q89 with distinct-pair scoring
+    (ln once per distinct bigram, weighted by tf) instead of
+    per-occurrence scoring. Rows identical by construction."""
+    from archetype_spark.operators import textstats
+
+    d = load(spark, sf_dir, "documents")
+    return textstats.bigram_surprisal(d, score_distinct=True).orderBy("doc_id")
+
+
+AB_VARIANTS["q89"] = {
+    "per_occurrence": q89_bigram_surprisal,
+    "distinct_pairs": q89_distinct_variant,
+}
+
 # q92's oracle needs northstar's stopword VALUES literal, available
 # once the import above has run: the q87 chunk bounds (stride ==
 # window), the q38 per-chunk lang scorer, a ROW_NUMBER majority with
