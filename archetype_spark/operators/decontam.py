@@ -99,3 +99,29 @@ def contamination(
         )
         .withColumn("keep", F.col("contam_frac") <= F.lit(max_frac))
     )
+
+
+def verbatim_leaks(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring leak detection (the Lee et al. / GPT-3 'dirty
+    document' rule): a training doc leaks when ANY exact n-token
+    window also occurs in the eval set — the verbatim complement to
+    `contamination`'s fractional budget. The two rules catch
+    different failure modes: a doc quoting one eval answer verbatim
+    can sit far below a 20% 3-gram budget (q71 keeps it), while long
+    n windows make incidental phrase collisions vanishingly rare, so
+    any hit is a true leak. Returns (id, n_windows, n_leaked,
+    leaked); same broadcast-eval/never-shuffle-train shape as
+    `contamination` — one operator, two verdict algebras."""
+    c = contamination(train_df, eval_df, id_col, text_col, n=n, max_frac=0.0)
+    return c.select(
+        F.col(id_col),
+        F.col("n_shingles").alias("n_windows"),
+        F.col("n_shared").alias("n_leaked"),
+        (F.col("n_shared") > 0).alias("leaked"),
+    )

@@ -91,7 +91,7 @@ _MODULES = (
 #       q90 containment pairs/q64, q91 sign-code ANN/q67,
 #       q92 mixed-language/q28, q93 span corruption/q45,
 #       q94 weighted sample/q46, q95 curation-v2/q47,
-#       q96 cluster-cap/q51 (all
+#       q96 cluster-cap/q51, q97 verbatim-leaks/q52 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
 DRIVER_WINDOW = 50
@@ -116,6 +116,7 @@ _PINNED: tuple[str, ...] = (
     "q94_weighted_sample",
     "q95_curation_v2",
     "q96_cluster_cap",
+    "q97_verbatim_leaks",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -163,6 +164,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q46_sliding_window",
         "q47_session_window",
         "q51_asof_join",
+        "q52_range_join",
     }
 )
 

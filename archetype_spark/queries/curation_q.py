@@ -327,6 +327,22 @@ def cluster_cap_oracle(sf_dir: str, require_live_index: bool = True) -> str | No
     """
 
 
+def q97_verbatim_leaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring leak detection (operators/decontam.py
+    verbatim_leaks): training docs sharing ANY exact 8-token window
+    with the eval split — the verbatim complement to q71's fractional
+    3-gram budget, over the same q67 hash split fences (train < 80,
+    eval >= 90). Same broadcast-eval shape; the training side never
+    shuffles for the probe."""
+    from archetype_spark.operators import decontam, sampling
+
+    d = load(spark, sf_dir, "documents")
+    split = sampling.hash_bucket("doc_id")
+    train = d.filter(split < 80)
+    ev = d.filter(split >= 90)
+    return decontam.verbatim_leaks(train, ev, n=8).orderBy("doc_id")
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
@@ -341,6 +357,7 @@ QUERIES = {
     "q94_weighted_sample": q94_weighted_sample,
     "q95_curation_v2": q95_curation_v2,
     "q96_cluster_cap": q96_cluster_cap,
+    "q97_verbatim_leaks": q97_verbatim_leaks,
 }
 
 ORACLES = {
@@ -755,4 +772,33 @@ ORACLES["q95_curation_v2"] = f"""
                CAST(SUM(dup_idx) AS BIGINT) AS sum_dup_idx,
                CAST(SUM(length(ctext)) AS BIGINT) AS total_chars
         FROM xp2 GROUP BY lang ORDER BY lang
+    """
+
+# q97: the q71 split fences + raw-string 8-token window join (ground
+# truth for Spark's xxhash64 keys); windows are DISTINCT per doc on
+# both sides.
+ORACLES["q97_verbatim_leaks"] = """
+        WITH b AS (
+          SELECT doc_id, text,
+                 ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                   % 100 AS bk
+          FROM documents
+        ),
+        tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM b WHERE bk < 80),
+        ev AS (SELECT string_split(text, ' ') AS w FROM b WHERE bk >= 90),
+        tw AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s
+               FROM tr, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)),
+        tc AS (SELECT doc_id, COUNT(*) AS n FROM tw GROUP BY doc_id),
+        ew AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS s
+               FROM ev, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)),
+        lk AS (SELECT t.doc_id, COUNT(*) AS c
+               FROM tw t JOIN ew e ON t.s = e.s GROUP BY t.doc_id)
+        SELECT tr.doc_id,
+               CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(lk.c, 0) AS BIGINT) AS n_leaked,
+               COALESCE(lk.c, 0) > 0 AS leaked
+        FROM tr
+        LEFT JOIN tc USING (doc_id)
+        LEFT JOIN lk USING (doc_id)
+        ORDER BY doc_id
     """

@@ -107,3 +107,33 @@ def test_semantic_dedup_uses_persisted_index(spark):
     # second call reuses the index (no refit): verdicts identical
     out2 = similarity.semantic_dedup(emb, threshold=0.95, index_dir=d)
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_verbatim_leak_catches_what_fraction_budget_misses(spark):
+    """A long doc quoting one eval answer verbatim sits under the 20%
+    3-gram budget (contamination keeps it) but shares an 8-token
+    window (verbatim_leaks flags it); clean docs flag nothing. The
+    eval side must broadcast."""
+    from archetype_spark.operators import decontam
+    from archetype_spark.plans import formatted_plan
+
+    answer = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    filler = " ".join(f"w{i}" for i in range(160))
+    train = spark.createDataFrame(
+        [(1, filler + " " + answer), (2, filler)],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame([(100, answer)], "doc_id int, text string")
+    frac = {
+        r["doc_id"]: r["keep"]
+        for r in decontam.contamination(train, ev, n=3, max_frac=0.2).collect()
+    }
+    assert frac == {1: True, 2: True}  # fractional budget misses the quote
+    leaks = {
+        r["doc_id"]: (r["leaked"], r["n_leaked"])
+        for r in decontam.verbatim_leaks(train, ev, n=8).collect()
+    }
+    assert leaks[1] == (True, 1)
+    assert leaks[2] == (False, 0)
+    plan = formatted_plan(decontam.verbatim_leaks(train, ev, n=8))
+    assert "BroadcastHashJoin" in plan
