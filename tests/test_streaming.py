@@ -348,3 +348,34 @@ def test_stream_ingest_dedup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect and got
+
+
+def test_streaming_scrub_and_chunk_match_batch(spark, tmp_path):
+    """The stateless curation passes (PII scrub, token-window
+    chunking) run unchanged on a readStream — narrow column work has
+    no batch/stream semantic gap — and agree row-for-row with their
+    batch results."""
+    from archetype_spark.operators import cleaning, packing
+
+    rows = [
+        (1, "mail a@b.co now and " + " ".join(f"t{i}" for i in range(40))),
+        (2, "call 555-123-4567 from 10.0.0.1"),
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id int, text string").coalesce(
+        1
+    ).write.parquet(str(src))
+    batch = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+
+    def pipeline(df):
+        return packing.chunk_documents(
+            cleaning.scrub_pii(df), window=16, stride=16
+        )
+
+    want = {tuple(r) for r in pipeline(batch).collect()}
+    got = {
+        tuple(r)
+        for r in _run_to_memory(spark, pipeline(stream), "scrub_chunks").collect()
+    }
+    assert got == want and len(want) > 0
