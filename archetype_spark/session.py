@@ -41,9 +41,21 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus != "*" else (os.cpu_count() or 8)
 
+    # Size the single local JVM for its parallelism: Spark's default
+    # 1g heap shared by 32 concurrent tasks is ~30 MB of working heap
+    # each — measured OOM on the banded MinHash join at a 10x (50k
+    # doc) stress corpus, while the same plan at 8g finishes
+    # comfortably. On a real cluster executors get dedicated heaps
+    # and this knob is the deploy config's business; locally it must
+    # come from the factory (driver memory is fixed at JVM launch —
+    # set before the first session, env SPARK_GRAFT_DRIVER_MEM to
+    # override).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
