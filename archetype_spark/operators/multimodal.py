@@ -187,13 +187,170 @@ def _fake_decode(kind: str, payload: bytes) -> dict:
     return out
 
 
-def _real_decode(kind: str, payload: bytes) -> dict:
-    """Real decoder hook — requires codec libs absent from this
-    container."""
-    raise NotImplementedError(
-        "real media decode requires PIL/librosa/av; not installed in this "
-        "container — _fake_decode is the deterministic stand-in"
+def _ppm_header(payload: bytes):
+    """Parse a binary PNM header (P5 gray / P6 RGB): returns
+    (width, height, maxval, raster_offset) or None if not PNM.
+    Comments (#...) and arbitrary whitespace between header fields
+    per the spec; exactly one whitespace byte separates maxval from
+    the raster."""
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        return None
+    i, vals = 2, []
+    while len(vals) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                return None
+            i = nl + 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3:
+        return None
+    return vals[0], vals[1], vals[2], i + 1
+
+
+def _wav_info(payload: bytes):
+    """Parse a RIFF/WAVE header: returns duration_ms or None if not
+    WAV. Walks chunks (fmt then data) — plain PCM arithmetic, no
+    codec needed."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, byte_rate, data_size = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 16 <= len(payload):
+            byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)
+    if not byte_rate or data_size is None:
+        return None
+    return round(data_size * 1000 / byte_rate)
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) over an MP4 box run."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        btype = data[i + 4 : i + 8]
+        if size == 1 and i + 16 <= end:  # 64-bit size
+            (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+            yield btype, i + 16, i + size
+        elif size >= 8:
+            yield btype, i + 8, i + size
+        else:
+            return
+        i += size
+
+
+def _mp4_find(data: bytes, path: list[bytes], start: int, end: int):
+    for btype, b0, b1 in _mp4_boxes(data, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return b0, b1
+            return _mp4_find(data, path[1:], b0, b1)
+    return None
+
+
+def _mp4_info(payload: bytes):
+    """Parse MP4 structure boxes (no codec work): moov/mvhd gives
+    duration, moov/trak/tkhd gives display dims (16.16 fixed point),
+    stbl/stts sample counts give n_frames. Returns
+    (width, height, duration_ms, n_frames) or None if not MP4."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    n = len(payload)
+    mvhd = _mp4_find(payload, [b"moov", b"mvhd"], 0, n)
+    if mvhd is None:
+        return None
+    b0, _ = mvhd
+    ver = payload[b0]
+    if ver == 1:
+        ts = struct.unpack(">I", payload[b0 + 20 : b0 + 24])[0]
+        dur = struct.unpack(">Q", payload[b0 + 24 : b0 + 32])[0]
+    else:
+        ts = struct.unpack(">I", payload[b0 + 12 : b0 + 16])[0]
+        dur = struct.unpack(">I", payload[b0 + 16 : b0 + 20])[0]
+    duration_ms = round(dur * 1000 / ts) if ts else None
+    width = height = None
+    tkhd = _mp4_find(payload, [b"moov", b"trak", b"tkhd"], 0, n)
+    if tkhd is not None:
+        t0, t1 = tkhd
+        if t1 - t0 >= 84 and payload[t0] == 0:  # version 0 layout
+            width = struct.unpack(">I", payload[t0 + 76 : t0 + 80])[0] >> 16
+            height = struct.unpack(">I", payload[t0 + 80 : t0 + 84])[0] >> 16
+    n_frames = None
+    stts = _mp4_find(
+        payload, [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stts"], 0, n
     )
+    if stts is not None:
+        s0, _ = stts
+        (entries,) = struct.unpack(">I", payload[s0 + 4 : s0 + 8])
+        n_frames = sum(
+            struct.unpack(">I", payload[s0 + 8 + 8 * k : s0 + 12 + 8 * k])[0]
+            for k in range(entries)
+        )
+    return width, height, duration_ms, n_frames
+
+
+def _real_decode(kind: str, payload: bytes) -> dict:
+    """Real decoders for the container-formats parseable WITHOUT
+    codec libraries: PNM (P5/P6) images, RIFF/WAVE PCM audio, MP4
+    structure boxes for video — header/box arithmetic only, which is
+    exactly what decode-probe needs (dims, duration, frame count).
+    Compressed formats (JPEG/PNG entropy planes, Opus, H.264 frames)
+    still require PIL/av and raise loudly naming the gap — never a
+    silent wrong answer."""
+    digest = hashlib.sha256(payload or b"").hexdigest()
+    out = {
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "n_frames": None,
+        "content_digest": digest,
+    }
+    if kind == "image":
+        hdr = _ppm_header(payload or b"")
+        if hdr is None:
+            raise NotImplementedError(
+                "real image decode: only PNM (P5/P6) is parseable without "
+                "PIL; payload is not PNM"
+            )
+        out["width"], out["height"] = hdr[0], hdr[1]
+    elif kind == "audio":
+        ms = _wav_info(payload or b"")
+        if ms is None:
+            raise NotImplementedError(
+                "real audio decode: only RIFF/WAVE PCM is parseable without "
+                "codec libs; payload is not WAV"
+            )
+        out["duration_ms"] = ms
+    elif kind == "video":
+        info = _mp4_info(payload or b"")
+        if info is None:
+            raise NotImplementedError(
+                "real video decode: only MP4 box structure is parseable "
+                "without av; payload is not MP4"
+            )
+        out["width"], out["height"], out["duration_ms"], out["n_frames"] = info
+    return out
 
 
 def decode_media(media: DataFrame, use_real_decoders: bool = False) -> DataFrame:
@@ -234,7 +391,48 @@ def resize_images(
         ]
     )
     if use_real_decoders:
-        raise NotImplementedError("real image resize requires PIL; not installed")
+
+        def resize_one(payload: bytes) -> bytes:
+            """Real nearest-neighbor resize for P6 (RGB) PNM — pure
+            numpy index arithmetic, re-encoded as P6. Compressed
+            formats still need PIL and raise loudly."""
+            hdr = _ppm_header(payload or b"")
+            if hdr is None or payload[:2] != b"P6":
+                raise NotImplementedError(
+                    "real image resize: only P6 PNM without PIL; payload "
+                    "is not P6"
+                )
+            w0, h0, maxval, off = hdr
+            import numpy as np
+
+            px = np.frombuffer(
+                payload, dtype=np.uint8, count=w0 * h0 * 3, offset=off
+            ).reshape(h0, w0, 3)
+            ys = (np.arange(height) * h0) // height
+            xs = (np.arange(width) * w0) // width
+            out = px[ys][:, xs]
+            return (
+                b"P6\n%d %d\n%d\n" % (width, height, maxval)
+                + out.tobytes()
+            )
+
+        def process_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].values,
+                        "payload": [resize_one(p) for p in pdf["payload"]],
+                    }
+                )
+                out["width"] = width
+                out["height"] = height
+                yield out
+
+        return media.select("media_id", "payload").mapInPandas(
+            process_real, schema=out_schema
+        )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -78,3 +78,87 @@ def test_fetch_rebinds_existing_payload_column(spark, fixture_files):
     assert out.columns.count("payload") == 1
     row = out.collect()[0]
     assert bytes(row["payload"]) == fixture_files[path]
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _sample_media() -> dict[str, bytes]:
+    """Hand-built minimal payloads: a 4x2 P6 image, a 2-second PCM
+    WAV, an MP4 with mvhd/tkhd/stts structure boxes."""
+    import struct
+
+    ppm = b"P6\n# test\n4 2\n255\n" + bytes(range(24))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 32000) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 32000) + bytes(32000)
+    )
+    mvhd = _box(b"mvhd", struct.pack(">B3xII II", 0, 0, 0, 1000, 2500) + bytes(80))
+    tkhd_body = struct.pack(">B3x", 0) + bytes(72) + struct.pack(
+        ">II", 320 << 16, 240 << 16
+    )
+    stts = _box(b"stts", struct.pack(">B3xI", 0, 2) + struct.pack(">IIII", 10, 100, 5, 200))
+    stbl = _box(b"stbl", stts)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd_body) + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    mp4 = _box(b"ftyp", b"isom\x00\x00\x00\x00") + moov
+    return {"image": ppm, "audio": wav, "video": mp4}
+
+
+def test_real_decoders_parse_container_formats(spark):
+    """The dependency-free real decoders parse actual bytes: PNM dims,
+    WAV duration from PCM arithmetic, MP4 duration/dims/frame count
+    from structure boxes — end-to-end through the Arrow stage."""
+    from archetype_spark.operators import multimodal
+
+    m = _sample_media()
+    df = spark.createDataFrame(
+        [(1, "image", m["image"]), (2, "audio", m["audio"]), (3, "video", m["video"])],
+        "media_id long, kind string, payload binary",
+    )
+    out = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.decode_media(df, use_real_decoders=True).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (4, 2)
+    assert out[2]["duration_ms"] == 2000
+    assert (out[3]["width"], out[3]["height"]) == (320, 240)
+    assert out[3]["duration_ms"] == 2500  # 2500 ticks @ timescale 1000
+    assert out[3]["n_frames"] == 15
+    # compressed formats still refuse loudly rather than guess
+    import pytest
+
+    jpeg = spark.createDataFrame(
+        [(9, "image", b"\xff\xd8\xff\xe0junk")],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="not PNM"):
+        multimodal.decode_media(jpeg, use_real_decoders=True).collect()
+
+
+def test_real_resize_p6_nearest_neighbor(spark):
+    """Real P6 resize: nearest-neighbor downsample 4x2 -> 2x1 keeps
+    the exact source pixels the index arithmetic selects, re-encoded
+    as valid P6."""
+    from archetype_spark.operators import multimodal
+
+    ppm = b"P6\n4 2\n255\n" + bytes(range(24))
+    df = spark.createDataFrame(
+        [(1, ppm)], "media_id long, payload binary"
+    )
+    out = multimodal.resize_images(
+        df, width=2, height=1, use_real_decoders=True
+    ).collect()[0]
+    assert (out["width"], out["height"]) == (2, 1)
+    # ys = [0], xs = [0, 2] -> pixels (0,0) and (0,2) of row 0
+    expect = b"P6\n2 1\n255\n" + bytes([0, 1, 2, 6, 7, 8])
+    assert bytes(out["payload"]) == expect
+    hdr = multimodal._ppm_header(bytes(out["payload"]))
+    assert hdr[:3] == (2, 1, 255)
