@@ -606,3 +606,77 @@ def containment_pairs(
         .filter(F.col("max_containment") >= threshold)
         .orderBy("doc_id", "other_doc_id")
     )
+
+
+def minhash_containment_from_signatures(
+    sigs: DataFrame,
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.45,
+    shingle_n: int = 3,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment estimates for the pairs the MinHash index
+    surfaces — the duplicate-TYPE classifier: a symmetric mirror has
+    both directed containments ~J, while a subset embed pushes the
+    short side's containment toward 1. From the estimated Jaccard
+    (recovered exactly as the integer slot-match count m =
+    est * num_hashes — every num_hashes-th is exact at 6 decimals)
+    and the exact per-doc shingle-set sizes:
+    est_inter = m * (na + nb) / (num_hashes + m), containment_a =
+    est_inter / na — all products exact integers, one double
+    division, both engines identical.
+
+    Scope honesty: this classifies pairs ABOVE the Jaccard gate. A
+    low-J subset pair (tiny doc inside a huge one) never reaches the
+    banded candidate stage — that regime belongs to the exact blocked
+    tier (`containment_pairs`) or a dedicated containment sketch.
+
+    Scale: the pair sweep is q65's banded join over the persisted
+    signature table; the size attach is one narrow per-doc
+    projection joined on the 8-byte id — no new shuffle shape."""
+    from archetype_spark.queries.relational import round_like_duckdb
+
+    pairs = minhash_pairs_from_signatures(
+        sigs,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        id_col=id_col,
+        sig_col=sig_col,
+    )
+    sizes = docs.select(
+        F.col(doc_id_col).alias("_szid"),
+        F.size(shingles(text_col, shingle_n)).cast("bigint").alias("_n"),
+    )
+    m = F.round(F.col("est_jaccard") * num_hashes).cast("bigint")
+    est_inter_num = m * (F.col("_na") + F.col("_nb"))
+    den = F.lit(num_hashes) + m
+    c_a = round_like_duckdb(
+        est_inter_num.cast("double") / (den * F.col("_na")).cast("double"), 6
+    )
+    c_b = round_like_duckdb(
+        est_inter_num.cast("double") / (den * F.col("_nb")).cast("double"), 6
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("_szid", "_ida").withColumnRenamed("_n", "_na"),
+            F.col("doc_id") == F.col("_ida"),
+        )
+        .join(
+            sizes.withColumnRenamed("_szid", "_idb").withColumnRenamed("_n", "_nb"),
+            F.col("other_doc_id") == F.col("_idb"),
+        )
+        .select(
+            "doc_id",
+            "other_doc_id",
+            "est_jaccard",
+            c_a.alias("est_containment"),
+            c_b.alias("other_est_containment"),
+        )
+        .orderBy("doc_id", "other_doc_id")
+    )

@@ -91,7 +91,8 @@ _MODULES = (
 #       q90 containment pairs/q64, q91 sign-code ANN/q67,
 #       q92 mixed-language/q28, q93 span corruption/q45,
 #       q94 weighted sample/q46, q95 curation-v2/q47,
-#       q96 cluster-cap/q51, q97 verbatim-leaks/q52 (all
+#       q96 cluster-cap/q51, q97 verbatim-leaks/q52,
+#       q98 minhash-containment/q53 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
 DRIVER_WINDOW = 50
@@ -117,6 +118,7 @@ _PINNED: tuple[str, ...] = (
     "q95_curation_v2",
     "q96_cluster_cap",
     "q97_verbatim_leaks",
+    "q98_minhash_containment",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -165,6 +167,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q47_session_window",
         "q51_asof_join",
         "q52_range_join",
+        "q53_cube",
     }
 )
 
@@ -213,4 +216,9 @@ def all_oracles(
     cc = curation_q.cluster_cap_oracle(d, require_live_index=require_live_index)
     if cc is not None:
         o["q96_cluster_cap"] = cc
+    mhc = northstar.minhash_oracle(
+        d, require_live_index=require_live_index, containment=True
+    )
+    if mhc is not None:
+        o["q98_minhash_containment"] = mhc
     return o

@@ -343,6 +343,27 @@ def q97_verbatim_leaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.verbatim_leaks(train, ev, n=8).orderBy("doc_id")
 
 
+def q98_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-type classification over the persisted MinHash index
+    (operators/dedup.py minhash_containment_from_signatures):
+    directed containment estimates for every pair the q65 banded
+    sweep surfaces — a symmetric mirror shows both containments ~J,
+    a subset embed pushes the short side toward 1. The slot-match
+    count recovers exactly from the rounded estimate, and the
+    containment algebra is integer products + one double division,
+    so the oracle replays it bit-for-bit over the same signature
+    parquet + exact shingle counts."""
+    from archetype_spark.operators import ann_index, dedup
+    from archetype_spark.queries.northstar import MINHASH_INDEX
+
+    d = load(spark, sf_dir, "documents")
+    sigs = ann_index.ensure_minhash(
+        d, ann_index.default_index_dir(sf_dir, "minhash_documents"),
+        **MINHASH_INDEX,
+    )
+    return dedup.minhash_containment_from_signatures(sigs, d)
+
+
 QUERIES = {
     "q84_paragraph_dedup": q84_paragraph_dedup,
     "q85_random_projection": q85_random_projection,
@@ -358,6 +379,7 @@ QUERIES = {
     "q95_curation_v2": q95_curation_v2,
     "q96_cluster_cap": q96_cluster_cap,
     "q97_verbatim_leaks": q97_verbatim_leaks,
+    "q98_minhash_containment": q98_minhash_containment,
 }
 
 ORACLES = {

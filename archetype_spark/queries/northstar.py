@@ -1822,7 +1822,9 @@ def semantic_dedup_oracle(sf_dir: str, require_live_index: bool = True) -> str |
     """
 
 
-def minhash_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+def minhash_oracle(
+    sf_dir: str, require_live_index: bool = True, containment: bool = False
+) -> str | None:
     """DuckDB SQL replicating q65's banded sweep over the SAME
     persisted xxhash64 signature parquet the Spark query probes.
 
@@ -1848,7 +1850,7 @@ def minhash_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
         f"(CASE WHEN x.sig[{i + 1}] = y.sig[{i + 1}] THEN 1 ELSE 0 END)"
         for i in range(n)
     )
-    return f"""
+    base = f"""
         WITH sigs AS (
           SELECT id, sig FROM read_parquet('{idx}/signatures/*.parquet')
         ),
@@ -1860,7 +1862,11 @@ def minhash_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
           SELECT DISTINCT a.id AS doc_id, b.id AS other_doc_id
           FROM banded a JOIN banded b
             ON a.band_idx = b.band_idx AND a.id < b.id AND {band_eq}
-        )
+        )"""
+    if not containment:
+        return (
+            base
+            + f"""
         SELECT c.doc_id, c.other_doc_id,
                ROUND(({est}) / {n}.0, 6) AS est_jaccard
         FROM cand c
@@ -1869,3 +1875,38 @@ def minhash_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
         WHERE ROUND(({est}) / {n}.0, 6) >= 0.45
         ORDER BY c.doc_id, c.other_doc_id
     """
+        )
+    # q98: attach exact shingle-set sizes and the integer-exact
+    # containment algebra (m = slot-match count; est_inter =
+    # m*(na+nb)/(n+m); directed containments est_inter/na|nb).
+    return (
+        base
+        + f""",
+        sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                 unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+          ) GROUP BY doc_id
+        ),
+        scored AS (
+          SELECT c.doc_id, c.other_doc_id,
+                 ROUND(({est}) / {n}.0, 6) AS est_jaccard,
+                 CAST(({est}) AS BIGINT) AS m,
+                 sa.n AS na, sb.n AS nb
+          FROM cand c
+          JOIN sigs x ON x.id = c.doc_id
+          JOIN sigs y ON y.id = c.other_doc_id
+          JOIN sz sa ON sa.doc_id = c.doc_id
+          JOIN sz sb ON sb.doc_id = c.other_doc_id
+          WHERE ROUND(({est}) / {n}.0, 6) >= 0.45
+        )
+        SELECT doc_id, other_doc_id, est_jaccard,
+               ROUND((m * (na + nb)) * 1.0 / (({n} + m) * na), 6)
+                 AS est_containment,
+               ROUND((m * (na + nb)) * 1.0 / (({n} + m) * nb), 6)
+                 AS other_est_containment
+        FROM scored ORDER BY doc_id, other_doc_id
+    """
+    )

@@ -228,3 +228,36 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
     assert r["other_containment"] < 0.2     # long barely covered
     jac = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
     assert jac == []                         # Jaccard misses it
+
+
+def test_minhash_containment_classifies_pair_type(spark, tmp_path):
+    """Exact duplicates score est_jaccard 1.0 and both containments
+    1.0; a moderate-overlap pair's containment estimates follow the
+    m-based algebra exactly."""
+    from archetype_spark.operators import ann_index, dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base),                                       # exact dup of 1
+        (3, base + " " + " ".join(f"x{i}" for i in range(12))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sigs = ann_index.ensure_minhash(
+        df, str(tmp_path / "mh"), num_hashes=64, shingle_n=3,
+        hash_family="xxhash64",
+    )
+    out = {
+        (r["doc_id"], r["other_doc_id"]): r.asDict()
+        for r in dedup.minhash_containment_from_signatures(sigs, df).collect()
+    }
+    assert out[(1, 2)]["est_jaccard"] == 1.0
+    assert out[(1, 2)]["est_containment"] == 1.0
+    assert out[(1, 2)]["other_est_containment"] == 1.0
+    for (a, b), r in out.items():
+        if a == 3 or b == 3:
+            # superset doc 3: the smaller side's containment must
+            # exceed the symmetric jaccard estimate
+            assert max(
+                r["est_containment"], r["other_est_containment"]
+            ) > r["est_jaccard"]
