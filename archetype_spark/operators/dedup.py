@@ -649,10 +649,16 @@ def minhash_containment_from_signatures(
         id_col=id_col,
         sig_col=sig_col,
     )
-    sizes = docs.select(
-        F.col(doc_id_col).alias("_szid"),
-        F.size(shingles(text_col, shingle_n)).cast("bigint").alias("_n"),
-    )
+    if "n_sh" in sigs.columns:
+        # sig_schema 2 indexes carry the size — no corpus re-shingle
+        sizes = sigs.select(
+            F.col(id_col).alias("_szid"), F.col("n_sh").cast("bigint").alias("_n")
+        )
+    else:
+        sizes = docs.select(
+            F.col(doc_id_col).alias("_szid"),
+            F.size(shingles(text_col, shingle_n)).cast("bigint").alias("_n"),
+        )
     m = F.round(F.col("est_jaccard") * num_hashes).cast("bigint")
     est_inter_num = m * (F.col("_na") + F.col("_nb"))
     den = F.lit(num_hashes) + m

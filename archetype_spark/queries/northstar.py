@@ -1883,12 +1883,8 @@ def minhash_oracle(
         base
         + f""",
         sz AS (
-          SELECT doc_id, COUNT(*) AS n FROM (
-            SELECT DISTINCT doc_id,
-                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-                 unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
-          ) GROUP BY doc_id
+          SELECT id AS doc_id, n_sh AS n
+          FROM read_parquet('{idx}/signatures/*.parquet')
         ),
         scored AS (
           SELECT c.doc_id, c.other_doc_id,
