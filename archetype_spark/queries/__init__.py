@@ -95,6 +95,13 @@ _MODULES = (
 #       q98 minhash-containment/q53 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
+#   r8 plan (write the actual rotation AFTER CORRECTNESS_r07 lands):
+#       assuming the 20 r7 pins go green, unpin them into the plain
+#       gated block and rotate the LONGEST-deferred entries back in
+#       for freshness — q01-q16 (deferred since r4-r6, last green
+#       r6 or earlier), then q29-q35/q38 (no driver row since r5);
+#       in exchange defer r7-green mid-tier entries (q17-q22, q27,
+#       q54-q60 are in the r7 window and go multi-green).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
