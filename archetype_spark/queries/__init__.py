@@ -95,86 +95,102 @@ _MODULES = (
 #       q98 minhash-containment/q53 (all
 #       deferred entries green in >=3 rounds, still locally
 #       hash-checked every pytest run).
-#   r8 plan (write the actual rotation AFTER CORRECTNESS_r07 lands):
-#       assuming the 20 r7 pins go green, unpin them into the plain
-#       gated block and rotate the LONGEST-deferred entries back in
-#       for freshness — q01-q16 (deferred since r4-r6, last green
-#       r6 or earlier), then q29-q35/q38 (no driver row since r5);
-#       in exchange defer r7-green mid-tier entries (q17-q22, q27,
-#       q54-q60 are in the r7 window and go multi-green).
+#   r8: CORRECTNESS_r07 landed 50/50 green (all 20 r7 pins got their
+#       first driver rows), so execute the sketched rotation: unpin
+#       the r7 pins into the plain gated block and PIN the
+#       LONGEST-deferred basics for driver freshness — q01-q16 (no
+#       driver row since r4-r6) and q29-q35/q38 (none since r5).
+#       The driver regenerates testdata between rounds (the r6
+#       nanos->us schema change was caught exactly by such a
+#       rotation), so the relational/agg core gets re-verified
+#       against the CURRENT parquet. In exchange defer 24 multi-green
+#       mid-tier entries: q17-q22/q27 + q54/q55/q57-q60 (green r1-r2
+#       AND r7), q40 + q68-q79 minus the index-oracle pair (green r6
+#       AND r7). Kept in-window besides the 24 pins: the 20
+#       single-green r7 queries (q65, q80-q98), the conditional
+#       index-oracle queries (q61/q72/q77 — their oracles read the
+#       persisted index, so driver freshness matters most), q41
+#       (only SimHash representative), q66 (CC clusters, the star-
+#       contraction fallback landed r7), and q50 (ECS flagship).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
-    "q65_minhash_fast",
-    "q80_boilerplate_lines",
-    "q81_pii_scrub",
-    "q82_exact_pack",
-    "q83_deterministic_shuffle",
-    "q84_paragraph_dedup",
-    "q85_random_projection",
-    "q86_oov_rate",
-    "q87_doc_chunks",
-    "q88_temperature_mix",
-    "q89_bigram_surprisal",
-    "q90_containment_pairs",
-    "q91_signcode_topk",
-    "q92_mixed_language",
-    "q93_span_corruption",
-    "q94_weighted_sample",
-    "q95_curation_v2",
-    "q96_cluster_cap",
-    "q97_verbatim_leaks",
-    "q98_minhash_containment",
+    "q01_scan_filter_project",
+    "q02_in_list",
+    "q03_compound_predicate",
+    "q04_computed_columns",
+    "q05_inner_join",
+    "q06_multiway_join",
+    "q07_left_join",
+    "q08_semi_join",
+    "q09_anti_join",
+    "q10_cross_join",
+    "q11_global_agg",
+    "q12_grouped_agg",
+    "q13_count_distinct",
+    "q14_having",
+    "q15_rollup",
+    "q16_topk",
+    "q29_exact_dedup",
+    "q30_cosine_topk",
+    "q31_json_extract",
+    "q32_pivot",
+    "q33_hash_dedup",
+    "q34_token_stats",
+    "q35_doc_quality",
+    "q38_lang_id",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
-        "q01_scan_filter_project",
-        "q02_in_list",
-        "q11_global_agg",
-        "q12_grouped_agg",
-        "q13_count_distinct",
-        "q14_having",
-        "q15_rollup",
-        "q16_topk",
-        "q03_compound_predicate",
-        "q04_computed_columns",
-        "q05_inner_join",
-        "q06_multiway_join",
-        "q09_anti_join",
-        "q10_cross_join",
-        "q07_left_join",
-        "q08_semi_join",
+        # carried over (still deferred; all locally hash-checked):
         "q24_latest_state",
         "q25_union",
         "q26_set_ops",
-        "q29_exact_dedup",
-        "q30_cosine_topk",
-        "q31_json_extract",
-        "q32_pivot",
-        "q33_hash_dedup",
-        "q34_token_stats",
-        "q35_doc_quality",
-        "q38_lang_id",
-        "q39_top_tokens",
-        "q43_media_decode",
-        "q44_fingerprints",
-        "q48_media_resize",
+        "q28_time_bucket",
         "q36_ngram_jaccard",
         "q37_embedding_dups",
+        "q39_top_tokens",
         "q42_lsh_topk",
+        "q43_media_decode",
+        "q44_fingerprints",
+        "q45_tumbling_window",
+        "q46_sliding_window",
+        "q47_session_window",
+        "q48_media_resize",
         "q49_frame_sample",
+        "q51_asof_join",
+        "q52_range_join",
+        "q53_cube",
         "q62_url_fetch",
         "q63_tf_idf",
         "q64_ingest_dedup",
         "q67_training_mix",
-        "q28_time_bucket",
-        "q45_tumbling_window",
-        "q46_sliding_window",
-        "q47_session_window",
-        "q51_asof_join",
-        "q52_range_join",
-        "q53_cube",
+        # newly deferred r8 (multi-green: r1-r2 + r7, or r6 + r7):
+        "q17_string_fns",
+        "q18_date_fns",
+        "q19_math_fns",
+        "q20_case_coalesce",
+        "q21_ranking_window",
+        "q22_lag_lead_runsum",
+        "q27_explode",
+        "q40_minhash_pairs",
+        "q54_percentiles",
+        "q55_unpivot",
+        "q57_training_pipeline",
+        "q58_list_agg",
+        "q59_full_outer_join",
+        "q60_stats_math",
+        "q68_sequence_pack",
+        "q69_repetition",
+        "q70_corpus_curation",
+        "q71_decontamination",
+        "q73_stop_shingle_jaccard",
+        "q74_quality_keeper",
+        "q75_mixture_sample",
+        "q76_relative_quality_gate",
+        "q78_mixture_resample",
+        "q79_pack_payloads",
     }
 )
 
