@@ -219,6 +219,7 @@ def span_corruption(
     text_col: str = "text",
     span_tokens: int = 3,
     mask_pct: int = 15,
+    numbering: str = "narrow",
 ) -> DataFrame:
     """T5-style span-corruption example construction: partition each
     document's tokens into consecutive `span_tokens` blocks, mask
@@ -231,12 +232,24 @@ def span_corruption(
 
     Returns (id_col, n_blocks, n_masked, input_text, target_text).
 
-    Scale: entirely narrow column work — flags, sentinel numbering
-    and reassembly are array expressions per row; zero exchanges, so
-    corruption fuses onto the scan like the chunker. Sentinel
-    numbering uses a prefix-count over the flags array (O(blocks²)
-    per doc — fine to ~1k-token docs; for book-length inputs switch
-    to the exploded/window formulation, the q68 shape)."""
+    Scale: the default narrow formulation is entirely per-row column
+    work — flags, sentinel numbering and reassembly are array
+    expressions; zero exchanges, so corruption fuses onto the scan
+    like the chunker. Its sentinel prefix-count re-filters a growing
+    slice per MASKED block (`when()` short-circuits the unmasked
+    ones), so the asymptotic cost is O(mask_pct·blocks²) cheap
+    boolean ops — measured same-JVM (BASELINE.md r8) this beats both
+    an F.aggregate prefix-scan fold (`numbering="prefix_scan"`,
+    linear lambda calls but O(blocks²) array-append copies) up to at
+    least 96k-token documents. For book-length inputs use
+    `numbering="exploded"`: blocks are exploded to rows, the
+    sentinel index is a per-doc running-sum window (the q68 shape —
+    partitioned by doc, never global), and the document is
+    reassembled with an array_sort'd collect_list; truly linear at
+    the price of one exchange. All three are row-identical
+    (`bench.py --ab q93`)."""
+    if numbering not in ("narrow", "prefix_scan", "exploded"):
+        raise ValueError(f"unknown numbering {numbering!r}")
     from archetype_spark.operators.sampling import hash_bucket
 
     w = F.split(F.col(text_col), " ")
@@ -244,13 +257,32 @@ def span_corruption(
     key = lambda b: F.concat_ws(  # noqa: E731
         ":", F.col(id_col).cast("string"), b.cast("string")
     )
+    if numbering == "exploded":
+        return _span_corruption_exploded(
+            df, id_col, text_col, span_tokens, mask_pct
+        )
     flags = F.transform(
         F.sequence(F.lit(1), nb), lambda b: hash_bucket(key(b)) < mask_pct
     )
     out = df.withColumn("_w", w).withColumn("_f", flags)
-    prefix_masked = lambda b: F.size(  # noqa: E731
-        F.filter(F.slice("_f", 1, b - 1), lambda x: x)
-    )
+    if numbering == "prefix_scan":
+        # _p[b] == count of masked blocks among blocks 1..b-1 (the
+        # sentinel index for block b): one linear fold, seeded [0].
+        out = out.withColumn(
+            "_p",
+            F.aggregate(
+                F.col("_f"),
+                F.array(F.lit(0)),
+                lambda acc, x: F.concat(
+                    acc, F.array(F.element_at(acc, -1) + x.cast("int"))
+                ),
+            ),
+        )
+        prefix_masked = lambda b: F.element_at("_p", b)  # noqa: E731
+    else:
+        prefix_masked = lambda b: F.size(  # noqa: E731
+            F.filter(F.slice("_f", 1, b - 1), lambda x: x)
+        )
     sentinel = lambda b: F.concat(  # noqa: E731
         F.lit("<extra_id_"), prefix_masked(b).cast("string"), F.lit(">")
     )
@@ -286,4 +318,84 @@ def span_corruption(
         F.size(F.filter("_f", lambda x: x)).cast("bigint").alias("n_masked"),
         input_text.alias("input_text"),
         target_text.alias("target_text"),
+    )
+
+
+def _span_corruption_exploded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int,
+    mask_pct: int,
+) -> DataFrame:
+    """Linear span corruption for book-length documents: one block =
+    one row, sentinel index = per-doc running-sum window (partitioned
+    by doc — never a global sort), document reassembled by
+    array_sort'd collect_list. O(blocks) work and memory per doc at
+    the cost of one exchange; row-identical to the narrow form
+    (equality-checked by `bench.py --ab q93`)."""
+    from archetype_spark.operators.sampling import hash_bucket
+
+    w = F.split(F.col(text_col), " ")
+    nb = F.ceil(F.size(w) / F.lit(float(span_tokens))).cast("int")
+    key = lambda b: F.concat_ws(  # noqa: E731
+        ":", F.col(id_col).cast("string"), b.cast("string")
+    )
+    # Each struct carries ONLY its own block text, so the exploded
+    # rows are O(total tokens), not O(blocks x doc length).
+    pieces = F.transform(
+        F.sequence(F.lit(1), nb),
+        lambda b: F.struct(
+            b.alias("b"),
+            (hash_bucket(key(b)) < mask_pct).alias("m"),
+            F.array_join(
+                F.slice(F.col("_w"), (b - 1) * span_tokens + 1, span_tokens),
+                " ",
+            ).alias("t"),
+        ),
+    )
+    ex = (
+        df.withColumn("_w", w)
+        .select(F.col(id_col), F.explode(pieces).alias("_p"))
+        .select(
+            id_col,
+            F.col("_p.b").alias("_b"),
+            F.col("_p.m").alias("_m"),
+            F.col("_p.t").alias("_t"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(id_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    k = F.coalesce(F.sum(F.col("_m").cast("int")).over(wcum), F.lit(0))
+    sent = F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+    ex = ex.withColumn(
+        "_in", F.when(F.col("_m"), sent).otherwise(F.col("_t"))
+    ).withColumn(
+        "_tg", F.when(F.col("_m"), F.concat(sent, F.lit(" "), F.col("_t")))
+    )
+    # groupBy reuses the window's hash partitioning on id_col — the
+    # whole linear path costs exactly one exchange.
+    return ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.col("_m").cast("bigint")).alias("n_masked"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_b", "_in"))),
+                lambda s: s["_in"],
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_b", "_tg"))),
+                    lambda s: s["_tg"],
+                ),
+                lambda x: x.isNotNull(),
+            ),
+            " ",
+        ).alias("target_text"),
     )

@@ -601,6 +601,37 @@ AB_VARIANTS["q89"] = {
     "distinct_pairs": q89_distinct_variant,
 }
 
+
+def _q93_variant(numbering: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from archetype_spark.operators import packing
+
+        d = load(spark, sf_dir, "documents")
+        out = packing.span_corruption(
+            d, span_tokens=3, mask_pct=15, numbering=numbering
+        )
+        return out.select(
+            "doc_id",
+            "n_blocks",
+            "n_masked",
+            F.sha2(F.col("input_text"), 256).alias("input_sha"),
+            F.sha2(F.col("target_text"), 256).alias("target_sha"),
+        ).orderBy("doc_id")
+
+    run.__name__ = f"q93_{numbering}_variant"
+    return run
+
+
+# `--ab q93`: sentinel-numbering formulations (row-identical; the
+# crossover is document LENGTH — see packing.span_corruption's
+# docstring and the r8 BASELINE.md table: narrow wins on corpus-length
+# docs, exploded wins >10x from ~30k tokens).
+AB_VARIANTS["q93"] = {
+    "narrow": q93_span_corruption,
+    "prefix_scan": _q93_variant("prefix_scan"),
+    "exploded": _q93_variant("exploded"),
+}
+
 # q92's oracle needs northstar's stopword VALUES literal, available
 # once the import above has run: the q87 chunk bounds (stride ==
 # window), the q38 per-chunk lang scorer, a ROW_NUMBER majority with

@@ -74,6 +74,168 @@ def test_stress_hotkey_cleaning(stress_docs):
     assert kept_hot == 0
 
 
+@pytest.fixture(scope="module")
+def long_docs(spark):
+    """64 book-length documents (10k tokens each, deterministic token
+    stream varying per doc) plus an exact-duplicate partner for the
+    first 8 — document LENGTH stress, complementing stress_docs'
+    corpus-SIZE stress (r7 only scaled size; chunking, packing, span
+    corruption, shingling and the per-doc windows all have
+    length-dependent cost)."""
+    base = spark.range(64).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(10_000)),
+                lambda t: F.concat(
+                    F.lit("w"),
+                    ((t * 2654435761 + F.col("id") * 97) % 4999).cast(
+                        "string"
+                    ),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    dups = base.filter(F.col("doc_id") < 5_000_008).select(
+        (F.col("doc_id") + 1_000).alias("doc_id"), "text", "lang"
+    )
+    return base.unionAll(dups).cache()
+
+
+def test_stress_long_doc_chunk_pack(long_docs):
+    """Chunking and exact-budget packing stay linear and correct on
+    10k-token documents: full token coverage, exact budget cuts."""
+    from archetype_spark.operators import packing
+
+    ch = packing.chunk_documents(long_docs, window=512, stride=384)
+    agg = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_tokens").alias("max_ct"),
+    )
+    rows = agg.collect()
+    # 1 + ceil((10000 - 512) / 384) = 26 chunks per doc
+    assert all(r["n_chunks"] == 26 and r["max_ct"] == 512 for r in rows)
+    pk = packing.pack_exact_sequences(long_docs, budget=2048)
+    seq_tot = (
+        pk.groupBy("lang", "seq_id")
+        .agg(F.sum("piece_tokens").alias("t"))
+        .collect()
+    )
+    # every sequence exactly at budget except the shard's last
+    assert sum(1 for r in seq_tot if r["t"] != 2048) <= 1
+    assert sum(r["t"] for r in seq_tot) == 72 * 10_000
+
+
+def test_stress_long_doc_span_corruption(long_docs):
+    """All three sentinel-numbering formulations agree on book-length
+    documents; the exploded (linear) one is the documented scale path
+    and must complete here without blowing memory."""
+    from archetype_spark.operators import packing
+
+    key = ("doc_id", "n_blocks", "n_masked", "input_text", "target_text")
+    outs = {
+        n: {
+            tuple(r[c] for c in key)
+            for r in packing.span_corruption(long_docs, numbering=n).collect()
+        }
+        for n in ("narrow", "exploded")
+    }
+    assert outs["narrow"] == outs["exploded"]
+    one = next(iter(outs["narrow"]))
+    assert one[1] == pytest.approx(3334, abs=1)  # ceil(10000/3) blocks
+
+
+def test_stress_long_doc_minhash(long_docs):
+    """Shingling + banded MinHash on 10k-token docs: the planted
+    exact-duplicate pairs collide and estimate ~1.0 Jaccard."""
+    from archetype_spark.operators import dedup
+
+    pairs = dedup.minhash_lsh_pairs(
+        long_docs, hash_family="xxhash64", threshold=0.8
+    ).collect()
+    found = {
+        (min(r["doc_id"], r["other_doc_id"]), max(r["doc_id"], r["other_doc_id"]))
+        for r in pairs
+    }
+    planted = {(5_000_000 + i, 5_001_000 + i) for i in range(8)}
+    assert planted <= found
+    for r in pairs:
+        if (r["doc_id"], r["other_doc_id"]) in planted:
+            assert r["est_jaccard"] >= 0.99
+
+
+@pytest.fixture(scope="module")
+def stress_emb(spark):
+    """20k vectors: sf0.1 embeddings x 10 copies, each copy's
+    coordinates deterministically jittered by ~1e-4 so siblings are
+    near- (not exact-) duplicates — the planted ground truth for
+    recall-at-scale."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    copies = e.crossJoin(
+        F.broadcast(spark.range(10).withColumnRenamed("id", "copy"))
+    )
+    jitter = lambda x, i: (  # noqa: E731
+        x
+        + ((F.col("copy") * (i + 7)) % 11 - 5).cast("float") * F.lit(1e-4)
+    )
+    return copies.select(
+        (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+        F.transform("embedding", jitter).alias("embedding"),
+        "label",
+    ).cache()
+
+
+def _sibling_recall(res, k_col="other_vec_id"):
+    fam = lambda v: v % 1_000_000  # noqa: E731
+    hits, qs = set(), set()
+    for r in res:
+        qs.add(r["vec_id"])
+        if fam(r[k_col]) == fam(r["vec_id"]):
+            hits.add(r["vec_id"])
+    return len(hits) / len(qs), len(qs)
+
+
+def test_stress_ann_recall_lsh(stress_emb):
+    """Sign-bit LSH at 10x corpus with production settings: >=90% of
+    queries retrieve a planted sibling in their top-k."""
+    from archetype_spark.operators import similarity
+
+    res = similarity.lsh_topk(
+        stress_emb, dim=64, k=5, n_planes=8, n_tables=4
+    ).collect()
+    recall, n_q = _sibling_recall(res)
+    assert n_q > 15_000
+    assert recall >= 0.9, recall
+
+
+def test_stress_ann_recall_ivf(stress_emb):
+    """IVF at 10x corpus (cells scaled with the corpus, production
+    probe count): sibling recall >= 0.9."""
+    from archetype_spark.operators import similarity
+
+    res = similarity.ivf_topk(
+        stress_emb, k=5, n_clusters=64, n_probe=4
+    ).collect()
+    recall, n_q = _sibling_recall(res)
+    assert n_q > 15_000
+    assert recall >= 0.9, recall
+
+
+def test_stress_ann_recall_signcode(stress_emb):
+    """Banded sign-code ANN at 10x corpus, code bits sized to the
+    corpus (2^10 buckets for 20k vectors): sibling recall >= 0.9."""
+    from archetype_spark.operators import projections
+
+    res = projections.signcode_topk(
+        stress_emb, k=5, code_bits=10, n_bands=4
+    ).collect()
+    recall, n_q = _sibling_recall(res)
+    assert n_q > 15_000
+    assert recall >= 0.9, recall
+
+
 def test_stress_minhash_cc(stress_docs):
     """Banded MinHash + component closure over 10x dup groups: every
     source doc's 10 copies land in one component."""
