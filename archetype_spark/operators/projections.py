@@ -120,14 +120,24 @@ def projection_distance_preserved(
 ) -> DataFrame:
     """Diagnostic: per-row squared norms in original vs projected
     space (micro-unit scale) for JL-quality eyeballing; E[|Px|^2] =
-    k * |x|^2 for a ±1 sign matrix."""
+    k * |x|^2 for a ±1 sign matrix. orig_sq quantizes each coordinate
+    with the SAME half-away-from-zero rounding as the projection's
+    `_quantize`, so both norms measure one quantization of the
+    vector and the JL ratio is exact."""
     proj = random_sign_projection(df, id_col, vec_col, k, seed)
+
+    def _q(x):  # half away from zero, matching _quantize
+        s = (x * 1e6).cast("double")
+        return (
+            F.when(s >= 0, F.floor(s + F.lit(0.5)))
+            .otherwise(F.ceil(s - F.lit(0.5)))
+            .cast("bigint")
+        )
+
     orig = df.select(
         id_col,
         F.aggregate(
-            F.transform(
-                vec_col, lambda x: (x * 1e6).cast("bigint") * (x * 1e6).cast("bigint")
-            ),
+            F.transform(vec_col, lambda x: _q(x) * _q(x)),
             F.lit(0).cast("decimal(38,0)"),
             lambda acc, v: acc + v.cast("decimal(38,0)"),
         ).alias("orig_sq"),

@@ -252,18 +252,32 @@ def _gemm_candidate_pairs(
 
 
 def _exact_pairs_from_candidates(
-    emb: DataFrame, cand: DataFrame, id_col: str, vec_col: str
+    emb: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_bytes: int = AUTO_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Exact JVM-fold round-6 cosine for candidate id pairs — the
     re-score stage every approximate candidate generator funnels into,
-    so emitted values never depend on which tier found the pair."""
-    e = F.broadcast(
-        emb.select(
-            F.col(id_col).alias("_eid"),
-            F.col(vec_col).alias("_ev"),
-            norm(vec_col).alias("_en"),
-        )
+    so emitted values never depend on which tier found the pair.
+
+    The vector table attaches map-side via broadcast while its
+    estimated size fits `max_bytes` (the same count + 1-row dim probe
+    as _resolve_strategy); past the budget the broadcast hint is
+    dropped and the same plan degrades to id-keyed shuffle equi-joins
+    — candidate rows still carry only two 8-byte ids into the
+    shuffle, never vectors."""
+    e = emb.select(
+        F.col(id_col).alias("_eid"),
+        F.col(vec_col).alias("_ev"),
+        norm(vec_col).alias("_en"),
     )
+    n = emb.count()
+    first = emb.select(vec_col).first() if n else None
+    dim = len(first[0]) if first and first[0] is not None else 0
+    if n * (dim * 8 + 64) <= max_bytes:
+        e = F.broadcast(e)
     return (
         cand.join(e.alias("ea"), F.col("_cand_a") == F.col("ea._eid"))
         .join(e.alias("eb"), F.col("_cand_b") == F.col("eb._eid"))

@@ -162,3 +162,99 @@ def test_real_resize_p6_nearest_neighbor(spark):
     assert bytes(out["payload"]) == expect
     hdr = multimodal._ppm_header(bytes(out["payload"]))
     assert hdr[:3] == (2, 1, 255)
+
+
+def test_malformed_payloads_degrade_not_crash(spark):
+    """ADVICE r7: payloads truncated inside a chunk/box must parse to
+    None (-> the loud NotImplementedError path), never crash the task
+    with struct.error/IndexError."""
+    import struct
+
+    from archetype_spark.operators import multimodal
+
+    m = _sample_media()
+    # WAV truncated inside the fmt chunk: 18 bytes after the chunk id
+    trunc_wav = m["audio"][:30]
+    assert multimodal._wav_info(trunc_wav) is None
+    # MP4 truncated mid-mvhd and mid-stts
+    for cut in (20, 40, 60, len(m["video"]) - 5):
+        assert multimodal._mp4_info(m["video"][:cut]) in (
+            None,
+        ) or isinstance(multimodal._mp4_info(m["video"][:cut]), tuple)
+    # an stts whose entry count exceeds its body must return None,
+    # not unpack garbage
+    bad_stts = _box(b"stts", struct.pack(">B3xI", 0, 999))
+    bad = _box(b"ftyp", b"isom\x00\x00\x00\x00") + _box(
+        b"moov",
+        _box(b"mvhd", struct.pack(">B3xII II", 0, 0, 0, 1000, 2500) + bytes(80))
+        + _box(b"trak", _box(b"mdia", _box(b"minf", _box(b"stbl", bad_stts)))),
+    )
+    assert multimodal._mp4_info(bad) is None
+    # end-to-end: the degrade surfaces as the loud guard, not a crash
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "audio", trunc_wav)], "media_id long, kind string, payload binary"
+    )
+    with _pytest.raises(Exception, match="not RIFF/WAVE"):
+        multimodal.decode_media(df, use_real_decoders=True).collect()
+
+
+def test_p6_resize_refuses_wide_samples(spark):
+    """ADVICE r7: P6 with maxval > 255 has 2-byte samples; resize must
+    refuse loudly instead of silently misreading pixels."""
+    import pytest as _pytest
+
+    from archetype_spark.operators import multimodal
+
+    wide = b"P6\n2 1\n65535\n" + bytes(12)
+    df = spark.createDataFrame([(1, wide)], "media_id long, payload binary")
+    with _pytest.raises(Exception, match="maxval > 255"):
+        multimodal.resize_images(
+            df, width=1, height=1, use_real_decoders=True
+        ).collect()
+    trunc = b"P6\n4 2\n255\n" + bytes(5)
+    df2 = spark.createDataFrame([(1, trunc)], "media_id long, payload binary")
+    with _pytest.raises(Exception, match="raster truncated"):
+        multimodal.resize_images(
+            df2, width=1, height=1, use_real_decoders=True
+        ).collect()
+
+
+_needs_pil = pytest.mark.skipif(
+    not multimodal._CODEC_LIBS["pil"], reason="PIL not installed"
+)
+_needs_av = pytest.mark.skipif(
+    not multimodal._CODEC_LIBS["av"], reason="av not installed"
+)
+
+
+@_needs_pil
+def test_pil_decode_and_resize_png(spark):
+    """When PIL exists, compressed-format decode/resize routes through
+    it (runs only in containers with PIL — the conditional-codec seam
+    is proven the day the dependency appears)."""
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (6, 4), (10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "image", png)], "media_id long, kind string, payload binary"
+    )
+    out = multimodal.decode_media(df, use_real_decoders=True).collect()[0]
+    assert (out["width"], out["height"]) == (6, 4)
+    rdf = spark.createDataFrame([(1, png)], "media_id long, payload binary")
+    rout = multimodal.resize_images(
+        rdf, width=3, height=2, use_real_decoders=True
+    ).collect()[0]
+    with PIL.Image.open(io.BytesIO(bytes(rout["payload"]))) as im:
+        assert (im.width, im.height) == (3, 2)
+
+
+@_needs_av
+def test_av_decode_routes_through_pyav(spark):
+    """When PyAV exists, non-MP4 audio/video probes route through it."""
+    assert multimodal._av_media_info(b"\x00\x00") is None  # junk -> None

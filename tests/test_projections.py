@@ -109,3 +109,44 @@ def test_signcode_topk_recall_and_plan(spark, sf_dir):
     hits = sum(1 for v, o in ex1.items() if o in ap.get(v, set()))
     recall = hits / len(ex1)
     assert recall > 0.25, recall
+
+
+def test_exact_pairs_budget_gate(spark, sf_dir):
+    """ADVICE r7: the candidate re-score stage must drop its broadcast
+    hint past the budget and degrade to id-keyed shuffle joins with
+    identical values — signcode_topk's comment now matches the code."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.operators import similarity
+    from archetype_spark.plans import formatted_plan
+    from archetype_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = (
+        emb.select(F.col("vec_id").alias("_cand_a"))
+        .withColumn("_cand_b", F.col("_cand_a") + 1)
+        .join(
+            emb.select(F.col("vec_id").alias("_cand_b")),
+            "_cand_b",
+            "semi",
+        )
+    )
+    hinted = similarity._exact_pairs_from_candidates(
+        emb, cand, "vec_id", "embedding"
+    )
+    gated = similarity._exact_pairs_from_candidates(
+        emb, cand, "vec_id", "embedding", max_bytes=0
+    )
+    # disable Catalyst's own size-based auto-broadcast so the plans
+    # show exactly what the HINT decides (at 100 TB the stats exceed
+    # the auto threshold anyway — this is the at-scale picture)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "BroadcastHashJoin" in formatted_plan(hinted)
+        assert "BroadcastHashJoin" not in formatted_plan(gated)
+        a = {tuple(r) for r in hinted.collect()}
+        b = {tuple(r) for r in gated.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert a == b and len(a) > 0
