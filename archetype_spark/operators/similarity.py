@@ -646,6 +646,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_dir: str | None = None,
+    verdict_stage: str = "explode_agg",
 ) -> DataFrame:
     """SemDeDup-style embedding-space dedup verdict, blocked by the
     IVF quantizer cells: two vectors are semantic duplicates when they
@@ -653,6 +654,13 @@ def semantic_dedup(
     vector's verdict is (vec_id, cell, n_dups, is_keeper) with
     is_keeper = no same-cell duplicate has a smaller id (deterministic
     min-id keeper, the same canonical policy as hash_dedup).
+
+    `verdict_stage` selects the pairs->verdict formulation for
+    `bench.py --ab q72` (row-identical): "explode_agg" (default —
+    each pair explodes into its two endpoint rows, ONE grouped agg),
+    or "two_joins" (two grouped counts keyed by each endpoint, two
+    left joins — the shape the default's comment rejects; kept
+    registered so drift claims are adjudicated by measurement).
 
     This is the scale path for embedding dedup that q37's exact
     pairwise tier can't walk: the O(n^2) kernel becomes per-cell
@@ -666,6 +674,8 @@ def semantic_dedup(
     recall-vs-cost is the quantizer's k knob; planted-duplicate and
     exact-tier-consistency tests live in
     tests/test_decontam_semdedup.py."""
+    if verdict_stage not in ("explode_agg", "two_joins"):
+        raise ValueError(f"unknown verdict_stage {verdict_stage!r}")
     from archetype_spark.operators import ann_index
 
     if index_dir is not None:
@@ -699,6 +709,25 @@ def semantic_dedup(
         )
         .filter(F.col("_cos") >= threshold)
     )
+    if verdict_stage == "two_joins":
+        ca = pairs.groupBy(F.col("_ida").alias("_id")).agg(
+            F.count(F.lit(1)).alias("_ca")
+        )
+        cb = pairs.groupBy(F.col("_idb").alias("_id")).agg(
+            F.count(F.lit(1)).alias("_cb")
+        )
+        return (
+            asg.join(ca, "_id", "left")
+            .join(cb, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.col("cell"),
+                (F.coalesce(F.col("_ca"), F.lit(0)) + F.coalesce(F.col("_cb"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_dups"),
+                (F.coalesce(F.col("_cb"), F.lit(0)) == 0).alias("is_keeper"),
+            )
+        )
     # one shuffle for both verdict inputs: each pair EXPLODES into its
     # two endpoint rows (same plan branch — a union of two selects
     # over `pairs` would evaluate the within-cell cosine join twice),
