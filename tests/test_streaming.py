@@ -379,3 +379,67 @@ def test_streaming_scrub_and_chunk_match_batch(spark, tmp_path):
         for r in _run_to_memory(spark, pipeline(stream), "scrub_chunks").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_curation_matches_batch(spark, tmp_path):
+    """The q95 pipeline's stateless subset composed over the
+    ingest-dedup stream (streaming/curation.py): draining the corpus
+    one file per micro-batch through foreachBatch(curate_batch) lands
+    the same curated table as one batch pass — SURVEY §7 phase 7's
+    arriving-data lift of the curation tier."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.streaming import curation
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    # plant cross-batch duplicates: batch 2 re-ships some batch-0 texts
+    dupes = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), "text", "lang"
+    )
+    src = str(tmp_path / "arrivals")
+    splits = [
+        docs.filter(F.col("doc_id") < 150),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+        docs.filter(F.col("doc_id") >= 300).unionAll(dupes),
+    ]
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.parquet(f"{src}/batch={i:02d}")
+
+    stream_dir = str(tmp_path / "stream")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/batch=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: curation.curate_batch(spark, b, stream_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch_dir = str(tmp_path / "batch")
+    curation.curate_corpus(spark, docs.unionAll(dupes), batch_dir)
+
+    cols = ["doc_id", "fingerprint", "text", "lang"]
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{stream_dir}/curated")
+        .select(*cols)
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(f"{batch_dir}/curated")
+        .select(*cols)
+        .collect()
+    }
+    assert got == want and len(got) > 100
+    # the planted duplicates were dropped by the cross-batch anti-join
+    assert not any(r[0] >= 10**6 for r in got)
