@@ -112,6 +112,11 @@ _MODULES = (
 #       persisted index, so driver freshness matters most), q41
 #       (only SimHash representative), q66 (CC clusters, the star-
 #       contraction fallback landed r7), and q50 (ECS flagship).
+#       Mid-r8 additions q99 (streaming-curation batch face) and
+#       q100 (binaryFile-source ingest) pin for their first driver
+#       rows, each deferring one more multi-green entry (q41 green
+#       r3+r7, q66 green r4-r5+r7 — both still locally hash-checked
+#       every pytest run).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -140,6 +145,8 @@ _PINNED: tuple[str, ...] = (
     "q34_token_stats",
     "q35_doc_quality",
     "q38_lang_id",
+    "q99_stream_curation_face",
+    "q100_binary_ingest",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -167,6 +174,8 @@ _DEFERRED: frozenset[str] = frozenset(
         "q64_ingest_dedup",
         "q67_training_mix",
         # newly deferred r8 (multi-green: r1-r2 + r7, or r6 + r7):
+        "q41_simhash_pairs",
+        "q66_dedup_clusters",
         "q17_string_fns",
         "q18_date_fns",
         "q19_math_fns",

@@ -382,6 +382,39 @@ QUERIES = {
     "q98_minhash_containment": q98_minhash_containment,
 }
 
+
+def q99_stream_curation_face(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch face of the STREAMING curation entry
+    (streaming/curation.py, the q95 stateless subset over ingest-
+    dedup): portable-fingerprint dedup to the min-id keeper, then the
+    exact `stateless_curation` passes the foreachBatch path runs per
+    micro-batch (line chunking -> structural gate -> flatten ->
+    mixed-language gate), aggregated to the per-lang survivor
+    manifest. Oracle-gated end to end; the batch==stream equivalence
+    test (tests/test_streaming.py) ties the arriving-data path to
+    this very composition, so the driver's hash check transitively
+    covers the stream."""
+    from archetype_spark.functions.text import fingerprint60_portable
+    from archetype_spark.streaming import curation
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    stamped = d.withColumn("fingerprint", fingerprint60_portable("text"))
+    keep = stamped.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    uniq = stamped.join(keep, ["fingerprint", "doc_id"]).drop("fingerprint")
+    surv = curation.stateless_curation(uniq)
+    return (
+        surv.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["q99_stream_curation_face"] = q99_stream_curation_face
+
 ORACLES = {
     "q84_paragraph_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -677,6 +710,65 @@ ORACLES["q92_mixed_language"] = f"""
         FROM agg a JOIN major m ON a.doc_id = m.doc_id AND m.rn = 1
         ORDER BY a.doc_id
     """
+
+# q99: the streaming-curation batch face — portable-fingerprint dedup
+# to the min-id keeper (the q64 fingerprint fragment), the q92
+# chunk-majority language CTE chain rebased onto the deduped keeper
+# set, survivors = non-empty AND not mixed, then the per-lang
+# manifest. Flattening the 3-token line structure reconstructs the
+# original text exactly (single-space token streams), so the oracle
+# gates on the original text — the same identity the Spark side's
+# lined->flatten round-trip encodes.
+ORACLES["q99_stream_curation_face"] = """
+        WITH f AS (SELECT doc_id, text, lang,
+                          CAST(('0x' || substr(sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15))::UBIGINT AS BIGINT)
+                            AS fingerprint
+                   FROM documents),
+        keep AS (SELECT fingerprint, MIN(doc_id) AS doc_id
+                 FROM f GROUP BY 1),
+        d AS (SELECT f.doc_id, f.text, f.lang
+              FROM f JOIN keep ON f.fingerprint = keep.fingerprint
+                              AND f.doc_id = keep.doc_id
+              WHERE length(f.text) > 0),
+        t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                     len(string_split(text, ' ')) AS nt
+              FROM d),
+        ch AS (SELECT doc_id, k,
+                      array_to_string(
+                        w[CAST(k * 16 + 1 AS INT):CAST(least(k * 16 + 16, nt) AS INT)],
+                        ' ') AS ctext
+               FROM (SELECT doc_id, w, nt,
+                            unnest(generate_series(0,
+                               CAST(ceil(greatest(nt - 16, 0) / 16.0) AS BIGINT))) AS k
+                     FROM t)),
+        ctoks AS (SELECT doc_id, k, unnest(string_split(ctext, ' ')) AS tkn FROM ch),
+        sw(lang, w) AS (VALUES {stopwords}),
+        hits AS (SELECT c.doc_id, c.k, s.lang, COUNT(*) AS score
+                 FROM ctoks c JOIN sw s ON c.tkn = s.w GROUP BY 1, 2, 3),
+        best AS (SELECT doc_id, k, lang,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id, k
+                              ORDER BY score DESC, lang) AS rn
+                 FROM hits),
+        pl AS (SELECT c.doc_id, c.k, COALESCE(b.lang, 'unknown') AS lang
+               FROM ch c LEFT JOIN (SELECT doc_id, k, lang FROM best WHERE rn = 1) b
+               ON c.doc_id = b.doc_id AND c.k = b.k),
+        cnt AS (SELECT doc_id, lang, COUNT(*) AS c FROM pl GROUP BY 1, 2),
+        major AS (SELECT doc_id, lang, c,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY c DESC, lang) AS rn
+                  FROM cnt),
+        agg AS (SELECT doc_id, SUM(c) AS n_chunks FROM cnt GROUP BY 1),
+        pure AS (SELECT a.doc_id
+                 FROM agg a JOIN major m ON a.doc_id = m.doc_id AND m.rn = 1
+                 WHERE ROUND(m.c * 1.0 / a.n_chunks, 6) >= 0.8)
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(d.doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+        FROM d JOIN pure ON d.doc_id = pure.doc_id
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """.replace("{stopwords}", _STOPWORD_VALUES)
 
 # q84: the 4-token chunk paragraphs, global first-occurrence winner
 # per paragraph (min (doc_id, pos)), position-ordered reassembly of

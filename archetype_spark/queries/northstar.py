@@ -341,6 +341,27 @@ def q62_url_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q100_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-blobs ingest via the built-in `binaryFile` source
+    (sources/io.py read_binary_dir — the from-glob-path start of a
+    multimodal pipeline, Daft `from_glob_path` parity): list the
+    FETCH_FIXTURE_DIR parquet artifacts as opaque blobs and emit
+    (file_name, n_bytes, digest). Oracle-gated: DuckDB read_blob
+    reads the same files; both engines digest sha256 over the
+    uppercase-hex encoding (the q62 canonicalization). Distinct from
+    q62: no URI column or Python fetch stage — the SOURCE itself
+    materializes the bytes, with distributed listing and pruned
+    metadata-only reads."""
+    from archetype_spark.sources.io import read_binary_dir
+
+    df = read_binary_dir(spark, FETCH_FIXTURE_DIR, glob="*.parquet")
+    return df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.sha2(F.hex("content"), 256).alias("digest"),
+    ).orderBy("file_name")
+
+
 def q43_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic media table -> mapInPandas decode
     (deterministic fake codec; oracle-gated since r3)."""
@@ -874,6 +895,7 @@ QUERIES = {
     "q81_pii_scrub": q81_pii_scrub,
     "q82_exact_pack": q82_exact_pack,
     "q83_deterministic_shuffle": q83_deterministic_shuffle,
+    "q100_binary_ingest": q100_binary_ingest,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -1248,6 +1270,14 @@ ORACLES["q62_url_fetch"] = f"""
                CAST(NULL AS VARCHAR) AS fetch_error
         FROM u JOIN b ON b.filename = u.path
         ORDER BY media_id
+"""
+
+ORACLES["q100_binary_ingest"] = f"""
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               CAST(octet_length(content) AS BIGINT) AS n_bytes,
+               sha256(hex(content)) AS digest
+        FROM read_blob('{FETCH_FIXTURE_DIR}/*.parquet')
+        ORDER BY file_name
 """
 
 # Shared 3-gram Jaccard pair derivation (the q36 semantics): q36

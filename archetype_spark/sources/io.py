@@ -54,6 +54,31 @@ def read_table(
     return reader.format(fmt).options(**options).load(path)
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Opaque-blob ingest via Spark's built-in `binaryFile` source —
+    the from-glob-path face of the multimodal pipeline (Daft
+    `from_glob_path` / `.url.download()` parity; the reference's
+    media tables start as directories of encoded files). Returns
+    (path, modificationTime, length, content); feed `content` to
+    operators/multimodal.decode_media.
+
+    Scale: listing is distributed, each file is one row in one task
+    (files > 2 GB are rejected by the source — store such media as
+    chunked payloads or URIs instead), and column pruning means a
+    metadata-only query (length, path) never reads the bytes."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -199,3 +199,28 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_read_binary_dir(spark, tmp_path):
+    """binaryFile blob ingest (q100's source): bytes round-trip
+    exactly, glob filtering works, and a metadata-only projection
+    prunes the content column out of the scan."""
+    from archetype_spark.plans import read_schemas
+    from archetype_spark.sources import read_binary_dir
+
+    blobs = {"a.bin": b"\x00\x01hello", "b.bin": b"world" * 100, "c.txt": b"x"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+
+    got = {
+        r["path"].rsplit("/", 1)[-1]: bytes(r["content"])
+        for r in read_binary_dir(spark, str(tmp_path), glob="*.bin").collect()
+    }
+    assert got == {k: v for k, v in blobs.items() if k.endswith(".bin")}
+    allrows = read_binary_dir(spark, str(tmp_path)).collect()
+    assert len(allrows) == 3
+    assert {r["length"] for r in allrows} == {len(v) for v in blobs.values()}
+    # column pruning: a (path, length) projection must not read content
+    meta = read_binary_dir(spark, str(tmp_path)).select("path", "length")
+    schemas = read_schemas(meta)
+    assert schemas and all("content" not in cols for cols in schemas)

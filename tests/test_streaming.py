@@ -443,3 +443,42 @@ def test_stream_curation_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 100
     # the planted duplicates were dropped by the cross-batch anti-join
     assert not any(r[0] >= 10**6 for r in got)
+
+
+def test_line_flatten_identity(spark):
+    """The algebraic identity stateless_curation relies on:
+    flatten(line_chunked(t, k)) == replace(t, '\\n', ' ') for any k —
+    including texts with embedded newlines, doubled spaces, and empty
+    strings."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.streaming import curation
+
+    rows = [
+        (1, "plain three token text here"),
+        (2, "embedded\nnewline token"),
+        (3, "double  space  tokens"),
+        (4, ""),
+        (5, "\n"),
+        (6, "a"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    for k in (2, 3, 5):
+        lined = curation.line_chunked(d, k)
+        flat = {
+            r["doc_id"]: r["text"]
+            for r in lined.select(
+                "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r["text"]
+            for r in d.select(
+                "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
+            ).collect()
+        }
+        assert flat == want, (k, flat, want)
+        # and the structural gate agrees: length(lined)>0 == length(t)>0
+        gl = {r["doc_id"]: len(r["text"]) > 0 for r in lined.collect()}
+        gt = {r["doc_id"]: len(r["text"]) > 0 for r in d.collect()}
+        assert gl == gt
