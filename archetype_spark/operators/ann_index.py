@@ -481,6 +481,99 @@ def ensure_minhash(
     return got
 
 
+def fit_simhash_frames(
+    docs: DataFrame,
+    hash_family: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, simhash) fingerprints for every tokenizable document (>= 1
+    token — token-less docs produce no vote rows, the same doc set
+    the in-flight simhash63 path fingerprints). Like MinHash
+    signatures, fingerprints are pure per-row functions of the text,
+    so per-arriving-file computation (delta-append) is byte-identical
+    to a full rebuild."""
+    from archetype_spark.operators.dedup import simhash63
+
+    return simhash63(docs, id_col, text_col, hash_family).select(
+        F.col("_id").alias("id"), "simhash"
+    )
+
+
+def fit_simhash(
+    docs: DataFrame,
+    index_dir: str,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build + persist the fingerprint table (ingest-time maintenance:
+    the token-vote computation — SimHash's expensive stage — runs once
+    per document on arrival, not per dedup sweep). Atomic directory
+    swap as for IVF/LSH/MinHash."""
+    fps = fit_simhash_frames(docs, hash_family, id_col, text_col)
+    params = {
+        "kind": "simhash",
+        "fp_schema": 1,  # (id, simhash); bump forces reindex
+        "hash_family": hash_family,
+        "id_col": id_col,
+        "text_col": text_col,
+        "corpus": corpus_fingerprint(docs, id_col, text_col),
+    }
+    _write_index(index_dir, params, {"fingerprints": (fps, ["id"])})
+
+
+def load_simhash(
+    spark: SparkSession, index_dir: str, expect: dict | None = None
+) -> DataFrame | None:
+    params = _read_params(index_dir, "simhash", expect)
+    if params is None:
+        return None
+    return read_table(spark, os.path.join(index_dir, "fingerprints"))
+
+
+def ensure_simhash(
+    docs: DataFrame,
+    index_dir: str,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Load the persisted fingerprint table, maintaining it first if
+    stale — identical contract to ensure_minhash (append-only growth
+    fingerprints only the new files and hardlink-appends; any other
+    change rebuilds)."""
+    expect = {
+        "fp_schema": 1,
+        "hash_family": hash_family,
+        "id_col": id_col,
+        "text_col": text_col,
+        "corpus": corpus_fingerprint(docs, id_col, text_col),
+    }
+    spark = docs.sparkSession
+    got = load_simhash(spark, index_dir, expect)
+    if got is None:
+        hyper = {k: v for k, v in expect.items() if k != "corpus"}
+        params = _read_params(index_dir, "simhash", hyper)
+        delta = _delta_files(params, expect) if params else None
+        if delta:
+            fps = fit_simhash_frames(
+                spark.read.parquet(*delta), hash_family, id_col, text_col
+            )
+            _append_index_table(
+                index_dir,
+                "fingerprints",
+                fps,
+                {**params, "corpus": expect["corpus"]},
+            )
+            got = load_simhash(spark, index_dir, expect)
+    if got is None:
+        fit_simhash(docs, index_dir, hash_family, id_col, text_col)
+        got = load_simhash(spark, index_dir, expect)
+        assert got is not None, f"SimHash index build failed to land at {index_dir}"
+    return got
+
+
 # ------------------------------------------------------- incremental append
 def _delta_files(params: dict, expect: dict) -> list[str] | None:
     """URIs added since the index was built, or None when incremental

@@ -501,18 +501,22 @@ def simhash63(
     return agg.select("_id", guarded.alias("simhash"))
 
 
-def simhash_dup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def simhash_pairs_from_fingerprints(
+    fps: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
     hash_family: str = "xxhash64",
+    id_col: str = "_id",
+    fp_col: str = "simhash",
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on any equal band of the
-    fingerprint (pigeonhole: hamming<=bands-1 guarantees one clean
-    band), then filter by exact hamming via bit_count(xor)."""
-    fps = simhash63(df, id_col, text_col, hash_family)
+    """The SimHash SWEEP alone, over an already-fingerprinted frame —
+    the production shape when fingerprints persist as index state
+    (ann_index.ensure_simhash, the q65 pattern applied to SimHash):
+    banding, the pigeonhole candidate join and the exact
+    bit_count(xor) hamming filter all run over stored 8-byte
+    fingerprints; the token-vote computation (the expensive stage)
+    happens once at ingest, never per sweep."""
+    fps = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("simhash"))
     width = (SIMHASH_BITS[hash_family] + 1) // bands
     banded = fps.select(
         "_id",
@@ -547,6 +551,26 @@ def simhash_dup_pairs(
         cand.select("doc_id", "other_doc_id", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_id", "other_doc_id")
+    )
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-dup pairs: block on any equal band of the
+    fingerprint (pigeonhole: hamming<=bands-1 guarantees one clean
+    band), then filter by exact hamming via bit_count(xor).
+    Fingerprints are computed inline (ad-hoc frames); a corpus
+    queried repeatedly should persist them (ann_index.ensure_simhash)
+    and sweep with simhash_pairs_from_fingerprints."""
+    fps = simhash63(df, id_col, text_col, hash_family)
+    return simhash_pairs_from_fingerprints(
+        fps, max_hamming=max_hamming, bands=bands, hash_family=hash_family
     )
 
 

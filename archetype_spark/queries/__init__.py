@@ -112,11 +112,13 @@ _MODULES = (
 #       persisted index, so driver freshness matters most), q41
 #       (only SimHash representative), q66 (CC clusters, the star-
 #       contraction fallback landed r7), and q50 (ECS flagship).
-#       Mid-r8 additions q99 (streaming-curation batch face) and
-#       q100 (binaryFile-source ingest) pin for their first driver
-#       rows, each deferring one more multi-green entry (q41 green
-#       r3+r7, q66 green r4-r5+r7 — both still locally hash-checked
-#       every pytest run).
+#       Mid-r8 additions q99 (streaming-curation batch face), q100
+#       (binaryFile-source ingest) and q101 (persisted-fingerprint
+#       SimHash, the q65 pattern) pin for their first driver rows,
+#       each deferring one more multi-green entry (q41 green r3+r7,
+#       q66 green r4-r5+r7, q50 green r4-r7 — all still locally
+#       hash-checked every pytest run, q50's exactness additionally
+#       by test_tsim_exact).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -147,6 +149,7 @@ _PINNED: tuple[str, ...] = (
     "q38_lang_id",
     "q99_stream_curation_face",
     "q100_binary_ingest",
+    "q101_simhash_fast",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -175,6 +178,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q67_training_mix",
         # newly deferred r8 (multi-green: r1-r2 + r7, or r6 + r7):
         "q41_simhash_pairs",
+        "q50_ecs_tsim",
         "q66_dedup_clusters",
         "q17_string_fns",
         "q18_date_fns",
@@ -253,4 +257,7 @@ def all_oracles(
     )
     if mhc is not None:
         o["q98_minhash_containment"] = mhc
+    sh = northstar.simhash_oracle(d, require_live_index=require_live_index)
+    if sh is not None:
+        o["q101_simhash_fast"] = sh
     return o

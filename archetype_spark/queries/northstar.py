@@ -35,6 +35,7 @@ IVF_INDEX = dict(n_clusters=16, seed=42)
 #: hashes persisted at ingest time (ann_index.ensure_minhash). The
 #: banding constants live with the query/oracle (bands=16, thr=0.45).
 MINHASH_INDEX = dict(num_hashes=64, shingle_n=3, hash_family="xxhash64")
+SIMHASH_INDEX = dict(hash_family="xxhash64")
 
 
 def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
@@ -56,9 +57,14 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
         ann_index.default_index_dir(sf_dir, "minhash_documents"),
         **MINHASH_INDEX,
     )
+    fps = ann_index.ensure_simhash(
+        load(spark, sf_dir, "documents"),
+        ann_index.default_index_dir(sf_dir, "simhash_documents"),
+        **SIMHASH_INDEX,
+    )
     # touch each index table so parquet footer/metadata caches are warm
     # before the first probe
-    for df in (buckets, cents, assigned, sigs):
+    for df in (buckets, cents, assigned, sigs, fps):
         df.count()
 
 
@@ -414,6 +420,67 @@ def q63_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tf_idf(load(spark, sf_dir, "documents")).orderBy(
         "doc_id", "token"
     )
+
+
+def q101_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SimHash path (the q65 pattern applied to the
+    third dedup family): xxhash64 token-vote fingerprints PERSISTED
+    at ingest (ann_index.ensure_simhash), with only the banded
+    pigeonhole join + exact bit_count(xor) hamming filter re-paid per
+    sweep. q41 benches the portable sha256-prefix family computed
+    fully in-flight; this entry tracks what a 100 TB pipeline
+    actually runs — the token-vote aggregation (SimHash's expensive
+    stage, ~2/3 of q41's cost) becomes a per-doc ingest cost.
+
+    Oracle-gated by index replay (simhash_oracle): xxhash64 has no
+    DuckDB counterpart, but the fingerprint table is on-disk DATA
+    both engines read — banding is integer shift/mask algebra and
+    hamming is bit_count(xor), all replayed in SQL over the very
+    same parquet."""
+    fps = ann_index.ensure_simhash(
+        load(spark, sf_dir, "documents"),
+        ann_index.default_index_dir(sf_dir, "simhash_documents"),
+        **SIMHASH_INDEX,
+    )
+    return dedup.simhash_pairs_from_fingerprints(
+        fps, max_hamming=3, bands=4, hash_family="xxhash64", id_col="id"
+    )
+
+
+def simhash_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """DuckDB SQL replicating q101's banded sweep over the SAME
+    persisted xxhash64 fingerprint parquet the Spark query probes
+    (the q65/q61 index-replay pattern). Bands are (simhash >> 16b) &
+    0xffff for b in 0..3; candidates share any band; the gate is
+    bit_count(xor) <= 3 — pure integer algebra, engine-portable.
+    Returns None when the index isn't on disk yet (rows-only degrade,
+    as q61)."""
+    idx = ann_index.default_index_dir(sf_dir, "simhash_documents")
+    if require_live_index and not os.path.isdir(idx):
+        return None
+    bands, width = 4, 16
+    return f"""
+        WITH fps AS (
+          SELECT id, simhash
+          FROM read_parquet('{idx}/fingerprints/*.parquet')
+        ),
+        banded AS (
+          SELECT id, simhash, b AS band_idx,
+                 (simhash >> (b * {width})) & {(1 << width) - 1} AS bv
+          FROM fps, unnest(generate_series(0, {bands - 1})) AS u(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS doc_id, b.id AS other_doc_id,
+                          a.simhash AS fa, b.simhash AS fb
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.id < b.id
+        )
+        SELECT doc_id, other_doc_id,
+               CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fa, fb)) <= 3
+        ORDER BY doc_id, other_doc_id
+    """
 
 
 def q65_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,6 +963,7 @@ QUERIES = {
     "q82_exact_pack": q82_exact_pack,
     "q83_deterministic_shuffle": q83_deterministic_shuffle,
     "q100_binary_ingest": q100_binary_ingest,
+    "q101_simhash_fast": q101_simhash_fast,
 }
 
 _STOPWORD_VALUES = ", ".join(

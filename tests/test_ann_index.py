@@ -557,3 +557,57 @@ def test_cluster_cap_semantics_and_layout_independence(spark):
         }
 
     assert report(asg) == report(asg.repartition(13))
+
+
+def test_simhash_fingerprint_index_lifecycle(spark, tmp_path, monkeypatch):
+    """The persisted xxhash64 fingerprint table (q101's probe side),
+    same contract as the MinHash signature index: (a) the banded
+    sweep over stored fingerprints equals the fully in-flight path,
+    (b) a warm index is reused, never re-fingerprinted, (c) append-
+    only corpus growth delta-fingerprints only the new file with rows
+    identical to a full rebuild."""
+    from archetype_spark.operators import dedup
+    from archetype_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    tbl = str(tmp_path / "docs_tbl")
+    docs.write.parquet(tbl)
+    d1 = spark.read.parquet(tbl)
+    idx = str(tmp_path / "simhash")
+
+    inline = dedup.simhash_dup_pairs(d1, hash_family="xxhash64")
+    fps = ann_index.ensure_simhash(d1, idx)
+    swept = dedup.simhash_pairs_from_fingerprints(fps, id_col="id")
+    want = {tuple(r) for r in inline.collect()}
+    assert {tuple(r) for r in swept.collect()} == want
+
+    def boom(*a, **kw):
+        raise AssertionError("fit_simhash_frames must not run on a warm index")
+
+    monkeypatch.setattr(ann_index, "fit_simhash_frames", boom)
+    again = ann_index.ensure_simhash(d1, idx)
+    assert again.count() == fps.count()
+    monkeypatch.undo()
+
+    new_id = d1.agg({"doc_id": "max"}).first()[0] + 1
+    base = d1.orderBy("doc_id").first()
+    spark.createDataFrame(
+        [(new_id, base["text"], base["lang"], base["source"], base["n_chars"])],
+        schema=d1.schema,
+    ).write.mode("append").parquet(tbl)
+    d2 = spark.read.parquet(tbl)
+
+    def poisoned(*a, **kw):
+        raise AssertionError("full fit ran on an append-only growth")
+
+    monkeypatch.setattr(ann_index, "fit_simhash", poisoned)
+    grown = ann_index.ensure_simhash(d2, idx)
+    got = {(r["id"], r["simhash"]) for r in grown.collect()}
+    monkeypatch.undo()
+    full = {
+        (r["id"], r["simhash"])
+        for r in ann_index.fit_simhash_frames(
+            d2, "xxhash64", "doc_id", "text"
+        ).collect()
+    }
+    assert got == full and any(i == new_id for i, _ in got)
