@@ -487,3 +487,101 @@ def mixed_language_stats(
         share.alias("major_share"),
         (share < majority_frac).alias("is_mixed"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): documents featurize as HASHED bigram
+    counts over `n_buckets` buckets; the target distribution (rows
+    where the boolean Column `target` holds) and the raw distribution
+    (all rows) are estimated with add-one smoothing; each document's
+    log importance weight sum_g ln(p_target(g) / p_raw(g)) measures
+    how target-like it is — the data-selection signal for up-sampling
+    target-domain-looking text out of a raw crawl.
+
+    Returns (id_col, n_feats, sum_micro_nats, avg_log_ratio): the
+    per-occurrence log ratios quantize to integer micro-nats (the
+    q89 recipe — DuckDB-ROUND on the only float op, exact integer
+    sums, so engines agree without float-accumulation tolerances).
+    Bucket hashing is the portable sha256 prefix (sampling.py
+    hash_bucket — 16 hash bits mod n_buckets, exactly uniform for
+    power-of-two bucket counts ≤ 65536), replayable in any SQL
+    engine.
+
+    Scale: two count aggregations keyed on the ≤ n_buckets bucket id
+    (map-side combine collapses each task's contribution to at most
+    n_buckets rows, so hot buckets cost one counter per task); the
+    scored distribution is a ≤ n_buckets-row BROADCAST, so the
+    per-occurrence probe join is map-side; the ln evaluates once per
+    bucket, not per occurrence. Nothing scales with corpus size
+    except the two narrow gram scans."""
+    from archetype_spark.operators.sampling import hash_bucket
+    from archetype_spark.operators.util import fan_out
+    from archetype_spark.queries.relational import round_like_duckdb
+
+    w = F.split(F.col(text_col), " ")
+    grams = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        target.alias("_tgt"),
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i), F.element_at(w, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    ).select("_id", "_tgt", hash_bucket(F.col("_g"), n_buckets).alias("_bkt"))
+    dist = grams.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("_craw"),
+        F.sum(F.col("_tgt").cast("bigint")).alias("_ctgt"),
+    )
+    totals = dist.agg(
+        F.sum("_craw").alias("_nraw"), F.sum("_ctgt").alias("_ntgt")
+    )
+    s_int = round_like_duckdb(
+        (
+            F.log((F.col("_ctgt") + 1) / (F.col("_ntgt") + n_buckets))
+            - F.log((F.col("_craw") + 1) / (F.col("_nraw") + n_buckets))
+        )
+        * 1e6,
+        0,
+    ).cast("bigint")
+    scores = F.broadcast(
+        dist.crossJoin(F.broadcast(totals)).select("_bkt", s_int.alias("_s"))
+    )
+    per_doc = (
+        grams.join(scores, "_bkt")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("_s").cast("bigint").alias("sum_micro_nats"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce("sum_micro_nats", F.lit(0))
+            .cast("bigint")
+            .alias("sum_micro_nats"),
+            F.when(F.coalesce(F.col("n_feats"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                round_like_duckdb(
+                    F.col("sum_micro_nats") / (F.col("n_feats") * F.lit(1e6)), 6
+                )
+            )
+            .alias("avg_log_ratio"),
+        )
+    )

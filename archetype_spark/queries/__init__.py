@@ -113,12 +113,15 @@ _MODULES = (
 #       (only SimHash representative), q66 (CC clusters, the star-
 #       contraction fallback landed r7), and q50 (ECS flagship).
 #       Mid-r8 additions q99 (streaming-curation batch face), q100
-#       (binaryFile-source ingest) and q101 (persisted-fingerprint
-#       SimHash, the q65 pattern) pin for their first driver rows,
-#       each deferring one more multi-green entry (q41 green r3+r7,
-#       q66 green r4-r5+r7, q50 green r4-r7 — all still locally
-#       hash-checked every pytest run, q50's exactness additionally
-#       by test_tsim_exact).
+#       (binaryFile-source ingest), q101 (persisted-fingerprint
+#       SimHash, the q65 pattern) and q102 (DSIR importance weights)
+#       pin for their first driver rows, each deferring one more
+#       multi-green entry (q41 green r3+r7, q66 green r4-r5+r7, q50
+#       green r4-r7, q61 green r5+r7 — all still locally hash-checked
+#       every pytest run; q50's exactness additionally by
+#       test_tsim_exact, and the persisted-IVF index path stays
+#       driver-covered through q72/q77/q96, which read the same
+#       index q61 probes).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -150,6 +153,7 @@ _PINNED: tuple[str, ...] = (
     "q99_stream_curation_face",
     "q100_binary_ingest",
     "q101_simhash_fast",
+    "q102_dsir_importance",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -179,6 +183,7 @@ _DEFERRED: frozenset[str] = frozenset(
         # newly deferred r8 (multi-green: r1-r2 + r7, or r6 + r7):
         "q41_simhash_pairs",
         "q50_ecs_tsim",
+        "q61_ivf_topk",
         "q66_dedup_clusters",
         "q17_string_fns",
         "q18_date_fns",

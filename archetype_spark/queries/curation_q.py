@@ -415,6 +415,24 @@ def q99_stream_curation_face(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q99_stream_curation_face"] = q99_stream_curation_face
 
+
+def q102_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators/textstats.py
+    dsir_importance): hashed-bigram likelihood ratios between the
+    target slice (lang = 'en') and the raw corpus — the
+    data-selection signal for importance resampling (Xie et al.
+    2023). 1024 portable hash buckets, add-one smoothing,
+    micro-nat-exact integer sums."""
+    from archetype_spark.operators import textstats
+
+    d = load(spark, sf_dir, "documents")
+    return textstats.dsir_importance(
+        d, target=F.col("lang") == "en", n_buckets=1024
+    ).orderBy("doc_id")
+
+
+QUERIES["q102_dsir_importance"] = q102_dsir_importance
+
 ORACLES = {
     "q84_paragraph_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -769,6 +787,41 @@ ORACLES["q99_stream_curation_face"] = """
         GROUP BY d.lang
         ORDER BY d.lang
     """.replace("{stopwords}", _STOPWORD_VALUES)
+
+# q102: the DSIR replay — identical gram derivation, the same 16-bit
+# sha256 bucket (hash_bucket's documented DuckDB form), add-one
+# smoothed distributions, per-bucket micro-nat quantization with
+# DuckDB ROUND, exact integer sums.
+ORACLES["q102_dsir_importance"] = """
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id, (lang = 'en') AS tgt,
+                     w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS gram
+              FROM (SELECT doc_id, lang, w,
+                           unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+                    FROM t)),
+        gb AS (SELECT doc_id, tgt,
+                      CAST(('0x' || substr(sha256(gram), 1, 4))::UBIGINT % 1024 AS INT) AS bkt
+               FROM g),
+        dist AS (SELECT bkt, COUNT(*) AS craw,
+                        SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ctgt
+                 FROM gb GROUP BY 1),
+        tot AS (SELECT SUM(craw) AS nraw, SUM(ctgt) AS ntgt FROM dist),
+        sc AS (SELECT bkt,
+                      CAST(ROUND((ln((ctgt + 1) / (ntgt + 1024))
+                                  - ln((craw + 1) / (nraw + 1024))) * 1e6, 0) AS BIGINT) AS s
+               FROM dist, tot),
+        pd AS (SELECT gb.doc_id, COUNT(*) AS n_feats, SUM(sc.s) AS sum_micro_nats
+               FROM gb JOIN sc ON gb.bkt = sc.bkt GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(pd.n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(COALESCE(pd.sum_micro_nats, 0) AS BIGINT) AS sum_micro_nats,
+               CASE WHEN COALESCE(pd.n_feats, 0) = 0 THEN 0.0
+                    ELSE ROUND(pd.sum_micro_nats / (pd.n_feats * 1e6), 6)
+               END AS avg_log_ratio
+        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        ORDER BY d.doc_id
+    """
 
 # q84: the 4-token chunk paragraphs, global first-occurrence winner
 # per paragraph (min (doc_id, pos)), position-ordered reassembly of

@@ -161,3 +161,43 @@ def test_mixed_language_stats(spark):
     assert out[1] == (2, 2, "de", 0.5, True)
     assert out[2] == (2, 1, "en", 1.0, False)
     assert out[3] == (1, 1, "unknown", 1.0, False)
+
+
+def test_dsir_importance_semantics(spark):
+    """DSIR importance weights: documents built from target-heavy
+    bigrams must score higher than raw-only ones; weights are
+    deterministic and zero-feature docs degrade to 0."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.operators import textstats
+
+    rows = (
+        # target slice: 'en' docs full of 'alpha beta'
+        [(i, "alpha beta " * 20, "en") for i in range(8)]
+        # raw-only slice: 'xx' docs full of 'gamma delta'
+        + [(100 + i, "gamma delta " * 20, "xx") for i in range(8)]
+        # probes: one target-looking, one raw-looking, one empty-ish
+        + [(900, "alpha beta alpha beta", "xx"), (901, "gamma delta gamma delta", "xx"),
+           (902, "solo", "xx")]
+    )
+    d = spark.createDataFrame(
+        [(i, t.strip(), lg) for i, t, lg in rows],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.dsir_importance(
+            d, target=F.col("lang") == "en", n_buckets=256
+        ).collect()
+    }
+    assert out[900]["avg_log_ratio"] > out[901]["avg_log_ratio"]
+    assert out[900]["sum_micro_nats"] > 0 > out[901]["sum_micro_nats"]
+    assert out[902]["n_feats"] == 0 and out[902]["avg_log_ratio"] == 0.0
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["sum_micro_nats"]
+        for r in textstats.dsir_importance(
+            d, target=F.col("lang") == "en", n_buckets=256
+        ).collect()
+    }
+    assert again == {k: v["sum_micro_nats"] for k, v in out.items()}
