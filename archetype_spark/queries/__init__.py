@@ -122,6 +122,15 @@ _MODULES = (
 #       test_tsim_exact, and the persisted-IVF index path stays
 #       driver-covered through q72/q77/q96, which read the same
 #       index q61 probes).
+#   r9 plan (write the actual rotation AFTER CORRECTNESS_r08 lands):
+#       assuming the 28 r8 pins go green, unpin them into the plain
+#       gated block and PIN the longest-deferred entries — the
+#       "carried over" block below (q24-q26, q28, q36/q37/q39,
+#       q42-q49, q51-q53, q62-q64, q67 — no driver row since r5/r6).
+#       In exchange defer the freshly-green r8 basics (q01-q16,
+#       q29-q35, q38) and enough single-green r7 mid-tier entries
+#       (q80+) to stay at 50; keep q99-q102 (single-green r8) and
+#       the index-oracle trio in-window.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
