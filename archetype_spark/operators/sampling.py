@@ -311,3 +311,61 @@ def weighted_sample(
     )
     win = Window.orderBy("sample_key", id_col)
     return top.withColumn(rank_col, F.row_number().over(win).cast("bigint"))
+
+
+def quality_tiers(
+    df: DataFrame,
+    n_tiles: int = 3,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "exact",
+) -> DataFrame:
+    """CCNet-style quality bucketing: rank each group's documents by
+    the shared composite quality score and cut into `n_tiles` equal
+    buckets (head / middle / tail for the default 3) — the curriculum
+    and selective-sampling stage (CCNet trains on the head, mixes the
+    middle, drops the tail). Returns (id_col, by, quality, tier),
+    tier 1 = best.
+
+    mode='exact': NTILE over a (quality DESC, id ASC) window per
+    group — deterministic, SQL-standard, the ORACLE face. The window
+    sorts each group in ONE task, so exact mode is for verification
+    and moderate group sizes, not the 100 TB path.
+
+    mode='approx': tier thresholds from percentile_approx (a
+    mergeable sketch — bounded memory, fully distributed), broadcast
+    back as a G-row table; each row buckets by comparing its score
+    against its group's thresholds. This is the scale face: no
+    per-group single-task sort anywhere, at the cost of sketch-
+    precision tier boundaries (agreement with exact mode is
+    test-pinned on this corpus). The same exact/approx duality as
+    percentiles (q54 vs percentile_approx) — verify exactly, run
+    approximately."""
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    from archetype_spark.functions.text import quality_score
+
+    d = df.select(
+        F.col(id_col), F.col(by), quality_score(text_col).alias("quality")
+    )
+    if mode == "exact":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(by).orderBy(
+            F.desc("quality"), F.asc(id_col)
+        )
+        return d.withColumn("tier", F.ntile(n_tiles).over(w))
+    probs = [1.0 - i / n_tiles for i in range(1, n_tiles)]  # descending cuts
+    th = d.groupBy(by).agg(
+        F.percentile_approx("quality", probs, 10_000).alias("_th")
+    )
+    tier = (
+        F.lit(1)
+        + F.size(F.filter("_th", lambda t: F.col("quality") < t))
+    ).cast("int")
+    return d.join(F.broadcast(th), by).select(
+        id_col, by, "quality", tier.alias("tier")
+    )

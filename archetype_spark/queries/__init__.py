@@ -121,16 +121,18 @@ _MODULES = (
 #       every pytest run; q50's exactness additionally by
 #       test_tsim_exact, and the persisted-IVF index path stays
 #       driver-covered through q72/q77/q96, which read the same
-#       index q61 probes).
+#       index q61 probes). q103 (CCNet quality tiers) pins late-r8,
+#       deferring q77 (green r6+r7; the persisted-IVF path stays
+#       driver-covered via q72/q96).
 #   r9 plan (write the actual rotation AFTER CORRECTNESS_r08 lands):
-#       assuming the 28 r8 pins go green, unpin them into the plain
+#       assuming the 29 r8 pins go green, unpin them into the plain
 #       gated block and PIN the longest-deferred entries — the
 #       "carried over" block below (q24-q26, q28, q36/q37/q39,
 #       q42-q49, q51-q53, q62-q64, q67 — no driver row since r5/r6).
 #       In exchange defer the freshly-green r8 basics (q01-q16,
 #       q29-q35, q38) and enough single-green r7 mid-tier entries
-#       (q80+) to stay at 50; keep q99-q102 (single-green r8) and
-#       the index-oracle trio in-window.
+#       (q80+) to stay at 50; keep q99-q103 (single-green r8) and
+#       the index-oracle queries in-window.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -163,6 +165,7 @@ _PINNED: tuple[str, ...] = (
     "q100_binary_ingest",
     "q101_simhash_fast",
     "q102_dsir_importance",
+    "q103_quality_tiers",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -193,6 +196,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q41_simhash_pairs",
         "q50_ecs_tsim",
         "q61_ivf_topk",
+        "q77_filtered_ivf_topk",
         "q66_dedup_clusters",
         "q17_string_fns",
         "q18_date_fns",

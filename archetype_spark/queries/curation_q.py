@@ -433,6 +433,21 @@ def q102_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q102_dsir_importance"] = q102_dsir_importance
 
+
+def q103_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality tiers (operators/
+    sampling.py quality_tiers, exact NTILE face): per-lang thirds by
+    the shared composite quality score, deterministic tie order.
+    The approx (sketch-threshold) face is the 100 TB path and is
+    test-pinned against this one."""
+    from archetype_spark.operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    return sampling.quality_tiers(d, n_tiles=3, by="lang").orderBy("doc_id")
+
+
+QUERIES["q103_quality_tiers"] = q103_quality_tiers
+
 ORACLES = {
     "q84_paragraph_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -821,6 +836,32 @@ ORACLES["q102_dsir_importance"] = """
                END AS avg_log_ratio
         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         ORDER BY d.doc_id
+    """
+
+# q103: the q35/q94 quality derivation + standard NTILE with the
+# identical (quality DESC, doc_id) total order.
+ORACLES["q103_quality_tiers"] = """
+        WITH base AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS nt,
+                 len(list_distinct(string_split(text, ' '))) AS nu,
+                 length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS npunct,
+                 length(text) AS nchar
+          FROM documents
+        ), q AS (
+          SELECT doc_id, lang,
+                 ROUND(0.5 * LEAST(nt / 50.0, 1.0)
+                       + 0.4 * (CASE WHEN nt > 0 THEN nu * 1.0 / nt ELSE 0.0 END)
+                       + 0.1 * (1.0 - CASE WHEN nchar > 0
+                                           THEN npunct * 1.0 / nchar ELSE 0.0 END),
+                       6) AS quality
+          FROM base
+        )
+        SELECT doc_id, lang, quality,
+               CAST(NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY quality DESC, doc_id) AS INT) AS tier
+        FROM q
+        ORDER BY doc_id
     """
 
 # q84: the 4-token chunk paragraphs, global first-occurrence winner

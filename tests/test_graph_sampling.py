@@ -384,3 +384,28 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert ids != other
     plan = formatted_plan(sampling.weighted_sample(df, "weight", k=200))
     assert "TakeOrderedAndProject" in plan, "top-k regressed to global sort"
+
+
+def test_quality_tiers_exact_vs_approx(spark, sf_dir):
+    """The exact NTILE face (the oracle) and the sketch-threshold
+    approx face (the 100 TB path) must agree on tier sizes and on
+    the vast majority of assignments; disagreements may only sit at
+    tier boundaries (adjacent tiers)."""
+    from archetype_spark.operators import sampling
+    from archetype_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    exact = {
+        r["doc_id"]: r["tier"]
+        for r in sampling.quality_tiers(d, n_tiles=3).collect()
+    }
+    approx = {
+        r["doc_id"]: r["tier"]
+        for r in sampling.quality_tiers(d, n_tiles=3, mode="approx").collect()
+    }
+    assert set(exact) == set(approx)
+    agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
+    assert agree > 0.9, agree
+    assert all(abs(exact[k] - approx[k]) <= 1 for k in exact)
+    # every tier is populated in both faces
+    assert {1, 2, 3} == set(exact.values()) == set(approx.values())
