@@ -252,3 +252,56 @@ def test_stress_minhash_cc(stress_docs):
     n_comp = comp.select("component").distinct().count()
     # ~5k source docs -> at most ~5k components among the paired docs
     assert 0 < n_comp < 5500, n_comp
+
+
+def test_stress_streaming_curation(spark, stress_docs, tmp_path):
+    """The foreachBatch curation path at 10x corpus: 50k docs drained
+    in 5 micro-batches through ingest-dedup + the stateless passes.
+    Cross-batch dedup must collapse the 10 planted copies of every
+    source doc to one curated row (first-arrival keeper), and the
+    curated table must equal the one-shot batch pass."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.streaming import curation
+
+    docs = stress_docs.select("doc_id", "text", "lang")
+    src = str(tmp_path / "arrivals")
+    # five arrival files split by copy index (copies of the same text
+    # arrive in DIFFERENT micro-batches -> the anti-join must work
+    # across batches, not just within one)
+    for i in range(5):
+        docs.filter((F.col("doc_id") / 1_000_000).cast("int") % 5 == i).coalesce(
+            2
+        ).write.parquet(f"{src}/batch={i:02d}")
+
+    stream_dir = str(tmp_path / "stream")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/batch=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: curation.curate_batch(spark, b, stream_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(f"{stream_dir}/curated")
+    n_curated = got.count()
+    n_fp = got.select("fingerprint").distinct().count()
+    assert n_curated == n_fp  # exactly one keeper per distinct text
+    # 10 copies of each source doc -> at most one survivor per family
+    fam = got.select((F.col("doc_id") % 1_000_000).alias("f")).groupBy("f").count()
+    assert fam.agg(F.max("count")).first()[0] == 1
+    batch_dir = str(tmp_path / "batch")
+    curation.curate_corpus(spark, docs, batch_dir)
+    want = spark.read.parquet(f"{batch_dir}/curated")
+    # same fingerprint set (keeper ids may differ: first-arrival vs
+    # min-id when copies of one text span batches — both canonical)
+    gs = {r["fingerprint"] for r in got.select("fingerprint").collect()}
+    ws = {r["fingerprint"] for r in want.select("fingerprint").collect()}
+    assert gs == ws and len(gs) > 1000
