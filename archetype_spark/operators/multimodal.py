@@ -232,7 +232,11 @@ def _wav_info(payload: bytes):
         cid = payload[i : i + 4]
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
         if cid == b"fmt ":
-            if i + 20 > len(payload):  # truncated inside the fmt chunk
+            # byte_rate sits at body offset 8..12: the chunk must both
+            # DECLARE at least 12 body bytes (a lying shorter size would
+            # make us read the next chunk's bytes as byte_rate — a
+            # silent wrong answer) and actually contain them.
+            if size < 12 or i + 20 > len(payload):
                 return None
             byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
         elif cid == b"data":
@@ -244,7 +248,11 @@ def _wav_info(payload: bytes):
 
 
 def _mp4_boxes(data: bytes, start: int, end: int):
-    """Yield (box_type, body_start, body_end) over an MP4 box run."""
+    """Yield (box_type, body_start, body_end) over an MP4 box run.
+    Every branch guarantees `i` strictly advances (a 64-bit size
+    smaller than its own 16-byte header would otherwise loop the
+    task forever on a malformed payload — worse than the crash the
+    bounds checks prevent)."""
     import struct
 
     i = start
@@ -253,6 +261,8 @@ def _mp4_boxes(data: bytes, start: int, end: int):
         btype = data[i + 4 : i + 8]
         if size == 1 and i + 16 <= end:  # 64-bit size
             (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+            if size < 16:  # must cover its own extended header
+                return
             yield btype, i + 16, i + size
         elif size >= 8:
             yield btype, i + 8, i + size

@@ -378,7 +378,7 @@ def _span_corruption_exploded(
     )
     # groupBy reuses the window's hash partitioning on id_col — the
     # whole linear path costs exactly one exchange.
-    return ex.groupBy(id_col).agg(
+    grouped = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
         F.sum(F.col("_m").cast("bigint")).alias("n_masked"),
         F.array_join(
@@ -399,3 +399,8 @@ def _span_corruption_exploded(
             " ",
         ).alias("target_text"),
     )
+    # NULL-text documents produce no exploded rows (explode of a NULL
+    # pieces array); the narrow formulation emits them with NULL
+    # aggregates, so re-attach them via a left join from the full id
+    # set — keeping the three formulations row-identical on any input.
+    return df.select(F.col(id_col)).join(grouped, id_col, "left")

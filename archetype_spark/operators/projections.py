@@ -161,6 +161,7 @@ def signcode_topk(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_max_bytes: int | None = None,
 ) -> DataFrame:
     """Sign-code banded ANN: the projection's downstream purpose,
     end-to-end. The vector projects to n_bands * code_bits integer
@@ -226,9 +227,20 @@ def signcode_topk(
     # while the corpus fits the similarity budget (id-keyed shuffle
     # joins are the documented fallback past it — same trade as
     # similarity.topk_bruteforce's tiers).
-    from archetype_spark.operators.similarity import _exact_pairs_from_candidates
+    from archetype_spark.operators.similarity import (
+        AUTO_BROADCAST_MAX_BYTES,
+        _exact_pairs_from_candidates,
+    )
 
-    once = _exact_pairs_from_candidates(emb, cand, id_col, vec_col)
+    once = _exact_pairs_from_candidates(
+        emb,
+        cand,
+        id_col,
+        vec_col,
+        max_bytes=(
+            AUTO_BROADCAST_MAX_BYTES if auto_max_bytes is None else auto_max_bytes
+        ),
+    )
     scored = once.unionByName(
         once.select(
             F.col("other_vec_id").alias("vec_id"),

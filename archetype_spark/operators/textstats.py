@@ -528,7 +528,11 @@ def dsir_importance(
     w = F.split(F.col(text_col), " ")
     grams = fan_out(df).select(
         F.col(id_col).alias("_id"),
-        target.alias("_tgt"),
+        # NULL target (e.g. a NULL flag column) counts as not-target:
+        # an un-coalesced NULL would NULL a bucket's target count, NULL
+        # its score, and silently drop those grams from sum_micro_nats
+        # while n_feats still counted them.
+        F.coalesce(target.cast("boolean"), F.lit(False)).alias("_tgt"),
         F.explode(
             F.when(
                 F.size(w) >= 2,

@@ -201,3 +201,39 @@ def test_dsir_importance_semantics(spark):
         ).collect()
     }
     assert again == {k: v["sum_micro_nats"] for k, v in out.items()}
+
+
+def test_dsir_importance_null_target(spark):
+    """Review r8: NULL target values count as not-target; grams from
+    NULL-flag rows must still contribute to the raw distribution and
+    to their own documents' sums (no silently-NULLed buckets)."""
+    from pyspark.sql import functions as F
+
+    from archetype_spark.operators import textstats
+
+    d = spark.createDataFrame(
+        [(1, "p q p q p q", True), (2, "r s r s r s", None), (3, "p q r s", False)],
+        "doc_id long, text string, flag boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.dsir_importance(
+            d, target=F.col("flag"), n_buckets=64
+        ).collect()
+    }
+    # every doc has all its grams scored (5 bigrams in docs 1-2, 3 in doc 3)
+    assert out[1]["n_feats"] == 5 and out[2]["n_feats"] == 5
+    assert out[3]["n_feats"] == 3
+    # the NULL-flag doc's buckets score like raw-only: a finite,
+    # non-zero-sum verdict (would have been silently dropped before)
+    assert out[2]["sum_micro_nats"] != 0
+    # equivalent to coalescing the flag to false up front
+    want = {
+        r["doc_id"]: r["sum_micro_nats"]
+        for r in textstats.dsir_importance(
+            d.withColumn("flag", F.coalesce("flag", F.lit(False))),
+            target=F.col("flag"),
+            n_buckets=64,
+        ).collect()
+    }
+    assert want == {k: v["sum_micro_nats"] for k, v in out.items()}

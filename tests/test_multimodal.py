@@ -258,3 +258,38 @@ def test_pil_decode_and_resize_png(spark):
 def test_av_decode_routes_through_pyav(spark):
     """When PyAV exists, non-MP4 audio/video probes route through it."""
     assert multimodal._av_media_info(b"\x00\x00") is None  # junk -> None
+
+
+def test_mp4_zero_extended_size_terminates():
+    """Review r8: a 64-bit box size smaller than its own 16-byte
+    header must terminate parsing (None), never loop the task."""
+    import struct
+
+    bad = (
+        _box(b"ftyp", b"isom\x00\x00\x00\x00")
+        + struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", 0)
+    )
+    assert multimodal._mp4_info(bad) is None
+    bad15 = (
+        _box(b"ftyp", b"isom\x00\x00\x00\x00")
+        + struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", 15)
+    )
+    assert multimodal._mp4_info(bad15) is None
+
+
+def test_wav_lying_fmt_size_degrades():
+    """Review r8: a fmt chunk DECLARING fewer than 12 body bytes must
+    parse to None (reading byte_rate there would read the next
+    chunk's bytes — a silent wrong duration)."""
+    import struct
+
+    lying = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + bytes(4)
+        + b"data" + struct.pack("<I", 8) + bytes(8)
+    )
+    assert multimodal._wav_info(lying) is None

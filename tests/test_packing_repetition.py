@@ -218,3 +218,23 @@ def test_weighted_sample_k_exceeds_population(spark):
     out = sampling.weighted_sample(df, "weight", k=10).collect()
     assert sorted(r["doc_id"] for r in out) == [1, 2]
     assert sorted(r["sample_rank"] for r in out) == [1, 2]
+
+
+def test_span_corruption_null_text_all_formulations(spark):
+    """Review r8: a NULL-text document must appear (with NULL
+    aggregates) in every numbering formulation — the exploded path's
+    inner explode used to drop it."""
+    from archetype_spark.operators import packing
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, None)], "doc_id long, text string"
+    )
+    outs = {
+        n: {
+            (r["doc_id"], r["n_blocks"], r["n_masked"], r["input_text"])
+            for r in packing.span_corruption(d, numbering=n).collect()
+        }
+        for n in ("narrow", "prefix_scan", "exploded")
+    }
+    assert outs["narrow"] == outs["exploded"] == outs["prefix_scan"]
+    assert any(row[0] == 2 and row[1] is None for row in outs["narrow"])

@@ -31,7 +31,7 @@ _ALL = queries.all_queries()
 
 @pytest.fixture(scope="module")
 def recorded():
-    if _UPDATE or not os.path.exists(SNAPSHOT_PATH):
+    if not os.path.exists(SNAPSHOT_PATH):
         return {}
     return snapshot.load_snapshot(SNAPSHOT_PATH)
 
@@ -58,7 +58,16 @@ def test_plan_shape(name, spark, sf_dir, recorded):
 def test_no_stale_snapshot_entries(recorded):
     """Deleted/renamed queries must leave the snapshot too."""
     if _UPDATE:
-        snapshot.save_snapshot(SNAPSHOT_PATH, _collected)
+        # MERGE into the existing snapshot rather than replacing it:
+        # an update run filtered with -k (or a partially-failed one)
+        # must not silently discard the shapes it didn't re-record.
+        # Entries for queries no longer registered are dropped here —
+        # the only place stale rows can leave.
+        merged = {
+            **{k: v for k, v in recorded.items() if k in _ALL},
+            **_collected,
+        }
+        snapshot.save_snapshot(SNAPSHOT_PATH, merged)
         return
     stale = sorted(set(recorded) - set(_ALL))
     assert not stale, f"snapshot has entries for unregistered queries: {stale}"
