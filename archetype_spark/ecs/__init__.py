@@ -42,8 +42,14 @@ def make_world(
     return World(store=store, querier=querier, updater=updater, system=system)
 
 
+# Imported after make_world exists — aio.make_async_world wraps it.
+from archetype_spark.ecs.aio import AsyncWorld, make_async_world  # noqa: E402
+
+
 __all__ = [
     "World",
+    "AsyncWorld",
+    "make_async_world",
     "Processor",
     "processor",
     "Component",

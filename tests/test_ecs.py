@@ -584,3 +584,53 @@ def test_batch_spawn_multi_archetype(spark, tmp_path):
     latest = world.latest(Position)
     assert len(latest) == 2
     assert sum(df.count() for df in latest.values()) == 6
+
+
+def test_async_world_tsim_parity(spark, tmp_path):
+    """AsyncWorld drives the same T-SIM trajectory as the sync World
+    (reference API parity: `await world.spawn/step/get_history`,
+    archetype/core/world.py:23-74)."""
+    import asyncio
+
+    from archetype_spark.ecs import make_async_world
+
+    async def drive():
+        aw = make_async_world(spark, str(tmp_path / "wh"), simulation="toy")
+        aw.add_processor(MovementProcessor())
+        e1 = await aw.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=1.0))
+        for _ in range(3):
+            await aw.step(dt=0.1)
+        hist = await aw.get_history(Position)
+        latest = aw.latest(Position)  # sync in the reference too
+        return e1, aw.current_step, hist, latest
+
+    e1, step, hist, latest = asyncio.run(drive())
+    assert step == 3
+    rows = {
+        r["entity_id"]: r for df in latest.values() for r in df.collect()
+    }
+    assert rows[e1]["position__x"] == pytest.approx(0.3)
+    # spawn + 3 commits = 4 step-versions
+    versions = sum(df.count() for df in hist.values())
+    assert versions == 4
+
+
+def test_async_world_concurrent_worlds(spark, tmp_path):
+    """Two AsyncWorlds step concurrently from one event loop — the
+    per-world lock serializes within a world, not across worlds, and
+    both clocks land where the sync engine would put them."""
+    import asyncio
+
+    from archetype_spark.ecs import make_async_world
+
+    async def drive():
+        w1 = make_async_world(spark, str(tmp_path / "wh"), simulation="a")
+        w2 = make_async_world(spark, str(tmp_path / "wh"), simulation="b")
+        for w in (w1, w2):
+            w.add_processor(MovementProcessor())
+            await w.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=0.0))
+        await asyncio.gather(w1.step(0.5), w2.step(0.5), w1.step(0.5))
+        return w1.current_step, w2.current_step
+
+    s1, s2 = asyncio.run(drive())
+    assert (s1, s2) == (2, 1)
