@@ -1,3 +1,4 @@
+from archetype_spark.sources.delta import read_delta, write_delta
 from archetype_spark.sources.io import (
     merge_table,
     read_binary_dir,
@@ -9,7 +10,9 @@ from archetype_spark.sources.io import (
 __all__ = [
     "merge_table",
     "read_binary_dir",
+    "read_delta",
     "read_table",
     "write_bucketed_table",
+    "write_delta",
     "write_table",
 ]

@@ -9,7 +9,10 @@ scale:
 - parquet: snappy, v2 pages; the only format for data at rest.
 - csv/json: header + schema handling and a REQUIRED explicit-or-
   sampled schema at scale (schema inference reads the data twice).
-- lance/iceberg/delta: format names accepted and dispatched to
+- delta: served by the protocol-native log reader/writer in
+  `sources/delta.py` (public `_delta_log` spec; no jars needed),
+  including `versionAsOf` time travel.
+- lance/iceberg: format names accepted and dispatched to
   `spark.read.format(...)` — they engage when the corresponding
   connector jars are on the classpath, which this container doesn't
   ship; the dispatch is tested with the built-in formats.
@@ -45,6 +48,13 @@ def read_table(
     mandatory practice on large inputs."""
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {sorted(_FORMATS)}")
+    if fmt == "delta":
+        # protocol-native path (sources/delta.py): works with zero
+        # connector jars; honors the connector's versionAsOf option.
+        from archetype_spark.sources.delta import read_delta
+
+        v = options.pop("versionAsOf", None)
+        return read_delta(spark, path, version=None if v is None else int(v))
     _heal_merge(path)  # replay a committed-but-unswapped merge, if any
     reader = spark.read
     if schema is not None:
@@ -94,6 +104,15 @@ def write_table(
         raise ValueError(f"unknown format {fmt!r}; expected one of {sorted(_FORMATS)}")
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
+    if fmt == "delta":
+        from archetype_spark.sources.delta import _latest_version, write_delta
+
+        if mode in ("error", "errorifexists"):
+            if _latest_version(path) is not None:
+                raise FileExistsError(f"Delta table already exists: {path}")
+            mode = "append"
+        write_delta(df, path, mode=mode, partition_by=partition_by)
+        return
     writer = df.write.format(fmt).mode(mode).options(**options)
     if fmt == "csv":
         writer = writer.option("header", "true")
