@@ -123,7 +123,9 @@ _MODULES = (
 #       driver-covered through q72/q77/q96, which read the same
 #       index q61 probes). q103 (CCNet quality tiers) pins late-r8,
 #       deferring q77 (green r6+r7; the persisted-IVF path stays
-#       driver-covered via q72/q96).
+#       driver-covered via q72/q96). q104 (protocol-native Delta
+#       scan, log-replay oracle) pins late-r8, deferring q90 (green
+#       r7; the containment family keeps q98's driver row).
 #   r9 plan (write the actual rotation AFTER CORRECTNESS_r08 lands):
 #       assuming the 29 r8 pins go green, unpin them into the plain
 #       gated block and PIN the longest-deferred entries — the
@@ -166,6 +168,7 @@ _PINNED: tuple[str, ...] = (
     "q101_simhash_fast",
     "q102_dsir_importance",
     "q103_quality_tiers",
+    "q104_delta_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -222,6 +225,10 @@ _DEFERRED: frozenset[str] = frozenset(
         "q76_relative_quality_gate",
         "q78_mixture_resample",
         "q79_pack_payloads",
+        # deferred late-r8 for q104's pin (containment family keeps a
+        # driver row via q98's index replay; q90 stays locally
+        # hash-checked every pytest run):
+        "q90_containment_pairs",
     }
 )
 
@@ -278,4 +285,7 @@ def all_oracles(
     sh = northstar.simhash_oracle(d, require_live_index=require_live_index)
     if sh is not None:
         o["q101_simhash_fast"] = sh
+    dl = northstar.delta_oracle(d, require_live_index=require_live_index)
+    if dl is not None:
+        o["q104_delta_scan"] = dl
     return o

@@ -483,6 +483,133 @@ def simhash_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
     """
 
 
+def _ensure_delta_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the Delta table q104 scans: documents
+    projected to (doc_id, lang, n_chars), partitioned by lang, with a
+    three-commit history — two ingest appends (even then odd doc_ids)
+    and a compaction overwrite of the full set. The overwrite matters:
+    any log-UNAWARE reader (a bare parquet glob) sees every row twice,
+    so matching the oracle proves the snapshot replay, not just the
+    parquet bytes. Freshness keyed on the corpus fingerprint, like the
+    ANN index builders."""
+    import json as _json
+    import shutil as _shutil
+
+    from archetype_spark.sources.delta import write_delta
+
+    docs = load(spark, sf_dir, "documents")
+    idx = ann_index.default_index_dir(sf_dir, "delta_documents")
+    table = os.path.join(idx, "table")
+    expect = {
+        "kind": "delta_documents",
+        "schema": 1,  # (doc_id, lang, n_chars) by lang; bump to rebuild
+        "corpus": ann_index.corpus_fingerprint(docs, "doc_id", "text"),
+    }
+    pfile = os.path.join(idx, "_build_params.json")
+    if os.path.exists(pfile):
+        try:
+            with open(pfile) as fh:
+                if _json.load(fh) == expect:
+                    return table
+        except (OSError, ValueError):
+            pass
+    _shutil.rmtree(idx, ignore_errors=True)
+    os.makedirs(idx, exist_ok=True)
+    base = docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    write_delta(
+        base.filter(F.col("doc_id") % 2 == 0), table, partition_by=["lang"]
+    )
+    write_delta(base.filter(F.col("doc_id") % 2 == 1), table, mode="append")
+    write_delta(base, table, mode="overwrite")
+    with open(pfile, "w") as fh:
+        _json.dump(expect, fh)
+    return table
+
+
+def q104_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-format source parity: per-lang aggregates over a Delta
+    table read by the protocol-native log reader (sources/delta.py) —
+    the latest snapshot (post-compaction) AND the version-0 time
+    travel snapshot (the first ingest batch). The build history makes
+    the log load-bearing (see _ensure_delta_documents); the oracle
+    replays the same log in pure DuckDB SQL (read_json_auto over
+    _delta_log + a filename-joined parquet glob), so the two engines
+    resolve the snapshot independently."""
+    from archetype_spark.sources.delta import read_delta
+
+    table = _ensure_delta_documents(spark, sf_dir)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .withColumn("snap", F.lit(snap))
+        )
+
+    return (
+        agg(read_delta(spark, table), "latest")
+        .unionByName(agg(read_delta(spark, table, version=0), "v0"))
+        .select("snap", "lang", "n_docs", "sum_chars")
+    )
+
+
+def delta_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """DuckDB replay of the SAME Delta log q104's reader resolves:
+    adds-minus-removes over read_json_auto('_delta_log/*.json') gives
+    the active file set (commit-0 adds give the v0 set), semi-joined
+    against a filename-tagged hive-partitioned parquet glob. Static
+    per sf_dir — no build-time file list — so it stays correct across
+    rebuilds, like the q61/q65/q101 index-replay oracles. None when
+    the table isn't on disk yet (rows-only degrade)."""
+    table = os.path.join(
+        ann_index.default_index_dir(sf_dir, "delta_documents"), "table"
+    )
+    if require_live_index and not os.path.isdir(
+        os.path.join(table, "_delta_log")
+    ):
+        return None
+    return f"""
+        WITH log AS (
+          SELECT "add", "remove", filename
+          FROM read_json_auto('{table}/_delta_log/*.json',
+                              format='newline_delimited', filename=1)
+        ),
+        adds AS (
+          SELECT "add".path AS path, filename FROM log
+          WHERE "add" IS NOT NULL AND "add".path IS NOT NULL
+        ),
+        rms AS (
+          SELECT "remove".path AS path FROM log
+          WHERE "remove" IS NOT NULL AND "remove".path IS NOT NULL
+        ),
+        active AS (
+          SELECT path FROM adds
+          WHERE path NOT IN (SELECT path FROM rms)
+        ),
+        v0 AS (
+          SELECT path FROM adds
+          WHERE filename LIKE '%00000000000000000000.json'
+        ),
+        raw AS (
+          SELECT lang, n_chars, replace(filename, '{table}/', '') AS rel
+          FROM read_parquet('{table}/*/*.parquet',
+                            hive_partitioning=1, filename=1)
+        )
+        SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM raw JOIN active ON raw.rel = active.path GROUP BY lang
+        UNION ALL
+        SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM raw JOIN v0 ON raw.rel = v0.path GROUP BY lang
+    """
+
+
 def q65_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION MinHash path: xxhash64 signatures PERSISTED at
     ingest (ann_index.ensure_minhash — the LanceDB create-index-once
@@ -964,6 +1091,7 @@ QUERIES = {
     "q83_deterministic_shuffle": q83_deterministic_shuffle,
     "q100_binary_ingest": q100_binary_ingest,
     "q101_simhash_fast": q101_simhash_fast,
+    "q104_delta_scan": q104_delta_scan,
 }
 
 _STOPWORD_VALUES = ", ".join(

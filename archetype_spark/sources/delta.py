@@ -312,7 +312,10 @@ def write_delta(
             adds.append(
                 {
                     "add": {
-                        "path": urllib.parse.quote(rel_path),
+                        # percent-encode per the protocol, but keep
+                        # '/' and '=' literal as connector writers do
+                        # (partition dirs stay 'lang=en/...')
+                        "path": urllib.parse.quote(rel_path, safe="/="),
                         "partitionValues": {c: pv.get(c) for c in part_cols},
                         "size": os.path.getsize(dst),
                         "modificationTime": int(os.path.getmtime(dst) * 1000),
