@@ -66,6 +66,10 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     # before the first probe
     for df in (buckets, cents, assigned, sigs, fps):
         df.count()
+    # sixth persisted-state family: the Delta table q104 scans (its
+    # oracle reads the same _delta_log, so cold checkouts need the
+    # table on disk before oracle_sql() is evaluated)
+    _ensure_delta_documents(spark, sf_dir)
 
 
 # ------------------------------------------------------------------- Q29/Q30
