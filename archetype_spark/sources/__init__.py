@@ -1,4 +1,9 @@
-from archetype_spark.sources.delta import read_delta, write_delta
+from archetype_spark.sources.delta import (
+    last_txn_version,
+    read_delta,
+    streaming_delta_sink,
+    write_delta,
+)
 from archetype_spark.sources.io import (
     merge_table,
     read_binary_dir,
@@ -10,9 +15,11 @@ from archetype_spark.sources.io import (
 __all__ = [
     "merge_table",
     "read_binary_dir",
+    "last_txn_version",
     "read_delta",
     "read_table",
     "write_bucketed_table",
+    "streaming_delta_sink",
     "write_delta",
     "write_table",
 ]

@@ -7,7 +7,9 @@ format name. This module implements the READ side of the public Delta
 transaction-log protocol (delta.io PROTOCOL.md) directly — the log is
 just JSON lines plus optional parquet checkpoints, both readable with
 stdlib + pyarrow — and a minimal single-writer append/overwrite WRITE
-side, enough for round-trip tests and local pipelines.
+side, enough for round-trip tests and local pipelines, plus an
+exactly-once Structured Streaming sink built on the protocol's `txn`
+action (streaming_delta_sink).
 
 Scale notes (why this shape survives a real cluster):
 - The log replay is driver-side metadata work proportional to the
@@ -84,7 +86,7 @@ def _checkpoint_start(table: str, version: int | None):
     actions = []
     for name in names:
         for row in pq.read_table(name).to_pylist():
-            for key in ("protocol", "metaData", "add", "remove"):
+            for key in ("protocol", "metaData", "add", "remove", "txn"):
                 if row.get(key) is not None:
                     actions.append({key: row[key]})
     return cp_version + 1, actions
@@ -92,7 +94,8 @@ def _checkpoint_start(table: str, version: int | None):
 
 def _snapshot_actions(table: str, version: int | None = None):
     """Replay the log to `version` (latest when None). Returns
-    (metaData, active add-actions dict keyed by path)."""
+    (metaData, active add-actions dict keyed by path, txn high-water
+    marks {appId: version})."""
     log_dir = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table}")
@@ -124,11 +127,17 @@ def _snapshot_actions(table: str, version: int | None = None):
     meta = None
     protocol = None
     active: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     for a in actions:
         if "metaData" in a:
             meta = a["metaData"]
         elif "protocol" in a:
             protocol = a["protocol"]
+        elif "txn" in a:
+            t = a["txn"]
+            txns[t["appId"]] = max(
+                int(t["version"]), txns.get(t["appId"], -1)
+            )
         elif "add" in a:
             add = a["add"]
             if add.get("deletionVector"):
@@ -152,7 +161,7 @@ def _snapshot_actions(table: str, version: int | None = None):
         raise NotImplementedError(
             f"Delta data format {meta['format']!r} is not parquet"
         )
-    return meta, active
+    return meta, active, txns
 
 
 def read_delta(
@@ -167,7 +176,7 @@ def read_delta(
     declared schema type, and unioned per partition group so filters
     prune groups via constant folding."""
     table = os.path.abspath(path)
-    meta, active = _snapshot_actions(table, version)
+    meta, active, _txns = _snapshot_actions(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
@@ -245,12 +254,19 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: Sequence[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Append/overwrite a DataFrame as a Delta commit (single-writer;
     module docstring). The data files are written by Spark's parquet
     writer into a staging dir, moved under the table root, and
     published as one commit of `add` actions (+ `remove` of every
-    previously-active file for overwrite)."""
+    previously-active file for overwrite).
+
+    `txn=(app_id, version)` stamps the protocol's transaction
+    identifier into the commit — the idempotence handshake streaming
+    sinks use (see streaming_delta_sink): a replayed micro-batch is
+    detected by comparing its batch id against the app's logged
+    high-water mark."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     table = os.path.abspath(path)
@@ -273,7 +289,7 @@ def write_delta(
         removes: dict[str, dict] = {}
         version = 0
     else:
-        meta, removes = _snapshot_actions(table)
+        meta, removes, _txns = _snapshot_actions(table)
         logged = list(meta.get("partitionColumns") or [])
         if part_cols and part_cols != logged:
             raise ValueError(
@@ -330,5 +346,54 @@ def write_delta(
             actions.append(
                 {"remove": {"path": p, "dataChange": True}}
             )
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     actions.extend(adds)
     _publish_commit(table, version, actions)
+
+
+# ------------------------------------------------------------------ streaming
+
+
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """The highest `txn` version this app has committed to the table
+    (None for a fresh table or unseen app) — the streaming sink's
+    replay detector."""
+    table = os.path.abspath(path)
+    if not os.path.isdir(os.path.join(table, _LOG_DIR)):
+        return None
+    _meta, _active, txns = _snapshot_actions(table)
+    return txns.get(app_id)
+
+
+def streaming_delta_sink(
+    path: str, app_id: str, partition_by: Sequence[str] | None = None
+):
+    """`foreachBatch` body for an exactly-once streaming Delta sink:
+    one Delta commit per micro-batch, stamped with the protocol's
+    `txn` action. On failure/restart Structured Streaming REPLAYS the
+    last unacknowledged batch; the sink compares the incoming batch id
+    against the app's logged high-water mark and skips already-
+    committed batches — the same idempotence contract the hosted
+    connector's streaming sink implements, expressed over the public
+    log format.
+
+    Usage:
+        q = (df.writeStream.foreachBatch(
+                 streaming_delta_sink(table, app_id="curation-v1"))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_txn_version(path, app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: its commit is already in the log
+        write_delta(
+            batch_df,
+            path,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app_id, batch_id),
+        )
+
+    return sink

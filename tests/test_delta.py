@@ -112,7 +112,7 @@ def test_delta_handwritten_log_remove_and_urlencoding(spark, tmp_path, people):
     path) replays correctly: removed file's rows are gone."""
     t = str(tmp_path / "t")
     write_delta(people.coalesce(1), t)  # one data file holds all rows
-    _meta, active = _snapshot_actions(t)
+    _meta, active, _ = _snapshot_actions(t)
     victim = sorted(active)[0]
     log = os.path.join(t, "_delta_log", f"{1:020d}.json")
     with open(log, "w") as fh:
@@ -130,7 +130,7 @@ def test_delta_checkpoint_replay(spark, tmp_path, people):
 
     t = str(tmp_path / "t")
     write_delta(people, t)  # version 0
-    meta, active = _snapshot_actions(t)
+    meta, active, _ = _snapshot_actions(t)
     # build checkpoint rows: protocol, metaData, and every active add
     # empty structs (options/configuration) omitted: pyarrow cannot
     # write child-less struct columns, and the reader treats them as
@@ -197,10 +197,49 @@ def test_delta_unsupported_features_refused(spark, tmp_path, people):
 def test_delta_empty_table_after_full_remove(spark, tmp_path, people):
     t = str(tmp_path / "t")
     write_delta(people, t)
-    _meta, active = _snapshot_actions(t)
+    _meta, active, _ = _snapshot_actions(t)
     with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as fh:
         for p in active:
             fh.write(json.dumps({"remove": {"path": p, "dataChange": True}}) + "\n")
     got = read_delta(spark, t)
     assert got.count() == 0
     assert got.schema == people.schema  # schema survives an empty snapshot
+
+
+def test_delta_streaming_sink_exactly_once(spark, tmp_path, people):
+    """Structured Streaming -> Delta: one txn-stamped commit per
+    micro-batch; a replayed batch id is skipped (the protocol's txn
+    idempotence handshake), a fresh one appends."""
+    from archetype_spark.sources import last_txn_version, streaming_delta_sink
+
+    src = tmp_path / "src"
+    for i in range(3):
+        people.filter(F.col("id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    t = str(tmp_path / "t")
+    sink = streaming_delta_sink(t, app_id="curation-v1")
+    stream = (
+        spark.readStream.schema(people.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(read_delta(spark, t)) == _rows(people)
+    hwm = last_txn_version(t, "curation-v1")
+    assert hwm == 2  # three micro-batches: ids 0..2
+    assert last_txn_version(t, "other-app") is None
+    # replay of an already-committed batch: no new commit, no new rows
+    sink(people, 1)
+    assert read_delta(spark, t).count() == 4
+    assert last_txn_version(t, "curation-v1") == 2
+    # a genuinely new batch appends and advances the high-water mark
+    sink(spark.createDataFrame([(9, "zoe", "nz")], people.schema), 3)
+    assert read_delta(spark, t).count() == 5
+    assert last_txn_version(t, "curation-v1") == 3
