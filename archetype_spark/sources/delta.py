@@ -15,12 +15,11 @@ Scale notes (why this shape survives a real cluster):
 - The log replay is driver-side metadata work proportional to the
   number of COMMITS since the last checkpoint, never to data size —
   the same asymmetry the real connector exploits.
-- Partition reconstruction groups active files by their
-  `partitionValues` tuple and attaches the values as LITERAL columns
-  per group. A filter on a partition column then constant-folds to
-  `false` on non-matching groups and Catalyst prunes those subtrees
-  to empty relations BEFORE any I/O — partition pruning expressed as
-  plan algebra (pinned by tests/test_sources.py).
+- Partition reconstruction: hive-consistent layouts (every
+  mainstream writer) read as ONE basePath scan with native
+  PartitionFilters pushdown; foreign layouts fall back to per-
+  partition-group unions whose literal partition columns prune via
+  constant folding (both pinned by tests/test_delta.py).
 - Unsupported reader features (column mapping, deletion vectors,
   reader version > 1) raise loudly instead of returning silently
   wrong rows.
@@ -172,9 +171,22 @@ def read_delta(
 
     Partition columns are reconstructed from each file's
     `partitionValues` (the log is authoritative; hive-style dirs are
-    not assumed), cast from the protocol's string encoding to the
-    declared schema type, and unioned per partition group so filters
-    prune groups via constant folding."""
+    not assumed). Two plan shapes, picked per snapshot:
+
+    - FAST PATH (hive-consistent layout, the shape every mainstream
+      writer produces): when each active file sits under directory
+      segments that literally spell its partitionValues
+      (`lang=en/part-....parquet`), the whole snapshot is ONE
+      basePath scan with the full user schema — Spark derives the
+      partition columns from the paths, casts them to the declared
+      types, and partition-column filters push down as native
+      PartitionFilters. Plan width is O(1) in the number of
+      partitions — the shape that survives a 100k-partition table.
+    - FALLBACK (protocol-correct for any writer): group files by
+      partition-value tuple and union one scan per group with the
+      values attached as literal columns; filters then prune groups
+      via constant folding. Width is O(#distinct partition tuples) —
+      fine for foreign layouts, which are rare and small here."""
     table = os.path.abspath(path)
     meta, active, _txns = _snapshot_actions(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -184,14 +196,41 @@ def read_delta(
     if not active:
         return spark.createDataFrame([], schema)
 
+    def hive_prefix(add: dict) -> str | None:
+        """dir prefix spelled by partitionValues, or None if any value
+        is absent/None (NULL partitions use a sentinel dir we don't
+        fast-path)."""
+        pv = add.get("partitionValues") or {}
+        segs = []
+        for c in part_cols:
+            v = pv.get(c)
+            if v is None:
+                return None
+            segs.append(f"{c}={v}")
+        return "/".join(segs)
+
+    rel_paths = {
+        p: urllib.parse.unquote(add["path"]) for p, add in active.items()
+    }
+    if part_cols and all(
+        (pre := hive_prefix(add)) is not None
+        and rel_paths[p].startswith(pre + "/")
+        for p, add in active.items()
+    ):
+        files = [os.path.join(table, rp) for rp in rel_paths.values()]
+        return (
+            spark.read.schema(schema)
+            .option("basePath", table)
+            .parquet(*files)
+            .select(*[f.name for f in schema.fields])
+        )
+
     # group files by partition-value tuple; one scan subtree per group
     groups: dict[tuple, list[str]] = {}
-    for add in active.values():
+    for p, add in active.items():
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(
-            os.path.join(table, urllib.parse.unquote(add["path"]))
-        )
+        groups.setdefault(key, []).append(os.path.join(table, rel_paths[p]))
 
     parts = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):

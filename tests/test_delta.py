@@ -65,8 +65,9 @@ def test_delta_partitioned_roundtrip_and_pruning(spark, tmp_path, people):
     # partition column reconstructed with its declared type and values
     assert dict(got.dtypes)["country"] == "string"
     assert _rows(got.select("id", "name", "country")) == _rows(people)
-    # a partition filter constant-folds away the other groups'
-    # subtrees: exactly one file-scan subtree survives in the plan
+    # hive-consistent layout takes the single-scan fast path: ONE
+    # FileScan whose PartitionFilters carry the country predicate
+    # natively (plan width O(1) in the partition count)
     plan = (
         got.filter(F.col("country") == "jp")
         ._jdf.queryExecution()
@@ -74,10 +75,38 @@ def test_delta_partitioned_roundtrip_and_pruning(spark, tmp_path, people):
         .toString()
     )
     assert plan.count("FileScan parquet") == 1
+    assert "PartitionFilters" in plan and "jp" in plan
     assert (
         _rows(got.filter(F.col("country") == "jp").select("id"))
         == [(3,), (4,)]
     )
+
+
+def test_delta_foreign_layout_falls_back_to_grouped_unions(spark, tmp_path, people):
+    """A log whose partitionValues do NOT match hive dir segments
+    (legal per the protocol) must still read correctly via the
+    grouped-union fallback — values come from the LOG, not the
+    paths."""
+    import shutil as _sh
+
+    t = str(tmp_path / "t")
+    write_delta(people, t, partition_by=["country"])
+    _meta, active, _ = _snapshot_actions(t)
+    # flatten: move every data file to the table root and rewrite the
+    # log with flat paths (partitionValues untouched)
+    actions = []
+    for p, add in active.items():
+        flat = p.replace("/", "__")
+        _sh.move(os.path.join(t, p), os.path.join(t, flat))
+        actions.append({"remove": {"path": p, "dataChange": False}})
+        actions.append({"add": {**add, "path": flat}})
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    got = read_delta(spark, t)
+    assert _rows(got.select("id", "name", "country")) == _rows(people)
+    # the fallback prunes via constant folding instead
+    assert _rows(got.filter("country = 'jp'").select("id")) == [(3,), (4,)]
 
 
 def test_delta_partitioned_append_inherits_partitioning(spark, tmp_path, people):
