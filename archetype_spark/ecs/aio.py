@@ -18,13 +18,20 @@ remaining difference cosmetic. This module closes it non-cosmetically:
   worlds (separate simulation runs over one SparkSession — Spark's
   scheduler is thread-safe and interleaves jobs) keeps its event loop
   live while any one world is inside a JVM call.
-- A per-world ``asyncio.Lock`` serializes the mutating coroutines
-  (step/spawn/despawn/update): the reference's semantics are strictly
-  sequential per world (its processor chain runs in order,
-  world.py:25-31), and two concurrent ``step``s racing
-  ``current_step`` would corrupt the clock. Concurrency across
-  worlds, sequence within one — the same contract a tokio actor
-  would give.
+- A per-WAREHOUSE ``asyncio.Lock`` serializes the mutating coroutines
+  (step/spawn/despawn/update). Within one world this preserves the
+  reference's strictly-sequential step semantics (its processor chain
+  runs in order, world.py:25-31; two concurrent ``step``s racing
+  ``current_step`` would corrupt the clock). ACROSS worlds the lock
+  is shared exactly when their stores share a warehouse directory:
+  Spark's FileOutputCommitter stages every job writing to a given
+  output path under the same ``_temporary/0`` dir, so two concurrent
+  appends to one archetype table rip out each other's task staging
+  (the committing job deletes ``_temporary``) — a real local-committer
+  hazard this lock removes in-process. Worlds over DIFFERENT
+  warehouses share nothing and run fully concurrently. Cross-PROCESS
+  writers to one warehouse remain the deploy config's job (a
+  job-scoped committer on a real cluster).
 
 No new dependencies: stdlib asyncio only.
 """
@@ -32,6 +39,7 @@ No new dependencies: stdlib asyncio only.
 from __future__ import annotations
 
 import asyncio
+import os
 from typing import Dict, Optional, Type
 
 from pyspark.sql import DataFrame
@@ -49,13 +57,27 @@ class AsyncWorld:
     directly — ``aw.world`` — for synchronous callers.
     """
 
+    #: (event-loop id, warehouse path) -> shared mutation lock. Keyed
+    #: per loop because asyncio primitives bind to the loop that first
+    #: acquires them — a process running several asyncio.run() calls
+    #: against one warehouse must not inherit a dead loop's lock. The
+    #: registry is per-process, matching the committer hazard's scope.
+    _WAREHOUSE_LOCKS: dict[tuple[int, str], asyncio.Lock] = {}
+
     def __init__(self, world: World):
         self.world = world
-        # One lock per world: mutating coroutines are sequential
-        # within a world (see module docstring), concurrent across
-        # worlds. Created lazily so an AsyncWorld built outside a
-        # running loop still works under asyncio.run().
-        self._lock = asyncio.Lock()
+        self._wh_key = os.path.abspath(world.store.warehouse)
+
+    def _mutex(self) -> asyncio.Lock:
+        """The mutation lock shared by every AsyncWorld over this
+        warehouse in the running loop (module docstring: same-path
+        concurrent appends are a committer hazard; different
+        warehouses stay concurrent)."""
+        key = (id(asyncio.get_running_loop()), self._wh_key)
+        lock = self._WAREHOUSE_LOCKS.get(key)
+        if lock is None:
+            lock = self._WAREHOUSE_LOCKS.setdefault(key, asyncio.Lock())
+        return lock
 
     # ------------------------------------------------------- passthrough state
     @property
@@ -77,20 +99,20 @@ class AsyncWorld:
     # ----------------------------------------------------------- async facade
     async def step(self, dt: float) -> None:
         """One simulation tick (reference world.py:23-33)."""
-        async with self._lock:
+        async with self._mutex():
             await asyncio.to_thread(self.world.step, dt)
 
     async def spawn(
         self, *components: Component, step: Optional[int] = None
     ) -> int:
         """Create an entity (reference world.py:39-44)."""
-        async with self._lock:
+        async with self._mutex():
             return await asyncio.to_thread(
                 self.world.spawn, *components, step=step
             )
 
     async def spawn_many(self, entities, step: Optional[int] = None) -> list:
-        async with self._lock:
+        async with self._mutex():
             return await asyncio.to_thread(
                 self.world.spawn_many, entities, step=step
             )
@@ -98,7 +120,7 @@ class AsyncWorld:
     async def spawn_from_df(
         self, component_types, df, step: Optional[int] = None, order_by=None
     ) -> tuple:
-        async with self._lock:
+        async with self._mutex():
             return await asyncio.to_thread(
                 self.world.spawn_from_df,
                 component_types,
@@ -111,13 +133,13 @@ class AsyncWorld:
         self, entity_id: int, step: Optional[int] = None
     ) -> None:
         """Tombstone an entity (reference world.py:46-48)."""
-        async with self._lock:
+        async with self._mutex():
             await asyncio.to_thread(self.world.despawn, entity_id, step=step)
 
     async def despawn_many(
         self, entity_ids, step: Optional[int] = None
     ) -> None:
-        async with self._lock:
+        async with self._mutex():
             await asyncio.to_thread(
                 self.world.despawn_many, entity_ids, step=step
             )
@@ -137,7 +159,7 @@ class AsyncWorld:
 
     async def update(self, archetypes: Dict[str, DataFrame], step: int) -> None:
         """Commit processor output (reference world.py:72-73)."""
-        async with self._lock:
+        async with self._mutex():
             await asyncio.to_thread(self.world.update, archetypes, step)
 
     # ----------------------------------------- sync in the reference; kept sync

@@ -616,21 +616,42 @@ def test_async_world_tsim_parity(spark, tmp_path):
 
 
 def test_async_world_concurrent_worlds(spark, tmp_path):
-    """Two AsyncWorlds step concurrently from one event loop — the
-    per-world lock serializes within a world, not across worlds, and
-    both clocks land where the sync engine would put them."""
+    """Concurrency contract: worlds over DIFFERENT warehouses step
+    truly concurrently; worlds SHARING a warehouse serialize on the
+    per-warehouse lock (Spark's local FileOutputCommitter stages every
+    job writing to one table path under the same _temporary dir, so
+    unserialised same-path appends rip out each other's staging —
+    this test caught exactly that crash before the shared lock)."""
     import asyncio
 
     from archetype_spark.ecs import make_async_world
 
-    async def drive():
-        w1 = make_async_world(spark, str(tmp_path / "wh"), simulation="a")
-        w2 = make_async_world(spark, str(tmp_path / "wh"), simulation="b")
+    async def drive(wh1: str, wh2: str):
+        w1 = make_async_world(spark, wh1, simulation="a")
+        w2 = make_async_world(spark, wh2, simulation="b")
         for w in (w1, w2):
             w.add_processor(MovementProcessor())
             await w.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=0.0))
         await asyncio.gather(w1.step(0.5), w2.step(0.5), w1.step(0.5))
-        return w1.current_step, w2.current_step
+        return w1, w2
 
-    s1, s2 = asyncio.run(drive())
-    assert (s1, s2) == (2, 1)
+    # separate warehouses: fully concurrent
+    w1, w2 = asyncio.run(
+        drive(str(tmp_path / "wh_a"), str(tmp_path / "wh_b"))
+    )
+    assert (w1.current_step, w2.current_step) == (2, 1)
+    # shared warehouse: the same program serializes internally and
+    # still lands the same clocks (no committer collision)
+    w3, w4 = asyncio.run(
+        drive(str(tmp_path / "wh_shared"), str(tmp_path / "wh_shared"))
+    )
+    assert (w3.current_step, w4.current_step) == (2, 1)
+    # w3 stepped twice, w4 once; each world's (simulation, run)-scoped
+    # view lands the kinematics its own clock implies
+    for w, want in ((w3, 1.0), (w4, 0.5)):
+        xs = [
+            r["position__x"]
+            for df in w.latest(Position).values()
+            for r in df.collect()
+        ]
+        assert xs == [pytest.approx(want)]
