@@ -1,5 +1,6 @@
 from archetype_spark.sources.delta import (
     last_txn_version,
+    merge_delta,
     read_delta,
     streaming_delta_sink,
     write_delta,
@@ -16,6 +17,7 @@ __all__ = [
     "merge_table",
     "read_binary_dir",
     "last_txn_version",
+    "merge_delta",
     "read_delta",
     "read_table",
     "write_bucketed_table",

@@ -436,3 +436,52 @@ def streaming_delta_sink(
         )
 
     return sink
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> None:
+    """MERGE INTO for Delta tables — io.merge_table's semantics
+    (update/delete/ignore × insert/ignore per merge key) landed as ONE
+    overwrite commit. Simpler AND safer than the parquet-dir variant:
+    no marker/swap protocol is needed because the data files the merge
+    reads are never physically touched — the staged rewrite publishes
+    atomically as a log rename, concurrent readers keep resolving the
+    old snapshot until the commit lands, and the pre-merge state stays
+    reachable via time travel.
+
+    Shape at scale: one shuffle (the key join) + a copy-on-write
+    rewrite, same as merge_table; for high-frequency small upserts
+    prefer append + latest-wins resolution (ECS store pattern)."""
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(
+            f"when_matched must be update/delete/ignore, got {when_matched!r}"
+        )
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert/ignore, got {when_not_matched!r}"
+        )
+    keys = list(keys)
+    target = read_delta(spark, path)
+
+    if when_matched == "ignore":
+        kept = target
+    else:  # update/delete both drop matched target rows here
+        kept = target.join(updates.select(*keys), keys, "left_anti")
+
+    parts = [kept]
+    if when_matched == "update":
+        matched = updates.join(target.select(*keys), keys, "left_semi")
+        parts.append(matched.select(*target.columns))
+    if when_not_matched == "insert":
+        fresh = updates.join(target.select(*keys), keys, "left_anti")
+        parts.append(fresh.select(*target.columns))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    write_delta(merged, path, mode="overwrite")

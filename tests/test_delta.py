@@ -272,3 +272,30 @@ def test_delta_streaming_sink_exactly_once(spark, tmp_path, people):
     sink(spark.createDataFrame([(9, "zoe", "nz")], people.schema), 3)
     assert read_delta(spark, t).count() == 5
     assert last_txn_version(t, "curation-v1") == 3
+
+
+def test_delta_merge_upsert_and_time_travel(spark, tmp_path, people):
+    """merge_delta: io.merge_table's semantics as one overwrite
+    commit; the pre-merge snapshot stays reachable via time travel."""
+    from archetype_spark.sources import merge_delta
+
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    ups = spark.createDataFrame(
+        [(2, "bobby", "uk"), (9, "zoe", "nz")], people.schema
+    )
+    merge_delta(spark, t, ups, keys=["id"])
+    got = {r["id"]: (r["name"], r["country"]) for r in read_delta(spark, t).collect()}
+    assert got[2] == ("bobby", "uk")  # matched -> updated
+    assert got[9] == ("zoe", "nz")  # unmatched -> inserted
+    assert len(got) == 5 and got[1] == ("ann", "us")
+    # pre-merge state intact at version 0
+    before = {r["id"] for r in read_delta(spark, t, version=0).collect()}
+    assert before == {1, 2, 3, 4}
+    # delete mode drops matched keys, ignores the rest
+    merge_delta(
+        spark, t,
+        spark.createDataFrame([(1, "x", "x"), (77, "y", "y")], people.schema),
+        keys=["id"], when_matched="delete", when_not_matched="ignore",
+    )
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {2, 3, 4, 9}
