@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import asyncio
 import os
+import weakref
 from typing import Dict, Optional, Type
 
 from pyspark.sql import DataFrame
@@ -57,12 +58,15 @@ class AsyncWorld:
     directly — ``aw.world`` — for synchronous callers.
     """
 
-    #: (event-loop id, warehouse path) -> shared mutation lock. Keyed
-    #: per loop because asyncio primitives bind to the loop that first
-    #: acquires them — a process running several asyncio.run() calls
-    #: against one warehouse must not inherit a dead loop's lock. The
-    #: registry is per-process, matching the committer hazard's scope.
-    _WAREHOUSE_LOCKS: dict[tuple[int, str], asyncio.Lock] = {}
+    #: event loop -> {warehouse path: shared mutation lock}. Keyed on
+    #: the loop OBJECT (weakly — a dead loop's entry vanishes with it)
+    #: because asyncio primitives bind to the loop that first acquires
+    #: them: a process running several asyncio.run() calls against one
+    #: warehouse must never inherit a dead loop's lock, and an id()
+    #: key could be resurrected when CPython reuses the freed loop's
+    #: address. The registry is per-process, matching the committer
+    #: hazard's scope.
+    _WAREHOUSE_LOCKS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
     def __init__(self, world: World):
         self.world = world
@@ -73,10 +77,11 @@ class AsyncWorld:
         warehouse in the running loop (module docstring: same-path
         concurrent appends are a committer hazard; different
         warehouses stay concurrent)."""
-        key = (id(asyncio.get_running_loop()), self._wh_key)
-        lock = self._WAREHOUSE_LOCKS.get(key)
+        loop = asyncio.get_running_loop()
+        per_loop = self._WAREHOUSE_LOCKS.setdefault(loop, {})
+        lock = per_loop.get(self._wh_key)
         if lock is None:
-            lock = self._WAREHOUSE_LOCKS.setdefault(key, asyncio.Lock())
+            lock = per_loop.setdefault(self._wh_key, asyncio.Lock())
         return lock
 
     # ------------------------------------------------------- passthrough state

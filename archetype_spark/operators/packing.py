@@ -354,9 +354,13 @@ def _span_corruption_exploded(
             ).alias("t"),
         ),
     )
+    # explode_OUTER: a NULL-text doc (NULL pieces array) keeps one
+    # all-NULL row, so every doc reaches the single per-doc aggregate
+    # and the NULL-aggregate outputs match the narrow formulation
+    # without any re-attach join — the linear path stays one exchange.
     ex = (
         df.withColumn("_w", w)
-        .select(F.col(id_col), F.explode(pieces).alias("_p"))
+        .select(F.col(id_col), F.explode_outer(pieces).alias("_p"))
         .select(
             id_col,
             F.col("_p.b").alias("_b"),
@@ -377,30 +381,34 @@ def _span_corruption_exploded(
         "_tg", F.when(F.col("_m"), F.concat(sent, F.lit(" "), F.col("_t")))
     )
     # groupBy reuses the window's hash partitioning on id_col — the
-    # whole linear path costs exactly one exchange.
-    grouped = ex.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    # whole linear path costs exactly one exchange. The `has` guard
+    # turns a NULL-text doc's single all-NULL row into the same NULL
+    # aggregates the narrow formulation emits.
+    has = F.count("_b") > 0
+    return ex.groupBy(id_col).agg(
+        F.when(has, F.count("_b")).cast("bigint").alias("n_blocks"),
         F.sum(F.col("_m").cast("bigint")).alias("n_masked"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_b", "_in"))),
-                lambda s: s["_in"],
-            ),
-            " ",
-        ).alias("input_text"),
-        F.array_join(
-            F.filter(
+        F.when(
+            has,
+            F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("_b", "_tg"))),
-                    lambda s: s["_tg"],
+                    F.array_sort(F.collect_list(F.struct("_b", "_in"))),
+                    lambda s: s["_in"],
                 ),
-                lambda x: x.isNotNull(),
+                " ",
             ),
-            " ",
+        ).alias("input_text"),
+        F.when(
+            has,
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_b", "_tg"))),
+                        lambda s: s["_tg"],
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+                " ",
+            ),
         ).alias("target_text"),
     )
-    # NULL-text documents produce no exploded rows (explode of a NULL
-    # pieces array); the narrow formulation emits them with NULL
-    # aggregates, so re-attach them via a left join from the full id
-    # set — keeping the three formulations row-identical on any input.
-    return df.select(F.col(id_col)).join(grouped, id_col, "left")

@@ -517,18 +517,34 @@ def _ensure_delta_documents(spark: SparkSession, sf_dir: str) -> str:
                     return table
         except (OSError, ValueError):
             pass
-    _shutil.rmtree(idx, ignore_errors=True)
-    os.makedirs(idx, exist_ok=True)
+    # build into a dot-prefixed sibling and swap the slot atomically
+    # (the ann_index temp-dir discipline): a crash mid-build leaves
+    # only invisible debris, and a concurrent reader either sees the
+    # complete old slot or none at all (oracle degrades to rows-only,
+    # never reads a half-written history).
+    import uuid as _uuid
+
+    building = os.path.join(
+        os.path.dirname(idx), f".building-{_uuid.uuid4().hex}"
+    )
+    os.makedirs(building, exist_ok=True)
+    btable = os.path.join(building, "table")
     base = docs.select(
         "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
     )
-    write_delta(
-        base.filter(F.col("doc_id") % 2 == 0), table, partition_by=["lang"]
-    )
-    write_delta(base.filter(F.col("doc_id") % 2 == 1), table, mode="append")
-    write_delta(base, table, mode="overwrite")
-    with open(pfile, "w") as fh:
-        _json.dump(expect, fh)
+    try:
+        write_delta(
+            base.filter(F.col("doc_id") % 2 == 0), btable, partition_by=["lang"]
+        )
+        write_delta(base.filter(F.col("doc_id") % 2 == 1), btable, mode="append")
+        write_delta(base, btable, mode="overwrite")
+        with open(os.path.join(building, "_build_params.json"), "w") as fh:
+            _json.dump(expect, fh)
+        _shutil.rmtree(idx, ignore_errors=True)
+        os.rename(building, idx)
+    except BaseException:
+        _shutil.rmtree(building, ignore_errors=True)
+        raise
     return table
 
 

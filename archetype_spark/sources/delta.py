@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import urllib.parse
 import uuid
@@ -44,6 +45,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
+
+#: partition values the hive fast path may trust: characters Spark's
+#: path escaping passes through verbatim (no %XX ambiguity).
+_GLOB_SAFE = re.compile(r"^[A-Za-z0-9._-]+$")
 
 
 # --------------------------------------------------------------------- replay
@@ -119,6 +124,22 @@ def _snapshot_actions(table: str, version: int | None = None):
             f"Delta log at {table} has no commit {'0' if version is None else version}"
             " (log may have been vacuumed past the requested version)"
         )
+    if version is None:
+        # a GAP in the sequence (commit v missing but later commits on
+        # disk — a botched copy/rsync) must fail loudly: replaying up
+        # to the gap would serve a silently stale snapshot while the
+        # writer's _latest_version still sees the later commits.
+        beyond = [
+            n
+            for n in os.listdir(log_dir)
+            if n.endswith(".json") and n[:20].isdigit() and int(n[:20]) >= v
+        ]
+        if beyond:
+            raise FileNotFoundError(
+                f"Delta log at {table} is missing commit {v} but later "
+                f"commits exist ({sorted(beyond)[:3]}...) — refusing to "
+                "serve a stale snapshot"
+            )
     if version is not None and v <= version:
         raise FileNotFoundError(
             f"requested version {version} but log ends at {v - 1}: {table}"
@@ -198,13 +219,17 @@ def read_delta(
 
     def hive_prefix(add: dict) -> str | None:
         """dir prefix spelled by partitionValues, or None if any value
-        is absent/None (NULL partitions use a sentinel dir we don't
-        fast-path)."""
+        is absent/None (NULL partitions use a sentinel dir) or
+        contains characters Spark's partition-path escaping would
+        transform — Spark UNESCAPES %XX on discovery, so a literal
+        'a%20b' dir would read back as 'a b', silently diverging from
+        the authoritative log. Such values take the fallback, which
+        reads values from the log itself."""
         pv = add.get("partitionValues") or {}
         segs = []
         for c in part_cols:
             v = pv.get(c)
-            if v is None:
+            if v is None or not _GLOB_SAFE.match(v):
                 return None
             segs.append(f"{c}={v}")
         return "/".join(segs)
@@ -335,6 +360,20 @@ def write_delta(
                 f"partition_by {part_cols} != table partitioning {logged}"
             )
         part_cols = logged
+        # schema drift is refused at commit time (the module's
+        # loud-failure contract, like connector writers): silently
+        # committing a narrower/renamed/retyped frame would read back
+        # as NULL columns or late task-side conversion errors.
+        # Nullability differences are tolerated (Spark frames vary).
+        def _key(schema: StructType):
+            return sorted((f.name, f.dataType.simpleString()) for f in schema.fields)
+
+        logged_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        if _key(df.schema) != _key(logged_schema):
+            raise ValueError(
+                f"schema mismatch vs table {table}: writing "
+                f"{df.schema.simpleString()} into {logged_schema.simpleString()}"
+            )
         actions = []
         version = prev + 1
 

@@ -51,9 +51,18 @@ def read_table(
     if fmt == "delta":
         # protocol-native path (sources/delta.py): works with zero
         # connector jars; honors the connector's versionAsOf option.
+        # The schema comes from the table's own log — a caller schema
+        # or other reader options would be silently ignored, so they
+        # are refused instead.
         from archetype_spark.sources.delta import read_delta
 
         v = options.pop("versionAsOf", None)
+        if schema is not None or options:
+            raise ValueError(
+                "delta derives its schema from the transaction log; "
+                f"unsupported reader args: schema={schema!r}, "
+                f"options={sorted(options)}"
+            )
         return read_delta(spark, path, version=None if v is None else int(v))
     _heal_merge(path)  # replay a committed-but-unswapped merge, if any
     reader = spark.read

@@ -299,3 +299,58 @@ def test_delta_merge_upsert_and_time_travel(spark, tmp_path, people):
         keys=["id"], when_matched="delete", when_not_matched="ignore",
     )
     assert {r["id"] for r in read_delta(spark, t).collect()} == {2, 3, 4, 9}
+
+
+def test_delta_append_schema_drift_refused(spark, tmp_path, people):
+    """Review late-r8: committing a narrower/renamed/retyped frame is
+    refused at commit time (silent NULL columns otherwise); a
+    nullability-only difference is tolerated."""
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(people.drop("country"), t, mode="append")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            people.withColumn("id", F.col("id").cast("int")), t, mode="overwrite"
+        )
+    # same columns, different nullability flags: fine
+    relaxed = spark.createDataFrame(people.collect(), people.schema)
+    write_delta(relaxed, t, mode="append")
+    assert read_delta(spark, t).count() == 8
+
+
+def test_delta_commit_gap_refused(spark, tmp_path, people):
+    """Review late-r8: a missing middle commit (botched copy) must
+    refuse to serve the stale pre-gap snapshot."""
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    write_delta(people, t, mode="append")  # v1
+    write_delta(people, t, mode="append")  # v2
+    os.remove(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(FileNotFoundError, match="missing commit 1"):
+        read_delta(spark, t)
+    # time travel BEFORE the gap still works
+    assert read_delta(spark, t, version=0).count() == 4
+
+
+def test_delta_unsafe_partition_value_uses_fallback(spark, tmp_path):
+    """Review late-r8: a partition value containing %XX (which Spark's
+    discovery would unescape) must take the log-authoritative
+    fallback, not the hive fast path."""
+    d = spark.createDataFrame(
+        [(1, "a%20b"), (2, "plain")], "id long, tag string"
+    )
+    t = str(tmp_path / "t")
+    write_delta(d, t, partition_by=["tag"])
+    got = {r["id"]: r["tag"] for r in read_delta(spark, t).collect()}
+    # values come from the log verbatim — never unescaped
+    assert got == {1: "a%20b", 2: "plain"}
+
+
+def test_delta_reader_refuses_schema_and_options(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    with pytest.raises(ValueError, match="unsupported reader args"):
+        read_table(spark, t, fmt="delta", schema=people.schema)
+    with pytest.raises(ValueError, match="unsupported reader args"):
+        read_table(spark, t, fmt="delta", mergeSchema="true")
