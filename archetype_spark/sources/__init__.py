@@ -1,8 +1,10 @@
 from archetype_spark.sources.delta import (
+    checkpoint_delta,
     last_txn_version,
     merge_delta,
     read_delta,
     streaming_delta_sink,
+    vacuum_delta,
     write_delta,
 )
 from archetype_spark.sources.io import (
@@ -16,12 +18,14 @@ from archetype_spark.sources.io import (
 __all__ = [
     "merge_table",
     "read_binary_dir",
+    "checkpoint_delta",
     "last_txn_version",
     "merge_delta",
     "read_delta",
     "read_table",
     "write_bucketed_table",
     "streaming_delta_sink",
+    "vacuum_delta",
     "write_delta",
     "write_table",
 ]

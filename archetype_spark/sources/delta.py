@@ -524,3 +524,105 @@ def merge_delta(
     for p in parts[1:]:
         merged = merged.unionByName(p)
     write_delta(merged, path, mode="overwrite")
+
+
+# ---------------------------------------------------------------- maintenance
+
+
+def checkpoint_delta(path: str) -> int:
+    """Write a parquet checkpoint of the CURRENT snapshot plus the
+    `_last_checkpoint` marker, returning the checkpointed version.
+    Afterwards snapshot resolution replays O(commits since this
+    checkpoint) instead of the whole history — the maintenance step
+    that keeps a long-lived table's metadata cost flat. The checkpoint
+    retains protocol, metaData, every active add, AND the txn
+    high-water marks (dropping txns would break the streaming sink's
+    idempotence after log cleanup).
+
+    Driver-side pyarrow write; checkpoint size is O(active files),
+    metadata-scale. Single-writer contract as for commits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = os.path.abspath(path)
+    version = _latest_version(table)
+    if version is None:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    meta, active, txns = _snapshot_actions(table)
+
+    def no_empty_structs(obj):
+        """pyarrow cannot write child-less structs: recursively turn
+        empty dicts into None (the reader treats both as absent, like
+        the protocol — e.g. metaData.format.options)."""
+        if isinstance(obj, dict):
+            return {k: no_empty_structs(v) for k, v in obj.items()} or None
+        return obj
+
+    rows: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": no_empty_structs(meta)},
+    ]
+    rows += [
+        {"txn": {"appId": app, "version": int(v)}} for app, v in txns.items()
+    ]
+    rows += [{"add": no_empty_structs(add)} for add in active.values()]
+    keys = ("protocol", "metaData", "txn", "add")
+    cp = os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
+    tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(
+        pa.Table.from_pylist([{k: r.get(k) for k in keys} for r in rows]), tmp
+    )
+    os.rename(tmp, cp)
+    lc_tmp = os.path.join(table, _LOG_DIR, f".lc-tmp-{uuid.uuid4().hex}")
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.rename(lc_tmp, os.path.join(table, _LOG_DIR, "_last_checkpoint"))
+    return version
+
+
+def vacuum_delta(path: str, clean_log: bool = False) -> dict:
+    """Physically delete data files no active snapshot references
+    (tombstoned by remove actions — overwrites, merges) and, with
+    `clean_log=True`, drop the JSON commits a checkpoint already
+    covers. Returns {'data_files': n, 'log_files': m} deleted.
+
+    After a vacuum, time travel to versions whose files are gone
+    fails LOUDLY (the reader's missing-commit / missing-file errors),
+    never silently wrong — the protocol's own retention trade.
+    `clean_log` requires a checkpoint (refused otherwise: deleting
+    commits with no checkpoint would orphan the table)."""
+    table = os.path.abspath(path)
+    _meta, active, _txns = _snapshot_actions(table)
+    keep = {
+        os.path.normpath(urllib.parse.unquote(p)) for p in active
+    }
+    deleted = {"data_files": 0, "log_files": 0}
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [d for d in dirs if d != _LOG_DIR and not d.startswith(".")]
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.normpath(
+                os.path.relpath(os.path.join(root, name), table)
+            )
+            if rel not in keep:
+                os.remove(os.path.join(root, name))
+                deleted["data_files"] += 1
+    if clean_log:
+        lc_path = os.path.join(table, _LOG_DIR, "_last_checkpoint")
+        if not os.path.exists(lc_path):
+            raise FileNotFoundError(
+                f"clean_log requires a checkpoint (none at {table})"
+            )
+        with open(lc_path) as fh:
+            cp_version = int(json.load(fh)["version"])
+        log_dir = os.path.join(table, _LOG_DIR)
+        for name in os.listdir(log_dir):
+            if (
+                name.endswith(".json")
+                and name[:20].isdigit()
+                and int(name[:20]) <= cp_version
+            ):
+                os.remove(os.path.join(log_dir, name))
+                deleted["log_files"] += 1
+    return deleted

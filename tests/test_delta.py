@@ -354,3 +354,43 @@ def test_delta_reader_refuses_schema_and_options(spark, tmp_path, people):
         read_table(spark, t, fmt="delta", schema=people.schema)
     with pytest.raises(ValueError, match="unsupported reader args"):
         read_table(spark, t, fmt="delta", mergeSchema="true")
+
+
+def test_delta_checkpoint_vacuum_lifecycle(spark, tmp_path, people):
+    """The full maintenance cycle: commits -> checkpoint_delta ->
+    vacuum_delta(clean_log) leaves a table that resolves from the
+    checkpoint alone, keeps txn high-water marks, reads the same
+    rows, and refuses (loudly) time travel behind the retention
+    horizon."""
+    from archetype_spark.sources import (
+        checkpoint_delta,
+        last_txn_version,
+        streaming_delta_sink,
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(people, t, partition_by=["country"])  # v0
+    streaming_delta_sink(t, app_id="app")(  # v1, txn-stamped
+        spark.createDataFrame([(5, "eve", "fr")], people.schema), 0
+    )
+    write_delta(people, t, mode="overwrite")  # v2: tombstones v0+v1 files
+    assert checkpoint_delta(t) == 2
+
+    got = vacuum_delta(t, clean_log=True)
+    assert got["data_files"] > 0 and got["log_files"] == 3
+    # snapshot resolves from the checkpoint alone, values intact
+    assert _rows(read_delta(spark, t).select("id", "name", "country")) == _rows(
+        people
+    )
+    # the txn high-water mark survived the checkpoint (idempotence
+    # would silently break otherwise)
+    assert last_txn_version(t, "app") == 0
+    # post-cleanup commits still apply on top
+    write_delta(
+        spark.createDataFrame([(9, "zoe", "nz")], people.schema), t, mode="append"
+    )
+    assert read_delta(spark, t).count() == 5
+    # time travel behind the horizon: loud, not silently wrong
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, t, version=1)
