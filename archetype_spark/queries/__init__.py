@@ -133,8 +133,11 @@ _MODULES = (
 #       q42-q49, q51-q53, q62-q64, q67 — no driver row since r5/r6).
 #       In exchange defer the freshly-green r8 basics (q01-q16,
 #       q29-q35, q38) and enough single-green r7 mid-tier entries
-#       (q80+) to stay at 50; keep q99-q103 (single-green r8) and
-#       the index-oracle queries in-window.
+#       (q80+) to stay at 50; keep q99-q104 (single-green r8,
+#       q104 = the Delta-log scan whose oracle replays the same log)
+#       and the index-oracle queries in-window. q90 joined the
+#       deferred set late-r8 (q104's window slot; containment family
+#       driver-covered via q98).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.

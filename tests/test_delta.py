@@ -394,3 +394,34 @@ def test_delta_checkpoint_vacuum_lifecycle(spark, tmp_path, people):
     # time travel behind the horizon: loud, not silently wrong
     with pytest.raises(FileNotFoundError):
         read_delta(spark, t, version=1)
+
+
+def test_q104_builder_rebuilds_on_corpus_change(spark, tmp_path, monkeypatch):
+    """The driver regenerates testdata between rounds (CLAUDE.md);
+    q104's table must rebuild when the documents parquet changes and
+    reuse (no new commits) when it does not."""
+    from archetype_spark.queries.northstar import _ensure_delta_documents
+    from archetype_spark.sources.delta import _latest_version
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = tmp_path / "sf"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma", "de")],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.parquet(str(sf / "documents.parquet"))
+    t1 = _ensure_delta_documents(spark, str(sf))
+    assert _latest_version(t1) == 2  # two appends + compaction
+    rows1 = read_delta(spark, t1).count()
+    # unchanged corpus: reuse, no new build (version still 2)
+    assert _ensure_delta_documents(spark, str(sf)) == t1
+    assert _latest_version(t1) == 2
+    # regenerated corpus (one more doc): fingerprint mismatch -> the
+    # slot swaps atomically to a fresh three-commit table
+    docs.unionByName(
+        spark.createDataFrame([(3, "delta", "fr")], docs.schema)
+    ).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    t2 = _ensure_delta_documents(spark, str(sf))
+    assert t2 == t1
+    assert _latest_version(t2) == 2
+    assert read_delta(spark, t2).count() == rows1 + 1
