@@ -7,6 +7,11 @@ from archetype_spark.sources.delta import (
     vacuum_delta,
     write_delta,
 )
+from archetype_spark.sources.iceberg import (
+    read_iceberg,
+    snapshots_iceberg,
+    write_iceberg,
+)
 from archetype_spark.sources.io import (
     merge_table,
     read_binary_dir,
@@ -22,10 +27,13 @@ __all__ = [
     "last_txn_version",
     "merge_delta",
     "read_delta",
+    "read_iceberg",
+    "snapshots_iceberg",
     "read_table",
     "write_bucketed_table",
     "streaming_delta_sink",
     "vacuum_delta",
     "write_delta",
+    "write_iceberg",
     "write_table",
 ]

@@ -212,67 +212,122 @@ def read_delta(
     meta, active, _txns = _snapshot_actions(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
-    part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
     if not active:
         return spark.createDataFrame([], schema)
+    entries = [
+        (
+            os.path.join(table, urllib.parse.unquote(add["path"])),
+            add.get("partitionValues") or {},
+        )
+        for add in active.values()
+    ]
+    return _scan_snapshot(spark, table, schema, part_cols, entries)
 
-    def hive_prefix(add: dict) -> str | None:
-        """dir prefix spelled by partitionValues, or None if any value
-        is absent/None (NULL partitions use a sentinel dir) or
-        contains characters Spark's partition-path escaping would
-        transform — Spark UNESCAPES %XX on discovery, so a literal
-        'a%20b' dir would read back as 'a b', silently diverging from
-        the authoritative log. Such values take the fallback, which
-        reads values from the log itself."""
-        pv = add.get("partitionValues") or {}
+
+# ---------------------------------------------------------------------- write
+
+
+def _stage_data_files(
+    df: DataFrame, dest_root: str, part_cols: Sequence[str]
+) -> list[dict]:
+    """Write `df` as parquet via a staging dir and move the files
+    under `dest_root` preserving hive partition dirs. Returns one
+    {rel_path, partition_values, size, mtime_ms} per data file —
+    the lake-format-neutral half of a commit (Delta and Iceberg
+    writers both build their metadata from this)."""
+    stage = os.path.join(dest_root, f".stage-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+    out = []
+    for root, _dirs, files in os.walk(stage):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, stage)
+            pv: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    col, _, raw = seg.partition("=")
+                    pv[col] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(raw)
+                    )
+            rel_path = name if rel_dir == "." else f"{rel_dir}/{name}"
+            dst = os.path.join(dest_root, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            out.append(
+                {
+                    "rel_path": rel_path,
+                    "partition_values": pv,
+                    "size": os.path.getsize(dst),
+                    "mtime_ms": int(os.path.getmtime(dst) * 1000),
+                }
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def _scan_snapshot(
+    spark: SparkSession,
+    base_root: str,
+    schema: StructType,
+    part_cols: Sequence[str],
+    entries: Sequence[tuple[str, dict]],
+):
+    """Assemble the snapshot scan for `entries` = [(abs_file_path,
+    {partition col: value})]. Fast path: when every file sits under
+    hive dirs literally spelling its (glob-safe) partition values,
+    ONE basePath scan with native PartitionFilters — plan width O(1)
+    in partition count. Fallback: per-partition-tuple unions with
+    literal columns pruned by constant folding. Shared by the Delta
+    and Iceberg readers; partition values here are AUTHORITATIVE
+    (from each format's metadata), paths only an optimization."""
+    part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def hive_ok(path: str, pv: dict) -> bool:
         segs = []
         for c in part_cols:
             v = pv.get(c)
-            if v is None or not _GLOB_SAFE.match(v):
-                return None
+            if v is None or not _GLOB_SAFE.match(str(v)):
+                return False
             segs.append(f"{c}={v}")
-        return "/".join(segs)
+        prefix = os.path.join(base_root, *segs) + os.sep
+        return path.startswith(prefix)
 
-    rel_paths = {
-        p: urllib.parse.unquote(add["path"]) for p, add in active.items()
-    }
-    if part_cols and all(
-        (pre := hive_prefix(add)) is not None
-        and rel_paths[p].startswith(pre + "/")
-        for p, add in active.items()
-    ):
-        files = [os.path.join(table, rp) for rp in rel_paths.values()]
+    if part_cols and all(hive_ok(p, pv) for p, pv in entries):
         return (
             spark.read.schema(schema)
-            .option("basePath", table)
-            .parquet(*files)
-            .select(*[f.name for f in schema.fields])
+            .option("basePath", base_root)
+            .parquet(*[p for p, _ in entries])
+            .select(*cols)
         )
 
-    # group files by partition-value tuple; one scan subtree per group
     groups: dict[tuple, list[str]] = {}
-    for p, add in active.items():
-        pv = add.get("partitionValues") or {}
+    for p, pv in entries:
         key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(os.path.join(table, rel_paths[p]))
-
+        groups.setdefault(key, []).append(p)
     parts = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*files)
         for col, raw in zip(part_cols, key):
-            typed = (
-                F.lit(None) if raw is None else F.lit(raw)
-            ).cast(part_fields[col].dataType)
+            typed = (F.lit(None) if raw is None else F.lit(raw)).cast(
+                part_fields[col].dataType
+            )
             df = df.withColumn(col, typed)
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        parts.append(df.select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
-
-
-# ---------------------------------------------------------------------- write
 
 
 def _publish_commit(table: str, version: int, actions: list[dict]) -> None:
@@ -378,46 +433,23 @@ def write_delta(
         version = prev + 1
 
     # stage the data files, then move them under the table root
-    stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(stage)
-    adds = []
-    for root, _dirs, files in os.walk(stage):
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, stage)
-            pv = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    col, _, raw = seg.partition("=")
-                    pv[col] = (
-                        None
-                        if raw == "__HIVE_DEFAULT_PARTITION__"
-                        else urllib.parse.unquote(raw)
-                    )
-            rel_path = name if rel_dir == "." else f"{rel_dir}/{name}"
-            dst = os.path.join(table, rel_path)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(src, dst)
-            adds.append(
-                {
-                    "add": {
-                        # percent-encode per the protocol, but keep
-                        # '/' and '=' literal as connector writers do
-                        # (partition dirs stay 'lang=en/...')
-                        "path": urllib.parse.quote(rel_path, safe="/="),
-                        "partitionValues": {c: pv.get(c) for c in part_cols},
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(os.path.getmtime(dst) * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
-    shutil.rmtree(stage, ignore_errors=True)
+    adds = [
+        {
+            "add": {
+                # percent-encode per the protocol, but keep '/' and
+                # '=' literal as connector writers do (partition dirs
+                # stay 'lang=en/...')
+                "path": urllib.parse.quote(f["rel_path"], safe="/="),
+                "partitionValues": {
+                    c: f["partition_values"].get(c) for c in part_cols
+                },
+                "size": f["size"],
+                "modificationTime": f["mtime_ms"],
+                "dataChange": True,
+            }
+        }
+        for f in _stage_data_files(df, table, part_cols)
+    ]
 
     if mode == "overwrite" and prev is not None:
         for p in removes:

@@ -1,0 +1,507 @@
+"""Protocol-native Apache Iceberg v1 backend — no connector jars.
+
+Companion to the Delta backend (sources/delta.py): the second lake
+format the reference consumes (Daft `read_iceberg`, reference
+pyproject.toml:7-10). Implements the PUBLIC Iceberg v1 table spec
+directly — metadata is JSON, manifests/manifest-lists are Avro
+(decoded by the stdlib codec in sources/avro_io.py):
+
+    <table>/metadata/v<N>.metadata.json   table metadata (schema,
+                                          specs, snapshot log)
+    <table>/metadata/version-hint.text    commit pointer
+    <table>/metadata/snap-<id>.avro       manifest list per snapshot
+    <table>/metadata/manifest-<uuid>.avro data-file manifests
+    <table>/data/...                      parquet, hive dirs
+
+READ: resolve the current (or any historical) snapshot → manifest
+list → manifests → data files with TYPED partition values from the
+manifest's partition struct (the metadata is authoritative; paths are
+only an optimization) → the same dual scan shape as Delta (shared
+`_scan_snapshot`): one basePath scan with native PartitionFilters for
+hive-consistent layouts, grouped literal-column unions otherwise.
+Snapshot resolution is driver-side metadata work, O(manifest bytes).
+
+WRITE: single-writer append/overwrite. Data files stage through the
+shared `_stage_data_files`; each commit writes one manifest, a new
+manifest list (append = previous manifests + the new one; overwrite =
+the new one alone, so prior files stay reachable ONLY via time
+travel), a new v<N>.metadata.json recording the snapshot, and finally
+the version-hint — the rename of which is the atomic commit point.
+
+Declared limits (refuse loudly, never silently wrong): format-version
+2+ (delete files / sequence numbers), non-identity partition
+transforms, non-parquet data files, multi-writer commit races.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from archetype_spark.sources import avro_io
+from archetype_spark.sources.delta import _scan_snapshot, _stage_data_files
+
+_SPARK_TO_ICE = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+}
+_ICE_TO_SPARK = {
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+}
+#: avro encoding per iceberg primitive (partition struct fields)
+_ICE_TO_AVRO = {
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "int",
+}
+
+
+# ----------------------------------------------------------------- metadata IO
+
+
+def _meta_dir(table: str) -> str:
+    return os.path.join(table, "metadata")
+
+
+def _current_metadata_version(table: str) -> int | None:
+    hint = os.path.join(_meta_dir(table), "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            return int(fh.read().strip())
+    if not os.path.isdir(_meta_dir(table)):
+        return None
+    versions = [
+        int(n[1:].split(".")[0])
+        for n in os.listdir(_meta_dir(table))
+        if n.startswith("v") and n.endswith(".metadata.json")
+    ]
+    return max(versions) if versions else None
+
+
+def _load_metadata(table: str) -> dict:
+    v = _current_metadata_version(table)
+    if v is None:
+        raise FileNotFoundError(f"not an Iceberg table (no metadata): {table}")
+    with open(os.path.join(_meta_dir(table), f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    if int(meta.get("format-version", 1)) != 1:
+        raise NotImplementedError(
+            f"Iceberg format-version {meta['format-version']} (delete "
+            "files / sequence numbers) exceeds the protocol-native "
+            "reader; use a connector-enabled cluster"
+        )
+    return meta
+
+
+def _ice_schema_to_spark(ice: dict) -> StructType:
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    ctors = {
+        "long": LongType,
+        "int": IntegerType,
+        "string": StringType,
+        "double": DoubleType,
+        "float": FloatType,
+        "boolean": BooleanType,
+        "binary": BinaryType,
+        "date": DateType,
+    }
+    fields = []
+    for f in ice["fields"]:
+        t = f["type"]
+        if not isinstance(t, str) or t not in ctors:
+            raise NotImplementedError(f"Iceberg type {t!r} (field {f['name']})")
+        fields.append(StructField(f["name"], ctors[t](), True))
+    return StructType(fields)
+
+
+def _spec_part_cols(meta: dict) -> list[str]:
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+    spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
+    cols = []
+    for f in spec["fields"]:
+        if f.get("transform", "identity") != "identity":
+            raise NotImplementedError(
+                f"partition transform {f['transform']!r} (only identity "
+                "is supported by the protocol-native reader)"
+            )
+        cols.append(f["name"])
+    return cols
+
+
+def _strip_scheme(p: str) -> str:
+    return p[len("file:") :] if p.startswith("file:") else p
+
+
+# ----------------------------------------------------------------------- read
+
+
+def snapshots_iceberg(path: str) -> list[dict]:
+    """The table's snapshot log: [{snapshot-id, timestamp-ms,
+    operation}] oldest-first — the time-travel index."""
+    meta = _load_metadata(os.path.abspath(path))
+    return [
+        {
+            "snapshot-id": s["snapshot-id"],
+            "timestamp-ms": s.get("timestamp-ms"),
+            "operation": (s.get("summary") or {}).get("operation"),
+        }
+        for s in meta.get("snapshots", [])
+    ]
+
+
+def read_iceberg(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read an Iceberg v1 snapshot (current, or `snapshot_id` for
+    time travel) without any connector jar — module docstring."""
+    table = os.path.abspath(path)
+    meta = _load_metadata(table)
+    schema = _ice_schema_to_spark(
+        next(
+            s
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        if "schemas" in meta
+        else meta["schema"]
+    )
+    part_cols = _spec_part_cols(meta)
+    want = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if want is None or want == -1 or not snaps:
+        return spark.createDataFrame([], schema)
+    if want not in snaps:
+        raise FileNotFoundError(
+            f"snapshot {want} not in table {table} (have {sorted(snaps)})"
+        )
+    _schema, manifests = avro_io.read_container(
+        _strip_scheme(snaps[want]["manifest-list"])
+    )
+    entries: list[tuple[str, dict]] = []
+    for m in manifests:
+        _ms, rows = avro_io.read_container(_strip_scheme(m["manifest_path"]))
+        for r in rows:
+            if r.get("status") == 2:  # DELETED
+                continue
+            dfile = r["data_file"]
+            if dfile.get("content", 0) not in (0, None):
+                raise NotImplementedError(
+                    "Iceberg delete files (v2 content) are not supported"
+                )
+            if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
+                raise NotImplementedError(
+                    f"Iceberg data format {dfile['file_format']!r}"
+                )
+            entries.append(
+                (
+                    _strip_scheme(dfile["file_path"]),
+                    dict(dfile.get("partition") or {}),
+                )
+            )
+    if not entries:
+        return spark.createDataFrame([], schema)
+    return _scan_snapshot(
+        spark, os.path.join(table, "data"), schema, part_cols, entries
+    )
+
+
+# ---------------------------------------------------------------------- write
+
+
+def _manifest_schema(part_cols: Sequence[str], part_types: dict) -> dict:
+    partition_fields = [
+        {
+            "name": c,
+            "type": ["null", _ICE_TO_AVRO[part_types[c]]],
+            "default": None,
+        }
+        for c in part_cols
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": partition_fields,
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+    ],
+}
+
+
+def _typed_partition(raw: str | None, ice_type: str):
+    if raw is None:
+        return None
+    if ice_type in ("long", "int", "date"):
+        return int(raw)
+    if ice_type == "double" or ice_type == "float":
+        return float(raw)
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Append/overwrite a DataFrame as one Iceberg v1 snapshot
+    (single-writer; module docstring)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    table = os.path.abspath(path)
+    prev_v = _current_metadata_version(table)
+    part_cols = list(partition_by or [])
+
+    if prev_v is None:
+        for f in df.schema.fields:
+            if f.dataType.simpleString() not in _SPARK_TO_ICE:
+                raise NotImplementedError(
+                    f"column {f.name}: Spark type "
+                    f"{f.dataType.simpleString()!r} has no Iceberg v1 "
+                    "mapping here"
+                )
+            if (
+                f.name in part_cols
+                and _SPARK_TO_ICE[f.dataType.simpleString()]
+                not in ("long", "int", "string", "boolean", "double", "float")
+            ):
+                raise NotImplementedError(
+                    f"partition column {f.name}: type "
+                    f"{f.dataType.simpleString()!r} not supported for "
+                    "identity partitioning here"
+                )
+        ice_fields = [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": _SPARK_TO_ICE[f.dataType.simpleString()],
+            }
+            for i, f in enumerate(df.schema.fields)
+        ]
+        field_ids = {f["name"]: f["id"] for f in ice_fields}
+        meta = {
+            "format-version": 1,
+            "table-uuid": str(uuid.uuid4()),
+            "location": table,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(ice_fields),
+            "schema": {"type": "struct", "schema-id": 0, "fields": ice_fields},
+            "schemas": [
+                {"type": "struct", "schema-id": 0, "fields": ice_fields}
+            ],
+            "current-schema-id": 0,
+            "partition-spec": [
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": field_ids[c],
+                    "field-id": 1000 + i,
+                }
+                for i, c in enumerate(part_cols)
+            ],
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": field_ids[c],
+                            "field-id": 1000 + i,
+                        }
+                        for i, c in enumerate(part_cols)
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "properties": {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+        }
+        new_v = 1
+    else:
+        meta = _load_metadata(table)
+        logged = _spec_part_cols(meta)
+        if part_cols and part_cols != logged:
+            raise ValueError(
+                f"partition_by {part_cols} != table partitioning {logged}"
+            )
+        part_cols = logged
+        logged_schema = _ice_schema_to_spark(
+            meta["schemas"][0] if "schemas" in meta else meta["schema"]
+        )
+        have = sorted(
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        )
+        want = sorted(
+            (f.name, f.dataType.simpleString()) for f in logged_schema.fields
+        )
+        if have != want:
+            raise ValueError(
+                f"schema mismatch vs table {table}: writing "
+                f"{df.schema.simpleString()} into {logged_schema.simpleString()}"
+            )
+        new_v = prev_v + 1
+
+    ice_types = {
+        f["name"]: f["type"]
+        for f in (meta["schemas"][0] if "schemas" in meta else meta["schema"])[
+            "fields"
+        ]
+    }
+    data_root = os.path.join(table, "data")
+    staged = _stage_data_files(df, data_root, part_cols)
+
+    snapshot_id = len(meta["snapshots"]) + 1
+    mdir = _meta_dir(table)
+    manifest_path = os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.avro")
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "file_path": os.path.join(data_root, f["rel_path"]),
+                "file_format": "PARQUET",
+                "partition": {
+                    c: _typed_partition(
+                        f["partition_values"].get(c), ice_types[c]
+                    )
+                    for c in part_cols
+                },
+                "record_count": -1,  # not tracked; readers here don't use it
+                "file_size_in_bytes": f["size"],
+            },
+        }
+        for f in staged
+    ]
+    avro_io.write_container(
+        manifest_path, _manifest_schema(part_cols, ice_types), entries
+    )
+
+    manifest_entry = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+    }
+    if mode == "append" and meta.get("current-snapshot-id", -1) != -1:
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _s, prev_manifests = avro_io.read_container(
+            _strip_scheme(cur["manifest-list"])
+        )
+    else:
+        prev_manifests = []
+    mlist_path = os.path.join(
+        mdir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    )
+    avro_io.write_container(
+        mlist_path, _MANIFEST_LIST_SCHEMA, prev_manifests + [manifest_entry]
+    )
+
+    now_ms = int(time.time() * 1000)
+    meta["snapshots"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "summary": {"operation": mode},
+            "schema-id": 0,
+        }
+    )
+    meta["snapshot-log"].append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    )
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now_ms
+
+    mfile = os.path.join(mdir, f"v{new_v}.metadata.json")
+    if os.path.exists(mfile):
+        raise FileExistsError(
+            f"Iceberg metadata v{new_v} already exists (concurrent "
+            f"writer?): {mfile}"
+        )
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, mfile)
+    # version-hint rename is the commit point
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.rename(tmp, os.path.join(mdir, "version-hint.text"))

@@ -12,10 +12,13 @@ scale:
 - delta: served by the protocol-native log reader/writer in
   `sources/delta.py` (public `_delta_log` spec; no jars needed),
   including `versionAsOf` time travel.
-- lance/iceberg: format names accepted and dispatched to
-  `spark.read.format(...)` — they engage when the corresponding
-  connector jars are on the classpath, which this container doesn't
-  ship; the dispatch is tested with the built-in formats.
+- iceberg: served by the protocol-native v1 reader/writer in
+  `sources/iceberg.py` (public table spec; Avro metadata decoded by
+  the stdlib codec in `sources/avro_io.py`), including `snapshot-id`
+  time travel.
+- lance: format name accepted and dispatched to
+  `spark.read.format(...)` — engages when the connector jar is on
+  the classpath, which this container doesn't ship.
 
 Writers default to snappy parquet with optional partition columns and
 sortWithinPartitions, which is what substitutes for the reference's
@@ -64,6 +67,21 @@ def read_table(
                 f"options={sorted(options)}"
             )
         return read_delta(spark, path, version=None if v is None else int(v))
+    if fmt == "iceberg":
+        # protocol-native v1 path (sources/iceberg.py); honors the
+        # connector's snapshot-id option, same loud-arg contract.
+        from archetype_spark.sources.iceberg import read_iceberg
+
+        v = options.pop("snapshot-id", options.pop("snapshotId", None))
+        if schema is not None or options:
+            raise ValueError(
+                "iceberg derives its schema from the table metadata; "
+                f"unsupported reader args: schema={schema!r}, "
+                f"options={sorted(options)}"
+            )
+        return read_iceberg(
+            spark, path, snapshot_id=None if v is None else int(v)
+        )
     _heal_merge(path)  # replay a committed-but-unswapped merge, if any
     reader = spark.read
     if schema is not None:
@@ -121,6 +139,18 @@ def write_table(
                 raise FileExistsError(f"Delta table already exists: {path}")
             mode = "append"
         write_delta(df, path, mode=mode, partition_by=partition_by)
+        return
+    if fmt == "iceberg":
+        from archetype_spark.sources.iceberg import (
+            _current_metadata_version,
+            write_iceberg,
+        )
+
+        if mode in ("error", "errorifexists"):
+            if _current_metadata_version(path) is not None:
+                raise FileExistsError(f"Iceberg table already exists: {path}")
+            mode = "append"
+        write_iceberg(df, path, mode=mode, partition_by=partition_by)
         return
     writer = df.write.format(fmt).mode(mode).options(**options)
     if fmt == "csv":

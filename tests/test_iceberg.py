@@ -1,0 +1,217 @@
+"""Protocol-native Iceberg v1 backend (sources/iceberg.py) + the
+stdlib Avro codec beneath it (sources/avro_io.py): round-trip,
+snapshot time travel, typed partition reconstruction + pruning, and
+loud refusal of v2 features. Mirrors tests/test_delta.py."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.sources import (
+    read_iceberg,
+    snapshots_iceberg,
+    write_iceberg,
+)
+from archetype_spark.sources import avro_io
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "ann", "us"), (2, "bob", "us"), (3, "cho", "jp"), (4, "dee", "jp")],
+        "id long, name string, country string",
+    )
+
+
+def test_avro_unions_arrays_maps_roundtrip(tmp_path):
+    """The codec subset manifests need: nested records, nullable
+    unions, arrays, maps, both codecs."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": ["null", "long"], "default": None},
+            {"name": "a", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+        ],
+    }
+    recs = [
+        {"s": "x", "n": None, "a": [], "m": {}, "d": 0.0, "b": False, "raw": b""},
+        {"s": "y" * 500, "n": -(2**40), "a": [1, -2, 3], "m": {"k": "v"},
+         "d": -1.5, "b": True, "raw": bytes(range(256))},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t-{codec}.avro")
+        avro_io.write_container(p, schema, recs, codec=codec)
+        got_schema, got = avro_io.read_container(p)
+        assert got == recs
+        assert got_schema["name"] == "r"
+
+
+def test_avro_block_runs_and_skipped_sizes(tmp_path):
+    """Foreign writers may emit negative block counts (size-prefixed
+    runs) and multi-block arrays — the decoder honors both."""
+    import io
+
+    out = io.BytesIO()
+    # hand-encode an array<long> as two blocks, the second with a
+    # negative count carrying its byte size
+    avro_io._write_long(out, 2)
+    avro_io._encode("long", 7, out, {})
+    avro_io._encode("long", 8, out, {})
+    block2 = io.BytesIO()
+    avro_io._encode("long", 9, block2, {})
+    avro_io._write_long(out, -1)
+    avro_io._write_long(out, len(block2.getvalue()))
+    out.write(block2.getvalue())
+    avro_io._write_long(out, 0)
+    got = avro_io._decode(
+        {"type": "array", "items": "long"}, io.BytesIO(out.getvalue()), {}
+    )
+    assert got == [7, 8, 9]
+
+
+def test_iceberg_roundtrip_append_overwrite(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    got = read_iceberg(spark, t)
+    assert [f.name for f in got.schema.fields] == ["id", "name", "country"]
+    assert _rows(got) == _rows(people)
+
+    more = spark.createDataFrame([(5, "eve", "fr")], people.schema)
+    write_iceberg(more, t, mode="append")
+    assert read_iceberg(spark, t).count() == 5
+
+    write_iceberg(more, t, mode="overwrite")
+    assert _rows(read_iceberg(spark, t)) == _rows(more)
+
+
+def test_iceberg_snapshot_time_travel(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    write_iceberg(
+        spark.createDataFrame([(5, "eve", "fr")], people.schema), t, mode="append"
+    )
+    write_iceberg(
+        spark.createDataFrame([(9, "zoe", "nz")], people.schema),
+        t,
+        mode="overwrite",
+    )
+    log = snapshots_iceberg(t)
+    assert [s["operation"] for s in log] == ["append", "append", "overwrite"]
+    ids = [s["snapshot-id"] for s in log]
+    assert read_iceberg(spark, t, snapshot_id=ids[0]).count() == 4
+    assert read_iceberg(spark, t, snapshot_id=ids[1]).count() == 5
+    assert read_iceberg(spark, t).count() == 1  # current = overwrite
+    with pytest.raises(FileNotFoundError):
+        read_iceberg(spark, t, snapshot_id=777)
+
+
+def test_iceberg_partitioned_typed_reconstruction_and_pruning(spark, tmp_path):
+    """Partition values live TYPED in the manifest partition struct;
+    a long partition column reconstructs as long, and a partition
+    filter rides the single-scan fast path's PartitionFilters."""
+    d = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 20, "c")],
+        "id long, bucket long, payload string",
+    )
+    t = str(tmp_path / "t")
+    write_iceberg(d, t, partition_by=["bucket"])
+    got = read_iceberg(spark, t)
+    assert dict(got.dtypes)["bucket"] == "bigint"
+    assert _rows(got.select("id", "bucket", "payload")) == _rows(d)
+    plan = (
+        got.filter(F.col("bucket") == 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "PartitionFilters" in plan
+    assert _rows(got.filter("bucket = 10").select("id")) == [(1,), (2,)]
+    # partitioning is inherited on append and divergence is refused
+    with pytest.raises(ValueError):
+        write_iceberg(d, t, mode="append", partition_by=["payload"])
+
+
+def test_iceberg_schema_drift_refused(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(people.drop("country"), t, mode="append")
+
+
+def test_iceberg_v2_refused(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    mdir = os.path.join(t, "metadata")
+    with open(os.path.join(mdir, "v1.metadata.json")) as fh:
+        meta = json.load(fh)
+    meta["format-version"] = 2
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    with pytest.raises(NotImplementedError, match="format-version"):
+        read_iceberg(spark, t)
+
+
+def test_iceberg_foreign_nonhive_layout_falls_back(spark, tmp_path):
+    """Manifests whose data files do NOT sit under hive dirs (legal —
+    the manifest partition struct is authoritative) read via the
+    grouped-union fallback with values from the manifest."""
+    import shutil as _sh
+
+    d = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, bucket long"
+    )
+    t = str(tmp_path / "t")
+    write_iceberg(d, t, partition_by=["bucket"])
+    # flatten the data files and rewrite the manifest paths
+    meta_dir = os.path.join(t, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap = meta["snapshots"][-1]
+    _s, manifests = avro_io.read_container(snap["manifest-list"])
+    for m in manifests:
+        schema, rows = avro_io.read_container(m["manifest_path"])
+        for r in rows:
+            old = r["data_file"]["file_path"]
+            flat = os.path.join(t, "data", os.path.basename(old))
+            _sh.move(old, flat)
+            r["data_file"]["file_path"] = flat
+        avro_io.write_container(m["manifest_path"], schema, rows)
+    got = read_iceberg(spark, t)
+    assert _rows(got.select("id", "bucket")) == [(1, 10), (2, 20)]
+
+
+def test_iceberg_via_uniform_reader_writer(spark, tmp_path, people):
+    from archetype_spark.sources import read_table, write_table
+
+    t = str(tmp_path / "t")
+    write_table(people, t, fmt="iceberg")
+    with pytest.raises(FileExistsError):
+        write_table(people, t, fmt="iceberg")  # default mode=error
+    write_table(people, t, fmt="iceberg", mode="append")
+    assert read_table(spark, t, fmt="iceberg").count() == 8
+    first = snapshots_iceberg(t)[0]["snapshot-id"]
+    assert (
+        read_table(spark, t, fmt="iceberg", **{"snapshot-id": str(first)}).count()
+        == 4
+    )
+    with pytest.raises(ValueError, match="unsupported reader args"):
+        read_table(spark, t, fmt="iceberg", schema=people.schema)
