@@ -125,7 +125,10 @@ _MODULES = (
 #       deferring q77 (green r6+r7; the persisted-IVF path stays
 #       driver-covered via q72/q96). q104 (protocol-native Delta
 #       scan, log-replay oracle) pins late-r8, deferring q90 (green
-#       r7; the containment family keeps q98's driver row).
+#       r7; the containment family keeps q98's driver row). q105
+#       (protocol-native Iceberg scan, glob oracle over the same
+#       hive-partitioned data) pins late-r8, deferring q82 (green
+#       r7; the packing family keeps q93's driver row).
 #   r9 plan (write the actual rotation AFTER CORRECTNESS_r08 lands):
 #       assuming the 29 r8 pins go green, unpin them into the plain
 #       gated block and PIN the longest-deferred entries — the
@@ -172,6 +175,7 @@ _PINNED: tuple[str, ...] = (
     "q102_dsir_importance",
     "q103_quality_tiers",
     "q104_delta_scan",
+    "q105_iceberg_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -232,6 +236,9 @@ _DEFERRED: frozenset[str] = frozenset(
         # driver row via q98's index replay; q90 stays locally
         # hash-checked every pytest run):
         "q90_containment_pairs",
+        # deferred late-r8 for q105's pin (packing family keeps q93
+        # in-window; q82 green r7, locally hash-checked every run):
+        "q82_exact_pack",
     }
 )
 
@@ -291,4 +298,7 @@ def all_oracles(
     dl = northstar.delta_oracle(d, require_live_index=require_live_index)
     if dl is not None:
         o["q104_delta_scan"] = dl
+    ib = northstar.iceberg_oracle(d, require_live_index=require_live_index)
+    if ib is not None:
+        o["q105_iceberg_scan"] = ib
     return o

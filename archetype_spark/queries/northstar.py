@@ -66,10 +66,12 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     # before the first probe
     for df in (buckets, cents, assigned, sigs, fps):
         df.count()
-    # sixth persisted-state family: the Delta table q104 scans (its
-    # oracle reads the same _delta_log, so cold checkouts need the
-    # table on disk before oracle_sql() is evaluated)
+    # sixth/seventh persisted-state families: the Delta and Iceberg
+    # tables q104/q105 scan (their oracles read the same on-disk
+    # state, so cold checkouts need the tables built before
+    # oracle_sql() is evaluated)
     _ensure_delta_documents(spark, sf_dir)
+    _ensure_iceberg_documents(spark, sf_dir)
 
 
 # ------------------------------------------------------------------- Q29/Q30
@@ -630,6 +632,104 @@ def delta_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
     """
 
 
+def _ensure_iceberg_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the Iceberg table q105 scans:
+    documents projected to (doc_id, lang, n_chars), partitioned by
+    lang, as TWO append snapshots (even then odd doc_ids) — append-
+    only on purpose: the active file set then equals the data-dir
+    glob, so the DuckDB oracle stays fully independent of this
+    engine's manifest walk (metadata-awareness — overwrite, time
+    travel, deleted entries — is pinned by tests/test_iceberg.py).
+    Same freshness/atomic-swap discipline as _ensure_delta_documents."""
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from archetype_spark.sources.iceberg import write_iceberg
+
+    docs = load(spark, sf_dir, "documents")
+    idx = ann_index.default_index_dir(sf_dir, "iceberg_documents")
+    table = os.path.join(idx, "table")
+    expect = {
+        "kind": "iceberg_documents",
+        "schema": 1,
+        "corpus": ann_index.corpus_fingerprint(docs, "doc_id", "text"),
+    }
+    pfile = os.path.join(idx, "_build_params.json")
+    if os.path.exists(pfile):
+        try:
+            with open(pfile) as fh:
+                if _json.load(fh) == expect:
+                    return table
+        except (OSError, ValueError):
+            pass
+    building = os.path.join(
+        os.path.dirname(idx), f".building-{_uuid.uuid4().hex}"
+    )
+    os.makedirs(building, exist_ok=True)
+    btable = os.path.join(building, "table")
+    base = docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    try:
+        write_iceberg(
+            base.filter(F.col("doc_id") % 2 == 0), btable, partition_by=["lang"]
+        )
+        write_iceberg(
+            base.filter(F.col("doc_id") % 2 == 1), btable, mode="append"
+        )
+        with open(os.path.join(building, "_build_params.json"), "w") as fh:
+            _json.dump(expect, fh)
+        _shutil.rmtree(idx, ignore_errors=True)
+        os.rename(building, idx)
+    except BaseException:
+        _shutil.rmtree(building, ignore_errors=True)
+        raise
+    return table
+
+
+def q105_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-format source parity, second format: per-lang aggregates
+    over an Iceberg v1 table resolved by the protocol-native reader
+    (sources/iceberg.py — version-hint -> metadata -> manifest-list ->
+    Avro manifests, typed partition reconstruction). The table is
+    append-only (see _ensure_iceberg_documents) so the DuckDB oracle
+    can aggregate the same hive-partitioned data files by glob,
+    independent of the manifest walk."""
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    table = _ensure_iceberg_documents(spark, sf_dir)
+    return (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("lang", "n_docs", "sum_chars")
+    )
+
+
+def iceberg_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """DuckDB aggregation over the SAME hive-partitioned parquet the
+    q105 manifest walk resolves — exact file-set equality holds
+    because the table is append-only. None when the table isn't on
+    disk yet (rows-only degrade, as q61/q104)."""
+    table = os.path.join(
+        ann_index.default_index_dir(sf_dir, "iceberg_documents"), "table"
+    )
+    if require_live_index and not os.path.isdir(
+        os.path.join(table, "metadata")
+    ):
+        return None
+    return f"""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM read_parquet('{table}/data/*/*.parquet', hive_partitioning=1)
+        GROUP BY lang
+    """
+
+
 def q65_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION MinHash path: xxhash64 signatures PERSISTED at
     ingest (ann_index.ensure_minhash — the LanceDB create-index-once
@@ -1112,6 +1212,7 @@ QUERIES = {
     "q100_binary_ingest": q100_binary_ingest,
     "q101_simhash_fast": q101_simhash_fast,
     "q104_delta_scan": q104_delta_scan,
+    "q105_iceberg_scan": q105_iceberg_scan,
 }
 
 _STOPWORD_VALUES = ", ".join(

@@ -168,6 +168,16 @@ def _strip_scheme(p: str) -> str:
     return p[len("file:") :] if p.startswith("file:") else p
 
 
+def _abs(table: str, p: str) -> str:
+    """Resolve a metadata-recorded path: foreign absolute URIs pass
+    through; OUR writer records table-RELATIVE paths (a deliberate,
+    documented deviation from the spec's absolute URIs — it makes
+    tables relocatable and lets the ensure-builders' atomic
+    build-dir-then-rename slot swap work)."""
+    p = _strip_scheme(p)
+    return p if os.path.isabs(p) else os.path.join(table, p)
+
+
 # ----------------------------------------------------------------------- read
 
 
@@ -211,11 +221,11 @@ def read_iceberg(
             f"snapshot {want} not in table {table} (have {sorted(snaps)})"
         )
     _schema, manifests = avro_io.read_container(
-        _strip_scheme(snaps[want]["manifest-list"])
+        _abs(table, snaps[want]["manifest-list"])
     )
     entries: list[tuple[str, dict]] = []
     for m in manifests:
-        _ms, rows = avro_io.read_container(_strip_scheme(m["manifest_path"]))
+        _ms, rows = avro_io.read_container(_abs(table, m["manifest_path"]))
         for r in rows:
             if r.get("status") == 2:  # DELETED
                 continue
@@ -230,7 +240,7 @@ def read_iceberg(
                 )
             entries.append(
                 (
-                    _strip_scheme(dfile["file_path"]),
+                    _abs(table, dfile["file_path"]),
                     dict(dfile.get("partition") or {}),
                 )
             )
@@ -426,13 +436,14 @@ def write_iceberg(
 
     snapshot_id = len(meta["snapshots"]) + 1
     mdir = _meta_dir(table)
-    manifest_path = os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.avro")
+    manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
+    manifest_path = os.path.join(mdir, manifest_name)
     entries = [
         {
             "status": 1,  # ADDED
             "snapshot_id": snapshot_id,
             "data_file": {
-                "file_path": os.path.join(data_root, f["rel_path"]),
+                "file_path": f"data/{f['rel_path']}",
                 "file_format": "PARQUET",
                 "partition": {
                     c: _typed_partition(
@@ -451,7 +462,7 @@ def write_iceberg(
     )
 
     manifest_entry = {
-        "manifest_path": manifest_path,
+        "manifest_path": f"metadata/{manifest_name}",
         "manifest_length": os.path.getsize(manifest_path),
         "partition_spec_id": 0,
         "added_snapshot_id": snapshot_id,
@@ -463,13 +474,12 @@ def write_iceberg(
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
         _s, prev_manifests = avro_io.read_container(
-            _strip_scheme(cur["manifest-list"])
+            _abs(table, cur["manifest-list"])
         )
     else:
         prev_manifests = []
-    mlist_path = os.path.join(
-        mdir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
-    )
+    mlist_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    mlist_path = os.path.join(mdir, mlist_name)
     avro_io.write_container(
         mlist_path, _MANIFEST_LIST_SCHEMA, prev_manifests + [manifest_entry]
     )
@@ -479,7 +489,7 @@ def write_iceberg(
         {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now_ms,
-            "manifest-list": mlist_path,
+            "manifest-list": f"metadata/{mlist_name}",
             "summary": {"operation": mode},
             "schema-id": 0,
         }

@@ -185,16 +185,21 @@ def test_iceberg_foreign_nonhive_layout_falls_back(spark, tmp_path):
         v = int(fh.read())
     with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
         meta = json.load(fh)
+    from archetype_spark.sources.iceberg import _abs
+
     snap = meta["snapshots"][-1]
-    _s, manifests = avro_io.read_container(snap["manifest-list"])
+    _s, manifests = avro_io.read_container(_abs(t, snap["manifest-list"]))
     for m in manifests:
-        schema, rows = avro_io.read_container(m["manifest_path"])
+        mpath = _abs(t, m["manifest_path"])
+        schema, rows = avro_io.read_container(mpath)
         for r in rows:
-            old = r["data_file"]["file_path"]
+            old = _abs(t, r["data_file"]["file_path"])
             flat = os.path.join(t, "data", os.path.basename(old))
             _sh.move(old, flat)
+            # foreign writers record absolute paths — keep this one
+            # absolute to exercise that resolution branch too
             r["data_file"]["file_path"] = flat
-        avro_io.write_container(m["manifest_path"], schema, rows)
+        avro_io.write_container(mpath, schema, rows)
     got = read_iceberg(spark, t)
     assert _rows(got.select("id", "bucket")) == [(1, 10), (2, 20)]
 
