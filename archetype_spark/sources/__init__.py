@@ -8,8 +8,10 @@ from archetype_spark.sources.delta import (
     write_delta,
 )
 from archetype_spark.sources.iceberg import (
+    expire_snapshots_iceberg,
     read_iceberg,
     snapshots_iceberg,
+    vacuum_iceberg,
     write_iceberg,
 )
 from archetype_spark.sources.io import (
@@ -27,8 +29,10 @@ __all__ = [
     "last_txn_version",
     "merge_delta",
     "read_delta",
+    "expire_snapshots_iceberg",
     "read_iceberg",
     "snapshots_iceberg",
+    "vacuum_iceberg",
     "read_table",
     "write_bucketed_table",
     "streaming_delta_sink",

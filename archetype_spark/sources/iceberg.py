@@ -515,3 +515,84 @@ def write_iceberg(
     with open(tmp, "w") as fh:
         fh.write(str(new_v))
     os.rename(tmp, os.path.join(mdir, "version-hint.text"))
+
+
+# ---------------------------------------------------------------- maintenance
+
+
+def expire_snapshots_iceberg(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest `keep_last` snapshots from the table
+    metadata (returns the expired ids) — the metadata half of
+    retention, published as a new metadata version through the same
+    version-hint commit point. Data files only become deletable once
+    no retained snapshot references them; `vacuum_iceberg` does the
+    physical half."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    table = os.path.abspath(path)
+    meta = _load_metadata(table)
+    snaps = meta.get("snapshots", [])
+    if len(snaps) <= keep_last:
+        return []
+    expired = [s["snapshot-id"] for s in snaps[:-keep_last]]
+    meta["snapshots"] = snaps[-keep_last:]
+    meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] not in expired
+    ]
+    new_v = _current_metadata_version(table) + 1
+    mdir = _meta_dir(table)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, os.path.join(mdir, f"v{new_v}.metadata.json"))
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.rename(tmp, os.path.join(mdir, "version-hint.text"))
+    return expired
+
+
+def vacuum_iceberg(path: str) -> dict:
+    """Physically delete data files and manifests no RETAINED
+    snapshot references (run expire_snapshots_iceberg first to shrink
+    the retained set). Returns {'data_files': n, 'manifests': m}
+    deleted. Time travel to an expired snapshot afterwards fails
+    loudly (unknown snapshot id), never silently wrong."""
+    table = os.path.abspath(path)
+    meta = _load_metadata(table)
+    keep_files: set[str] = set()
+    keep_manifests: set[str] = set()
+    for s in meta.get("snapshots", []):
+        mlist = _abs(table, s["manifest-list"])
+        keep_manifests.add(os.path.normpath(mlist))
+        _s, manifests = avro_io.read_container(mlist)
+        for m in manifests:
+            mpath = _abs(table, m["manifest_path"])
+            keep_manifests.add(os.path.normpath(mpath))
+            _ms, rows = avro_io.read_container(mpath)
+            for r in rows:
+                keep_files.add(
+                    os.path.normpath(_abs(table, r["data_file"]["file_path"]))
+                )
+    deleted = {"data_files": 0, "manifests": 0}
+    data_root = os.path.join(table, "data")
+    for root, dirs, files in os.walk(data_root):
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.normpath(os.path.join(root, name))
+            if p not in keep_files:
+                os.remove(p)
+                deleted["data_files"] += 1
+    mdir = _meta_dir(table)
+    for name in os.listdir(mdir):
+        if not name.endswith(".avro"):
+            continue
+        p = os.path.normpath(os.path.join(mdir, name))
+        if p not in keep_manifests:
+            os.remove(p)
+            deleted["manifests"] += 1
+    return deleted

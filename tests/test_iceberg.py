@@ -220,3 +220,34 @@ def test_iceberg_via_uniform_reader_writer(spark, tmp_path, people):
     )
     with pytest.raises(ValueError, match="unsupported reader args"):
         read_table(spark, t, fmt="iceberg", schema=people.schema)
+
+
+def test_iceberg_expire_vacuum_lifecycle(spark, tmp_path, people):
+    """expire_snapshots -> vacuum: overwritten files become
+    physically deletable once no retained snapshot references them;
+    the current snapshot keeps reading exactly its rows and expired
+    time travel fails loudly."""
+    from archetype_spark.sources import (
+        expire_snapshots_iceberg,
+        vacuum_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(people, t, partition_by=["country"])
+    write_iceberg(
+        spark.createDataFrame([(5, "eve", "fr")], people.schema), t, mode="append"
+    )
+    write_iceberg(
+        spark.createDataFrame([(9, "zoe", "nz")], people.schema),
+        t,
+        mode="overwrite",
+    )
+    old_ids = [s["snapshot-id"] for s in snapshots_iceberg(t)][:2]
+    # nothing to delete yet: the old snapshots still reference the files
+    assert vacuum_iceberg(t)["data_files"] == 0
+    assert expire_snapshots_iceberg(t, keep_last=1) == old_ids
+    got = vacuum_iceberg(t)
+    assert got["data_files"] > 0 and got["manifests"] > 0
+    assert _rows(read_iceberg(spark, t).select("id")) == [(9,)]
+    with pytest.raises(FileNotFoundError):
+        read_iceberg(spark, t, snapshot_id=old_ids[0])
