@@ -489,25 +489,28 @@ def simhash_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
     """
 
 
-def _ensure_delta_documents(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per corpus) the Delta table q104 scans: documents
-    projected to (doc_id, lang, n_chars), partitioned by lang, with a
-    three-commit history — two ingest appends (even then odd doc_ids)
-    and a compaction overwrite of the full set. The overwrite matters:
-    any log-UNAWARE reader (a bare parquet glob) sees every row twice,
-    so matching the oracle proves the snapshot replay, not just the
-    parquet bytes. Freshness keyed on the corpus fingerprint, like the
-    ANN index builders."""
+def _ensure_lake_documents(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> str:
+    """Shared scaffold for the lake-format query fixtures (q104
+    Delta, q105 Iceberg): documents projected to (doc_id, lang,
+    n_chars), built ONCE per corpus by `build(base_df, table_path)`
+    into a dot-prefixed sibling dir and swapped into the slot
+    atomically (the ann_index temp-dir discipline) — a crash
+    mid-build leaves only invisible debris, and a concurrent reader
+    either sees the complete old slot or none at all (the oracle
+    degrades to rows-only, never reads a half-written history).
+    Freshness keyed on the corpus fingerprint, like the ANN index
+    builders; the driver regenerates testdata between rounds."""
     import json as _json
     import shutil as _shutil
-
-    from archetype_spark.sources.delta import write_delta
+    import uuid as _uuid
 
     docs = load(spark, sf_dir, "documents")
-    idx = ann_index.default_index_dir(sf_dir, "delta_documents")
+    idx = ann_index.default_index_dir(sf_dir, kind)
     table = os.path.join(idx, "table")
     expect = {
-        "kind": "delta_documents",
+        "kind": kind,
         "schema": 1,  # (doc_id, lang, n_chars) by lang; bump to rebuild
         "corpus": ann_index.corpus_fingerprint(docs, "doc_id", "text"),
     }
@@ -519,27 +522,15 @@ def _ensure_delta_documents(spark: SparkSession, sf_dir: str) -> str:
                     return table
         except (OSError, ValueError):
             pass
-    # build into a dot-prefixed sibling and swap the slot atomically
-    # (the ann_index temp-dir discipline): a crash mid-build leaves
-    # only invisible debris, and a concurrent reader either sees the
-    # complete old slot or none at all (oracle degrades to rows-only,
-    # never reads a half-written history).
-    import uuid as _uuid
-
     building = os.path.join(
         os.path.dirname(idx), f".building-{_uuid.uuid4().hex}"
     )
     os.makedirs(building, exist_ok=True)
-    btable = os.path.join(building, "table")
     base = docs.select(
         "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
     )
     try:
-        write_delta(
-            base.filter(F.col("doc_id") % 2 == 0), btable, partition_by=["lang"]
-        )
-        write_delta(base.filter(F.col("doc_id") % 2 == 1), btable, mode="append")
-        write_delta(base, btable, mode="overwrite")
+        build(base, os.path.join(building, "table"))
         with open(os.path.join(building, "_build_params.json"), "w") as fh:
             _json.dump(expect, fh)
         _shutil.rmtree(idx, ignore_errors=True)
@@ -548,6 +539,24 @@ def _ensure_delta_documents(spark: SparkSession, sf_dir: str) -> str:
         _shutil.rmtree(building, ignore_errors=True)
         raise
     return table
+
+
+def _ensure_delta_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The Delta table q104 scans: a three-commit history — two
+    ingest appends (even then odd doc_ids) and a compaction overwrite
+    of the full set. The overwrite matters: any log-UNAWARE reader (a
+    bare parquet glob) sees every row twice, so matching the oracle
+    proves the snapshot replay, not just the parquet bytes."""
+    from archetype_spark.sources.delta import write_delta
+
+    def build(base: DataFrame, btable: str) -> None:
+        write_delta(
+            base.filter(F.col("doc_id") % 2 == 0), btable, partition_by=["lang"]
+        )
+        write_delta(base.filter(F.col("doc_id") % 2 == 1), btable, mode="append")
+        write_delta(base, btable, mode="overwrite")
+
+    return _ensure_lake_documents(spark, sf_dir, "delta_documents", build)
 
 
 def q104_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,59 +642,23 @@ def delta_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
 
 
 def _ensure_iceberg_documents(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per corpus) the Iceberg table q105 scans:
-    documents projected to (doc_id, lang, n_chars), partitioned by
-    lang, as TWO append snapshots (even then odd doc_ids) — append-
-    only on purpose: the active file set then equals the data-dir
-    glob, so the DuckDB oracle stays fully independent of this
-    engine's manifest walk (metadata-awareness — overwrite, time
-    travel, deleted entries — is pinned by tests/test_iceberg.py).
-    Same freshness/atomic-swap discipline as _ensure_delta_documents."""
-    import json as _json
-    import shutil as _shutil
-    import uuid as _uuid
-
+    """The Iceberg table q105 scans: TWO append snapshots (even then
+    odd doc_ids) — append-only on purpose: the active file set then
+    equals the data-dir glob, so the DuckDB oracle stays fully
+    independent of this engine's manifest walk (metadata-awareness —
+    overwrite, time travel, deleted entries — is pinned by
+    tests/test_iceberg.py)."""
     from archetype_spark.sources.iceberg import write_iceberg
 
-    docs = load(spark, sf_dir, "documents")
-    idx = ann_index.default_index_dir(sf_dir, "iceberg_documents")
-    table = os.path.join(idx, "table")
-    expect = {
-        "kind": "iceberg_documents",
-        "schema": 1,
-        "corpus": ann_index.corpus_fingerprint(docs, "doc_id", "text"),
-    }
-    pfile = os.path.join(idx, "_build_params.json")
-    if os.path.exists(pfile):
-        try:
-            with open(pfile) as fh:
-                if _json.load(fh) == expect:
-                    return table
-        except (OSError, ValueError):
-            pass
-    building = os.path.join(
-        os.path.dirname(idx), f".building-{_uuid.uuid4().hex}"
-    )
-    os.makedirs(building, exist_ok=True)
-    btable = os.path.join(building, "table")
-    base = docs.select(
-        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
-    )
-    try:
+    def build(base: DataFrame, btable: str) -> None:
         write_iceberg(
             base.filter(F.col("doc_id") % 2 == 0), btable, partition_by=["lang"]
         )
         write_iceberg(
             base.filter(F.col("doc_id") % 2 == 1), btable, mode="append"
         )
-        with open(os.path.join(building, "_build_params.json"), "w") as fh:
-            _json.dump(expect, fh)
-        _shutil.rmtree(idx, ignore_errors=True)
-        os.rename(building, idx)
-    except BaseException:
-        _shutil.rmtree(building, ignore_errors=True)
-        raise
-    return table
+
+    return _ensure_lake_documents(spark, sf_dir, "iceberg_documents", build)
 
 
 def q105_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

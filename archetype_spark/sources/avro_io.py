@@ -96,7 +96,10 @@ def _decode(schema, buf: io.BytesIO, names: dict):
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated boolean")
+        return b == b"\x01"
     if t in ("int", "long"):
         return _read_long(buf)
     if t == "float":
@@ -109,7 +112,10 @@ def _decode(schema, buf: io.BytesIO, names: dict):
         return _read_bytes(buf).decode("utf-8")
     if t == "fixed":
         _register(schema, names)
-        return buf.read(schema["size"])
+        data = buf.read(schema["size"])
+        if len(data) != schema["size"]:
+            raise EOFError("truncated fixed")
+        return data
     if t == "enum":
         _register(schema, names)
         return schema["symbols"][_read_long(buf)]

@@ -150,6 +150,41 @@ def _ice_schema_to_spark(ice: dict) -> StructType:
     return StructType(fields)
 
 
+def _current_ice_schema(meta: dict) -> dict:
+    """The schema the CURRENT snapshot declares — v2-style `schemas`
+    list resolved by current-schema-id when present (foreign v1
+    writers may have evolved schemas), else the v1 `schema` field.
+    Reader and writer both resolve through here so an evolved table
+    can never be validated against a stale schema."""
+    if "schemas" in meta:
+        want = meta.get("current-schema-id", 0)
+        return next(s for s in meta["schemas"] if s["schema-id"] == want)
+    return meta["schema"]
+
+
+def _publish_metadata(table: str, meta: dict) -> int:
+    """Publish `meta` as the next metadata version: guarded against
+    concurrent writers (FileExistsError, same contract as commits),
+    then the version-hint rename as the commit point."""
+    new_v = (_current_metadata_version(table) or 0) + 1
+    mdir = _meta_dir(table)
+    mfile = os.path.join(mdir, f"v{new_v}.metadata.json")
+    if os.path.exists(mfile):
+        raise FileExistsError(
+            f"Iceberg metadata v{new_v} already exists (concurrent "
+            f"writer?): {mfile}"
+        )
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, mfile)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.rename(tmp, os.path.join(mdir, "version-hint.text"))
+    return new_v
+
+
 def _spec_part_cols(meta: dict) -> list[str]:
     specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
     spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
@@ -202,15 +237,7 @@ def read_iceberg(
     time travel) without any connector jar — module docstring."""
     table = os.path.abspath(path)
     meta = _load_metadata(table)
-    schema = _ice_schema_to_spark(
-        next(
-            s
-            for s in meta["schemas"]
-            if s["schema-id"] == meta["current-schema-id"]
-        )
-        if "schemas" in meta
-        else meta["schema"]
-    )
+    schema = _ice_schema_to_spark(_current_ice_schema(meta))
     part_cols = _spec_part_cols(meta)
     want = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -309,7 +336,16 @@ _MANIFEST_LIST_SCHEMA = {
 def _typed_partition(raw: str | None, ice_type: str):
     if raw is None:
         return None
-    if ice_type in ("long", "int", "date"):
+    if ice_type == "date":
+        # hive dirs carry '2024-01-01', the manifest struct wants a
+        # day ordinal — creation blocks date partitions; appends to a
+        # foreign date-partitioned table refuse rather than crash
+        # mid-commit on int('2024-01-01')
+        raise NotImplementedError(
+            "date identity partitions are not supported by the "
+            "protocol-native writer"
+        )
+    if ice_type in ("long", "int"):
         return int(raw)
     if ice_type == "double" or ice_type == "float":
         return float(raw)
@@ -400,7 +436,6 @@ def write_iceberg(
             "snapshots": [],
             "snapshot-log": [],
         }
-        new_v = 1
     else:
         meta = _load_metadata(table)
         logged = _spec_part_cols(meta)
@@ -409,9 +444,7 @@ def write_iceberg(
                 f"partition_by {part_cols} != table partitioning {logged}"
             )
         part_cols = logged
-        logged_schema = _ice_schema_to_spark(
-            meta["schemas"][0] if "schemas" in meta else meta["schema"]
-        )
+        logged_schema = _ice_schema_to_spark(_current_ice_schema(meta))
         have = sorted(
             (f.name, f.dataType.simpleString()) for f in df.schema.fields
         )
@@ -423,18 +456,19 @@ def write_iceberg(
                 f"schema mismatch vs table {table}: writing "
                 f"{df.schema.simpleString()} into {logged_schema.simpleString()}"
             )
-        new_v = prev_v + 1
 
     ice_types = {
-        f["name"]: f["type"]
-        for f in (meta["schemas"][0] if "schemas" in meta else meta["schema"])[
-            "fields"
-        ]
+        f["name"]: f["type"] for f in _current_ice_schema(meta)["fields"]
     }
     data_root = os.path.join(table, "data")
     staged = _stage_data_files(df, data_root, part_cols)
 
-    snapshot_id = len(meta["snapshots"]) + 1
+    # max+1, NOT count+1: after expire_snapshots a count-based id
+    # would collide with a retained snapshot (silent data loss via
+    # shadowed ids)
+    snapshot_id = (
+        max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
+    )
     mdir = _meta_dir(table)
     manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
     manifest_path = os.path.join(mdir, manifest_name)
@@ -500,21 +534,7 @@ def write_iceberg(
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = now_ms
 
-    mfile = os.path.join(mdir, f"v{new_v}.metadata.json")
-    if os.path.exists(mfile):
-        raise FileExistsError(
-            f"Iceberg metadata v{new_v} already exists (concurrent "
-            f"writer?): {mfile}"
-        )
-    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.rename(tmp, mfile)
-    # version-hint rename is the commit point
-    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(str(new_v))
-    os.rename(tmp, os.path.join(mdir, "version-hint.text"))
+    _publish_metadata(table, meta)
 
 
 # ---------------------------------------------------------------- maintenance
@@ -541,16 +561,7 @@ def expire_snapshots_iceberg(path: str, keep_last: int = 1) -> list[int]:
         for e in meta.get("snapshot-log", [])
         if e["snapshot-id"] not in expired
     ]
-    new_v = _current_metadata_version(table) + 1
-    mdir = _meta_dir(table)
-    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.rename(tmp, os.path.join(mdir, f"v{new_v}.metadata.json"))
-    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(str(new_v))
-    os.rename(tmp, os.path.join(mdir, "version-hint.text"))
+    _publish_metadata(table, meta)
     return expired
 
 

@@ -251,3 +251,23 @@ def test_iceberg_expire_vacuum_lifecycle(spark, tmp_path, people):
     assert _rows(read_iceberg(spark, t).select("id")) == [(9,)]
     with pytest.raises(FileNotFoundError):
         read_iceberg(spark, t, snapshot_id=old_ids[0])
+
+
+def test_iceberg_snapshot_ids_never_collide_after_expiry(spark, tmp_path, people):
+    """Review late-r8: snapshot ids are max+1, not count+1 — after
+    expiry a count-based id would shadow a retained snapshot and
+    silently drop the intervening files from the current snapshot."""
+    from archetype_spark.sources import expire_snapshots_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    one = spark.createDataFrame([(5, "eve", "fr")], people.schema)
+    write_iceberg(one, t, mode="append")
+    write_iceberg(one, t, mode="append")  # ids 1,2,3
+    expire_snapshots_iceberg(t, keep_last=1)  # retained: [3]
+    write_iceberg(one, t, mode="append")  # must get id 4, not 2
+    write_iceberg(one, t, mode="append")  # must get id 5, not 3
+    ids = [s["snapshot-id"] for s in snapshots_iceberg(t)]
+    assert ids == [3, 4, 5]
+    # no rows lost: 4 original + 4 appended singles
+    assert read_iceberg(spark, t).count() == 8
