@@ -477,7 +477,10 @@ def last_txn_version(path: str, app_id: str) -> int | None:
 
 
 def streaming_delta_sink(
-    path: str, app_id: str, partition_by: Sequence[str] | None = None
+    path: str,
+    app_id: str,
+    partition_by: Sequence[str] | None = None,
+    checkpoint_every: int | None = None,
 ):
     """`foreachBatch` body for an exactly-once streaming Delta sink:
     one Delta commit per micro-batch, stamped with the protocol's
@@ -505,6 +508,12 @@ def streaming_delta_sink(
             partition_by=partition_by,
             txn=(app_id, batch_id),
         )
+        # `checkpoint_every` bounds the per-batch replay cost for a
+        # long-running stream: without it the sink's idempotence check
+        # replays O(commits) JSON per batch — O(commits^2) over the
+        # stream's life; a checkpoint every K batches caps it at O(K).
+        if checkpoint_every and (batch_id + 1) % checkpoint_every == 0:
+            checkpoint_delta(path)
 
     return sink
 

@@ -247,7 +247,7 @@ def test_delta_streaming_sink_exactly_once(spark, tmp_path, people):
             str(src / f"b{i}")
         )
     t = str(tmp_path / "t")
-    sink = streaming_delta_sink(t, app_id="curation-v1")
+    sink = streaming_delta_sink(t, app_id="curation-v1", checkpoint_every=2)
     stream = (
         spark.readStream.schema(people.schema)
         .option("maxFilesPerTrigger", 1)
