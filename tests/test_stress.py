@@ -305,3 +305,54 @@ def test_stress_streaming_curation(spark, stress_docs, tmp_path):
     gs = {r["fingerprint"] for r in got.select("fingerprint").collect()}
     ws = {r["fingerprint"] for r in want.select("fingerprint").collect()}
     assert gs == ws and len(gs) > 1000
+
+
+def test_stress_delta_many_commit_log(spark, stress_docs, tmp_path):
+    """Lake-backend headroom: 50k docs land as a Delta table through
+    12 commits (10 ingest appends + compaction overwrite + one more
+    append), a checkpoint, and a vacuum. Snapshot resolution stays
+    driver-side metadata work; the scan reads exactly the active
+    files (a log-unaware glob would see every row twice after the
+    compaction rewrite — until vacuum physically removes them)."""
+    import time
+
+    from archetype_spark.sources import (
+        checkpoint_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    n = base.count()
+    for i in range(10):  # one ingest commit per 10x copy band
+        write_delta(
+            base.filter((F.col("doc_id") / 1_000_000).cast("int") == i),
+            t,
+            mode="append" if i else "append",
+            partition_by=["lang"] if i == 0 else None,
+        )
+    write_delta(base, t, mode="overwrite")  # compaction rewrite
+    write_delta(base.limit(0), t, mode="append")  # v11: empty commit
+    checkpoint_delta(t)
+    start = time.time()
+    got = read_delta(spark, t)
+    resolve_s = time.time() - start  # plan/metadata only, pre-action
+    assert resolve_s < 2.0, f"snapshot resolution took {resolve_s:.2f}s"
+    assert got.count() == n
+    # time travel to the first ingest band (before vacuum removes it)
+    assert read_delta(spark, t, version=0).count() == base.filter(
+        (F.col("doc_id") / 1_000_000).cast("int") == 0
+    ).count()
+    # vacuum drops the pre-compaction files; current rows unchanged,
+    # and the vacuumed time travel now fails LOUDLY at execution
+    deleted = vacuum_delta(t)
+    assert deleted["data_files"] > 0
+    assert read_delta(spark, t).count() == n
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        read_delta(spark, t, version=0).count()
