@@ -271,3 +271,78 @@ def test_iceberg_snapshot_ids_never_collide_after_expiry(spark, tmp_path, people
     assert ids == [3, 4, 5]
     # no rows lost: 4 original + 4 appended singles
     assert read_iceberg(spark, t).count() == 8
+
+
+def test_avro_random_schema_roundtrip_fuzz(tmp_path):
+    """Seeded fuzz (repo parity-fuzz style): random record schemas
+    over the supported type algebra — primitives, nullable unions,
+    arrays, maps, one level of nested record — round-trip exactly
+    through both codecs."""
+    import random
+
+    rng = random.Random(20260814)
+    PRIMS = ["string", "long", "int", "double", "boolean", "bytes"]
+
+    def rand_value(t):
+        if isinstance(t, list):  # nullable union
+            return None if rng.random() < 0.3 else rand_value(t[1])
+        if isinstance(t, dict):
+            if t["type"] == "array":
+                return [rand_value(t["items"]) for _ in range(rng.randrange(4))]
+            if t["type"] == "map":
+                return {
+                    f"k{i}": rand_value(t["values"])
+                    for i in range(rng.randrange(4))
+                }
+            if t["type"] == "record":
+                return {f["name"]: rand_value(f["type"]) for f in t["fields"]}
+        if t == "string":
+            return "".join(
+                rng.choice("abc é漢") for _ in range(rng.randrange(12))
+            )
+        if t == "long":
+            return rng.randrange(-(2**62), 2**62)
+        if t == "int":
+            return rng.randrange(-(2**31), 2**31)
+        if t == "double":
+            return rng.choice([0.0, -1.5, 1e300, -1e-300, 12345.6789])
+        if t == "boolean":
+            return rng.random() < 0.5
+        if t == "bytes":
+            return bytes(rng.randrange(256) for _ in range(rng.randrange(8)))
+        raise AssertionError(t)
+
+    def rand_field_type(depth):
+        roll = rng.random()
+        if roll < 0.45:
+            return rng.choice(PRIMS)
+        if roll < 0.6:
+            return ["null", rng.choice(PRIMS)]
+        if roll < 0.75:
+            return {"type": "array", "items": rng.choice(PRIMS)}
+        if roll < 0.9 or depth > 0:
+            return {"type": "map", "values": rng.choice(PRIMS)}
+        return {
+            "type": "record",
+            "name": f"nested{rng.randrange(10**6)}",
+            "fields": [
+                {"name": f"g{i}", "type": rand_field_type(depth + 1)}
+                for i in range(1 + rng.randrange(3))
+            ],
+        }
+
+    for trial in range(25):
+        schema = {
+            "type": "record",
+            "name": f"fuzz{trial}",
+            "fields": [
+                {"name": f"f{i}", "type": rand_field_type(0)}
+                for i in range(1 + rng.randrange(6))
+            ],
+        }
+        recs = [rand_value(schema) for _ in range(rng.randrange(1, 8))]
+        codec = rng.choice(["null", "deflate"])
+        p = str(tmp_path / f"fz{trial}.avro")
+        avro_io.write_container(p, schema, recs, codec=codec)
+        _s, got = avro_io.read_container(p)
+        assert got == recs, f"trial {trial} ({codec}): {got} != {recs}"
