@@ -8,8 +8,8 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Query implementations live in archetype_spark/queries/ (relational
 corpus Q01-Q28, north-star q29-q49, ECS/temporal/streaming q50-q52 +
 q45-q47, extended surface q53-q83, curation tier q84-q99 + q102-q103,
-sources q100/q104/q105 (binaryFile ingest; Delta-log and
-Iceberg-manifest snapshot scans),
+sources q100/q104-q106 (binaryFile ingest; Delta-log and
+Iceberg-manifest snapshot scans; Delta MERGE INTO),
 index-tier q101); oracles are colocated with each query module.
 """
 

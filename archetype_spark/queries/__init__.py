@@ -128,7 +128,9 @@ _MODULES = (
 #       r7; the containment family keeps q98's driver row). q105
 #       (protocol-native Iceberg scan, glob oracle over the same
 #       hive-partitioned data) pins late-r8, deferring q82 (green
-#       r7; the packing family keeps q93's driver row).
+#       r7; the packing family keeps q93's driver row). q106 (Delta
+#       MERGE INTO face; pure-SQL oracle over the source views) pins
+#       late-r8, deferring q85 (green r7; projections keep q91).
 #   r9 plan (write the actual rotation AFTER CORRECTNESS_r08 lands):
 #       assuming the 29 r8 pins go green, unpin them into the plain
 #       gated block and PIN the longest-deferred entries — the
@@ -176,6 +178,7 @@ _PINNED: tuple[str, ...] = (
     "q103_quality_tiers",
     "q104_delta_scan",
     "q105_iceberg_scan",
+    "q106_delta_merge_upsert",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -239,6 +242,9 @@ _DEFERRED: frozenset[str] = frozenset(
         # deferred late-r8 for q105's pin (packing family keeps q93
         # in-window; q82 green r7, locally hash-checked every run):
         "q82_exact_pack",
+        # deferred late-r8 for q106's pin (projection family keeps
+        # q91 sign-code in-window; q85 green r7, locally checked):
+        "q85_random_projection",
     }
 )
 
