@@ -9,6 +9,7 @@ from archetype_spark.sources.delta import (
 )
 from archetype_spark.sources.iceberg import (
     expire_snapshots_iceberg,
+    merge_iceberg,
     read_iceberg,
     snapshots_iceberg,
     vacuum_iceberg,
@@ -28,6 +29,7 @@ __all__ = [
     "checkpoint_delta",
     "last_txn_version",
     "merge_delta",
+    "merge_iceberg",
     "read_delta",
     "expire_snapshots_iceberg",
     "read_iceberg",

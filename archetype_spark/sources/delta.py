@@ -538,6 +538,22 @@ def merge_delta(
     Shape at scale: one shuffle (the key join) + a copy-on-write
     rewrite, same as merge_table; for high-frequency small upserts
     prefer append + latest-wins resolution (ECS store pattern)."""
+    merged = resolve_merge(
+        read_delta(spark, path), updates, keys, when_matched, when_not_matched
+    )
+    write_delta(merged, path, mode="overwrite")
+
+
+def resolve_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> DataFrame:
+    """The format-neutral MERGE resolution (update/delete/ignore ×
+    insert/ignore per key) — shared by merge_delta, merge_iceberg,
+    and usable on any pair of frames. One shuffle (the key join)."""
     if when_matched not in ("update", "delete", "ignore"):
         raise ValueError(
             f"when_matched must be update/delete/ignore, got {when_matched!r}"
@@ -547,13 +563,10 @@ def merge_delta(
             f"when_not_matched must be insert/ignore, got {when_not_matched!r}"
         )
     keys = list(keys)
-    target = read_delta(spark, path)
-
     if when_matched == "ignore":
         kept = target
     else:  # update/delete both drop matched target rows here
         kept = target.join(updates.select(*keys), keys, "left_anti")
-
     parts = [kept]
     if when_matched == "update":
         matched = updates.join(target.select(*keys), keys, "left_semi")
@@ -564,7 +577,7 @@ def merge_delta(
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    write_delta(merged, path, mode="overwrite")
+    return merged
 
 
 # ---------------------------------------------------------------- maintenance

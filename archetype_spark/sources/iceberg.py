@@ -607,3 +607,25 @@ def vacuum_iceberg(path: str) -> dict:
             os.remove(p)
             deleted["manifests"] += 1
     return deleted
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> None:
+    """MERGE INTO for Iceberg tables — the shared format-neutral
+    resolution (sources.delta.resolve_merge) landed as one overwrite
+    snapshot: data files are never physically touched, readers keep
+    resolving the old snapshot until the version-hint rename, and the
+    pre-merge state stays reachable via snapshot time travel (until
+    expire+vacuum)."""
+    from archetype_spark.sources.delta import resolve_merge
+
+    merged = resolve_merge(
+        read_iceberg(spark, path), updates, keys, when_matched, when_not_matched
+    )
+    write_iceberg(merged, path, mode="overwrite")

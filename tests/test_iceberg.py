@@ -346,3 +346,23 @@ def test_avro_random_schema_roundtrip_fuzz(tmp_path):
         avro_io.write_container(p, schema, recs, codec=codec)
         _s, got = avro_io.read_container(p)
         assert got == recs, f"trial {trial} ({codec}): {got} != {recs}"
+
+
+def test_iceberg_merge_upsert_and_time_travel(spark, tmp_path, people):
+    """merge_iceberg: the shared MERGE resolution as one overwrite
+    snapshot; the pre-merge snapshot stays time-travelable."""
+    from archetype_spark.sources import merge_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    ups = spark.createDataFrame(
+        [(2, "bobby", "uk"), (9, "zoe", "nz")], people.schema
+    )
+    merge_iceberg(spark, t, ups, keys=["id"])
+    got = {r["id"]: (r["name"], r["country"]) for r in read_iceberg(spark, t).collect()}
+    assert got[2] == ("bobby", "uk") and got[9] == ("zoe", "nz")
+    assert len(got) == 5 and got[1] == ("ann", "us")
+    first = snapshots_iceberg(t)[0]["snapshot-id"]
+    assert {
+        r["id"] for r in read_iceberg(spark, t, snapshot_id=first).collect()
+    } == {1, 2, 3, 4}
