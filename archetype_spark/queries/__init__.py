@@ -131,85 +131,86 @@ _MODULES = (
 #       r7; the packing family keeps q93's driver row). q106 (Delta
 #       MERGE INTO face; pure-SQL oracle over the source views) pins
 #       late-r8, deferring q85 (green r7; projections keep q91).
-#   r9 plan (write the actual rotation AFTER CORRECTNESS_r08 lands):
-#       assuming the 29 r8 pins go green, unpin them into the plain
-#       gated block and PIN the longest-deferred entries — the
-#       "carried over" block below (q24-q26, q28, q36/q37/q39,
-#       q42-q49, q51-q53, q62-q64, q67 — no driver row since r5/r6).
-#       In exchange defer the freshly-green r8 basics (q01-q16,
-#       q29-q35, q38) and enough single-green r7 mid-tier entries
-#       (q80+) to stay at 50; keep q99-q104 (single-green r8,
-#       q104 = the Delta-log scan whose oracle replays the same log)
-#       and the index-oracle queries in-window. q90 joined the
-#       deferred set late-r8 (q104's window slot; containment family
-#       driver-covered via q98).
+#   r9: CORRECTNESS_r08 landed 50/50 green (all 32 r8 pins got
+#       driver rows), so execute the sketched rotation: PIN the
+#       longest-deferred entries — the carried-over block (q24-q26,
+#       q28, q36/q37/q39, q42-q49, q51-q53, q62-q64, q67 — no
+#       driver row since r5/r6) plus the two index-oracle queries
+#       deferred in r8 (q61/q77 — their oracles read the persisted
+#       index, so driver freshness matters most). In exchange defer
+#       the 24 freshly-green r8 basics (q01-q16, q29-q35, q38).
+#       Still in-window un-pinned: the single-green r7/r8 mid-tier
+#       (q65, q72, q80-q106 minus deferrals). Net: 24 pins + 26
+#       gated = 50 exactly. New r9 queries pin as they land, each
+#       deferring one more double-green entry (q80+ are green
+#       r7 AND r8 — the deferral pool is refilled). Mid-r9: q107
+#       (incremental Delta changes read, log-replay oracle) and
+#       q108 (Delta+Iceberg+parquet federation, three-source
+#       oracle) pin for first driver rows, deferring q80/q81
+#       (green r7 AND r8; the text-cleaning family keeps q95's
+#       composed pipeline in-window).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
-    "q01_scan_filter_project",
-    "q02_in_list",
-    "q03_compound_predicate",
-    "q04_computed_columns",
-    "q05_inner_join",
-    "q06_multiway_join",
-    "q07_left_join",
-    "q08_semi_join",
-    "q09_anti_join",
-    "q10_cross_join",
-    "q11_global_agg",
-    "q12_grouped_agg",
-    "q13_count_distinct",
-    "q14_having",
-    "q15_rollup",
-    "q16_topk",
-    "q29_exact_dedup",
-    "q30_cosine_topk",
-    "q31_json_extract",
-    "q32_pivot",
-    "q33_hash_dedup",
-    "q34_token_stats",
-    "q35_doc_quality",
-    "q38_lang_id",
-    "q99_stream_curation_face",
-    "q100_binary_ingest",
-    "q101_simhash_fast",
-    "q102_dsir_importance",
-    "q103_quality_tiers",
-    "q104_delta_scan",
-    "q105_iceberg_scan",
-    "q106_delta_merge_upsert",
+    "q24_latest_state",
+    "q25_union",
+    "q26_set_ops",
+    "q28_time_bucket",
+    "q36_ngram_jaccard",
+    "q37_embedding_dups",
+    "q39_top_tokens",
+    "q42_lsh_topk",
+    "q43_media_decode",
+    "q44_fingerprints",
+    "q45_tumbling_window",
+    "q46_sliding_window",
+    "q47_session_window",
+    "q48_media_resize",
+    "q49_frame_sample",
+    "q51_asof_join",
+    "q52_range_join",
+    "q53_cube",
+    "q61_ivf_topk",
+    "q62_url_fetch",
+    "q63_tf_idf",
+    "q64_ingest_dedup",
+    "q67_training_mix",
+    "q77_filtered_ivf_topk",
+    "q107_delta_changes",
+    "q108_lake_federation",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
-        # carried over (still deferred; all locally hash-checked):
-        "q24_latest_state",
-        "q25_union",
-        "q26_set_ops",
-        "q28_time_bucket",
-        "q36_ngram_jaccard",
-        "q37_embedding_dups",
-        "q39_top_tokens",
-        "q42_lsh_topk",
-        "q43_media_decode",
-        "q44_fingerprints",
-        "q45_tumbling_window",
-        "q46_sliding_window",
-        "q47_session_window",
-        "q48_media_resize",
-        "q49_frame_sample",
-        "q51_asof_join",
-        "q52_range_join",
-        "q53_cube",
-        "q62_url_fetch",
-        "q63_tf_idf",
-        "q64_ingest_dedup",
-        "q67_training_mix",
-        # newly deferred r8 (multi-green: r1-r2 + r7, or r6 + r7):
+        # newly deferred r9 (fresh-green r8; relational/agg core
+        # re-verified against the current parquet in r8):
+        "q01_scan_filter_project",
+        "q02_in_list",
+        "q03_compound_predicate",
+        "q04_computed_columns",
+        "q05_inner_join",
+        "q06_multiway_join",
+        "q07_left_join",
+        "q08_semi_join",
+        "q09_anti_join",
+        "q10_cross_join",
+        "q11_global_agg",
+        "q12_grouped_agg",
+        "q13_count_distinct",
+        "q14_having",
+        "q15_rollup",
+        "q16_topk",
+        "q29_exact_dedup",
+        "q30_cosine_topk",
+        "q31_json_extract",
+        "q32_pivot",
+        "q33_hash_dedup",
+        "q34_token_stats",
+        "q35_doc_quality",
+        "q38_lang_id",
+        # carried over from r8 (multi-green; locally hash-checked):
         "q41_simhash_pairs",
         "q50_ecs_tsim",
-        "q61_ivf_topk",
-        "q77_filtered_ivf_topk",
         "q66_dedup_clusters",
         "q17_string_fns",
         "q18_date_fns",
@@ -245,6 +246,10 @@ _DEFERRED: frozenset[str] = frozenset(
         # deferred late-r8 for q106's pin (projection family keeps
         # q91 sign-code in-window; q85 green r7, locally checked):
         "q85_random_projection",
+        # deferred mid-r9 for the q107/q108 pins (green r7 AND r8;
+        # the cleaning family keeps q95 in-window):
+        "q80_boilerplate_lines",
+        "q81_pii_scrub",
     }
 )
 
@@ -307,4 +312,10 @@ def all_oracles(
     ib = northstar.iceberg_oracle(d, require_live_index=require_live_index)
     if ib is not None:
         o["q105_iceberg_scan"] = ib
+    dc = northstar.delta_changes_oracle(d, require_live_index=require_live_index)
+    if dc is not None:
+        o["q107_delta_changes"] = dc
+    fed = northstar.federation_oracle(d, require_live_index=require_live_index)
+    if fed is not None:
+        o["q108_lake_federation"] = fed
     return o

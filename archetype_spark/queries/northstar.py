@@ -535,8 +535,19 @@ def _ensure_lake_documents(
         build(base, os.path.join(building, "table"))
         with open(os.path.join(building, "_build_params.json"), "w") as fh:
             _json.dump(expect, fh)
-        _shutil.rmtree(idx, ignore_errors=True)
+        # rename the stale slot ASIDE before renaming the new one in
+        # (the _write_index discipline): rmtree-then-rename would open
+        # a window with NO slot at all, breaking the 'complete old
+        # slot or none' contract for a concurrent reader mid-rebuild
+        old = None
+        if os.path.lexists(idx):
+            old = os.path.join(
+                os.path.dirname(idx), f".old-{_uuid.uuid4().hex}"
+            )
+            os.rename(idx, old)
         os.rename(building, idx)
+        if old is not None:
+            _shutil.rmtree(old, ignore_errors=True)
     except BaseException:
         _shutil.rmtree(building, ignore_errors=True)
         raise
@@ -703,6 +714,167 @@ def iceberg_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
         FROM read_parquet('{table}/data/*/*.parquet', hive_partitioning=1)
         GROUP BY lang
     """
+
+
+def q107_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-style) consumption of a Delta log: per-lang
+    aggregates of the rows each commit ADDED, over versions 1..2 of
+    the q104 fixture (v1 = the odd-doc ingest batch, v2 = the
+    compaction overwrite's full rewrite). This is the O(new data)
+    path an incremental 100 TB pipeline runs instead of re-reading
+    the table per batch — read_delta_changes resolves only the
+    files the requested commits added. The oracle replays the same
+    log in DuckDB, versioning files by their commit filename."""
+    from archetype_spark.sources.delta import read_delta_changes
+
+    table = _ensure_delta_documents(spark, sf_dir)
+    return (
+        read_delta_changes(spark, table, 1, 2)
+        .groupBy(
+            F.col("_commit_version").alias("commit_version"), F.col("lang")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("commit_version", "lang", "n_docs", "sum_chars")
+    )
+
+
+def delta_changes_oracle(
+    sf_dir: str, require_live_index: bool = True
+) -> str | None:
+    """DuckDB replay of q107's incremental read: adds tagged with the
+    version parsed from their commit filename, filtered to 1..2 and
+    joined to the filename-tagged parquet glob. Static per sf_dir (no
+    build-time file list), like delta_oracle."""
+    table = os.path.join(
+        ann_index.default_index_dir(sf_dir, "delta_documents"), "table"
+    )
+    if require_live_index and not os.path.isdir(
+        os.path.join(table, "_delta_log")
+    ):
+        return None
+    sql = """
+        WITH log AS (
+          SELECT "add", filename
+          FROM read_json_auto('{table}/_delta_log/*.json',
+                              format='newline_delimited', filename=1)
+        ),
+        adds AS (
+          SELECT "add".path AS path,
+                 CAST(regexp_extract(filename, '([0-9]{20})[.]json', 1)
+                      AS BIGINT) AS commit_version
+          FROM log
+          WHERE "add" IS NOT NULL AND "add".path IS NOT NULL
+        ),
+        raw AS (
+          SELECT lang, n_chars, replace(filename, '{table}/', '') AS rel
+          FROM read_parquet('{table}/*/*.parquet',
+                            hive_partitioning=1, filename=1)
+        )
+        SELECT commit_version, lang, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM raw JOIN adds ON raw.rel = adds.path
+        WHERE commit_version BETWEEN 1 AND 2
+        GROUP BY commit_version, lang
+    """
+    return sql.replace("{table}", table)
+
+
+def q108_lake_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format federation in ONE Catalyst plan: per-lang
+    aggregates from the protocol-native Delta snapshot, the
+    protocol-native Iceberg snapshot, and the raw parquet corpus,
+    three-way joined on lang. All three resolve the same documents
+    projection through different metadata machinery, so equal counts
+    per row are the cross-format consistency proof; the join sides
+    are aggregate-tiny and explicitly broadcast (no shuffle join at
+    any corpus scale)."""
+    from archetype_spark.sources.delta import read_delta
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    dt = _ensure_delta_documents(spark, sf_dir)
+    it = _ensure_iceberg_documents(spark, sf_dir)
+    d = (
+        read_delta(spark, dt)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("delta_docs"),
+            F.sum("n_chars").cast("bigint").alias("delta_chars"),
+        )
+    )
+    i = (
+        read_iceberg(spark, it)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("iceberg_docs"))
+    )
+    p = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("raw_docs"))
+    )
+    return (
+        d.join(F.broadcast(i), "lang")
+        .join(F.broadcast(p), "lang")
+        .select("lang", "delta_docs", "delta_chars", "iceberg_docs", "raw_docs")
+    )
+
+
+def federation_oracle(
+    sf_dir: str, require_live_index: bool = True
+) -> str | None:
+    """The three-source federation recomputed in DuckDB: Delta active
+    set via log replay, Iceberg via the append-only data glob, raw
+    from the registered documents view — joined on lang."""
+    dt = os.path.join(
+        ann_index.default_index_dir(sf_dir, "delta_documents"), "table"
+    )
+    it = os.path.join(
+        ann_index.default_index_dir(sf_dir, "iceberg_documents"), "table"
+    )
+    if require_live_index and not (
+        os.path.isdir(os.path.join(dt, "_delta_log"))
+        and os.path.isdir(os.path.join(it, "metadata"))
+    ):
+        return None
+    sql = """
+        WITH log AS (
+          SELECT "add", "remove"
+          FROM read_json_auto('{dt}/_delta_log/*.json',
+                              format='newline_delimited')
+        ),
+        active AS (
+          SELECT "add".path AS path FROM log
+          WHERE "add" IS NOT NULL AND "add".path IS NOT NULL
+            AND "add".path NOT IN (
+              SELECT "remove".path FROM log
+              WHERE "remove" IS NOT NULL AND "remove".path IS NOT NULL
+            )
+        ),
+        d AS (
+          SELECT lang, count(*)::BIGINT AS delta_docs,
+                 sum(n_chars)::BIGINT AS delta_chars
+          FROM (
+            SELECT lang, n_chars, replace(filename, '{dt}/', '') AS rel
+            FROM read_parquet('{dt}/*/*.parquet',
+                              hive_partitioning=1, filename=1)
+          ) raw JOIN active ON raw.rel = active.path
+          GROUP BY lang
+        ),
+        i AS (
+          SELECT lang, count(*)::BIGINT AS iceberg_docs
+          FROM read_parquet('{it}/data/*/*.parquet', hive_partitioning=1)
+          GROUP BY lang
+        ),
+        p AS (
+          SELECT lang, count(*)::BIGINT AS raw_docs
+          FROM documents GROUP BY lang
+        )
+        SELECT d.lang, delta_docs, delta_chars, iceberg_docs, raw_docs
+        FROM d JOIN i ON d.lang = i.lang JOIN p ON d.lang = p.lang
+    """
+    return sql.replace("{dt}", dt).replace("{it}", it)
 
 
 def _ensure_delta_merged(spark: SparkSession, sf_dir: str) -> str:
@@ -1293,6 +1465,8 @@ QUERIES = {
     "q104_delta_scan": q104_delta_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
+    "q107_delta_changes": q107_delta_changes,
+    "q108_lake_federation": q108_lake_federation,
 }
 
 _STOPWORD_VALUES = ", ".join(

@@ -3,6 +3,7 @@ from archetype_spark.sources.delta import (
     last_txn_version,
     merge_delta,
     read_delta,
+    read_delta_changes,
     streaming_delta_sink,
     vacuum_delta,
     write_delta,
@@ -31,6 +32,7 @@ __all__ = [
     "merge_delta",
     "merge_iceberg",
     "read_delta",
+    "read_delta_changes",
     "expire_snapshots_iceberg",
     "read_iceberg",
     "snapshots_iceberg",

@@ -164,18 +164,57 @@ def _register(schema: dict, names: dict) -> None:
             names[f"{ns}.{name}"] = schema
 
 
+#: Python-type → acceptable Avro kinds, in preference order. bool is
+#: checked before int (bool subclasses int); ints prefer the integral
+#: branches and only widen to float/double when no integral branch
+#: exists (["null","double"] unions), never silently when a long
+#: branch is present.
+_UNION_KINDS: tuple[tuple[type, tuple[str, ...]], ...] = (
+    (bool, ("boolean",)),
+    (int, ("long", "int", "double", "float")),
+    (float, ("double", "float")),
+    (str, ("string", "enum")),
+    (bytes, ("bytes", "fixed")),
+    (list, ("array",)),
+    (dict, ("record", "map")),
+)
+
+
+def _union_branch(schema: list, value, names: dict) -> tuple[int, object]:
+    """Pick the union branch whose Avro kind matches the Python type
+    of `value` (not merely its null-ness): an int in a
+    ["null","double","long"] union encodes under the long branch, not
+    as a float. Raises when no branch is type-compatible."""
+    kinds = []
+    for branch in schema:
+        b = names.get(branch, branch) if isinstance(branch, str) else branch
+        kinds.append(b if isinstance(b, str) else b.get("type"))
+    if value is None:
+        if "null" in kinds:
+            return kinds.index("null"), schema[kinds.index("null")]
+        raise ValueError(f"no null branch for None in {schema!r}")
+    for py_type, avro_kinds in _UNION_KINDS:
+        if isinstance(value, py_type):
+            for want in avro_kinds:
+                if want in kinds:
+                    i = kinds.index(want)
+                    return i, schema[i]
+            break
+    raise ValueError(
+        f"no union branch for {type(value).__name__} value {value!r} "
+        f"in {schema!r}"
+    )
+
+
 def _encode(schema, value, out: io.BytesIO, names: dict) -> None:
     if isinstance(schema, str):
         if schema in names:
             return _encode(names[schema], value, out, names)
         t = schema
-    elif isinstance(schema, list):  # union: first branch whose kind fits
-        for i, branch in enumerate(schema):
-            bt = branch if isinstance(branch, str) else branch.get("type")
-            if (value is None) == (bt == "null"):
-                _write_long(out, i)
-                return _encode(branch, value, out, names)
-        raise ValueError(f"no union branch for {value!r} in {schema!r}")
+    elif isinstance(schema, list):  # union: branch by Python-type fit
+        i, branch = _union_branch(schema, value, names)
+        _write_long(out, i)
+        return _encode(branch, value, out, names)
     else:
         t = schema["type"]
     if t == "null":

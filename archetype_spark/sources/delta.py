@@ -92,8 +92,22 @@ def _checkpoint_start(table: str, version: int | None):
         for row in pq.read_table(name).to_pylist():
             for key in ("protocol", "metaData", "add", "remove", "txn"):
                 if row.get(key) is not None:
-                    actions.append({key: row[key]})
+                    actions.append({key: _demap(row[key])})
     return cp_version + 1, actions
+
+
+def _demap(obj):
+    """pyarrow reads parquet map<k,v> columns back as lists of
+    (key, value) tuples; the log-replay code (and the JSON commits)
+    speak dicts. Empty maps read back as [] and are handled by the
+    consumers' `or {}` guards."""
+    if isinstance(obj, dict):
+        return {k: _demap(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        if obj and all(isinstance(x, tuple) and len(x) == 2 for x in obj):
+            return {k: _demap(v) for k, v in obj}
+        return [_demap(x) for x in obj]
+    return obj
 
 
 def _snapshot_actions(table: str, version: int | None = None):
@@ -224,6 +238,87 @@ def read_delta(
     return _scan_snapshot(spark, table, schema, part_cols, entries)
 
 
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Incremental (CDC-style) read: the rows ADDED by each commit in
+    `starting_version..ending_version` (inclusive, latest when None),
+    tagged with a `_commit_version` column — the append/insert subset
+    of Delta's Change Data Feed, resolved from the same public log.
+
+    This is the scale path for incremental pipelines: a downstream
+    consumer processes only the files the new commits added — cost
+    O(new data), not O(table) — instead of diffing two full
+    snapshots. Commits that only tombstone files (pure removes, e.g.
+    a vacuumed compaction's source) contribute no rows; an overwrite
+    commit contributes its full rewritten file set, exactly what its
+    `dataChange` adds claim.
+
+    Loud failures, never silent gaps: a requested version whose JSON
+    commit is gone (log cleaned past it) raises FileNotFoundError —
+    an incremental consumer silently skipping a missing commit would
+    emit a hole as if it were empty."""
+    table = os.path.abspath(path)
+    latest = _latest_version(table)
+    if latest is None:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    end = latest if ending_version is None else ending_version
+    if not 0 <= starting_version <= end <= latest:
+        raise ValueError(
+            f"bad version range [{starting_version}, {end}] for table "
+            f"at version {latest}"
+        )
+    # schema + partitioning from the end-of-range snapshot (schema
+    # drift inside the range is refused at commit time, so one
+    # metaData governs every commit in it)
+    meta, _active, _txns = _snapshot_actions(table, end)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+
+    per_version: list[DataFrame] = []
+    for v in range(starting_version, end + 1):
+        p = _commit_path(table, v)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"commit {v} missing from {table} (log cleaned?): "
+                "incremental read cannot skip versions"
+            )
+        entries = []
+        with open(p) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                add = json.loads(line).get("add")
+                if add and add.get("dataChange", True):
+                    entries.append(
+                        (
+                            os.path.join(
+                                table, urllib.parse.unquote(add["path"])
+                            ),
+                            add.get("partitionValues") or {},
+                        )
+                    )
+        if entries:
+            per_version.append(
+                _scan_snapshot(spark, table, schema, part_cols, entries)
+                .withColumn("_commit_version", F.lit(v).cast("bigint"))
+            )
+    if not per_version:
+        empty = StructType.fromJson(json.loads(meta["schemaString"]))
+        return (
+            spark.createDataFrame([], empty)
+            .withColumn("_commit_version", F.lit(None).cast("bigint"))
+        )
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 # ---------------------------------------------------------------------- write
 
 
@@ -232,9 +327,11 @@ def _stage_data_files(
 ) -> list[dict]:
     """Write `df` as parquet via a staging dir and move the files
     under `dest_root` preserving hive partition dirs. Returns one
-    {rel_path, partition_values, size, mtime_ms} per data file —
-    the lake-format-neutral half of a commit (Delta and Iceberg
-    writers both build their metadata from this)."""
+    {rel_path, partition_values, size, mtime_ms, num_rows} per data
+    file — the lake-format-neutral half of a commit (Delta and
+    Iceberg writers both build their metadata from this)."""
+    import pyarrow.parquet as pq
+
     stage = os.path.join(dest_root, f".stage-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if part_cols:
@@ -266,6 +363,12 @@ def _stage_data_files(
                     "partition_values": pv,
                     "size": os.path.getsize(dst),
                     "mtime_ms": int(os.path.getmtime(dst) * 1000),
+                    # true row count from the parquet footer — Iceberg
+                    # manifests require record_count and spec-compliant
+                    # readers may answer COUNT(*) from it without
+                    # touching data files; a placeholder would be
+                    # silently wrong there. Footer-only read, O(KB).
+                    "num_rows": pq.ParquetFile(dst).metadata.num_rows,
                 }
             )
     shutil.rmtree(stage, ignore_errors=True)
@@ -550,10 +653,19 @@ def resolve_merge(
     keys: Sequence[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    check_duplicate_keys: bool = True,
 ) -> DataFrame:
     """The format-neutral MERGE resolution (update/delete/ignore ×
     insert/ignore per key) — shared by merge_delta, merge_iceberg,
-    and usable on any pair of frames. One shuffle (the key join)."""
+    and usable on any pair of frames. One shuffle (the key join).
+
+    Like SQL MERGE INTO, duplicate merge keys in `updates` are an
+    error (two update copies would otherwise BOTH land in the table):
+    an aggregation over the source asserts key uniqueness up front.
+    Source frames are the small side of a merge, so the extra pass is
+    metadata-cheap; disable via `check_duplicate_keys=False` only
+    when the caller has already deduplicated (then the last-write
+    winner among duplicates is UNDEFINED, per partition order)."""
     if when_matched not in ("update", "delete", "ignore"):
         raise ValueError(
             f"when_matched must be update/delete/ignore, got {when_matched!r}"
@@ -563,6 +675,22 @@ def resolve_merge(
             f"when_not_matched must be insert/ignore, got {when_not_matched!r}"
         )
     keys = list(keys)
+    if check_duplicate_keys:
+        dup = (
+            updates.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                "MERGE source contains duplicate merge keys (e.g. "
+                f"{key_vals}): like SQL MERGE INTO, multiple source "
+                "matches per target row are refused. Deduplicate the "
+                "source or pass check_duplicate_keys=False."
+            )
     if when_matched == "ignore":
         kept = target
     else:  # update/delete both drop matched target rows here
@@ -593,8 +721,12 @@ def checkpoint_delta(path: str) -> int:
     high-water marks (dropping txns would break the streaming sink's
     idempotence after log cleanup).
 
-    Driver-side pyarrow write; checkpoint size is O(active files),
-    metadata-scale. Single-writer contract as for commits."""
+    Driver-side pyarrow write under the spec's explicit checkpoint
+    schema (partitionValues/configuration/options/tags as
+    map<string,string>, not inferred structs), so spec-compliant
+    Delta readers can consume the checkpoint. Checkpoint size is
+    O(active files), metadata-scale. Single-writer contract as for
+    commits."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -604,27 +736,87 @@ def checkpoint_delta(path: str) -> int:
         raise FileNotFoundError(f"not a Delta table: {table}")
     meta, active, txns = _snapshot_actions(table)
 
-    def no_empty_structs(obj):
-        """pyarrow cannot write child-less structs: recursively turn
-        empty dicts into None (the reader treats both as absent, like
-        the protocol — e.g. metaData.format.options)."""
-        if isinstance(obj, dict):
-            return {k: no_empty_structs(v) for k, v in obj.items()} or None
-        return obj
+    str_map = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("name", pa.string()),
+                        ("description", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    ("options", str_map),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "txn",
+                pa.struct(
+                    [("appId", pa.string()), ("version", pa.int64())]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        ("tags", str_map),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def shape(action: dict, field: pa.StructType) -> dict:
+        """Project an action onto the checkpoint struct's fields
+        (drops writer-specific extras; absent fields become null —
+        both directions keep foreign-written logs checkpointable)."""
+        return {f.name: action.get(f.name) for f in field}
 
     rows: list[dict] = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {"metaData": no_empty_structs(meta)},
+        {"metaData": shape(meta, cp_schema.field("metaData").type)},
     ]
     rows += [
         {"txn": {"appId": app, "version": int(v)}} for app, v in txns.items()
     ]
-    rows += [{"add": no_empty_structs(add)} for add in active.values()]
+    add_t = cp_schema.field("add").type
+    rows += [{"add": shape(add, add_t)} for add in active.values()]
     keys = ("protocol", "metaData", "txn", "add")
     cp = os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
     tmp = cp + f".tmp-{uuid.uuid4().hex}"
     pq.write_table(
-        pa.Table.from_pylist([{k: r.get(k) for k in keys} for r in rows]), tmp
+        pa.Table.from_pylist(
+            [{k: r.get(k) for k in keys} for r in rows], schema=cp_schema
+        ),
+        tmp,
     )
     os.rename(tmp, cp)
     lc_tmp = os.path.join(table, _LOG_DIR, f".lc-tmp-{uuid.uuid4().hex}")

@@ -314,12 +314,19 @@ def _manifest_schema(part_cols: Sequence[str], part_types: dict) -> dict:
                         },
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        # required in v1 (deprecated v2); the spec's
+                        # historical default split size
+                        {"name": "block_size_in_bytes", "type": "long"},
                     ],
                 },
             },
         ],
     }
 
+
+#: v1-required block size stamp (the spec's historical 64 MiB default;
+#: field is write-required/ignored-on-read in v1, dropped in v2).
+_BLOCK_SIZE = 64 * 1024 * 1024
 
 _MANIFEST_LIST_SCHEMA = {
     "type": "record",
@@ -329,7 +336,24 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+        # v1-optional summary counts; spec-compliant planners use them
+        # to skip manifest reads. null on entries carried forward from
+        # manifests written before these were tracked.
+        {"name": "added_data_files_count", "type": ["null", "int"], "default": None},
+        {"name": "existing_data_files_count", "type": ["null", "int"], "default": None},
+        {"name": "deleted_data_files_count", "type": ["null", "int"], "default": None},
+        {"name": "added_rows_count", "type": ["null", "long"], "default": None},
+        {"name": "existing_rows_count", "type": ["null", "long"], "default": None},
+        {"name": "deleted_rows_count", "type": ["null", "long"], "default": None},
     ],
+}
+
+#: Keys every re-encoded manifest-list entry must carry (entries read
+#: back from older files may lack the optional count fields).
+_MANIFEST_LIST_DEFAULTS = {
+    f["name"]: None
+    for f in _MANIFEST_LIST_SCHEMA["fields"]
+    if isinstance(f["type"], list)
 }
 
 
@@ -485,8 +509,9 @@ def write_iceberg(
                     )
                     for c in part_cols
                 },
-                "record_count": -1,  # not tracked; readers here don't use it
+                "record_count": f["num_rows"],
                 "file_size_in_bytes": f["size"],
+                "block_size_in_bytes": _BLOCK_SIZE,
             },
         }
         for f in staged
@@ -500,6 +525,12 @@ def write_iceberg(
         "manifest_length": os.path.getsize(manifest_path),
         "partition_spec_id": 0,
         "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(f["num_rows"] for f in staged),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
     }
     if mode == "append" and meta.get("current-snapshot-id", -1) != -1:
         cur = next(
@@ -507,9 +538,10 @@ def write_iceberg(
             for s in meta["snapshots"]
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
-        _s, prev_manifests = avro_io.read_container(
-            _abs(table, cur["manifest-list"])
-        )
+        _s, prev = avro_io.read_container(_abs(table, cur["manifest-list"]))
+        # entries decoded from pre-counts manifests lack the optional
+        # fields; re-encoding under the current schema needs them
+        prev_manifests = [{**_MANIFEST_LIST_DEFAULTS, **m} for m in prev]
     else:
         prev_manifests = []
     mlist_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"

@@ -425,3 +425,93 @@ def test_q104_builder_rebuilds_on_corpus_change(spark, tmp_path, monkeypatch):
     assert t2 == t1
     assert _latest_version(t2) == 2
     assert read_delta(spark, t2).count() == rows1 + 1
+
+
+def test_delta_checkpoint_spec_schema(spark, tmp_path, people):
+    """The checkpoint parquet uses the spec's column shapes —
+    add.partitionValues / metaData.configuration / format.options as
+    map<string,string>, not inferred structs — so a spec-compliant
+    Delta reader can consume it, and our own replay reads the maps
+    back as dicts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from archetype_spark.sources import checkpoint_delta
+
+    t = str(tmp_path / "t")
+    write_delta(people, t, partition_by=["country"])
+    v = checkpoint_delta(t)
+    sch = pq.read_schema(
+        os.path.join(t, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    )
+    add_t = sch.field("add").type
+    by_name = {add_t.field(i).name: add_t.field(i).type for i in range(add_t.num_fields)}
+    assert pa.types.is_map(by_name["partitionValues"])
+    meta_t = sch.field("metaData").type
+    meta_by = {meta_t.field(i).name: meta_t.field(i).type for i in range(meta_t.num_fields)}
+    assert pa.types.is_map(meta_by["configuration"])
+    fmt_t = meta_by["format"]
+    fmt_by = {fmt_t.field(i).name: fmt_t.field(i).type for i in range(fmt_t.num_fields)}
+    assert pa.types.is_map(fmt_by["options"])
+    # replay from the checkpoint alone: partition values survive the
+    # map round-trip (list-of-tuples -> dict normalization)
+    from archetype_spark.sources import vacuum_delta
+
+    vacuum_delta(t, clean_log=True)
+    assert _rows(read_delta(spark, t).select("id", "name", "country")) == _rows(
+        people
+    )
+
+
+def test_merge_duplicate_source_keys_refused(spark, people):
+    """SQL MERGE INTO semantics: multiple source rows per merge key
+    are an error, not a silent double-insert; the opt-out keeps the
+    pre-r9 behavior for pre-deduplicated callers."""
+    from archetype_spark.sources.delta import resolve_merge
+
+    dup = people.limit(2).unionAll(people.limit(2))
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        resolve_merge(people, dup, ["id"]).count()
+    # opt-out path still resolves (documented undefined-winner)
+    n = resolve_merge(people, dup, ["id"], check_duplicate_keys=False).count()
+    assert n >= people.count()
+
+
+def test_delta_incremental_changes(spark, tmp_path, people):
+    """read_delta_changes: per-commit adds with _commit_version,
+    inclusive range, overwrite contributes its rewrite (not a diff),
+    and a cleaned-away commit fails loudly instead of emitting a
+    silent hole."""
+    from archetype_spark.sources import (
+        checkpoint_delta,
+        read_delta_changes,
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(people, t, partition_by=["country"])  # v0: 4 rows
+    write_delta(
+        spark.createDataFrame([(5, "eve", "fr")], people.schema), t, mode="append"
+    )  # v1: 1 row
+    write_delta(people.limit(2), t, mode="overwrite")  # v2: rewrite, 2 rows
+
+    ch = read_delta_changes(spark, t, 1, 2)
+    per_v = {
+        r["_commit_version"]: r["n"]
+        for r in ch.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_v == {1: 1, 2: 2}
+    # inclusive of version 0; default end = latest
+    assert read_delta_changes(spark, t, 0).count() == 4 + 1 + 2
+    # partition column reconstructed on incremental reads too
+    assert set(
+        r["country"] for r in read_delta_changes(spark, t, 1, 1).collect()
+    ) == {"fr"}
+    # range validation
+    with pytest.raises(ValueError):
+        read_delta_changes(spark, t, 1, 99)
+    # log cleaned past the range start -> loud, not empty
+    checkpoint_delta(t)
+    vacuum_delta(t, clean_log=True)
+    with pytest.raises(FileNotFoundError, match="incremental"):
+        read_delta_changes(spark, t, 0, 2)
