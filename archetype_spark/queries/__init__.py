@@ -148,7 +148,9 @@ _MODULES = (
 #       q108 (Delta+Iceberg+parquet federation, three-source
 #       oracle) pin for first driver rows, deferring q80/q81
 #       (green r7 AND r8; the text-cleaning family keeps q95's
-#       composed pipeline in-window).
+#       composed pipeline in-window). q109 (Iceberg metadata-only
+#       COUNT from manifest record_counts; pure-SQL oracle over the
+#       documents view) pins next, deferring q83 (green r7 AND r8).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -179,6 +181,7 @@ _PINNED: tuple[str, ...] = (
     "q77_filtered_ivf_topk",
     "q107_delta_changes",
     "q108_lake_federation",
+    "q109_iceberg_metadata_counts",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -250,6 +253,8 @@ _DEFERRED: frozenset[str] = frozenset(
         # the cleaning family keeps q95 in-window):
         "q80_boilerplate_lines",
         "q81_pii_scrub",
+        # deferred mid-r9 for the q109 pin (green r7 AND r8):
+        "q83_deterministic_shuffle",
     }
 )
 

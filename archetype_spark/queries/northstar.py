@@ -513,7 +513,11 @@ def _ensure_lake_documents(
     table = os.path.join(idx, "table")
     expect = {
         "kind": kind,
-        "schema": 1,  # (doc_id, lang, n_chars) by lang; bump to rebuild
+        # (doc_id, lang, n_chars) by lang; bump to rebuild.
+        # v2: r9 writers stamp true record counts in Iceberg
+        # manifests — q109's metadata-only COUNT requires a fixture
+        # built by the post-r9 writer.
+        "schema": 2,
         "corpus": ann_index.corpus_fingerprint(docs, "doc_id", "text"),
     }
     pfile = os.path.join(idx, "_build_params.json")
@@ -818,6 +822,32 @@ def q108_lake_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(i), "lang")
         .join(F.broadcast(p), "lang")
         .select("lang", "delta_docs", "delta_chars", "iceberg_docs", "raw_docs")
+    )
+
+
+def q109_iceberg_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) per Iceberg snapshot: answered from the
+    manifests' record_count sums (count_rows_iceberg) with ZERO data
+    file reads — at 100 TB this is the O(metadata KB) planner
+    shortcut, and it is load-bearing proof that the manifests'
+    record counts are TRUE (stamped from parquet footers at write
+    time). The oracle recomputes each snapshot's expected count from
+    the source documents view (snapshot 1 = the even-doc_id ingest,
+    snapshot 2 = the full corpus), fully independent of the manifest
+    walk — a wrong or placeholder record_count hash-mismatches."""
+    from archetype_spark.sources.iceberg import (
+        count_rows_iceberg,
+        snapshots_iceberg,
+    )
+
+    table = _ensure_iceberg_documents(spark, sf_dir)
+    snaps = snapshots_iceberg(table)
+    rows = [
+        (i + 1, count_rows_iceberg(table, s["snapshot-id"]))
+        for i, s in enumerate(snaps)
+    ]
+    return spark.createDataFrame(
+        rows, "snap_ordinal bigint, n_docs bigint"
     )
 
 
@@ -1467,6 +1497,7 @@ QUERIES = {
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
     "q108_lake_federation": q108_lake_federation,
+    "q109_iceberg_metadata_counts": q109_iceberg_metadata_counts,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -2555,4 +2586,17 @@ ORACLES["q106_delta_merge_upsert"] = """
            COUNT(*)::BIGINT AS n_rows,
            SUM(cents)::BIGINT AS sum_cents
     FROM merged GROUP BY bucket
+"""
+
+# q109: each snapshot's expected count recomputed from the source
+# documents view — snapshot 1 is the even-doc_id ingest append,
+# snapshot 2 the full corpus (see _ensure_iceberg_documents). The
+# Spark side answers from manifest record_count sums alone, so a
+# placeholder/wrong count in any manifest hash-mismatches here.
+ORACLES["q109_iceberg_metadata_counts"] = """
+    SELECT 1::BIGINT AS snap_ordinal, count(*)::BIGINT AS n_docs
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 2::BIGINT AS snap_ordinal, count(*)::BIGINT AS n_docs
+    FROM documents
 """

@@ -16,9 +16,15 @@ scale:
   `sources/iceberg.py` (public table spec; Avro metadata decoded by
   the stdlib codec in `sources/avro_io.py`), including `snapshot-id`
   time travel.
-- lance: format name accepted and dispatched to
-  `spark.read.format(...)` — engages when the connector jar is on
-  the classpath, which this container doesn't ship.
+- lance: conditional native bridge — when the Python `lance`
+  package (pylance) is importable, reads go through
+  `lance.dataset(...)` → Arrow → DataFrame and writes through
+  `lance.write_dataset` (driver-side Arrow transfer, row-capped
+  loudly: Lance is the reference's index/metadata store, not the
+  100 TB data plane). Without pylance, the format name dispatches
+  to `spark.read.format("lance")`, which engages when the connector
+  jar is on the classpath; this container ships neither, so the
+  bridge is exercised by skipif-gated tests the day either lands.
 
 Writers default to snappy parquet with optional partition columns and
 sortWithinPartitions, which is what substitutes for the reference's
@@ -81,6 +87,18 @@ def read_table(
             )
         return read_iceberg(
             spark, path, snapshot_id=None if v is None else int(v)
+        )
+    if fmt == "lance" and _have_pylance():
+        v = options.pop("version", None)
+        max_rows = int(options.pop("maxRows", _LANCE_MAX_ROWS))
+        if schema is not None or options:
+            raise ValueError(
+                "lance derives its schema from the dataset; "
+                f"unsupported reader args: schema={schema!r}, "
+                f"options={sorted(options)}"
+            )
+        return _read_lance_pylance(
+            spark, path, version=v, max_rows=max_rows
         )
     _heal_merge(path)  # replay a committed-but-unswapped merge, if any
     reader = spark.read
@@ -152,12 +170,76 @@ def write_table(
             mode = "append"
         write_iceberg(df, path, mode=mode, partition_by=partition_by)
         return
+    if fmt == "lance" and _have_pylance():
+        if partition_by:
+            raise ValueError(
+                "lance datasets are not hive-partitioned; use its "
+                "native indices instead of partition_by"
+            )
+        _write_lance_pylance(df, path, mode=mode)
+        return
     writer = df.write.format(fmt).mode(mode).options(**options)
     if fmt == "csv":
         writer = writer.option("header", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+# ------------------------------------------------------------ lance bridge
+
+#: Row cap for the driver-side pylance Arrow bridge. Lance serves the
+#: reference as the entity/index store (metadata-scale); bulk data
+#: stays parquet. Reading more than this through the driver is almost
+#: certainly a mistake, so it fails loudly instead of OOMing.
+_LANCE_MAX_ROWS = 10_000_000
+
+
+def _have_pylance() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _read_lance_pylance(
+    spark: SparkSession,
+    path: str,
+    version: str | int | None = None,
+    max_rows: int = _LANCE_MAX_ROWS,
+) -> DataFrame:
+    """Driver-side Arrow bridge: lance.dataset → pa.Table →
+    DataFrame. count_rows() is metadata-only, so the row-cap check
+    costs nothing; `version` engages Lance's native time travel."""
+    import lance
+
+    ds = lance.dataset(path, version=None if version is None else int(version))
+    n = ds.count_rows()
+    if n > max_rows:
+        raise ValueError(
+            f"lance dataset {path} has {n} rows > the driver-bridge "
+            f"cap {max_rows}; use the Spark connector jar for "
+            "data-plane reads, or raise maxRows explicitly"
+        )
+    return spark.createDataFrame(ds.to_table().to_pandas())
+
+
+def _write_lance_pylance(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Driver-side write through lance.write_dataset. Connector mode
+    names map onto Lance's create/append/overwrite."""
+    import lance
+
+    lance_mode = {
+        "error": "create",
+        "errorifexists": "create",
+        "append": "append",
+        "overwrite": "overwrite",
+    }.get(mode)
+    if lance_mode is None:
+        raise ValueError(f"unsupported lance write mode {mode!r}")
+    lance.write_dataset(df.toArrow(), path, mode=lance_mode)
 
 
 def write_bucketed_table(

