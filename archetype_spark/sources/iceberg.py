@@ -427,9 +427,15 @@ def write_iceberg(
     path: str,
     mode: str = "append",
     partition_by: Sequence[str] | None = None,
+    properties_update: dict[str, str] | None = None,
 ) -> None:
     """Append/overwrite a DataFrame as one Iceberg v1 snapshot
-    (single-writer; module docstring)."""
+    (single-writer; module docstring). `properties_update` merges
+    into the table properties map IN THE SAME metadata version as
+    the snapshot — one atomic version-hint commit carries both, which
+    is what makes the streaming sink's high-water mark exactly-once
+    (properties live in current metadata, immune to snapshot
+    expiry, unlike summary stamps on expirable snapshots)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     table = os.path.abspath(path)
@@ -609,6 +615,10 @@ def write_iceberg(
     )
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = now_ms
+    if properties_update:
+        props = dict(meta.get("properties") or {})
+        props.update({str(k): str(v) for k, v in properties_update.items()})
+        meta["properties"] = props
 
     _publish_metadata(table, meta)
 
@@ -705,3 +715,70 @@ def merge_iceberg(
         read_iceberg(spark, path), updates, keys, when_matched, when_not_matched
     )
     write_iceberg(merged, path, mode="overwrite")
+
+
+# ------------------------------------------------------------------ streaming
+
+
+_STREAM_PROP = "streaming.{app_id}.batch-id"
+
+
+def last_streaming_batch_iceberg(path: str, app_id: str) -> int | None:
+    """The highest micro-batch id `app_id` has committed to this
+    table (None for a fresh table or unseen app) — the streaming
+    sink's replay detector. Read from TABLE PROPERTIES, which live in
+    the current metadata version: unlike a stamp on the snapshot
+    summary, the mark survives snapshot expiry, so retention
+    maintenance can never re-open the exactly-once window."""
+    table = os.path.abspath(path)
+    if _current_metadata_version(table) is None:
+        return None
+    props = _load_metadata(table).get("properties") or {}
+    v = props.get(_STREAM_PROP.format(app_id=app_id))
+    return None if v is None else int(v)
+
+
+def streaming_iceberg_sink(
+    path: str,
+    app_id: str,
+    partition_by: Sequence[str] | None = None,
+    expire_every: int | None = None,
+    keep_last: int = 2,
+):
+    """`foreachBatch` body for an exactly-once streaming Iceberg
+    sink — the Iceberg twin of streaming_delta_sink: one snapshot per
+    micro-batch, with the app's batch high-water mark updated in the
+    SAME atomic metadata commit (write_iceberg's properties_update).
+    On restart Structured Streaming replays the last unacknowledged
+    batch; the sink skips batch ids at or below the logged mark.
+
+    `expire_every` bounds metadata growth for a long-lived stream:
+    every K batches, expire all but `keep_last` snapshots and vacuum
+    unreferenced files — without it the manifest-list chain and
+    snapshot log grow O(batches) forever (the Delta sink's
+    checkpoint_every analog).
+
+    Usage:
+        q = (df.writeStream.foreachBatch(
+                 streaming_iceberg_sink(table, app_id="curation-v1"))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_streaming_batch_iceberg(path, app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: its snapshot is already committed
+        write_iceberg(
+            batch_df,
+            path,
+            mode="append",
+            partition_by=partition_by,
+            properties_update={
+                _STREAM_PROP.format(app_id=app_id): str(batch_id)
+            },
+        )
+        if expire_every and (batch_id + 1) % expire_every == 0:
+            expire_snapshots_iceberg(path, keep_last=keep_last)
+            vacuum_iceberg(path)
+
+    return sink

@@ -476,3 +476,120 @@ def test_avro_union_branch_by_python_type(tmp_path):
         avro_io.write_container(
             str(tmp_path / "bad.avro"), schema, [{"x": "oops", "y": None}]
         )
+
+
+def test_iceberg_metadata_only_count(spark, tmp_path, people):
+    """count_rows_iceberg answers COUNT(*) from manifests alone and
+    matches the scan, per snapshot; a live entry without a usable
+    record_count is refused (wrong-count prevention), and DELETED
+    entries drop out after an overwrite."""
+    from archetype_spark.sources import avro_io, snapshots_iceberg
+    from archetype_spark.sources.iceberg import count_rows_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(people, t, mode="overwrite", partition_by=["country"])
+    write_iceberg(people.limit(1), t, mode="append")
+    snaps = snapshots_iceberg(t)
+    assert count_rows_iceberg(t) == read_iceberg(spark, t).count() == 5
+    assert count_rows_iceberg(t, snaps[0]["snapshot-id"]) == 4
+    # overwrite: old entries become DELETED in the new manifest set
+    write_iceberg(people.limit(2), t, mode="overwrite")
+    assert count_rows_iceberg(t) == 2
+    # corrupt one record_count to the pre-r9 placeholder: loud
+    mdir = os.path.join(t, "metadata")
+    snaps = snapshots_iceberg(t)
+    import json as _json
+
+    with open(
+        os.path.join(mdir, f"version-hint.text")
+    ) as fh:
+        v = int(fh.read())
+    with open(os.path.join(mdir, f"v{v}.metadata.json")) as fh:
+        meta = _json.load(fh)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mlist = cur["manifest-list"]
+    mlist_path = mlist if os.path.isabs(mlist) else os.path.join(t, mlist)
+    _s, entries = avro_io.read_container(mlist_path)
+    mpath = entries[-1]["manifest_path"]
+    mpath = mpath if os.path.isabs(mpath) else os.path.join(t, mpath)
+    ms, rows = avro_io.read_container(mpath)
+    for r in rows:
+        if r.get("status") != 2:
+            r["data_file"]["record_count"] = -1
+    avro_io.write_container(mpath, ms, rows)
+    with pytest.raises(ValueError, match="record_count"):
+        count_rows_iceberg(t)
+
+
+def test_iceberg_streaming_sink_exactly_once(spark, tmp_path, people):
+    """Structured Streaming -> Iceberg: one snapshot per micro-batch
+    with the app's high-water mark in the SAME metadata commit; a
+    replayed batch id is skipped, a fresh one appends — and the mark
+    SURVIVES snapshot expiry (table properties, not summary stamps),
+    so retention can never re-open the exactly-once window."""
+    from archetype_spark.sources import (
+        last_streaming_batch_iceberg,
+        snapshots_iceberg,
+        streaming_iceberg_sink,
+    )
+
+    src = tmp_path / "src"
+    for i in range(3):
+        people.filter(F.col("id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    t = str(tmp_path / "t")
+    sink = streaming_iceberg_sink(t, app_id="curation-v1")
+    stream = (
+        spark.readStream.schema(people.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = read_iceberg(spark, t).select("id", "name", "country")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in people.collect()
+    )
+    assert last_streaming_batch_iceberg(t, "curation-v1") == 2
+    assert last_streaming_batch_iceberg(t, "other-app") is None
+    # replay: no new snapshot, no new rows
+    n_snaps = len(snapshots_iceberg(t))
+    sink(people, 1)
+    assert read_iceberg(spark, t).count() == 4
+    assert len(snapshots_iceberg(t)) == n_snaps
+    # fresh batch appends and advances the mark
+    sink(spark.createDataFrame([(9, "zoe", "nz")], people.schema), 3)
+    assert read_iceberg(spark, t).count() == 5
+    assert last_streaming_batch_iceberg(t, "curation-v1") == 3
+    # expiry keeps the mark: expire all but the newest snapshot
+    from archetype_spark.sources import expire_snapshots_iceberg
+
+    expire_snapshots_iceberg(t, keep_last=1)
+    assert last_streaming_batch_iceberg(t, "curation-v1") == 3
+    sink(people, 2)  # still a replay after expiry
+    assert read_iceberg(spark, t).count() == 5
+
+
+def test_iceberg_sink_expire_every_bounds_metadata(spark, tmp_path, people):
+    """expire_every trims retained snapshots + vacuums unreferenced
+    files as the stream runs — metadata stays O(keep_last), and the
+    final table still reads every appended row."""
+    from archetype_spark.sources import snapshots_iceberg, streaming_iceberg_sink
+
+    t = str(tmp_path / "t")
+    sink = streaming_iceberg_sink(
+        t, app_id="app", expire_every=2, keep_last=2
+    )
+    for b in range(6):
+        sink(people.limit(1), b)
+    assert len(snapshots_iceberg(t)) <= 3
+    assert read_iceberg(spark, t).count() == 6
