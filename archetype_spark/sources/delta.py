@@ -568,6 +568,36 @@ def write_delta(
 # ------------------------------------------------------------------ streaming
 
 
+def add_column_delta(path: str, name: str, spark_type: str) -> int:
+    """Additive schema evolution: append a nullable column as a
+    METADATA-ONLY commit (one updated metaData action — zero data
+    rewritten, the spec's evolution path). Data files written before
+    the evolution simply lack the column and read back as NULL (the
+    scan passes the logged schema explicitly, so Spark fills absent
+    parquet columns). Appends after the evolution must carry the new
+    column — the existing drift check now enforces the WIDER schema.
+    Only additive evolution is offered: renames/drops/retypes change
+    the meaning of existing bytes and stay refused loudly."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    table = os.path.abspath(path)
+    version = _latest_version(table)
+    if version is None:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    meta, _active, _txns = _snapshot_actions(table)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if name in schema.fieldNames():
+        raise ValueError(f"column {name!r} already exists in {table}")
+    new_schema = StructType(
+        list(schema.fields)
+        + [StructField(name, _parse_datatype_string(spark_type), True)]
+    )
+    new_meta = dict(meta)
+    new_meta["schemaString"] = new_schema.json()
+    _publish_commit(table, version + 1, [{"metaData": new_meta}])
+    return version + 1
+
+
 def last_txn_version(path: str, app_id: str) -> int | None:
     """The highest `txn` version this app has committed to the table
     (None for a fresh table or unseen app) — the streaming sink's

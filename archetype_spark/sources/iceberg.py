@@ -782,3 +782,58 @@ def streaming_iceberg_sink(
             vacuum_iceberg(path)
 
     return sink
+
+
+# ------------------------------------------------------------------ evolution
+
+
+def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
+    """Additive schema evolution: append an optional column as a new
+    schema in the `schemas` list and flip current-schema-id — one
+    metadata-version commit, zero data rewritten (the spec's
+    evolution path; field ids make it safe because readers bind by
+    id, and a fresh id can never collide with stored data). Files
+    written before the evolution read the column as NULL. Reads —
+    including time travel — use the CURRENT schema, matching the
+    reader's `_current_ice_schema` resolution. Only additive
+    evolution is offered; renames/drops/retypes stay refused."""
+    if ice_type not in _ICE_TO_SPARK:
+        raise NotImplementedError(
+            f"iceberg type {ice_type!r}; expected one of "
+            f"{sorted(_ICE_TO_SPARK)}"
+        )
+    table = os.path.abspath(path)
+    meta = _load_metadata(table)
+    cur = _current_ice_schema(meta)
+    if any(f["name"] == name for f in cur["fields"]):
+        raise ValueError(f"column {name!r} already exists in {table}")
+    new_id = int(meta.get("last-column-id", len(cur["fields"]))) + 1
+    new_schema_id = (
+        max((s["schema-id"] for s in meta.get("schemas", [cur])), default=0)
+        + 1
+    )
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_schema_id,
+        "fields": list(cur["fields"])
+        + [
+            {
+                "id": new_id,
+                "name": name,
+                "required": False,
+                "type": ice_type,
+            }
+        ],
+    }
+    meta.setdefault(
+        "schemas",
+        [dict(cur, **{"schema-id": meta.get("current-schema-id", 0)})],
+    )
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = new_schema_id
+    # v1 keeps the legacy top-level `schema` field in lockstep (v1
+    # readers that predate the schemas list resolve through it)
+    meta["schema"] = new_schema
+    meta["last-column-id"] = new_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    return _publish_metadata(table, meta)

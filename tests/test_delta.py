@@ -515,3 +515,33 @@ def test_delta_incremental_changes(spark, tmp_path, people):
     vacuum_delta(t, clean_log=True)
     with pytest.raises(FileNotFoundError, match="incremental"):
         read_delta_changes(spark, t, 0, 2)
+
+
+def test_delta_add_column_evolution(spark, tmp_path, people):
+    """Additive evolution: one metadata-only commit; pre-evolution
+    files read the new column as NULL, post-evolution appends carry
+    it, time travel behind the evolution serves the OLD schema, and
+    the old narrow schema is now refused on append (drift check
+    enforces the widened schema)."""
+    from archetype_spark.sources import add_column_delta
+
+    t = str(tmp_path / "t")
+    write_delta(people, t, partition_by=["country"])  # v0
+    v = add_column_delta(t, "score", "double")
+    assert v == 1
+    got = read_delta(spark, t)
+    assert got.schema["score"].dataType.simpleString() == "double"
+    assert got.count() == 4 and got.filter("score IS NULL").count() == 4
+    # append with the widened schema
+    wide = spark.createDataFrame(
+        [(5, "eve", "fr", 0.9)], "id long, name string, country string, score double"
+    )
+    write_delta(wide, t, mode="append")
+    assert read_delta(spark, t).filter("score IS NOT NULL").count() == 1
+    # narrow appends now refused; duplicate column refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(people, t, mode="append")
+    with pytest.raises(ValueError, match="already exists"):
+        add_column_delta(t, "score", "double")
+    # time travel behind the evolution: original schema
+    assert "score" not in read_delta(spark, t, version=0).columns

@@ -593,3 +593,28 @@ def test_iceberg_sink_expire_every_bounds_metadata(spark, tmp_path, people):
         sink(people.limit(1), b)
     assert len(snapshots_iceberg(t)) <= 3
     assert read_iceberg(spark, t).count() == 6
+
+
+def test_iceberg_add_column_evolution(spark, tmp_path, people):
+    """Additive evolution via the schemas list + current-schema-id
+    flip: metadata-only, pre-evolution files read NULL, appends carry
+    the new column, duplicate/unknown-type refused."""
+    from archetype_spark.sources import add_column_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(people, t, partition_by=["country"])
+    add_column_iceberg(t, "score", "double")
+    got = read_iceberg(spark, t)
+    assert got.schema["score"].dataType.simpleString() == "double"
+    assert got.count() == 4 and got.filter("score IS NULL").count() == 4
+    wide = spark.createDataFrame(
+        [(5, "eve", "fr", 0.9)], "id long, name string, country string, score double"
+    )
+    write_iceberg(wide, t, mode="append")
+    assert read_iceberg(spark, t).filter("score IS NOT NULL").count() == 1
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(people, t, mode="append")
+    with pytest.raises(ValueError, match="already exists"):
+        add_column_iceberg(t, "score", "double")
+    with pytest.raises(NotImplementedError):
+        add_column_iceberg(t, "x", "decimal(38,0)")
