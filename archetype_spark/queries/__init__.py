@@ -151,6 +151,9 @@ _MODULES = (
 #       composed pipeline in-window). q109 (Iceberg metadata-only
 #       COUNT from manifest record_counts; pure-SQL oracle over the
 #       documents view) pins next, deferring q83 (green r7 AND r8).
+#       q110 (Delta schema-evolution scan: add-column mid-history,
+#       NULL cohort + valued cohort hash-gated; pure-SQL oracle)
+#       pins next, deferring q87 (green r7 AND r8).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -182,6 +185,7 @@ _PINNED: tuple[str, ...] = (
     "q107_delta_changes",
     "q108_lake_federation",
     "q109_iceberg_metadata_counts",
+    "q110_delta_evolution_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -255,6 +259,9 @@ _DEFERRED: frozenset[str] = frozenset(
         "q81_pii_scrub",
         # deferred mid-r9 for the q109 pin (green r7 AND r8):
         "q83_deterministic_shuffle",
+        # deferred mid-r9 for the q110 pin (green r7 AND r8; the
+        # chunking family keeps q93/q95 in-window):
+        "q87_doc_chunks",
     }
 )
 

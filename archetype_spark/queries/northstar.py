@@ -74,6 +74,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_delta_documents(spark, sf_dir)
     _ensure_iceberg_documents(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
+    _ensure_delta_evolved(spark, sf_dir)
 
 
 # ------------------------------------------------------------------- Q29/Q30
@@ -825,6 +826,58 @@ def q108_lake_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_delta_evolved(spark: SparkSession, sf_dir: str) -> str:
+    """The Delta table q110 scans: an ADDITIVE SCHEMA EVOLUTION
+    mid-history — ingest the even doc_ids under the original
+    (doc_id, lang, n_chars) schema, add a nullable `score` column as
+    a metadata-only commit, then append the odd doc_ids WITH scores
+    (score = n_chars as double — integral-valued, so sums stay exact
+    under any accumulation order). Reading the table correctly
+    requires serving NULL for the pre-evolution files and real
+    values for the post-evolution ones, which is exactly what the
+    oracle recomputes from the source documents view."""
+    from archetype_spark.sources.delta import add_column_delta, write_delta
+
+    def build(base: DataFrame, btable: str) -> None:
+        write_delta(
+            base.filter(F.col("doc_id") % 2 == 0), btable, partition_by=["lang"]
+        )
+        add_column_delta(btable, "score", "double")
+        write_delta(
+            base.filter(F.col("doc_id") % 2 == 1).withColumn(
+                "score", F.col("n_chars").cast("double")
+            ),
+            btable,
+            mode="append",
+        )
+
+    return _ensure_lake_documents(spark, sf_dir, "delta_evolved", build)
+
+
+def q110_delta_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end through the driver's hash gate:
+    per-lang aggregates over a Delta table whose history contains an
+    add-column evolution (see _ensure_delta_evolved). The
+    pre-evolution files MUST read the evolved column as NULL and the
+    post-evolution appends must carry values — a reader that dropped
+    either cohort, or resolved the wrong schema, hash-mismatches
+    against the oracle's independent recompute from the documents
+    view."""
+    from archetype_spark.sources.delta import read_delta
+
+    table = _ensure_delta_evolved(spark, sf_dir)
+    return (
+        read_delta(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("score").cast("bigint").alias("n_scored"),
+            F.coalesce(F.sum("score"), F.lit(0.0)).alias("sum_score"),
+        )
+        .select("lang", "n_docs", "n_scored", "sum_score")
+    )
+
+
 def q109_iceberg_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT(*) per Iceberg snapshot: answered from the
     manifests' record_count sums (count_rows_iceberg) with ZERO data
@@ -1498,6 +1551,7 @@ QUERIES = {
     "q107_delta_changes": q107_delta_changes,
     "q108_lake_federation": q108_lake_federation,
     "q109_iceberg_metadata_counts": q109_iceberg_metadata_counts,
+    "q110_delta_evolution_scan": q110_delta_evolution_scan,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -2599,4 +2653,16 @@ ORACLES["q109_iceberg_metadata_counts"] = """
     UNION ALL
     SELECT 2::BIGINT AS snap_ordinal, count(*)::BIGINT AS n_docs
     FROM documents
+"""
+
+# q110: the evolved table's two cohorts recomputed from the source
+# view — even doc_ids ingested pre-evolution (score must read NULL),
+# odd doc_ids appended post-evolution with score = n_chars (integral
+# doubles: exact under any accumulation order).
+ORACLES["q110_delta_evolution_scan"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           (count(*) FILTER (doc_id % 2 = 1))::BIGINT AS n_scored,
+           COALESCE(sum(n_chars) FILTER (doc_id % 2 = 1), 0)::DOUBLE
+             AS sum_score
+    FROM documents GROUP BY lang
 """
