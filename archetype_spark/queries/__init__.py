@@ -153,7 +153,9 @@ _MODULES = (
 #       documents view) pins next, deferring q83 (green r7 AND r8).
 #       q110 (Delta schema-evolution scan: add-column mid-history,
 #       NULL cohort + valued cohort hash-gated; pure-SQL oracle)
-#       pins next, deferring q87 (green r7 AND r8).
+#       pins next, deferring q87 (green r7 AND r8). q111 (Iceberg
+#       incremental snapshot-range read, q107's twin; pure-SQL
+#       cohort oracle) pins next, deferring q88 (green r7 AND r8).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -186,6 +188,7 @@ _PINNED: tuple[str, ...] = (
     "q108_lake_federation",
     "q109_iceberg_metadata_counts",
     "q110_delta_evolution_scan",
+    "q111_iceberg_changes",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -262,6 +265,9 @@ _DEFERRED: frozenset[str] = frozenset(
         # deferred mid-r9 for the q110 pin (green r7 AND r8; the
         # chunking family keeps q93/q95 in-window):
         "q87_doc_chunks",
+        # deferred mid-r9 for the q111 pin (green r7 AND r8; the
+        # mixing family keeps q94/q102 in-window):
+        "q88_temperature_mix",
     }
 )
 

@@ -960,6 +960,31 @@ def federation_oracle(
     return sql.replace("{dt}", dt).replace("{it}", it)
 
 
+def q111_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Iceberg consumption — q107's twin on the second
+    format: per-(snapshot, lang) aggregates of the rows each snapshot
+    ADDED, over snapshots 1..2 of the q105 fixture (1 = the even-doc
+    ingest, 2 = the odd-doc append). read_iceberg_changes resolves
+    each snapshot's added files from manifest metadata alone
+    (status=ADDED entries stamped with the snapshot id), so
+    incremental cost is O(new data) at any table size. The oracle
+    recomputes both cohorts from the source documents view."""
+    from archetype_spark.sources.iceberg import read_iceberg_changes
+
+    table = _ensure_iceberg_documents(spark, sf_dir)
+    return (
+        read_iceberg_changes(spark, table, 1, 2)
+        .groupBy(
+            F.col("_snapshot_id").alias("snapshot_id"), F.col("lang")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("snapshot_id", "lang", "n_docs", "sum_chars")
+    )
+
+
 def _ensure_delta_merged(spark: SparkSession, sf_dir: str) -> str:
     """The Delta table q106 scans: a CDC-style MERGE INTO exercise.
     Base = customers as (key, name, balance_cents); updates derive
@@ -1552,6 +1577,7 @@ QUERIES = {
     "q108_lake_federation": q108_lake_federation,
     "q109_iceberg_metadata_counts": q109_iceberg_metadata_counts,
     "q110_delta_evolution_scan": q110_delta_evolution_scan,
+    "q111_iceberg_changes": q111_iceberg_changes,
 }
 
 _STOPWORD_VALUES = ", ".join(
@@ -2665,4 +2691,17 @@ ORACLES["q110_delta_evolution_scan"] = """
            COALESCE(sum(n_chars) FILTER (doc_id % 2 = 1), 0)::DOUBLE
              AS sum_score
     FROM documents GROUP BY lang
+"""
+
+# q111: each snapshot's added cohort recomputed from the source view
+# (snapshot 1 = even doc_ids, snapshot 2 = odd; see
+# _ensure_iceberg_documents) — independent of the manifest walk.
+ORACLES["q111_iceberg_changes"] = """
+    SELECT 1::BIGINT AS snapshot_id, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    UNION ALL
+    SELECT 2::BIGINT AS snapshot_id, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
 """

@@ -42,6 +42,7 @@ import uuid
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from archetype_spark.sources import avro_io
@@ -837,3 +838,80 @@ def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
     meta["last-column-id"] = new_id
     meta["last-updated-ms"] = int(time.time() * 1000)
     return _publish_metadata(table, meta)
+
+
+# ---------------------------------------------------------------- incremental
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Incremental read — the Iceberg twin of read_delta_changes: the
+    rows each snapshot in `from_snapshot..to_snapshot` (inclusive
+    snapshot ids, current when None) ADDED, tagged with
+    `_snapshot_id`. Per snapshot, the added file set is the manifest
+    entries whose recorded snapshot_id matches and whose status is
+    ADDED — manifest metadata only, so the resolution cost is
+    O(manifest KB) and the scan cost O(new data), not O(table).
+
+    Loud on gaps: a snapshot id in the range that is no longer
+    retained (expired) raises instead of silently emitting a hole."""
+    table = os.path.abspath(path)
+    meta = _load_metadata(table)
+    schema = _ice_schema_to_spark(_current_ice_schema(meta))
+    part_cols = _spec_part_cols(meta)
+    ordered = [s["snapshot-id"] for s in meta.get("snapshots", [])]
+    if not ordered:
+        raise FileNotFoundError(f"no snapshots in Iceberg table {table}")
+    end = to_snapshot if to_snapshot is not None else ordered[-1]
+    want = [s for s in range(from_snapshot, end + 1)]
+    missing = [s for s in want if s not in ordered]
+    if not want or missing:
+        raise FileNotFoundError(
+            f"snapshot range [{from_snapshot}, {end}] not fully retained "
+            f"in {table} (missing {missing}; have {ordered}): incremental "
+            "read cannot skip snapshots"
+        )
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    per_snap: list[DataFrame] = []
+    for sid in want:
+        _s, manifests = avro_io.read_container(
+            _abs(table, snaps[sid]["manifest-list"])
+        )
+        entries: list[tuple[str, dict]] = []
+        for m in manifests:
+            if m.get("added_snapshot_id") not in (None, sid):
+                continue  # manifest carried forward from an older snapshot
+            _ms, rows = avro_io.read_container(
+                _abs(table, m["manifest_path"])
+            )
+            for r in rows:
+                if r.get("status") != 1 or r.get("snapshot_id") not in (
+                    None,
+                    sid,
+                ):
+                    continue
+                dfile = r["data_file"]
+                entries.append(
+                    (
+                        _abs(table, dfile["file_path"]),
+                        dict(dfile.get("partition") or {}),
+                    )
+                )
+        if entries:
+            per_snap.append(
+                _scan_snapshot(
+                    spark, os.path.join(table, "data"), schema, part_cols, entries
+                ).withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
+            )
+    if not per_snap:
+        return spark.createDataFrame([], schema).withColumn(
+            "_snapshot_id", F.lit(None).cast("bigint")
+        )
+    out = per_snap[0]
+    for df in per_snap[1:]:
+        out = out.unionByName(df)
+    return out

@@ -618,3 +618,36 @@ def test_iceberg_add_column_evolution(spark, tmp_path, people):
         add_column_iceberg(t, "score", "double")
     with pytest.raises(NotImplementedError):
         add_column_iceberg(t, "x", "decimal(38,0)")
+
+
+def test_iceberg_incremental_changes(spark, tmp_path, people):
+    """read_iceberg_changes: per-snapshot ADDED rows tagged with
+    _snapshot_id, inclusive ranges, overwrite contributes its full
+    rewrite, and an expired snapshot in the range fails loudly."""
+    from archetype_spark.sources import (
+        expire_snapshots_iceberg,
+        read_iceberg_changes,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(people, t, partition_by=["country"])  # snap 1: 4 rows
+    write_iceberg(
+        spark.createDataFrame([(5, "eve", "fr")], people.schema), t, mode="append"
+    )  # snap 2: 1 row
+    write_iceberg(people.limit(2), t, mode="overwrite")  # snap 3: 2 rows
+
+    ch = read_iceberg_changes(spark, t, 2, 3)
+    per = {
+        r["_snapshot_id"]: r["n"]
+        for r in ch.groupBy("_snapshot_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {2: 1, 3: 2}
+    assert read_iceberg_changes(spark, t, 1).count() == 4 + 1 + 2
+    assert set(
+        r["country"] for r in read_iceberg_changes(spark, t, 2, 2).collect()
+    ) == {"fr"}
+    with pytest.raises(FileNotFoundError, match="incremental"):
+        read_iceberg_changes(spark, t, 1, 99)
+    expire_snapshots_iceberg(t, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="incremental"):
+        read_iceberg_changes(spark, t, 1, 3)
