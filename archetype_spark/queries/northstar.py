@@ -492,6 +492,30 @@ def simhash_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
     """
 
 
+def _swap_slot(idx: str, building: str) -> None:
+    """Atomic-enough slot swap (the _write_index discipline): rename
+    the stale slot ASIDE, rename the new build in, then delete the
+    old copy — a concurrent reader sees the complete old slot or the
+    complete new one, never an absent/partial slot. If the second
+    rename fails, the old slot is restored before re-raising, so a
+    failed swap can never leave the slot empty."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    old = None
+    if os.path.lexists(idx):
+        old = os.path.join(os.path.dirname(idx), f".old-{_uuid.uuid4().hex}")
+        os.rename(idx, old)
+    try:
+        os.rename(building, idx)
+    except BaseException:
+        if old is not None and not os.path.lexists(idx):
+            os.rename(old, idx)
+        raise
+    if old is not None:
+        _shutil.rmtree(old, ignore_errors=True)
+
+
 def _ensure_lake_documents(
     spark: SparkSession, sf_dir: str, kind: str, build
 ) -> str:
@@ -540,19 +564,7 @@ def _ensure_lake_documents(
         build(base, os.path.join(building, "table"))
         with open(os.path.join(building, "_build_params.json"), "w") as fh:
             _json.dump(expect, fh)
-        # rename the stale slot ASIDE before renaming the new one in
-        # (the _write_index discipline): rmtree-then-rename would open
-        # a window with NO slot at all, breaking the 'complete old
-        # slot or none' contract for a concurrent reader mid-rebuild
-        old = None
-        if os.path.lexists(idx):
-            old = os.path.join(
-                os.path.dirname(idx), f".old-{_uuid.uuid4().hex}"
-            )
-            os.rename(idx, old)
-        os.rename(building, idx)
-        if old is not None:
-            _shutil.rmtree(old, ignore_errors=True)
+        _swap_slot(idx, building)
     except BaseException:
         _shutil.rmtree(building, ignore_errors=True)
         raise
@@ -1060,8 +1072,7 @@ def _ensure_delta_merged(spark: SparkSession, sf_dir: str) -> str:
         merge_delta(spark, btable, ups, keys=["k"])
         with open(os.path.join(building, "_build_params.json"), "w") as fh:
             _json.dump(expect, fh)
-        _shutil.rmtree(idx, ignore_errors=True)
-        os.rename(building, idx)
+        _swap_slot(idx, building)
     except BaseException:
         _shutil.rmtree(building, ignore_errors=True)
         raise

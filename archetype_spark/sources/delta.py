@@ -308,9 +308,8 @@ def read_delta_changes(
                 .withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
     if not per_version:
-        empty = StructType.fromJson(json.loads(meta["schemaString"]))
         return (
-            spark.createDataFrame([], empty)
+            spark.createDataFrame([], schema)
             .withColumn("_commit_version", F.lit(None).cast("bigint"))
         )
     out = per_version[0]

@@ -608,7 +608,10 @@ def write_iceberg(
             "timestamp-ms": now_ms,
             "manifest-list": f"metadata/{mlist_name}",
             "summary": {"operation": mode},
-            "schema-id": 0,
+            # the CURRENT schema id, not a hardcoded 0: after an
+            # add_column evolution, engines that resolve a snapshot's
+            # schema by this stamp must see the evolved schema
+            "schema-id": meta.get("current-schema-id", 0),
         }
     )
     meta["snapshot-log"].append(
@@ -809,8 +812,13 @@ def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
     if any(f["name"] == name for f in cur["fields"]):
         raise ValueError(f"column {name!r} already exists in {table}")
     new_id = int(meta.get("last-column-id", len(cur["fields"]))) + 1
+    # minimal foreign v1 metadata may carry only the legacy `schema`
+    # field with no schema-id — default it like the setdefault below
     new_schema_id = (
-        max((s["schema-id"] for s in meta.get("schemas", [cur])), default=0)
+        max(
+            (s.get("schema-id", 0) for s in meta.get("schemas", [cur])),
+            default=0,
+        )
         + 1
     )
     new_schema = {
@@ -863,18 +871,29 @@ def read_iceberg_changes(
     meta = _load_metadata(table)
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
     part_cols = _spec_part_cols(meta)
+    # resolve the range POSITIONALLY over the retained snapshot list:
+    # spec-compliant ids are random 64-bit values (only this module's
+    # writer uses max+1), so a dense numeric range would be wrong —
+    # and materializing it for foreign ids would be astronomically
+    # large. Both endpoints must still be retained; expiry here only
+    # ever drops a prefix, so an absent endpoint means the range is
+    # gone, never that a middle snapshot silently vanished.
     ordered = [s["snapshot-id"] for s in meta.get("snapshots", [])]
     if not ordered:
         raise FileNotFoundError(f"no snapshots in Iceberg table {table}")
     end = to_snapshot if to_snapshot is not None else ordered[-1]
-    want = [s for s in range(from_snapshot, end + 1)]
-    missing = [s for s in want if s not in ordered]
-    if not want or missing:
+    if from_snapshot not in ordered or end not in ordered:
         raise FileNotFoundError(
             f"snapshot range [{from_snapshot}, {end}] not fully retained "
-            f"in {table} (missing {missing}; have {ordered}): incremental "
+            f"in {table} (have {ordered}): incremental "
             "read cannot skip snapshots"
         )
+    i0, i1 = ordered.index(from_snapshot), ordered.index(end)
+    if i0 > i1:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} is newer than to_snapshot {end}"
+        )
+    want = ordered[i0 : i1 + 1]
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
     per_snap: list[DataFrame] = []
     for sid in want:
@@ -883,16 +902,33 @@ def read_iceberg_changes(
         )
         entries: list[tuple[str, dict]] = []
         for m in manifests:
-            if m.get("added_snapshot_id") not in (None, sid):
+            m_added = m.get("added_snapshot_id")
+            if m_added not in (None, sid):
                 continue  # manifest carried forward from an older snapshot
             _ms, rows = avro_io.read_container(
                 _abs(table, m["manifest_path"])
             )
             for r in rows:
-                if r.get("status") != 1 or r.get("snapshot_id") not in (
-                    None,
-                    sid,
-                ):
+                if r.get("status") != 1:
+                    continue
+                # an entry belongs to its recorded snapshot_id, else
+                # (per the spec's inheritance) to the manifest's
+                # added_snapshot_id; with BOTH absent the owner is
+                # unknowable and attributing it to every snapshot in
+                # the range would double-count — refuse loudly.
+                owner = (
+                    r.get("snapshot_id")
+                    if r.get("snapshot_id") is not None
+                    else m_added
+                )
+                if owner is None:
+                    raise NotImplementedError(
+                        f"manifest {m['manifest_path']!r} has an ADDED "
+                        "entry with no snapshot_id and no "
+                        "added_snapshot_id: cannot attribute it to a "
+                        "snapshot for incremental reads"
+                    )
+                if owner != sid:
                     continue
                 dfile = r["data_file"]
                 entries.append(

@@ -223,7 +223,10 @@ def _read_lance_pylance(
             f"cap {max_rows}; use the Spark connector jar for "
             "data-plane reads, or raise maxRows explicitly"
         )
-    return spark.createDataFrame(ds.to_table().to_pandas())
+    # Arrow table straight into createDataFrame (pyspark 4): a pandas
+    # hop would coerce nullable int64 to float64 (NaN-for-null) and
+    # lose >2^53 precision — a silent type change vs the write path
+    return spark.createDataFrame(ds.to_table())
 
 
 def _write_lance_pylance(df: DataFrame, path: str, mode: str = "error") -> None:
