@@ -68,3 +68,29 @@ def test_relative_quality_gate_median_fence_and_ties(spark):
     assert got_top == {("A", 9)} | {("B", 100 + i) for i in range(4)}
     with pytest.raises(ValueError, match="q must be"):
         relative_quality_gate(df, "grp", "score", q=0.0)
+
+
+def test_swap_slot_restores_old_on_failed_rename(tmp_path):
+    """_swap_slot (the fixture-slot discipline): when the second
+    rename fails, the old slot is restored — a failed swap can never
+    leave the path empty — and a successful swap removes the aside
+    copy."""
+    import pytest
+
+    from archetype_spark.queries.northstar import _swap_slot
+
+    idx = tmp_path / "slot"
+    idx.mkdir()
+    (idx / "f").write_text("old")
+    with pytest.raises(FileNotFoundError):
+        _swap_slot(str(idx), str(tmp_path / "missing-building"))
+    assert (idx / "f").read_text() == "old"  # restored, not lost
+    import os
+
+    building = tmp_path / "building"
+    building.mkdir()
+    (building / "f").write_text("new")
+    _swap_slot(str(idx), str(building))
+    assert (idx / "f").read_text() == "new"
+    assert not building.exists()
+    assert not [p for p in os.listdir(tmp_path) if p.startswith(".old-")]
