@@ -651,3 +651,59 @@ def test_iceberg_incremental_changes(spark, tmp_path, people):
     expire_snapshots_iceberg(t, keep_last=1)
     with pytest.raises(FileNotFoundError, match="incremental"):
         read_iceberg_changes(spark, t, 1, 3)
+
+
+def test_iceberg_changes_with_foreign_random_snapshot_ids(spark, tmp_path, people):
+    """Spec-compliant engines use random 64-bit snapshot ids, not
+    this writer's max+1 scheme: rewrite a table's ids to huge random
+    values and read_iceberg_changes must still resolve the range
+    POSITIONALLY (a dense numeric range would try to materialize
+    ~10^18 ids), attributing rows via snapshot_id or the manifest's
+    added_snapshot_id inheritance."""
+    from archetype_spark.sources import avro_io, read_iceberg_changes
+
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)  # snap 1: 4 rows
+    write_iceberg(people.limit(1), t, mode="append")  # snap 2: 1 row
+
+    remap = {1: 7274183864843139417, 2: 9023372036854775807}
+    mdir = os.path.join(t, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as fh:
+        v = int(fh.read())
+    mpath = os.path.join(mdir, f"v{v}.metadata.json")
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    for s in meta["snapshots"]:
+        s["snapshot-id"] = remap[s["snapshot-id"]]
+    for e in meta["snapshot-log"]:
+        e["snapshot-id"] = remap[e["snapshot-id"]]
+    meta["current-snapshot-id"] = remap[meta["current-snapshot-id"]]
+    with open(mpath, "w") as fh:
+        json.dump(meta, fh)
+    for name in os.listdir(mdir):
+        p = os.path.join(mdir, name)
+        if name.startswith("snap-") and name.endswith(".avro"):
+            sch, rows = avro_io.read_container(p)
+            for r in rows:
+                r["added_snapshot_id"] = remap[r["added_snapshot_id"]]
+            avro_io.write_container(p, sch, rows)
+        elif name.startswith("manifest-") and name.endswith(".avro"):
+            sch, rows = avro_io.read_container(p)
+            for r in rows:
+                # half the entries exercise the added_snapshot_id
+                # inheritance path (spec: snapshot_id is optional)
+                r["snapshot_id"] = (
+                    None if r["snapshot_id"] == 1 else remap[r["snapshot_id"]]
+                )
+            avro_io.write_container(p, sch, rows)
+
+    a, b = remap[1], remap[2]
+    ch = read_iceberg_changes(spark, t, a, b)
+    per = {
+        r["_snapshot_id"]: r["n"]
+        for r in ch.groupBy("_snapshot_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {a: 4, b: 1}
+    assert read_iceberg_changes(spark, t, b, b).count() == 1
+    with pytest.raises(ValueError, match="newer"):
+        read_iceberg_changes(spark, t, b, a)
