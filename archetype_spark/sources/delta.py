@@ -567,6 +567,32 @@ def write_delta(
 # ------------------------------------------------------------------ streaming
 
 
+def compact_delta(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """OPTIMIZE-style bin-packing: rewrite the active file set as ONE
+    overwrite commit — small files from many appends (or a streaming
+    sink's per-batch commits) merge into `target_files` outputs per
+    partition directory (Spark's default parallelism when None).
+    `sort_by` sorts within the rewritten files so parquet row-group
+    min/max stats support skipping on those keys afterwards — the
+    poor man's Z-ORDER, same trade as sources.write_table(sort_by).
+
+    The rewrite costs one full read+write of the ACTIVE data (not
+    the history); the old files are tombstoned, stay time-travelable
+    until `vacuum_delta`, and the streaming sink's txn marks are
+    unaffected (they live in the log, not the files)."""
+    df = read_delta(spark, path)
+    if target_files is not None:
+        df = df.repartition(target_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    write_delta(df, path, mode="overwrite")
+
+
 def add_column_delta(path: str, name: str, spark_type: str) -> int:
     """Additive schema evolution: append a nullable column as a
     METADATA-ONLY commit (one updated metaData action — zero data

@@ -951,3 +951,23 @@ def read_iceberg_changes(
     for df in per_snap[1:]:
         out = out.unionByName(df)
     return out
+
+
+def compact_iceberg(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """OPTIMIZE-style bin-packing, Iceberg face: rewrite the current
+    snapshot as ONE overwrite snapshot (same contract as
+    compact_delta — old files stay time-travelable until expiry +
+    vacuum; streaming high-water marks live in table properties and
+    are unaffected). `sort_by` clusters rows for parquet row-group
+    stat skipping."""
+    df = read_iceberg(spark, path)
+    if target_files is not None:
+        df = df.repartition(target_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    write_iceberg(df, path, mode="overwrite")

@@ -545,3 +545,33 @@ def test_delta_add_column_evolution(spark, tmp_path, people):
         add_column_delta(t, "score", "double")
     # time travel behind the evolution: original schema
     assert "score" not in read_delta(spark, t, version=0).columns
+
+
+def test_delta_compact_binpacks_small_files(spark, tmp_path, people):
+    """compact_delta merges a streaming sink's many per-batch files
+    into few, preserves rows/partitioning, tombstones the old files
+    (vacuum reclaims them), and keeps pre-compaction time travel."""
+    import glob
+
+    from archetype_spark.sources import compact_delta, vacuum_delta
+
+    t = str(tmp_path / "t")
+    for i in range(5):
+        write_delta(
+            spark.createDataFrame([(i, f"p{i}", "us")], people.schema),
+            t,
+            mode="append" if i else "overwrite",
+            partition_by=["country"] if i == 0 else None,
+        )
+    n_before = len(glob.glob(f"{t}/*/*.parquet"))
+    assert n_before >= 5
+    compact_delta(spark, t, target_files=1, sort_by=["id"])
+    got = read_delta(spark, t)
+    assert got.count() == 5
+    assert set(got.columns) == set(people.columns)
+    # pre-compaction snapshot still resolves
+    assert read_delta(spark, t, version=4).count() == 5
+    deleted = vacuum_delta(t)
+    assert deleted["data_files"] >= n_before
+    active = len(glob.glob(f"{t}/*/*.parquet"))
+    assert active < n_before

@@ -707,3 +707,28 @@ def test_iceberg_changes_with_foreign_random_snapshot_ids(spark, tmp_path, peopl
     assert read_iceberg_changes(spark, t, b, b).count() == 1
     with pytest.raises(ValueError, match="newer"):
         read_iceberg_changes(spark, t, b, a)
+
+
+def test_iceberg_compact_binpacks_small_files(spark, tmp_path, people):
+    """compact_iceberg: same OPTIMIZE contract on the Iceberg face —
+    rows preserved, one overwrite snapshot, expiry+vacuum reclaims
+    the small files, streaming marks untouched."""
+    from archetype_spark.sources import (
+        compact_iceberg,
+        expire_snapshots_iceberg,
+        last_streaming_batch_iceberg,
+        streaming_iceberg_sink,
+        vacuum_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    sink = streaming_iceberg_sink(t, app_id="app")
+    for b in range(5):
+        sink(spark.createDataFrame([(b, f"p{b}", "us")], people.schema), b)
+    compact_iceberg(spark, t, target_files=1, sort_by=["id"])
+    assert read_iceberg(spark, t).count() == 5
+    assert last_streaming_batch_iceberg(t, "app") == 4  # marks survive
+    expire_snapshots_iceberg(t, keep_last=1)
+    got = vacuum_iceberg(t)
+    assert got["data_files"] >= 5
+    assert read_iceberg(spark, t).count() == 5
