@@ -575,3 +575,53 @@ def test_delta_compact_binpacks_small_files(spark, tmp_path, people):
     assert deleted["data_files"] >= n_before
     active = len(glob.glob(f"{t}/*/*.parquet"))
     assert active < n_before
+
+
+def test_delta_multipart_checkpoint_read(spark, tmp_path, people):
+    """Connector writers split large checkpoints into N parts
+    (`_last_checkpoint` {"parts": N}); the reader must assemble all
+    parts. Hand-build a two-part checkpoint (protocol+metaData in
+    part 1, adds in part 2) and hide the JSON commits: the snapshot
+    must resolve from the parts alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    write_delta(people, t, partition_by=["country"])
+    meta, active, _txns = _snapshot_actions(t)
+
+    rows1 = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": meta["id"],
+                "format": {"provider": "parquet", "options": None},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta["partitionColumns"],
+                "configuration": None,
+            },
+            "add": None,
+        },
+    ]
+    rows2 = [
+        {"protocol": None, "metaData": None, "add": add}
+        for add in active.values()
+    ]
+    log = os.path.join(t, "_delta_log")
+    for part, rows in ((1, rows1), (2, rows2)):
+        pq.write_table(
+            pa.Table.from_pylist(rows),
+            os.path.join(
+                log, f"{0:020d}.checkpoint.{part:010d}.{2:010d}.parquet"
+            ),
+        )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 0, "size": len(rows1) + len(rows2), "parts": 2}, fh)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    got = read_delta(spark, t).select("id", "name", "country")
+    assert _rows(got) == _rows(people)
