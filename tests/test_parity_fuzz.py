@@ -223,3 +223,123 @@ def test_contamination_parity_random(spark):
         for r in contamination(train_df, eval_df, n=n, max_frac=0.2).collect()
     }
     assert got == expect
+
+
+def test_delta_lifecycle_model_fuzz(spark, tmp_path):
+    """Model-based fuzz of the Delta backend: a seeded random
+    sequence of append / overwrite / merge / add-column / compact /
+    checkpoint / vacuum ops runs against BOTH the real table and an
+    in-memory model; after every op the snapshot must equal the
+    model, and a random retained historical version must equal its
+    recorded model state. Catches interaction bugs (evolution then
+    compact then vacuum then time travel) no single-op test sees."""
+    import random
+
+    from archetype_spark.sources import (
+        add_column_delta,
+        checkpoint_delta,
+        compact_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+    from archetype_spark.sources.delta import _latest_version, resolve_merge
+
+    rng = random.Random(1234)
+    t = str(tmp_path / "t")
+    cols = ["id", "grp", "val"]
+    schema = "id long, grp string, val long"
+
+    def mk_rows(n, id_start):
+        return [
+            (id_start + i, rng.choice(["a", "b"]), rng.randrange(1000))
+            for i in range(n)
+        ]
+
+    def widen(rows):
+        return [r + (None,) * (len(cols) - len(r)) for r in rows]
+
+    next_id = 0
+    model: list[tuple] = []
+    history: dict[int, list[tuple]] = {}  # version -> model snapshot
+
+    rows = mk_rows(4, next_id)
+    next_id += 4
+    write_delta(spark.createDataFrame(rows, schema), t, partition_by=["grp"])
+    model = list(rows)
+    history[_latest_version(t)] = list(model)
+    evolved = False
+
+    def sdf(rows):
+        s = schema + (", extra double" if evolved else "")
+        return spark.createDataFrame(rows, s)
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "append", "overwrite", "merge", "evolve",
+             "compact", "checkpoint", "vacuum"]
+        )
+        if op == "append":
+            rows = mk_rows(rng.randrange(1, 4), next_id)
+            next_id += len(rows)
+            if evolved:
+                rows = [r + (float(r[0]),) for r in rows]
+            write_delta(sdf(rows), t, mode="append")
+            model += rows
+        elif op == "overwrite":
+            rows = mk_rows(rng.randrange(1, 5), next_id)
+            next_id += len(rows)
+            if evolved:
+                rows = [r + (float(r[0]),) for r in rows]
+            write_delta(sdf(rows), t, mode="overwrite")
+            model = list(rows)
+        elif op == "merge":
+            if not model:
+                continue
+            # update one existing key, insert one new
+            upd_key = rng.choice(model)[0]
+            urows = [
+                (upd_key, "z", 777) + ((7.0,) if evolved else ()),
+                (next_id, "z", 888) + ((8.0,) if evolved else ()),
+            ]
+            next_id += 1
+            merged = resolve_merge(
+                read_delta(spark, t), sdf(urows), ["id"]
+            )
+            write_delta(merged, t, mode="overwrite")
+            model = [r for r in _pad(model, evolved) if r[0] != upd_key] + urows
+        elif op == "evolve" and not evolved:
+            add_column_delta(t, "extra", "double")
+            cols.append("extra")
+            evolved = True
+            model = _pad(model, True)
+        elif op == "compact":
+            compact_delta(spark, t, target_files=1, sort_by=["id"])
+        elif op == "checkpoint":
+            checkpoint_delta(t)
+        elif op == "vacuum":
+            vacuum_delta(t)
+            history.clear()  # versions referencing removed files are gone
+        else:
+            continue
+        model = _pad(model, evolved)
+        v = _latest_version(t)
+        history[v] = list(model)
+        got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+        assert got == sorted(model), f"step {step} op {op}: {got} != {sorted(model)}"
+        # a random retained recorded version must match its model
+        if history and rng.random() < 0.5:
+            hv = rng.choice(sorted(history))
+            hgot = sorted(
+                tuple(r)[: len(history[hv][0]) if history[hv] else None]
+                for r in read_delta(spark, t, version=hv).collect()
+            )
+            want = sorted(
+                tuple(r)[: len(hgot[0]) if hgot else None] for r in history[hv]
+            )
+            assert hgot == want, f"time travel v{hv} after {op}"
+
+
+def _pad(rows, evolved):
+    width = 4 if evolved else 3
+    return [tuple(r) + (None,) * (width - len(r)) for r in rows]
