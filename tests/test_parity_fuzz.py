@@ -343,3 +343,112 @@ def test_delta_lifecycle_model_fuzz(spark, tmp_path):
 def _pad(rows, evolved):
     width = 4 if evolved else 3
     return [tuple(r) + (None,) * (width - len(r)) for r in rows]
+
+
+def test_iceberg_lifecycle_model_fuzz(spark, tmp_path):
+    """The Iceberg mirror of the Delta lifecycle fuzz: random
+    append / overwrite / merge / evolve / compact / expire+vacuum /
+    streaming-batch sequences vs the in-memory model. Time travel
+    here reads with the CURRENT schema (documented add_column
+    behavior), so historical comparisons pad the recorded model to
+    the current width."""
+    import random
+
+    from archetype_spark.sources import (
+        add_column_iceberg,
+        compact_iceberg,
+        expire_snapshots_iceberg,
+        read_iceberg,
+        snapshots_iceberg,
+        streaming_iceberg_sink,
+        vacuum_iceberg,
+        write_iceberg,
+    )
+    from archetype_spark.sources.delta import resolve_merge
+    from archetype_spark.sources.iceberg import merge_iceberg
+
+    rng = random.Random(4321)
+    t = str(tmp_path / "t")
+    schema = "id long, grp string, val long"
+
+    def mk_rows(n, id_start):
+        return [
+            (id_start + i, rng.choice(["a", "b"]), rng.randrange(1000))
+            for i in range(n)
+        ]
+
+    next_id = 0
+    evolved = False
+
+    def sdf(rows):
+        s = schema + (", extra double" if evolved else "")
+        return spark.createDataFrame(rows, s)
+
+    rows = mk_rows(4, next_id)
+    next_id += 4
+    write_iceberg(sdf(rows), t, partition_by=["grp"])
+    model = list(rows)
+    history = {snapshots_iceberg(t)[-1]["snapshot-id"]: list(model)}
+    sink = streaming_iceberg_sink(t, app_id="fuzz")
+    batch = 0
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "append", "overwrite", "merge", "evolve",
+             "compact", "retention", "stream"]
+        )
+        if op == "append" or op == "stream":
+            rows = mk_rows(rng.randrange(1, 4), next_id)
+            next_id += len(rows)
+            if evolved:
+                rows = [r + (float(r[0]),) for r in rows]
+            if op == "append":
+                write_iceberg(sdf(rows), t, mode="append")
+            else:
+                sink(sdf(rows), batch)
+                batch += 1
+            model += rows
+        elif op == "overwrite":
+            rows = mk_rows(rng.randrange(1, 5), next_id)
+            next_id += len(rows)
+            if evolved:
+                rows = [r + (float(r[0]),) for r in rows]
+            write_iceberg(sdf(rows), t, mode="overwrite")
+            model = list(rows)
+        elif op == "merge":
+            if not model:
+                continue
+            upd_key = rng.choice(model)[0]
+            urows = [
+                (upd_key, "z", 777) + ((7.0,) if evolved else ()),
+                (next_id, "z", 888) + ((8.0,) if evolved else ()),
+            ]
+            next_id += 1
+            merge_iceberg(spark, t, sdf(urows), keys=["id"])
+            model = [r for r in _pad(model, evolved) if r[0] != upd_key] + urows
+        elif op == "evolve" and not evolved:
+            add_column_iceberg(t, "extra", "double")
+            evolved = True
+            model = _pad(model, True)
+        elif op == "compact":
+            compact_iceberg(spark, t, target_files=1, sort_by=["id"])
+        elif op == "retention":
+            expire_snapshots_iceberg(t, keep_last=1)
+            vacuum_iceberg(t)
+            history.clear()
+        else:
+            continue
+        model = _pad(model, evolved)
+        history[snapshots_iceberg(t)[-1]["snapshot-id"]] = list(model)
+        got = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+        assert got == sorted(model), f"step {step} op {op}"
+        retained = {s["snapshot-id"] for s in snapshots_iceberg(t)}
+        checkable = sorted(set(history) & retained)
+        if checkable and rng.random() < 0.5:
+            hv = rng.choice(checkable)
+            hgot = sorted(
+                tuple(r) for r in read_iceberg(spark, t, snapshot_id=hv).collect()
+            )
+            # current-schema read: pad the recorded model to width
+            want = sorted(_pad(history[hv], evolved))
+            assert hgot == want, f"time travel snap {hv} after {op}"
