@@ -8,9 +8,12 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Query implementations live in archetype_spark/queries/ (relational
 corpus Q01-Q28, north-star q29-q49, ECS/temporal/streaming q50-q52 +
 q45-q47, extended surface q53-q83, curation tier q84-q99 + q102-q103,
-sources q100/q104-q106 (binaryFile ingest; Delta-log and
-Iceberg-manifest snapshot scans; Delta MERGE INTO),
-index-tier q101); oracles are colocated with each query module.
+sources q100/q104-q111 (binaryFile ingest; Delta-log and
+Iceberg-manifest snapshot scans; Delta MERGE INTO; incremental
+per-commit Delta and per-snapshot Iceberg changes reads; the
+three-source lake federation; Iceberg metadata-only COUNT; the
+Delta schema-evolution scan), index-tier q101); oracles are
+colocated with each query module.
 """
 
 from __future__ import annotations
