@@ -38,6 +38,18 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_score() -> float:
+    """Seconds to sha256 200 MB single-threaded — fixed work, no I/O."""
+    import hashlib
+
+    block = b"x" * 1_000_000
+    h = hashlib.sha256()
+    t0 = time.monotonic()
+    for _ in range(200):
+        h.update(block)
+    return round(time.monotonic() - t0, 3)
+
+
 def run_ab(sf_dir: str, sf: float, name: str, reps: int) -> None:
     """Same-JVM A/B of registered operator variants (`--ab q66`):
     equality-checked, then interleaved timed reps in ONE process —
@@ -159,6 +171,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "warmup_sec": round(warm, 3),
+        # fixed-work single-core score (sha256 over 200 MB): a
+        # machine-speed canary recorded with every run, so a future
+        # corpus-wide drift can be attributed to the HOST (canary
+        # moved too) vs the CODE (canary flat). r9 measured three
+        # identical-code protocol runs at 76.6/92.7/105.9 s on one
+        # boot — without a canary that band is unexplainable.
+        "cpu_score_sec": _cpu_score(),
         "reps": reps,
         "per_query_warmup": True,
         "sink": "noop",
