@@ -178,6 +178,11 @@ def main() -> None:
         # identical-code protocol runs at 76.6/92.7/105.9 s on one
         # boot — without a canary that band is unexplainable.
         "cpu_score_sec": _cpu_score(),
+        # 1/5/15-min load averages at run END: a single-core canary
+        # misses multi-core contention (r9: canary flat at 0.15 s
+        # while the corpus ran 1.38x slow); sustained load beyond
+        # this process's own footprint = external pressure.
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "reps": reps,
         "per_query_warmup": True,
         "sink": "noop",
