@@ -34,6 +34,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from archetype_spark.operators import png_io
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -71,6 +73,9 @@ except ImportError:  # pragma: no cover
     from cloudpickle import register_pickle_by_value
 
 register_pickle_by_value(sys.modules[__name__])
+# png_io is referenced from the same closures (real decode/resize):
+# ship it by value too, same worker-importability rationale
+register_pickle_by_value(png_io)
 
 
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -440,10 +445,16 @@ def _real_decode(kind: str, payload: bytes) -> dict:
         if hdr is not None:
             out["width"], out["height"] = hdr[0], hdr[1]
             return out
+        png = png_io.png_info(payload or b"")
+        if png is not None:
+            # real PNG parse (operators/png_io.py): stdlib zlib +
+            # chunk framing, no codec library needed
+            out["width"], out["height"] = png
+            return out
         dims = _pil_image_info(payload)
         if dims is None:
             raise NotImplementedError(
-                "real image decode: payload is not PNM (P5/P6) and PIL "
+                "real image decode: payload is not PNM (P5/P6) or PNG and PIL "
                 + ("could not parse it" if _CODEC_LIBS["pil"] else "is not installed")
             )
         out["width"], out["height"] = dims
@@ -518,11 +529,21 @@ def resize_images(
             else raise loudly."""
             hdr = _ppm_header(payload or b"")
             if hdr is None or payload[:2] != b"P6":
+                if png_io.png_info(payload or b"") is not None:
+                    # real PNG path: full decode -> nearest-neighbor
+                    # -> exact re-encode, all dependency-free
+                    import numpy as np
+
+                    px = png_io.png_decode(payload)
+                    h0, w0 = px.shape[0], px.shape[1]
+                    ys = (np.arange(height) * h0) // height
+                    xs = (np.arange(width) * w0) // width
+                    return png_io.png_encode(px[ys][:, xs])
                 resized = _pil_resize(payload, width, height)
                 if resized is not None:
                     return resized
                 raise NotImplementedError(
-                    "real image resize: payload is not P6 PNM and PIL "
+                    "real image resize: payload is not P6 PNM or PNG and PIL "
                     + (
                         "could not parse it"
                         if _CODEC_LIBS["pil"]
