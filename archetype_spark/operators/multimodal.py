@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from archetype_spark.operators import png_io
+from archetype_spark.operators import image_probe, png_io
 
 MEDIA_SCHEMA = StructType(
     [
@@ -76,6 +76,7 @@ register_pickle_by_value(sys.modules[__name__])
 # png_io is referenced from the same closures (real decode/resize):
 # ship it by value too, same worker-importability rationale
 register_pickle_by_value(png_io)
+register_pickle_by_value(image_probe)
 
 
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -451,11 +452,18 @@ def _real_decode(kind: str, payload: bytes) -> dict:
             # chunk framing, no codec library needed
             out["width"], out["height"] = png
             return out
+        probed = image_probe.probe_dims(payload or b"")
+        if probed is not None:
+            # real marker/header dims for JPEG/GIF/BMP/WebP
+            # (operators/image_probe.py) — the decode-probe metadata;
+            # pixel access for these still needs PIL
+            out["width"], out["height"] = probed
+            return out
         dims = _pil_image_info(payload)
         if dims is None:
             raise NotImplementedError(
-                "real image decode: payload is not PNM (P5/P6) or PNG and PIL "
-                + ("could not parse it" if _CODEC_LIBS["pil"] else "is not installed")
+                "real image decode: payload is not PNM/PNG/JPEG/GIF/BMP/WebP "
+                + ("and PIL could not parse it" if _CODEC_LIBS["pil"] else "and PIL is not installed")
             )
         out["width"], out["height"] = dims
     elif kind == "audio":

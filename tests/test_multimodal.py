@@ -132,14 +132,16 @@ def test_real_decoders_parse_container_formats(spark):
     assert (out[3]["width"], out[3]["height"]) == (320, 240)
     assert out[3]["duration_ms"] == 2500  # 2500 ticks @ timescale 1000
     assert out[3]["n_frames"] == 15
-    # compressed formats still refuse loudly rather than guess
+    # malformed compressed payloads still refuse loudly rather than
+    # guess — since r9 a recognized-but-broken JPEG raises the
+    # format-specific error from image_probe (no silent fallthrough)
     import pytest
 
     jpeg = spark.createDataFrame(
         [(9, "image", b"\xff\xd8\xff\xe0junk")],
         "media_id long, kind string, payload binary",
     )
-    with pytest.raises(Exception, match="not PNM"):
+    with pytest.raises(Exception, match="JPEG"):
         multimodal.decode_media(jpeg, use_real_decoders=True).collect()
 
 
@@ -489,3 +491,64 @@ def test_real_decode_and_resize_png_payloads(spark):
         ys = (np.arange(4) * h0) // 4
         xs = (np.arange(4) * w0) // 4
         assert (out == src[ys][:, xs]).all()
+
+
+def test_image_probe_dims_hand_built_headers():
+    """Marker/header dims for the compressed formats, against
+    hand-built minimal payloads with known dimensions."""
+    import struct
+
+    import pytest
+
+    from archetype_spark.operators import image_probe
+
+    # JPEG: SOI + APP0 (stub) + SOF0 with h=31, w=77
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"xx"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(
+        ">HH", 31, 77
+    ) + bytes([1, 0x11, 0x11, 0])
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert image_probe.jpeg_dims(jpg) == (77, 31)
+    assert image_probe.probe_dims(jpg) == (77, 31)
+    # progressive SOF2 also parses
+    jpg2 = jpg.replace(b"\xff\xc0", b"\xff\xc2")
+    assert image_probe.jpeg_dims(jpg2) == (77, 31)
+    with pytest.raises(ValueError, match="SOF"):
+        image_probe.jpeg_dims(b"\xff\xd8" + app0 + b"\xff\xd9")
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 3
+    assert image_probe.probe_dims(gif) == (320, 200)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 4
+    assert image_probe.probe_dims(bmp) == (640, 480)  # top-down height
+
+    def riff(chunk, body):
+        return b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP" + chunk + struct.pack("<I", len(body)) + body
+
+    vp8x = riff(b"VP8X", b"\x00" * 4 + (99).to_bytes(3, "little") + (49).to_bytes(3, "little"))
+    assert image_probe.probe_dims(vp8x) == (100, 50)
+    bits = (119) | (59 << 14)  # w-1=119, h-1=59
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    assert image_probe.probe_dims(vp8l) == (120, 60)
+    vp8 = riff(b"VP8 ", b"\x00" * 3 + b"\x9d\x01\x2a" + struct.pack("<HH", 33, 44))
+    assert image_probe.probe_dims(vp8) == (33, 44)
+
+    assert image_probe.probe_dims(b"not an image") is None
+
+
+def test_real_decode_probes_jpeg_dims(spark):
+    import struct
+
+    from archetype_spark.operators.multimodal import decode_media
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"xx"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(
+        ">HH", 240, 320
+    ) + bytes([1, 0x11, 0x11, 0])
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    media = spark.createDataFrame(
+        [(0, "image", None, bytearray(jpg), len(jpg))],
+        "media_id long, kind string, uri string, payload binary, n_bytes long",
+    )
+    row = decode_media(media, use_real_decoders=True).collect()[0]
+    assert (row["width"], row["height"]) == (320, 240)
