@@ -697,3 +697,116 @@ def sample_frames(
         .select("media_id", "payload")
         .mapInPandas(process, schema=out_schema)
     )
+
+
+# ------------------------------------------------------------ audio features
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("rms", IntegerType(), False),  # amplitude units
+        StructField("peak", IntegerType(), False),
+    ]
+)
+
+
+def _wav_pcm(payload: bytes):
+    """(sample_rate, n_channels, int16 samples) for a 16-bit PCM
+    RIFF/WAVE payload, or None if not WAV. Compressed/other-depth
+    WAVs raise loudly (decoding them as int16 would be silently
+    wrong audio)."""
+    import struct
+
+    import numpy as np
+
+    if (
+        not payload
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format {audio_format} / {bits}-bit: only 16-bit PCM "
+            "is supported without codec libraries"
+        )
+    samples = np.frombuffer(
+        data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
+    )
+    return rate, channels, samples
+
+
+def audio_features(
+    media: DataFrame, window_ms: int = 100, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-window energy features from 16-bit PCM WAV payloads: RMS
+    and absolute peak amplitude per `window_ms` window after a mean
+    mixdown to mono — the silence/clipping signal an audio curation
+    pipeline gates on before paying for transcription. Real DSP, no
+    codec library: values are exact integer math on the PCM samples
+    (RMS floor-rounded), so tests pin them analytically.
+
+    Arrow-batched mapInPandas, one output row per (media, window);
+    only media_id and the payload column shuffle in."""
+    import math
+
+    out_schema = AUDIO_FEATURES_SCHEMA
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, widx, rms, peak = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                parsed = _wav_pcm(bytes(payload) if payload is not None else b"")
+                if parsed is None:
+                    raise NotImplementedError(
+                        f"audio_features: media {mid} payload is not "
+                        "RIFF/WAVE — only PCM WAV is decodable without "
+                        "codec libraries"
+                    )
+                rate, channels, samples = parsed
+                if samples.size == 0:
+                    continue
+                mono = (
+                    samples.reshape(-1, channels).mean(axis=1)
+                    if channels > 1
+                    else samples.astype(np.float64)
+                )
+                win = max(1, (rate * window_ms) // 1000)
+                n_win = math.ceil(mono.size / win)
+                for w in range(n_win):
+                    seg = mono[w * win : (w + 1) * win]
+                    ids.append(mid)
+                    widx.append(w)
+                    rms.append(int(math.floor(math.sqrt(float((seg * seg).mean())))))
+                    peak.append(int(np.abs(seg).max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "window_idx": pd.array(widx, dtype="int32"),
+                    "rms": pd.array(rms, dtype="int32"),
+                    "peak": pd.array(peak, dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(
+        process, schema=out_schema
+    )

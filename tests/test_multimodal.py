@@ -552,3 +552,77 @@ def test_real_decode_probes_jpeg_dims(spark):
     )
     row = decode_media(media, use_real_decoders=True).collect()[0]
     assert (row["width"], row["height"]) == (320, 240)
+
+
+def _wav_bytes(rate, channels, samples_int16):
+    """Minimal valid RIFF/WAVE wrapper around raw 16-bit PCM."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples_int16, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_features_analytic_values(spark):
+    """RMS/peak per window from real PCM arithmetic: a constant
+    amplitude-1000 signal has rms == peak == 1000 in every window; a
+    stereo pair (+2000, -2000) mixes down to 0; a half-window tail
+    still emits its window."""
+    import numpy as np
+
+    from archetype_spark.operators.multimodal import audio_features
+
+    rate = 1000  # 1 kHz -> 100 ms windows = 100 samples
+    const = np.full(250, 1000, dtype=np.int16)  # 2.5 windows
+    stereo = np.empty(200 * 2, dtype=np.int16)
+    stereo[0::2] = 2000
+    stereo[1::2] = -2000
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(rate, 1, const))),
+            (2, bytearray(_wav_bytes(rate, 2, stereo))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = audio_features(media, window_ms=100).collect()
+    got = {(r["media_id"], r["window_idx"]): (r["rms"], r["peak"]) for r in rows}
+    assert got[(1, 0)] == (1000, 1000)
+    assert got[(1, 1)] == (1000, 1000)
+    assert got[(1, 2)] == (1000, 1000)  # 50-sample tail window
+    assert len([k for k in got if k[0] == 1]) == 3
+    # stereo mean mixdown cancels to silence
+    assert got[(2, 0)] == (0, 0)
+    assert got[(2, 1)] == (0, 0)
+
+
+def test_audio_features_refusals(spark):
+    import pytest
+
+    from archetype_spark.operators.multimodal import audio_features
+
+    not_wav = spark.createDataFrame(
+        [(9, bytearray(b"not audio"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        audio_features(not_wav).collect()
+    # 8-bit WAV: loud, not silently-wrong int16 parsing
+    import struct
+
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 1000, 1000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    )
+    w8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    bad = spark.createDataFrame(
+        [(8, bytearray(w8))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="16-bit PCM"):
+        audio_features(bad).collect()
