@@ -30,6 +30,13 @@ def jpeg_dims(payload: bytes):
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker desync at byte {pos}")
+        # 0xFF fill bytes before a marker are legal (ITU T.81
+        # B.1.1.2): skip them or the fill byte is misread as a
+        # marker with a garbage segment length
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = payload[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2  # standalone markers carry no length
@@ -62,12 +69,22 @@ def gif_dims(payload: bytes):
 
 
 def bmp_dims(payload: bytes):
-    """BITMAPINFOHEADER dims (signed LE; a negative height means
-    top-down row order — the magnitude is the pixel height)."""
+    """DIB header dims, dispatched on the header-size field:
+    BITMAPCOREHEADER (12 — OS/2, uint16 dims) vs BITMAPINFOHEADER
+    and successors (>= 40, signed int32 dims; negative height means
+    top-down row order — the magnitude is the pixel height).
+    Reading int32s blindly at offset 18 would pack an OS/2 header's
+    width|height into one field — a silent wrong answer."""
     if not payload or not payload.startswith(b"BM"):
         return None
     if len(payload) < 26:
         raise ValueError("BMP truncated before the info header")
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size == 12:
+        w, h = struct.unpack("<HH", payload[18:22])
+        return int(w), int(h)
+    if hdr_size < 40:
+        raise ValueError(f"BMP DIB header size {hdr_size} is not in the spec")
     w, h = struct.unpack("<ii", payload[18:26])
     return int(abs(w)), int(abs(h))
 

@@ -224,33 +224,52 @@ def _ppm_header(payload: bytes):
     return vals[0], vals[1], vals[2], i + 1
 
 
-def _wav_info(payload: bytes):
-    """Parse a RIFF/WAVE header: returns duration_ms or None if not
-    WAV (or if the payload is truncated/malformed — every read is
-    bounds-guarded so a corrupt blob degrades to the loud
-    NotImplementedError path, never a struct.error task crash)."""
+def _wav_chunks(payload: bytes):
+    """Shared RIFF/WAVE chunk walk for _wav_info and _wav_pcm:
+    (fmt_body, (data_body, declared_data_size)) or None if not WAV.
+    fmt_body comes back only when the chunk both DECLARES and
+    actually CONTAINS at least the 16 standard format bytes — a
+    lying shorter size would make a caller read the next chunk's
+    bytes as format fields, a silent wrong answer. Missing chunks
+    surface as None entries; every read is bounds-guarded so a
+    corrupt blob degrades loudly downstream, never a struct.error
+    task crash."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    i, byte_rate, data_size = 12, None, None
+    fmt_body = None
+    data = None
+    i = 12
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
-        if cid == b"fmt ":
-            # byte_rate sits at body offset 8..12: the chunk must both
-            # DECLARE at least 12 body bytes (a lying shorter size would
-            # make us read the next chunk's bytes as byte_rate — a
-            # silent wrong answer) and actually contain them.
-            if size < 12 or i + 20 > len(payload):
-                return None
-            byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and size >= 16 and len(body) >= 16:
+            fmt_body = body
         elif cid == b"data":
-            data_size = size
+            # duration math uses the DECLARED size (the header's
+            # own claim); PCM extraction uses the present bytes
+            data = (body, size)
         i += 8 + size + (size & 1)
-    if not byte_rate or data_size is None:
+    return fmt_body, data
+
+
+def _wav_info(payload: bytes):
+    """duration_ms from the RIFF/WAVE header, or None if not WAV /
+    malformed (degrades to the loud NotImplementedError path)."""
+    import struct
+
+    parsed = _wav_chunks(payload)
+    if parsed is None:
         return None
-    return round(data_size * 1000 / byte_rate)
+    fmt_body, data = parsed
+    if fmt_body is None or data is None:
+        return None
+    byte_rate = struct.unpack("<I", fmt_body[8:12])[0]
+    if not byte_rate:
+        return None
+    return round(data[1] * 1000 / byte_rate)
 
 
 def _mp4_boxes(data: bytes, start: int, end: int):
@@ -539,14 +558,22 @@ def resize_images(
             if hdr is None or payload[:2] != b"P6":
                 if png_io.png_info(payload or b"") is not None:
                     # real PNG path: full decode -> nearest-neighbor
-                    # -> exact re-encode, all dependency-free
+                    # -> exact re-encode, all dependency-free.
+                    # PNGs outside png_io's scope (interlaced,
+                    # non-8-bit depths) fall THROUGH to PIL when it
+                    # exists — raising here would regress the r8
+                    # conditional-codec seam for payloads PIL decodes
                     import numpy as np
 
-                    px = png_io.png_decode(payload)
-                    h0, w0 = px.shape[0], px.shape[1]
-                    ys = (np.arange(height) * h0) // height
-                    xs = (np.arange(width) * w0) // width
-                    return png_io.png_encode(px[ys][:, xs])
+                    try:
+                        px = png_io.png_decode(payload)
+                    except NotImplementedError:
+                        px = None
+                    if px is not None:
+                        h0, w0 = px.shape[0], px.shape[1]
+                        ys = (np.arange(height) * h0) // height
+                        xs = (np.arange(width) * w0) // width
+                        return png_io.png_encode(px[ys][:, xs])
                 resized = _pil_resize(payload, width, height)
                 if resized is not None:
                     return resized
@@ -720,28 +747,16 @@ def _wav_pcm(payload: bytes):
 
     import numpy as np
 
-    if (
-        not payload
-        or len(payload) < 12
-        or payload[:4] != b"RIFF"
-        or payload[8:12] != b"WAVE"
-    ):
+    parsed = _wav_chunks(payload or b"")
+    if parsed is None:
         return None
-    i = 12
-    fmt = None
-    data = None
-    while i + 8 <= len(payload):
-        cid = payload[i : i + 4]
-        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
-        body = payload[i + 8 : i + 8 + size]
-        if cid == b"fmt " and len(body) >= 16:
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data":
-            data = body
-        i += 8 + size + (size & 1)
-    if fmt is None or data is None:
+    fmt_body, data_entry = parsed
+    if fmt_body is None or data_entry is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, channels, rate, _br, _ba, bits = fmt
+    data = data_entry[0]
+    audio_format, channels, rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt_body[:16]
+    )
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"WAV format {audio_format} / {bits}-bit: only 16-bit PCM "

@@ -15,9 +15,10 @@ Scope (loud refusals outside it, never silent wrong pixels):
   4 (gray+alpha), 6 (RGBA)
 - no Adam7 interlacing (progressive rendering is a display concern;
   training-data payloads are overwhelmingly non-interlaced)
-- ancillary chunks are skipped; tRNS on palette images is applied
-  (alpha channel materialized) since dropping it would silently
-  change pixels
+- ancillary chunks are skipped; tRNS is APPLIED everywhere it
+  carries pixel information (palette alpha table; gray/RGB color
+  keys materialize an alpha channel) since dropping it would
+  silently change pixels
 """
 
 from __future__ import annotations
@@ -64,34 +65,48 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Invert the five scanline filters. Per spec all arithmetic is
     mod-256 on unsigned bytes; Paeth's predictor picks among left/
     up/up-left by smallest absolute difference with left winning
-    ties, then up."""
+    ties, then up.
+
+    Cost model: None/Up are whole-row numpy ops and Sub is an exact
+    per-lane uint8 cumsum (modular wrap is the accumulate dtype's
+    own overflow) — all O(row) vectorized. Average/Paeth carry a
+    true left-to-right data dependency, so they run as tight
+    plain-int Python loops over list-converted rows (~10x faster
+    than scalar ndarray indexing; a fully-Paeth 1080p image costs
+    seconds, which is the honest dependency-free price — route
+    through PIL for bulk photographic decode when it exists)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     rows = raw.reshape(h, stride + 1)
+    prev_u8 = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         ftype = int(rows[y, 0])
-        line = rows[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        line = rows[y, 1:]
         if ftype == 0:  # None
-            cur = line
-        elif ftype == 1:  # Sub
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
+            out[y] = line
+        elif ftype == 1:  # Sub: per-lane modular prefix sum
+            out[y] = np.cumsum(
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ftype == 2:  # Up: uint8 addition wraps mod 256
+            out[y] = line + prev_u8
         elif ftype == 3:  # Average
-            cur = line.copy()
+            cur = line.tolist()
+            prev = prev_u8.tolist()
             for x in range(stride):
                 left = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = cur
         elif ftype == 4:  # Paeth
-            cur = line.copy()
+            cur = line.tolist()
+            prev = prev_u8.tolist()
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 if pa <= pb and pa <= pc:
                     pred = a
                 elif pb <= pc:
@@ -99,9 +114,10 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
                 else:
                     pred = c
                 cur[x] = (cur[x] + pred) & 0xFF
+            out[y] = cur
         else:
             raise ValueError(f"PNG filter type {ftype} is not in the spec")
-        out[y] = cur.astype(np.uint8)
+        prev_u8 = out[y]
     return out
 
 
@@ -121,7 +137,7 @@ def png_decode(payload: bytes) -> np.ndarray:
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            trns = np.frombuffer(data, dtype=np.uint8)
+            trns = bytes(data)
         elif ctype == b"IDAT":
             idat += data
     if ihdr is None:
@@ -154,10 +170,30 @@ def png_decode(payload: bytes) -> np.ndarray:
         idx = px[:, :, 0]
         rgb = plte[idx]
         if trns is not None:
+            tr = np.frombuffer(trns, dtype=np.uint8)
             alpha = np.full(256, 255, dtype=np.uint8)
-            alpha[: trns.size] = trns
+            alpha[: tr.size] = tr
             return np.dstack([rgb, alpha[idx]])
         return rgb
+    if trns is not None and color in (0, 2):
+        # color-key transparency: the tRNS chunk names one exact
+        # gray/RGB value as fully transparent. Dropping it would
+        # silently change pixels (the module contract), so the
+        # alpha channel is materialized. Keys are stored as u16
+        # per channel; a key > 255 cannot match any 8-bit sample.
+        if color == 0:
+            key = int.from_bytes(trns[:2], "big")
+            transparent = px[:, :, 0].astype(np.int32) == key
+        else:
+            keys = [int.from_bytes(trns[i : i + 2], "big") for i in (0, 2, 4)]
+            p32 = px.astype(np.int32)
+            transparent = (
+                (p32[:, :, 0] == keys[0])
+                & (p32[:, :, 1] == keys[1])
+                & (p32[:, :, 2] == keys[2])
+            )
+        alpha = np.where(transparent, 0, 255).astype(np.uint8)
+        return np.dstack([px, alpha])
     return px
 
 

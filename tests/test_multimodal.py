@@ -519,8 +519,20 @@ def test_image_probe_dims_hand_built_headers():
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 3
     assert image_probe.probe_dims(gif) == (320, 200)
 
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 4
+    bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", 640, -480) + b"\x00" * 4
+    )
     assert image_probe.probe_dims(bmp) == (640, 480)  # top-down height
+    # OS/2 BITMAPCOREHEADER: 12-byte DIB header, uint16 dims — an
+    # int32 read at offset 18 would pack w|h into one field
+    core = b"BM" + b"\x00" * 12 + struct.pack("<IHHHH", 12, 100, 50, 1, 24)
+    assert image_probe.probe_dims(core) == (100, 50)
+    with pytest.raises(ValueError, match="DIB header"):
+        image_probe.bmp_dims(b"BM" + b"\x00" * 12 + struct.pack("<I", 16) + b"\x00" * 8)
+    # JPEG 0xFF fill bytes before a marker are legal: still parses
+    filled = jpg.replace(b"\xff\xc0", b"\xff\xff\xff\xc0")
+    assert image_probe.jpeg_dims(filled) == (77, 31)
 
     def riff(chunk, body):
         return b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP" + chunk + struct.pack("<I", len(body)) + body
@@ -626,3 +638,38 @@ def test_audio_features_refusals(spark):
     )
     with pytest.raises(Exception, match="16-bit PCM"):
         audio_features(bad).collect()
+
+
+def test_png_colorkey_trns_materializes_alpha():
+    """tRNS on gray/RGB images is a transparent-color key: the decode
+    materializes the alpha channel (dropping it would silently change
+    pixels). Keys are u16 per channel; a key above 255 can match no
+    8-bit sample, so everything stays opaque."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from archetype_spark.operators import png_io
+
+    px = np.array([[[10, 20, 30], [1, 2, 3]]], dtype=np.uint8)  # 1x2 RGB
+    raw = b"\x00" + px.reshape(-1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+
+    def build(keys):
+        trns = struct.pack(">HHH", *keys)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + png_io._chunk(b"IHDR", ihdr)
+            + png_io._chunk(b"tRNS", trns)
+            + png_io._chunk(b"IDAT", zlib.compress(raw))
+            + png_io._chunk(b"IEND", b"")
+        )
+
+    dec = png_io.png_decode(build((10, 20, 30)))
+    assert dec.shape == (1, 2, 4)
+    assert list(dec[0, 0]) == [10, 20, 30, 0]  # keyed pixel transparent
+    assert list(dec[0, 1]) == [1, 2, 3, 255]
+    # key beyond 8-bit range: opaque everywhere
+    dec2 = png_io.png_decode(build((300, 20, 30)))
+    assert (dec2[:, :, 3] == 255).all()
