@@ -50,6 +50,38 @@ def _cpu_score() -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def _cpu_score_parallel() -> float:
+    """Median per-process seconds for fixed work across one process
+    per CPU — the contention-sensitive canary: a single-core score
+    stays flat while a noisy co-tenant steals multi-core throughput
+    (observed r9: corpus 1.3x slow, single-core canary unchanged).
+    Compare against the recorded quiet-window value (~1.1 s here);
+    a materially higher number marks host pressure in the run's own
+    JSON. Fork-based Processes + a Queue (no task pickling), so it
+    works regardless of how bench.py was loaded."""
+    import multiprocessing
+    import statistics
+
+    ctx = multiprocessing.get_context("fork")
+    q = ctx.SimpleQueue()
+
+    def burn():
+        t0 = time.monotonic()
+        x = 0
+        for i in range(20_000_000):
+            x += i
+        q.put(time.monotonic() - t0)
+
+    n = multiprocessing.cpu_count()
+    procs = [ctx.Process(target=burn) for _ in range(n)]
+    for pr in procs:
+        pr.start()
+    times = [q.get() for _ in range(n)]
+    for pr in procs:
+        pr.join()
+    return round(statistics.median(times), 3)
+
+
 def run_ab(sf_dir: str, sf: float, name: str, reps: int) -> None:
     """Same-JVM A/B of registered operator variants (`--ab q66`):
     equality-checked, then interleaved timed reps in ONE process —
@@ -178,6 +210,7 @@ def main() -> None:
         # identical-code protocol runs at 76.6/92.7/105.9 s on one
         # boot — without a canary that band is unexplainable.
         "cpu_score_sec": _cpu_score(),
+        "cpu_score_parallel_sec": _cpu_score_parallel(),
         # 1/5/15-min load averages at run END: a single-core canary
         # misses multi-core contention (r9: canary flat at 0.15 s
         # while the corpus ran 1.38x slow); sustained load beyond
