@@ -574,6 +574,247 @@ def ensure_simhash(
     return got
 
 
+# ------------------------------------------------------------------ fit (PQ)
+def _micro(x: float) -> int:
+    """round(x * 1e6) with DuckDB ROUND semantics (half away from
+    zero) — the ONE quantization rule every PQ artifact and probe
+    shares, so integer ADC math is bit-identical across engines."""
+    import math
+
+    return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _pq_codebook_array(rows, m: int, n_codes: int, ds: int):
+    """(m, n_codes, ds) int64 centroid-micro array from codebook rows
+    ((m, code, centroid_micro) mappings in any order)."""
+    import numpy as np
+
+    C = np.zeros((m, n_codes, ds), dtype=np.int64)
+    for r in rows:
+        C[int(r["m"]), int(r["code"])] = np.asarray(
+            r["centroid_micro"], dtype=np.int64
+        )
+    return C
+
+
+def _pq_encode(base: DataFrame, C, m: int, ds: int) -> DataFrame:
+    """(id, codes array<int>): per-subspace nearest-centroid codes in
+    ONE Arrow mapInPandas pass — the full-corpus encode is the scan
+    you do once at ingest. Assignment uses the SAME integer micro
+    metric the ADC probe scores with (quantize vector, exact int64
+    squared-L2 to each centroid, argmin with lowest-code ties), so
+    the stored code is provably the probe-metric minimizer and the
+    whole index lifecycle is float-free after fit."""
+
+    def enc(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["v"]])
+            Q = (_np.floor(_np.abs(X) * 1e6 + 0.5) * _np.sign(X)).astype(_np.int64)
+            codes = _np.empty((len(pdf), m), dtype=_np.int32)
+            for sub in range(m):
+                Xs = Q[:, sub * ds : (sub + 1) * ds]
+                d2 = ((Xs[:, None, :] - C[sub][None, :, :]) ** 2).sum(axis=2)
+                codes[:, sub] = d2.argmin(axis=1)
+            yield _pd.DataFrame(
+                {"id": pdf["id"].to_numpy(_np.int64), "codes": list(codes)}
+            )
+
+    return base.mapInPandas(enc, "id long, codes array<int>")
+
+
+def fit_pq_frames(
+    emb: DataFrame,
+    m: int,
+    n_codes: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Product-quantization fit (Jégou et al., TPAMI'11): split the
+    vector into `m` contiguous subspaces, k-means each subspace to
+    `n_codes` centroids (one MLlib fit per subspace — distributed
+    maintenance jobs, never driver matrices), then encode every
+    vector to its per-subspace nearest-centroid code.
+
+    Returns (codebook, codes, codes_long):
+    - codebook: (m, code, centroid array<double>, centroid_micro
+      array<bigint>) — m*n_codes rows; centroid_micro is the
+      round(x*1e6) integer form BOTH engines score with.
+    - codes: (id, codes array<int>) — the probe-side layout (one
+      gather per subspace in the ADC kernel).
+    - codes_long: (id, m, code) — the relational layout the SQL
+      oracle joins against (DuckDB 1.0 cannot laterally unnest a
+      list column). Both are written from ONE encode pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    ds = dim // m
+    base = fan_out(
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+    )
+    rows = []
+    for sub in range(m):
+        feats = base.withColumn(
+            "_features", array_to_vector(F.slice("v", sub * ds + 1, ds))
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + sub, featuresCol="_features", predictionCol="_c"
+        ).fit(feats)
+        for code, c in enumerate(model.clusterCenters()):
+            cf = [float(x) for x in c]
+            rows.append((sub, code, cf, [_micro(x) for x in cf]))
+    codebook = spark.createDataFrame(
+        rows,
+        schema="m int, code int, centroid array<double>, centroid_micro array<bigint>",
+    )
+    C = _pq_codebook_array(
+        [{"m": r[0], "code": r[1], "centroid_micro": r[3]} for r in rows],
+        m,
+        n_codes,
+        ds,
+    )
+    codes = _pq_encode(base, C, m, ds)
+    codes_long = codes.select(
+        "id", F.posexplode("codes").alias("m", "code")
+    ).select("id", F.col("m").cast("int").alias("m"), "code")
+    return codebook, codes, codes_long
+
+
+def fit_pq(
+    emb: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist the PQ index (maintenance op; LanceDB's default
+    index is exactly IVF_PQ — reference store.py create_index). Atomic
+    directory swap; codes_long rides in the same swap as codes."""
+    codebook, codes, codes_long = fit_pq_frames(
+        emb, m, n_codes, seed, id_col, vec_col
+    )
+    dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    params = {
+        "kind": "pq",
+        "m": m,
+        "n_codes": n_codes,
+        "seed": seed,
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_rows_at_fit": emb.count(),
+        "corpus": corpus_fingerprint(emb, id_col, vec_col),
+    }
+    _write_index(
+        index_dir,
+        params,
+        {
+            "codebook": (codebook.coalesce(1), None),
+            "codes": (codes, ["id"]),
+            "codes_long": (codes_long, ["m", "code"]),
+        },
+    )
+
+
+def load_pq(
+    spark: SparkSession, index_dir: str, expect: dict | None = None
+) -> tuple[DataFrame, DataFrame] | None:
+    """(codebook, codes) if a valid PQ index with matching params
+    exists, else None. codes_long is oracle-side state read straight
+    from parquet by SQL; probes never need it."""
+    params = _read_params(index_dir, "pq", expect)
+    if params is None:
+        return None
+    return (
+        read_table(spark, os.path.join(index_dir, "codebook")),
+        read_table(spark, os.path.join(index_dir, "codes")),
+    )
+
+
+def ensure_pq(
+    emb: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refit_delta_frac: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Load the persisted PQ index, maintaining it first if stale —
+    the ensure_ivf contract: append-only growth within the drift
+    budget encodes ONLY the new vectors under the FIXED codebooks and
+    hardlink-appends codes + codes_long in one atomic swap; growth
+    past `refit_delta_frac` of the fit-time count refits (fixed
+    codebooks distort as the distribution drifts, exactly like IVF
+    centroids); any other change rebuilds."""
+    expect = {
+        "m": m,
+        "n_codes": n_codes,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "corpus": corpus_fingerprint(emb, id_col, vec_col),
+    }
+    spark = emb.sparkSession
+    got = load_pq(spark, index_dir, expect)
+    if got is None:
+        hyper = {k: v for k, v in expect.items() if k != "corpus"}
+        params = _read_params(index_dir, "pq", hyper)
+        delta = _delta_files(params, expect) if params else None
+        if delta:
+            n_fit = params.get("n_rows_at_fit")
+            drifted = n_fit is None or (
+                emb.count() - n_fit > refit_delta_frac * n_fit
+            )
+            if drifted:
+                delta = None
+        if delta:
+            book = read_table(spark, os.path.join(index_dir, "codebook"))
+            ds = params["dim"] // m
+            C = _pq_codebook_array(
+                book.select("m", "code", "centroid_micro").collect(),
+                m,
+                n_codes,
+                ds,
+            )
+            base = fan_out(
+                spark.read.parquet(*delta).select(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                )
+            )
+            codes = _pq_encode(base, C, m, ds)
+            codes_long = codes.select(
+                "id", F.posexplode("codes").alias("m", "code")
+            ).select("id", F.col("m").cast("int").alias("m"), "code")
+            _append_index_tables(
+                index_dir,
+                {"codes": codes, "codes_long": codes_long},
+                {**params, "corpus": expect["corpus"]},
+            )
+            got = load_pq(spark, index_dir, expect)
+    if got is None:
+        fit_pq(emb, index_dir, m, n_codes, seed, id_col, vec_col)
+        got = load_pq(spark, index_dir, expect)
+        assert got is not None, f"PQ index build failed to land at {index_dir}"
+    return got
+
+
 # ------------------------------------------------------- incremental append
 def _delta_files(params: dict, expect: dict) -> list[str] | None:
     """URIs added since the index was built, or None when incremental
@@ -594,15 +835,26 @@ def _delta_files(params: dict, expect: dict) -> list[str] | None:
 def _append_index_table(
     index_dir: str, table: str, delta_df: DataFrame, params: dict
 ) -> None:
-    """Append `delta_df`'s rows to one index table and publish the new
-    params, with the SAME atomic-swap durability as a full build — but
-    the existing data files are HARDLINKED into the new directory
-    (O(#files) metadata ops, zero bytes copied), so maintaining an
-    index over an append-only corpus costs only the delta's own
-    projection + write. A crash anywhere leaves either the old or the
-    new index; nothing in between is ever visible to a loader."""
+    """Single-table form of `_append_index_tables` (the original IVF/
+    MinHash/SimHash call shape)."""
+    _append_index_tables(index_dir, {table: delta_df}, params)
+
+
+def _append_index_tables(
+    index_dir: str, deltas: dict[str, DataFrame], params: dict
+) -> None:
+    """Append each delta frame's rows to its index table and publish
+    the new params, with the SAME atomic-swap durability as a full
+    build — the existing data files are HARDLINKED into the new
+    directory (O(#files) metadata ops, zero bytes copied), so
+    maintaining an index over an append-only corpus costs only the
+    delta's own projection + write. ALL tables land in ONE swap: an
+    index whose tables must stay mutually consistent (PQ's codes +
+    codes_long) can never be seen half-appended. A crash anywhere
+    leaves either the old or the new index; nothing in between is
+    ever visible to a loader."""
     tmp = f"{index_dir}.building-{uuid.uuid4().hex}"
-    scratch = f"{index_dir}.delta-{uuid.uuid4().hex}"
+    scratches: list[str] = []
     try:
         for root, _dirs, files in os.walk(index_dir):
             rel = os.path.relpath(root, index_dir)
@@ -612,12 +864,15 @@ def _append_index_table(
                 if rel == "." and f == _PARAMS_FILE:
                     continue
                 os.link(os.path.join(root, f), os.path.join(dst_root, f))
-        write_table(delta_df, scratch)
-        dst_table = os.path.join(tmp, table)
-        os.makedirs(dst_table, exist_ok=True)
-        for f in os.listdir(scratch):
-            if f.endswith(".parquet"):
-                os.rename(os.path.join(scratch, f), os.path.join(dst_table, f))
+        for table, delta_df in deltas.items():
+            scratch = f"{index_dir}.delta-{uuid.uuid4().hex}"
+            scratches.append(scratch)
+            write_table(delta_df, scratch)
+            dst_table = os.path.join(tmp, table)
+            os.makedirs(dst_table, exist_ok=True)
+            for f in os.listdir(scratch):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(scratch, f), os.path.join(dst_table, f))
         with open(os.path.join(tmp, _PARAMS_FILE), "w") as fh:
             json.dump(params, fh, indent=1)
         old = f"{index_dir}.old-{uuid.uuid4().hex}"
@@ -628,7 +883,8 @@ def _append_index_table(
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+        for scratch in scratches:
+            shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _assign_cells(vecs: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:

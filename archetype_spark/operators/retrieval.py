@@ -1,0 +1,198 @@
+"""Lexical (BM25) retrieval and reciprocal-rank fusion.
+
+The reference's retrieval surface is vector search over the LanceDB
+store (reference archetype/core/store.py — `table.search()` over the
+embedding column); a training-data pipeline needs the LEXICAL side
+too — BM25 scoring for retrieval-based quality filtering and
+dataset-vs-benchmark leak triage — plus a fusion rule to combine
+lexical and embedding rankings into one hybrid retrieval. This module
+adds both as plain DataFrame plans: BM25 (Robertson/Sparck Jones,
+k1/b form) and reciprocal-rank fusion (Cormack & Clarke, SIGIR'09:
+score = sum 1/(k + rank_i)).
+
+Hash-gating discipline (the q57/q89 lesson): every float expression is
+evaluated ONCE per (doc, term) — idf x tf-saturation — then quantized
+to integer micro-units (round(score * 1e6), DuckDB ROUND semantics)
+and summed as exact bigints, so cross-engine float accumulation order
+can never split the oracle. RRF contributions quantize the same way
+(round(1e6 / (k + rank))). The only libm call is one ln per query
+term; its 1-ulp engine variance matters only within 1e-12 of a
+rounding boundary.
+
+Scale shape: the query-term set is a handful of rows broadcast below
+the token explode, so the only full-corpus shuffle keyed on
+(doc, term) carries rows for query terms alone — everything else is
+narrow scans plus one-row stat broadcasts. The full-corpus rankings
+that RRF consumes are global row_numbers (single-task sort at the
+very end, after per-doc reduction to one 16-byte row); at 100 TB you
+bound the ranked depth first (top-D per list — every rank beyond
+D = 2e6 contributes 0 micro after rounding, and depths beyond ~1e4
+contribute <= 16 micro), which is a TakeOrderedAndProject, not a
+global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from archetype_spark.operators.util import fan_out
+
+
+def _round_like_duckdb(col: F.Column, scale: int) -> F.Column:
+    # operators -> queries imports stay function-local (the textstats
+    # layering convention); resolved once at first call.
+    from archetype_spark.queries.relational import round_like_duckdb
+
+    return round_like_duckdb(col, scale)
+
+
+#: BM25 constants (the standard Robertson defaults). (k1 + 1) is kept
+#: as the literal 2.2 — NOT computed as k1 + 1 — so the Spark plan and
+#: the SQL oracle parse the identical double.
+BM25_K1 = 1.2
+BM25_K1_PLUS_1 = 2.2
+BM25_B = 0.75
+#: RRF smoothing constant (Cormack & Clarke use 60).
+RRF_K = 60
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl, token): one row per token occurrence, each carrying the
+    document's token count so downstream aggs never need a second join
+    back to the document table."""
+    w = F.split(F.col(text_col), " ")
+    return fan_out(docs).select(
+        F.col(id_col),
+        F.size(w).alias("dl"),
+        F.explode(w).alias("token"),
+    )
+
+
+def derive_query_terms(
+    docs: DataFrame,
+    n_terms: int = 5,
+    min_token_len: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus's own top-`n_terms` tokens by document frequency
+    (ties by token), restricted to tokens of at least `min_token_len`
+    chars — a deterministic, regeneration-proof query-term set derived
+    from the data instead of hard-coded literals. Returns
+    (token, df)."""
+    return (
+        _tokens(docs, id_col, text_col)
+        .filter(F.length("token") >= min_token_len)
+        .groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(n_terms)
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BM25 against a query-term set: (id_col, n_terms,
+    bm25_micro) for every document matching at least one term.
+
+    bm25_micro = SUM over matched terms of
+        round(1e6 * idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)))
+    with idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1) (the Lucene
+    non-negative form) and dl/avgdl expanded as (dl * N) / total_dl so
+    both engines divide exact integers exactly once.
+
+    Shuffle audit: `terms` broadcasts below the token explode, so the
+    one wide aggregation — groupBy (doc, term, dl) — carries only
+    query-term occurrences; corpus stats (N, total token count) are a
+    one-row broadcast crossJoin; df rides along on the broadcast term
+    rows. No join is keyed on anything wider than (doc, term)."""
+    if terms is None:
+        terms = derive_query_terms(docs, id_col=id_col, text_col=text_col)
+    toks = _tokens(docs, id_col, text_col)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("total_dl"),
+    )
+    tf = (
+        toks.join(F.broadcast(terms.select("token")), "token")
+        .groupBy(id_col, "token", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # dl/avgdl as (dl * N) / total_dl: integer product (exact in
+    # double far beyond any real corpus), ONE correctly-rounded
+    # division — identical bits in Spark and DuckDB.
+    ratio = (F.col("dl") * F.col("n_docs")) / F.col("total_dl").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    sat = (F.col("tf") * F.lit(BM25_K1_PLUS_1)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * ratio)
+    )
+    scored = (
+        tf.join(F.broadcast(terms), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            _round_like_duckdb(idf * sat * F.lit(1e6), 0)
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("s_micro").alias("bm25_micro"),
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_a_col: str = "rank_lex",
+    rank_b_col: str = "rank_sem",
+    k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (id_col, <rank col>):
+    full outer join on the id, each present rank contributing
+    round(1e6 / (k + rank)) micro-points — ids absent from one list
+    simply lack that term (Cormack & Clarke's rule). Returns
+    (id_col, rrf_micro, rank_a_col, rank_b_col) with absent ranks
+    NULL."""
+
+    def _contrib(col: str) -> F.Column:
+        return F.coalesce(
+            _round_like_duckdb(
+                F.lit(1e6) / (F.lit(k) + F.col(col)), 0
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+
+    fused = ranked_a.join(ranked_b, id_col, "full_outer")
+    return fused.select(
+        F.col(id_col),
+        (_contrib(rank_a_col) + _contrib(rank_b_col)).alias("rrf_micro"),
+        F.col(rank_a_col),
+        F.col(rank_b_col),
+    )
+
+
+def rank_by(
+    df: DataFrame, order_cols: list, rank_col: str, tie_col: str
+) -> DataFrame:
+    """Global dense 1..N row_number ranking by (order_cols desc-first,
+    tie_col asc). A single-task sort over ALREADY-REDUCED per-doc rows
+    (16 bytes each) — the declared full-ranking semantic; see the
+    module docstring for the bounded-depth production shape."""
+    w = Window.orderBy(
+        *[F.desc(c) for c in order_cols], F.asc(tie_col)
+    )
+    return df.withColumn(rank_col, F.row_number().over(w).cast("int"))

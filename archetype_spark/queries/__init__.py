@@ -13,6 +13,7 @@ from archetype_spark.queries import (
     extras_q,
     northstar,
     relational,
+    retrieval_q,
     temporal_q,
     windows_q,
 )
@@ -25,6 +26,7 @@ _MODULES = (
     temporal_q,
     extras_q,
     curation_q,
+    retrieval_q,
 )
 
 # The driver's CORRECTNESS snapshot records only the FIRST 50 registered
@@ -156,6 +158,12 @@ _MODULES = (
 #       pins next, deferring q87 (green r7 AND r8). q111 (Iceberg
 #       incremental snapshot-range read, q107's twin; pure-SQL
 #       cohort oracle) pins next, deferring q88 (green r7 AND r8).
+#       Late-r9 retrieval tier: q112 (BM25 top-k, pure-SQL oracle),
+#       q113 (hybrid RRF fusion, pure-SQL oracle) and q114 (PQ ADC
+#       top-k, conditional index-replay oracle — the q61 pattern)
+#       pin for first driver rows, deferring q84/q86/q89 (all green
+#       r7 AND r8; the cleaning family keeps q95, textstats keeps
+#       q92/q63 pinned, surprisal stays locally hash-checked).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -189,6 +197,9 @@ _PINNED: tuple[str, ...] = (
     "q109_iceberg_metadata_counts",
     "q110_delta_evolution_scan",
     "q111_iceberg_changes",
+    "q112_bm25_topk",
+    "q113_hybrid_rrf",
+    "q114_pq_adc_topk",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -268,6 +279,11 @@ _DEFERRED: frozenset[str] = frozenset(
         # deferred mid-r9 for the q111 pin (green r7 AND r8; the
         # mixing family keeps q94/q102 in-window):
         "q88_temperature_mix",
+        # deferred late-r9 for the q112/q113/q114 retrieval-tier pins
+        # (all green r7 AND r8; families keep q95 / q92+q63 in-window):
+        "q84_paragraph_dedup",
+        "q86_oov_rate",
+        "q89_bigram_surprisal",
     }
 )
 
@@ -336,4 +352,7 @@ def all_oracles(
     fed = northstar.federation_oracle(d, require_live_index=require_live_index)
     if fed is not None:
         o["q108_lake_federation"] = fed
+    pq = retrieval_q.pq_oracle(d, require_live_index=require_live_index)
+    if pq is not None:
+        o["q114_pq_adc_topk"] = pq
     return o

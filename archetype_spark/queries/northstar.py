@@ -62,9 +62,15 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
         ann_index.default_index_dir(sf_dir, "simhash_documents"),
         **SIMHASH_INDEX,
     )
+    # function-local: the queries package __init__ imports northstar
+    # before retrieval_q, so a module-level import here would hit a
+    # partially-initialized package
+    from archetype_spark.queries.retrieval_q import PQ_INDEX, _pq_dir
+
+    book, codes = ann_index.ensure_pq(emb, _pq_dir(sf_dir), **PQ_INDEX)
     # touch each index table so parquet footer/metadata caches are warm
     # before the first probe
-    for df in (buckets, cents, assigned, sigs, fps):
+    for df in (buckets, cents, assigned, sigs, fps, book, codes):
         df.count()
     # lake-format state families: the Delta/Iceberg tables q104/q105
     # scan (their oracles read the same on-disk state, so cold

@@ -1,0 +1,258 @@
+"""Retrieval-tier queries (q112-q114), oracle-gated.
+
+q112: BM25 top-20 — corpus-derived query terms (top-5 tokens by
+document frequency, len >= 4), Robertson k1/b scoring in integer
+micro-units (operators/retrieval.py).
+q113: hybrid retrieval — the BM25 ranking fused with an exact-cosine
+ranking (query = the lowest-vec_id embedding) by reciprocal-rank
+fusion; top-20 by fused micro-score.
+q114: PQ asymmetric-distance top-5 neighbors over the persisted
+product-quantization index (the LanceDB IVF_PQ seam, reference
+store.py create_index); its oracle replays the integer ADC scan in
+pure SQL over the SAME persisted codebook/codes parquet (the
+q61/q65 conditional-oracle pattern — fit nondeterminism can never
+split engines because both read one committed index).
+
+Column-name/type discipline: every aggregate and rank is aliased
+identically here and in the SQL; every cross-engine float is either
+quantized to integer micro-units before any SUM (BM25 terms, RRF
+contributions, ADC distances — the q57 lesson) or only used as a
+ROUND(.., 6) ordering key with an id tie-break (cosine, the q30
+lesson)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from archetype_spark.functions.vectors import cosine_prenormed, dot, norm
+from archetype_spark.operators import ann_index, retrieval, similarity
+from archetype_spark.tables import load
+
+#: PQ build params (the ensure_pq/oracle contract): 64-dim embeddings
+#: split into 8 subspaces of 8 dims, 16 codes each — a 64x compression
+#: of the vector column (8 int8-range codes vs 64 floats). Lives here
+#: next to the query + oracle so probe and maintenance can never
+#: drift (the LSH_INDEX/IVF_INDEX convention in northstar.py).
+PQ_INDEX = dict(m=8, n_codes=16, seed=42)
+
+
+def _pq_dir(sf_dir: str) -> str:
+    return ann_index.default_index_dir(sf_dir, "pq_embeddings")
+
+
+def q112_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 against the corpus's own top-5
+    document-frequency terms. The top-20 cut is orderBy+limit
+    (TakeOrderedAndProject — distributed top-k, no global sort); the
+    rank column is a row_number over the surviving 20 rows only."""
+    docs = load(spark, sf_dir, "documents")
+    top = (
+        retrieval.bm25_scores(docs)
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "n_terms", "bm25_micro")
+        .orderBy("rank")
+    )
+
+
+def q113_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the full
+    BM25 ranking with the full exact-cosine ranking against the
+    lowest-vec_id embedding; top-20 by fused micro-score with the
+    per-list ranks carried through (NULL where a doc appears in only
+    one list)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = retrieval.rank_by(
+        retrieval.bm25_scores(docs).select("doc_id", "bm25_micro"),
+        ["bm25_micro"],
+        "rank_lex",
+        "doc_id",
+    ).select("doc_id", "rank_lex")
+    qv = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("_qid"), F.col("embedding").alias("_qv"))
+    )
+    sem_scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_prenormed(
+                    dot(F.col("embedding"), F.col("_qv")),
+                    norm("embedding"),
+                    norm("_qv"),
+                ),
+                6,
+            ).alias("cos6"),
+        )
+    )
+    sem = retrieval.rank_by(sem_scored, ["cos6"], "rank_sem", "vec_id").select(
+        F.col("vec_id").alias("doc_id"), "rank_sem"
+    )
+    fused = retrieval.rrf_fuse(lex, sem)
+    top = fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "rrf_micro", "rank_lex", "rank_sem")
+        .orderBy("rank")
+    )
+
+
+def q114_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-5 neighbors per vector (self excluded) over the
+    persisted 8x16 product-quantization index; distances are exact
+    int64 micro-unit squared-L2 sums, ranked (dist asc, id asc)."""
+    emb = load(spark, sf_dir, "embeddings")
+    codebook, codes = ann_index.ensure_pq(emb, _pq_dir(sf_dir), **PQ_INDEX)
+    return similarity.pq_adc_topk(emb, codebook, codes, k=5)
+
+
+# ------------------------------------------------------------------ oracles
+#: Shared BM25 CTE block (q112 + q113): tokenization, query-term
+#: derivation, tf/df/length stats, and per-doc micro-unit scoring —
+#: textually ONE definition so the two oracles can never drift.
+_BM25_CTES = """
+        toks AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ), qterms AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df
+          FROM toks WHERE length(token) >= 4
+          GROUP BY token ORDER BY df DESC, token LIMIT 5
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs,
+                 SUM(len(string_split(text, ' '))) AS total_dl
+          FROM documents
+        ), tf AS (
+          SELECT t.doc_id, t.token, t.dl, COUNT(*) AS tf
+          FROM toks t JOIN qterms q USING (token)
+          GROUP BY t.doc_id, t.token, t.dl
+        ), scored AS (
+          SELECT tf.doc_id,
+                 CAST(ROUND(
+                   ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (0.25 + 0.75
+                         * ((tf.dl * s.n_docs) / CAST(s.total_dl AS DOUBLE)))))
+                   * 1000000.0, 0) AS BIGINT) AS s_micro
+          FROM tf JOIN qterms q USING (token) CROSS JOIN stats s
+        ), bm AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(SUM(s_micro) AS BIGINT) AS bm25_micro
+          FROM scored GROUP BY doc_id
+        )
+"""
+
+QUERIES = {
+    "q112_bm25_topk": q112_bm25_topk,
+    "q113_hybrid_rrf": q113_hybrid_rrf,
+    "q114_pq_adc_topk": q114_pq_adc_topk,
+}
+
+ORACLES = {
+    "q112_bm25_topk": f"""
+        WITH {_BM25_CTES}
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank,
+               doc_id, n_terms, bm25_micro
+        FROM bm ORDER BY bm25_micro DESC, doc_id LIMIT 20
+    """,
+    "q113_hybrid_rrf": f"""
+        WITH {_BM25_CTES}
+        , lex AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank_lex
+          FROM bm
+        ), qv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings ORDER BY vec_id LIMIT 1
+        ), sem0 AS (
+          SELECT e.vec_id,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos6
+          FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.vec_id
+        ), sem AS (
+          SELECT vec_id AS doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cos6 DESC, vec_id) AS INT) AS rank_sem
+          FROM sem0
+        ), fused AS (
+          SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                 (COALESCE(CAST(ROUND(1000000.0 / (60 + l.rank_lex), 0) AS BIGINT), 0)
+                  + COALESCE(CAST(ROUND(1000000.0 / (60 + s.rank_sem), 0) AS BIGINT), 0)) AS rrf_micro,
+                 l.rank_lex, s.rank_sem
+          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank,
+               doc_id, rrf_micro, rank_lex, rank_sem
+        FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+}
+
+
+def pq_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """DuckDB SQL replaying q114's ADC scan over the SAME persisted PQ
+    index (codebook.centroid_micro + codes_long), built per-sf_dir
+    because the index path and subspace width come from the committed
+    _params.json. Every arithmetic step is integer-exact: quantized
+    query micro-vectors, per-subspace squared-L2 via
+    qq - 2qc + cc on values far inside double's 2^53 exact-integer
+    range, and a bigint SUM across subspaces. Returns None when the
+    index isn't on disk yet (rows-only degrade, the q61 contract)."""
+    idx = _pq_dir(sf_dir)
+    params_path = os.path.join(idx, "_params.json")
+    if not os.path.isfile(params_path):
+        # Unlike the static oracles, this one is underivable without
+        # the committed params (subspace width), so a cold checkout
+        # degrades to rows-only regardless of require_live_index.
+        return None
+    with open(params_path) as fh:
+        params = json.load(fh)
+    ds = params["dim"] // params["m"]
+    return f"""
+        WITH book AS (
+          SELECT CAST(m AS INT) AS m, CAST(code AS INT) AS code,
+                 CAST(centroid_micro AS BIGINT[]) AS cm
+          FROM read_parquet('{idx}/codebook/*.parquet')
+        ), q AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(ROUND(x * 1000000.0, 0) AS BIGINT)) AS qm
+          FROM embeddings
+        ), lut AS (
+          SELECT q.vec_id, b.m, b.code,
+                 CAST(list_dot_product(CAST(q.qm[(b.m*{ds}+1):(b.m*{ds}+{ds})] AS DOUBLE[]),
+                                       CAST(q.qm[(b.m*{ds}+1):(b.m*{ds}+{ds})] AS DOUBLE[]))
+                    - 2 * list_dot_product(CAST(q.qm[(b.m*{ds}+1):(b.m*{ds}+{ds})] AS DOUBLE[]),
+                                           CAST(b.cm AS DOUBLE[]))
+                    + list_dot_product(CAST(b.cm AS DOUBLE[]), CAST(b.cm AS DOUBLE[]))
+                   AS BIGINT) AS d2
+          FROM q CROSS JOIN book b
+        ), cl AS (
+          SELECT id, CAST(m AS INT) AS m, CAST(code AS INT) AS code
+          FROM read_parquet('{idx}/codes_long/**/*.parquet', hive_partitioning=true)
+        ), dists AS (
+          SELECT l.vec_id, c.id AS other_vec_id,
+                 CAST(SUM(l.d2) AS BIGINT) AS dist_micro
+          FROM cl c JOIN lut l ON l.m = c.m AND l.code = c.code
+          WHERE c.id <> l.vec_id
+          GROUP BY l.vec_id, c.id
+        ), ranked AS (
+          SELECT vec_id, other_vec_id, dist_micro,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist_micro, other_vec_id) AS rnk
+          FROM dists
+        )
+        SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, dist_micro
+        FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank
+    """

