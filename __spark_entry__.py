@@ -12,9 +12,11 @@ sources q100/q104-q111 (binaryFile ingest; Delta-log and
 Iceberg-manifest snapshot scans; Delta MERGE INTO; incremental
 per-commit Delta and per-snapshot Iceberg changes reads; the
 three-source lake federation; Iceberg metadata-only COUNT; the
-Delta schema-evolution scan), index-tier q101, retrieval tier
-q112-q114 (BM25 top-k; hybrid RRF fusion; PQ asymmetric-distance
-top-k over the persisted product-quantization index)); oracles are
+Delta schema-evolution scan), index-tier q101, retrieval/tokenization tier
+q112-q115 (BM25 top-k; hybrid RRF fusion; PQ asymmetric-distance
+top-k over the persisted product-quantization index; learned-BPE
+token counts over the persisted merge/segmentation artifact),
+layout tier q116 (2-D box scan over a Z-ORDERed Delta rewrite)); oracles are
 colocated with each query module.
 """
 

@@ -163,7 +163,15 @@ _MODULES = (
 #       top-k, conditional index-replay oracle — the q61 pattern)
 #       pin for first driver rows, deferring q84/q86/q89 (all green
 #       r7 AND r8; the cleaning family keeps q95, textstats keeps
-#       q92/q63 pinned, surprisal stays locally hash-checked).
+#       q92/q63 pinned, surprisal stays locally hash-checked). q115
+#       (learned-BPE token counts over the persisted merge/segment
+#       artifact; training pinned by reference-equivalence tests,
+#       usage oracle-gated via the persisted segmentation — the q65
+#       pattern) pins next, deferring q92 (green r7 AND r8). q116
+#       (2-D box scan over a Z-ORDERed Delta rewrite —
+#       compact_delta(zorder_by=...), operators/zorder.py; pure-SQL
+#       source oracle proves log replay + rewrite fidelity) pins
+#       next, deferring q94 (green r7 AND r8).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -200,6 +208,8 @@ _PINNED: tuple[str, ...] = (
     "q112_bm25_topk",
     "q113_hybrid_rrf",
     "q114_pq_adc_topk",
+    "q115_bpe_token_counts",
+    "q116_zorder_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -284,6 +294,12 @@ _DEFERRED: frozenset[str] = frozenset(
         "q84_paragraph_dedup",
         "q86_oov_rate",
         "q89_bigram_surprisal",
+        # deferred late-r9 for the q115 learned-BPE pin (green r7 AND
+        # r8; textstats keeps q63 tf-idf pinned in-window):
+        "q92_mixed_language",
+        # deferred late-r9 for the q116 Z-ORDER pin (green r7 AND r8;
+        # the sampling family keeps q67 pinned in-window):
+        "q94_weighted_sample",
     }
 )
 
@@ -355,4 +371,7 @@ def all_oracles(
     pq = retrieval_q.pq_oracle(d, require_live_index=require_live_index)
     if pq is not None:
         o["q114_pq_adc_topk"] = pq
+    bp = retrieval_q.bpe_oracle(d, require_live_index=require_live_index)
+    if bp is not None:
+        o["q115_bpe_token_counts"] = bp
     return o

@@ -65,12 +65,21 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     # function-local: the queries package __init__ imports northstar
     # before retrieval_q, so a module-level import here would hit a
     # partially-initialized package
-    from archetype_spark.queries.retrieval_q import PQ_INDEX, _pq_dir
+    from archetype_spark.operators.bpe import ensure_bpe
+    from archetype_spark.queries.retrieval_q import (
+        BPE_INDEX,
+        PQ_INDEX,
+        _bpe_dir,
+        _pq_dir,
+    )
 
     book, codes = ann_index.ensure_pq(emb, _pq_dir(sf_dir), **PQ_INDEX)
+    _bpe_merges, segs = ensure_bpe(
+        load(spark, sf_dir, "documents"), _bpe_dir(sf_dir), **BPE_INDEX
+    )
     # touch each index table so parquet footer/metadata caches are warm
     # before the first probe
-    for df in (buckets, cents, assigned, sigs, fps, book, codes):
+    for df in (buckets, cents, assigned, sigs, fps, book, codes, segs):
         df.count()
     # lake-format state families: the Delta/Iceberg tables q104/q105
     # scan (their oracles read the same on-disk state, so cold
@@ -81,6 +90,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_iceberg_documents(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
     _ensure_delta_evolved(spark, sf_dir)
+    _ensure_zorder_lineitem(spark, sf_dir)
 
 
 # ------------------------------------------------------------------- Q29/Q30
@@ -2721,4 +2731,97 @@ ORACLES["q111_iceberg_changes"] = """
     SELECT 2::BIGINT AS snapshot_id, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+"""
+
+
+# --------------------------------------------------- q116: Z-ORDER layout
+def _ensure_zorder_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """The Z-ORDERED Delta table q116 scans: lineitem's scan columns
+    written as two ingest appends (even/odd orderkeys), then
+    OPTIMIZE'd with compact_delta(zorder_by=(l_quantity,
+    l_extendedprice)) — the Morton-clustered rewrite
+    (operators/zorder.py). The append->compact history makes the log
+    load-bearing (a log-unaware glob double-counts every row), and
+    the clustered layout is what the pruning test measures; q116's
+    oracle is the SAME box predicate over the source view, so
+    matching proves rewrite fidelity end-to-end. Same atomic-slot +
+    corpus-fingerprint discipline as the other lake fixtures."""
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from archetype_spark.sources.delta import compact_delta, write_delta
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    idx = ann_index.default_index_dir(sf_dir, "delta_lineitem_zorder")
+    table = os.path.join(idx, "table")
+    expect = {
+        "kind": "delta_lineitem_zorder",
+        "schema": 1,  # (orderkey, linenumber, quantity, extendedprice)
+        "corpus": ann_index.corpus_fingerprint(li, "l_orderkey", "l_quantity"),
+    }
+    pfile = os.path.join(idx, "_build_params.json")
+    if os.path.exists(pfile):
+        try:
+            with open(pfile) as fh:
+                if _json.load(fh) == expect:
+                    return table
+        except (OSError, ValueError):
+            pass
+    building = os.path.join(os.path.dirname(idx), f".building-{_uuid.uuid4().hex}")
+    os.makedirs(building, exist_ok=True)
+    try:
+        btable = os.path.join(building, "table")
+        write_delta(li.filter(F.col("l_orderkey") % 2 == 0), btable)
+        write_delta(
+            li.filter(F.col("l_orderkey") % 2 == 1), btable, mode="append"
+        )
+        compact_delta(
+            spark,
+            btable,
+            target_files=8,
+            zorder_by=("l_quantity", "l_extendedprice"),
+        )
+        with open(os.path.join(building, "_build_params.json"), "w") as fh:
+            _json.dump(expect, fh)
+        _swap_slot(idx, building)
+    except BaseException:
+        _shutil.rmtree(building, ignore_errors=True)
+        raise
+    return table
+
+
+def q116_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box scan over the Z-ORDERED Delta lineitem table: quantity
+    in [10, 20] AND extendedprice in [20000, 40000] — the predicate
+    shape Morton clustering exists for (each rewritten file covers a
+    z-rectangle, so the box overlaps few files; linear sort prunes on
+    one dimension only — measured in tests/test_zorder.py). Values
+    pass through the rewrite untouched, so the PURE-SQL oracle over
+    the source view proves log replay + rewrite fidelity."""
+    table = _ensure_zorder_lineitem(spark, sf_dir)
+    from archetype_spark.sources.delta import read_delta
+
+    return (
+        read_delta(spark, table)
+        .filter(
+            (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+            & (F.col("l_extendedprice") >= 20000.0)
+            & (F.col("l_extendedprice") <= 40000.0)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+QUERIES["q116_zorder_scan"] = q116_zorder_scan
+ORACLES["q116_zorder_scan"] = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_extendedprice BETWEEN 20000.0 AND 40000.0
+    ORDER BY l_orderkey, l_linenumber
 """

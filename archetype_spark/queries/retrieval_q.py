@@ -1,4 +1,4 @@
-"""Retrieval-tier queries (q112-q114), oracle-gated.
+"""Retrieval/tokenization-tier queries (q112-q115), oracle-gated.
 
 q112: BM25 top-20 — corpus-derived query terms (top-5 tokens by
 document frequency, len >= 4), Robertson k1/b scoring in integer
@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from archetype_spark.functions.vectors import cosine_prenormed, dot, norm
-from archetype_spark.operators import ann_index, retrieval, similarity
+from archetype_spark.operators import ann_index, bpe, retrieval, similarity
 from archetype_spark.tables import load
 
 #: PQ build params (the ensure_pq/oracle contract): 64-dim embeddings
@@ -42,6 +42,16 @@ PQ_INDEX = dict(m=8, n_codes=16, seed=42)
 
 def _pq_dir(sf_dir: str) -> str:
     return ann_index.default_index_dir(sf_dir, "pq_embeddings")
+
+
+#: BPE training budget (operators/bpe.py): 16 learned merges — enough
+#: to fuse every hot bigram of the synthetic vocabulary while keeping
+#: the ingest-time fit to 16 vocabulary-table rounds.
+BPE_INDEX = dict(n_merges=16)
+
+
+def _bpe_dir(sf_dir: str) -> str:
+    return ann_index.default_index_dir(sf_dir, "bpe_documents")
 
 
 def q112_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,6 +129,19 @@ def q114_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, codebook, codes, k=5)
 
 
+def q115_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LEARNED-token budget over the persisted BPE
+    artifact (operators/bpe.py): explode words, broadcast-join the
+    fit-time segmentation table, SUM subtoken counts. The training
+    itself is iterative (not SQL-expressible; pinned by exact
+    reference-implementation equivalence in tests/test_bpe.py); this
+    query verifies the artifact's USE — the oracle replays the same
+    join/sum over the same persisted parquet (the q65 pattern)."""
+    docs = load(spark, sf_dir, "documents")
+    _merges, segments = bpe.ensure_bpe(docs, _bpe_dir(sf_dir), **BPE_INDEX)
+    return bpe.bpe_token_counts(docs, segments).orderBy("doc_id")
+
+
 # ------------------------------------------------------------------ oracles
 #: Shared BM25 CTE block (q112 + q113): tokenization, query-term
 #: derivation, tf/df/length stats, and per-doc micro-unit scoring —
@@ -160,6 +183,7 @@ QUERIES = {
     "q112_bm25_topk": q112_bm25_topk,
     "q113_hybrid_rrf": q113_hybrid_rrf,
     "q114_pq_adc_topk": q114_pq_adc_topk,
+    "q115_bpe_token_counts": q115_bpe_token_counts,
 }
 
 ORACLES = {
@@ -255,4 +279,29 @@ def pq_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
         )
         SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, dist_micro
         FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank
+    """
+
+
+def bpe_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """DuckDB SQL replaying q115's token counting over the SAME
+    persisted segmentation table: explode words, left-join the
+    vocabulary, SUM n_subtokens with the chars+1 fallback for unseen
+    words (unreachable under ensure_bpe's fingerprint, mirrored for
+    totality). Returns None when the artifact isn't on disk yet
+    (rows-only degrade, the q61 contract)."""
+    idx = _bpe_dir(sf_dir)
+    if require_live_index and not os.path.isdir(idx):
+        return None
+    return f"""
+        WITH seg AS (
+          SELECT word, n_subtokens
+          FROM read_parquet('{idx}/segments/**/*.parquet', hive_partitioning=true)
+        ), toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        )
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(COALESCE(s.n_subtokens, length(t.word) + 1)) AS BIGINT) AS n_bpe_tokens
+        FROM toks t LEFT JOIN seg s USING (word)
+        GROUP BY t.doc_id ORDER BY doc_id
     """

@@ -572,20 +572,37 @@ def compact_delta(
     path: str,
     target_files: int | None = None,
     sort_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> None:
     """OPTIMIZE-style bin-packing: rewrite the active file set as ONE
     overwrite commit — small files from many appends (or a streaming
     sink's per-batch commits) merge into `target_files` outputs per
     partition directory (Spark's default parallelism when None).
     `sort_by` sorts within the rewritten files so parquet row-group
-    min/max stats support skipping on those keys afterwards — the
-    poor man's Z-ORDER, same trade as sources.write_table(sort_by).
+    min/max stats support skipping on ONE leading key — the linear
+    clustering. `zorder_by` (two columns, mutually exclusive with
+    sort_by) is the real OPTIMIZE ZORDER: Morton-interleave the
+    rank-scaled pair, range-partition + sort on the z-value
+    (operators/zorder.py), so box predicates on EITHER column prune
+    files on footer stats.
 
     The rewrite costs one full read+write of the ACTIVE data (not
     the history); the old files are tombstoned, stay time-travelable
     until `vacuum_delta`, and the streaming sink's txn marks are
     unaffected (they live in the log, not the files)."""
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by or zorder_by, not both")
     df = read_delta(spark, path)
+    if zorder_by:
+        from archetype_spark.operators.zorder import zorder_repartition
+
+        df = zorder_repartition(
+            df,
+            list(zorder_by),
+            target_files or spark.sparkContext.defaultParallelism,
+        )
+        write_delta(df, path, mode="overwrite")
+        return
     if target_files is not None:
         df = df.repartition(target_files)
     if sort_by:

@@ -958,14 +958,29 @@ def compact_iceberg(
     path: str,
     target_files: int | None = None,
     sort_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> None:
     """OPTIMIZE-style bin-packing, Iceberg face: rewrite the current
     snapshot as ONE overwrite snapshot (same contract as
     compact_delta — old files stay time-travelable until expiry +
     vacuum; streaming high-water marks live in table properties and
     are unaffected). `sort_by` clusters rows for parquet row-group
-    stat skipping."""
+    stat skipping on one leading key; `zorder_by` (two columns,
+    exclusive with sort_by) Morton-clusters the pair so box
+    predicates on either column prune files (operators/zorder.py)."""
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by or zorder_by, not both")
     df = read_iceberg(spark, path)
+    if zorder_by:
+        from archetype_spark.operators.zorder import zorder_repartition
+
+        df = zorder_repartition(
+            df,
+            list(zorder_by),
+            target_files or spark.sparkContext.defaultParallelism,
+        )
+        write_iceberg(df, path, mode="overwrite")
+        return
     if target_files is not None:
         df = df.repartition(target_files)
     if sort_by:
