@@ -45,6 +45,27 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, d / denom)
 
 
+def micro_quantize(a: Column | str, scale: float = 1e6) -> Column:
+    """Per-component half-away-from-zero integer quantization
+    (round(x * scale) as bigint, DuckDB ROUND semantics — the
+    round_like_duckdb rule applied elementwise). Cross-engine float
+    determinism primitive: dot products of micro-quantized 64-dim
+    vectors are EXACT integers in double (partial sums ≪ 2^53 in any
+    summation order), so a cosine computed as dot/(sqrt(nA)*sqrt(nQ))
+    from these integers is bit-identical in every IEEE engine —
+    no 1-ulp rank boundary exists (the q113 lesson)."""
+    a = F.col(a) if isinstance(a, str) else a
+
+    def q(x: Column) -> Column:
+        xd = x.cast("double") * F.lit(float(scale))
+        return (
+            F.floor(F.abs(xd) + F.lit(0.5))
+            * F.when(xd < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        ).cast("bigint")
+
+    return F.transform(a, q)
+
+
 def cosine_prenormed(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine from a precomputed dot and per-row norms — use this in
     pairwise joins so each row's norm is computed once, not per pair."""

@@ -1,9 +1,12 @@
 """Learned BPE tokenization (Sennrich et al., ACL'16) as index state.
 
-The reference's token accounting is whitespace/regex counting (the
-bpeish_tokens estimate in functions/text.py); a training-data
-pipeline budgets in LEARNED subword tokens — packing, pricing, and
-mixture math all key on them. This module trains a byte-pair-encoding
+Capability extension beyond the reference: the reference has no
+tokenizer surface at all (its Daft/LanceDB core is relational ECS
+storage — reference archetype/core/store.py), while this repo's own
+text tier so far counted tokens by whitespace/regex heuristics
+(operators/textstats.py). A training-data pipeline budgets in
+LEARNED subword tokens — packing, pricing, and mixture math all key
+on them. This module trains a byte-pair-encoding
 merge table on the corpus and persists it like the ANN families
 (operators/ann_index.py plumbing: params sidecar, corpus fingerprint,
 atomic swap): training is ingest-time maintenance, token counting is
@@ -61,7 +64,11 @@ def _word_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    chars = F.regexp_extract_all(F.col("word"), F.lit("(.)"), 1)
+    # (?s) so '.' matches EVERY char (words split on spaces only, so a
+    # newline can sit inside a word; without DOTALL it would be dropped
+    # here while apply-side list(word) keeps it, breaking train<->apply
+    # segmentation equivalence and the chars+1 fallback convention).
+    chars = F.regexp_extract_all(F.col("word"), F.lit("(?s)(.)"), 1)
     return words.withColumn(
         "syms", F.concat(chars, F.array(F.lit(END_TOKEN)))
     )

@@ -762,6 +762,13 @@ def _wav_pcm(payload: bytes):
             f"WAV format {audio_format} / {bits}-bit: only 16-bit PCM "
             "is supported without codec libraries"
         )
+    if channels == 0 or rate == 0:
+        # Malformed header: dividing by channels below would crash the
+        # task with ZeroDivisionError instead of the module's loud
+        # ValueError contract.
+        raise ValueError(
+            f"WAV fmt declares {channels} channels / {rate} Hz"
+        )
     samples = np.frombuffer(
         data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
     )

@@ -1,12 +1,14 @@
 """Lexical (BM25) retrieval and reciprocal-rank fusion.
 
-The reference's retrieval surface is vector search over the LanceDB
-store (reference archetype/core/store.py — `table.search()` over the
-embedding column); a training-data pipeline needs the LEXICAL side
-too — BM25 scoring for retrieval-based quality filtering and
-dataset-vs-benchmark leak triage — plus a fusion rule to combine
-lexical and embedding rankings into one hybrid retrieval. This module
-adds both as plain DataFrame plans: BM25 (Robertson/Sparck Jones,
+Capability extension beyond the reference: the reference itself does
+no retrieval — its only index calls are BTree on entity_id/step
+(reference archetype/core/store.py:107-108) — though its LanceDB
+backend ships vector search as a library capability. A training-data
+pipeline needs retrieval on BOTH sides — BM25 scoring for
+retrieval-based quality filtering and dataset-vs-benchmark leak
+triage, plus a fusion rule to combine lexical and embedding rankings
+into one hybrid retrieval. This module adds both as plain DataFrame
+plans: BM25 (Robertson/Sparck Jones,
 k1/b form) and reciprocal-rank fusion (Cormack & Clarke, SIGIR'09:
 score = sum 1/(k + rank_i)).
 
@@ -22,13 +24,14 @@ rounding boundary.
 Scale shape: the query-term set is a handful of rows broadcast below
 the token explode, so the only full-corpus shuffle keyed on
 (doc, term) carries rows for query terms alone — everything else is
-narrow scans plus one-row stat broadcasts. The full-corpus rankings
-that RRF consumes are global row_numbers (single-task sort at the
-very end, after per-doc reduction to one 16-byte row); at 100 TB you
-bound the ranked depth first (top-D per list — every rank beyond
-D = 2e6 contributes 0 micro after rounding, and depths beyond ~1e4
-contribute <= 16 micro), which is a TakeOrderedAndProject, not a
-global sort.
+narrow scans plus one-row stat broadcasts. The rankings RRF consumes
+come from rank_by, which has two faces: the exact full ranking
+(global row_number — a single-task sort, the oracle face) and the
+bounded-depth production face (rank_by(depth=D): TakeOrderedAndProject
+top-D, no full-corpus single-task stage — every rank beyond D = 2e6
+contributes 0 micro after rounding, and depths beyond ~1e4 contribute
+<= 16 micro, so bounding D is a rounding-exact cut, not an
+approximation knob).
 """
 
 from __future__ import annotations
@@ -186,13 +189,27 @@ def rrf_fuse(
 
 
 def rank_by(
-    df: DataFrame, order_cols: list, rank_col: str, tie_col: str
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str,
+    tie_col: str,
+    depth: int | None = None,
 ) -> DataFrame:
-    """Global dense 1..N row_number ranking by (order_cols desc-first,
-    tie_col asc). A single-task sort over ALREADY-REDUCED per-doc rows
-    (16 bytes each) — the declared full-ranking semantic; see the
-    module docstring for the bounded-depth production shape."""
-    w = Window.orderBy(
-        *[F.desc(c) for c in order_cols], F.asc(tie_col)
-    )
-    return df.withColumn(rank_col, F.row_number().over(w).cast("int"))
+    """Row_number ranking by (order_cols desc-first, tie_col asc).
+
+    depth=None — the full-ranking (oracle) face: a global Window,
+    i.e. ONE task sorts every already-reduced per-doc row. Exact, but
+    a wall at corpus scale.
+
+    depth=D — the production face: orderBy+limit(D) first, which
+    Spark plans as TakeOrderedAndProject (distributed per-partition
+    top-D + driver merge, NO full-corpus single-task sort), then rank
+    only the D survivors (the residual Window sorts <= D rows). The
+    top-D rows' ranks are identical to the full ranking's; docs
+    beyond D drop out, costing a downstream RRF consumer at most
+    round(1e6/(k + D)) micro-points per list — <= 943 at D=1000,
+    <= 16 at D=6e4, exactly 0 past ~2e6 (rounding kills the tail)."""
+    order = [*[F.desc(c) for c in order_cols], F.asc(tie_col)]
+    src = df if depth is None else df.orderBy(*order).limit(int(depth))
+    w = Window.orderBy(*order)
+    return src.withColumn(rank_col, F.row_number().over(w).cast("int"))

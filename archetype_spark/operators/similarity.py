@@ -890,8 +890,11 @@ def pq_adc_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Asymmetric-distance top-k over a persisted PQ index (Jégou et
-    al., TPAMI'11; LanceDB's default IVF_PQ is the reference seam —
-    reference store.py create_index): each query vector is quantized
+    al., TPAMI'11). Capability extension beyond the reference: the
+    reference only creates BTree indexes on entity_id/step (reference
+    archetype/core/store.py:107-108); IVF_PQ is what its LanceDB
+    backend would build for vector search, re-expressed here
+    Spark-side. Each query vector is quantized
     to integer micro-units, a per-query lookup table of exact int64
     squared-L2 distances to every (subspace, code) centroid is built
     from the broadcast-size codebook, and every candidate scores as
@@ -967,10 +970,15 @@ def pq_adc_topk(
             Xs = Q[:, sub * ds_ : (sub + 1) * ds_]
             lut = ((Xs[:, None, :] - C[sub][None, :, :]) ** 2).sum(axis=2)
             scores += lut[:, BC[:, sub]]
-        scores[qids[:, None] == bids[None, :]] = _np.iinfo(_np.int64).max
+        self_mask = qids[:, None] == bids[None, :]
+        scores[self_mask] = _np.iinfo(_np.int64).max
+        # Candidate count per query: only subtract the self row when
+        # the query id actually exists in the build set (foreign probe
+        # ids must still get k neighbors when k are available).
+        has_self = self_mask.any(axis=1)
         out_q, out_r, out_o, out_d = [], [], [], []
-        take = min(topk, len(bids) - 1 if len(bids) else 0)
         for r in range(len(qids)):
+            take = min(topk, len(bids) - int(has_self[r]))
             order = _np.lexsort((bids, scores[r]))[:take]
             out_q.append(_np.full(take, qids[r], dtype=_np.int64))
             out_r.append(_np.arange(1, take + 1, dtype=_np.int32))

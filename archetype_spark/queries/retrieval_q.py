@@ -1,14 +1,20 @@
-"""Retrieval/tokenization-tier queries (q112-q115), oracle-gated.
+"""Retrieval/tokenization-tier queries (q112-q117), oracle-gated.
 
 q112: BM25 top-20 — corpus-derived query terms (top-5 tokens by
 document frequency, len >= 4), Robertson k1/b scoring in integer
 micro-units (operators/retrieval.py).
 q113: hybrid retrieval — the BM25 ranking fused with an exact-cosine
 ranking (query = the lowest-vec_id embedding) by reciprocal-rank
-fusion; top-20 by fused micro-score.
+fusion; top-20 by fused micro-score. Exact face (full rankings).
+q117: q113's bounded-depth production face — both rankings cut to
+their top-1000 before ranking (TakeOrderedAndProject, no full-corpus
+single-task sort); own LIMIT-then-rank oracle, top-20 pinned equal
+to q113's by test.
 q114: PQ asymmetric-distance top-5 neighbors over the persisted
-product-quantization index (the LanceDB IVF_PQ seam, reference
-store.py create_index); its oracle replays the integer ADC scan in
+product-quantization index (a capability extension: the reference
+only BTree-indexes entity_id/step — store.py:107-108 — while its
+LanceDB backend offers IVF_PQ as a library feature); its oracle
+replays the integer ADC scan in
 pure SQL over the SAME persisted codebook/codes parquet (the
 q61/q65 conditional-oracle pattern — fit nondeterminism can never
 split engines because both read one committed index).
@@ -16,9 +22,10 @@ split engines because both read one committed index).
 Column-name/type discipline: every aggregate and rank is aliased
 identically here and in the SQL; every cross-engine float is either
 quantized to integer micro-units before any SUM (BM25 terms, RRF
-contributions, ADC distances — the q57 lesson) or only used as a
-ROUND(.., 6) ordering key with an id tie-break (cosine, the q30
-lesson)."""
+contributions, ADC distances — the q57 lesson) or derived from
+micro-quantized integer vectors whose dot/sqrt/divide pipeline is
+bit-identical across IEEE engines (the cosine ranking key — see
+_sem_ranking; no ROUND(..,6) boundary survives anywhere)."""
 
 from __future__ import annotations
 
@@ -28,7 +35,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from archetype_spark.functions.vectors import cosine_prenormed, dot, norm
+from archetype_spark.functions.vectors import (
+    cosine_prenormed,
+    dot,
+    micro_quantize,
+    norm,
+)
 from archetype_spark.operators import ann_index, bpe, retrieval, similarity
 from archetype_spark.tables import load
 
@@ -73,12 +85,49 @@ def q112_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sem_ranking(emb: DataFrame, depth: int | None = None) -> DataFrame:
+    """(doc_id, rank_sem): exact-cosine ranking of every embedding
+    against the lowest-vec_id query vector. The ranking key is an
+    exact-integer surrogate (the q113 lesson): components quantize to
+    micro bigints ONCE (micro_quantize, DuckDB ROUND rule), making
+    every dot product an exact integer in double regardless of
+    summation order, so cosq = dot/(sqrt(nA)*sqrt(nQ)) is the same
+    three correctly-rounded IEEE ops on identical integers in Spark
+    and DuckDB — bit-identical, no ROUND(...,6) boundary for a 1-ulp
+    engine divergence to flip adjacent ranks across."""
+    emq = emb.select(
+        "vec_id", micro_quantize("embedding").alias("_em")
+    )
+    qv = (
+        emq.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("_qid"), F.col("_em").alias("_qm"))
+    )
+    sem_scored = (
+        emq.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .select(
+            "vec_id",
+            cosine_prenormed(
+                dot(F.col("_em"), F.col("_qm")),
+                norm("_em"),
+                norm("_qm"),
+            ).alias("cosq"),
+        )
+    )
+    return retrieval.rank_by(
+        sem_scored, ["cosq"], "rank_sem", "vec_id", depth=depth
+    ).select(F.col("vec_id").alias("doc_id"), "rank_sem")
+
+
 def q113_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (k=60) of the full
     BM25 ranking with the full exact-cosine ranking against the
     lowest-vec_id embedding; top-20 by fused micro-score with the
     per-list ranks carried through (NULL where a doc appears in only
-    one list)."""
+    one list). This is the exact (oracle) face; q117 is the
+    bounded-depth production face (the q103 exact-vs-approx
+    duality)."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     lex = retrieval.rank_by(
@@ -87,30 +136,42 @@ def q113_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_lex",
         "doc_id",
     ).select("doc_id", "rank_lex")
-    qv = (
-        emb.orderBy("vec_id")
-        .limit(1)
-        .select(F.col("vec_id").alias("_qid"), F.col("embedding").alias("_qv"))
+    fused = retrieval.rrf_fuse(lex, _sem_ranking(emb))
+    top = fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "rrf_micro", "rank_lex", "rank_sem")
+        .orderBy("rank")
     )
-    sem_scored = (
-        emb.crossJoin(F.broadcast(qv))
-        .filter(F.col("vec_id") != F.col("_qid"))
-        .select(
-            "vec_id",
-            F.round(
-                cosine_prenormed(
-                    dot(F.col("embedding"), F.col("_qv")),
-                    norm("embedding"),
-                    norm("_qv"),
-                ),
-                6,
-            ).alias("cos6"),
-        )
-    )
-    sem = retrieval.rank_by(sem_scored, ["cos6"], "rank_sem", "vec_id").select(
-        F.col("vec_id").alias("doc_id"), "rank_sem"
-    )
-    fused = retrieval.rrf_fuse(lex, sem)
+
+
+#: Bounded ranked depth for the q117 production face: both source
+#: rankings cut to their top-RRF_DEPTH rows (TakeOrderedAndProject,
+#: no full-corpus single-task sort). Any doc outside a list's top-D
+#: forfeits at most round(1e6/(60+D)) = 943 fused micro-points —
+#: far below any real top-20 fused score (two in-depth ranks).
+RRF_DEPTH = 1000
+
+
+def q117_hybrid_rrf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q113's production face: identical fusion, but each source
+    ranking is bounded to its top-RRF_DEPTH rows BEFORE ranking — the
+    full-corpus single-task Window sorts become distributed
+    TakeOrderedAndProject cuts, the 100 TB shape the retrieval module
+    docstring derives. Oracle-gated on its own (the bounded semantic
+    is plain LIMIT-then-rank SQL); tests pin top-20 equality with
+    q113 at test scale."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = retrieval.rank_by(
+        retrieval.bm25_scores(docs).select("doc_id", "bm25_micro"),
+        ["bm25_micro"],
+        "rank_lex",
+        "doc_id",
+        depth=RRF_DEPTH,
+    ).select("doc_id", "rank_lex")
+    fused = retrieval.rrf_fuse(lex, _sem_ranking(emb, depth=RRF_DEPTH))
     top = fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
     return (
@@ -179,11 +240,49 @@ _BM25_CTES = """
         )
 """
 
+#: Shared exact-cosine CTE block (q113 + q117): embeddings quantize
+#: to micro bigints ONCE (the micro_quantize rule), every dot product
+#: is an exact integer in double, and cosq is three correctly-rounded
+#: IEEE ops on those integers — bit-identical to the Spark plan, so
+#: the sem ranking has no float rank boundary (ADVICE r9 fix).
+_SEM_CTES = """
+        emq AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(ROUND(x * 1000000.0, 0) AS BIGINT)) AS em
+          FROM embeddings
+        ), qv AS (
+          SELECT vec_id, em AS qm FROM emq ORDER BY vec_id LIMIT 1
+        ), sem0 AS (
+          SELECT e.vec_id,
+                 list_dot_product(CAST(e.em AS DOUBLE[]), CAST(q.qm AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.em AS DOUBLE[]), CAST(e.em AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.qm AS DOUBLE[]), CAST(q.qm AS DOUBLE[])))) AS cosq
+          FROM emq e CROSS JOIN qv q WHERE e.vec_id <> q.vec_id
+        )
+"""
+
+#: Shared RRF fuse + top-20 tail (q113 + q117): consumes `lex`
+#: (doc_id, rank_lex) and `sem` (doc_id, rank_sem) CTEs.
+_RRF_TAIL = """
+        , fused AS (
+          SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                 (COALESCE(CAST(ROUND(1000000.0 / (60 + l.rank_lex), 0) AS BIGINT), 0)
+                  + COALESCE(CAST(ROUND(1000000.0 / (60 + s.rank_sem), 0) AS BIGINT), 0)) AS rrf_micro,
+                 l.rank_lex, s.rank_sem
+          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank,
+               doc_id, rrf_micro, rank_lex, rank_sem
+        FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
+"""
+
 QUERIES = {
     "q112_bm25_topk": q112_bm25_topk,
     "q113_hybrid_rrf": q113_hybrid_rrf,
     "q114_pq_adc_topk": q114_pq_adc_topk,
     "q115_bpe_token_counts": q115_bpe_token_counts,
+    "q117_hybrid_rrf_bounded": q117_hybrid_rrf_bounded,
 }
 
 ORACLES = {
@@ -195,31 +294,31 @@ ORACLES = {
     """,
     "q113_hybrid_rrf": f"""
         WITH {_BM25_CTES}
+        , {_SEM_CTES}
         , lex AS (
           SELECT doc_id,
                  CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank_lex
           FROM bm
-        ), qv AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
-          FROM embeddings ORDER BY vec_id LIMIT 1
-        ), sem0 AS (
-          SELECT e.vec_id,
-                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos6
-          FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.vec_id
         ), sem AS (
           SELECT vec_id AS doc_id,
-                 CAST(ROW_NUMBER() OVER (ORDER BY cos6 DESC, vec_id) AS INT) AS rank_sem
+                 CAST(ROW_NUMBER() OVER (ORDER BY cosq DESC, vec_id) AS INT) AS rank_sem
           FROM sem0
-        ), fused AS (
-          SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
-                 (COALESCE(CAST(ROUND(1000000.0 / (60 + l.rank_lex), 0) AS BIGINT), 0)
-                  + COALESCE(CAST(ROUND(1000000.0 / (60 + s.rank_sem), 0) AS BIGINT), 0)) AS rrf_micro,
-                 l.rank_lex, s.rank_sem
-          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
         )
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank,
-               doc_id, rrf_micro, rank_lex, rank_sem
-        FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
+        {_RRF_TAIL}
+    """,
+    "q117_hybrid_rrf_bounded": f"""
+        WITH {_BM25_CTES}
+        , {_SEM_CTES}
+        , lex AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank_lex
+          FROM bm ORDER BY bm25_micro DESC, doc_id LIMIT 1000
+        ), sem AS (
+          SELECT vec_id AS doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cosq DESC, vec_id) AS INT) AS rank_sem
+          FROM sem0 ORDER BY cosq DESC, vec_id LIMIT 1000
+        )
+        {_RRF_TAIL}
     """,
 }
 
@@ -305,3 +404,17 @@ def bpe_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
         FROM toks t LEFT JOIN seg s USING (word)
         GROUP BY t.doc_id ORDER BY doc_id
     """
+
+
+# Same-JVM A/B pair (`bench.py --ab q113`): full-corpus global-window
+# ranking vs the bounded-depth TakeOrderedAndProject face. Top-20
+# rows identical at every tested scale (the forfeited tail is <= 943
+# fused micro-points per list at D=1000); the crossover is corpus
+# size — the full face funnels every per-doc row through ONE sort
+# task, the bounded face never materializes a full-corpus ordering.
+from archetype_spark.queries.northstar import AB_VARIANTS  # noqa: E402
+
+AB_VARIANTS["q113"] = {
+    "full_rank": q113_hybrid_rrf,
+    "bounded_depth": q117_hybrid_rrf_bounded,
+}

@@ -147,3 +147,17 @@ def test_early_stop_when_fully_merged(spark):
     assert len(merges) == 2
     seg = segments.collect()[0]
     assert seg["n_subtokens"] == 1 and seg["syms"] == [f"ab{END}"]
+
+
+def test_train_handles_newline_inside_word(spark):
+    """Words split on spaces only, so a newline can sit inside one;
+    symbol init must keep it ('.' without DOTALL dropped it — ADVICE
+    r9 — silently breaking train<->apply equivalence)."""
+    rows = [(1, "ab\ncd ab\ncd ef"), (2, "ab\ncd gh ef ef")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, segments = bpe.train_bpe_frames(corpus, n_merges=4)
+    wf = _word_freqs([(r["doc_id"], r["text"]) for r in corpus.collect()])
+    ref_merges, ref_segs = _ref_train(wf, 4)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["syms"]) for r in segments.collect()}
+    assert got == ref_segs

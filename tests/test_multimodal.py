@@ -673,3 +673,23 @@ def test_png_colorkey_trns_materializes_alpha():
     # key beyond 8-bit range: opaque everywhere
     dec2 = png_io.png_decode(build((300, 20, 30)))
     assert (dec2[:, :, 3] == 255).all()
+
+
+def test_wav_zero_channels_raises_loudly():
+    """A malformed fmt chunk declaring 0 channels must hit the loud
+    ValueError path, not a ZeroDivisionError mid-task (ADVICE r9)."""
+    import struct
+
+    import pytest as _pytest
+
+    from archetype_spark.operators.multimodal import _wav_pcm
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="0 channels"):
+        _wav_pcm(wav)

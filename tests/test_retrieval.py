@@ -207,3 +207,56 @@ def test_pq_dim_not_divisible_raises(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         ann_index.fit_pq_frames(emb, 4, 4, 42, "vec_id", "embedding")
+
+
+# ------------------------------------------------------- bounded depth
+def test_rank_by_depth_matches_full_prefix(spark):
+    """rank_by(depth=D) must emit exactly the full ranking's first D
+    rows — same ids, same ranks — with no row beyond D."""
+    rows = [(i, (i * 37) % 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    full = retrieval.rank_by(df, ["score"], "rank", "doc_id")
+    bounded = retrieval.rank_by(df, ["score"], "rank", "doc_id", depth=10)
+    f = {(r["doc_id"], r["rank"]) for r in full.filter("rank <= 10").collect()}
+    b = {(r["doc_id"], r["rank"]) for r in bounded.collect()}
+    assert b == f and len(b) == 10
+
+
+def test_rank_by_depth_plan_has_no_global_sort(spark):
+    """The bounded face must plan as TakeOrderedAndProject — no
+    full-input single-partition Exchange/Sort stage."""
+    rows = [(i, (i * 37) % 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    plan = (
+        retrieval.rank_by(df, ["score"], "rank", "doc_id", depth=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_bounded_face_equals_exact(spark, sf_dir):
+    """q117 (bounded depth 1000) == q113 (full rank) row-for-row at
+    test scale (corpus <= RRF_DEPTH, so the cut loses nothing — the
+    q103 exact-vs-approx duality)."""
+    from archetype_spark.queries import retrieval_q
+
+    exact = [tuple(r) for r in retrieval_q.q113_hybrid_rrf(spark, sf_dir).collect()]
+    bounded = [
+        tuple(r)
+        for r in retrieval_q.q117_hybrid_rrf_bounded(spark, sf_dir).collect()
+    ]
+    assert bounded == exact and len(exact) == 20
+
+
+def test_pq_adc_foreign_probe_ids_get_full_k(spark, pq_emb, tmp_path):
+    """Probe ids absent from the build set must still get k neighbors
+    when k are available (ADVICE r9: the unconditional self-row
+    subtraction silently returned k-1 for foreign queries)."""
+    idx = str(tmp_path / "pq")
+    book, codes = ann_index.ensure_pq(pq_emb, idx, m=4, n_codes=4, seed=42)
+    foreign = spark.createDataFrame(
+        [(9999, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    rows = similarity.pq_adc_topk(foreign, book, codes, k=3).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert all(r["vec_id"] == 9999 for r in rows)
