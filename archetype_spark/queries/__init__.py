@@ -172,52 +172,65 @@ _MODULES = (
 #       compact_delta(zorder_by=...), operators/zorder.py; pure-SQL
 #       source oracle proves log replay + rewrite fidelity) pins
 #       next, deferring q94 (green r7 AND r8).
+#   r10: CORRECTNESS_r09 landed 50/50 green (all 34 r9 pins got
+#       driver rows), so execute the sketched rotation: PIN the
+#       longest-deferred block — nothing pinned now has had a driver
+#       row since r7: q17-q22/q27 (string/date/math/case/window/
+#       explode core), q40 + q54/q55/q57-q60 (minhash pairs +
+#       percentile/unpivot/pipeline/list-agg/outer-join/stats),
+#       q68-q71/q73-q76/q78/q79 (packing + curation mid-tier), the
+#       r8-carried multi-green trio q41/q50/q66 and the late-r8
+#       deferrals q82/q85/q90. In exchange defer the 34 freshly-green
+#       r9 pins (q24-q26, q28, q36/q37/q39, q42-q49, q51-q53,
+#       q61-q64, q67, q77, q107-q116 — lake family keeps
+#       q104/q105/q106 in-window, persisted-IVF stays driver-covered
+#       via q72/q96, retrieval keeps q117 pinned) and un-defer
+#       q01-q03 (fresh-green r8, the oldest deferral cohort left) to
+#       land the window at exactly 50. q117 (q113's bounded-depth
+#       production face, landed with the r9->r10 boundary ADVICE
+#       fixes) pins for its first driver row. Net: 31 pins + 19
+#       gated = 50 exactly. New r10 queries pin as they land, each
+#       deferring one more double-green entry.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
-    "q24_latest_state",
-    "q25_union",
-    "q26_set_ops",
-    "q28_time_bucket",
-    "q36_ngram_jaccard",
-    "q37_embedding_dups",
-    "q39_top_tokens",
-    "q42_lsh_topk",
-    "q43_media_decode",
-    "q44_fingerprints",
-    "q45_tumbling_window",
-    "q46_sliding_window",
-    "q47_session_window",
-    "q48_media_resize",
-    "q49_frame_sample",
-    "q51_asof_join",
-    "q52_range_join",
-    "q53_cube",
-    "q61_ivf_topk",
-    "q62_url_fetch",
-    "q63_tf_idf",
-    "q64_ingest_dedup",
-    "q67_training_mix",
-    "q77_filtered_ivf_topk",
-    "q107_delta_changes",
-    "q108_lake_federation",
-    "q109_iceberg_metadata_counts",
-    "q110_delta_evolution_scan",
-    "q111_iceberg_changes",
-    "q112_bm25_topk",
-    "q113_hybrid_rrf",
-    "q114_pq_adc_topk",
-    "q115_bpe_token_counts",
-    "q116_zorder_scan",
+    "q17_string_fns",
+    "q18_date_fns",
+    "q19_math_fns",
+    "q20_case_coalesce",
+    "q21_ranking_window",
+    "q22_lag_lead_runsum",
+    "q27_explode",
+    "q40_minhash_pairs",
+    "q41_simhash_pairs",
+    "q50_ecs_tsim",
+    "q54_percentiles",
+    "q55_unpivot",
+    "q57_training_pipeline",
+    "q58_list_agg",
+    "q59_full_outer_join",
+    "q60_stats_math",
+    "q66_dedup_clusters",
+    "q68_sequence_pack",
+    "q69_repetition",
+    "q70_corpus_curation",
+    "q71_decontamination",
+    "q73_stop_shingle_jaccard",
+    "q74_quality_keeper",
+    "q75_mixture_sample",
+    "q76_relative_quality_gate",
+    "q78_mixture_resample",
+    "q79_pack_payloads",
+    "q82_exact_pack",
+    "q85_random_projection",
+    "q90_containment_pairs",
+    "q117_hybrid_rrf_bounded",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
-        # newly deferred r9 (fresh-green r8; relational/agg core
-        # re-verified against the current parquet in r8):
-        "q01_scan_filter_project",
-        "q02_in_list",
-        "q03_compound_predicate",
+        # deferred r9 (fresh-green r8), still resting except q01-q03
+        # which came back in-window r10 to land the window at 50:
         "q04_computed_columns",
         "q05_inner_join",
         "q06_multiway_join",
@@ -239,66 +252,55 @@ _DEFERRED: frozenset[str] = frozenset(
         "q34_token_stats",
         "q35_doc_quality",
         "q38_lang_id",
-        # carried over from r8 (multi-green; locally hash-checked):
-        "q41_simhash_pairs",
-        "q50_ecs_tsim",
-        "q66_dedup_clusters",
-        "q17_string_fns",
-        "q18_date_fns",
-        "q19_math_fns",
-        "q20_case_coalesce",
-        "q21_ranking_window",
-        "q22_lag_lead_runsum",
-        "q27_explode",
-        "q40_minhash_pairs",
-        "q54_percentiles",
-        "q55_unpivot",
-        "q57_training_pipeline",
-        "q58_list_agg",
-        "q59_full_outer_join",
-        "q60_stats_math",
-        "q68_sequence_pack",
-        "q69_repetition",
-        "q70_corpus_curation",
-        "q71_decontamination",
-        "q73_stop_shingle_jaccard",
-        "q74_quality_keeper",
-        "q75_mixture_sample",
-        "q76_relative_quality_gate",
-        "q78_mixture_resample",
-        "q79_pack_payloads",
-        # deferred late-r8 for q104's pin (containment family keeps a
-        # driver row via q98's index replay; q90 stays locally
-        # hash-checked every pytest run):
-        "q90_containment_pairs",
-        # deferred late-r8 for q105's pin (packing family keeps q93
-        # in-window; q82 green r7, locally hash-checked every run):
-        "q82_exact_pack",
-        # deferred late-r8 for q106's pin (projection family keeps
-        # q91 sign-code in-window; q85 green r7, locally checked):
-        "q85_random_projection",
-        # deferred mid-r9 for the q107/q108 pins (green r7 AND r8;
-        # the cleaning family keeps q95 in-window):
+        # newly deferred r10 (fresh-green r9 — all 34 r9 pins got
+        # driver rows; lake family keeps q104-q106 in-window,
+        # persisted-IVF stays driver-covered via q72/q96, retrieval
+        # keeps q117 pinned):
+        "q24_latest_state",
+        "q25_union",
+        "q26_set_ops",
+        "q28_time_bucket",
+        "q36_ngram_jaccard",
+        "q37_embedding_dups",
+        "q39_top_tokens",
+        "q42_lsh_topk",
+        "q43_media_decode",
+        "q44_fingerprints",
+        "q45_tumbling_window",
+        "q46_sliding_window",
+        "q47_session_window",
+        "q48_media_resize",
+        "q49_frame_sample",
+        "q51_asof_join",
+        "q52_range_join",
+        "q53_cube",
+        "q61_ivf_topk",
+        "q62_url_fetch",
+        "q63_tf_idf",
+        "q64_ingest_dedup",
+        "q67_training_mix",
+        "q77_filtered_ivf_topk",
+        "q107_delta_changes",
+        "q108_lake_federation",
+        "q109_iceberg_metadata_counts",
+        "q110_delta_evolution_scan",
+        "q111_iceberg_changes",
+        "q112_bm25_topk",
+        "q113_hybrid_rrf",
+        "q114_pq_adc_topk",
+        "q115_bpe_token_counts",
+        "q116_zorder_scan",
+        # carried-over deferrals (green r7 AND r8; families keep q95
+        # / q92-successors in-window via the composed pipelines):
         "q80_boilerplate_lines",
         "q81_pii_scrub",
-        # deferred mid-r9 for the q109 pin (green r7 AND r8):
         "q83_deterministic_shuffle",
-        # deferred mid-r9 for the q110 pin (green r7 AND r8; the
-        # chunking family keeps q93/q95 in-window):
-        "q87_doc_chunks",
-        # deferred mid-r9 for the q111 pin (green r7 AND r8; the
-        # mixing family keeps q94/q102 in-window):
-        "q88_temperature_mix",
-        # deferred late-r9 for the q112/q113/q114 retrieval-tier pins
-        # (all green r7 AND r8; families keep q95 / q92+q63 in-window):
         "q84_paragraph_dedup",
         "q86_oov_rate",
+        "q87_doc_chunks",
+        "q88_temperature_mix",
         "q89_bigram_surprisal",
-        # deferred late-r9 for the q115 learned-BPE pin (green r7 AND
-        # r8; textstats keeps q63 tf-idf pinned in-window):
         "q92_mixed_language",
-        # deferred late-r9 for the q116 Z-ORDER pin (green r7 AND r8;
-        # the sampling family keeps q67 pinned in-window):
         "q94_weighted_sample",
     }
 )
