@@ -701,9 +701,12 @@ def fit_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Build + persist the PQ index (maintenance op; LanceDB's default
-    index is exactly IVF_PQ — reference store.py create_index). Atomic
-    directory swap; codes_long rides in the same swap as codes."""
+    """Build + persist the flat-PQ index (maintenance op). Capability
+    extension beyond the reference (its only create_index calls are
+    BTree on entity_id/step — reference archetype/core/store.py:107-108);
+    the composite fit_ivf_pq below is the two-level form its LanceDB
+    backend would default to. Atomic directory swap; codes_long rides
+    in the same swap as codes."""
     codebook, codes, codes_long = fit_pq_frames(
         emb, m, n_codes, seed, id_col, vec_col
     )
@@ -812,6 +815,293 @@ def ensure_pq(
         fit_pq(emb, index_dir, m, n_codes, seed, id_col, vec_col)
         got = load_pq(spark, index_dir, expect)
         assert got is not None, f"PQ index build failed to land at {index_dir}"
+    return got
+
+
+# --------------------------------------------------------------- fit (IVF_PQ)
+def _cells_micro_array(rows, n_cells: int, dim: int):
+    """(n_cells, dim) int64 centroid-micro array from cells rows
+    ((cell, centroid_micro) mappings in any order)."""
+    import numpy as np
+
+    CM = np.zeros((n_cells, dim), dtype=np.int64)
+    for r in rows:
+        CM[int(r["cell"])] = np.asarray(r["centroid_micro"], dtype=np.int64)
+    return CM
+
+
+def _pq_encode_residual(base: DataFrame, C, CM, m: int, ds: int) -> DataFrame:
+    """(id, cell, codes array<int>): per-subspace nearest-centroid
+    codes of each vector's RESIDUAL against its cell centroid, in ONE
+    Arrow mapInPandas pass. The residual is integer micro math end to
+    end — r = round(v*1e6) - centroid_micro[cell] — and assignment
+    uses the same exact int64 squared-L2 the ADC probe scores with
+    (argmin, lowest-code ties), so the stored code is provably the
+    probe-metric minimizer; the whole index lifecycle is float-free
+    after fit, exactly like the flat-PQ `_pq_encode`."""
+
+    def enc(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["v"]])
+            Q = (_np.floor(_np.abs(X) * 1e6 + 0.5) * _np.sign(X)).astype(_np.int64)
+            cell = pdf["cell"].to_numpy(dtype=_np.int64)
+            R = Q - CM[cell]
+            codes = _np.empty((len(pdf), m), dtype=_np.int32)
+            for sub in range(m):
+                Rs = R[:, sub * ds : (sub + 1) * ds]
+                d2 = ((Rs[:, None, :] - C[sub][None, :, :]) ** 2).sum(axis=2)
+                codes[:, sub] = d2.argmin(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(_np.int64),
+                    "cell": pdf["cell"].to_numpy(_np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return base.mapInPandas(enc, "id long, cell int, codes array<int>")
+
+
+def fit_ivf_pq_frames(
+    emb: DataFrame,
+    n_clusters: int,
+    m: int,
+    n_codes: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """IVF_PQ composite fit (Jégou et al., TPAMI'11 §IV): a k-means
+    coarse quantizer partitions vectors into cells, then product
+    quantization encodes each vector's RESIDUAL (vector minus its
+    cell centroid) — residuals have much smaller spread than raw
+    vectors, so the same code budget quantizes them finer. Probes
+    scan only the codes of the n_probe nearest cells instead of every
+    code (the flat-PQ scan), which is the standard two-level ANN
+    layout at scale.
+
+    Returns (cells, codebook, codes, codes_long):
+    - cells: (cell, centroid array<double>, centroid_micro
+      array<bigint>) — n_clusters rows; centroid_micro is the
+      round(x*1e6) integer form BOTH engines compute probe-cell
+      distances and residuals with.
+    - codebook: (m, code, centroid array<double>, centroid_micro
+      array<bigint>) — m*n_codes RESIDUAL centroids.
+    - codes: (id, cell, codes array<int>) — the probe-side layout,
+      equi-joinable on cell.
+    - codes_long: (id, cell, m, code) — the relational layout the SQL
+      oracle joins against. Both written from ONE encode pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    ds = dim // m
+    centroids, assignments = fit_ivf_frames(emb, n_clusters, seed, id_col, vec_col)
+    cent_rows = centroids.collect()
+    cells = spark.createDataFrame(
+        [
+            (
+                int(r["cell"]),
+                [float(x) for x in r["centroid"]],
+                [_micro(x) for x in r["centroid"]],
+            )
+            for r in cent_rows
+        ],
+        schema="cell int, centroid array<double>, centroid_micro array<bigint>",
+    )
+    base = (
+        fan_out(
+            emb.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
+        .join(assignments, "id")
+        .join(F.broadcast(cells.select("cell", F.col("centroid").alias("_c"))), "cell")
+    )
+    resid = base.withColumn("r", F.zip_with("v", "_c", lambda a, b: a - b))
+    rows = []
+    for sub in range(m):
+        feats = resid.withColumn(
+            "_features", array_to_vector(F.slice("r", sub * ds + 1, ds))
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + sub, featuresCol="_features", predictionCol="_c2"
+        ).fit(feats)
+        for code, c in enumerate(model.clusterCenters()):
+            cf = [float(x) for x in c]
+            rows.append((sub, code, cf, [_micro(x) for x in cf]))
+    codebook = spark.createDataFrame(
+        rows,
+        schema="m int, code int, centroid array<double>, centroid_micro array<bigint>",
+    )
+    C = _pq_codebook_array(
+        [{"m": r[0], "code": r[1], "centroid_micro": r[3]} for r in rows],
+        m,
+        n_codes,
+        ds,
+    )
+    CM = _cells_micro_array(
+        [{"cell": r["cell"], "centroid_micro": [_micro(x) for x in r["centroid"]]} for r in cent_rows],
+        n_clusters,
+        dim,
+    )
+    codes = _pq_encode_residual(base.select("id", "v", "cell"), C, CM, m, ds)
+    codes_long = codes.select(
+        "id", "cell", F.posexplode("codes").alias("m", "code")
+    ).select("id", "cell", F.col("m").cast("int").alias("m"), "code")
+    return cells, codebook, codes, codes_long
+
+
+def fit_ivf_pq(
+    emb: DataFrame,
+    index_dir: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist the composite IVF_PQ index (maintenance op).
+    Capability extension beyond the reference (its only create_index
+    calls are BTree on entity_id/step — reference
+    archetype/core/store.py:107-108); IVF_PQ is the default vector
+    index its LanceDB backend would build, re-expressed here as plain
+    parquet index tables. Atomic directory swap; all four tables land
+    in one swap."""
+    cells, codebook, codes, codes_long = fit_ivf_pq_frames(
+        emb, n_clusters, m, n_codes, seed, id_col, vec_col
+    )
+    dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    params = {
+        "kind": "ivf_pq",
+        "n_clusters": n_clusters,
+        "m": m,
+        "n_codes": n_codes,
+        "seed": seed,
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_rows_at_fit": emb.count(),
+        "corpus": corpus_fingerprint(emb, id_col, vec_col),
+    }
+    _write_index(
+        index_dir,
+        params,
+        {
+            "cells": (cells.coalesce(1), None),
+            "codebook": (codebook.coalesce(1), None),
+            "codes": (codes, ["cell"]),
+            "codes_long": (codes_long, ["cell", "m", "code"]),
+        },
+    )
+
+
+def load_ivf_pq(
+    spark: SparkSession, index_dir: str, expect: dict | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame] | None:
+    """(cells, codebook, codes) if a valid composite index with
+    matching params exists, else None. codes_long is oracle-side
+    state read straight from parquet by SQL; probes never need it."""
+    params = _read_params(index_dir, "ivf_pq", expect)
+    if params is None:
+        return None
+    return (
+        read_table(spark, os.path.join(index_dir, "cells")),
+        read_table(spark, os.path.join(index_dir, "codebook")),
+        read_table(spark, os.path.join(index_dir, "codes")),
+    )
+
+
+def ensure_ivf_pq(
+    emb: DataFrame,
+    index_dir: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refit_delta_frac: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load the persisted IVF_PQ index, maintaining it first if stale
+    — the ensure_ivf/ensure_pq contract: append-only growth within
+    the drift budget assigns ONLY the new vectors to their nearest
+    FIXED cell and encodes their residuals under the FIXED codebooks,
+    hardlink-appending codes + codes_long in one atomic swap; growth
+    past `refit_delta_frac` of the fit-time count refits everything
+    (fixed cells and codebooks both distort as the distribution
+    drifts); any other change rebuilds. Never a silent stale probe."""
+    expect = {
+        "n_clusters": n_clusters,
+        "m": m,
+        "n_codes": n_codes,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "corpus": corpus_fingerprint(emb, id_col, vec_col),
+    }
+    spark = emb.sparkSession
+    got = load_ivf_pq(spark, index_dir, expect)
+    if got is None:
+        hyper = {k: v for k, v in expect.items() if k != "corpus"}
+        params = _read_params(index_dir, "ivf_pq", hyper)
+        delta = _delta_files(params, expect) if params else None
+        if delta:
+            n_fit = params.get("n_rows_at_fit")
+            drifted = n_fit is None or (
+                emb.count() - n_fit > refit_delta_frac * n_fit
+            )
+            if drifted:
+                delta = None
+        if delta:
+            cells = read_table(spark, os.path.join(index_dir, "cells"))
+            book = read_table(spark, os.path.join(index_dir, "codebook"))
+            ds = params["dim"] // m
+            C = _pq_codebook_array(
+                book.select("m", "code", "centroid_micro").collect(),
+                m,
+                n_codes,
+                ds,
+            )
+            CM = _cells_micro_array(
+                cells.select("cell", "centroid_micro").collect(),
+                n_clusters,
+                params["dim"],
+            )
+            new = fan_out(
+                spark.read.parquet(*delta).select(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                )
+            )
+            assigned = new.join(
+                _assign_cells(new, cells, "id", "v"), "id"
+            ).select("id", "v", "cell")
+            codes = _pq_encode_residual(assigned, C, CM, m, ds)
+            codes_long = codes.select(
+                "id", "cell", F.posexplode("codes").alias("m", "code")
+            ).select("id", "cell", F.col("m").cast("int").alias("m"), "code")
+            _append_index_tables(
+                index_dir,
+                {"codes": codes, "codes_long": codes_long},
+                {**params, "corpus": expect["corpus"]},
+            )
+            got = load_ivf_pq(spark, index_dir, expect)
+    if got is None:
+        fit_ivf_pq(emb, index_dir, n_clusters, m, n_codes, seed, id_col, vec_col)
+        got = load_ivf_pq(spark, index_dir, expect)
+        assert got is not None, f"IVF_PQ index build failed to land at {index_dir}"
     return got
 
 

@@ -1001,3 +1001,167 @@ def pq_adc_topk(
         )
         .orderBy("vec_id", "rank")
     )
+
+
+def ivf_probe_cells(
+    emb: DataFrame,
+    cells: DataFrame,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(_id, _qm, _pcell): each query's n_probe nearest coarse cells
+    by EXACT int64 squared-L2 between the micro-quantized query and
+    the persisted cell centroid_micro (ties by cell id). One 1-row
+    broadcast carries the whole centroid set (the ivf_topk probe
+    shape), so cell count scales past literal folding; all math is
+    integer, so the SQL oracle's probe-cell choice is bit-identical
+    (no float boundary can flip which cells get scanned). Shared by
+    ivf_pq_topk and the scanned-codes diagnostics in tests."""
+    from archetype_spark.functions.vectors import micro_quantize
+
+    cent_row = F.broadcast(
+        cells.agg(
+            F.collect_list(
+                F.struct(F.col("cell"), F.col("centroid_micro"))
+            ).alias("_cents")
+        )
+    )
+    q = fan_out(
+        emb.select(
+            F.col(id_col).alias("_id"), micro_quantize(vec_col).alias("_qm")
+        )
+    ).crossJoin(cent_row)
+    dists = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qm"), c["centroid_micro"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return q.withColumn(
+        "_probe", F.slice(F.array_sort(dists), 1, n_probe)
+    ).select("_id", "_qm", F.explode("_probe.cell").alias("_pcell"))
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    cells: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level IVF_PQ approximate top-k over the persisted composite
+    index (Jégou et al., TPAMI'11 §IV; ann_index.ensure_ivf_pq): the
+    coarse quantizer picks each query's n_probe nearest cells, then
+    asymmetric distance computation scores ONLY the residual codes
+    stored in those cells — per query the scan is ~n_probe/n_clusters
+    of the corpus codes instead of all of them (pq_adc_topk's flat
+    scan), and each candidate still costs m table gathers + an integer
+    sum, never a vector read. Capability extension beyond the
+    reference (BTree-only create_index — reference
+    archetype/core/store.py:107-108); this is the default LanceDB
+    vector index re-expressed Spark-side.
+
+    Shape at scale: the probe explodes to (query, probed cell) rows
+    and cogroups with the code table ON THE CELL KEY — an equi-join
+    co-partition, NOT pq_adc_topk's full code-table replication — so
+    the shuffle moves each query row n_probe times and each code row
+    once. One Arrow kernel per cell scores that cell's queries against
+    that cell's codes and emits per-(query, cell) top-k; since every
+    candidate lives in exactly one cell, the per-query merge over
+    n_probe*k survivors (a narrow partitionBy-query window) yields
+    EXACTLY the global top-k of the scanned set.
+
+    Exactness: probe-cell choice, residuals, LUT, and sums are ALL
+    int64 over micro-quantized values (the codebook and cell tables
+    store round(x*1e6) integer forms at fit time), so dist_micro is
+    bit-identical to the SQL oracle's replay over the same persisted
+    index — no float rank boundary anywhere."""
+    book_rows = codebook.select("m", "code", "centroid_micro").collect()
+    mm = 1 + max(int(r["m"]) for r in book_rows)
+    ds = len(book_rows[0]["centroid_micro"])
+    from archetype_spark.operators.ann_index import (
+        _cells_micro_array,
+        _pq_codebook_array,
+    )
+
+    kk = 1 + max(int(r["code"]) for r in book_rows)
+    C = _pq_codebook_array(book_rows, mm, kk, ds)
+    cell_rows = cells.select("cell", "centroid_micro").collect()
+    n_cells = 1 + max(int(r["cell"]) for r in cell_rows)
+    CM = _cells_micro_array(cell_rows, n_cells, mm * ds)
+
+    probe = ivf_probe_cells(emb, cells, n_probe, id_col, vec_col)
+    build = codes.select(
+        F.col("id").alias("_bid"),
+        F.col("cell").alias("_pcell"),
+        F.col("codes").alias("_bc"),
+    )
+    topk, m_, ds_ = k, mm, ds
+
+    def gen(probe_pdf, build_pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {
+                "vec_id": _np.array([], dtype=_np.int64),
+                "other_vec_id": _np.array([], dtype=_np.int64),
+                "dist_micro": _np.array([], dtype=_np.int64),
+            }
+        )
+        if not len(probe_pdf) or not len(build_pdf):
+            return empty
+        cell = int(probe_pdf["_pcell"].iloc[0])
+        qids = probe_pdf["_id"].to_numpy(dtype=_np.int64)
+        Q = _np.stack([_np.asarray(v, dtype=_np.int64) for v in probe_pdf["_qm"]])
+        R = Q - CM[cell][None, :]
+        bids = build_pdf["_bid"].to_numpy(dtype=_np.int64)
+        BC = _np.stack([_np.asarray(c, dtype=_np.int64) for c in build_pdf["_bc"]])
+        scores = _np.zeros((len(qids), len(bids)), dtype=_np.int64)
+        for sub in range(m_):
+            Rs = R[:, sub * ds_ : (sub + 1) * ds_]
+            lut = ((Rs[:, None, :] - C[sub][None, :, :]) ** 2).sum(axis=2)
+            scores += lut[:, BC[:, sub]]
+        self_mask = qids[:, None] == bids[None, :]
+        scores[self_mask] = _np.iinfo(_np.int64).max
+        has_self = self_mask.any(axis=1)
+        out_q, out_o, out_d = [], [], []
+        for r in range(len(qids)):
+            take = min(topk, len(bids) - int(has_self[r]))
+            order = _np.lexsort((bids, scores[r]))[:take]
+            out_q.append(_np.full(take, qids[r], dtype=_np.int64))
+            out_o.append(bids[order])
+            out_d.append(scores[r][order])
+        return _pd.DataFrame(
+            {
+                "vec_id": _np.concatenate(out_q),
+                "other_vec_id": _np.concatenate(out_o),
+                "dist_micro": _np.concatenate(out_d),
+            }
+        )
+
+    cand = (
+        probe.groupby("_pcell")
+        .cogroup(build.groupby("_pcell"))
+        .applyInPandas(gen, "vec_id long, other_vec_id long, dist_micro long")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist_micro"), F.asc("other_vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "other_vec_id", "dist_micro")
+        .orderBy("vec_id", "rank")
+    )

@@ -190,7 +190,11 @@ _MODULES = (
 #       production face, landed with the r9->r10 boundary ADVICE
 #       fixes) pins for its first driver row. Net: 31 pins + 19
 #       gated = 50 exactly. New r10 queries pin as they land, each
-#       deferring one more double-green entry.
+#       deferring one more double-green entry. Mid-r10: q118 (the
+#       composite IVF_PQ probe over a persisted cells/codebook/codes
+#       index — residual ADC restricted to n_probe coarse cells, the
+#       q114 conditional-oracle pattern) pins for its first driver
+#       row, re-deferring q03 (fresh-green r8).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -226,11 +230,15 @@ _PINNED: tuple[str, ...] = (
     "q85_random_projection",
     "q90_containment_pairs",
     "q117_hybrid_rrf_bounded",
+    "q118_ivf_pq_topk",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
-        # deferred r9 (fresh-green r8), still resting except q01-q03
-        # which came back in-window r10 to land the window at 50:
+        # deferred r9 (fresh-green r8), still resting except q01-q02
+        # which came back in-window r10 to land the window at 50
+        # (q03 returned too at round start, then re-deferred for the
+        # mid-r10 q118 IVF_PQ pin):
+        "q03_compound_predicate",
         "q04_computed_columns",
         "q05_inner_join",
         "q06_multiway_join",
@@ -376,4 +384,7 @@ def all_oracles(
     bp = retrieval_q.bpe_oracle(d, require_live_index=require_live_index)
     if bp is not None:
         o["q115_bpe_token_counts"] = bp
+    ivfpq = retrieval_q.ivf_pq_oracle(d, require_live_index=require_live_index)
+    if ivfpq is not None:
+        o["q118_ivf_pq_topk"] = ivfpq
     return o

@@ -1,4 +1,4 @@
-"""Retrieval/tokenization-tier queries (q112-q117), oracle-gated.
+"""Retrieval/tokenization-tier queries (q112-q118), oracle-gated.
 
 q112: BM25 top-20 — corpus-derived query terms (top-5 tokens by
 document frequency, len >= 4), Robertson k1/b scoring in integer
@@ -18,6 +18,10 @@ replays the integer ADC scan in
 pure SQL over the SAME persisted codebook/codes parquet (the
 q61/q65 conditional-oracle pattern — fit nondeterminism can never
 split engines because both read one committed index).
+q118: the composite IVF_PQ probe (q114's 100 TB face): coarse-cell
+probing restricts the residual-ADC scan to n_probe of n_clusters
+cells of the persisted composite index; same conditional-oracle
+pattern, replaying probe-cell choice AND residual ADC in SQL.
 
 Column-name/type discipline: every aggregate and rank is aliased
 identically here and in the SQL; every cross-engine float is either
@@ -54,6 +58,18 @@ PQ_INDEX = dict(m=8, n_codes=16, seed=42)
 
 def _pq_dir(sf_dir: str) -> str:
     return ann_index.default_index_dir(sf_dir, "pq_embeddings")
+
+
+#: Composite IVF_PQ build params (ensure_ivf_pq/oracle contract):
+#: 16 coarse cells over the 64-dim embeddings, residuals encoded
+#: 8 subspaces x 16 codes. Probes scan n_probe=4 of the 16 cells —
+#: nominally 1/4 of the codes the flat-PQ scan (q114) reads.
+IVF_PQ_INDEX = dict(n_clusters=16, m=8, n_codes=16, seed=42)
+IVF_PQ_N_PROBE = 4
+
+
+def _ivf_pq_dir(sf_dir: str) -> str:
+    return ann_index.default_index_dir(sf_dir, "ivf_pq_embeddings")
 
 
 #: BPE training budget (operators/bpe.py): 16 learned merges — enough
@@ -190,6 +206,25 @@ def q114_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, codebook, codes, k=5)
 
 
+def q118_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF_PQ top-5 neighbors per vector (self excluded) over the
+    persisted composite index: probe the 4 nearest of 16 coarse cells,
+    ADC-score only those cells' residual codes — ~1/4 of the codes
+    q114's flat scan reads. Distances are exact int64 micro-unit
+    squared-L2 sums, ranked (dist asc, id asc); the oracle replays
+    probe-cell choice and the residual ADC in pure SQL over the SAME
+    persisted cells/codebook/codes_long parquet (the q114 pattern —
+    fit nondeterminism can never split engines because both read one
+    committed index)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cells, codebook, codes = ann_index.ensure_ivf_pq(
+        emb, _ivf_pq_dir(sf_dir), **IVF_PQ_INDEX
+    )
+    return similarity.ivf_pq_topk(
+        emb, cells, codebook, codes, k=5, n_probe=IVF_PQ_N_PROBE
+    )
+
+
 def q115_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LEARNED-token budget over the persisted BPE
     artifact (operators/bpe.py): explode words, broadcast-join the
@@ -283,6 +318,7 @@ QUERIES = {
     "q114_pq_adc_topk": q114_pq_adc_topk,
     "q115_bpe_token_counts": q115_bpe_token_counts,
     "q117_hybrid_rrf_bounded": q117_hybrid_rrf_bounded,
+    "q118_ivf_pq_topk": q118_ivf_pq_topk,
 }
 
 ORACLES = {
@@ -368,6 +404,88 @@ def pq_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
           SELECT l.vec_id, c.id AS other_vec_id,
                  CAST(SUM(l.d2) AS BIGINT) AS dist_micro
           FROM cl c JOIN lut l ON l.m = c.m AND l.code = c.code
+          WHERE c.id <> l.vec_id
+          GROUP BY l.vec_id, c.id
+        ), ranked AS (
+          SELECT vec_id, other_vec_id, dist_micro,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist_micro, other_vec_id) AS rnk
+          FROM dists
+        )
+        SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, dist_micro
+        FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank
+    """
+
+
+def ivf_pq_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """DuckDB SQL replaying q118's two-level probe over the SAME
+    persisted composite index: probe-cell choice (n_probe smallest
+    int64 micro squared-L2 to the persisted cell centroid_micro, cell
+    tie-break), then residual ADC over codes_long restricted to the
+    probed cells. The residual LUT term ||(qs - cs) - b||^2 expands
+    into six dot products of available integer lists (qq + cc + bb
+    - 2qc - 2qb + 2cb) — every term an exact integer in double (micro
+    values <= ~1e6, subspace width 8 => partial sums << 2^53), so
+    dist_micro is bit-identical to the Spark kernel's int64 math.
+    Returns None when the index isn't on disk yet (rows-only degrade,
+    the q61/q114 contract)."""
+    idx = _ivf_pq_dir(sf_dir)
+    params_path = os.path.join(idx, "_params.json")
+    if not os.path.isfile(params_path):
+        # Underivable without the committed params (subspace width),
+        # so a cold checkout degrades to rows-only regardless of
+        # require_live_index (the q114 contract).
+        return None
+    with open(params_path) as fh:
+        params = json.load(fh)
+    ds = params["dim"] // params["m"]
+    n_probe = IVF_PQ_N_PROBE
+
+    def dd(a: str, b: str) -> str:
+        return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+    qs = f"p.qm[(b.m*{ds}+1):(b.m*{ds}+{ds})]"
+    cs = f"p.cm[(b.m*{ds}+1):(b.m*{ds}+{ds})]"
+    return f"""
+        WITH cells AS (
+          SELECT CAST(cell AS INT) AS cell,
+                 CAST(centroid_micro AS BIGINT[]) AS cm
+          FROM read_parquet('{idx}/cells/*.parquet')
+        ), q AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(ROUND(x * 1000000.0, 0) AS BIGINT)) AS qm
+          FROM embeddings
+        ), cd AS (
+          SELECT q.vec_id, q.qm, c.cell, c.cm,
+                 CAST({dd('q.qm', 'q.qm')} - 2 * {dd('q.qm', 'c.cm')}
+                      + {dd('c.cm', 'c.cm')} AS BIGINT) AS d2c
+          FROM q CROSS JOIN cells c
+        ), probe AS (
+          SELECT vec_id, qm, cell, cm FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d2c, cell) AS rn
+            FROM cd
+          ) WHERE rn <= {n_probe}
+        ), book AS (
+          SELECT CAST(m AS INT) AS m, CAST(code AS INT) AS code,
+                 CAST(centroid_micro AS BIGINT[]) AS bm
+          FROM read_parquet('{idx}/codebook/*.parquet')
+        ), lut AS (
+          SELECT p.vec_id, p.cell, b.m, b.code,
+                 CAST({dd(qs, qs)} + {dd(cs, cs)} + {dd('b.bm', 'b.bm')}
+                      - 2 * {dd(qs, cs)} - 2 * {dd(qs, 'b.bm')}
+                      + 2 * {dd(cs, 'b.bm')} AS BIGINT) AS d2
+          FROM probe p CROSS JOIN book b
+        ), cl AS (
+          SELECT id, CAST(cell AS INT) AS cell,
+                 CAST(m AS INT) AS m, CAST(code AS INT) AS code
+          FROM read_parquet('{idx}/codes_long/**/*.parquet', hive_partitioning=true)
+        ), dists AS (
+          SELECT l.vec_id, c.id AS other_vec_id,
+                 CAST(SUM(l.d2) AS BIGINT) AS dist_micro
+          FROM cl c JOIN lut l
+            ON l.cell = c.cell AND l.m = c.m AND l.code = c.code
           WHERE c.id <> l.vec_id
           GROUP BY l.vec_id, c.id
         ), ranked AS (

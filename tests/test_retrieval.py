@@ -260,3 +260,189 @@ def test_pq_adc_foreign_probe_ids_get_full_k(spark, pq_emb, tmp_path):
     rows = similarity.pq_adc_topk(foreign, book, codes, k=3).collect()
     assert [r["rank"] for r in rows] == [1, 2, 3]
     assert all(r["vec_id"] == 9999 for r in rows)
+
+
+# ------------------------------------------------------------- IVF_PQ
+@pytest.fixture(scope="module")
+def ivf_pq_emb(spark):
+    """32 vectors in 4 BALANCED well-separated 8-dim clusters (8 each,
+    so the coarse cells split 8/8/8/8 and a 1-of-4-cell probe scans
+    exactly 1/4 of the codes) with a planted twin pair INSIDE cluster
+    0 (ids 0 and 4, mutual distance ~2.8e-4, far under the 0.05
+    jitter)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(32):
+        center = [(i % 4) * 2.0 - 3.0] * 8
+        rows.append((i, [c + rng.uniform(-0.05, 0.05) for c in center]))
+    twin = [-3.0 + 0.02] * 8
+    rows[0] = (0, list(twin))
+    rows[4] = (4, [x + 1e-4 for x in twin])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_pq_twin_recall_at_quarter_scan(spark, ivf_pq_emb, tmp_path):
+    """The composite probe must (a) rank each planted twin first —
+    recall >= the flat-PQ scan's recall on the same corpus/codebook
+    budget — while (b) scanning at most 1/4 of the codes the flat
+    scan reads (n_probe=1 of 4 balanced cells)."""
+    flat_idx = str(tmp_path / "pq_flat")
+    book_f, codes_f = ann_index.ensure_pq(
+        ivf_pq_emb, flat_idx, m=4, n_codes=4, seed=42
+    )
+    flat_best = {
+        r["vec_id"]: r["other_vec_id"]
+        for r in similarity.pq_adc_topk(ivf_pq_emb, book_f, codes_f, k=1).collect()
+    }
+    flat_recall = int(flat_best.get(0) == 4) + int(flat_best.get(4) == 0)
+
+    idx = str(tmp_path / "ivf_pq")
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        ivf_pq_emb, idx, n_clusters=4, m=4, n_codes=4, seed=42
+    )
+    best = {
+        r["vec_id"]: r["other_vec_id"]
+        for r in similarity.ivf_pq_topk(
+            ivf_pq_emb, cells, book, codes, k=1, n_probe=1
+        ).collect()
+    }
+    comp_recall = int(best.get(0) == 4) + int(best.get(4) == 0)
+    assert comp_recall == 2 and comp_recall >= flat_recall
+
+    # scanned codes: sum over queries of probed-cell populations,
+    # measured from the SAME probe frame the operator consumes
+    probe = similarity.ivf_probe_cells(ivf_pq_emb, cells, n_probe=1)
+    counts = codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    scanned = (
+        probe.join(counts, probe["_pcell"] == counts["cell"])
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    n = ivf_pq_emb.count()
+    assert scanned * 4 <= n * n, f"scanned {scanned} of flat {n * n}"
+
+
+def test_ivf_pq_residual_codes_are_probe_metric_argmin(
+    spark, ivf_pq_emb, tmp_path
+):
+    """The stored code must minimize the SAME integer residual metric
+    the composite ADC probe scores with (the float-free-lifecycle
+    claim in _pq_encode_residual's docstring)."""
+    import numpy as np
+
+    idx = str(tmp_path / "ivf_pq")
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        ivf_pq_emb, idx, n_clusters=4, m=4, n_codes=4, seed=42
+    )
+    C = ann_index._pq_codebook_array(
+        book.select("m", "code", "centroid_micro").collect(), 4, 4, 2
+    )
+    CM = ann_index._cells_micro_array(
+        cells.select("cell", "centroid_micro").collect(), 4, 8
+    )
+    vecs = {r["vec_id"]: r["embedding"] for r in ivf_pq_emb.collect()}
+    got = {r["id"]: (r["cell"], list(r["codes"])) for r in codes.collect()}
+    for vid, v in vecs.items():
+        x = np.asarray(v, dtype=np.float64)
+        q = (np.floor(np.abs(x) * 1e6 + 0.5) * np.sign(x)).astype(np.int64)
+        cell, cds = got[vid]
+        r = q - CM[cell]
+        for sub in range(4):
+            rs = r[sub * 2 : (sub + 1) * 2]
+            d2 = ((rs[None, :] - C[sub]) ** 2).sum(axis=1)
+            assert cds[sub] == int(d2.argmin())
+
+
+def test_ivf_pq_index_reused_not_refit(spark, ivf_pq_emb, tmp_path, monkeypatch):
+    idx = str(tmp_path / "ivf_pq")
+    ann_index.ensure_ivf_pq(ivf_pq_emb, idx, n_clusters=4, m=4, n_codes=4, seed=42)
+    monkeypatch.setattr(
+        ann_index,
+        "fit_ivf_pq",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("refit!")),
+    )
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        ivf_pq_emb, idx, n_clusters=4, m=4, n_codes=4, seed=42
+    )
+    assert codes.count() == 32
+
+
+def test_ivf_pq_append_only_growth_is_incremental(spark, tmp_path, monkeypatch):
+    """Append-only growth assigns ONLY the delta to its nearest FIXED
+    cell, encodes its residuals under the FIXED codebooks, and keeps
+    codes + codes_long consistent in one swap."""
+    import json
+
+    base_dir = str(tmp_path / "corpus")
+    rows = [(i, [float(i % 4)] * 8) for i in range(20)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        base_dir
+    )
+    emb = spark.read.parquet(base_dir)
+    idx = str(tmp_path / "ivf_pq")
+    ann_index.ensure_ivf_pq(emb, idx, n_clusters=4, m=4, n_codes=4, seed=42)
+    params0 = json.load(open(os.path.join(idx, "_params.json")))
+    assert params0["n_rows_at_fit"] == 20
+    spark.createDataFrame(
+        [(1000 + i, [float(i % 4)] * 8) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("append").parquet(base_dir)
+    emb2 = spark.read.parquet(base_dir)
+    monkeypatch.setattr(
+        ann_index,
+        "fit_ivf_pq",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("refit!")),
+    )
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        emb2, idx, n_clusters=4, m=4, n_codes=4, seed=42
+    )
+    assert codes.count() == 24
+    params1 = json.load(open(os.path.join(idx, "_params.json")))
+    assert params1["n_rows_at_fit"] == 20  # cells + codebook untouched
+    long_rows = spark.read.parquet(os.path.join(idx, "codes_long")).count()
+    assert long_rows == 24 * 4
+    # appended vectors landed in valid cells (probe-able candidates)
+    appended = {
+        r["cell"] for r in codes.filter(F.col("id") >= 1000).collect()
+    }
+    assert appended and appended <= {0, 1, 2, 3}
+
+
+def test_ivf_pq_rewrite_triggers_full_rebuild(spark, tmp_path):
+    base_dir = str(tmp_path / "corpus")
+    rows = [(i, [float(i % 4)] * 8) for i in range(20)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        base_dir
+    )
+    emb = spark.read.parquet(base_dir)
+    idx = str(tmp_path / "ivf_pq")
+    ann_index.ensure_ivf_pq(emb, idx, n_clusters=4, m=4, n_codes=4, seed=42)
+    spark.createDataFrame(
+        [(i, [float((i + 1) % 4)] * 8) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(base_dir)
+    emb2 = spark.read.parquet(base_dir)
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        emb2, idx, n_clusters=4, m=4, n_codes=4, seed=42
+    )
+    assert codes.count() == 20
+
+
+def test_ivf_pq_foreign_probe_ids_get_full_k(spark, ivf_pq_emb, tmp_path):
+    """Probe ids absent from the build set must still get k neighbors
+    when k are available (the pq_adc_topk ADVICE-r9 contract holds
+    per cell in the composite kernel too)."""
+    idx = str(tmp_path / "ivf_pq")
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        ivf_pq_emb, idx, n_clusters=4, m=4, n_codes=4, seed=42
+    )
+    foreign = spark.createDataFrame(
+        [(9999, [-3.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    rows = similarity.ivf_pq_topk(
+        foreign, cells, book, codes, k=3, n_probe=1
+    ).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert all(r["vec_id"] == 9999 for r in rows)
