@@ -2,10 +2,10 @@
 
 `compact_delta/compact_iceberg(sort_by=...)` gives tight row-group
 min/max stats on ONE leading key — a range filter on any other column
-prunes nothing. Interleaving the bits of two rank-scaled columns into
+prunes nothing. Interleaving the bits of 2-4 rank-scaled columns into
 one Morton value and range-partitioning + sorting on IT gives every
-output file a small RECTANGLE of the 2-D key space, so a box
-predicate on EITHER column (or both) skips most files on footer
+output file a small HYPER-RECTANGLE of the key space, so a box
+predicate on ANY subset of the columns skips most files on footer
 stats alone — the Databricks OPTIMIZE ZORDER design, and the same
 trade Delta/Iceberg users expect from a lake engine at 100 TB: one
 clustered rewrite at maintenance time buys every later scan's
@@ -13,15 +13,24 @@ pruning.
 
 Everything is whole-stage-codegen column arithmetic: min/max bounds
 come from one aggregate broadcast as a single row; rank scaling is a
-multiply + floor; the bit spread is the classic mask ladder
-(shift-or-and five times per column). No UDF, no shuffle beyond the
-one range-partition the rewrite intends to do anyway.
+multiply + floor; the 2-D bit spread is the classic mask ladder
+(shift-or-and five times per column), the 3-/4-D spreads are a
+constant per-bit shift-or chain. No UDF, no shuffle beyond the one
+range-partition the rewrite intends to do anyway.
+
+Bit budget by dimensionality: the interleaved value must stay inside
+a NON-NEGATIVE bigint (63 usable bits), so 2-D packs 16+16 (the
+classic 32-bit z), 3-D packs 21+21+21 = 63, 4-D packs 15x4 = 60.
+Even 15 bits = 32768 buckets per column out-resolves any practical
+file count. Past 4 columns each column's share of the sort order
+dilutes to where per-file ranges stop being tight — the curse that
+makes wide Z-orders prune poorly everywhere — so >4 raises rather
+than silently under-delivering.
 
 Scaling note: min-max ranking is distribution-sensitive (one outlier
 compresses everyone else into few buckets); for heavy-tailed keys
 rank by range-partition id or quantile instead (percentile_approx is
-mergeable) — the Morton interleave is unchanged. 16 bits per column
-(65536 buckets) out-resolves any practical file count.
+mergeable) — the Morton interleave is unchanged.
 """
 
 from __future__ import annotations
@@ -35,6 +44,10 @@ from pyspark.sql import functions as F
 #: bigint; file-level pruning saturates far below this resolution).
 ZORDER_BITS = 16
 
+#: Bits per column by dimensionality (total always <= 63 so the
+#: interleaved bigint stays non-negative and orders correctly).
+BITS_BY_DIM = {2: 16, 3: 21, 4: 15}
+
 
 def _spread16(x: Column) -> Column:
     """Spread the low 16 bits of `x` to even bit positions 0,2,..,30
@@ -47,17 +60,38 @@ def _spread16(x: Column) -> Column:
     return x
 
 
+def _spread_every_nth(x: Column, bits: int, stride: int) -> Column:
+    """Spread the low `bits` bits of `x` to positions 0, stride,
+    2*stride, ... — the general n-way Morton spread as a constant
+    per-bit shift-or chain (bits <= 21 terms, all plain codegen
+    shifts/masks/ors; built once into the plan, zero per-row
+    interpretation)."""
+    x = x.bitwiseAND(F.lit((1 << bits) - 1))
+    out = None
+    for b in range(bits):
+        t = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), b * stride)
+        out = t if out is None else out.bitwiseOR(t)
+    return out
+
+
 def with_zvalue(
     df: DataFrame, cols: Sequence[str], out_col: str = "_z"
 ) -> DataFrame:
-    """Append the 2-D Morton value of `cols` as `out_col`: each column
-    min-max rank-scales to [0, 2^16) against ITS corpus bounds (one
-    broadcast aggregate row), then the two 16-bit ranks interleave.
-    NULLs rank 0 (they cluster together at the z-origin); a constant
-    column ranks 0 everywhere (no discrimination to encode)."""
-    if len(cols) != 2:
-        raise ValueError(f"z-order interleave is 2-D here; got {list(cols)}")
-    top = (1 << ZORDER_BITS) - 1
+    """Append the N-D Morton value of `cols` (2-4 columns) as
+    `out_col`: each column min-max rank-scales to [0, 2^bits) against
+    ITS corpus bounds (one broadcast aggregate row; bits from
+    BITS_BY_DIM), then the ranks bit-interleave. NULLs rank 0 (they
+    cluster together at the z-origin); a constant column ranks 0
+    everywhere (no discrimination to encode)."""
+    n = len(cols)
+    if n not in BITS_BY_DIM:
+        raise ValueError(
+            f"z-order interleave supports 2-4 columns; got {list(cols)} "
+            "(1 column is a plain sort_by; >4 dilutes per-file ranges "
+            "until pruning stops paying)"
+        )
+    bits = BITS_BY_DIM[n]
+    top = (1 << bits) - 1
     bounds = df.agg(
         *[
             a
@@ -78,7 +112,13 @@ def with_zvalue(
         ).otherwise(F.lit(0))
         # v == hi lands exactly on top+... guard the closed upper edge
         ranks.append(F.least(u.cast("bigint"), F.lit(top)))
-    z = _spread16(ranks[0]).bitwiseOR(F.shiftleft(_spread16(ranks[1]), 1))
+    if n == 2:
+        z = _spread16(ranks[0]).bitwiseOR(F.shiftleft(_spread16(ranks[1]), 1))
+    else:
+        z = None
+        for i, r in enumerate(ranks):
+            t = F.shiftleft(_spread_every_nth(r, bits, n), i)
+            z = t if z is None else z.bitwiseOR(t)
     return j.select(*df.columns, z.alias(out_col))
 
 
@@ -109,3 +149,17 @@ def morton2(a: int, b: int) -> int:
         return x
 
     return spread(a) | (spread(b) << 1)
+
+
+def morton_n(vals: Sequence[int]) -> int:
+    """Pure-Python N-D Morton reference (tests + tooling): interleave
+    the low BITS_BY_DIM[len(vals)] bits of each value, value i at bit
+    offset i."""
+    n = len(vals)
+    bits = BITS_BY_DIM[n]
+    z = 0
+    for i, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * n + i)
+    return z

@@ -580,11 +580,11 @@ def compact_delta(
     partition directory (Spark's default parallelism when None).
     `sort_by` sorts within the rewritten files so parquet row-group
     min/max stats support skipping on ONE leading key — the linear
-    clustering. `zorder_by` (two columns, mutually exclusive with
+    clustering. `zorder_by` (2-4 columns, mutually exclusive with
     sort_by) is the real OPTIMIZE ZORDER: Morton-interleave the
-    rank-scaled pair, range-partition + sort on the z-value
-    (operators/zorder.py), so box predicates on EITHER column prune
-    files on footer stats.
+    rank-scaled columns, range-partition + sort on the z-value
+    (operators/zorder.py), so box predicates on ANY subset of the
+    columns prune files on footer stats.
 
     The rewrite costs one full read+write of the ACTIVE data (not
     the history); the old files are tombstoned, stay time-travelable

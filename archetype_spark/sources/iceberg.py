@@ -965,9 +965,9 @@ def compact_iceberg(
     compact_delta — old files stay time-travelable until expiry +
     vacuum; streaming high-water marks live in table properties and
     are unaffected). `sort_by` clusters rows for parquet row-group
-    stat skipping on one leading key; `zorder_by` (two columns,
-    exclusive with sort_by) Morton-clusters the pair so box
-    predicates on either column prune files (operators/zorder.py)."""
+    stat skipping on one leading key; `zorder_by` (2-4 columns,
+    exclusive with sort_by) Morton-clusters them so box predicates
+    on any subset of the columns prune files (operators/zorder.py)."""
     if sort_by and zorder_by:
         raise ValueError("pass sort_by or zorder_by, not both")
     df = read_iceberg(spark, path)
