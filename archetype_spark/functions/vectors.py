@@ -54,14 +54,14 @@ def micro_quantize(a: Column | str, scale: float = 1e6) -> Column:
     summation order), so a cosine computed as dot/(sqrt(nA)*sqrt(nQ))
     from these integers is bit-identical in every IEEE engine —
     no 1-ulp rank boundary exists (the q113 lesson)."""
+    from archetype_spark.queries.relational import round_like_duckdb
+
     a = F.col(a) if isinstance(a, str) else a
 
     def q(x: Column) -> Column:
-        xd = x.cast("double") * F.lit(float(scale))
-        return (
-            F.floor(F.abs(xd) + F.lit(0.5))
-            * F.when(xd < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-        ).cast("bigint")
+        return round_like_duckdb(x.cast("double") * F.lit(float(scale)), 0).cast(
+            "bigint"
+        )
 
     return F.transform(a, q)
 

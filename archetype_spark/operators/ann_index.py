@@ -885,7 +885,7 @@ def fit_ivf_pq_frames(
     code (the flat-PQ scan), which is the standard two-level ANN
     layout at scale.
 
-    Returns (cells, codebook, codes, codes_long):
+    Returns (cells, codebook, codes, codes_long, dim):
     - cells: (cell, centroid array<double>, centroid_micro
       array<bigint>) — n_clusters rows; centroid_micro is the
       round(x*1e6) integer form BOTH engines compute probe-cell
@@ -959,7 +959,7 @@ def fit_ivf_pq_frames(
     codes_long = codes.select(
         "id", "cell", F.posexplode("codes").alias("m", "code")
     ).select("id", "cell", F.col("m").cast("int").alias("m"), "code")
-    return cells, codebook, codes, codes_long
+    return cells, codebook, codes, codes_long, dim
 
 
 def fit_ivf_pq(
@@ -979,10 +979,9 @@ def fit_ivf_pq(
     index its LanceDB backend would build, re-expressed here as plain
     parquet index tables. Atomic directory swap; all four tables land
     in one swap."""
-    cells, codebook, codes, codes_long = fit_ivf_pq_frames(
+    cells, codebook, codes, codes_long, dim = fit_ivf_pq_frames(
         emb, n_clusters, m, n_codes, seed, id_col, vec_col
     )
-    dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     params = {
         "kind": "ivf_pq",
         "n_clusters": n_clusters,
@@ -1021,6 +1020,43 @@ def load_ivf_pq(
         read_table(spark, os.path.join(index_dir, "codebook")),
         read_table(spark, os.path.join(index_dir, "codes")),
     )
+
+
+#: Driver-side (C, CM, m, ds) numpy tables per persisted IVF_PQ
+#: index, keyed on (abs index dir, params-file CONTENT): the params
+#: sidecar embeds the corpus fingerprint and is atomically rewritten
+#: by every append/refit/rebuild, so a stale cache entry can never be
+#: served — the key itself changes. At most one entry per dir.
+_IVF_PQ_ARRAYS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def ivf_pq_arrays(spark: SparkSession, index_dir: str) -> tuple:
+    """(C, CM, m, ds) driver-side scoring tables for the persisted
+    composite index, memoized per (index, params content) — ONE
+    cells+codebook collect per index per JVM instead of one per
+    probe call (the tables are bounded: m*n_codes + n_clusters rows)."""
+    with open(os.path.join(index_dir, _PARAMS_FILE)) as fh:
+        text = fh.read()
+    adir = os.path.abspath(index_dir)
+    key = (adir, text)
+    hit = _IVF_PQ_ARRAYS_CACHE.get(key)
+    if hit is None:
+        book_rows = read_table(
+            spark, os.path.join(index_dir, "codebook")
+        ).select("m", "code", "centroid_micro").collect()
+        mm = 1 + max(int(r["m"]) for r in book_rows)
+        kk = 1 + max(int(r["code"]) for r in book_rows)
+        ds = len(book_rows[0]["centroid_micro"])
+        cell_rows = read_table(
+            spark, os.path.join(index_dir, "cells")
+        ).select("cell", "centroid_micro").collect()
+        n_cells = 1 + max(int(r["cell"]) for r in cell_rows)
+        C = _pq_codebook_array(book_rows, mm, kk, ds)
+        CM = _cells_micro_array(cell_rows, n_cells, mm * ds)
+        for old in [k for k in _IVF_PQ_ARRAYS_CACHE if k[0] == adir]:
+            del _IVF_PQ_ARRAYS_CACHE[old]
+        hit = _IVF_PQ_ARRAYS_CACHE[key] = (C, CM, mm, ds)
+    return hit
 
 
 def ensure_ivf_pq(
@@ -1085,8 +1121,22 @@ def ensure_ivf_pq(
                     F.col(vec_col).cast("array<double>").alias("v"),
                 )
             )
+            # Assign delta vectors with the SAME exact int64 micro
+            # metric probes rank cells by (ivf_probe_cells, n_probe=1)
+            # — not _assign_cells' float-centroid metric — so the cell
+            # a vector is stored in is always the cell the probe
+            # metric would visit first (a float/int boundary vector
+            # stored "one cell off" is invisible to its nearest probe).
+            from archetype_spark.operators.similarity import ivf_probe_cells
+
             assigned = new.join(
-                _assign_cells(new, cells, "id", "v"), "id"
+                ivf_probe_cells(
+                    new, cells, n_probe=1, id_col="id", vec_col="v"
+                ).select(
+                    F.col("_id").alias("id"),
+                    F.col("_pcell").cast("int").alias("cell"),
+                ),
+                "id",
             ).select("id", "v", "cell")
             codes = _pq_encode_residual(assigned, C, CM, m, ds)
             codes_long = codes.select(

@@ -1059,6 +1059,7 @@ def ivf_pq_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Two-level IVF_PQ approximate top-k over the persisted composite
     index (Jégou et al., TPAMI'11 §IV; ann_index.ensure_ivf_pq): the
@@ -1086,20 +1087,30 @@ def ivf_pq_topk(
     int64 over micro-quantized values (the codebook and cell tables
     store round(x*1e6) integer forms at fit time), so dist_micro is
     bit-identical to the SQL oracle's replay over the same persisted
-    index — no float rank boundary anywhere."""
-    book_rows = codebook.select("m", "code", "centroid_micro").collect()
-    mm = 1 + max(int(r["m"]) for r in book_rows)
-    ds = len(book_rows[0]["centroid_micro"])
+    index — no float rank boundary anywhere.
+
+    With `index_dir` the driver-side scoring tables come from the
+    per-(index, params) memo (`ann_index.ivf_pq_arrays`) — one
+    cells+codebook collect per index per JVM; append/refit rewrites
+    the params sidecar, so the memo key can never serve stale tables.
+    Without it (in-flight frames) they are collected per call."""
     from archetype_spark.operators.ann_index import (
         _cells_micro_array,
         _pq_codebook_array,
+        ivf_pq_arrays,
     )
 
-    kk = 1 + max(int(r["code"]) for r in book_rows)
-    C = _pq_codebook_array(book_rows, mm, kk, ds)
-    cell_rows = cells.select("cell", "centroid_micro").collect()
-    n_cells = 1 + max(int(r["cell"]) for r in cell_rows)
-    CM = _cells_micro_array(cell_rows, n_cells, mm * ds)
+    if index_dir is not None:
+        C, CM, mm, ds = ivf_pq_arrays(emb.sparkSession, index_dir)
+    else:
+        book_rows = codebook.select("m", "code", "centroid_micro").collect()
+        mm = 1 + max(int(r["m"]) for r in book_rows)
+        ds = len(book_rows[0]["centroid_micro"])
+        kk = 1 + max(int(r["code"]) for r in book_rows)
+        C = _pq_codebook_array(book_rows, mm, kk, ds)
+        cell_rows = cells.select("cell", "centroid_micro").collect()
+        n_cells = 1 + max(int(r["cell"]) for r in cell_rows)
+        CM = _cells_micro_array(cell_rows, n_cells, mm * ds)
 
     probe = ivf_probe_cells(emb, cells, n_probe, id_col, vec_col)
     build = codes.select(

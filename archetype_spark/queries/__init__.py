@@ -195,72 +195,79 @@ _MODULES = (
 #       index — residual ADC restricted to n_probe coarse cells, the
 #       q114 conditional-oracle pattern) pins for its first driver
 #       row, re-deferring q03 (fresh-green r8).
+#   r11: CORRECTNESS_r10 landed 50/50 green (all 32 r10 pins got
+#       driver rows), so execute the sketched rotation: PIN the
+#       longest-deferred cohort — q03-q16, q29-q35, q38 (22 queries,
+#       fresh-green r8, no driver row since; the relational/agg/
+#       dedup core gets re-verified against the CURRENT driver
+#       parquet, the exact rotation that caught the r6 schema
+#       change). In exchange defer 22 of the 30 multi-green r10
+#       pins (q17-q22/q27, q40/q41, q54/q55/q57-q60, q68/q69/q71,
+#       q73-q76 — every one green in >=3 rounds, still locally
+#       hash-checked every pytest run; minhash keeps q65/q98 and
+#       simhash keeps q101 in-window, packing keeps q79/q82/q93,
+#       curation keeps q70/q95). Kept in-window un-pinned: the
+#       single-green r10 pair q117/q118 (first driver rows r10),
+#       the ECS flagship q50, the composed pipelines q66/q70, and
+#       q78/q79/q82/q85/q90. Net: 22 pins + 28 gated = 50 exactly.
+#       New r11 queries pin as they land, each deferring one more
+#       multi-green entry.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
-    "q17_string_fns",
-    "q18_date_fns",
-    "q19_math_fns",
-    "q20_case_coalesce",
-    "q21_ranking_window",
-    "q22_lag_lead_runsum",
-    "q27_explode",
-    "q40_minhash_pairs",
-    "q41_simhash_pairs",
-    "q50_ecs_tsim",
-    "q54_percentiles",
-    "q55_unpivot",
-    "q57_training_pipeline",
-    "q58_list_agg",
-    "q59_full_outer_join",
-    "q60_stats_math",
-    "q66_dedup_clusters",
-    "q68_sequence_pack",
-    "q69_repetition",
-    "q70_corpus_curation",
-    "q71_decontamination",
-    "q73_stop_shingle_jaccard",
-    "q74_quality_keeper",
-    "q75_mixture_sample",
-    "q76_relative_quality_gate",
-    "q78_mixture_resample",
-    "q79_pack_payloads",
-    "q82_exact_pack",
-    "q85_random_projection",
-    "q90_containment_pairs",
-    "q117_hybrid_rrf_bounded",
-    "q118_ivf_pq_topk",
+    "q03_compound_predicate",
+    "q04_computed_columns",
+    "q05_inner_join",
+    "q06_multiway_join",
+    "q07_left_join",
+    "q08_semi_join",
+    "q09_anti_join",
+    "q10_cross_join",
+    "q11_global_agg",
+    "q12_grouped_agg",
+    "q13_count_distinct",
+    "q14_having",
+    "q15_rollup",
+    "q16_topk",
+    "q29_exact_dedup",
+    "q30_cosine_topk",
+    "q31_json_extract",
+    "q32_pivot",
+    "q33_hash_dedup",
+    "q34_token_stats",
+    "q35_doc_quality",
+    "q38_lang_id",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
-        # deferred r9 (fresh-green r8), still resting except q01-q02
-        # which came back in-window r10 to land the window at 50
-        # (q03 returned too at round start, then re-deferred for the
-        # mid-r10 q118 IVF_PQ pin):
-        "q03_compound_predicate",
-        "q04_computed_columns",
-        "q05_inner_join",
-        "q06_multiway_join",
-        "q07_left_join",
-        "q08_semi_join",
-        "q09_anti_join",
-        "q10_cross_join",
-        "q11_global_agg",
-        "q12_grouped_agg",
-        "q13_count_distinct",
-        "q14_having",
-        "q15_rollup",
-        "q16_topk",
-        "q29_exact_dedup",
-        "q30_cosine_topk",
-        "q31_json_extract",
-        "q32_pivot",
-        "q33_hash_dedup",
-        "q34_token_stats",
-        "q35_doc_quality",
-        "q38_lang_id",
-        # newly deferred r10 (fresh-green r9 — all 34 r9 pins got
+        # newly deferred r11 (multi-green r10 pins, every one green
+        # in >=3 rounds; minhash keeps q65/q98 and simhash keeps
+        # q101 in-window, packing keeps q79/q82/q93, curation keeps
+        # q70/q95 — all still locally hash-checked every pytest run):
+        "q17_string_fns",
+        "q18_date_fns",
+        "q19_math_fns",
+        "q20_case_coalesce",
+        "q21_ranking_window",
+        "q22_lag_lead_runsum",
+        "q27_explode",
+        "q40_minhash_pairs",
+        "q41_simhash_pairs",
+        "q54_percentiles",
+        "q55_unpivot",
+        "q57_training_pipeline",
+        "q58_list_agg",
+        "q59_full_outer_join",
+        "q60_stats_math",
+        "q68_sequence_pack",
+        "q69_repetition",
+        "q71_decontamination",
+        "q73_stop_shingle_jaccard",
+        "q74_quality_keeper",
+        "q75_mixture_sample",
+        "q76_relative_quality_gate",
+        # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
         # persisted-IVF stays driver-covered via q72/q96, retrieval
         # keeps q117 pinned):

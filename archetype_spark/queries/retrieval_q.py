@@ -221,7 +221,13 @@ def q118_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _ivf_pq_dir(sf_dir), **IVF_PQ_INDEX
     )
     return similarity.ivf_pq_topk(
-        emb, cells, codebook, codes, k=5, n_probe=IVF_PQ_N_PROBE
+        emb,
+        cells,
+        codebook,
+        codes,
+        k=5,
+        n_probe=IVF_PQ_N_PROBE,
+        index_dir=_ivf_pq_dir(sf_dir),
     )
 
 

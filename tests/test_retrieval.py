@@ -430,6 +430,49 @@ def test_ivf_pq_rewrite_triggers_full_rebuild(spark, tmp_path):
     assert codes.count() == 20
 
 
+def test_ivf_pq_arrays_memoized_and_invalidated_on_append(
+    spark, tmp_path, monkeypatch
+):
+    """ivf_pq_arrays collects cells+codebook ONCE per (index, params):
+    a repeat call returns the cached tuple with zero Spark work; an
+    append rewrites the params sidecar (corpus fingerprint changes),
+    so the next call sees a new key — never stale tables — and probing
+    through index_dir equals probing through per-call collects."""
+    base_dir = str(tmp_path / "corpus")
+    rows = [(i, [float(i % 4)] * 8) for i in range(20)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        base_dir
+    )
+    emb = spark.read.parquet(base_dir)
+    idx = str(tmp_path / "ivf_pq")
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        emb, idx, n_clusters=4, m=4, n_codes=4, seed=42
+    )
+    first = ann_index.ivf_pq_arrays(spark, idx)
+    monkeypatch.setattr(
+        ann_index,
+        "read_table",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("re-collected!")),
+    )
+    again = ann_index.ivf_pq_arrays(spark, idx)
+    assert again is first
+    monkeypatch.undo()
+    via_dir = similarity.ivf_pq_topk(
+        emb, cells, book, codes, k=2, n_probe=1, index_dir=idx
+    ).collect()
+    via_collect = similarity.ivf_pq_topk(
+        emb, cells, book, codes, k=2, n_probe=1
+    ).collect()
+    assert via_dir == via_collect
+    spark.createDataFrame(
+        [(1000, [0.0] * 8)], "vec_id long, embedding array<float>"
+    ).write.mode("append").parquet(base_dir)
+    ann_index.ensure_ivf_pq(
+        spark.read.parquet(base_dir), idx, n_clusters=4, m=4, n_codes=4, seed=42
+    )
+    assert ann_index.ivf_pq_arrays(spark, idx) is not first
+
+
 def test_ivf_pq_foreign_probe_ids_get_full_k(spark, ivf_pq_emb, tmp_path):
     """Probe ids absent from the build set must still get k neighbors
     when k are available (the pq_adc_topk ADVICE-r9 contract holds

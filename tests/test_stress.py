@@ -223,6 +223,42 @@ def test_stress_ann_recall_ivf(stress_emb):
     assert recall >= 0.9, recall
 
 
+def test_stress_ann_recall_ivf_pq(stress_emb, tmp_path_factory):
+    """IVF_PQ (the r10 composite index) at 10x corpus with
+    corpus-scaled settings (64 cells for 20k vectors, m=8 residual
+    subspaces): sibling recall >= 0.9 while the probe scans only
+    n_probe/n_clusters = 1/8 of the codes."""
+    from archetype_spark.operators import ann_index, similarity
+
+    idx = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        stress_emb, idx, n_clusters=64, m=8, n_codes=16, seed=42
+    )
+    res = similarity.ivf_pq_topk(
+        stress_emb, cells, book, codes, k=5, n_probe=8
+    ).collect()
+    recall, n_q = _sibling_recall(res)
+    assert n_q > 15_000
+    assert recall >= 0.9, recall
+
+
+def test_stress_rank_by_bounded_topk(stress_docs):
+    """q117's bounded-depth production face at 10x corpus: ranking
+    50k per-doc rows with depth=100 (TakeOrderedAndProject, no
+    full-corpus single-task sort) returns EXACTLY the full global
+    ranking's first 100 rows, ranks included."""
+    from archetype_spark.operators import retrieval
+
+    scored = stress_docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("score")
+    )
+    full = retrieval.rank_by(scored, ["score"], "rank", "doc_id")
+    bounded = retrieval.rank_by(scored, ["score"], "rank", "doc_id", depth=100)
+    want = [(r["doc_id"], r["rank"]) for r in full.orderBy("rank").limit(100).collect()]
+    got = [(r["doc_id"], r["rank"]) for r in bounded.orderBy("rank").collect()]
+    assert got == want and len(got) == 100
+
+
 def test_stress_ann_recall_signcode(stress_emb):
     """Banded sign-code ANN at 10x corpus, code bits sized to the
     corpus (2^10 buckets for 20k vectors): sibling recall >= 0.9."""
