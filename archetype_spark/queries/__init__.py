@@ -211,7 +211,12 @@ _MODULES = (
 #       the ECS flagship q50, the composed pipelines q66/q70, and
 #       q78/q79/q82/q85/q90. Net: 22 pins + 28 gated = 50 exactly.
 #       New r11 queries pin as they land, each deferring one more
-#       multi-green entry.
+#       multi-green entry. Mid-r11: q119 (Delta DELETE WHERE via
+#       deletion vectors — reader version 3, Z85+Roaring DV decode,
+#       position anti-join; static source-view oracle with the
+#       fixture's own delete predicates) pins for its first driver
+#       row, deferring q85 (green r7+r10; projections keep q91
+#       in-window).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -238,6 +243,7 @@ _PINNED: tuple[str, ...] = (
     "q34_token_stats",
     "q35_doc_quality",
     "q38_lang_id",
+    "q119_delta_deletes_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -311,6 +317,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q81_pii_scrub",
         "q83_deterministic_shuffle",
         "q84_paragraph_dedup",
+        "q85_random_projection",
         "q86_oov_rate",
         "q87_doc_chunks",
         "q88_temperature_mix",

@@ -87,6 +87,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     # evaluated) and q106's merged table (pure-SQL oracle, but the
     # build cost belongs in warmup, not measured query time)
     _ensure_delta_documents(spark, sf_dir)
+    _ensure_delta_dv_documents(spark, sf_dir)
     _ensure_iceberg_documents(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
     _ensure_delta_evolved(spark, sf_dir)
@@ -685,6 +686,58 @@ def delta_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
                sum(n_chars)::BIGINT AS sum_chars
         FROM raw JOIN v0 ON raw.rel = v0.path GROUP BY lang
     """
+
+
+def _ensure_delta_dv_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The deletion-vector Delta table q119 scans: one ingest commit
+    (repartitioned by lang so each file holds a whole language — row-
+    level deletes then MUST use vectors, not whole-file removes),
+    followed by TWO DELETE WHERE commits with SQL-reproducible
+    predicates (n_chars % 7 = 3, then n_chars % 11 = 5 — the second
+    MERGES into the first's vectors). The reader has to parse the
+    Z85 + portable-Roaring descriptors and anti-join the positions to
+    match; the oracle recomputes ground truth from the SOURCE
+    documents view with the same predicates — fully independent of
+    sources/dv.py."""
+    from archetype_spark.sources.delta import delete_where_delta, write_delta
+
+    def build(base: DataFrame, btable: str) -> None:
+        write_delta(
+            base.repartition("lang"), btable, partition_by=["lang"]
+        )
+        delete_where_delta(spark, btable, "n_chars % 7 = 3")
+        delete_where_delta(spark, btable, "n_chars % 11 = 5")
+
+    return _ensure_lake_documents(spark, sf_dir, "delta_dv_documents", build)
+
+
+def q119_delta_deletes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level deletes on a modern Delta table (reader version 3 /
+    deletionVectors): per-lang count+sum over the latest snapshot
+    (two merged DELETE WHERE vectors applied) and the v0 time-travel
+    snapshot (pre-delete, vectors ignored). Exactness here means the
+    bitmap decode and the (file, row position) anti-join dropped
+    EXACTLY the predicate rows — the oracle re-derives both snapshots
+    from the source documents view in pure SQL."""
+    from archetype_spark.sources.delta import read_delta
+
+    table = _ensure_delta_dv_documents(spark, sf_dir)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .withColumn("snap", F.lit(snap))
+        )
+
+    return (
+        agg(read_delta(spark, table), "latest")
+        .unionByName(agg(read_delta(spark, table, version=0), "v0"))
+        .select("snap", "lang", "n_docs", "sum_chars")
+    )
 
 
 def _ensure_iceberg_documents(spark: SparkSession, sf_dir: str) -> str:
@@ -1598,6 +1651,7 @@ QUERIES = {
     "q100_binary_ingest": q100_binary_ingest,
     "q101_simhash_fast": q101_simhash_fast,
     "q104_delta_scan": q104_delta_scan,
+    "q119_delta_deletes_scan": q119_delta_deletes_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -2717,6 +2771,22 @@ ORACLES["q110_delta_evolution_scan"] = """
            (count(*) FILTER (doc_id % 2 = 1))::BIGINT AS n_scored,
            COALESCE(sum(n_chars) FILTER (doc_id % 2 = 1), 0)::DOUBLE
              AS sum_score
+    FROM documents GROUP BY lang
+"""
+
+# q119: both snapshots recomputed from the source view with the
+# fixture's own DELETE predicates (n_chars % 7 = 3 then % 11 = 5; see
+# _ensure_delta_dv_documents) — the oracle never touches the deletion
+# vectors, so a bitmap-decode or position-join bug cannot cancel out.
+ORACLES["q119_delta_deletes_scan"] = """
+    SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents
+    WHERE n_chars % 7 <> 3 AND n_chars % 11 <> 5
+    GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
     FROM documents GROUP BY lang
 """
 

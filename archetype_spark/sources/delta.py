@@ -20,9 +20,14 @@ Scale notes (why this shape survives a real cluster):
   PartitionFilters pushdown; foreign layouts fall back to per-
   partition-group unions whose literal partition columns prune via
   constant folding (both pinned by tests/test_delta.py).
-- Unsupported reader features (column mapping, deletion vectors,
-  reader version > 1) raise loudly instead of returning silently
-  wrong rows.
+- Deletion vectors (reader version 3's deletionVectors feature) are
+  READ and WRITTEN: sources/dv.py implements the public Z85 +
+  portable-Roaring DV format, read_delta anti-joins each masked
+  file's deleted positions on `_metadata.row_index`, and
+  delete_where_delta commits row-level DELETEs without rewriting
+  data. Remaining unsupported reader features (column mapping, v2
+  checkpoints, ...) raise loudly instead of returning silently wrong
+  rows.
 
 Write-side concurrency contract: SINGLE WRITER. Commits are published
 by atomic rename into `_delta_log/`, so a lost race surfaces as
@@ -110,10 +115,18 @@ def _demap(obj):
     return obj
 
 
-def _snapshot_actions(table: str, version: int | None = None):
+#: reader features (minReaderVersion=3 tables) this module implements
+_READER_FEATURES = {"deletionVectors"}
+
+
+def _snapshot_actions(
+    table: str, version: int | None = None, return_protocol: bool = False
+):
     """Replay the log to `version` (latest when None). Returns
     (metaData, active add-actions dict keyed by path, txn high-water
-    marks {appId: version})."""
+    marks {appId: version}) — plus the protocol action when
+    `return_protocol` (checkpoint/delete writers must carry it
+    forward, not re-invent it)."""
     log_dir = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table}")
@@ -173,28 +186,34 @@ def _snapshot_actions(table: str, version: int | None = None):
                 int(t["version"]), txns.get(t["appId"], -1)
             )
         elif "add" in a:
-            add = a["add"]
-            if add.get("deletionVector"):
-                raise NotImplementedError(
-                    "Delta deletion vectors are not supported by the "
-                    "protocol-native reader; use a connector-enabled cluster"
-                )
-            active[add["path"]] = add
+            active[a["add"]["path"]] = a["add"]
         elif "remove" in a:
             active.pop(a["remove"]["path"], None)
     if protocol is not None and int(protocol.get("minReaderVersion", 1)) > 1:
-        feats = protocol.get("readerFeatures") or []
-        raise NotImplementedError(
-            f"Delta minReaderVersion={protocol['minReaderVersion']} "
-            f"(readerFeatures={feats}) exceeds the protocol-native reader; "
-            "use a connector-enabled cluster"
-        )
+        # Reader version 3 is the table-features protocol: readable
+        # exactly when every listed reader feature is implemented
+        # here. deletionVectors is (sources/dv.py); anything else
+        # (column mapping, timestampNtz, v2Checkpoint, ...) still
+        # refuses loudly — silently ignoring an unknown reader
+        # feature is how wrong rows happen.
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = feats - _READER_FEATURES
+        if int(protocol["minReaderVersion"]) != 3 or unsupported:
+            raise NotImplementedError(
+                f"Delta minReaderVersion={protocol['minReaderVersion']} "
+                f"(readerFeatures={sorted(feats)}) exceeds the "
+                "protocol-native reader "
+                f"(unsupported: {sorted(unsupported) or feats}); "
+                "use a connector-enabled cluster"
+            )
     if meta is None:
         raise ValueError(f"Delta log at {table} contains no metaData action")
     if (meta.get("format") or {}).get("provider", "parquet") != "parquet":
         raise NotImplementedError(
             f"Delta data format {meta['format']!r} is not parquet"
         )
+    if return_protocol:
+        return meta, active, txns, protocol
     return meta, active, txns
 
 
@@ -221,21 +240,75 @@ def read_delta(
       partition-value tuple and union one scan per group with the
       values attached as literal columns; filters then prune groups
       via constant folding. Width is O(#distinct partition tuples) —
-      fine for foreign layouts, which are rare and small here."""
+      fine for foreign layouts, which are rare and small here.
+
+    Files whose add action carries a `deletionVector` (reader
+    version 3 / deletionVectors feature — DELETE/UPDATE/MERGE
+    without rewriting data files) are scanned separately with
+    `_metadata.row_index` and anti-joined against their vectors'
+    deleted row positions (sources/dv.py parses the public Z85 +
+    portable-Roaring DV format) — see _apply_deletion_vectors."""
     table = os.path.abspath(path)
     meta, active, _txns = _snapshot_actions(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     if not active:
         return spark.createDataFrame([], schema)
-    entries = [
-        (
+    plain: list[tuple[str, dict]] = []
+    masked: list[tuple[tuple[str, dict], dict]] = []
+    for add in active.values():
+        e = (
             os.path.join(table, urllib.parse.unquote(add["path"])),
             add.get("partitionValues") or {},
         )
-        for add in active.values()
-    ]
-    return _scan_snapshot(spark, table, schema, part_cols, entries)
+        if add.get("deletionVector"):
+            masked.append((e, add["deletionVector"]))
+        else:
+            plain.append(e)
+    parts = []
+    if plain:
+        parts.append(_scan_snapshot(spark, table, schema, part_cols, plain))
+    if masked:
+        parts.append(
+            _apply_deletion_vectors(spark, table, schema, part_cols, masked)
+        )
+    return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession,
+    table: str,
+    schema: StructType,
+    part_cols: Sequence[str],
+    masked: Sequence[tuple[tuple[str, dict], dict]],
+) -> DataFrame:
+    """Rows of the DV-bearing files minus their deleted positions:
+    scan with `_metadata.row_index`, LEFT ANTI join on the exact
+    (file, row position) pairs each vector tombstones. The descriptor
+    parse is driver-side METADATA work (a DV is a compressed bitmap,
+    KB-scale for millions of deletes; delta-spark parses them on the
+    driver too), the deleted-key set ships as one broadcast local
+    relation, and the join itself is a broadcast anti-join below the
+    parquet scan — no shuffle of table data, files without DVs never
+    pay anything."""
+    from archetype_spark.sources import dv as _dv
+
+    entries: list[tuple[str, dict]] = []
+    deleted: list[tuple[str, int]] = []
+    for (p, pv), desc in masked:
+        entries.append((p, pv))
+        ap = os.path.abspath(p)
+        deleted.extend((ap, int(r)) for r in _dv.read_descriptor(table, desc))
+    scan = _scan_snapshot(
+        spark, table, schema, part_cols, entries, keep_meta=True
+    )
+    del_df = spark.createDataFrame(
+        deleted, "__dv_file string, __dv_ridx bigint"
+    )
+    cols = [f.name for f in schema.fields]
+    return scan.join(
+        F.broadcast(del_df), ["__dv_file", "__dv_ridx"], "left_anti"
+    ).select(*cols)
 
 
 def read_delta_changes(
@@ -287,12 +360,25 @@ def read_delta_changes(
                 "incremental read cannot skip versions"
             )
         entries = []
+        removed_data = False
         with open(p) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
-                add = json.loads(line).get("add")
+                action = json.loads(line)
+                add = action.get("add")
+                rm = action.get("remove")
+                if rm and rm.get("dataChange", True):
+                    removed_data = True
+                if add and add.get("deletionVector"):
+                    raise NotImplementedError(
+                        f"commit {v} rewrites a deletion vector: the "
+                        "incremental adds-only read cannot express "
+                        "row-level deletes (that needs the Change Data "
+                        "Feed's change-data files); read full snapshots "
+                        "instead"
+                    )
                 if add and add.get("dataChange", True):
                     entries.append(
                         (
@@ -302,6 +388,18 @@ def read_delta_changes(
                             add.get("partitionValues") or {},
                         )
                     )
+        if removed_data and not entries:
+            # a commit that tombstones data WITHOUT adding any (a
+            # whole-file DELETE) is a data change the adds-only read
+            # cannot express — skipping it would emit the delete as a
+            # silent nothing. Overwrites/compactions are fine: their
+            # rewritten adds land in the same commit.
+            raise NotImplementedError(
+                f"commit {v} removes data files without adding rows "
+                "(row-level/whole-file DELETE): the incremental "
+                "adds-only read cannot express deletes; read full "
+                "snapshots instead"
+            )
         if entries:
             per_version.append(
                 _scan_snapshot(spark, table, schema, part_cols, entries)
@@ -380,6 +478,7 @@ def _scan_snapshot(
     schema: StructType,
     part_cols: Sequence[str],
     entries: Sequence[tuple[str, dict]],
+    keep_meta: bool = False,
 ):
     """Assemble the snapshot scan for `entries` = [(abs_file_path,
     {partition col: value})]. Fast path: when every file sits under
@@ -388,12 +487,28 @@ def _scan_snapshot(
     in partition count. Fallback: per-partition-tuple unions with
     literal columns pruned by constant folding. Shared by the Delta
     and Iceberg readers; partition values here are AUTHORITATIVE
-    (from each format's metadata), paths only an optimization."""
+    (from each format's metadata), paths only an optimization.
+
+    `keep_meta` appends `__dv_file` (the scheme-stripped OS path of
+    each row's source file — Spark reports `file:/...` URIs locally)
+    and `__dv_ridx` (`_metadata.row_index`, the physical row position
+    deletion vectors and positional deletes address) — the join key
+    for row-level delete application."""
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
     cols = [f.name for f in schema.fields]
+    meta_cols = (
+        [
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_ridx"),
+        ]
+        if keep_meta
+        else []
+    )
 
     def hive_ok(path: str, pv: dict) -> bool:
         segs = []
@@ -410,7 +525,7 @@ def _scan_snapshot(
             spark.read.schema(schema)
             .option("basePath", base_root)
             .parquet(*[p for p, _ in entries])
-            .select(*cols)
+            .select(*cols, *meta_cols)
         )
 
     groups: dict[tuple, list[str]] = {}
@@ -425,7 +540,7 @@ def _scan_snapshot(
                 part_fields[col].dataType
             )
             df = df.withColumn(col, typed)
-        parts.append(df.select(*cols))
+        parts.append(df.select(*cols, *meta_cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -780,6 +895,102 @@ def resolve_merge(
     return merged
 
 
+def delete_where_delta(spark: SparkSession, path: str, condition) -> dict:
+    """Row-level `DELETE FROM <table> WHERE condition` as DELETION
+    VECTORS — no data file is rewritten (the copy-on-write alternative
+    is `merge_delta(when_matched='delete')`). Matching row POSITIONS
+    are found by scanning the active files with `_metadata.row_index`,
+    merged with each file's existing vector, and committed as
+    remove+re-add actions whose adds carry spec-compliant storageType
+    "u" descriptors (sources/dv.py); a file whose every row is deleted
+    is tombstoned outright. First DV on a table upgrades the protocol
+    to the table-features form (readerVersion 3 / writerVersion 7,
+    deletionVectors in both feature lists) in the same commit.
+
+    Returns {'rows_deleted', 'files_updated', 'files_removed'}.
+
+    Shape at scale: the position scan is a predicate-pushdown read of
+    the active files; only the MATCHED (file, position) pairs come
+    back to the driver — O(rows this statement deletes), the same
+    driver-side bitmap materialization delta-spark's DV writer does —
+    and each file's bitmap write is O(its deletes). Already-deleted
+    rows never re-match (the scan applies existing vectors), so the
+    returned count is exact and repeated deletes are no-ops."""
+    import pyarrow.parquet as pq
+
+    from archetype_spark.sources import dv as _dv
+
+    table = os.path.abspath(path)
+    version = _latest_version(table)
+    if version is None:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    meta, active, _txns, protocol = _snapshot_actions(
+        table, return_protocol=True
+    )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    out = {"rows_deleted": 0, "files_updated": 0, "files_removed": 0}
+    if not active:
+        return out
+
+    adds_by_abs: dict[str, tuple[str, dict]] = {}
+    entries: list[tuple[str, dict]] = []
+    existing: dict[str, set[int]] = {}
+    for rel, add in active.items():
+        p = os.path.abspath(os.path.join(table, urllib.parse.unquote(rel)))
+        adds_by_abs[p] = (rel, add)
+        entries.append((p, add.get("partitionValues") or {}))
+        if add.get("deletionVector"):
+            existing[p] = set(
+                _dv.read_descriptor(table, add["deletionVector"])
+            )
+    scan = _scan_snapshot(
+        spark, table, schema, part_cols, entries, keep_meta=True
+    )
+    matched = scan.filter(condition).select("__dv_file", "__dv_ridx")
+    by_file: dict[str, set[int]] = {}
+    for r in matched.collect():
+        f, i = r["__dv_file"], int(r["__dv_ridx"])
+        if i not in existing.get(f, ()):  # scan-side DVs make this moot,
+            by_file.setdefault(f, set()).add(i)  # but stay idempotent
+    if not by_file:
+        return out
+
+    actions: list[dict] = []
+    feats = set((protocol or {}).get("readerFeatures") or [])
+    if (
+        protocol is None
+        or int(protocol.get("minReaderVersion", 1)) < 3
+        or "deletionVectors" not in feats
+    ):
+        wfeats = set((protocol or {}).get("writerFeatures") or [])
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats | {"deletionVectors"}),
+                    "writerFeatures": sorted(wfeats | {"deletionVectors"}),
+                }
+            }
+        )
+    for f, fresh in sorted(by_file.items()):
+        rel, add = adds_by_abs[f]
+        all_deleted = sorted(existing.get(f, set()) | fresh)
+        out["rows_deleted"] += len(fresh)
+        actions.append({"remove": {"path": rel, "dataChange": True}})
+        if len(all_deleted) >= pq.ParquetFile(f).metadata.num_rows:
+            out["files_removed"] += 1
+            continue
+        new_add = dict(add)
+        new_add["deletionVector"] = _dv.write_descriptor(table, all_deleted)
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+        out["files_updated"] += 1
+    _publish_commit(table, version + 1, actions)
+    return out
+
+
 # ---------------------------------------------------------------- maintenance
 
 
@@ -806,7 +1017,9 @@ def checkpoint_delta(path: str) -> int:
     version = _latest_version(table)
     if version is None:
         raise FileNotFoundError(f"not a Delta table: {table}")
-    meta, active, txns = _snapshot_actions(table)
+    meta, active, txns, protocol = _snapshot_actions(
+        table, return_protocol=True
+    )
 
     str_map = pa.map_(pa.string(), pa.string())
     cp_schema = pa.schema(
@@ -817,6 +1030,8 @@ def checkpoint_delta(path: str) -> int:
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -860,6 +1075,18 @@ def checkpoint_delta(path: str) -> int:
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
                         ("tags", str_map),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -867,13 +1094,28 @@ def checkpoint_delta(path: str) -> int:
     )
 
     def shape(action: dict, field: pa.StructType) -> dict:
-        """Project an action onto the checkpoint struct's fields
-        (drops writer-specific extras; absent fields become null —
-        both directions keep foreign-written logs checkpointable)."""
-        return {f.name: action.get(f.name) for f in field}
+        """Project an action onto the checkpoint struct's fields,
+        recursing into nested structs (drops writer-specific extras;
+        absent fields become null — both directions keep
+        foreign-written logs checkpointable)."""
+        out = {}
+        for f in field:
+            v = action.get(f.name)
+            if isinstance(v, dict) and pa.types.is_struct(f.type):
+                v = shape(v, f.type)
+            out[f.name] = v
+        return out
 
     rows: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            # the CURRENT protocol, not a hardcoded floor: a DV table
+            # checkpointed at (1,2) would let a feature-unaware reader
+            # resurrect deleted rows from the checkpoint alone
+            "protocol": shape(
+                protocol or {"minReaderVersion": 1, "minWriterVersion": 2},
+                cp_schema.field("protocol").type,
+            )
+        },
         {"metaData": shape(meta, cp_schema.field("metaData").type)},
     ]
     rows += [
@@ -909,21 +1151,40 @@ def vacuum_delta(path: str, clean_log: bool = False) -> dict:
     never silently wrong — the protocol's own retention trade.
     `clean_log` requires a checkpoint (refused otherwise: deleting
     commits with no checkpoint would orphan the table)."""
+    from archetype_spark.sources import dv as _dv
+
     table = os.path.abspath(path)
     _meta, active, _txns = _snapshot_actions(table)
     keep = {
         os.path.normpath(urllib.parse.unquote(p)) for p in active
     }
+    # deletion-vector files referenced by the ACTIVE adds stay; stale
+    # ones (replaced by a later delete, or tombstoned with their file)
+    # are unreferenced metadata and vacuum like data files
+    keep_dv = set()
+    for add in active.values():
+        desc = add.get("deletionVector")
+        if desc and desc.get("storageType") == "u":
+            keep_dv.add(
+                os.path.normpath(
+                    os.path.relpath(
+                        _dv.dv_path(table, desc["pathOrInlineDv"]), table
+                    )
+                )
+            )
     deleted = {"data_files": 0, "log_files": 0}
     for root, dirs, files in os.walk(table):
         dirs[:] = [d for d in dirs if d != _LOG_DIR and not d.startswith(".")]
         for name in files:
-            if not name.endswith(".parquet"):
+            is_dv = name.startswith("deletion_vector_") and name.endswith(
+                ".bin"
+            )
+            if not name.endswith(".parquet") and not is_dv:
                 continue
             rel = os.path.normpath(
                 os.path.relpath(os.path.join(root, name), table)
             )
-            if rel not in keep:
+            if rel not in (keep_dv if is_dv else keep):
                 os.remove(os.path.join(root, name))
                 deleted["data_files"] += 1
     if clean_log:

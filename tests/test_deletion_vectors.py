@@ -1,0 +1,219 @@
+"""Delta deletion vectors (sources/dv.py + delta.py integration):
+codec-level round trips against hand-built spec bytes, DELETE WHERE
+semantics, time travel, checkpoint survival, vacuum hygiene, and the
+loud incremental-read refusal. The byte-level cases follow the public
+delta.io PROTOCOL.md + RoaringFormatSpec layouts so the reader is
+pinned to the interoperable format, not to our own writer."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.sources import (
+    checkpoint_delta,
+    compact_delta,
+    delete_where_delta,
+    read_delta,
+    read_delta_changes,
+    vacuum_delta,
+    write_delta,
+)
+from archetype_spark.sources import dv
+from archetype_spark.sources.delta import _snapshot_actions
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------------ codec
+def test_z85_rfc_reference_vector():
+    """The ZeroMQ RFC 32 worked example: 0x86 0x4F 0xD2 0x6F 0xB5
+    0x59 0xF7 0x5B <-> 'HelloWorld'."""
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert dv.z85_encode(raw) == "HelloWorld"
+    assert dv.z85_decode("HelloWorld") == raw
+
+
+def test_roaring64_round_trips_all_container_types():
+    cases = [
+        [],
+        [0],
+        [1, 2, 3, 65535, 65536],            # array containers, 2 keys
+        list(range(5000)),                  # bitset container (>4096)
+        [2**32 + 7, 2**33, 2**33 + 70000],  # multiple high-32 buckets
+        [0xFFFFFFFF, 0xFFFFFFFFFF],
+    ]
+    for vals in cases:
+        assert dv.roaring64_deserialize(dv.roaring64_serialize(vals)) == sorted(
+            set(vals)
+        )
+
+
+def test_roaring32_run_container_decodes():
+    """Hand-built cookie-12346 bytes with one run container [10..20]
+    — the layout delta-spark/CRoaring emit for dense runs; our encoder
+    never writes it, so this pins the decoder to foreign bytes."""
+    r32 = (
+        struct.pack("<I", 12346)        # run cookie, (size-1)=0 in high bits
+        + bytes([1])                    # run flag bitset: container 0 is run
+        + struct.pack("<HH", 0, 10)     # key 0, cardinality-1 = 10
+        + struct.pack("<HHH", 1, 10, 10)  # 1 run: start 10, length-1 = 10
+    )
+    blob = struct.pack("<iq", dv.MAGIC_PORTABLE, 1) + struct.pack("<I", 0) + r32
+    assert dv.roaring64_deserialize(blob) == list(range(10, 21))
+
+
+def test_dv_file_checks_size_and_crc(tmp_path):
+    t = str(tmp_path)
+    desc = dv.write_descriptor(t, [1, 5, 9])
+    assert dv.read_descriptor(t, desc) == [1, 5, 9]
+    bad = dict(desc, sizeInBytes=desc["sizeInBytes"] + 1)
+    with pytest.raises(ValueError, match="dataSize"):
+        dv.read_descriptor(t, bad)
+    path = dv.dv_path(t, desc["pathOrInlineDv"])
+    blob = bytearray(open(path, "rb").read())
+    blob[10] ^= 0xFF
+    with open(path, "wb") as fh:
+        fh.write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum|magic|cookie"):
+        dv.read_descriptor(t, desc)
+
+
+def test_inline_dv_descriptor_applies(spark, tmp_path):
+    """A hand-crafted storageType "i" (inline Z85) descriptor written
+    straight into the log — the reader path exercised by bytes our
+    writer never produces."""
+    t = str(tmp_path / "t")
+    df = (
+        spark.range(10)
+        .select(F.col("id").cast("long").alias("id"))
+        .coalesce(1)
+    )
+    write_delta(df, t)
+    _meta, active, _ = _snapshot_actions(t)
+    (rel,) = active.keys()
+    bitmap = dv.roaring64_serialize([0, 3, 7])
+    pad = (-len(bitmap)) % 4
+    inline = dv.z85_encode(bitmap + b"\0" * pad)
+    add = dict(active[rel])
+    add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": inline,
+        "sizeInBytes": len(bitmap),
+        "cardinality": 3,
+    }
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["deletionVectors"],
+                              "writerFeatures": ["deletionVectors"]}}
+            )
+            + "\n"
+        )
+        fh.write(json.dumps({"remove": {"path": rel, "dataChange": True}}) + "\n")
+        fh.write(json.dumps({"add": add}) + "\n")
+    got = sorted(r["id"] for r in read_delta(spark, t).collect())
+    assert got == [1, 2, 4, 5, 6, 8, 9]
+
+
+# --------------------------------------------------------------- DELETE WHERE
+@pytest.fixture()
+def people(spark):
+    """One data FILE (coalesce(1)) so row-level deletes actually
+    produce deletion vectors — a 1-row-per-file layout would turn
+    every delete into a whole-file remove instead."""
+    return spark.createDataFrame(
+        [(1, "ann", "us"), (2, "bob", "us"), (3, "cho", "jp"), (4, "dee", "jp")],
+        "id long, name string, country string",
+    ).coalesce(1)
+
+
+def test_delete_where_basic_and_idempotent(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    out = delete_where_delta(spark, t, "country = 'us'")
+    assert out["rows_deleted"] == 2
+    got = read_delta(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == [3, 4]
+    # time travel: the pre-delete snapshot still shows every row
+    assert read_delta(spark, t, version=0).count() == 4
+    # repeat delete: already-deleted rows never re-match
+    again = delete_where_delta(spark, t, "country = 'us'")
+    assert again == {"rows_deleted": 0, "files_updated": 0, "files_removed": 0}
+    # second delete merges with the existing vector
+    out2 = delete_where_delta(spark, t, "id = 3")
+    assert out2["rows_deleted"] == 1
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [4]
+
+
+def test_delete_where_full_file_becomes_remove(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t, partition_by=["country"])
+    out = delete_where_delta(spark, t, "country = 'us'")
+    # partitioned layout: the us file(s) lose every row -> pure removes
+    assert out["files_removed"] >= 1 and out["files_updated"] == 0
+    _meta, active, _ = _snapshot_actions(t)
+    assert all("us" not in p for p in active)
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [3, 4]
+
+
+def test_delete_survives_checkpoint_and_appends(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    delete_where_delta(spark, t, "id = 2")
+    write_delta(
+        spark.createDataFrame([(5, "eve", "fr")], people.schema), t, mode="append"
+    )
+    checkpoint_delta(t)
+    # replay now starts from the parquet checkpoint: the DV descriptor
+    # and the upgraded protocol must both survive it
+    got = read_delta(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == [1, 3, 4, 5]
+    _meta, active, _txns, protocol = _snapshot_actions(
+        os.path.abspath(t), return_protocol=True
+    )
+    assert protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in protocol["readerFeatures"]
+
+
+def test_incremental_changes_refuse_dv_commits(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    delete_where_delta(spark, t, "id = 1")
+    assert read_delta_changes(spark, t, 0, 0).count() == 4
+    with pytest.raises(NotImplementedError, match="(?i)delete"):
+        read_delta_changes(spark, t, 0).count()
+
+
+def test_vacuum_keeps_active_dv_drops_stale(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    delete_where_delta(spark, t, "id = 1")
+    delete_where_delta(spark, t, "id = 2")  # replaces the first vector
+    bins = lambda: {  # noqa: E731
+        n for n in os.listdir(t) if n.startswith("deletion_vector_")
+    }
+    assert len(bins()) == 2
+    deleted = vacuum_delta(t)
+    assert deleted["data_files"] >= 1  # the stale vector vacuumed
+    assert len(bins()) == 1
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [3, 4]
+
+
+def test_compact_materializes_deletes(spark, tmp_path, people):
+    """OPTIMIZE after DELETE: the rewrite reads the DV-filtered rows,
+    so the new snapshot has no deletion vectors and the same data."""
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    delete_where_delta(spark, t, "country = 'us'")
+    compact_delta(spark, t, target_files=1)
+    _meta, active, _ = _snapshot_actions(t)
+    assert all(not add.get("deletionVector") for add in active.values())
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [3, 4]

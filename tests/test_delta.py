@@ -208,9 +208,34 @@ def test_delta_checkpoint_replay(spark, tmp_path, people):
 
 
 def test_delta_unsupported_features_refused(spark, tmp_path, people):
+    """deletionVectors is implemented now (reader version 3 tables
+    read fine when every listed feature is known); any UNKNOWN
+    feature, and the version-2 column-mapping protocol, still refuse
+    loudly."""
     t = str(tmp_path / "t")
     write_delta(people, t)
     log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["deletionVectors",
+                                                 "columnMapping"]}}
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta(spark, t)
+    with open(log, "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError):
+        read_delta(spark, t)
+    # DV-only feature list at reader version 3: accepted
     with open(log, "w") as fh:
         fh.write(
             json.dumps(
@@ -219,8 +244,7 @@ def test_delta_unsupported_features_refused(spark, tmp_path, people):
             )
             + "\n"
         )
-    with pytest.raises(NotImplementedError):
-        read_delta(spark, t)
+    assert read_delta(spark, t).count() == 4
 
 
 def test_delta_empty_table_after_full_remove(spark, tmp_path, people):

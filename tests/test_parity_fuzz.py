@@ -227,18 +227,20 @@ def test_contamination_parity_random(spark):
 
 def test_delta_lifecycle_model_fuzz(spark, tmp_path):
     """Model-based fuzz of the Delta backend: a seeded random
-    sequence of append / overwrite / merge / add-column / compact /
-    checkpoint / vacuum ops runs against BOTH the real table and an
-    in-memory model; after every op the snapshot must equal the
-    model, and a random retained historical version must equal its
-    recorded model state. Catches interaction bugs (evolution then
-    compact then vacuum then time travel) no single-op test sees."""
+    sequence of append / overwrite / merge / DELETE-WHERE (deletion
+    vectors) / add-column / compact / checkpoint / vacuum ops runs
+    against BOTH the real table and an in-memory model; after every
+    op the snapshot must equal the model, and a random retained
+    historical version must equal its recorded model state. Catches
+    interaction bugs (evolution then delete then compact then vacuum
+    then time travel) no single-op test sees."""
     import random
 
     from archetype_spark.sources import (
         add_column_delta,
         checkpoint_delta,
         compact_delta,
+        delete_where_delta,
         read_delta,
         vacuum_delta,
         write_delta,
@@ -276,7 +278,7 @@ def test_delta_lifecycle_model_fuzz(spark, tmp_path):
 
     for step in range(14):
         op = rng.choice(
-            ["append", "append", "overwrite", "merge", "evolve",
+            ["append", "append", "overwrite", "merge", "delete", "evolve",
              "compact", "checkpoint", "vacuum"]
         )
         if op == "append":
@@ -308,6 +310,15 @@ def test_delta_lifecycle_model_fuzz(spark, tmp_path):
             )
             write_delta(merged, t, mode="overwrite")
             model = [r for r in _pad(model, evolved) if r[0] != upd_key] + urows
+        elif op == "delete":
+            if not model:
+                continue
+            key = rng.choice(model)[0]
+            out = delete_where_delta(spark, t, f"id = {key}")
+            assert out["rows_deleted"] == sum(
+                1 for r in model if r[0] == key
+            ), f"step {step}: {out}"
+            model = [r for r in model if r[0] != key]
         elif op == "evolve" and not evolved:
             add_column_delta(t, "extra", "double")
             cols.append("extra")
