@@ -216,7 +216,10 @@ _MODULES = (
 #       position anti-join; static source-view oracle with the
 #       fixture's own delete predicates) pins for its first driver
 #       row, deferring q85 (green r7+r10; projections keep q91
-#       in-window).
+#       in-window). q120 (Iceberg v2 position deletes with an
+#       oracle-gated sequence-scoping history — delete, append,
+#       delete; static source-view oracle) pins next, deferring q90
+#       (green r7+r10; containment keeps q98 in-window).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -244,6 +247,7 @@ _PINNED: tuple[str, ...] = (
     "q35_doc_quality",
     "q38_lang_id",
     "q119_delta_deletes_scan",
+    "q120_iceberg_deletes_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -322,6 +326,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q87_doc_chunks",
         "q88_temperature_mix",
         "q89_bigram_surprisal",
+        "q90_containment_pairs",
         "q92_mixed_language",
         "q94_weighted_sample",
     }

@@ -89,6 +89,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_delta_documents(spark, sf_dir)
     _ensure_delta_dv_documents(spark, sf_dir)
     _ensure_iceberg_documents(spark, sf_dir)
+    _ensure_iceberg_dv_documents(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
     _ensure_delta_evolved(spark, sf_dir)
     _ensure_zorder_lineitem(spark, sf_dir)
@@ -736,6 +737,63 @@ def q119_delta_deletes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg(read_delta(spark, table), "latest")
         .unionByName(agg(read_delta(spark, table, version=0), "v0"))
+        .select("snap", "lang", "n_docs", "sum_chars")
+    )
+
+
+def _ensure_iceberg_dv_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The v2 position-delete Iceberg table q120 scans, with a
+    history that makes SEQUENCE SCOPING load-bearing: ingest the even
+    doc_ids, DELETE WHERE n_chars % 5 = 2 (sequence 1), append the
+    odd doc_ids (sequence 2 — the older delete must NOT touch them
+    even where its predicate matches), then DELETE WHERE
+    n_chars % 9 = 4 (sequence 3, reaches everything). The oracle
+    re-derives the surviving set from the source documents view with
+    the same cohort/predicate algebra — independent of the manifest
+    walk and the position-join."""
+    from archetype_spark.sources.iceberg import (
+        delete_where_iceberg,
+        write_iceberg,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        even = base.filter(F.col("doc_id") % 2 == 0)
+        odd = base.filter(F.col("doc_id") % 2 == 1)
+        write_iceberg(
+            even.repartition("lang"), btable, partition_by=["lang"]
+        )
+        delete_where_iceberg(spark, btable, "n_chars % 5 = 2")
+        write_iceberg(odd.repartition("lang"), btable, mode="append")
+        delete_where_iceberg(spark, btable, "n_chars % 9 = 4")
+
+    return _ensure_lake_documents(spark, sf_dir, "iceberg_dv_documents", build)
+
+
+def q120_iceberg_deletes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level deletes on a format-v2 Iceberg table: per-lang
+    count+sum over the latest snapshot (two position-delete files
+    applied with sequence-number scoping — rows appended between the
+    deletes survive the older one even where its predicate matches)
+    and the first-snapshot time travel (pre-delete even cohort).
+    Oracle: pure SQL over the source documents view."""
+    from archetype_spark.sources.iceberg import read_iceberg, snapshots_iceberg
+
+    table = _ensure_iceberg_dv_documents(spark, sf_dir)
+    first = snapshots_iceberg(table)[0]["snapshot-id"]
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .withColumn("snap", F.lit(snap))
+        )
+
+    return (
+        agg(read_iceberg(spark, table), "latest")
+        .unionByName(agg(read_iceberg(spark, table, first), "v0"))
         .select("snap", "lang", "n_docs", "sum_chars")
     )
 
@@ -1652,6 +1710,7 @@ QUERIES = {
     "q101_simhash_fast": q101_simhash_fast,
     "q104_delta_scan": q104_delta_scan,
     "q119_delta_deletes_scan": q119_delta_deletes_scan,
+    "q120_iceberg_deletes_scan": q120_iceberg_deletes_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -2788,6 +2847,23 @@ ORACLES["q119_delta_deletes_scan"] = """
     SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents GROUP BY lang
+"""
+
+# q120: the Iceberg twin — latest = (even cohort minus BOTH delete
+# predicates) + (odd cohort minus only the SECOND: the odds were
+# appended after delete 1, so sequence scoping shields them); v0 =
+# the even ingest. All recomputed from the source view.
+ORACLES["q120_iceberg_deletes_scan"] = """
+    SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents
+    WHERE (doc_id % 2 = 0 AND n_chars % 5 <> 2 AND n_chars % 9 <> 4)
+       OR (doc_id % 2 = 1 AND n_chars % 9 <> 4)
+    GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
 """
 
 # q111: each snapshot's added cohort recomputed from the source view

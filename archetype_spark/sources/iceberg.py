@@ -1,10 +1,13 @@
-"""Protocol-native Apache Iceberg v1 backend — no connector jars.
+"""Protocol-native Apache Iceberg backend — no connector jars.
 
 Companion to the Delta backend (sources/delta.py): the second lake
 format the reference consumes (Daft `read_iceberg`, reference
 pyproject.toml:7-10). Implements the PUBLIC Iceberg v1 table spec
-directly — metadata is JSON, manifests/manifest-lists are Avro
-(decoded by the stdlib codec in sources/avro_io.py):
+directly, plus the format-v2 row-level-delete subset (POSITION delete
+files with sequence-number scoping — read via `_read_snapshot`'s
+broadcast anti-join, written by `delete_where_iceberg`) — metadata is
+JSON, manifests/manifest-lists are Avro (decoded by the stdlib codec
+in sources/avro_io.py):
 
     <table>/metadata/v<N>.metadata.json   table metadata (schema,
                                           specs, snapshot log)
@@ -29,8 +32,10 @@ travel), a new v<N>.metadata.json recording the snapshot, and finally
 the version-hint — the rename of which is the atomic commit point.
 
 Declared limits (refuse loudly, never silently wrong): format-version
-2+ (delete files / sequence numbers), non-identity partition
-transforms, non-parquet data files, multi-writer commit races.
+3+, equality delete files (content=2), non-identity partition
+transforms, non-parquet data files, multi-writer commit races,
+metadata-only COUNT and adds-only incremental reads over tables with
+live delete files.
 """
 
 from __future__ import annotations
@@ -110,11 +115,10 @@ def _load_metadata(table: str) -> dict:
         raise FileNotFoundError(f"not an Iceberg table (no metadata): {table}")
     with open(os.path.join(_meta_dir(table), f"v{v}.metadata.json")) as fh:
         meta = json.load(fh)
-    if int(meta.get("format-version", 1)) != 1:
+    if int(meta.get("format-version", 1)) not in (1, 2):
         raise NotImplementedError(
-            f"Iceberg format-version {meta['format-version']} (delete "
-            "files / sequence numbers) exceeds the protocol-native "
-            "reader; use a connector-enabled cluster"
+            f"Iceberg format-version {meta['format-version']} exceeds "
+            "the protocol-native reader; use a connector-enabled cluster"
         )
     return meta
 
@@ -264,6 +268,15 @@ def count_rows_iceberg(path: str, snapshot_id: int | None = None) -> int:
         for r in rows:
             if r.get("status") == 2:  # DELETED
                 continue
+            if int(r["data_file"].get("content") or 0) != 0:
+                # live row-level delete files: the manifests alone
+                # cannot answer COUNT (positions may be scoped out by
+                # sequence numbers or duplicated across delete files)
+                raise ValueError(
+                    f"table {table} has live delete files: metadata-"
+                    "only COUNT would be wrong — count the scan "
+                    "(read_iceberg(...).count()) or compact first"
+                )
             rc = r["data_file"].get("record_count")
             if rc is None or rc < 0:
                 raise ValueError(
@@ -275,15 +288,153 @@ def count_rows_iceberg(path: str, snapshot_id: int | None = None) -> int:
     return total
 
 
+def _live_entries(table: str, snap: dict):
+    """Walk one snapshot's manifest list. Returns (data, deletes):
+    data = [(abs_path, partition dict, recorded file_path, data
+    sequence number)], deletes = [(abs_path, sequence number)] for
+    POSITION delete files (v2 content=1). Sequence numbers follow the
+    v2 inheritance rule — an entry with no explicit number inherits
+    its manifest-list entry's; v1 history reads as sequence 0, which
+    is exactly the spec's v1->v2 upgrade semantics. Equality deletes
+    (content=2) refuse loudly: applying them needs value comparison
+    semantics this reader does not implement, and skipping them would
+    resurrect rows."""
+    _schema, manifests = avro_io.read_container(
+        _abs(table, snap["manifest-list"])
+    )
+    data, deletes = [], []
+    for m in manifests:
+        m_seq = m.get("sequence_number")
+        _ms, rows = avro_io.read_container(_abs(table, m["manifest_path"]))
+        for r in rows:
+            if r.get("status") == 2:  # DELETED
+                continue
+            dfile = r["data_file"]
+            seq = r.get("sequence_number")
+            if seq is None:
+                seq = r.get("data_sequence_number")
+            if seq is None:
+                seq = m_seq if m_seq is not None else 0
+            content = int(dfile.get("content") or 0)
+            if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
+                raise NotImplementedError(
+                    f"Iceberg data format {dfile['file_format']!r}"
+                )
+            if content == 0:
+                data.append(
+                    (
+                        _abs(table, dfile["file_path"]),
+                        dict(dfile.get("partition") or {}),
+                        dfile["file_path"],
+                        int(seq),
+                    )
+                )
+            elif content == 1:
+                deletes.append((_abs(table, dfile["file_path"]), int(seq)))
+            else:
+                raise NotImplementedError(
+                    "Iceberg equality delete files (content=2) are not "
+                    "supported by the protocol-native reader"
+                )
+    return data, deletes
+
+
+def _read_snapshot(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    snap: dict,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """One snapshot as a DataFrame, position deletes applied. With
+    `keep_meta` the `__dv_file`/`__dv_ridx` columns survive (the
+    delete writer's position scan)."""
+    schema = _ice_schema_to_spark(_current_ice_schema(meta))
+    part_cols = _spec_part_cols(meta)
+    data, deletes = _live_entries(table, snap)
+    if not data:
+        df = spark.createDataFrame([], schema)
+        if keep_meta:
+            df = df.withColumn("__dv_file", F.lit(None).cast("string"))
+            df = df.withColumn("__dv_ridx", F.lit(None).cast("bigint"))
+        return df
+    cols = [f.name for f in schema.fields]
+    keep = keep_meta or bool(deletes)
+    scan = _scan_snapshot(
+        spark,
+        os.path.join(table, "data"),
+        schema,
+        part_cols,
+        [(p, pv) for p, pv, _rp, _s in data],
+        keep_meta=keep,
+    )
+    if deletes:
+        # positional deletes are parquet (file_path, pos) rows; a
+        # delete applies to data files whose data sequence number is
+        # <= its own (v2 scoping — rows appended AFTER a delete are
+        # untouched). Delete-side work only: the per-file sequence map
+        # and the applicable positions both broadcast; the data scan
+        # itself never shuffles.
+        seq_df = spark.createDataFrame(
+            [(os.path.abspath(p), int(s)) for p, _pv, _rp, s in data],
+            "__dv_file string, __data_seq bigint",
+        )
+        # ONE scan over every delete file (plan width O(1) in the
+        # delete-file count — a mutation-heavy table can carry
+        # thousands); each row recovers its own file's sequence
+        # number by joining the KB-scale path->seq map on
+        # _metadata.file_path
+        delseq_df = spark.createDataFrame(
+            [(os.path.abspath(p), int(s)) for p, s in deletes],
+            "__del_path string, __del_seq bigint",
+        )
+        del_raw = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[p for p, _s in deletes])
+            .withColumn(
+                "__del_path",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
+                ),
+            )
+            .join(F.broadcast(delseq_df), "__del_path")
+        )
+        norm = F.regexp_replace(
+            F.col("file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
+        )
+        norm = F.when(norm.startswith("/"), norm).otherwise(
+            F.concat(F.lit(table + os.sep), norm)
+        )
+        applicable = (
+            del_raw.select(
+                norm.alias("__dv_file"),
+                F.col("pos").alias("__dv_ridx"),
+                "__del_seq",
+            )
+            .join(F.broadcast(seq_df), "__dv_file")
+            .filter(F.col("__del_seq") >= F.col("__data_seq"))
+            .select("__dv_file", "__dv_ridx")
+        )
+        scan = scan.join(
+            F.broadcast(applicable), ["__dv_file", "__dv_ridx"], "left_anti"
+        )
+    if not keep_meta and keep:
+        scan = scan.select(*cols)
+    return scan
+
+
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
-    """Read an Iceberg v1 snapshot (current, or `snapshot_id` for
-    time travel) without any connector jar — module docstring."""
+    """Read an Iceberg snapshot (current, or `snapshot_id` for time
+    travel) without any connector jar — module docstring. Format
+    version 2 tables apply POSITION delete files exactly (delete
+    manifests walked with sequence-number scoping; positions
+    anti-joined on `_metadata.row_index` — the Delta deletion-vector
+    plan shape with parquet positions instead of bitmaps)."""
     table = os.path.abspath(path)
     meta = _load_metadata(table)
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
-    part_cols = _spec_part_cols(meta)
     want = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if want is None or want == -1 or not snaps:
@@ -292,41 +443,15 @@ def read_iceberg(
         raise FileNotFoundError(
             f"snapshot {want} not in table {table} (have {sorted(snaps)})"
         )
-    _schema, manifests = avro_io.read_container(
-        _abs(table, snaps[want]["manifest-list"])
-    )
-    entries: list[tuple[str, dict]] = []
-    for m in manifests:
-        _ms, rows = avro_io.read_container(_abs(table, m["manifest_path"]))
-        for r in rows:
-            if r.get("status") == 2:  # DELETED
-                continue
-            dfile = r["data_file"]
-            if dfile.get("content", 0) not in (0, None):
-                raise NotImplementedError(
-                    "Iceberg delete files (v2 content) are not supported"
-                )
-            if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
-                raise NotImplementedError(
-                    f"Iceberg data format {dfile['file_format']!r}"
-                )
-            entries.append(
-                (
-                    _abs(table, dfile["file_path"]),
-                    dict(dfile.get("partition") or {}),
-                )
-            )
-    if not entries:
-        return spark.createDataFrame([], schema)
-    return _scan_snapshot(
-        spark, os.path.join(table, "data"), schema, part_cols, entries
-    )
+    return _read_snapshot(spark, table, meta, snaps[want])
 
 
 # ---------------------------------------------------------------------- write
 
 
-def _manifest_schema(part_cols: Sequence[str], part_types: dict) -> dict:
+def _manifest_schema(
+    part_cols: Sequence[str], part_types: dict, fmt: int = 1
+) -> dict:
     partition_fields = [
         {
             "name": c,
@@ -335,34 +460,47 @@ def _manifest_schema(part_cols: Sequence[str], part_types: dict) -> dict:
         }
         for c in part_cols
     ]
+    entry_fields = [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+    ]
+    data_file_fields = [
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {
+            "name": "partition",
+            "type": {
+                "type": "record",
+                "name": "r102",
+                "fields": partition_fields,
+            },
+        },
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        # required in v1 (deprecated v2); the spec's
+        # historical default split size
+        {"name": "block_size_in_bytes", "type": "long"},
+    ]
+    if fmt >= 2:
+        # v2 entries carry explicit data/file sequence numbers (null =
+        # inherit from the manifest-list entry) and data_file.content
+        # (0 data, 1 position deletes, 2 equality deletes)
+        entry_fields += [
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None},
+        ]
+        data_file_fields.insert(0, {"name": "content", "type": "int"})
     return {
         "type": "record",
         "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        "fields": entry_fields
+        + [
             {
                 "name": "data_file",
                 "type": {
                     "type": "record",
                     "name": "r2",
-                    "fields": [
-                        {"name": "file_path", "type": "string"},
-                        {"name": "file_format", "type": "string"},
-                        {
-                            "name": "partition",
-                            "type": {
-                                "type": "record",
-                                "name": "r102",
-                                "fields": partition_fields,
-                            },
-                        },
-                        {"name": "record_count", "type": "long"},
-                        {"name": "file_size_in_bytes", "type": "long"},
-                        # required in v1 (deprecated v2); the spec's
-                        # historical default split size
-                        {"name": "block_size_in_bytes", "type": "long"},
-                    ],
+                    "fields": data_file_fields,
                 },
             },
         ],
@@ -393,13 +531,38 @@ _MANIFEST_LIST_SCHEMA = {
     ],
 }
 
-#: Keys every re-encoded manifest-list entry must carry (entries read
-#: back from older files may lack the optional count fields).
-_MANIFEST_LIST_DEFAULTS = {
-    f["name"]: None
-    for f in _MANIFEST_LIST_SCHEMA["fields"]
-    if isinstance(f["type"], list)
+#: v2 manifest-list entries additionally carry the manifest content
+#: kind (0 data / 1 deletes) and its sequence-number range — null on
+#: entries carried forward from the table's v1 history (read as
+#: content 0 / sequence 0, the spec's upgrade semantics).
+_MANIFEST_LIST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": _MANIFEST_LIST_SCHEMA["fields"]
+    + [
+        {"name": "content", "type": ["null", "int"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
+        {"name": "min_sequence_number", "type": ["null", "long"], "default": None},
+    ],
 }
+
+
+def _list_schema(fmt: int) -> dict:
+    return _MANIFEST_LIST_SCHEMA_V2 if fmt >= 2 else _MANIFEST_LIST_SCHEMA
+
+
+def _list_defaults(fmt: int) -> dict:
+    """Keys every re-encoded manifest-list entry must carry (entries
+    read back from older files may lack the optional fields)."""
+    return {
+        f["name"]: None
+        for f in _list_schema(fmt)["fields"]
+        if isinstance(f["type"], list)
+    }
+
+
+#: Back-compat alias (v1 shape), kept for external callers/tests.
+_MANIFEST_LIST_DEFAULTS = _list_defaults(1)
 
 
 def _typed_partition(raw: str | None, ice_type: str):
@@ -544,31 +707,39 @@ def write_iceberg(
     snapshot_id = (
         max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
     )
+    # v2 tables (upgraded by delete_where_iceberg): every commit gets
+    # the NEXT sequence number — data files appended after a delete
+    # carry a higher number than the delete, which is exactly what
+    # scopes them out of it
+    fmt = int(meta.get("format-version", 1))
+    seq = int(meta.get("last-sequence-number", 0)) + 1 if fmt >= 2 else None
     mdir = _meta_dir(table)
     manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
     manifest_path = os.path.join(mdir, manifest_name)
-    entries = [
-        {
-            "status": 1,  # ADDED
-            "snapshot_id": snapshot_id,
-            "data_file": {
-                "file_path": f"data/{f['rel_path']}",
-                "file_format": "PARQUET",
-                "partition": {
-                    c: _typed_partition(
-                        f["partition_values"].get(c), ice_types[c]
-                    )
-                    for c in part_cols
-                },
-                "record_count": f["num_rows"],
-                "file_size_in_bytes": f["size"],
-                "block_size_in_bytes": _BLOCK_SIZE,
+    entries = []
+    for f in staged:
+        dfile = {
+            "file_path": f"data/{f['rel_path']}",
+            "file_format": "PARQUET",
+            "partition": {
+                c: _typed_partition(
+                    f["partition_values"].get(c), ice_types[c]
+                )
+                for c in part_cols
             },
+            "record_count": f["num_rows"],
+            "file_size_in_bytes": f["size"],
+            "block_size_in_bytes": _BLOCK_SIZE,
         }
-        for f in staged
-    ]
+        e = {"status": 1, "snapshot_id": snapshot_id}  # ADDED
+        if fmt >= 2:
+            dfile = {"content": 0, **dfile}
+            e["sequence_number"] = seq
+            e["file_sequence_number"] = seq
+        e["data_file"] = dfile
+        entries.append(e)
     avro_io.write_container(
-        manifest_path, _manifest_schema(part_cols, ice_types), entries
+        manifest_path, _manifest_schema(part_cols, ice_types, fmt), entries
     )
 
     manifest_entry = {
@@ -583,6 +754,10 @@ def write_iceberg(
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
+    if fmt >= 2:
+        manifest_entry.update(
+            {"content": 0, "sequence_number": seq, "min_sequence_number": seq}
+        )
     if mode == "append" and meta.get("current-snapshot-id", -1) != -1:
         cur = next(
             s
@@ -592,28 +767,30 @@ def write_iceberg(
         _s, prev = avro_io.read_container(_abs(table, cur["manifest-list"]))
         # entries decoded from pre-counts manifests lack the optional
         # fields; re-encoding under the current schema needs them
-        prev_manifests = [{**_MANIFEST_LIST_DEFAULTS, **m} for m in prev]
+        prev_manifests = [{**_list_defaults(fmt), **m} for m in prev]
     else:
         prev_manifests = []
     mlist_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     mlist_path = os.path.join(mdir, mlist_name)
     avro_io.write_container(
-        mlist_path, _MANIFEST_LIST_SCHEMA, prev_manifests + [manifest_entry]
+        mlist_path, _list_schema(fmt), prev_manifests + [manifest_entry]
     )
 
     now_ms = int(time.time() * 1000)
-    meta["snapshots"].append(
-        {
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": now_ms,
-            "manifest-list": f"metadata/{mlist_name}",
-            "summary": {"operation": mode},
-            # the CURRENT schema id, not a hardcoded 0: after an
-            # add_column evolution, engines that resolve a snapshot's
-            # schema by this stamp must see the evolved schema
-            "schema-id": meta.get("current-schema-id", 0),
-        }
-    )
+    snap_entry = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"metadata/{mlist_name}",
+        "summary": {"operation": mode},
+        # the CURRENT schema id, not a hardcoded 0: after an
+        # add_column evolution, engines that resolve a snapshot's
+        # schema by this stamp must see the evolved schema
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    if fmt >= 2:
+        snap_entry["sequence-number"] = seq
+        meta["last-sequence-number"] = seq
+    meta["snapshots"].append(snap_entry)
     meta["snapshot-log"].append(
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
     )
@@ -719,6 +896,158 @@ def merge_iceberg(
         read_iceberg(spark, path), updates, keys, when_matched, when_not_matched
     )
     write_iceberg(merged, path, mode="overwrite")
+
+
+def delete_where_iceberg(spark: SparkSession, path: str, condition) -> dict:
+    """Row-level `DELETE FROM <table> WHERE condition` as format-v2
+    POSITION DELETE FILES — no data file rewritten (the copy-on-write
+    alternative is `merge_iceberg(when_matched='delete')`). Matching
+    row positions come from a `_metadata.row_index` scan of the
+    current snapshot (existing deletes applied first, so repeats are
+    exact no-ops); one delete parquet (file_path, pos — the spec's
+    position-delete schema) is written PER PARTITION of the affected
+    data files and committed through one delete manifest in a new
+    snapshot. A v1 table upgrades to format-version 2 in the same
+    commit (v1 history reads as sequence 0 per the spec); the new
+    delete gets the next sequence number, so data appended LATER
+    carries a higher number and is never scoped into it.
+
+    Returns {'rows_deleted', 'delete_files'}.
+
+    Shape at scale: the position scan pushes the predicate into the
+    data files; only matched (file, position) pairs reach the driver
+    — O(rows this statement deletes), grouped and written as KB-scale
+    parquet. Reads pay one small delete-file scan + a broadcast
+    anti-join; compact_iceberg later materializes and drops the
+    deletes."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    table = os.path.abspath(path)
+    meta = _load_metadata(table)
+    part_cols = _spec_part_cols(meta)
+    ice_types = {
+        f["name"]: f["type"] for f in _current_ice_schema(meta)["fields"]
+    }
+    want = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    out = {"rows_deleted": 0, "delete_files": 0}
+    if want is None or want == -1 or not snaps:
+        return out
+    snap = snaps[want]
+    data, _existing = _live_entries(table, snap)
+    if not data:
+        return out
+    matched = (
+        _read_snapshot(spark, table, meta, snap, keep_meta=True)
+        .filter(condition)
+        .select("__dv_file", "__dv_ridx")
+        .collect()
+    )
+    if not matched:
+        return out
+    # the delete file must reference data files by their RECORDED
+    # manifest path strings (spec rule), grouped by the data file's
+    # partition so each delete file is partition-scoped
+    info = {os.path.abspath(p): (rp, pv) for p, pv, rp, _s in data}
+    by_part: dict[tuple, list[tuple[str, int]]] = {}
+    for r in matched:
+        rp, pv = info[r["__dv_file"]]
+        key = tuple(pv.get(c) for c in part_cols)
+        by_part.setdefault(key, []).append((rp, int(r["__dv_ridx"])))
+
+    if int(meta.get("format-version", 1)) == 1:
+        meta["format-version"] = 2
+        meta.setdefault("last-sequence-number", 0)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = (
+        max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
+    )
+    data_root = os.path.join(table, "data")
+    mdir = _meta_dir(table)
+    del_entries = []
+    for key, pairs in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+        pairs.sort()
+        name = f"delete-{uuid.uuid4().hex}.parquet"
+        dpath = os.path.join(data_root, name)
+        os.makedirs(data_root, exist_ok=True)
+        papq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(
+                        [p for p, _ in pairs], pa.string()
+                    ),
+                    "pos": pa.array([i for _, i in pairs], pa.int64()),
+                }
+            ),
+            dpath,
+        )
+        out["rows_deleted"] += len(pairs)
+        out["delete_files"] += 1
+        del_entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # POSITION DELETES
+                    "file_path": f"data/{name}",
+                    "file_format": "PARQUET",
+                    "partition": dict(zip(part_cols, key)),
+                    "record_count": len(pairs),
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "block_size_in_bytes": _BLOCK_SIZE,
+                },
+            }
+        )
+    manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
+    manifest_path = os.path.join(mdir, manifest_name)
+    avro_io.write_container(
+        manifest_path, _manifest_schema(part_cols, ice_types, 2), del_entries
+    )
+    manifest_entry = {
+        "manifest_path": f"metadata/{manifest_name}",
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(del_entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": out["rows_deleted"],
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "content": 1,  # DELETES manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+    }
+    _s, prev = avro_io.read_container(_abs(table, snap["manifest-list"]))
+    prev_manifests = [{**_list_defaults(2), **m} for m in prev]
+    mlist_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    avro_io.write_container(
+        os.path.join(mdir, mlist_name),
+        _list_schema(2),
+        prev_manifests + [manifest_entry],
+    )
+    now_ms = int(time.time() * 1000)
+    meta["snapshots"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "manifest-list": f"metadata/{mlist_name}",
+            "summary": {"operation": "delete"},
+            "schema-id": meta.get("current-schema-id", 0),
+            "sequence-number": seq,
+        }
+    )
+    meta["snapshot-log"].append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    )
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now_ms
+    meta["last-sequence-number"] = seq
+    _publish_metadata(table, meta)
+    return out
 
 
 # ------------------------------------------------------------------ streaming
@@ -931,6 +1260,12 @@ def read_iceberg_changes(
                 if owner != sid:
                     continue
                 dfile = r["data_file"]
+                if int(dfile.get("content") or 0) != 0:
+                    raise NotImplementedError(
+                        f"snapshot {sid} adds a delete file: the "
+                        "adds-only incremental read cannot express "
+                        "row-level deletes; read full snapshots instead"
+                    )
                 entries.append(
                     (
                         _abs(table, dfile["file_path"]),

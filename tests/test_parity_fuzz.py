@@ -358,7 +358,8 @@ def _pad(rows, evolved):
 
 def test_iceberg_lifecycle_model_fuzz(spark, tmp_path):
     """The Iceberg mirror of the Delta lifecycle fuzz: random
-    append / overwrite / merge / evolve / compact / expire+vacuum /
+    append / overwrite / merge / DELETE-WHERE (v2 position deletes) /
+    evolve / compact / expire+vacuum /
     streaming-batch sequences vs the in-memory model. Time travel
     here reads with the CURRENT schema (documented add_column
     behavior), so historical comparisons pad the recorded model to
@@ -368,6 +369,7 @@ def test_iceberg_lifecycle_model_fuzz(spark, tmp_path):
     from archetype_spark.sources import (
         add_column_iceberg,
         compact_iceberg,
+        delete_where_iceberg,
         expire_snapshots_iceberg,
         read_iceberg,
         snapshots_iceberg,
@@ -405,7 +407,7 @@ def test_iceberg_lifecycle_model_fuzz(spark, tmp_path):
 
     for step in range(14):
         op = rng.choice(
-            ["append", "append", "overwrite", "merge", "evolve",
+            ["append", "append", "overwrite", "merge", "delete", "evolve",
              "compact", "retention", "stream"]
         )
         if op == "append" or op == "stream":
@@ -437,6 +439,15 @@ def test_iceberg_lifecycle_model_fuzz(spark, tmp_path):
             next_id += 1
             merge_iceberg(spark, t, sdf(urows), keys=["id"])
             model = [r for r in _pad(model, evolved) if r[0] != upd_key] + urows
+        elif op == "delete":
+            if not model:
+                continue
+            key = rng.choice(model)[0]
+            out = delete_where_iceberg(spark, t, f"id = {key}")
+            assert out["rows_deleted"] == sum(
+                1 for r in model if r[0] == key
+            ), f"step {step}: {out}"
+            model = [r for r in model if r[0] != key]
         elif op == "evolve" and not evolved:
             add_column_iceberg(t, "extra", "double")
             evolved = True
