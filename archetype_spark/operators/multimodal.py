@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from archetype_spark.operators import image_probe, png_io
+from archetype_spark.operators import image_probe, jpeg_io, png_io
 
 MEDIA_SCHEMA = StructType(
     [
@@ -77,6 +77,7 @@ register_pickle_by_value(sys.modules[__name__])
 # ship it by value too, same worker-importability rationale
 register_pickle_by_value(png_io)
 register_pickle_by_value(image_probe)
+register_pickle_by_value(jpeg_io)
 
 
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -556,6 +557,26 @@ def resize_images(
             else raise loudly."""
             hdr = _ppm_header(payload or b"")
             if hdr is None or payload[:2] != b"P6":
+                if (payload or b"")[:2] == b"\xff\xd8":
+                    # real baseline-JPEG path (operators/jpeg_io.py):
+                    # Huffman+IDCT decode -> nearest-neighbor -> exact
+                    # baseline re-encode, dependency-free. Profiles
+                    # outside baseline (progressive SOF2, 12-bit) fall
+                    # THROUGH to PIL when present, loud refusal below
+                    # otherwise — the png_io conditional-seam pattern
+                    import numpy as np
+
+                    try:
+                        px = jpeg_io.jpeg_decode(payload)
+                    except NotImplementedError:
+                        px = None
+                    if px is not None:
+                        h0, w0 = px.shape[0], px.shape[1]
+                        ys = (np.arange(height) * h0) // height
+                        xs = (np.arange(width) * w0) // width
+                        return jpeg_io.jpeg_encode(
+                            px[ys][:, xs], quality_scale=2
+                        )
                 if png_io.png_info(payload or b"") is not None:
                     # real PNG path: full decode -> nearest-neighbor
                     # -> exact re-encode, all dependency-free.

@@ -28,9 +28,15 @@ makes wide Z-orders prune poorly everywhere — so >4 raises rather
 than silently under-delivering.
 
 Scaling note: min-max ranking is distribution-sensitive (one outlier
-compresses everyone else into few buckets); for heavy-tailed keys
-rank by range-partition id or quantile instead (percentile_approx is
-mergeable) — the Morton interleave is unchanged.
+compresses everyone else into few buckets). `rank="quantile"` fixes
+exactly that: each column ranks by its position among
+`percentile_approx` boundaries (a MERGEABLE sketch — one map-combined
+aggregate pass at any scale), so every bucket holds ~equal row mass
+regardless of tails; the Morton interleave is unchanged. The
+boundary-search expressions are higher-order array functions
+(interpreted, not codegen) — acceptable because z-ordering runs in
+the maintenance rewrite, not the query path; min-max stays the
+default for uniform keys and for the oracle-pinned q116 layout.
 """
 
 from __future__ import annotations
@@ -74,15 +80,31 @@ def _spread_every_nth(x: Column, bits: int, stride: int) -> Column:
     return out
 
 
+#: quantile-rank bucket count: 1024 equal-mass buckets out-resolve any
+#: practical file count and keep the broadcast boundary arrays small.
+QUANTILE_BUCKETS = 1024
+
+
 def with_zvalue(
-    df: DataFrame, cols: Sequence[str], out_col: str = "_z"
+    df: DataFrame,
+    cols: Sequence[str],
+    out_col: str = "_z",
+    rank: str = "minmax",
 ) -> DataFrame:
     """Append the N-D Morton value of `cols` (2-4 columns) as
-    `out_col`: each column min-max rank-scales to [0, 2^bits) against
-    ITS corpus bounds (one broadcast aggregate row; bits from
-    BITS_BY_DIM), then the ranks bit-interleave. NULLs rank 0 (they
-    cluster together at the z-origin); a constant column ranks 0
-    everywhere (no discrimination to encode)."""
+    `out_col`: each column rank-scales to an integer bucket against
+    ITS corpus statistics (one broadcast aggregate row), then the
+    ranks bit-interleave. NULLs rank 0 (they cluster together at the
+    z-origin); a constant column ranks 0 everywhere (no
+    discrimination to encode).
+
+    `rank="minmax"` (default): linear scale to [0, 2^bits) between
+    the column's min and max — pure codegen arithmetic, right for
+    roughly uniform keys. `rank="quantile"`: bucket = position among
+    QUANTILE_BUCKETS-1 percentile_approx boundaries — equal ROW MASS
+    per bucket, so one outlier cannot compress the rest of the column
+    into a handful of buckets (the heavy-tail failure the module
+    docstring names)."""
     n = len(cols)
     if n not in BITS_BY_DIM:
         raise ValueError(
@@ -90,8 +112,34 @@ def with_zvalue(
             "(1 column is a plain sort_by; >4 dilutes per-file ranges "
             "until pruning stops paying)"
         )
+    if rank not in ("minmax", "quantile"):
+        raise ValueError(f"rank must be minmax|quantile, got {rank!r}")
     bits = BITS_BY_DIM[n]
     top = (1 << bits) - 1
+    ranks = []
+    if rank == "quantile":
+        nq = min(QUANTILE_BUCKETS, top + 1)
+        qs = [i / nq for i in range(1, nq)]
+        bounds = df.agg(
+            *[
+                F.percentile_approx(
+                    F.col(c).cast("double"), qs, 10_000
+                ).alias(f"_zq_{i}")
+                for i, c in enumerate(cols)
+            ]
+        )
+        j = df.crossJoin(F.broadcast(bounds))
+        for i, c in enumerate(cols):
+            v = F.col(c).cast("double")
+            u = F.size(
+                F.filter(F.col(f"_zq_{i}"), lambda b: b <= v)  # noqa: B023
+            ).cast("bigint")
+            ranks.append(
+                F.when(v.isNull(), F.lit(0).cast("bigint")).otherwise(
+                    F.least(u, F.lit(top))
+                )
+            )
+        return j.select(*df.columns, _interleave(ranks, n, bits).alias(out_col))
     bounds = df.agg(
         *[
             a
@@ -103,7 +151,6 @@ def with_zvalue(
         ]
     )
     j = df.crossJoin(F.broadcast(bounds))
-    ranks = []
     for i, c in enumerate(cols):
         lo, hi = F.col(f"_zlo_{i}"), F.col(f"_zhi_{i}")
         v = F.coalesce(F.col(c).cast("double"), lo)
@@ -112,24 +159,31 @@ def with_zvalue(
         ).otherwise(F.lit(0))
         # v == hi lands exactly on top+... guard the closed upper edge
         ranks.append(F.least(u.cast("bigint"), F.lit(top)))
+    return j.select(*df.columns, _interleave(ranks, n, bits).alias(out_col))
+
+
+def _interleave(ranks: list, n: int, bits: int):
+    """Morton-interleave the rank columns (column i at bit offset i)."""
     if n == 2:
-        z = _spread16(ranks[0]).bitwiseOR(F.shiftleft(_spread16(ranks[1]), 1))
-    else:
-        z = None
-        for i, r in enumerate(ranks):
-            t = F.shiftleft(_spread_every_nth(r, bits, n), i)
-            z = t if z is None else z.bitwiseOR(t)
-    return j.select(*df.columns, z.alias(out_col))
+        return _spread16(ranks[0]).bitwiseOR(
+            F.shiftleft(_spread16(ranks[1]), 1)
+        )
+    z = None
+    for i, r in enumerate(ranks):
+        t = F.shiftleft(_spread_every_nth(r, bits, n), i)
+        z = t if z is None else z.bitwiseOR(t)
+    return z
 
 
 def zorder_repartition(
-    df: DataFrame, cols: Sequence[str], n_files: int
+    df: DataFrame, cols: Sequence[str], n_files: int, rank: str = "minmax"
 ) -> DataFrame:
     """`df` range-partitioned into `n_files` contiguous Morton slices
     and sorted by the z-value within each — the clustered layout a
     compaction rewrite should emit. The z column is dropped; callers
-    write the result directly."""
-    z = with_zvalue(df, cols)
+    write the result directly. `rank` as in with_zvalue ("quantile"
+    for heavy-tailed key distributions)."""
+    z = with_zvalue(df, cols, rank=rank)
     return (
         z.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")

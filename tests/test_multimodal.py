@@ -166,6 +166,38 @@ def test_real_resize_p6_nearest_neighbor(spark):
     assert hdr[:3] == (2, 1, 255)
 
 
+def test_real_resize_jpeg_dependency_free(spark):
+    """Real JPEG resize without PIL (r11, operators/jpeg_io.py): a
+    baseline JPEG decodes through the stdlib Huffman+IDCT codec,
+    nearest-neighbor resizes, and re-encodes as a valid baseline JPEG
+    with the target dimensions; pixel values stay within the
+    quantization band of the source region."""
+    import numpy as np
+
+    from archetype_spark.operators import jpeg_io, multimodal
+
+    x, y = np.meshgrid(np.arange(32), np.arange(16))
+    rgb = np.dstack(
+        [(x * 4) % 200 + 20, (y * 8) % 200 + 20, ((x + y) * 3) % 200 + 20]
+    ).astype(np.uint8)
+    payload = jpeg_io.jpeg_encode(rgb, quality_scale=8)
+    df = spark.createDataFrame(
+        [(1, payload)], "media_id long, payload binary"
+    )
+    out = multimodal.resize_images(
+        df, width=8, height=4, use_real_decoders=True
+    ).collect()[0]
+    assert (out["width"], out["height"]) == (8, 4)
+    resized = jpeg_io.jpeg_decode(bytes(out["payload"]))
+    assert resized.shape == (4, 8, 3)
+    # nearest-neighbor reference computed outside Spark
+    src = jpeg_io.jpeg_decode(payload)
+    ys = (np.arange(4) * 16) // 4
+    xs = (np.arange(8) * 32) // 8
+    want = src[ys][:, xs]
+    assert np.abs(resized.astype(int) - want.astype(int)).max() <= 12
+
+
 def test_malformed_payloads_degrade_not_crash(spark):
     """ADVICE r7: payloads truncated inside a chunk/box must parse to
     None (-> the loud NotImplementedError path), never crash the task

@@ -96,6 +96,57 @@ def test_zorder_prunes_where_linear_sort_cannot(spark, tmp_path):
     assert a.exceptAll(b).count() == 0
 
 
+def test_quantile_rank_beats_minmax_on_heavy_tail(spark, tmp_path):
+    """The failure mode zorder.py's docstring names: one outlier at
+    1e9 compresses a min-max-ranked column into bucket 0, so EVERY
+    file's q-range covers the whole typical mass and a typical-range
+    box prunes nothing on q. Quantile ranking buckets by row mass —
+    the outlier costs one bucket, the rest keep their resolution —
+    so the same box overlaps at most half the files. Both layouts
+    must hold identical rows."""
+    n_files = 16
+    base = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("q"),
+        (F.col("id") / F.lit(64)).cast("long").alias("p"),
+    )
+    outlier = spark.createDataFrame([(10**9, 0)], "q long, p long")
+    skewed = base.unionByName(outlier)
+
+    mm_dir = str(tmp_path / "minmax")
+    zorder.zorder_repartition(skewed, ["q", "p"], n_files).write.parquet(
+        mm_dir
+    )
+    qt_dir = str(tmp_path / "quantile")
+    zorder.zorder_repartition(
+        skewed, ["q", "p"], n_files, rank="quantile"
+    ).write.parquet(qt_dir)
+
+    box = (10, 13, 0, 63)  # narrow typical-q band, all p
+    mm = _overlapping_files(mm_dir, *box)
+    qt = _overlapping_files(qt_dir, *box)
+    # min-max: the outlier flattens q ranks to ~0, q carries no order
+    assert mm >= n_files - 2, (mm, qt)
+    assert qt <= mm // 2, (mm, qt)
+    a = spark.read.parquet(mm_dir)
+    b = spark.read.parquet(qt_dir)
+    assert a.count() == b.count() == 64 * 64 + 1
+    assert a.exceptAll(b).count() == 0
+
+
+def test_quantile_rank_nulls_and_validation(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(a=None, b=1), Row(a=5, b=2), Row(a=9, b=3)],
+        "a int, b int",
+    )
+    out = zorder.with_zvalue(df, ["a", "b"], rank="quantile").collect()
+    zs = {r["a"]: r["_z"] for r in out}
+    assert zs[None] is not None  # NULL ranks 0, still gets a z-value
+    with pytest.raises(ValueError, match="minmax|quantile"):
+        zorder.with_zvalue(df, ["a", "b"], rank="median")
+
+
 def test_compact_delta_zorder_rewrite_fidelity(spark, tmp_path):
     from archetype_spark.sources.delta import (
         compact_delta,
