@@ -511,6 +511,80 @@ def _real_decode(kind: str, payload: bytes) -> dict:
     return out
 
 
+#: image_pixel_stats output: pixel_digest = sha256 hexdigest of the
+#: decoded row-major uint8 pixel bytes — the container-format-
+#: independent image identity (two encodings of the same pixels get
+#: one digest), i.e. the exact-dedup key for images.
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_px", LongType(), True),
+        StructField("pixel_digest", StringType(), True),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel decode -> per-image stats, dependency-free: P6 PNM,
+    PNG (png_io) and baseline JPEG (jpeg_io) payloads decode to their
+    uint8 pixel arrays executor-side (Arrow-batched mapInPandas);
+    output (media_id, width, height, n_px, pixel_digest) where the
+    digest is sha256 over the row-major pixel BYTES — identical
+    pixels give identical digests whatever container they arrived in
+    (exact image dedup across re-encodes). Anything the codecs can't
+    decode raises loudly naming the format — never a silent wrong
+    digest. Input: (media_id, payload)."""
+
+    def stats_one(payload: bytes) -> dict:
+        import numpy as _np
+
+        p = bytes(payload or b"")
+        if p[:2] == b"\xff\xd8":
+            px = jpeg_io.jpeg_decode(p)
+        elif png_io.png_info(p) is not None:
+            px = png_io.png_decode(p)
+        elif p[:2] in (b"P6", b"P5"):
+            hdr = _ppm_header(p)
+            if hdr is None:
+                raise ValueError("malformed PNM header")
+            w0, h0, maxval, off = hdr
+            if maxval > 255:
+                raise NotImplementedError("PNM maxval > 255 (2-byte samples)")
+            ch = 3 if p[:2] == b"P6" else 1
+            need = w0 * h0 * ch
+            if len(p) < off + need:
+                raise ValueError("PNM raster truncated")
+            px = _np.frombuffer(p, _np.uint8, count=need, offset=off)
+            px = px.reshape(h0, w0, ch) if ch == 3 else px.reshape(h0, w0)
+        else:
+            raise NotImplementedError(
+                "image_pixel_stats: payload is not P5/P6 PNM, PNG or "
+                "baseline JPEG (the dependency-free pixel codecs)"
+            )
+        h0, w0 = px.shape[0], px.shape[1]
+        return {
+            "width": int(w0),
+            "height": int(h0),
+            "n_px": int(px.size),
+            "pixel_digest": hashlib.sha256(
+                _np.ascontiguousarray(px).tobytes()
+            ).hexdigest(),
+        }
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [stats_one(p) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out[[f.name for f in PIXEL_STATS_SCHEMA.fields]]
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, schema=PIXEL_STATS_SCHEMA
+    )
+
+
 def decode_media(media: DataFrame, use_real_decoders: bool = False) -> DataFrame:
     """Decode/probe media payloads via Arrow-batched mapInPandas.
 

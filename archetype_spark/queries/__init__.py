@@ -219,7 +219,11 @@ _MODULES = (
 #       in-window). q120 (Iceberg v2 position deletes with an
 #       oracle-gated sequence-scoping history — delete, append,
 #       delete; static source-view oracle) pins next, deferring q90
-#       (green r7+r10; containment keeps q98 in-window).
+#       (green r7+r10; containment keeps q98 in-window). q121 (real
+#       compressed-pixel decode: baseline-JPEG/PNG/P6 pixel sha256 vs
+#       the fixture generator's source-array manifest — conditional
+#       builder oracle, the q61 pattern) pins next, deferring q78
+#       (green r6/r7/r10; sampling keeps q102/q103 in-window).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -248,6 +252,7 @@ _PINNED: tuple[str, ...] = (
     "q38_lang_id",
     "q119_delta_deletes_scan",
     "q120_iceberg_deletes_scan",
+    "q121_image_pixel_decode",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -277,6 +282,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q74_quality_keeper",
         "q75_mixture_sample",
         "q76_relative_quality_gate",
+        "q78_mixture_resample",
         # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
         # persisted-IVF stays driver-covered via q72/q96, retrieval
@@ -406,4 +412,7 @@ def all_oracles(
     ivfpq = retrieval_q.ivf_pq_oracle(d, require_live_index=require_live_index)
     if ivfpq is not None:
         o["q118_ivf_pq_topk"] = ivfpq
+    mpx = northstar.media_pixels_oracle(d, require_live_index=require_live_index)
+    if mpx is not None:
+        o["q121_image_pixel_decode"] = mpx
     return o

@@ -93,6 +93,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_delta_merged(spark, sf_dir)
     _ensure_delta_evolved(spark, sf_dir)
     _ensure_zorder_lineitem(spark, sf_dir)
+    _ensure_media_pixels(sf_dir)
 
 
 # ------------------------------------------------------------------- Q29/Q30
@@ -393,6 +394,138 @@ def q100_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.sha2(F.hex("content"), 256).alias("digest"),
     ).orderBy("file_name")
+
+
+def _ensure_media_pixels(sf_dir: str) -> str:
+    """The real-pixel-decode fixture q121 scans: deterministic image
+    FILES (baseline JPEGs incl. a restart-marker one, PNGs, a P6 PNM)
+    plus a manifest parquet recording each image's GENERATOR-side
+    ground truth — dims and the sha256 of the SOURCE pixel array's
+    row-major bytes. The JPEGs are piecewise-uniform per 8x8 tile at
+    unit DC quantization, which T.81 round-trips BIT-EXACTLY (only
+    the DC coefficient is nonzero and its quant step is 1; pinned by
+    tests/test_jpeg.py::test_uniform_image_exact_at_unit_quant), so
+    the decoder's pixel bytes must equal the generator's — the oracle
+    never runs the decoder, a Huffman/IDCT bug cannot cancel out.
+    Driver-side build (KB of data), atomic slot swap, build-once."""
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from archetype_spark.operators import jpeg_io, png_io
+
+    idx = ann_index.default_index_dir(sf_dir, "media_pixels")
+    expect = {"kind": "media_pixels", "schema": 1}
+    pfile = os.path.join(idx, "_build_params.json")
+    if os.path.exists(pfile):
+        try:
+            with open(pfile) as fh:
+                if _json.load(fh) == expect:
+                    return idx
+        except (OSError, ValueError):
+            pass
+    building = os.path.join(
+        os.path.dirname(idx), f".building-{_uuid.uuid4().hex}"
+    )
+    os.makedirs(building, exist_ok=True)
+    rows = []
+
+    def tile_image(mid: int, th: int, tw: int) -> _np.ndarray:
+        """(8*th, 8*tw) grayscale, each 8x8 tile uniform at a
+        deterministic per-(image, tile) value."""
+        vals = _np.array(
+            [
+                [(37 * mid + 11 * r + 23 * c + 5) % 251 for c in range(tw)]
+                for r in range(th)
+            ],
+            dtype=_np.uint8,
+        )
+        return _np.kron(vals, _np.ones((8, 8), dtype=_np.uint8))
+
+    try:
+        for mid in range(8):
+            if mid < 4:  # baseline JPEG, exact by unit-DC-quant tiles
+                px = tile_image(mid, 2 + mid % 3, 3 + mid % 2)
+                payload = jpeg_io.jpeg_encode(
+                    px, quality_scale=16, restart_interval=2 if mid == 3 else 0
+                )
+            elif mid < 7:  # PNG: exact codec, arbitrary content
+                rng = _np.random.default_rng(100 + mid)
+                shape = (11 + mid, 17 + mid, 3) if mid != 6 else (9, 13)
+                px = rng.integers(0, 256, shape, dtype=_np.uint8)
+                payload = png_io.png_encode(px)
+            else:  # P6 PNM
+                rng = _np.random.default_rng(100 + mid)
+                px = rng.integers(0, 256, (6, 10, 3), dtype=_np.uint8)
+                payload = (
+                    b"P6\n10 6\n255\n" + _np.ascontiguousarray(px).tobytes()
+                )
+            with open(os.path.join(building, f"m{mid:02d}.img"), "wb") as fh:
+                fh.write(payload)
+            rows.append(
+                {
+                    "media_id": mid,
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                    "n_px": int(px.size),
+                    "pixel_digest": __import__("hashlib")
+                    .sha256(_np.ascontiguousarray(px).tobytes())
+                    .hexdigest(),
+                }
+            )
+        _pq.write_table(
+            _pa.Table.from_pylist(rows),
+            os.path.join(building, "manifest.parquet"),
+        )
+        with open(os.path.join(building, "_build_params.json"), "w") as fh:
+            _json.dump(expect, fh)
+        _swap_slot(idx, building)
+    except BaseException:
+        _shutil.rmtree(building, ignore_errors=True)
+        raise
+    return idx
+
+
+def q121_image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-pixel decode, oracle-gated end-to-end: ingest
+    the media_pixels fixture files via binaryFile, entropy-decode the
+    pixels executor-side (multimodal.image_pixel_stats — baseline
+    JPEG Huffman+IDCT, exact PNG, P6), and emit each image's dims and
+    pixel-bytes sha256. The oracle reads the manifest the GENERATOR
+    wrote (dims + source-array digests) — the decode must reproduce
+    the source pixels bit-exactly to hash-match."""
+    from archetype_spark.sources.io import read_binary_dir
+
+    fdir = _ensure_media_pixels(sf_dir)
+    blobs = read_binary_dir(spark, fdir, glob="*.img").select(
+        F.regexp_extract("path", r"m(\d+)\.img$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.image_pixel_stats(blobs).orderBy("media_id")
+
+
+def media_pixels_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """q121's conditional oracle (the q61 builder pattern): the
+    generator-side manifest IS the expected result — static per
+    sf_dir once the fixture exists; None before it does (rows-only
+    degrade on a cold checkout until entry()'s warm-build runs)."""
+    man = os.path.join(
+        ann_index.default_index_dir(sf_dir, "media_pixels"), "manifest.parquet"
+    )
+    if require_live_index and not os.path.isfile(man):
+        return None
+    return f"""
+        SELECT media_id, width::INT AS width, height::INT AS height,
+               n_px::BIGINT AS n_px, pixel_digest
+        FROM read_parquet('{man}')
+        ORDER BY media_id
+    """
 
 
 def q43_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1711,6 +1844,7 @@ QUERIES = {
     "q104_delta_scan": q104_delta_scan,
     "q119_delta_deletes_scan": q119_delta_deletes_scan,
     "q120_iceberg_deletes_scan": q120_iceberg_deletes_scan,
+    "q121_image_pixel_decode": q121_image_pixel_decode,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,

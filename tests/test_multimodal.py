@@ -198,6 +198,47 @@ def test_real_resize_jpeg_dependency_free(spark):
     assert np.abs(resized.astype(int) - want.astype(int)).max() <= 12
 
 
+def test_image_pixel_stats_container_independent_digest(spark):
+    """image_pixel_stats (r11): the pixel digest is the IMAGE's
+    identity, not the container's — the same array served as PNG and
+    as P6 yields one digest (exact image dedup across re-encodes); a
+    unit-quant tile JPEG of a DIFFERENT array yields another; a
+    non-image payload refuses loudly."""
+    import numpy as np
+
+    from archetype_spark.operators import jpeg_io, multimodal, png_io
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    png = png_io.png_encode(rgb)
+    ppm = b"P6\n10 6\n255\n" + np.ascontiguousarray(rgb).tobytes()
+    tiles = np.kron(
+        np.array([[7, 200], [90, 33]], dtype=np.uint8),
+        np.ones((8, 8), np.uint8),
+    )
+    jpg = jpeg_io.jpeg_encode(tiles, quality_scale=16)
+    df = spark.createDataFrame(
+        [(1, png), (2, ppm), (3, jpg)], "media_id long, payload binary"
+    )
+    out = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.image_pixel_stats(df).collect()
+    }
+    assert out[1]["pixel_digest"] == out[2]["pixel_digest"]
+    assert (out[1]["width"], out[1]["height"], out[1]["n_px"]) == (10, 6, 180)
+    import hashlib
+
+    # unit-quant tile JPEG decodes bit-exactly: digest == source array
+    assert out[3]["pixel_digest"] == hashlib.sha256(tiles.tobytes()).hexdigest()
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(9, b"GIF89a\x01\x00\x01\x00")], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="pixel codecs"):
+        multimodal.image_pixel_stats(bad).collect()
+
+
 def test_malformed_payloads_degrade_not_crash(spark):
     """ADVICE r7: payloads truncated inside a chunk/box must parse to
     None (-> the loud NotImplementedError path), never crash the task
