@@ -916,6 +916,39 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> dict:
     and each file's bitmap write is O(its deletes). Already-deleted
     rows never re-match (the scan applies existing vectors), so the
     returned count is exact and repeated deletes are no-ops."""
+    return _mask_rows_commit(spark, path, condition, None)
+
+
+def update_where_delta(
+    spark: SparkSession, path: str, condition, set_exprs: dict[str, str]
+) -> dict:
+    """Row-level `UPDATE <table> SET col = expr, ... WHERE condition`
+    the deletion-vector way (delta-spark's modern UPDATE shape): the
+    matched rows' positions tombstone IN PLACE via DVs — no data file
+    rewritten — while their updated versions land as freshly staged
+    data files, all in ONE commit, so a reader sees either the old
+    rows or the new, never both and never neither. `set_exprs` maps
+    column name -> SQL expression evaluated over the matched rows
+    (e.g. {"score": "score * 2", "tag": "'hot'"}); each result is
+    cast back to the column's logged type, unknown columns refuse.
+    An update moving a row across a partition value is fine — the
+    replacement stages under its new partition directory.
+
+    Returns {'rows_updated', 'files_updated', 'files_removed',
+    'files_added'}.
+
+    Same scale shape as delete_where_delta plus one write of
+    O(matched rows) — copy-on-write rewrites of whole files are what
+    this avoids."""
+    return _mask_rows_commit(spark, path, condition, set_exprs)
+
+
+def _mask_rows_commit(
+    spark: SparkSession, path: str, condition, set_exprs: dict[str, str] | None
+) -> dict:
+    """Shared DELETE/UPDATE engine: mask the matched positions with
+    deletion vectors and, for UPDATE, stage the transformed rows as
+    new adds in the same commit."""
     import pyarrow.parquet as pq
 
     from archetype_spark.sources import dv as _dv
@@ -929,7 +962,16 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> dict:
     )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    out = {"rows_deleted": 0, "files_updated": 0, "files_removed": 0}
+    rows_key = "rows_deleted" if set_exprs is None else "rows_updated"
+    out = {rows_key: 0, "files_updated": 0, "files_removed": 0}
+    if set_exprs is not None:
+        out["files_added"] = 0
+        unknown = set(set_exprs) - set(schema.fieldNames())
+        if unknown:
+            raise ValueError(
+                f"UPDATE sets unknown column(s) {sorted(unknown)}; table "
+                f"has {schema.fieldNames()}"
+            )
     if not active:
         return out
 
@@ -947,14 +989,27 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> dict:
     scan = _scan_snapshot(
         spark, table, schema, part_cols, entries, keep_meta=True
     )
-    matched = scan.filter(condition).select("__dv_file", "__dv_ridx")
+    matched = scan.filter(condition)
     by_file: dict[str, set[int]] = {}
-    for r in matched.collect():
+    for r in matched.select("__dv_file", "__dv_ridx").collect():
         f, i = r["__dv_file"], int(r["__dv_ridx"])
         if i not in existing.get(f, ()):  # scan-side DVs make this moot,
             by_file.setdefault(f, set()).add(i)  # but stay idempotent
     if not by_file:
         return out
+
+    staged: list[dict] = []
+    if set_exprs is not None:
+        updated = matched
+        for col, expr in set_exprs.items():
+            updated = updated.withColumn(
+                col, F.expr(expr).cast(schema[col].dataType)
+            )
+        staged = _stage_data_files(
+            updated.select(*[f.name for f in schema.fields]),
+            table,
+            part_cols,
+        )
 
     actions: list[dict] = []
     feats = set((protocol or {}).get("readerFeatures") or [])
@@ -977,7 +1032,7 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> dict:
     for f, fresh in sorted(by_file.items()):
         rel, add = adds_by_abs[f]
         all_deleted = sorted(existing.get(f, set()) | fresh)
-        out["rows_deleted"] += len(fresh)
+        out[rows_key] += len(fresh)
         actions.append({"remove": {"path": rel, "dataChange": True}})
         if len(all_deleted) >= pq.ParquetFile(f).metadata.num_rows:
             out["files_removed"] += 1
@@ -987,6 +1042,21 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> dict:
         new_add["dataChange"] = True
         actions.append({"add": new_add})
         out["files_updated"] += 1
+    for f in staged:
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(f["rel_path"], safe="/="),
+                    "partitionValues": {
+                        c: f["partition_values"].get(c) for c in part_cols
+                    },
+                    "size": f["size"],
+                    "modificationTime": f["mtime_ms"],
+                    "dataChange": True,
+                }
+            }
+        )
+        out["files_added"] += 1
     _publish_commit(table, version + 1, actions)
     return out
 

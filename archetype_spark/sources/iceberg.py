@@ -920,32 +920,75 @@ def delete_where_iceberg(spark: SparkSession, path: str, condition) -> dict:
     parquet. Reads pay one small delete-file scan + a broadcast
     anti-join; compact_iceberg later materializes and drops the
     deletes."""
+    return _mask_rows_commit_iceberg(spark, path, condition, None)
+
+
+def update_where_iceberg(
+    spark: SparkSession, path: str, condition, set_exprs: dict[str, str]
+) -> dict:
+    """Row-level `UPDATE ... SET col = expr WHERE condition` the v2
+    way — the Iceberg twin of update_where_delta: matched positions
+    land in position-delete files while the transformed rows stage as
+    new data files, BOTH committed in one snapshot (a delete manifest
+    + a data manifest at the same fresh sequence number, so the new
+    rows are never scoped into the delete that replaced them).
+    `set_exprs` maps column -> SQL expression over the matched rows,
+    cast back to the logged type; unknown columns refuse.
+
+    Returns {'rows_updated', 'delete_files', 'files_added'}."""
+    return _mask_rows_commit_iceberg(spark, path, condition, set_exprs)
+
+
+def _mask_rows_commit_iceberg(
+    spark: SparkSession, path: str, condition, set_exprs: dict[str, str] | None
+) -> dict:
+    """Shared DELETE/UPDATE engine (see the two public faces)."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 
     table = os.path.abspath(path)
     meta = _load_metadata(table)
     part_cols = _spec_part_cols(meta)
+    schema = _ice_schema_to_spark(_current_ice_schema(meta))
     ice_types = {
         f["name"]: f["type"] for f in _current_ice_schema(meta)["fields"]
     }
+    rows_key = "rows_deleted" if set_exprs is None else "rows_updated"
+    out = {rows_key: 0, "delete_files": 0}
+    if set_exprs is not None:
+        out["files_added"] = 0
+        unknown = set(set_exprs) - set(schema.fieldNames())
+        if unknown:
+            raise ValueError(
+                f"UPDATE sets unknown column(s) {sorted(unknown)}; table "
+                f"has {schema.fieldNames()}"
+            )
     want = meta.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
-    out = {"rows_deleted": 0, "delete_files": 0}
     if want is None or want == -1 or not snaps:
         return out
     snap = snaps[want]
     data, _existing = _live_entries(table, snap)
     if not data:
         return out
-    matched = (
-        _read_snapshot(spark, table, meta, snap, keep_meta=True)
-        .filter(condition)
-        .select("__dv_file", "__dv_ridx")
-        .collect()
-    )
+    matched_df = _read_snapshot(
+        spark, table, meta, snap, keep_meta=True
+    ).filter(condition)
+    matched = matched_df.select("__dv_file", "__dv_ridx").collect()
     if not matched:
         return out
+    staged: list[dict] = []
+    if set_exprs is not None:
+        updated = matched_df
+        for col, expr in set_exprs.items():
+            updated = updated.withColumn(
+                col, F.expr(expr).cast(schema[col].dataType)
+            )
+        staged = _stage_data_files(
+            updated.select(*[f.name for f in schema.fields]),
+            os.path.join(table, "data"),
+            part_cols,
+        )
     # the delete file must reference data files by their RECORDED
     # manifest path strings (spec rule), grouped by the data file's
     # partition so each delete file is partition-scoped
@@ -982,7 +1025,7 @@ def delete_where_iceberg(spark: SparkSession, path: str, condition) -> dict:
             ),
             dpath,
         )
-        out["rows_deleted"] += len(pairs)
+        out[rows_key] += len(pairs)
         out["delete_files"] += 1
         del_entries.append(
             {
@@ -1014,20 +1057,75 @@ def delete_where_iceberg(spark: SparkSession, path: str, condition) -> dict:
         "added_data_files_count": len(del_entries),
         "existing_data_files_count": 0,
         "deleted_data_files_count": 0,
-        "added_rows_count": out["rows_deleted"],
+        "added_rows_count": out[rows_key],
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
         "content": 1,  # DELETES manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
     }
+    new_manifests = [manifest_entry]
+    if staged:
+        # the UPDATE's replacement rows: a DATA manifest at the SAME
+        # sequence number (the v2 row-delta commit shape). The
+        # same-commit delete cannot mask them even at equal sequence:
+        # position deletes address (file_path, pos) pairs, and these
+        # pairs reference only the OLD files' recorded paths — the
+        # staged replacements are brand-new paths.
+        data_entries = []
+        for f in staged:
+            data_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"data/{f['rel_path']}",
+                        "file_format": "PARQUET",
+                        "partition": {
+                            c: _typed_partition(
+                                f["partition_values"].get(c), ice_types[c]
+                            )
+                            for c in part_cols
+                        },
+                        "record_count": f["num_rows"],
+                        "file_size_in_bytes": f["size"],
+                        "block_size_in_bytes": _BLOCK_SIZE,
+                    },
+                }
+            )
+            out["files_added"] += 1
+        dman_name = f"manifest-{uuid.uuid4().hex}.avro"
+        dman_path = os.path.join(mdir, dman_name)
+        avro_io.write_container(
+            dman_path, _manifest_schema(part_cols, ice_types, 2), data_entries
+        )
+        new_manifests.append(
+            {
+                "manifest_path": f"metadata/{dman_name}",
+                "manifest_length": os.path.getsize(dman_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(data_entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": sum(f["num_rows"] for f in staged),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+            }
+        )
     _s, prev = avro_io.read_container(_abs(table, snap["manifest-list"]))
     prev_manifests = [{**_list_defaults(2), **m} for m in prev]
     mlist_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     avro_io.write_container(
         os.path.join(mdir, mlist_name),
         _list_schema(2),
-        prev_manifests + [manifest_entry],
+        prev_manifests + new_manifests,
     )
     now_ms = int(time.time() * 1000)
     meta["snapshots"].append(
@@ -1035,7 +1133,9 @@ def delete_where_iceberg(spark: SparkSession, path: str, condition) -> dict:
             "snapshot-id": snapshot_id,
             "timestamp-ms": now_ms,
             "manifest-list": f"metadata/{mlist_name}",
-            "summary": {"operation": "delete"},
+            "summary": {
+                "operation": "delete" if set_exprs is None else "overwrite"
+            },
             "schema-id": meta.get("current-schema-id", 0),
             "sequence-number": seq,
         }

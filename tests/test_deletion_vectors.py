@@ -207,6 +207,49 @@ def test_vacuum_keeps_active_dv_drops_stale(spark, tmp_path, people):
     assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [3, 4]
 
 
+def test_update_where_tombstones_and_rewrites_in_one_commit(
+    spark, tmp_path, people
+):
+    """UPDATE via DVs: matched rows disappear from their original
+    positions (vector) and reappear transformed (staged add) in ONE
+    commit; unmatched rows untouched; time travel shows the
+    pre-update state; partition-moving updates land in the new
+    partition directory."""
+    from archetype_spark.sources import update_where_delta
+    from archetype_spark.sources.delta import _latest_version
+
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    v0 = _latest_version(t)
+    out = update_where_delta(
+        spark, t, "country = 'us'", {"name": "upper(name)", "id": "id + 100"}
+    )
+    assert out["rows_updated"] == 2 and out["files_added"] >= 1
+    got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    assert got == [
+        (3, "cho", "jp"),
+        (4, "dee", "jp"),
+        (101, "ANN", "us"),
+        (102, "BOB", "us"),
+    ]
+    assert _latest_version(t) == v0 + 1  # ONE commit for the whole update
+    assert read_delta(spark, t, version=v0).count() == 4
+    assert sorted(
+        r["id"] for r in read_delta(spark, t, version=v0).collect()
+    ) == [1, 2, 3, 4]
+    # partition-moving update on a partitioned table
+    t2 = str(tmp_path / "t2")
+    write_delta(people, t2, partition_by=["country"])
+    update_where_delta(spark, t2, "id = 3", {"country": "'us'"})
+    got2 = {
+        r["id"]: r["country"] for r in read_delta(spark, t2).collect()
+    }
+    assert got2[3] == "us" and len(got2) == 4
+    # unknown SET column refuses
+    with pytest.raises(ValueError, match="unknown column"):
+        update_where_delta(spark, t, "id = 4", {"nope": "1"})
+
+
 def test_compact_materializes_deletes(spark, tmp_path, people):
     """OPTIMIZE after DELETE: the rewrite reads the DV-filtered rows,
     so the new snapshot has no deletion vectors and the same data."""

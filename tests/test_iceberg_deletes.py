@@ -155,6 +155,42 @@ def test_compact_materializes_deletes_and_vacuum_collects(
     assert _ids(spark, t) == [3, 4]
 
 
+def test_update_where_row_delta_one_snapshot(spark, tmp_path, people):
+    """UPDATE via the v2 row-delta shape: one snapshot carries BOTH
+    the position-delete manifest and the replacement-rows data
+    manifest at the same sequence number; unmatched rows untouched,
+    pre-update snapshot time-travelable, and a later delete reaches
+    the replacement rows (their sequence number is current)."""
+    from archetype_spark.sources import update_where_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    n_snaps0 = len(snapshots_iceberg(t))
+    out = update_where_iceberg(
+        spark, t, "country = 'us'", {"name": "upper(name)", "id": "id + 100"}
+    )
+    assert out["rows_updated"] == 2
+    assert out["delete_files"] == 1 and out["files_added"] >= 1
+    assert len(snapshots_iceberg(t)) == n_snaps0 + 1  # ONE snapshot
+    got = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert got == [
+        (3, "cho", "jp"),
+        (4, "dee", "jp"),
+        (101, "ANN", "us"),
+        (102, "BOB", "us"),
+    ]
+    first = snapshots_iceberg(t)[0]["snapshot-id"]
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t, first).collect()
+    ) == [1, 2, 3, 4]
+    # the replacement rows are deletable by a later statement
+    out2 = delete_where_iceberg(spark, t, "id = 101")
+    assert out2["rows_deleted"] == 1
+    assert _ids(spark, t) == [3, 4, 102]
+    with pytest.raises(ValueError, match="unknown column"):
+        update_where_iceberg(spark, t, "id = 3", {"nope": "1"})
+
+
 def test_equality_deletes_refused(spark, tmp_path, people):
     """A hand-patched manifest with content=2 (equality deletes) must
     refuse loudly — applying it needs value semantics we don't have,
