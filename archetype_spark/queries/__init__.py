@@ -224,6 +224,14 @@ _MODULES = (
 #       the fixture generator's source-array manifest — conditional
 #       builder oracle, the q61 pattern) pins next, deferring q78
 #       (green r6/r7/r10; sampling keeps q102/q103 in-window).
+#   r12 sketch (execute when CORRECTNESS_r11 lands green): the
+#       longest-deferred cohort is the carried r9 block q80/q81/q83/
+#       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
+#       r10-deferred q24-q26/q28/q36/q37/q39/q42-q49/q51-q53/
+#       q61-q64/q67/q77/q107-q116 (none since r9) — PIN from the
+#       front of that order and defer the freshly-green r11 pins
+#       (q03-q16, q29-q35, q38, q119-q121) in exchange, keeping the
+#       window at exactly 50.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
