@@ -13,11 +13,16 @@ Iceberg-manifest snapshot scans; Delta MERGE INTO; incremental
 per-commit Delta and per-snapshot Iceberg changes reads; the
 three-source lake federation; Iceberg metadata-only COUNT; the
 Delta schema-evolution scan), index-tier q101, retrieval/tokenization tier
-q112-q115 (BM25 top-k; hybrid RRF fusion; PQ asymmetric-distance
-top-k over the persisted product-quantization index; learned-BPE
-token counts over the persisted merge/segmentation artifact),
-layout tier q116 (2-D box scan over a Z-ORDERed Delta rewrite)); oracles are
-colocated with each query module.
+q112-q115 + q117-q118 (BM25 top-k; hybrid RRF fusion, exact and
+bounded-depth faces; PQ asymmetric-distance and composite IVF_PQ
+top-k over persisted indexes; learned-BPE token counts over the
+persisted merge/segmentation artifact),
+layout tier q116 (2-D box scan over a Z-ORDERed Delta rewrite),
+row-level-delete tier q119-q120 (Delta deletion-vector scan;
+Iceberg v2 position-delete scan with oracle-gated sequence
+scoping), and real-pixel tier q121 (baseline-JPEG/PNG/P6 entropy
+decode hash-gated against the fixture generator's source-array
+manifest)); oracles are colocated with each query module.
 """
 
 from __future__ import annotations
