@@ -224,6 +224,12 @@ _MODULES = (
 #       the fixture generator's source-array manifest — conditional
 #       builder oracle, the q61 pattern) pins next, deferring q78
 #       (green r6/r7/r10; sampling keeps q102/q103 in-window).
+#       q122 (Iceberg EQUALITY deletes + one-commit CDC upsert with
+#       oracle-gated STRICT sequence scoping: delete-by-key ->
+#       re-append of the same key values -> upsert whose inserts
+#       escape their own delete; static source-view oracle) pins
+#       next, deferring q79 (green r8/r10; packing keeps q82/q93
+#       in-window).
 #   r12 sketch (execute when CORRECTNESS_r11 lands green): the
 #       longest-deferred cohort is the carried r9 block q80/q81/q83/
 #       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
@@ -261,6 +267,7 @@ _PINNED: tuple[str, ...] = (
     "q119_delta_deletes_scan",
     "q120_iceberg_deletes_scan",
     "q121_image_pixel_decode",
+    "q122_iceberg_cdc_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -291,6 +298,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q75_mixture_sample",
         "q76_relative_quality_gate",
         "q78_mixture_resample",
+        "q79_pack_payloads",
         # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
         # persisted-IVF stays driver-covered via q72/q96, retrieval

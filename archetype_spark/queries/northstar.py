@@ -90,6 +90,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_delta_dv_documents(spark, sf_dir)
     _ensure_iceberg_documents(spark, sf_dir)
     _ensure_iceberg_dv_documents(spark, sf_dir)
+    _ensure_iceberg_cdc_documents(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
     _ensure_delta_evolved(spark, sf_dir)
     _ensure_zorder_lineitem(spark, sf_dir)
@@ -912,6 +913,82 @@ def q120_iceberg_deletes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archetype_spark.sources.iceberg import read_iceberg, snapshots_iceberg
 
     table = _ensure_iceberg_dv_documents(spark, sf_dir)
+    first = snapshots_iceberg(table)[0]["snapshot-id"]
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .withColumn("snap", F.lit(snap))
+        )
+
+    return (
+        agg(read_iceberg(spark, table), "latest")
+        .unionByName(agg(read_iceberg(spark, table, first), "v0"))
+        .select("snap", "lang", "n_docs", "sum_chars")
+    )
+
+
+def _ensure_iceberg_cdc_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The EQUALITY-delete Iceberg table q122 scans, with a history
+    that makes the spec's STRICT sequence scoping (`>`, not the
+    position-delete `>=`) load-bearing twice over: ingest the even
+    doc_ids, delete-BY-KEY the evens with n_chars % 5 = 2 (sequence
+    1, a value anti-join — no positions anywhere), re-append the odd
+    cohort PLUS the deleted keys whose doc_id % 4 = 0 (sequence 2 —
+    identical key VALUES, so a `>=` reader or an unscoped one would
+    wrongly kill the re-inserts), then UPSERT the odd docs with
+    n_chars % 7 = 3 re-langed to 'xx' (sequence 3: ONE commit holding
+    the equality delete AND its replacement rows — the inserts escape
+    their own delete only under strict scoping). The oracle re-derives
+    the surviving set from the source documents view with the same
+    cohort algebra — independent of manifests, delete files, and the
+    anti-joins."""
+    from archetype_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        upsert_by_key_iceberg,
+        write_iceberg,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        even = base.filter(F.col("doc_id") % 2 == 0)
+        odd = base.filter(F.col("doc_id") % 2 == 1)
+        write_iceberg(
+            even.repartition("lang"), btable, partition_by=["lang"]
+        )
+        doomed = even.filter(F.col("n_chars") % 5 == 2)
+        delete_by_key_iceberg(spark, btable, doomed.select("doc_id"))
+        resurrected = doomed.filter(F.col("doc_id") % 4 == 0)
+        write_iceberg(
+            odd.unionByName(resurrected).repartition("lang"),
+            btable,
+            mode="append",
+        )
+        upsert_by_key_iceberg(
+            spark,
+            btable,
+            odd.filter(F.col("n_chars") % 7 == 3).withColumn(
+                "lang", F.lit("xx")
+            ),
+            ["doc_id"],
+        )
+
+    return _ensure_lake_documents(spark, sf_dir, "iceberg_cdc_documents", build)
+
+
+def q122_iceberg_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality deletes + CDC upsert on a format-v2 Iceberg table:
+    per-lang count+sum over the latest snapshot (a delete-by-key, a
+    re-append of deleted key values that must SURVIVE under strict
+    sequence scoping, and a one-commit upsert whose inserts must
+    escape their own delete) and the first-snapshot time travel.
+    Oracle: pure SQL over the source documents view."""
+    from archetype_spark.sources.iceberg import read_iceberg, snapshots_iceberg
+
+    table = _ensure_iceberg_cdc_documents(spark, sf_dir)
     first = snapshots_iceberg(table)[0]["snapshot-id"]
 
     def agg(df: DataFrame, snap: str) -> DataFrame:
@@ -1845,6 +1922,7 @@ QUERIES = {
     "q119_delta_deletes_scan": q119_delta_deletes_scan,
     "q120_iceberg_deletes_scan": q120_iceberg_deletes_scan,
     "q121_image_pixel_decode": q121_image_pixel_decode,
+    "q122_iceberg_cdc_scan": q122_iceberg_cdc_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -2994,6 +3072,32 @@ ORACLES["q120_iceberg_deletes_scan"] = """
     WHERE (doc_id % 2 = 0 AND n_chars % 5 <> 2 AND n_chars % 9 <> 4)
        OR (doc_id % 2 = 1 AND n_chars % 9 <> 4)
     GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+"""
+
+# q122: the equality-delete/CDC history replayed as cohort algebra
+# over the source view — latest = evens minus the delete-by-key set
+# (n_chars % 5 = 2) plus the re-appended quarter of it (doc_id % 4 =
+# 0, alive ONLY under strict `>` scoping), plus the odds with the
+# upsert's re-lang applied (n_chars % 7 = 3 -> 'xx'; the replacement
+# rows survive their same-commit delete ONLY under strict scoping);
+# v0 = the even ingest. Any >= scoping, unscoped apply, missed
+# delete, or double-applied upsert breaks a per-lang sum.
+ORACLES["q122_iceberg_cdc_scan"] = """
+    SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (
+      SELECT CASE WHEN doc_id % 2 = 1 AND n_chars % 7 = 3
+                  THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents
+      WHERE doc_id % 2 = 1
+         OR n_chars % 5 <> 2
+         OR doc_id % 4 = 0
+    ) GROUP BY lang
     UNION ALL
     SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars

@@ -3,11 +3,13 @@
 Companion to the Delta backend (sources/delta.py): the second lake
 format the reference consumes (Daft `read_iceberg`, reference
 pyproject.toml:7-10). Implements the PUBLIC Iceberg v1 table spec
-directly, plus the format-v2 row-level-delete subset (POSITION delete
-files with sequence-number scoping — read via `_read_snapshot`'s
-broadcast anti-join, written by `delete_where_iceberg`) — metadata is
-JSON, manifests/manifest-lists are Avro (decoded by the stdlib codec
-in sources/avro_io.py):
+directly, plus the format-v2 row-level deletes: POSITION delete files
+(sequence-scoped `>=` anti-join on (file, pos) — `delete_where_iceberg`
+/ `update_where_iceberg`) and EQUALITY delete files (null-safe value
+anti-join with the spec's STRICT `>` scoping — `delete_by_key_iceberg`,
+and the one-commit delete+insert CDC shape `upsert_by_key_iceberg`).
+Metadata is JSON, manifests/manifest-lists are Avro (decoded by the
+stdlib codec in sources/avro_io.py):
 
     <table>/metadata/v<N>.metadata.json   table metadata (schema,
                                           specs, snapshot log)
@@ -32,10 +34,10 @@ travel), a new v<N>.metadata.json recording the snapshot, and finally
 the version-hint — the rename of which is the atomic commit point.
 
 Declared limits (refuse loudly, never silently wrong): format-version
-3+, equality delete files (content=2), non-identity partition
-transforms, non-parquet data files, multi-writer commit races,
-metadata-only COUNT and adds-only incremental reads over tables with
-live delete files.
+3+, non-identity partition transforms, non-parquet data files,
+multi-writer commit races, equality deletes whose field ids left the
+current schema, metadata-only COUNT and adds-only incremental reads
+over tables with live delete files.
 """
 
 from __future__ import annotations
@@ -289,20 +291,22 @@ def count_rows_iceberg(path: str, snapshot_id: int | None = None) -> int:
 
 
 def _live_entries(table: str, snap: dict):
-    """Walk one snapshot's manifest list. Returns (data, deletes):
-    data = [(abs_path, partition dict, recorded file_path, data
-    sequence number)], deletes = [(abs_path, sequence number)] for
-    POSITION delete files (v2 content=1). Sequence numbers follow the
-    v2 inheritance rule — an entry with no explicit number inherits
-    its manifest-list entry's; v1 history reads as sequence 0, which
-    is exactly the spec's v1->v2 upgrade semantics. Equality deletes
-    (content=2) refuse loudly: applying them needs value comparison
-    semantics this reader does not implement, and skipping them would
-    resurrect rows."""
+    """Walk one snapshot's manifest list. Returns (data, deletes,
+    eq_deletes): data = [(abs_path, partition dict, recorded
+    file_path, data sequence number)], deletes = [(abs_path, sequence
+    number)] for POSITION delete files (v2 content=1), eq_deletes =
+    [(abs_path, sequence number, equality_ids tuple, record_count or
+    None)] for EQUALITY delete files (v2 content=2). Sequence numbers
+    follow the v2 inheritance rule — an entry with no explicit number
+    inherits its manifest-list entry's; v1 history reads as sequence
+    0, which is exactly the spec's v1->v2 upgrade semantics. An
+    equality delete entry without equality_ids refuses loudly:
+    without the field-id list there is nothing to compare, and
+    skipping the file would resurrect rows."""
     _schema, manifests = avro_io.read_container(
         _abs(table, snap["manifest-list"])
     )
-    data, deletes = [], []
+    data, deletes, eq_deletes = [], [], []
     for m in manifests:
         m_seq = m.get("sequence_number")
         _ms, rows = avro_io.read_container(_abs(table, m["manifest_path"]))
@@ -331,12 +335,28 @@ def _live_entries(table: str, snap: dict):
                 )
             elif content == 1:
                 deletes.append((_abs(table, dfile["file_path"]), int(seq)))
+            elif content == 2:
+                ids = dfile.get("equality_ids")
+                if not ids:
+                    raise NotImplementedError(
+                        f"equality delete file {dfile['file_path']!r} "
+                        "records no equality_ids: nothing to compare "
+                        "on, and skipping it would resurrect rows"
+                    )
+                eq_deletes.append(
+                    (
+                        _abs(table, dfile["file_path"]),
+                        int(seq),
+                        tuple(int(i) for i in ids),
+                        dfile.get("record_count"),
+                    )
+                )
             else:
                 raise NotImplementedError(
-                    "Iceberg equality delete files (content=2) are not "
+                    f"Iceberg delete content kind {content} is not "
                     "supported by the protocol-native reader"
                 )
-    return data, deletes
+    return data, deletes, eq_deletes
 
 
 def _read_snapshot(
@@ -346,12 +366,12 @@ def _read_snapshot(
     snap: dict,
     keep_meta: bool = False,
 ) -> DataFrame:
-    """One snapshot as a DataFrame, position deletes applied. With
-    `keep_meta` the `__dv_file`/`__dv_ridx` columns survive (the
-    delete writer's position scan)."""
+    """One snapshot as a DataFrame, position AND equality deletes
+    applied. With `keep_meta` the `__dv_file`/`__dv_ridx` columns
+    survive (the delete writer's position scan)."""
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
     part_cols = _spec_part_cols(meta)
-    data, deletes = _live_entries(table, snap)
+    data, deletes, eq_deletes = _live_entries(table, snap)
     if not data:
         df = spark.createDataFrame([], schema)
         if keep_meta:
@@ -359,7 +379,7 @@ def _read_snapshot(
             df = df.withColumn("__dv_ridx", F.lit(None).cast("bigint"))
         return df
     cols = [f.name for f in schema.fields]
-    keep = keep_meta or bool(deletes)
+    keep = keep_meta or bool(deletes) or bool(eq_deletes)
     scan = _scan_snapshot(
         spark,
         os.path.join(table, "data"),
@@ -368,6 +388,10 @@ def _read_snapshot(
         [(p, pv) for p, pv, _rp, _s in data],
         keep_meta=keep,
     )
+    seq_df = spark.createDataFrame(
+        [(os.path.abspath(p), int(s)) for p, _pv, _rp, s in data],
+        "__dv_file string, __data_seq bigint",
+    )
     if deletes:
         # positional deletes are parquet (file_path, pos) rows; a
         # delete applies to data files whose data sequence number is
@@ -375,10 +399,6 @@ def _read_snapshot(
         # untouched). Delete-side work only: the per-file sequence map
         # and the applicable positions both broadcast; the data scan
         # itself never shuffles.
-        seq_df = spark.createDataFrame(
-            [(os.path.abspath(p), int(s)) for p, _pv, _rp, s in data],
-            "__dv_file string, __data_seq bigint",
-        )
         # ONE scan over every delete file (plan width O(1) in the
         # delete-file count — a mutation-heavy table can carry
         # thousands); each row recovers its own file's sequence
@@ -418,9 +438,101 @@ def _read_snapshot(
         scan = scan.join(
             F.broadcast(applicable), ["__dv_file", "__dv_ridx"], "left_anti"
         )
+    if eq_deletes:
+        scan = _apply_equality_deletes(
+            spark, table, meta, scan, seq_df, eq_deletes
+        )
     if not keep_meta and keep:
         scan = scan.select(*cols)
     return scan
+
+
+#: Equality-delete sets at or below this recorded row count broadcast
+#: to the anti-join (bigint keys at 1M rows ≈ 8 MB — inside Spark's
+#: default auto-broadcast budget); larger or uncounted sets fall back
+#: to a shuffled anti-join, which is the right plan anyway once the
+#: pending delete set is itself big data.
+_EQ_DELETE_BROADCAST_ROWS = 1_000_000
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    scan: DataFrame,
+    seq_df: DataFrame,
+    eq_deletes: list,
+) -> DataFrame:
+    """Apply v2 EQUALITY delete files (content=2) to a data scan.
+
+    Spec semantics (Iceberg table spec, "Scan Planning / Delete
+    Files"): a row is deleted when some equality-delete row matches
+    it on every column named by the delete file's `equality_ids`,
+    with null matching null (IS NOT DISTINCT FROM), and the delete
+    file's data sequence number is STRICTLY GREATER than the data
+    file's — the strict inequality is what lets a same-sequence
+    commit pair an equality delete with the replacement rows it
+    inserts (the Flink/CDC upsert shape, `upsert_by_key_iceberg`)
+    without the delete swallowing its own inserts.
+
+    Shape at scale: one scan over all delete files PER distinct
+    equality_ids set (plan width O(#id-sets), not O(#files)); each
+    delete row recovers its own sequence number by joining the
+    KB-scale path->seq map on `_metadata.file_path`; the data side
+    joins the same map once to learn per-row `__data_seq`, then
+    anti-joins the delete rows — broadcast when the manifests'
+    record_counts bound the set under _EQ_DELETE_BROADCAST_ROWS,
+    shuffled otherwise. The data scan itself never reshuffles."""
+    import functools
+    import operator as op
+
+    fields = _current_ice_schema(meta)["fields"]
+    id_to_name = {int(f["id"]): f["name"] for f in fields}
+    schema = _ice_schema_to_spark(_current_ice_schema(meta))
+    scan = scan.join(F.broadcast(seq_df), "__dv_file")
+    groups: dict[tuple, list] = {}
+    for p, s, ids, rc in eq_deletes:
+        groups.setdefault(ids, []).append((p, s, rc))
+    for ids in sorted(groups):
+        entries = groups[ids]
+        missing = [i for i in ids if i not in id_to_name]
+        if missing:
+            raise NotImplementedError(
+                f"equality delete references field id(s) {missing} "
+                "absent from the current schema (dropped-column "
+                "deletes are not supported by this reader)"
+            )
+        eq_cols = [id_to_name[i] for i in ids]
+        sub = StructType([schema[c] for c in eq_cols])
+        delseq_df = spark.createDataFrame(
+            [(os.path.abspath(p), int(s)) for p, s, _rc in entries],
+            "__eq_path string, __eq_seq bigint",
+        )
+        dels = (
+            spark.read.schema(sub)
+            .parquet(*[p for p, _s, _rc in entries])
+            .withColumn(
+                "__eq_path",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
+                ),
+            )
+            .join(F.broadcast(delseq_df), "__eq_path")
+            .select(
+                *[F.col(c).alias(f"__eq_{c}") for c in eq_cols], "__eq_seq"
+            )
+        )
+        counts = [rc for _p, _s, rc in entries]
+        if all(rc is not None for rc in counts) and (
+            sum(counts) <= _EQ_DELETE_BROADCAST_ROWS
+        ):
+            dels = F.broadcast(dels)
+        cond = functools.reduce(
+            op.and_,
+            [scan[c].eqNullSafe(dels[f"__eq_{c}"]) for c in eq_cols],
+        ) & (dels["__eq_seq"] > scan["__data_seq"])
+        scan = scan.join(dels, cond, "left_anti")
+    return scan.drop("__data_seq")
 
 
 def read_iceberg(
@@ -484,12 +596,21 @@ def _manifest_schema(
     if fmt >= 2:
         # v2 entries carry explicit data/file sequence numbers (null =
         # inherit from the manifest-list entry) and data_file.content
-        # (0 data, 1 position deletes, 2 equality deletes)
+        # (0 data, 1 position deletes, 2 equality deletes); equality
+        # delete files additionally record the field ids their rows
+        # compare on (null for content 0/1)
         entry_fields += [
             {"name": "sequence_number", "type": ["null", "long"], "default": None},
             {"name": "file_sequence_number", "type": ["null", "long"], "default": None},
         ]
         data_file_fields.insert(0, {"name": "content", "type": "int"})
+        data_file_fields.append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+            }
+        )
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -939,6 +1060,241 @@ def update_where_iceberg(
     return _mask_rows_commit_iceberg(spark, path, condition, set_exprs)
 
 
+def delete_by_key_iceberg(spark: SparkSession, path: str, keys: DataFrame) -> dict:
+    """Row-level delete by VALUE — format-v2 EQUALITY DELETE FILES
+    (content=2). `keys` is a DataFrame whose columns name the
+    equality columns (any subset of the table schema; values are cast
+    to the table's types); every table row matching some key row on
+    ALL of them (null matches null) and written at a STRICTLY LOWER
+    sequence number is deleted. Nothing is scanned or rewritten: the
+    commit cost is O(keys), independent of table size — the reason
+    CDC writers (Flink et al.) use this form for streaming deletes
+    where a position delete would need a full key->position lookup
+    per batch.
+
+    The delete files are written PARTITION-UNSCOPED (the manifest
+    entry carries a null partition struct) and apply table-wide —
+    the spec's global-delete form. Repeats are exact no-ops at read
+    time (the anti-join is idempotent); compact_iceberg materializes
+    and drops them.
+
+    Returns {'delete_files', 'delete_keys'}."""
+    return _equality_delta_commit_iceberg(spark, path, keys, None)
+
+
+def upsert_by_key_iceberg(
+    spark: SparkSession, path: str, updates: DataFrame, keys: Sequence[str]
+) -> dict:
+    """Streaming-CDC upsert — ONE v2 snapshot holding an equality
+    delete on `keys` (the update rows' key values) AND the update
+    rows as new data files, both at the same fresh sequence number.
+    The spec's strict scoping rule (an equality delete applies only
+    to data at a strictly LOWER sequence) is what makes this shape
+    work: the delete kills every older row with a matching key while
+    the same-commit inserts escape it. Unlike merge_iceberg (which
+    rewrites the whole table as one overwrite snapshot), the commit
+    cost here is O(updates) — the Flink upsert-sink shape, and the
+    only MERGE form that stays cheap when 100 TB of table meets a
+    KB-scale CDC batch.
+
+    Returns {'delete_files', 'delete_keys', 'files_added',
+    'rows_inserted'}."""
+    missing = [k for k in keys if k not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"upsert keys {missing} absent from the updates frame "
+            f"(has {updates.columns})"
+        )
+    return _equality_delta_commit_iceberg(
+        spark, path, updates.select(*keys), updates
+    )
+
+
+def _equality_delta_commit_iceberg(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    inserts: DataFrame | None,
+) -> dict:
+    """Shared engine for delete_by_key_iceberg / upsert_by_key_iceberg
+    (see the public faces for semantics)."""
+    table = os.path.abspath(path)
+    meta = _load_metadata(table)
+    ice = _current_ice_schema(meta)
+    schema = _ice_schema_to_spark(ice)
+    name_to_id = {f["name"]: int(f["id"]) for f in ice["fields"]}
+    ice_types = {f["name"]: f["type"] for f in ice["fields"]}
+    part_cols = _spec_part_cols(meta)
+    key_cols = list(keys.columns)
+    unknown = [c for c in key_cols if c not in name_to_id]
+    if not key_cols or unknown:
+        raise ValueError(
+            f"equality-delete key columns {unknown or '[]'} not in table "
+            f"schema {sorted(name_to_id)}"
+        )
+    # the delete rows must carry the TABLE's column types (the reader
+    # compares them against the data scan verbatim)
+    keys = keys.select(
+        *[F.col(c).cast(schema[c].dataType).alias(c) for c in key_cols]
+    ).dropDuplicates()
+    if inserts is not None:
+        extra = set(inserts.columns) - set(schema.fieldNames())
+        if extra:
+            raise ValueError(
+                f"upsert frame has column(s) {sorted(extra)} absent from "
+                f"the table schema {schema.fieldNames()}"
+            )
+        inserts = inserts.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in inserts.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    out = {"delete_files": 0, "delete_keys": 0}
+    if inserts is not None:
+        out.update(files_added=0, rows_inserted=0)
+    want = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if want is None or want == -1 or not snaps:
+        # empty table: nothing for a delete to hit; an upsert
+        # degenerates to a plain append
+        if inserts is not None:
+            write_iceberg(inserts, table, mode="append")
+            meta2 = _load_metadata(table)
+            snap2 = {s["snapshot-id"]: s for s in meta2["snapshots"]}[
+                meta2["current-snapshot-id"]
+            ]
+            out["files_added"] = len(_live_entries(table, snap2)[0])
+            out["rows_inserted"] = count_rows_iceberg(table)
+        return out
+    if int(meta.get("format-version", 1)) == 1:
+        meta["format-version"] = 2
+        meta.setdefault("last-sequence-number", 0)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = (
+        max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
+    )
+    data_root = os.path.join(table, "data")
+    mdir = _meta_dir(table)
+    eq_ids = [name_to_id[c] for c in key_cols]
+    del_entries = []
+    for f in _stage_data_files(keys, data_root, []):
+        if f["num_rows"] == 0:
+            os.remove(os.path.join(data_root, f["rel_path"]))
+            continue
+        del_entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2,  # EQUALITY DELETES
+                    "file_path": f"data/{f['rel_path']}",
+                    "file_format": "PARQUET",
+                    # null partition struct = table-global scope
+                    "partition": {c: None for c in part_cols},
+                    "record_count": f["num_rows"],
+                    "file_size_in_bytes": f["size"],
+                    "block_size_in_bytes": _BLOCK_SIZE,
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+        out["delete_files"] += 1
+        out["delete_keys"] += f["num_rows"]
+    new_manifests = []
+    if del_entries:
+        man_name = f"manifest-{uuid.uuid4().hex}.avro"
+        man_path = os.path.join(mdir, man_name)
+        avro_io.write_container(
+            man_path, _manifest_schema(part_cols, ice_types, 2), del_entries
+        )
+        new_manifests.append(
+            {
+                "manifest_path": f"metadata/{man_name}",
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(del_entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": out["delete_keys"],
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "content": 1,  # DELETES manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+            }
+        )
+    if inserts is not None:
+        data_entries = []
+        for f in _stage_data_files(inserts, data_root, part_cols):
+            data_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"data/{f['rel_path']}",
+                        "file_format": "PARQUET",
+                        "partition": {
+                            c: _typed_partition(
+                                f["partition_values"].get(c), ice_types[c]
+                            )
+                            for c in part_cols
+                        },
+                        "record_count": f["num_rows"],
+                        "file_size_in_bytes": f["size"],
+                        "block_size_in_bytes": _BLOCK_SIZE,
+                    },
+                }
+            )
+            out["files_added"] += 1
+            out["rows_inserted"] += f["num_rows"]
+        if data_entries:
+            dman_name = f"manifest-{uuid.uuid4().hex}.avro"
+            dman_path = os.path.join(mdir, dman_name)
+            avro_io.write_container(
+                dman_path,
+                _manifest_schema(part_cols, ice_types, 2),
+                data_entries,
+            )
+            new_manifests.append(
+                {
+                    "manifest_path": f"metadata/{dman_name}",
+                    "manifest_length": os.path.getsize(dman_path),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": len(data_entries),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "added_rows_count": out["rows_inserted"],
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                }
+            )
+    if not new_manifests:
+        return out
+    _commit_row_delta_snapshot(
+        table,
+        meta,
+        snaps[want],
+        new_manifests,
+        seq,
+        snapshot_id,
+        "delete" if inserts is None else "overwrite",
+    )
+    return out
+
+
 def _mask_rows_commit_iceberg(
     spark: SparkSession, path: str, condition, set_exprs: dict[str, str] | None
 ) -> dict:
@@ -968,7 +1324,7 @@ def _mask_rows_commit_iceberg(
     if want is None or want == -1 or not snaps:
         return out
     snap = snaps[want]
-    data, _existing = _live_entries(table, snap)
+    data, _existing, _eq = _live_entries(table, snap)
     if not data:
         return out
     matched_df = _read_snapshot(
@@ -1119,7 +1475,36 @@ def _mask_rows_commit_iceberg(
                 "min_sequence_number": seq,
             }
         )
-    _s, prev = avro_io.read_container(_abs(table, snap["manifest-list"]))
+    _commit_row_delta_snapshot(
+        table,
+        meta,
+        snap,
+        new_manifests,
+        seq,
+        snapshot_id,
+        "delete" if set_exprs is None else "overwrite",
+    )
+    return out
+
+
+def _commit_row_delta_snapshot(
+    table: str,
+    meta: dict,
+    prev_snap: dict,
+    new_manifests: list[dict],
+    seq: int,
+    snapshot_id: int,
+    operation: str,
+) -> None:
+    """Shared tail of every v2 row-delta commit (DELETE WHERE, UPDATE,
+    equality delete, upsert-by-key): carry the previous snapshot's
+    manifests forward, append the new ones in a fresh manifest list,
+    record the snapshot, bump last-sequence-number (EVERY v2 commit
+    must — appends after a delete escape its scope only because their
+    number is higher), and publish. One implementation so the
+    metadata-update invariants cannot drift between the four faces."""
+    mdir = _meta_dir(table)
+    _s, prev = avro_io.read_container(_abs(table, prev_snap["manifest-list"]))
     prev_manifests = [{**_list_defaults(2), **m} for m in prev]
     mlist_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     avro_io.write_container(
@@ -1133,9 +1518,7 @@ def _mask_rows_commit_iceberg(
             "snapshot-id": snapshot_id,
             "timestamp-ms": now_ms,
             "manifest-list": f"metadata/{mlist_name}",
-            "summary": {
-                "operation": "delete" if set_exprs is None else "overwrite"
-            },
+            "summary": {"operation": operation},
             "schema-id": meta.get("current-schema-id", 0),
             "sequence-number": seq,
         }
@@ -1147,7 +1530,6 @@ def _mask_rows_commit_iceberg(
     meta["last-updated-ms"] = now_ms
     meta["last-sequence-number"] = seq
     _publish_metadata(table, meta)
-    return out
 
 
 # ------------------------------------------------------------------ streaming

@@ -105,7 +105,7 @@ def test_partitioned_delete_files_are_partition_scoped(
     assert _ids(spark, t) == [2, 4]
     meta = _load_metadata(t)
     snap = meta["snapshots"][-1]
-    _data, dels = _live_entries(os.path.abspath(t), snap)
+    _data, dels, _eq = _live_entries(os.path.abspath(t), snap)
     assert len(dels) == 2
     # the delete manifest records typed partition values per file
     _s, manifests = avro_io.read_container(
@@ -142,7 +142,9 @@ def test_compact_materializes_deletes_and_vacuum_collects(
     delete_where_iceberg(spark, t, "country = 'us'")
     compact_iceberg(spark, t, target_files=1)
     meta = _load_metadata(t)
-    _data, dels = _live_entries(os.path.abspath(t), meta["snapshots"][-1])
+    _data, dels, _eq = _live_entries(
+        os.path.abspath(t), meta["snapshots"][-1]
+    )
     assert dels == []
     assert _ids(spark, t) == [3, 4]
     # metadata-only COUNT works again after materialization
@@ -191,10 +193,11 @@ def test_update_where_row_delta_one_snapshot(spark, tmp_path, people):
         update_where_iceberg(spark, t, "id = 3", {"nope": "1"})
 
 
-def test_equality_deletes_refused(spark, tmp_path, people):
-    """A hand-patched manifest with content=2 (equality deletes) must
-    refuse loudly — applying it needs value semantics we don't have,
-    skipping it would resurrect rows."""
+def test_equality_deletes_without_ids_refused(spark, tmp_path, people):
+    """A hand-patched content=2 entry with NO equality_ids must refuse
+    loudly — there is nothing to compare on, and skipping the file
+    would resurrect rows. (Well-formed equality deletes are applied:
+    tests/test_iceberg_equality_deletes.py.)"""
     t = str(tmp_path / "t")
     write_iceberg(people, t)
     delete_where_iceberg(spark, t, "id = 1")

@@ -1,0 +1,230 @@
+"""Iceberg format-v2 EQUALITY deletes (sources/iceberg.py):
+delete_by_key_iceberg / upsert_by_key_iceberg. Pins the spec rules
+that differ from position deletes: STRICT sequence scoping (an
+equality delete applies only to data at a strictly LOWER sequence —
+so a same-commit upsert's inserts escape their own delete, and rows
+re-appended after a delete survive it), null-matches-null key
+comparison, multi-column keys, and interaction with position deletes,
+compaction, metadata-COUNT and incremental-read refusals. The
+capability the reference reads through its Iceberg dependency
+(reference pyproject.toml:7-10); semantics from the PUBLIC Iceberg
+table spec ("Scan Planning", "Delete Files")."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.sources import (
+    compact_iceberg,
+    count_rows_iceberg,
+    read_iceberg,
+    read_iceberg_changes,
+    snapshots_iceberg,
+    write_iceberg,
+)
+from archetype_spark.sources.iceberg import (
+    _live_entries,
+    _load_metadata,
+    delete_by_key_iceberg,
+    delete_where_iceberg,
+    upsert_by_key_iceberg,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    """One data file so deletes hit rows inside a multi-row file."""
+    return spark.createDataFrame(
+        [
+            (1, "ann", "us"),
+            (2, "bob", "us"),
+            (3, "cho", "jp"),
+            (4, "dee", "jp"),
+        ],
+        "id long, name string, country string",
+    ).coalesce(1)
+
+
+def _ids(spark, t, snapshot_id=None):
+    return sorted(
+        r["id"] for r in read_iceberg(spark, t, snapshot_id).collect()
+    )
+
+
+def _keys(spark, *ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1)
+
+
+def test_delete_by_key_basic_upgrade_and_time_travel(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    out = delete_by_key_iceberg(spark, t, _keys(spark, 1, 3))
+    assert out == {"delete_files": 1, "delete_keys": 2}
+    meta = _load_metadata(t)
+    assert int(meta["format-version"]) == 2
+    assert int(meta["last-sequence-number"]) == 1
+    assert _ids(spark, t) == [2, 4]
+    # time travel to the pre-delete snapshot sees everything
+    first = snapshots_iceberg(t)[0]["snapshot-id"]
+    assert _ids(spark, t, first) == [1, 2, 3, 4]
+    # manifest records the equality field ids + global (null) partition
+    _d, _pos, eq = _live_entries(
+        os.path.abspath(t), _load_metadata(t)["snapshots"][-1]
+    )
+    assert len(eq) == 1
+    _path, seq, ids, rc = eq[0]
+    assert seq == 1 and ids == (1,) and rc == 2  # id is field 1
+
+
+def test_strict_scoping_reappended_keys_survive(spark, tmp_path, people):
+    """THE equality-vs-position semantic difference: strict `>`.
+    A re-append of a deleted key at a HIGHER sequence escapes the
+    delete; a hypothetical `>=` reader would also (wrongly) kill
+    same-sequence rows — pinned separately by the upsert test."""
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    delete_by_key_iceberg(spark, t, _keys(spark, 1, 2))
+    assert _ids(spark, t) == [3, 4]
+    # re-append id=1 with the SAME key value
+    back = spark.createDataFrame(
+        [(1, "ann2", "us")], "id long, name string, country string"
+    ).coalesce(1)
+    write_iceberg(back, t, mode="append")
+    assert _ids(spark, t) == [1, 3, 4]
+    names = {r["id"]: r["name"] for r in read_iceberg(spark, t).collect()}
+    assert names[1] == "ann2"  # the new row, not the resurrected old one
+    # a LATER delete reaches it again
+    delete_by_key_iceberg(spark, t, _keys(spark, 1))
+    assert _ids(spark, t) == [3, 4]
+
+
+def test_multi_column_keys_and_null_matches_null(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, "us", 10),
+            (1, None, 11),
+            (2, "us", 12),
+            (2, None, 13),
+            (1, "jp", 14),
+        ],
+        "k long, country string, v long",
+    ).coalesce(1)
+    write_iceberg(df, t)
+    keys = spark.createDataFrame(
+        [(1, None), (2, "us")], "k long, country string"
+    ).coalesce(1)
+    delete_by_key_iceberg(spark, t, keys)
+    got = sorted(r["v"] for r in read_iceberg(spark, t).collect())
+    # (1, NULL) kills v=11 (null matches null), (2,'us') kills v=12;
+    # (1,'us'), (2,NULL), (1,'jp') survive
+    assert got == [10, 13, 14]
+
+
+def test_upsert_one_snapshot_inserts_escape_own_delete(
+    spark, tmp_path, people
+):
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    n0 = len(snapshots_iceberg(t))
+    ups = spark.createDataFrame(
+        [(2, "BOB", "uk"), (5, "eve", "uk")],
+        "id long, name string, country string",
+    ).coalesce(1)
+    out = upsert_by_key_iceberg(spark, t, ups, ["id"])
+    assert out["delete_keys"] == 2 and out["rows_inserted"] == 2
+    assert len(snapshots_iceberg(t)) == n0 + 1  # ONE snapshot
+    got = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert got == [
+        (1, "ann", "us"),
+        (2, "BOB", "uk"),  # replaced, not duplicated, not self-deleted
+        (3, "cho", "jp"),
+        (4, "dee", "jp"),
+        (5, "eve", "uk"),  # fresh key: plain insert
+    ]
+    # the delete and data manifests share one sequence number
+    meta = _load_metadata(t)
+    data, _pos, eq = _live_entries(os.path.abspath(t), meta["snapshots"][-1])
+    assert eq[0][1] == 1
+    assert {s for _p, _pv, _rp, s in data} == {0, 1}
+    # upserting again is idempotent in effect
+    upsert_by_key_iceberg(spark, t, ups, ["id"])
+    assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == got
+
+
+def test_upsert_into_partitioned_table(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_iceberg(people.repartition("country"), t, partition_by=["country"])
+    ups = spark.createDataFrame(
+        [(3, "CHO", "jp")], "id long, name string, country string"
+    ).coalesce(1)
+    out = upsert_by_key_iceberg(spark, t, ups, ["id"])
+    assert out["rows_inserted"] == 1
+    got = {r["id"]: r["name"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "ann", 2: "bob", 3: "CHO", 4: "dee"}
+
+
+def test_mixed_position_and_equality_deletes(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    delete_where_iceberg(spark, t, "id = 4")  # position, seq 1
+    delete_by_key_iceberg(spark, t, _keys(spark, 1))  # equality, seq 2
+    assert _ids(spark, t) == [2, 3]
+    # position-delete writer re-scans through the equality-filtered
+    # view: deleting country='us' now only matches id=2 (1 is gone)
+    out = delete_where_iceberg(spark, t, "country = 'us'")
+    assert out["rows_deleted"] == 1
+    assert _ids(spark, t) == [3]
+
+
+def test_compaction_materializes_and_count_refusals(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    first = snapshots_iceberg(t)[0]["snapshot-id"]
+    delete_by_key_iceberg(spark, t, _keys(spark, 2))
+    with pytest.raises(ValueError, match="metadata-only COUNT"):
+        count_rows_iceberg(t)
+    with pytest.raises(NotImplementedError, match="delete file"):
+        read_iceberg_changes(spark, t, first).count()
+    compact_iceberg(spark, t, target_files=1)
+    _d, pos, eq = _live_entries(
+        os.path.abspath(t), _load_metadata(t)["snapshots"][-1]
+    )
+    assert pos == [] and eq == []
+    assert count_rows_iceberg(t) == 3
+    assert _ids(spark, t) == [1, 3, 4]
+
+
+def test_delete_by_key_validation_and_noop(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    with pytest.raises(ValueError, match="not in table schema"):
+        delete_by_key_iceberg(
+            spark, t, spark.createDataFrame([(1,)], "nope long")
+        )
+    with pytest.raises(ValueError, match="absent from the updates"):
+        upsert_by_key_iceberg(spark, t, people, ["missing"])
+    # an empty key frame commits nothing
+    empty = spark.createDataFrame([], "id long")
+    out = delete_by_key_iceberg(spark, t, empty)
+    assert out == {"delete_files": 0, "delete_keys": 0}
+    assert len(snapshots_iceberg(t)) == 1
+    # duplicate keys collapse to one delete row
+    out = delete_by_key_iceberg(
+        spark, t, spark.createDataFrame([(1,), (1,), (1,)], "id long")
+    )
+    assert out["delete_keys"] == 1
+    assert _ids(spark, t) == [2, 3, 4]
+
+
+def test_key_type_coercion_matches_table_types(spark, tmp_path, people):
+    """Keys arrive as int (not long): cast to the table's column type
+    before writing, else the value anti-join silently misses."""
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    keys = spark.createDataFrame([(1,)], "id int")
+    delete_by_key_iceberg(spark, t, keys)
+    assert _ids(spark, t) == [2, 3, 4]

@@ -392,3 +392,56 @@ def test_stress_delta_many_commit_log(spark, stress_docs, tmp_path):
 
     with _pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
         read_delta(spark, t, version=0).count()
+
+
+def test_stress_iceberg_cdc_chain(spark, stress_docs, tmp_path):
+    """Lake-backend headroom, equality-delete face: 10x docs ingested
+    once, then a CDC chain of 6 upsert-by-key commits (each re-langs
+    one doc_id band) and a delete-by-key commit — 7 equality-delete
+    files live at once, each applied with strict sequence scoping.
+    The read must resolve every upsert exactly once (no duplicates,
+    no resurrections), and compaction must materialize the whole
+    chain back to a metadata-countable clean snapshot."""
+    from archetype_spark.sources import (
+        compact_iceberg,
+        count_rows_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+    from archetype_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        upsert_by_key_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    write_iceberg(base.repartition(8), t)
+    for i in range(6):
+        batch = base.filter(F.col("doc_id") % 37 == i).withColumn(
+            "lang", F.lit(f"cdc{i}")
+        )
+        upsert_by_key_iceberg(spark, t, batch, ["doc_id"])
+    delete_by_key_iceberg(
+        spark, t, base.filter(F.col("doc_id") % 37 == 6).select("doc_id")
+    )
+    exp_n = base.filter(F.col("doc_id") % 37 != 6).count()
+    got = read_iceberg(spark, t)
+    assert got.count() == exp_n
+    # upserts replaced, never duplicated
+    assert got.select("doc_id").distinct().count() == exp_n
+    # every surviving band-2 row carries the upserted lang
+    assert (
+        got.filter(
+            (F.col("doc_id") % 37 == 2) & (F.col("lang") != "cdc2")
+        ).count()
+        == 0
+    )
+    # n_chars rode through every upsert unchanged
+    exp_sum = base.filter(F.col("doc_id") % 37 != 6).agg(
+        F.sum("n_chars")
+    ).first()[0]
+    assert got.agg(F.sum("n_chars")).first()[0] == exp_sum
+    compact_iceberg(spark, t, target_files=8)
+    assert count_rows_iceberg(t) == exp_n
