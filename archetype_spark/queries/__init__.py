@@ -230,6 +230,12 @@ _MODULES = (
 #       escape their own delete; static source-view oracle) pins
 #       next, deferring q79 (green r8/r10; packing keeps q82/q93
 #       in-window).
+#       q123 (day(ts) PARTITION-TRANSFORM Iceberg scan with
+#       manifest-level pruning through read_iceberg(scan_filter=...);
+#       data-derived day-window bounds so the oracle replays from the
+#       source view) pins next, deferring q93 (green r8/r10; packing
+#       keeps q82 in-window, and the single-green q117/q118 pair
+#       stays inside the 50).
 #   r12 sketch (execute when CORRECTNESS_r11 lands green): the
 #       longest-deferred cohort is the carried r9 block q80/q81/q83/
 #       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
@@ -268,6 +274,7 @@ _PINNED: tuple[str, ...] = (
     "q120_iceberg_deletes_scan",
     "q121_image_pixel_decode",
     "q122_iceberg_cdc_scan",
+    "q123_iceberg_day_prune_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -299,6 +306,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q76_relative_quality_gate",
         "q78_mixture_resample",
         "q79_pack_payloads",
+        "q93_span_corruption",
         # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
         # persisted-IVF stays driver-covered via q72/q96, retrieval

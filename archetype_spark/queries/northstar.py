@@ -91,6 +91,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_iceberg_documents(spark, sf_dir)
     _ensure_iceberg_dv_documents(spark, sf_dir)
     _ensure_iceberg_cdc_documents(spark, sf_dir)
+    _ensure_iceberg_events_days(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
     _ensure_delta_evolved(spark, sf_dir)
     _ensure_zorder_lineitem(spark, sf_dir)
@@ -1005,6 +1006,104 @@ def q122_iceberg_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg(read_iceberg(spark, table), "latest")
         .unionByName(agg(read_iceberg(spark, table, first), "v0"))
         .select("snap", "lang", "n_docs", "sum_chars")
+    )
+
+
+def _ensure_iceberg_events_days(spark: SparkSession, sf_dir: str) -> str:
+    """The day(ts)-PARTITION-TRANSFORMED Iceberg table q123 scans:
+    events written through spec field day(ts) (Iceberg partition
+    transform — manifests record each file's day ordinal, the source
+    ts column stays in the data files) as two appends (even then odd
+    event_id) repartitioned by calendar day so days co-locate into
+    prunable files. Same atomic-slot + corpus-fingerprint discipline
+    as the other lake fixtures."""
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from archetype_spark.sources.iceberg import write_iceberg
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    idx = ann_index.default_index_dir(sf_dir, "iceberg_events_days")
+    table = os.path.join(idx, "table")
+    expect = {
+        "kind": "iceberg_events_days",
+        "schema": 1,  # (event_id, ts, event_type, value) by day(ts)
+        "corpus": ann_index.corpus_fingerprint(ev, "event_id", "ts"),
+    }
+    pfile = os.path.join(idx, "_build_params.json")
+    if os.path.exists(pfile):
+        try:
+            with open(pfile) as fh:
+                if _json.load(fh) == expect:
+                    return table
+        except (OSError, ValueError):
+            pass
+    building = os.path.join(
+        os.path.dirname(idx), f".building-{_uuid.uuid4().hex}"
+    )
+    os.makedirs(building, exist_ok=True)
+    try:
+        btable = os.path.join(building, "table")
+        for parity in (0, 1):
+            write_iceberg(
+                ev.filter(F.col("event_id") % 2 == parity).repartition(
+                    F.to_date("ts")
+                ),
+                btable,
+                mode="append",
+                partition_by=["ts"],
+                partition_transforms={"ts": "day"},
+            )
+        with open(os.path.join(building, "_build_params.json"), "w") as fh:
+            _json.dump(expect, fh)
+        _swap_slot(idx, building)
+    except BaseException:
+        _shutil.rmtree(building, ignore_errors=True)
+        raise
+    return table
+
+
+def q123_iceberg_day_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range scan over a day(ts)-partition-transformed Iceberg
+    table: per-day event count + exact id sum for days [d0+2, d0+6)
+    where d0 is the corpus's first day — the bounds derive from the
+    data on BOTH sides, so the oracle is a pure source-view replay.
+    read_iceberg(scan_filter=...) maps the ts range through the day
+    transform at the manifest walk and opens only the 4 matching
+    day-partitions out of 30 (pruning pinned by
+    tests/test_iceberg_transforms.py; at 100 TB this is the
+    O(metadata) planning path the transform spec exists for). The
+    range is re-applied row-level, so a pruning bug can only slow the
+    query down, never change this oracle-gated answer — while a
+    TRANSFORM bug (wrong day ordinal at write) sends rows to wrong
+    partitions where pruning drops them, and the hash gate sees it."""
+    import datetime as _dt
+
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    table = _ensure_iceberg_events_days(spark, sf_dir)
+    d0 = (
+        load(spark, sf_dir, "events")
+        .agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+        .first()["d0"]
+    )
+    lo = d0 + _dt.timedelta(days=2)
+    hi = d0 + _dt.timedelta(days=6)
+    return (
+        read_iceberg(spark, table, scan_filter={"ts": (lo, hi)})
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit(_dt.date(1970, 1, 1)))
+            .cast("bigint")
+            .alias("day_ord")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .select("day_ord", "n_events", "sum_ids")
     )
 
 
@@ -1923,6 +2022,7 @@ QUERIES = {
     "q120_iceberg_deletes_scan": q120_iceberg_deletes_scan,
     "q121_image_pixel_decode": q121_image_pixel_decode,
     "q122_iceberg_cdc_scan": q122_iceberg_cdc_scan,
+    "q123_iceberg_day_prune_scan": q123_iceberg_day_prune_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -3102,6 +3202,26 @@ ORACLES["q122_iceberg_cdc_scan"] = """
     SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+"""
+
+# q123: the day-window aggregation replayed from the source view with
+# the same data-derived bounds (first day + [2, 6)). The Spark side
+# answers through the day(ts) partition transform + manifest pruning;
+# a wrong day ordinal at write (off-by-one, tz drift, floor-vs-trunc)
+# moves rows into partitions the pruned scan never opens, so the
+# per-day sums mismatch here.
+ORACLES["q123_iceberg_day_prune_scan"] = """
+    WITH b AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0
+      FROM events
+    )
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
+             AS day_ord,
+           count(*)::BIGINT AS n_events,
+           sum(event_id)::BIGINT AS sum_ids
+    FROM events, b
+    WHERE ts >= d0 + INTERVAL 2 DAY AND ts < d0 + INTERVAL 6 DAY
+    GROUP BY day_ord
 """
 
 # q111: each snapshot's added cohort recomputed from the source view

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from archetype_spark.sources import avro_io
+from archetype_spark.sources import avro_io, ice_transforms
 from archetype_spark.sources.delta import _scan_snapshot, _stage_data_files
 
 _SPARK_TO_ICE = {
@@ -66,6 +66,10 @@ _SPARK_TO_ICE = {
     "boolean": "boolean",
     "binary": "binary",
     "date": "date",
+    # Iceberg `timestamp` is timezone-free (Spark TIMESTAMP_NTZ);
+    # `timestamptz` is the instant type (Spark TIMESTAMP)
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
 }
 _ICE_TO_SPARK = {
     "long": "long",
@@ -76,6 +80,8 @@ _ICE_TO_SPARK = {
     "boolean": "boolean",
     "binary": "binary",
     "date": "date",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
 }
 #: avro encoding per iceberg primitive (partition struct fields)
 _ICE_TO_AVRO = {
@@ -138,6 +144,8 @@ def _ice_schema_to_spark(ice: dict) -> StructType:
         StructField,
     )
 
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
     ctors = {
         "long": LongType,
         "int": IntegerType,
@@ -147,6 +155,8 @@ def _ice_schema_to_spark(ice: dict) -> StructType:
         "boolean": BooleanType,
         "binary": BinaryType,
         "date": DateType,
+        "timestamp": TimestampNTZType,
+        "timestamptz": TimestampType,
     }
     fields = []
     for f in ice["fields"]:
@@ -192,18 +202,61 @@ def _publish_metadata(table: str, meta: dict) -> int:
     return new_v
 
 
-def _spec_part_cols(meta: dict) -> list[str]:
+def _spec_fields(meta: dict) -> list[dict]:
+    """The default partition spec resolved against the current
+    schema: [{name, transform, kind, param, source, source_type,
+    result_type}] per spec field. Unknown transforms (incl. `void`)
+    refuse in parse_transform — treating one as identity would prune
+    wrong files."""
     specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
     spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
-    cols = []
+    by_id = {
+        int(f["id"]): f for f in _current_ice_schema(meta)["fields"]
+    }
+    out = []
     for f in spec["fields"]:
-        if f.get("transform", "identity") != "identity":
+        t = f.get("transform", "identity")
+        kind, param = ice_transforms.parse_transform(t)
+        src = by_id.get(int(f.get("source-id", -1)))
+        if src is None:
             raise NotImplementedError(
-                f"partition transform {f['transform']!r} (only identity "
-                "is supported by the protocol-native reader)"
+                f"partition field {f['name']!r} sources dropped column "
+                f"id {f.get('source-id')!r}"
             )
-        cols.append(f["name"])
-    return cols
+        out.append(
+            {
+                "name": f["name"],
+                "transform": t,
+                "kind": kind,
+                "param": param,
+                "source": src["name"],
+                "source_type": src["type"],
+                "result_type": ice_transforms.result_ice_type(
+                    t, src["type"]
+                ),
+            }
+        )
+    return out
+
+
+def _spec_part_cols(meta: dict) -> list[str]:
+    """Spec FIELD names in spec order — the hive-dir / manifest
+    partition-record keys (identity fields: the source column name)."""
+    return [f["name"] for f in _spec_fields(meta)]
+
+
+def _identity_scan_cols(spec_fields: list[dict]) -> list[str]:
+    """The table columns the scan must RECONSTRUCT from partition
+    metadata: identity-partitioned sources are hive-encoded out of
+    the data files; transform-derived values are not table columns
+    (their sources stay in the files)."""
+    return [f["source"] for f in spec_fields if f["kind"] == "identity"]
+
+
+def _part_types(spec_fields: list[dict]) -> dict[str, str]:
+    """{spec field name: result Iceberg type} for the manifest
+    partition record."""
+    return {f["name"]: f["result_type"] for f in spec_fields}
 
 
 def _strip_scheme(p: str) -> str:
@@ -359,19 +412,90 @@ def _live_entries(table: str, snap: dict):
     return data, deletes, eq_deletes
 
 
+def _entry_survives_filter(
+    pv: dict, scan_filter: dict, spec_fields: list[dict]
+) -> bool:
+    """Manifest-level partition pruning: can the data file behind
+    this entry contain rows matching `scan_filter`? Per spec field
+    whose SOURCE column is filtered, map the bound into partition-
+    value space with the transform's Python twin and compare against
+    the entry's recorded value. Unknown (null) partition values keep
+    the file; order-preserving transforms prune ranges, bucket prunes
+    equality only. Conservative by construction — the scan re-applies
+    the full predicate row-level."""
+    for f in spec_fields:
+        flt = scan_filter.get(f["source"])
+        if flt is None:
+            continue
+        raw = pv.get(f["name"])
+        if raw is None:
+            continue
+        tv = lambda v: ice_transforms.transform_value(  # noqa: E731
+            v, f["transform"], f["source_type"]
+        )
+        if isinstance(flt, tuple):
+            if not ice_transforms.is_order_preserving(f["transform"]):
+                continue
+            lo, hi = flt
+            if lo is not None and raw < tv(lo):
+                return False
+            # hi is EXCLUSIVE on rows but transform binning makes the
+            # hi partition value inclusive (rows just under `hi` land
+            # in its bin)
+            if hi is not None and raw > tv(hi):
+                return False
+        elif raw != tv(flt):
+            return False
+    return True
+
+
+def _filter_predicate(scan_filter: dict):
+    """The row-level Column predicate for `scan_filter`: scalar ->
+    equality; (lo, hi) -> lo <= col < hi (half-open; None unbounds a
+    side)."""
+    pred = F.lit(True)
+    for col, flt in scan_filter.items():
+        if isinstance(flt, tuple):
+            lo, hi = flt
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) < F.lit(hi))
+        else:
+            pred = pred & (F.col(col) == F.lit(flt))
+    return pred
+
+
 def _read_snapshot(
     spark: SparkSession,
     table: str,
     meta: dict,
     snap: dict,
     keep_meta: bool = False,
+    scan_filter: dict | None = None,
 ) -> DataFrame:
     """One snapshot as a DataFrame, position AND equality deletes
     applied. With `keep_meta` the `__dv_file`/`__dv_ridx` columns
-    survive (the delete writer's position scan)."""
+    survive (the delete writer's position scan). `scan_filter` (see
+    read_iceberg) prunes manifest entries driver-side AND re-applies
+    the same predicates to the scan — pruning is an optimization,
+    never the correctness boundary."""
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
-    part_cols = _spec_part_cols(meta)
+    spec_fields = _spec_fields(meta)
+    if scan_filter:
+        unknown = set(scan_filter) - set(schema.fieldNames())
+        if unknown:
+            raise ValueError(
+                f"scan_filter column(s) {sorted(unknown)} not in table "
+                f"schema {schema.fieldNames()}"
+            )
     data, deletes, eq_deletes = _live_entries(table, snap)
+    if scan_filter:
+        data = [
+            e
+            for e in data
+            if _entry_survives_filter(e[1], scan_filter, spec_fields)
+        ]
     if not data:
         df = spark.createDataFrame([], schema)
         if keep_meta:
@@ -384,10 +508,12 @@ def _read_snapshot(
         spark,
         os.path.join(table, "data"),
         schema,
-        part_cols,
+        _identity_scan_cols(spec_fields),
         [(p, pv) for p, pv, _rp, _s in data],
         keep_meta=keep,
     )
+    if scan_filter:
+        scan = scan.filter(_filter_predicate(scan_filter))
     seq_df = spark.createDataFrame(
         [(os.path.abspath(p), int(s)) for p, _pv, _rp, s in data],
         "__dv_file string, __data_seq bigint",
@@ -536,14 +662,31 @@ def _apply_equality_deletes(
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    scan_filter: dict | None = None,
 ) -> DataFrame:
     """Read an Iceberg snapshot (current, or `snapshot_id` for time
     travel) without any connector jar — module docstring. Format
     version 2 tables apply POSITION delete files exactly (delete
     manifests walked with sequence-number scoping; positions
     anti-joined on `_metadata.row_index` — the Delta deletion-vector
-    plan shape with parquet positions instead of bitmaps)."""
+    plan shape with parquet positions instead of bitmaps) and
+    EQUALITY delete files (null-safe value anti-join, strict
+    scoping).
+
+    `scan_filter` = {source column: scalar | (lo, hi)} — scalar is
+    equality, the tuple a half-open range (lo <= col < hi, None
+    unbounds a side). Predicates on PARTITION-TRANSFORM source
+    columns prune at the manifest walk — the bound maps through the
+    transform into partition-value space, so a time range over a
+    day(ts)-partitioned table or a key probe over bucket(N, id)
+    skips non-matching files before any parquet is opened: O(manifest
+    KB) planning against a 100 TB table, the spec's whole point. The
+    same predicate is ALWAYS re-applied row-level on the scan, so
+    pruning can only skip files that cannot match, never change the
+    answer."""
     table = os.path.abspath(path)
     meta = _load_metadata(table)
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
@@ -555,7 +698,9 @@ def read_iceberg(
         raise FileNotFoundError(
             f"snapshot {want} not in table {table} (have {sorted(snaps)})"
         )
-    return _read_snapshot(spark, table, meta, snaps[want])
+    return _read_snapshot(
+        spark, table, meta, snaps[want], scan_filter=scan_filter
+    )
 
 
 # ---------------------------------------------------------------------- write
@@ -707,12 +852,64 @@ def _typed_partition(raw: str | None, ice_type: str):
     return raw
 
 
+#: Iceberg source types each transform kind accepts (creation-time
+#: validation; the Column builders enforce the same sets).
+_TRANSFORM_SOURCES = {
+    "identity": ("long", "int", "string", "boolean", "double", "float"),
+    "year": ("date", "timestamp", "timestamptz"),
+    "month": ("date", "timestamp", "timestamptz"),
+    "day": ("date", "timestamp", "timestamptz"),
+    "hour": ("timestamp", "timestamptz"),
+    "bucket": ("int", "long", "date", "timestamptz"),
+    "truncate": ("int", "long", "string"),
+}
+
+
+def _spec_field_name(source: str, transform: str) -> str:
+    """Engine-conventional derived-field names: ts -> ts_day,
+    id -> id_bucket, v -> v_trunc."""
+    kind, _ = ice_transforms.parse_transform(transform)
+    if kind == "identity":
+        return source
+    return f"{source}_{'trunc' if kind == 'truncate' else kind}"
+
+
+def _stage_spec_files(
+    df: DataFrame, data_root: str, spec_fields: list[dict]
+) -> list[dict]:
+    """Stage data files under the spec's hive layout: identity fields
+    partition by the source column (hive-encoded out of the file
+    content, reconstructed at scan from manifest values); transformed
+    fields partition by a COMPUTED derived column named by the spec
+    field — partitionBy drops the derived value from file content
+    while the source column stays, which is exactly the spec's data
+    layout. Derived values are pure-codegen Column arithmetic
+    (ice_transforms), so a bucketed or day-binned 100 TB ingest pays
+    no Python."""
+    part_cols = []
+    for f in spec_fields:
+        if f["kind"] == "identity":
+            part_cols.append(f["source"])
+            continue
+        if f["name"] in df.columns:
+            raise ValueError(
+                f"derived partition column {f['name']!r} collides with "
+                "a data column"
+            )
+        df = ice_transforms.with_transform_column(
+            df, f["name"], f["source"], f["transform"], f["source_type"]
+        )
+        part_cols.append(f["name"])
+    return _stage_data_files(df, data_root, part_cols)
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: Sequence[str] | None = None,
     properties_update: dict[str, str] | None = None,
+    partition_transforms: dict[str, str] | None = None,
 ) -> None:
     """Append/overwrite a DataFrame as one Iceberg v1 snapshot
     (single-writer; module docstring). `properties_update` merges
@@ -720,12 +917,27 @@ def write_iceberg(
     the snapshot — one atomic version-hint commit carries both, which
     is what makes the streaming sink's high-water mark exactly-once
     (properties live in current metadata, immune to snapshot
-    expiry, unlike summary stamps on expirable snapshots)."""
+    expiry, unlike summary stamps on expirable snapshots).
+
+    `partition_transforms` maps a `partition_by` SOURCE column to a
+    spec transform ('year'/'month'/'day'/'hour'/'bucket[N]'/
+    'truncate[W]'; absent = identity): `partition_by=["ts"],
+    partition_transforms={"ts": "day"}` creates the spec field
+    `day(ts)` — the layout whose manifest values let
+    read_iceberg(scan_filter=...) prune a time range without opening
+    a file. Appends must repeat (or omit) the logged spec."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     table = os.path.abspath(path)
     prev_v = _current_metadata_version(table)
     part_cols = list(partition_by or [])
+    transforms = dict(partition_transforms or {})
+    unknown_t = set(transforms) - set(part_cols)
+    if unknown_t:
+        raise ValueError(
+            f"partition_transforms for column(s) {sorted(unknown_t)} "
+            f"absent from partition_by {part_cols}"
+        )
 
     if prev_v is None:
         for f in df.schema.fields:
@@ -735,16 +947,16 @@ def write_iceberg(
                     f"{f.dataType.simpleString()!r} has no Iceberg v1 "
                     "mapping here"
                 )
-            if (
-                f.name in part_cols
-                and _SPARK_TO_ICE[f.dataType.simpleString()]
-                not in ("long", "int", "string", "boolean", "double", "float")
-            ):
-                raise NotImplementedError(
-                    f"partition column {f.name}: type "
-                    f"{f.dataType.simpleString()!r} not supported for "
-                    "identity partitioning here"
-                )
+            if f.name in part_cols:
+                t = transforms.get(f.name, "identity")
+                kind, _p = ice_transforms.parse_transform(t)
+                ice_t = _SPARK_TO_ICE[f.dataType.simpleString()]
+                if ice_t not in _TRANSFORM_SOURCES[kind]:
+                    raise NotImplementedError(
+                        f"partition column {f.name}: transform {t!r} "
+                        f"over type {f.dataType.simpleString()!r} is not "
+                        "supported here"
+                    )
         ice_fields = [
             {
                 "id": i + 1,
@@ -768,8 +980,8 @@ def write_iceberg(
             "current-schema-id": 0,
             "partition-spec": [
                 {
-                    "name": c,
-                    "transform": "identity",
+                    "name": _spec_field_name(c, transforms.get(c, "identity")),
+                    "transform": transforms.get(c, "identity"),
                     "source-id": field_ids[c],
                     "field-id": 1000 + i,
                 }
@@ -780,8 +992,10 @@ def write_iceberg(
                     "spec-id": 0,
                     "fields": [
                         {
-                            "name": c,
-                            "transform": "identity",
+                            "name": _spec_field_name(
+                                c, transforms.get(c, "identity")
+                            ),
+                            "transform": transforms.get(c, "identity"),
                             "source-id": field_ids[c],
                             "field-id": 1000 + i,
                         }
@@ -797,12 +1011,14 @@ def write_iceberg(
         }
     else:
         meta = _load_metadata(table)
-        logged = _spec_part_cols(meta)
-        if part_cols and part_cols != logged:
+        logged = [
+            (f["source"], f["transform"]) for f in _spec_fields(meta)
+        ]
+        given = [(c, transforms.get(c, "identity")) for c in part_cols]
+        if part_cols and given != logged:
             raise ValueError(
-                f"partition_by {part_cols} != table partitioning {logged}"
+                f"partition spec {given} != table partitioning {logged}"
             )
-        part_cols = logged
         logged_schema = _ice_schema_to_spark(_current_ice_schema(meta))
         have = sorted(
             (f.name, f.dataType.simpleString()) for f in df.schema.fields
@@ -816,11 +1032,11 @@ def write_iceberg(
                 f"{df.schema.simpleString()} into {logged_schema.simpleString()}"
             )
 
-    ice_types = {
-        f["name"]: f["type"] for f in _current_ice_schema(meta)["fields"]
-    }
+    spec_fields = _spec_fields(meta)
+    part_cols = [f["name"] for f in spec_fields]
+    part_types = _part_types(spec_fields)
     data_root = os.path.join(table, "data")
-    staged = _stage_data_files(df, data_root, part_cols)
+    staged = _stage_spec_files(df, data_root, spec_fields)
 
     # max+1, NOT count+1: after expire_snapshots a count-based id
     # would collide with a retained snapshot (silent data loss via
@@ -844,7 +1060,7 @@ def write_iceberg(
             "file_format": "PARQUET",
             "partition": {
                 c: _typed_partition(
-                    f["partition_values"].get(c), ice_types[c]
+                    f["partition_values"].get(c), part_types[c]
                 )
                 for c in part_cols
             },
@@ -860,7 +1076,7 @@ def write_iceberg(
         e["data_file"] = dfile
         entries.append(e)
     avro_io.write_container(
-        manifest_path, _manifest_schema(part_cols, ice_types, fmt), entries
+        manifest_path, _manifest_schema(part_cols, part_types, fmt), entries
     )
 
     manifest_entry = {
@@ -1123,8 +1339,9 @@ def _equality_delta_commit_iceberg(
     ice = _current_ice_schema(meta)
     schema = _ice_schema_to_spark(ice)
     name_to_id = {f["name"]: int(f["id"]) for f in ice["fields"]}
-    ice_types = {f["name"]: f["type"] for f in ice["fields"]}
-    part_cols = _spec_part_cols(meta)
+    spec_fields = _spec_fields(meta)
+    part_cols = [f["name"] for f in spec_fields]
+    part_types = _part_types(spec_fields)
     key_cols = list(keys.columns)
     unknown = [c for c in key_cols if c not in name_to_id]
     if not key_cols or unknown:
@@ -1210,7 +1427,7 @@ def _equality_delta_commit_iceberg(
         man_name = f"manifest-{uuid.uuid4().hex}.avro"
         man_path = os.path.join(mdir, man_name)
         avro_io.write_container(
-            man_path, _manifest_schema(part_cols, ice_types, 2), del_entries
+            man_path, _manifest_schema(part_cols, part_types, 2), del_entries
         )
         new_manifests.append(
             {
@@ -1231,7 +1448,7 @@ def _equality_delta_commit_iceberg(
         )
     if inserts is not None:
         data_entries = []
-        for f in _stage_data_files(inserts, data_root, part_cols):
+        for f in _stage_spec_files(inserts, data_root, spec_fields):
             data_entries.append(
                 {
                     "status": 1,
@@ -1244,7 +1461,7 @@ def _equality_delta_commit_iceberg(
                         "file_format": "PARQUET",
                         "partition": {
                             c: _typed_partition(
-                                f["partition_values"].get(c), ice_types[c]
+                                f["partition_values"].get(c), part_types[c]
                             )
                             for c in part_cols
                         },
@@ -1261,7 +1478,7 @@ def _equality_delta_commit_iceberg(
             dman_path = os.path.join(mdir, dman_name)
             avro_io.write_container(
                 dman_path,
-                _manifest_schema(part_cols, ice_types, 2),
+                _manifest_schema(part_cols, part_types, 2),
                 data_entries,
             )
             new_manifests.append(
@@ -1304,11 +1521,10 @@ def _mask_rows_commit_iceberg(
 
     table = os.path.abspath(path)
     meta = _load_metadata(table)
-    part_cols = _spec_part_cols(meta)
+    spec_fields = _spec_fields(meta)
+    part_cols = [f["name"] for f in spec_fields]
+    part_types = _part_types(spec_fields)
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
-    ice_types = {
-        f["name"]: f["type"] for f in _current_ice_schema(meta)["fields"]
-    }
     rows_key = "rows_deleted" if set_exprs is None else "rows_updated"
     out = {rows_key: 0, "delete_files": 0}
     if set_exprs is not None:
@@ -1340,10 +1556,10 @@ def _mask_rows_commit_iceberg(
             updated = updated.withColumn(
                 col, F.expr(expr).cast(schema[col].dataType)
             )
-        staged = _stage_data_files(
+        staged = _stage_spec_files(
             updated.select(*[f.name for f in schema.fields]),
             os.path.join(table, "data"),
-            part_cols,
+            spec_fields,
         )
     # the delete file must reference data files by their RECORDED
     # manifest path strings (spec rule), grouped by the data file's
@@ -1403,7 +1619,7 @@ def _mask_rows_commit_iceberg(
     manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
     manifest_path = os.path.join(mdir, manifest_name)
     avro_io.write_container(
-        manifest_path, _manifest_schema(part_cols, ice_types, 2), del_entries
+        manifest_path, _manifest_schema(part_cols, part_types, 2), del_entries
     )
     manifest_entry = {
         "manifest_path": f"metadata/{manifest_name}",
@@ -1442,7 +1658,7 @@ def _mask_rows_commit_iceberg(
                         "file_format": "PARQUET",
                         "partition": {
                             c: _typed_partition(
-                                f["partition_values"].get(c), ice_types[c]
+                                f["partition_values"].get(c), part_types[c]
                             )
                             for c in part_cols
                         },
@@ -1456,7 +1672,7 @@ def _mask_rows_commit_iceberg(
         dman_name = f"manifest-{uuid.uuid4().hex}.avro"
         dman_path = os.path.join(mdir, dman_name)
         avro_io.write_container(
-            dman_path, _manifest_schema(part_cols, ice_types, 2), data_entries
+            dman_path, _manifest_schema(part_cols, part_types, 2), data_entries
         )
         new_manifests.append(
             {
@@ -1681,7 +1897,9 @@ def read_iceberg_changes(
     table = os.path.abspath(path)
     meta = _load_metadata(table)
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
-    part_cols = _spec_part_cols(meta)
+    # identity sources reconstruct from partition metadata; transform
+    # sources live in the data files themselves
+    part_cols = _identity_scan_cols(_spec_fields(meta))
     # resolve the range POSITIONALLY over the retained snapshot list:
     # spec-compliant ids are random 64-bit values (only this module's
     # writer uses max+1), so a dense numeric range would be wrong —

@@ -445,3 +445,41 @@ def test_stress_iceberg_cdc_chain(spark, stress_docs, tmp_path):
     assert got.agg(F.sum("n_chars")).first()[0] == exp_sum
     compact_iceberg(spark, t, target_files=8)
     assert count_rows_iceberg(t) == exp_n
+
+
+def test_stress_iceberg_day_partition_prune(spark, stress_docs, tmp_path):
+    """Manifest pruning at 10x: a million-row day(ts)-partitioned
+    table over 40 synthetic days; a 5-day scan_filter window must
+    open ~1/8 of the files and answer exactly."""
+    import datetime
+
+    from archetype_spark.sources import read_iceberg, write_iceberg
+
+    t = str(tmp_path / "t")
+    base = stress_docs.select(
+        F.col("doc_id").alias("event_id"),
+        (
+            F.lit(datetime.datetime(2024, 1, 1))
+            + F.make_interval(hours=(F.col("doc_id") % 960).cast("int"))
+        ).alias("ts"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    write_iceberg(
+        base.repartition(F.to_date("ts")),
+        t,
+        partition_by=["ts"],
+        partition_transforms={"ts": "day"},
+    )
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 15)
+    pruned = read_iceberg(spark, t, scan_filter={"ts": (lo, hi)})
+    exp = base.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).agg(
+        F.count(F.lit(1)), F.sum("event_id"), F.sum("n_chars")
+    ).first()
+    got = pruned.agg(
+        F.count(F.lit(1)), F.sum("event_id"), F.sum("n_chars")
+    ).first()
+    assert tuple(got) == tuple(exp)
+    n_all = len(set(read_iceberg(spark, t).inputFiles()))
+    n_kept = len(set(pruned.inputFiles()))
+    assert n_kept <= n_all * 5 // 40 + 1, (n_kept, n_all)
