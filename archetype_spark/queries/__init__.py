@@ -236,6 +236,11 @@ _MODULES = (
 #       source view) pins next, deferring q93 (green r8/r10; packing
 #       keeps q82 in-window, and the single-green q117/q118 pair
 #       stays inside the 50).
+#       q124 (Delta COLUMN MAPPING mode 'name': partition column
+#       renamed mid-history, post-rename append restaged under
+#       physical names, DV delete on the mapped table, pre-mapping
+#       time travel; static source-view oracle) pins next, deferring
+#       q103 (green r8/r10; sampling keeps q102 in-window).
 #   r12 sketch (execute when CORRECTNESS_r11 lands green): the
 #       longest-deferred cohort is the carried r9 block q80/q81/q83/
 #       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
@@ -275,6 +280,7 @@ _PINNED: tuple[str, ...] = (
     "q121_image_pixel_decode",
     "q122_iceberg_cdc_scan",
     "q123_iceberg_day_prune_scan",
+    "q124_delta_mapped_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -307,6 +313,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q78_mixture_resample",
         "q79_pack_payloads",
         "q93_span_corruption",
+        "q103_quality_tiers",
         # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
         # persisted-IVF stays driver-covered via q72/q96, retrieval

@@ -88,6 +88,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     # build cost belongs in warmup, not measured query time)
     _ensure_delta_documents(spark, sf_dir)
     _ensure_delta_dv_documents(spark, sf_dir)
+    _ensure_delta_mapped_documents(spark, sf_dir)
     _ensure_iceberg_documents(spark, sf_dir)
     _ensure_iceberg_dv_documents(spark, sf_dir)
     _ensure_iceberg_cdc_documents(spark, sf_dir)
@@ -1006,6 +1007,78 @@ def q122_iceberg_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg(read_iceberg(spark, table), "latest")
         .unionByName(agg(read_iceberg(spark, table, first), "v0"))
         .select("snap", "lang", "n_docs", "sum_chars")
+    )
+
+
+def _ensure_delta_mapped_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The COLUMN-MAPPED Delta table q124 scans, with a history that
+    makes every mapping rule load-bearing: ingest the even doc_ids
+    partitioned by lang (v0, physical layout pinned), upgrade to
+    mapping mode 'name' (v1), RENAME THE PARTITION COLUMN lang ->
+    language (v2 — metadata-only: the hive dirs and every committed
+    partitionValues key keep speaking the physical name 'lang'),
+    append the odd cohort under the new logical name (v3 — the writer
+    must restage under physical names or the old and new files
+    diverge), then DELETE WHERE n_chars % 6 = 1 (v4 — deletion
+    vectors over a mapped table). The oracle re-derives latest AND
+    the pre-mapping v0 snapshot from the source documents view."""
+    from archetype_spark.sources import (
+        delete_where_delta,
+        enable_column_mapping_delta,
+        rename_column_delta,
+        write_delta,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        even = base.filter(F.col("doc_id") % 2 == 0)
+        odd = base.filter(F.col("doc_id") % 2 == 1)
+        write_delta(
+            even.repartition("lang"), btable, partition_by=["lang"]
+        )
+        enable_column_mapping_delta(btable)
+        rename_column_delta(btable, "lang", "language")
+        write_delta(
+            odd.withColumnRenamed("lang", "language").repartition(
+                "language"
+            ),
+            btable,
+            mode="append",
+            partition_by=["language"],
+        )
+        delete_where_delta(spark, btable, "n_chars % 6 = 1")
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "delta_mapped_documents", build
+    )
+
+
+def q124_delta_mapped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping end-to-end: per-language count+sum over the
+    latest snapshot of a mapped Delta table (partition column RENAMED
+    mid-history, post-rename append, deletion-vector delete on top)
+    and the pre-mapping v0 time travel (old schema, old column name —
+    aliased to the new one for the union). Wrong physical-name
+    resolution misreads every pre-rename file as NULLs; a
+    partitionValues key under the wrong name breaks the per-language
+    split — both hash-mismatch here."""
+    from archetype_spark.sources import read_delta
+
+    table = _ensure_delta_mapped_documents(spark, sf_dir)
+
+    def agg(df: DataFrame, lang_col: str, snap: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(lang_col).alias("language"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .withColumn("snap", F.lit(snap))
+        )
+
+    return (
+        agg(read_delta(spark, table), "language", "latest")
+        .unionByName(agg(read_delta(spark, table, version=0), "lang", "v0"))
+        .select("snap", "language", "n_docs", "sum_chars")
     )
 
 
@@ -2023,6 +2096,7 @@ QUERIES = {
     "q121_image_pixel_decode": q121_image_pixel_decode,
     "q122_iceberg_cdc_scan": q122_iceberg_cdc_scan,
     "q123_iceberg_day_prune_scan": q123_iceberg_day_prune_scan,
+    "q124_delta_mapped_scan": q124_delta_mapped_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -3222,6 +3296,22 @@ ORACLES["q123_iceberg_day_prune_scan"] = """
     FROM events, b
     WHERE ts >= d0 + INTERVAL 2 DAY AND ts < d0 + INTERVAL 6 DAY
     GROUP BY day_ord
+"""
+
+# q124: the column-mapping history replayed from the source view —
+# latest = all docs minus the DV delete predicate (n_chars % 6 = 1),
+# keyed by the RENAMED partition column; v0 = the pre-mapping even
+# ingest under the OLD name (aliased). A physical-name resolution bug
+# NULLs the pre-rename files; a partitionValues key under the wrong
+# name breaks the per-language split.
+ORACLES["q124_delta_mapped_scan"] = """
+    SELECT 'latest' AS snap, lang AS language, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE n_chars % 6 <> 1 GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snap, lang AS language, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
 """
 
 # q111: each snapshot's added cohort recomputed from the source view

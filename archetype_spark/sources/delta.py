@@ -25,7 +25,13 @@ Scale notes (why this shape survives a real cluster):
   portable-Roaring DV format, read_delta anti-joins each masked
   file's deleted positions on `_metadata.row_index`, and
   delete_where_delta commits row-level DELETEs without rewriting
-  data. Remaining unsupported reader features (column mapping, v2
+  data.
+- Column mapping mode 'name' (legacy reader 2 or the columnMapping
+  table feature) is READ and WRITTEN: scans run under each column's
+  pinned physicalName and rename to the logical view, so
+  rename_column_delta / drop_column_delta are metadata-only commits
+  that never rewrite data (enable_column_mapping_delta upgrades in
+  place). Mode 'id' and remaining unsupported reader features (v2
   checkpoints, ...) raise loudly instead of returning silently wrong
   rows.
 
@@ -116,7 +122,7 @@ def _demap(obj):
 
 
 #: reader features (minReaderVersion=3 tables) this module implements
-_READER_FEATURES = {"deletionVectors"}
+_READER_FEATURES = {"deletionVectors", "columnMapping"}
 
 
 def _snapshot_actions(
@@ -192,13 +198,19 @@ def _snapshot_actions(
     if protocol is not None and int(protocol.get("minReaderVersion", 1)) > 1:
         # Reader version 3 is the table-features protocol: readable
         # exactly when every listed reader feature is implemented
-        # here. deletionVectors is (sources/dv.py); anything else
-        # (column mapping, timestampNtz, v2Checkpoint, ...) still
-        # refuses loudly — silently ignoring an unknown reader
-        # feature is how wrong rows happen.
+        # here — deletionVectors (sources/dv.py) and columnMapping
+        # (name mode, _mapping_info). Version 2 is the legacy
+        # column-mapping protocol: readable exactly when the metadata
+        # declares a mapping mode. Anything else (timestampNtz,
+        # v2Checkpoint, ...) still refuses loudly — silently ignoring
+        # an unknown reader feature is how wrong rows happen.
         feats = set(protocol.get("readerFeatures") or [])
         unsupported = feats - _READER_FEATURES
-        if int(protocol["minReaderVersion"]) != 3 or unsupported:
+        mrv = int(protocol["minReaderVersion"])
+        legacy_cm = mrv == 2 and (
+            (meta or {}).get("configuration") or {}
+        ).get("delta.columnMapping.mode") in ("name", "id")
+        if not legacy_cm and (mrv != 3 or unsupported):
             raise NotImplementedError(
                 f"Delta minReaderVersion={protocol['minReaderVersion']} "
                 f"(readerFeatures={sorted(feats)}) exceeds the "
@@ -215,6 +227,66 @@ def _snapshot_actions(
     if return_protocol:
         return meta, active, txns, protocol
     return meta, active, txns
+
+
+def _mapping_info(meta: dict):
+    """Column-mapping resolution (Delta protocol, "Column Mapping"):
+    -> (mode, logical StructType, physical StructType, logical->
+    physical name dict). Mode 'name' stores each column's PHYSICAL
+    name in the field metadata (`delta.columnMapping.physicalName`);
+    parquet files, add-action partitionValues, and statistics all use
+    physical names, while the logical schema is free to rename
+    without touching a byte of data. Mode 'id' (parquet field-id
+    matching) refuses loudly."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mode = ((meta.get("configuration") or {})).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "none":
+        return mode, schema, schema, {f.name: f.name for f in schema.fields}
+    if mode != "name":
+        raise NotImplementedError(
+            f"Delta column mapping mode {mode!r} (only 'name' is "
+            "supported by the protocol-native reader)"
+        )
+    from pyspark.sql.types import StructField
+
+    l2p, phys = {}, []
+    for f in schema.fields:
+        pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not pn:
+            raise NotImplementedError(
+                f"column {f.name!r} lacks delta.columnMapping."
+                "physicalName under mapping mode 'name'"
+            )
+        l2p[f.name] = pn
+        phys.append(StructField(pn, f.dataType, f.nullable))
+    return mode, schema, StructType(phys), l2p
+
+
+def _physical_read(meta: dict):
+    """What the SCAN must use vs what the USER sees: -> (logical
+    schema, scan schema, physical partition cols, rename selector or
+    None). partitionColumns entries are normalized to physical
+    (tolerating logs that record either side of the mapping)."""
+    mode, logical, physical, l2p = _mapping_info(meta)
+    part_cols = list(meta.get("partitionColumns") or [])
+    if mode == "none":
+        return logical, logical, part_cols, None
+    phys_names = {f.name for f in physical.fields}
+    norm = []
+    for c in part_cols:
+        if c in l2p:
+            norm.append(l2p[c])
+        elif c in phys_names:
+            norm.append(c)
+        else:
+            raise ValueError(
+                f"partition column {c!r} matches neither a logical nor "
+                "a physical column of the mapped schema"
+            )
+    sel = [F.col(l2p[f.name]).alias(f.name) for f in logical.fields]
+    return logical, physical, norm, sel
 
 
 def read_delta(
@@ -250,10 +322,9 @@ def read_delta(
     portable-Roaring DV format) — see _apply_deletion_vectors."""
     table = os.path.abspath(path)
     meta, active, _txns = _snapshot_actions(table, version)
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
+    logical, schema, part_cols, rename = _physical_read(meta)
     if not active:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], logical)
     plain: list[tuple[str, dict]] = []
     masked: list[tuple[tuple[str, dict], dict]] = []
     for add in active.values():
@@ -272,7 +343,10 @@ def read_delta(
         parts.append(
             _apply_deletion_vectors(spark, table, schema, part_cols, masked)
         )
-    return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    # column mapping: the files were scanned under physical names;
+    # hand back the logical view
+    return out.select(*rename) if rename is not None else out
 
 
 def _apply_deletion_vectors(
@@ -348,8 +422,7 @@ def read_delta_changes(
     # drift inside the range is refused at commit time, so one
     # metaData governs every commit in it)
     meta, _active, _txns = _snapshot_actions(table, end)
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
+    logical, schema, part_cols, rename = _physical_read(meta)
 
     per_version: list[DataFrame] = []
     for v in range(starting_version, end + 1):
@@ -401,13 +474,15 @@ def read_delta_changes(
                 "snapshots instead"
             )
         if entries:
+            scan = _scan_snapshot(spark, table, schema, part_cols, entries)
+            if rename is not None:
+                scan = scan.select(*rename)
             per_version.append(
-                _scan_snapshot(spark, table, schema, part_cols, entries)
-                .withColumn("_commit_version", F.lit(v).cast("bigint"))
+                scan.withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
     if not per_version:
         return (
-            spark.createDataFrame([], schema)
+            spark.createDataFrame([], logical)
             .withColumn("_commit_version", F.lit(None).cast("bigint"))
         )
     out = per_version[0]
@@ -646,9 +721,22 @@ def write_delta(
                 f"schema mismatch vs table {table}: writing "
                 f"{df.schema.simpleString()} into {logged_schema.simpleString()}"
             )
+        # column-mapped tables store PHYSICAL names in the parquet
+        # files and in add-action partitionValues (protocol rule);
+        # the caller's frame speaks logical names
+        cm_mode, logical, _phys, l2p = _mapping_info(meta)
+        if cm_mode == "name":
+            df = df.select(
+                *[F.col(f.name).alias(l2p[f.name]) for f in logical.fields]
+            )
+            part_cols_stage = [l2p.get(c, c) for c in part_cols]
+        else:
+            part_cols_stage = part_cols
         actions = []
         version = prev + 1
 
+    if prev is None:
+        part_cols_stage = part_cols
     # stage the data files, then move them under the table root
     adds = [
         {
@@ -658,14 +746,14 @@ def write_delta(
                 # stay 'lang=en/...')
                 "path": urllib.parse.quote(f["rel_path"], safe="/="),
                 "partitionValues": {
-                    c: f["partition_values"].get(c) for c in part_cols
+                    c: f["partition_values"].get(c) for c in part_cols_stage
                 },
                 "size": f["size"],
                 "modificationTime": f["mtime_ms"],
                 "dataChange": True,
             }
         }
-        for f in _stage_data_files(df, table, part_cols)
+        for f in _stage_data_files(df, table, part_cols_stage)
     ]
 
     if mode == "overwrite" and prev is not None:
@@ -745,12 +833,154 @@ def add_column_delta(path: str, name: str, spark_type: str) -> int:
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if name in schema.fieldNames():
         raise ValueError(f"column {name!r} already exists in {table}")
+    new_meta = dict(meta)
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    md = None
+    if mode == "name":
+        # mapped tables: a NEW column gets a fresh field id and a
+        # never-reusable physical name (the spec's rule — reusing a
+        # dropped column's physical name would resurrect its bytes)
+        conf = dict(meta["configuration"])
+        next_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
+        md = {
+            "delta.columnMapping.id": next_id,
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex}",
+        }
+        conf["delta.columnMapping.maxColumnId"] = str(next_id)
+        new_meta["configuration"] = conf
     new_schema = StructType(
         list(schema.fields)
-        + [StructField(name, _parse_datatype_string(spark_type), True)]
+        + [StructField(name, _parse_datatype_string(spark_type), True, md or {})]
     )
-    new_meta = dict(meta)
     new_meta["schemaString"] = new_schema.json()
+    _publish_commit(table, version + 1, [{"metaData": new_meta}])
+    return version + 1
+
+
+def enable_column_mapping_delta(path: str) -> int:
+    """Upgrade a table to column mapping mode 'name' (metadata-only
+    commit): every existing column's physicalName becomes its CURRENT
+    name — so every parquet byte already on disk still matches — and
+    the protocol is raised to the mapping-capable level (legacy
+    reader 2 / writer 5, or the columnMapping feature flags when the
+    table already speaks table-features). From then on the logical
+    schema can rename without rewriting data (`rename_column_delta`)
+    and drop columns without touching files (`drop_column_delta`).
+    Returns the committed version."""
+    from pyspark.sql.types import StructField
+
+    table = os.path.abspath(path)
+    version = _latest_version(table)
+    if version is None:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    meta, _active, _txns, protocol = _snapshot_actions(
+        table, return_protocol=True
+    )
+    conf = dict(meta.get("configuration") or {})
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise ValueError(f"column mapping already enabled on {table}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    fields = []
+    for i, f in enumerate(schema.fields):
+        md = dict(f.metadata or {})
+        md["delta.columnMapping.id"] = i + 1
+        md["delta.columnMapping.physicalName"] = f.name
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(fields).json()
+    new_meta["configuration"] = conf
+    actions: list[dict] = []
+    mrv = int((protocol or {}).get("minReaderVersion", 1))
+    if mrv >= 3:
+        feats = set(protocol.get("readerFeatures") or [])
+        wfeats = set(protocol.get("writerFeatures") or [])
+        if "columnMapping" not in feats:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(feats | {"columnMapping"}),
+                        "writerFeatures": sorted(wfeats | {"columnMapping"}),
+                    }
+                }
+            )
+    elif mrv < 2:
+        actions.append(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        )
+    actions.append({"metaData": new_meta})
+    _publish_commit(table, version + 1, actions)
+    return version + 1
+
+
+def rename_column_delta(path: str, old: str, new: str) -> int:
+    """Rename a column WITHOUT rewriting a byte of data — the whole
+    point of column mapping: only the logical name in the schema
+    changes; the physicalName pinned at upgrade keeps matching every
+    parquet file and every partitionValues key already committed.
+    Metadata-only commit; returns the version."""
+    table = os.path.abspath(path)
+    version = _latest_version(table)
+    if version is None:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    meta, _active, _txns = _snapshot_actions(table)
+    mode, schema, _phys, _l2p = _mapping_info(meta)
+    if mode != "name":
+        raise ValueError(
+            f"rename needs column mapping (run enable_column_mapping_delta "
+            f"first); table {table} has mode {mode!r}"
+        )
+    if old not in schema.fieldNames():
+        raise ValueError(f"no column {old!r} in {schema.fieldNames()}")
+    if new in schema.fieldNames():
+        raise ValueError(f"column {new!r} already exists")
+    from pyspark.sql.types import StructField
+
+    fields = [
+        StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+        for f in schema.fields
+    ]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(fields).json()
+    new_meta["partitionColumns"] = [
+        new if c == old else c for c in (meta.get("partitionColumns") or [])
+    ]
+    _publish_commit(table, version + 1, [{"metaData": new_meta}])
+    return version + 1
+
+
+def drop_column_delta(path: str, name: str) -> int:
+    """Drop a column without rewriting data (column mapping): the
+    field leaves the logical schema; its bytes stay in the files,
+    unread (a later compaction physically sheds them). Partition
+    columns refuse — their values structure the layout. Metadata-only
+    commit; returns the version."""
+    table = os.path.abspath(path)
+    version = _latest_version(table)
+    if version is None:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    meta, _active, _txns = _snapshot_actions(table)
+    mode, schema, _phys, _l2p = _mapping_info(meta)
+    if mode != "name":
+        raise ValueError(
+            f"drop needs column mapping (run enable_column_mapping_delta "
+            f"first); table {table} has mode {mode!r}"
+        )
+    if name not in schema.fieldNames():
+        raise ValueError(f"no column {name!r} in {schema.fieldNames()}")
+    if name in (meta.get("partitionColumns") or []):
+        raise ValueError(f"cannot drop partition column {name!r}")
+    if len(schema.fields) == 1:
+        raise ValueError("cannot drop the last column")
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(
+        [f for f in schema.fields if f.name != name]
+    ).json()
     _publish_commit(table, version + 1, [{"metaData": new_meta}])
     return version + 1
 
@@ -960,17 +1190,17 @@ def _mask_rows_commit(
     meta, active, _txns, protocol = _snapshot_actions(
         table, return_protocol=True
     )
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
+    logical, schema, part_cols, rename = _physical_read(meta)
+    _mode, _logical2, _phys2, l2p = _mapping_info(meta)
     rows_key = "rows_deleted" if set_exprs is None else "rows_updated"
     out = {rows_key: 0, "files_updated": 0, "files_removed": 0}
     if set_exprs is not None:
         out["files_added"] = 0
-        unknown = set(set_exprs) - set(schema.fieldNames())
+        unknown = set(set_exprs) - set(logical.fieldNames())
         if unknown:
             raise ValueError(
                 f"UPDATE sets unknown column(s) {sorted(unknown)}; table "
-                f"has {schema.fieldNames()}"
+                f"has {logical.fieldNames()}"
             )
     if not active:
         return out
@@ -989,6 +1219,9 @@ def _mask_rows_commit(
     scan = _scan_snapshot(
         spark, table, schema, part_cols, entries, keep_meta=True
     )
+    if rename is not None:
+        # logical view for the predicate; the meta columns ride along
+        scan = scan.select(*rename, "__dv_file", "__dv_ridx")
     matched = scan.filter(condition)
     by_file: dict[str, set[int]] = {}
     for r in matched.select("__dv_file", "__dv_ridx").collect():
@@ -1003,10 +1236,15 @@ def _mask_rows_commit(
         updated = matched
         for col, expr in set_exprs.items():
             updated = updated.withColumn(
-                col, F.expr(expr).cast(schema[col].dataType)
+                col, F.expr(expr).cast(logical[col].dataType)
             )
         staged = _stage_data_files(
-            updated.select(*[f.name for f in schema.fields]),
+            updated.select(
+                *[
+                    F.col(f.name).alias(l2p[f.name])
+                    for f in logical.fields
+                ]
+            ),
             table,
             part_cols,
         )

@@ -208,10 +208,10 @@ def test_delta_checkpoint_replay(spark, tmp_path, people):
 
 
 def test_delta_unsupported_features_refused(spark, tmp_path, people):
-    """deletionVectors is implemented now (reader version 3 tables
-    read fine when every listed feature is known); any UNKNOWN
-    feature, and the version-2 column-mapping protocol, still refuse
-    loudly."""
+    """deletionVectors and columnMapping are implemented now (reader
+    version 3 tables read fine when every listed feature is known);
+    any UNKNOWN feature, and the version-2 protocol WITHOUT a
+    declared column-mapping mode, still refuse loudly."""
     t = str(tmp_path / "t")
     write_delta(people, t)
     log = os.path.join(t, "_delta_log", f"{1:020d}.json")
@@ -220,11 +220,11 @@ def test_delta_unsupported_features_refused(spark, tmp_path, people):
             json.dumps(
                 {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                               "readerFeatures": ["deletionVectors",
-                                                 "columnMapping"]}}
+                                                 "v2Checkpoint"]}}
             )
             + "\n"
         )
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta(spark, t)
     with open(log, "w") as fh:
         fh.write(

@@ -1,0 +1,228 @@
+"""Delta column mapping, mode 'name' (sources/delta.py): reads under
+pinned physical names with a logical rename on top, so
+rename_column_delta / drop_column_delta are metadata-only commits
+that never rewrite data. Pins the protocol rules that bite: parquet
+files + add-action partitionValues speak PHYSICAL names, renames keep
+old files readable (incl. renamed partition columns), appends after a
+rename restage under the physical layout, new columns get fresh
+never-reused physical names, and DV row-level deletes compose with
+mapping. Semantics from the PUBLIC Delta protocol ("Column Mapping");
+the capability the reference reads through its deltalake dependency
+(reference pyproject.toml:7-10)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.sources import (
+    add_column_delta,
+    checkpoint_delta,
+    compact_delta,
+    drop_column_delta,
+    enable_column_mapping_delta,
+    read_delta,
+    read_delta_changes,
+    rename_column_delta,
+    write_delta,
+)
+from archetype_spark.sources.delta import _mapping_info, _snapshot_actions
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ann", "us"),
+            (2, "bob", "us"),
+            (3, "cho", "jp"),
+            (4, "dee", "jp"),
+        ],
+        "id long, name string, country string",
+    ).coalesce(1)
+
+
+def _rows(spark, t, version=None):
+    return sorted(tuple(r) for r in read_delta(spark, t, version).collect())
+
+
+def test_enable_rename_read_old_files(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    before = _rows(spark, t)
+    enable_column_mapping_delta(t)
+    # upgrade alone changes nothing visible
+    assert _rows(spark, t) == before
+    rename_column_delta(t, "name", "full_name")
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "full_name", "country"]
+    assert sorted(r["full_name"] for r in got.collect()) == [
+        "ann",
+        "bob",
+        "cho",
+        "dee",
+    ]
+    # zero data rewritten: the original parquet is still the only one
+    files = [
+        n
+        for _r, _d, fs in os.walk(t)
+        for n in fs
+        if n.endswith(".parquet") and "_delta_log" not in _r
+    ]
+    assert len(files) == 1
+    # physicalName stayed pinned to the ORIGINAL name
+    meta, _a, _t = _snapshot_actions(os.path.abspath(t))
+    _mode, _log, _phys, l2p = _mapping_info(meta)
+    assert l2p["full_name"] == "name"
+    # double rename keeps working; time travel shows the OLD schema
+    rename_column_delta(t, "full_name", "nm")
+    assert read_delta(spark, t).columns == ["id", "nm", "country"]
+    assert read_delta(spark, t, version=0).columns == [
+        "id",
+        "name",
+        "country",
+    ]
+
+
+def test_append_after_rename_stages_physical(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t, partition_by=["country"])
+    enable_column_mapping_delta(t)
+    rename_column_delta(t, "country", "nation")
+    more = spark.createDataFrame(
+        [(5, "eve", "de")], "id long, name string, nation string"
+    ).coalesce(1)
+    write_delta(more, t, mode="append", partition_by=["nation"])
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "name", "nation"]
+    assert sorted(r["nation"] for r in got.collect()) == [
+        "de",
+        "jp",
+        "jp",
+        "us",
+        "us",
+    ]
+    # the new add's partitionValues key is the PHYSICAL name
+    meta, active, _t2 = _snapshot_actions(os.path.abspath(t))
+    new_adds = [a for a in active.values() if "de" in str(a)]
+    assert new_adds and list(new_adds[0]["partitionValues"]) == ["country"]
+    # filters on the renamed partition column still prune/answer
+    assert read_delta(spark, t).filter(F.col("nation") == "de").count() == 1
+
+
+def test_add_and_drop_columns_metadata_only(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    enable_column_mapping_delta(t)
+    v = add_column_delta(t, "score", "double")
+    meta, _a, _t2 = _snapshot_actions(os.path.abspath(t), v)
+    _m, _l, _p, l2p = _mapping_info(meta)
+    assert l2p["score"].startswith("col-")  # fresh physical name
+    upd = read_delta(spark, t).withColumn("score", F.lit(1.5))
+    write_delta(upd, t, mode="append")
+    assert read_delta(spark, t).filter("score = 1.5").count() == 4
+    drop_column_delta(t, "name")
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "country", "score"]
+    assert got.count() == 8
+    with pytest.raises(ValueError, match="partition column"):
+        # partition columns refuse to drop
+        t2 = str(tmp_path / "t2")
+        write_delta(people, t2, partition_by=["country"])
+        enable_column_mapping_delta(t2)
+        drop_column_delta(t2, "country")
+
+
+def test_mapping_composes_with_deletion_vectors(spark, tmp_path, people):
+    from archetype_spark.sources import delete_where_delta, update_where_delta
+
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    enable_column_mapping_delta(t)
+    rename_column_delta(t, "country", "nation")
+    out = delete_where_delta(spark, t, "nation = 'us'")
+    assert out["rows_deleted"] == 2
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [3, 4]
+    out2 = update_where_delta(
+        spark, t, "id = 3", {"name": "upper(name)"}
+    )
+    assert out2["rows_updated"] == 1
+    got = {r["id"]: r["name"] for r in read_delta(spark, t).collect()}
+    assert got == {3: "CHO", 4: "dee"}
+    # checkpoint keeps the mapping config; replay-from-checkpoint reads
+    checkpoint_delta(t)
+    assert sorted(got) == sorted(
+        r["id"] for r in read_delta(spark, t).collect()
+    )
+
+
+def test_compaction_and_changes_on_mapped_table(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    enable_column_mapping_delta(t)
+    rename_column_delta(t, "name", "nm")
+    write_delta(
+        read_delta(spark, t).limit(0), t, mode="append"
+    )  # empty commit
+    compact_delta(spark, t, target_files=1)
+    assert read_delta(spark, t).columns == ["id", "nm", "country"]
+    assert read_delta(spark, t).count() == 4
+    # a range ending at the PRE-mapping version speaks that version's
+    # schema; a range ending at latest speaks the renamed one (the
+    # old files read through their pinned physical names either way)
+    ch0 = read_delta_changes(spark, t, 0, 0)
+    assert ch0.columns == ["id", "name", "country", "_commit_version"]
+    assert ch0.count() == 4
+    ch = read_delta_changes(spark, t, 0)
+    assert ch.columns == ["id", "nm", "country", "_commit_version"]
+    assert ch.filter("_commit_version = 0").count() == 4
+
+
+def test_mode_id_and_missing_physical_refuse(spark, tmp_path, people):
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    enable_column_mapping_delta(t)
+    table = os.path.abspath(t)
+    meta, _a, _t2 = _snapshot_actions(table)
+    # flip the mode to 'id' by hand: must refuse loudly
+    from archetype_spark.sources.delta import _publish_commit
+
+    bad = dict(meta)
+    bad["configuration"] = {
+        **meta["configuration"],
+        "delta.columnMapping.mode": "id",
+    }
+    _publish_commit(table, 2, [{"metaData": bad}])
+    with pytest.raises(NotImplementedError, match="mode 'id'"):
+        read_delta(spark, t).count()
+    # strip a physicalName: must refuse, not silently misread
+    sch = json.loads(meta["schemaString"])
+    sch["fields"][0]["metadata"].pop("delta.columnMapping.physicalName")
+    bad2 = dict(meta)
+    bad2["schemaString"] = json.dumps(sch)
+    _publish_commit(table, 3, [{"metaData": bad2}])
+    with pytest.raises(NotImplementedError, match="physicalName"):
+        read_delta(spark, t).count()
+
+
+def test_legacy_reader2_protocol_accepted(spark, tmp_path, people):
+    """A mapped table at the legacy protocol level (minReaderVersion 2,
+    no table features) reads — that is how most existing mapped
+    tables in the wild are stamped."""
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    enable_column_mapping_delta(t)
+    meta, _a, _t2, protocol = _snapshot_actions(
+        os.path.abspath(t), return_protocol=True
+    )
+    assert protocol == {"minReaderVersion": 2, "minWriterVersion": 5}
+    rename_column_delta(t, "id", "pk")
+    assert sorted(r["pk"] for r in read_delta(spark, t).collect()) == [
+        1,
+        2,
+        3,
+        4,
+    ]
