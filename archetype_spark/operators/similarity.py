@@ -1176,3 +1176,85 @@ def ivf_pq_topk(
         .select("vec_id", "rank", "other_vec_id", "dist_micro")
         .orderBy("vec_id", "rank")
     )
+
+
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    cells: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    refine: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_dir: str | None = None,
+) -> DataFrame:
+    """IVF_PQ with an EXACT refinement pass — the production two-stage
+    retrieval shape (Jégou et al. TPAMI'11 §V's re-ranking; Faiss
+    `IndexRefineFlat`): ivf_pq_topk generates `refine * k` candidates
+    per query from the compressed codes (cheap, lossy), then ONLY
+    those candidates are re-scored against their TRUE vectors and the
+    top-k re-ranked on the exact distance. Quantization error can
+    reorder or drop near-boundary neighbors in stage 1; the refine
+    pass restores the true-metric order over everything stage 1
+    surfaced, so recall@k is monotonically >= the unrefined probe's
+    at the cost of reading refine*k full vectors per query — per
+    query O(refine*k*dim) instead of the exact scan's O(n*dim).
+
+    Shape at scale: the rerank joins the candidate list (n_queries *
+    refine*k narrow rows) back to the vector table ON THE ID — two
+    equi-joins that shuffle candidates, never the corpus; the exact
+    distance runs as posexplode + SUM (whole-stage codegen — the
+    zip_with/aggregate formulation evaluates interpreted, the
+    documented SimHash lesson); the final ranking window is bounded
+    at refine*k rows per query, no global sort.
+
+    Exactness: candidates and their ADC ranks are int64-exact
+    (ivf_pq_topk), and the refine distance is the int64 squared L2
+    over the SAME micro-quantized vectors the index was fit from —
+    the SQL oracle replays both stages bit-identically."""
+    from archetype_spark.functions.vectors import micro_quantize
+
+    cand = ivf_pq_topk(
+        emb,
+        cells,
+        codebook,
+        codes,
+        k=k * refine,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        index_dir=index_dir,
+    ).select("vec_id", "other_vec_id")
+    qm = emb.select(
+        F.col(id_col).alias("vec_id"), micro_quantize(vec_col).alias("__qm")
+    )
+    cm = emb.select(
+        F.col(id_col).alias("other_vec_id"),
+        micro_quantize(vec_col).alias("__cm"),
+    )
+    joined = cand.join(qm, "vec_id").join(cm, "other_vec_id")
+    diff = F.col("__x") - F.element_at(F.col("__cm"), F.col("__p") + 1)
+    dist = (
+        joined.select(
+            "vec_id",
+            "other_vec_id",
+            F.posexplode("__qm").alias("__p", "__x"),
+            "__cm",
+        )
+        .select(
+            "vec_id", "other_vec_id", (diff * diff).alias("__d2")
+        )
+        .groupBy("vec_id", "other_vec_id")
+        .agg(F.sum("__d2").cast("bigint").alias("dist_micro"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist_micro"), F.asc("other_vec_id")
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "other_vec_id", "dist_micro")
+        .orderBy("vec_id", "rank")
+    )

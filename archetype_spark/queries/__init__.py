@@ -241,6 +241,10 @@ _MODULES = (
 #       physical names, DV delete on the mapped table, pre-mapping
 #       time travel; static source-view oracle) pins next, deferring
 #       q103 (green r8/r10; sampling keeps q102 in-window).
+#       q125 (IVF_PQ + exact rerank, the two-stage production
+#       retrieval shape over the SAME persisted index as q118;
+#       conditional builder oracle replaying both stages) pins next,
+#       deferring q98 (green r9/r10; minhash keeps q65 in-window).
 #   r12 sketch (execute when CORRECTNESS_r11 lands green): the
 #       longest-deferred cohort is the carried r9 block q80/q81/q83/
 #       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
@@ -281,6 +285,7 @@ _PINNED: tuple[str, ...] = (
     "q122_iceberg_cdc_scan",
     "q123_iceberg_day_prune_scan",
     "q124_delta_mapped_scan",
+    "q125_ivf_pq_rerank",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -313,6 +318,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q78_mixture_resample",
         "q79_pack_payloads",
         "q93_span_corruption",
+        "q98_minhash_containment",
         "q103_quality_tiers",
         # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
@@ -443,6 +449,11 @@ def all_oracles(
     ivfpq = retrieval_q.ivf_pq_oracle(d, require_live_index=require_live_index)
     if ivfpq is not None:
         o["q118_ivf_pq_topk"] = ivfpq
+    ivfpqr = retrieval_q.ivf_pq_oracle(
+        d, require_live_index=require_live_index, rerank=(5, 3)
+    )
+    if ivfpqr is not None:
+        o["q125_ivf_pq_rerank"] = ivfpqr
     mpx = northstar.media_pixels_oracle(d, require_live_index=require_live_index)
     if mpx is not None:
         o["q121_image_pixel_decode"] = mpx

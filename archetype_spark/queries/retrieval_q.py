@@ -1,4 +1,4 @@
-"""Retrieval/tokenization-tier queries (q112-q118), oracle-gated.
+"""Retrieval/tokenization-tier queries (q112-q118, q125), oracle-gated.
 
 q112: BM25 top-20 — corpus-derived query terms (top-5 tokens by
 document frequency, len >= 4), Robertson k1/b scoring in integer
@@ -22,6 +22,10 @@ q118: the composite IVF_PQ probe (q114's 100 TB face): coarse-cell
 probing restricts the residual-ADC scan to n_probe of n_clusters
 cells of the persisted composite index; same conditional-oracle
 pattern, replaying probe-cell choice AND residual ADC in SQL.
+q125: q118 + EXACT REFINEMENT (Faiss IndexRefineFlat shape): stage 1
+surfaces refine*k candidates from the codes, stage 2 re-scores only
+those against the true micro vectors and keeps the exact top-k; the
+oracle replays both stages.
 
 Column-name/type discipline: every aggregate and rank is aliased
 identically here and in the SQL; every cross-engine float is either
@@ -231,6 +235,31 @@ def q118_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q125_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over the SAME persisted IVF_PQ index q118
+    probes: stage 1 surfaces refine*k = 15 candidates per vector from
+    the compressed codes, stage 2 re-scores ONLY those against their
+    true (micro-quantized) vectors and keeps the exact-metric top-5 —
+    the production rerank shape (Faiss IndexRefineFlat) that buys
+    back quantization-error misrankings for O(refine*k*dim) extra
+    reads per query. The oracle replays BOTH stages in pure SQL over
+    the same committed index + embeddings view."""
+    emb = load(spark, sf_dir, "embeddings")
+    cells, codebook, codes = ann_index.ensure_ivf_pq(
+        emb, _ivf_pq_dir(sf_dir), **IVF_PQ_INDEX
+    )
+    return similarity.ivf_pq_rerank_topk(
+        emb,
+        cells,
+        codebook,
+        codes,
+        k=5,
+        refine=3,
+        n_probe=IVF_PQ_N_PROBE,
+        index_dir=_ivf_pq_dir(sf_dir),
+    )
+
+
 def q115_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LEARNED-token budget over the persisted BPE
     artifact (operators/bpe.py): explode words, broadcast-join the
@@ -325,6 +354,7 @@ QUERIES = {
     "q115_bpe_token_counts": q115_bpe_token_counts,
     "q117_hybrid_rrf_bounded": q117_hybrid_rrf_bounded,
     "q118_ivf_pq_topk": q118_ivf_pq_topk,
+    "q125_ivf_pq_rerank": q125_ivf_pq_rerank,
 }
 
 ORACLES = {
@@ -423,7 +453,11 @@ def pq_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
     """
 
 
-def ivf_pq_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+def ivf_pq_oracle(
+    sf_dir: str,
+    require_live_index: bool = True,
+    rerank: tuple[int, int] | None = None,
+) -> str | None:
     """DuckDB SQL replaying q118's two-level probe over the SAME
     persisted composite index: probe-cell choice (n_probe smallest
     int64 micro squared-L2 to the persisted cell centroid_micro, cell
@@ -433,6 +467,9 @@ def ivf_pq_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
     - 2qc - 2qb + 2cb) — every term an exact integer in double (micro
     values <= ~1e6, subspace width 8 => partial sums << 2^53), so
     dist_micro is bit-identical to the Spark kernel's int64 math.
+    With `rerank=(k, refine)` the stage-1 cut widens to refine*k and
+    a refinement block re-scores those candidates on the exact micro
+    squared-L2 between the true vectors (q125's two-stage shape).
     Returns None when the index isn't on disk yet (rows-only degrade,
     the q61/q114 contract)."""
     idx = _ivf_pq_dir(sf_dir)
@@ -452,6 +489,33 @@ def ivf_pq_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
 
     qs = f"p.qm[(b.m*{ds}+1):(b.m*{ds}+{ds})]"
     cs = f"p.cm[(b.m*{ds}+1):(b.m*{ds}+{ds})]"
+    if rerank is None:
+        tail = """
+        SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, dist_micro
+        FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank"""
+    else:
+        k_, refine_ = rerank
+        # stage-2 exact distance between the TRUE micro vectors: the
+        # qq - 2qc + cc expansion keeps every term an exact integer
+        # in double (dim * (≈e6)^2 << 2^53)
+        tail = f""", cand AS (
+          SELECT vec_id, other_vec_id FROM ranked
+          WHERE rnk <= {k_ * refine_}
+        ), exact AS (
+          SELECT c.vec_id, c.other_vec_id,
+                 CAST({dd('q1.qm', 'q1.qm')} - 2 * {dd('q1.qm', 'q2.qm')}
+                      + {dd('q2.qm', 'q2.qm')} AS BIGINT) AS dist_micro
+          FROM cand c
+          JOIN q q1 ON q1.vec_id = c.vec_id
+          JOIN q q2 ON q2.vec_id = c.other_vec_id
+        ), rr AS (
+          SELECT vec_id, other_vec_id, dist_micro,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY dist_micro, other_vec_id) AS rnk
+          FROM exact
+        )
+        SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, dist_micro
+        FROM rr WHERE rnk <= {k_} ORDER BY vec_id, rank"""
     return f"""
         WITH cells AS (
           SELECT CAST(cell AS INT) AS cell,
@@ -499,9 +563,7 @@ def ivf_pq_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                      ORDER BY dist_micro, other_vec_id) AS rnk
           FROM dists
-        )
-        SELECT vec_id, CAST(rnk AS INT) AS rank, other_vec_id, dist_micro
-        FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank
+        ){tail}
     """
 
 

@@ -489,3 +489,45 @@ def test_ivf_pq_foreign_probe_ids_get_full_k(spark, ivf_pq_emb, tmp_path):
     ).collect()
     assert [r["rank"] for r in rows] == [1, 2, 3]
     assert all(r["vec_id"] == 9999 for r in rows)
+
+
+def test_ivf_pq_rerank_restores_true_order(spark, ivf_pq_emb, tmp_path):
+    """The refine pass must (a) return EXACTLY the true-metric top-k
+    of the candidate set stage 1 surfaced (verified against a numpy
+    exact rerank of the same candidates), and (b) never lose recall
+    vs the unrefined probe at the same stage-1 budget."""
+    import numpy as np
+
+    idx = str(tmp_path / "ivf_pq")
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        ivf_pq_emb, idx, n_clusters=4, m=4, n_codes=4, seed=42
+    )
+    k, refine = 2, 3
+    cand = similarity.ivf_pq_topk(
+        ivf_pq_emb, cells, book, codes, k=k * refine, n_probe=2
+    ).collect()
+    got = similarity.ivf_pq_rerank_topk(
+        ivf_pq_emb, cells, book, codes, k=k, refine=refine, n_probe=2
+    ).collect()
+    vecs = {
+        r["vec_id"]: np.round(
+            np.asarray(r["embedding"], dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        for r in ivf_pq_emb.collect()
+    }
+    by_q: dict[int, list[int]] = {}
+    for r in cand:
+        by_q.setdefault(r["vec_id"], []).append(r["other_vec_id"])
+    for q, cands in by_q.items():
+        exact = sorted(
+            (int(((vecs[q] - vecs[c]) ** 2).sum()), c) for c in cands
+        )[:k]
+        mine = [
+            (r["dist_micro"], r["other_vec_id"])
+            for r in got
+            if r["vec_id"] == q
+        ]
+        assert mine == exact, (q, mine, exact)
+    # recall on the planted twins: rerank keeps them at rank 1
+    best = {r["vec_id"]: r["other_vec_id"] for r in got if r["rank"] == 1}
+    assert best.get(0) == 4 and best.get(4) == 0
