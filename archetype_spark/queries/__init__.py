@@ -245,6 +245,11 @@ _MODULES = (
 #       retrieval shape over the SAME persisted index as q118;
 #       conditional builder oracle replaying both stages) pins next,
 #       deferring q98 (green r9/r10; minhash keeps q65 in-window).
+#       q126 (cross-format CDC replication: the q104 Delta history
+#       replayed into an Iceberg mirror via equality-delete upserts
+#       with an exactly-once property mark; static source-view
+#       oracle) pins next, deferring q70 (green r8/r10; curation
+#       keeps q95 in-window).
 #   r12 sketch (execute when CORRECTNESS_r11 lands green): the
 #       longest-deferred cohort is the carried r9 block q80/q81/q83/
 #       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
@@ -286,6 +291,7 @@ _PINNED: tuple[str, ...] = (
     "q123_iceberg_day_prune_scan",
     "q124_delta_mapped_scan",
     "q125_ivf_pq_rerank",
+    "q126_lake_replication",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -320,6 +326,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q93_span_corruption",
         "q98_minhash_containment",
         "q103_quality_tiers",
+        "q70_corpus_curation",
         # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
         # persisted-IVF stays driver-covered via q72/q96, retrieval

@@ -93,6 +93,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_iceberg_dv_documents(spark, sf_dir)
     _ensure_iceberg_cdc_documents(spark, sf_dir)
     _ensure_iceberg_events_days(spark, sf_dir)
+    _ensure_iceberg_mirror_documents(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
     _ensure_delta_evolved(spark, sf_dir)
     _ensure_zorder_lineitem(spark, sf_dir)
@@ -1079,6 +1080,49 @@ def q124_delta_mapped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg(read_delta(spark, table), "language", "latest")
         .unionByName(agg(read_delta(spark, table, version=0), "lang", "v0"))
         .select("snap", "language", "n_docs", "sum_chars")
+    )
+
+
+def _ensure_iceberg_mirror_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The Iceberg MIRROR of the q104 Delta table, built by
+    cross-format CDC replication (sources/replicate.py): the source's
+    three commits (even append, odd append, compaction overwrite)
+    replay through read_delta_changes -> latest-wins -> ONE
+    upsert-by-key v2 snapshot per sync. The overwrite commit re-adds
+    every row, so a latest-wins or equality-delete bug DOUBLES the
+    mirror — q126's per-lang counts catch it in the hash gate."""
+    from archetype_spark.sources.replicate import replicate_delta_to_iceberg
+
+    src = _ensure_delta_documents(spark, sf_dir)
+
+    def build(base: DataFrame, btable: str) -> None:
+        replicate_delta_to_iceberg(spark, src, btable, ["doc_id"])
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "iceberg_mirror_documents", build
+    )
+
+
+def q126_lake_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous lake replication end-to-end: the Delta source's
+    full commit history lands in an Iceberg mirror at O(changes) per
+    sync (CDC out of the Delta log, equality-delete CDC upsert into
+    Iceberg, exactly-once via the mirror's table-property high-water
+    mark); the per-lang aggregate over the MIRROR must equal the
+    source-view recompute. The source history ends in a compaction
+    overwrite that re-adds every row — any duplicate from a broken
+    latest-wins cut or unapplied equality delete doubles a count."""
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    table = _ensure_iceberg_mirror_documents(spark, sf_dir)
+    return (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("lang", "n_docs", "sum_chars")
     )
 
 
@@ -2097,6 +2141,7 @@ QUERIES = {
     "q122_iceberg_cdc_scan": q122_iceberg_cdc_scan,
     "q123_iceberg_day_prune_scan": q123_iceberg_day_prune_scan,
     "q124_delta_mapped_scan": q124_delta_mapped_scan,
+    "q126_lake_replication": q126_lake_replication,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -3312,6 +3357,16 @@ ORACLES["q124_delta_mapped_scan"] = """
     SELECT 'v0' AS snap, lang AS language, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+"""
+
+# q126: the replicated mirror's content recomputed from the source
+# view — the Delta history's final overwrite re-adds every row, so a
+# broken latest-wins cut or an unapplied equality delete doubles
+# every count here.
+ORACLES["q126_lake_replication"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
 """
 
 # q111: each snapshot's added cohort recomputed from the source view

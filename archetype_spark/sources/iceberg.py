@@ -1299,7 +1299,11 @@ def delete_by_key_iceberg(spark: SparkSession, path: str, keys: DataFrame) -> di
 
 
 def upsert_by_key_iceberg(
-    spark: SparkSession, path: str, updates: DataFrame, keys: Sequence[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    properties_update: dict[str, str] | None = None,
 ) -> dict:
     """Streaming-CDC upsert — ONE v2 snapshot holding an equality
     delete on `keys` (the update rows' key values) AND the update
@@ -1313,6 +1317,11 @@ def upsert_by_key_iceberg(
     only MERGE form that stays cheap when 100 TB of table meets a
     KB-scale CDC batch.
 
+    `properties_update` merges into the table properties IN THE SAME
+    metadata commit as the upsert (the write_iceberg convention) —
+    the exactly-once handshake consumers like
+    replicate_delta_to_iceberg use for their high-water marks.
+
     Returns {'delete_files', 'delete_keys', 'files_added',
     'rows_inserted'}."""
     missing = [k for k in keys if k not in updates.columns]
@@ -1322,7 +1331,11 @@ def upsert_by_key_iceberg(
             f"(has {updates.columns})"
         )
     return _equality_delta_commit_iceberg(
-        spark, path, updates.select(*keys), updates
+        spark,
+        path,
+        updates.select(*keys),
+        updates,
+        properties_update=properties_update,
     )
 
 
@@ -1331,10 +1344,26 @@ def _equality_delta_commit_iceberg(
     path: str,
     keys: DataFrame,
     inserts: DataFrame | None,
+    properties_update: dict[str, str] | None = None,
 ) -> dict:
     """Shared engine for delete_by_key_iceberg / upsert_by_key_iceberg
     (see the public faces for semantics)."""
     table = os.path.abspath(path)
+    if _current_metadata_version(table) is None:
+        # table does not exist yet: a delete is a no-op, an upsert
+        # bootstraps the table as a plain create-append
+        out = {"delete_files": 0, "delete_keys": 0}
+        if inserts is not None:
+            write_iceberg(
+                inserts, table, properties_update=properties_update
+            )
+            meta2 = _load_metadata(table)
+            snap2 = {s["snapshot-id"]: s for s in meta2["snapshots"]}[
+                meta2["current-snapshot-id"]
+            ]
+            out["files_added"] = len(_live_entries(table, snap2)[0])
+            out["rows_inserted"] = count_rows_iceberg(table)
+        return out
     meta = _load_metadata(table)
     ice = _current_ice_schema(meta)
     schema = _ice_schema_to_spark(ice)
@@ -1378,7 +1407,12 @@ def _equality_delta_commit_iceberg(
         # empty table: nothing for a delete to hit; an upsert
         # degenerates to a plain append
         if inserts is not None:
-            write_iceberg(inserts, table, mode="append")
+            write_iceberg(
+                inserts,
+                table,
+                mode="append",
+                properties_update=properties_update,
+            )
             meta2 = _load_metadata(table)
             snap2 = {s["snapshot-id"]: s for s in meta2["snapshots"]}[
                 meta2["current-snapshot-id"]
@@ -1498,7 +1532,17 @@ def _equality_delta_commit_iceberg(
                     "min_sequence_number": seq,
                 }
             )
+    if properties_update:
+        props = dict(meta.get("properties") or {})
+        props.update({str(k): str(v) for k, v in properties_update.items()})
+        meta["properties"] = props
     if not new_manifests:
+        if properties_update:
+            # nothing to upsert but a high-water mark to advance: a
+            # metadata-only properties commit keeps the exactly-once
+            # window closed across empty source batches
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            _publish_metadata(table, meta)
         return out
     _commit_row_delta_snapshot(
         table,

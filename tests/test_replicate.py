@@ -1,0 +1,146 @@
+"""Cross-format CDC replication (sources/replicate.py): Delta source
+commits applied to an Iceberg mirror as one equality-delete upsert
+per sync, exactly-once via the mirror's table-property high-water
+mark. Pins: bootstrap, O(changes) incremental sync, idempotent
+re-run, latest-wins across a multi-commit batch, overwrite handling,
+crash-window replay, and the loud refusal on source deletes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.sources import (
+    delete_where_delta,
+    read_iceberg,
+    write_delta,
+)
+from archetype_spark.sources.replicate import (
+    replicate_delta_to_iceberg,
+    replicated_delta_version,
+)
+
+
+@pytest.fixture()
+def src_people(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "ann", 10), (2, "bob", 20)], "id long, name string, v long"
+        ).coalesce(1),
+        src,
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(3, "cho", 30)], "id long, name string, v long"
+        ).coalesce(1),
+        src,
+        mode="append",
+    )
+    return src
+
+
+def _mirror_rows(spark, dst):
+    return sorted(tuple(r) for r in read_iceberg(spark, dst).collect())
+
+
+def test_bootstrap_and_incremental_sync(spark, tmp_path, src_people):
+    dst = str(tmp_path / "dst")
+    out = replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    assert out == {"from_version": 0, "to_version": 1, "rows_applied": 3}
+    assert replicated_delta_version(dst) == 1
+    assert _mirror_rows(spark, dst) == [
+        (1, "ann", 10),
+        (2, "bob", 20),
+        (3, "cho", 30),
+    ]
+    # idempotent: nothing new -> no-op
+    again = replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    assert again["rows_applied"] == 0
+    assert replicated_delta_version(dst) == 1
+    # incremental: one more source commit moves only its rows
+    write_delta(
+        spark.createDataFrame(
+            [(4, "dee", 40)], "id long, name string, v long"
+        ).coalesce(1),
+        src_people,
+        mode="append",
+    )
+    inc = replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    assert inc == {"from_version": 2, "to_version": 2, "rows_applied": 1}
+    assert len(_mirror_rows(spark, dst)) == 4
+
+
+def test_latest_wins_across_commits_and_overwrite(spark, tmp_path, src_people):
+    dst = str(tmp_path / "dst")
+    # commit 2: re-add key 1 with a new value (append-only CDC style)
+    write_delta(
+        spark.createDataFrame(
+            [(1, "ann2", 11)], "id long, name string, v long"
+        ).coalesce(1),
+        src_people,
+        mode="append",
+    )
+    out = replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    assert out["rows_applied"] == 3  # 3 distinct keys, latest rows
+    assert _mirror_rows(spark, dst) == [
+        (1, "ann2", 11),
+        (2, "bob", 20),
+        (3, "cho", 30),
+    ]
+    # overwrite commit: full rewritten set replays as one upsert
+    full = spark.createDataFrame(
+        [(1, "ann3", 12), (2, "bob", 20), (3, "cho", 30)],
+        "id long, name string, v long",
+    ).coalesce(1)
+    write_delta(full, src_people, mode="overwrite")
+    replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    assert _mirror_rows(spark, dst) == [
+        (1, "ann3", 12),
+        (2, "bob", 20),
+        (3, "cho", 30),
+    ]
+
+
+def test_partial_range_then_catchup(spark, tmp_path, src_people):
+    dst = str(tmp_path / "dst")
+    out = replicate_delta_to_iceberg(
+        spark, src_people, dst, ["id"], end_version=0
+    )
+    assert out == {"from_version": 0, "to_version": 0, "rows_applied": 2}
+    assert replicated_delta_version(dst) == 0
+    out2 = replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    assert out2 == {"from_version": 1, "to_version": 1, "rows_applied": 1}
+    assert len(_mirror_rows(spark, dst)) == 3
+
+
+def test_source_deletes_refuse(spark, tmp_path, src_people):
+    dst = str(tmp_path / "dst")
+    replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    delete_where_delta(spark, src_people, "id = 2")
+    with pytest.raises(NotImplementedError):
+        replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    # the refusal left the mark untouched: nothing was applied
+    assert replicated_delta_version(dst) == 1
+    assert len(_mirror_rows(spark, dst)) == 3
+
+
+def test_mirror_history_time_travels_per_sync(spark, tmp_path, src_people):
+    from archetype_spark.sources import snapshots_iceberg
+
+    dst = str(tmp_path / "dst")
+    replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    write_delta(
+        spark.createDataFrame(
+            [(1, "annX", 99)], "id long, name string, v long"
+        ).coalesce(1),
+        src_people,
+        mode="append",
+    )
+    replicate_delta_to_iceberg(spark, src_people, dst, ["id"])
+    snaps = snapshots_iceberg(dst)
+    assert len(snaps) == 2  # one mirror snapshot per sync
+    first = snaps[0]["snapshot-id"]
+    pre = {r["id"]: r["v"] for r in read_iceberg(spark, dst, first).collect()}
+    cur = {r["id"]: r["v"] for r in read_iceberg(spark, dst).collect()}
+    assert pre[1] == 10 and cur[1] == 99
