@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from archetype_spark.operators import image_probe, jpeg_io, png_io
+from archetype_spark.operators import gif_io, image_probe, jpeg_io, png_io
 
 MEDIA_SCHEMA = StructType(
     [
@@ -78,6 +78,7 @@ register_pickle_by_value(sys.modules[__name__])
 register_pickle_by_value(png_io)
 register_pickle_by_value(image_probe)
 register_pickle_by_value(jpeg_io)
+register_pickle_by_value(gif_io)
 
 
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -528,7 +529,8 @@ PIXEL_STATS_SCHEMA = StructType(
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """REAL pixel decode -> per-image stats, dependency-free: P6 PNM,
-    PNG (png_io) and baseline JPEG (jpeg_io) payloads decode to their
+    PNG (png_io), baseline JPEG (jpeg_io) and GIF (gif_io — LZW,
+    palette-mapped RGB) payloads decode to their
     uint8 pixel arrays executor-side (Arrow-batched mapInPandas);
     output (media_id, width, height, n_px, pixel_digest) where the
     digest is sha256 over the row-major pixel BYTES — identical
@@ -545,6 +547,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             px = jpeg_io.jpeg_decode(p)
         elif png_io.png_info(p) is not None:
             px = png_io.png_decode(p)
+        elif p[:6] in (b"GIF87a", b"GIF89a"):
+            px = gif_io.gif_decode(p)
         elif p[:2] in (b"P6", b"P5"):
             hdr = _ppm_header(p)
             if hdr is None:
@@ -560,8 +564,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             px = px.reshape(h0, w0, ch) if ch == 3 else px.reshape(h0, w0)
         else:
             raise NotImplementedError(
-                "image_pixel_stats: payload is not P5/P6 PNM, PNG or "
-                "baseline JPEG (the dependency-free pixel codecs)"
+                "image_pixel_stats: payload is not P5/P6 PNM, PNG, GIF "
+                "or baseline JPEG (the dependency-free pixel codecs)"
             )
         h0, w0 = px.shape[0], px.shape[1]
         return {

@@ -402,7 +402,8 @@ def q100_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ensure_media_pixels(sf_dir: str) -> str:
     """The real-pixel-decode fixture q121 scans: deterministic image
-    FILES (baseline JPEGs incl. a restart-marker one, PNGs, a P6 PNM)
+    FILES (baseline JPEGs incl. a restart-marker one, PNGs, a P6 PNM,
+    and an LZW GIF whose palette-mapped RGB is exact by construction)
     plus a manifest parquet recording each image's GENERATOR-side
     ground truth — dims and the sha256 of the SOURCE pixel array's
     row-major bytes. The JPEGs are piecewise-uniform per 8x8 tile at
@@ -423,7 +424,8 @@ def _ensure_media_pixels(sf_dir: str) -> str:
     from archetype_spark.operators import jpeg_io, png_io
 
     idx = ann_index.default_index_dir(sf_dir, "media_pixels")
-    expect = {"kind": "media_pixels", "schema": 1}
+    # schema 2: + GIF (mid 8, gif_io LZW/palette decode, r11)
+    expect = {"kind": "media_pixels", "schema": 2}
     pfile = os.path.join(idx, "_build_params.json")
     if os.path.exists(pfile):
         try:
@@ -451,7 +453,7 @@ def _ensure_media_pixels(sf_dir: str) -> str:
         return _np.kron(vals, _np.ones((8, 8), dtype=_np.uint8))
 
     try:
-        for mid in range(8):
+        for mid in range(9):
             if mid < 4:  # baseline JPEG, exact by unit-DC-quant tiles
                 px = tile_image(mid, 2 + mid % 3, 3 + mid % 2)
                 payload = jpeg_io.jpeg_encode(
@@ -462,12 +464,20 @@ def _ensure_media_pixels(sf_dir: str) -> str:
                 shape = (11 + mid, 17 + mid, 3) if mid != 6 else (9, 13)
                 px = rng.integers(0, 256, shape, dtype=_np.uint8)
                 payload = png_io.png_encode(px)
-            else:  # P6 PNM
+            elif mid == 7:  # P6 PNM
                 rng = _np.random.default_rng(100 + mid)
                 px = rng.integers(0, 256, (6, 10, 3), dtype=_np.uint8)
                 payload = (
                     b"P6\n10 6\n255\n" + _np.ascontiguousarray(px).tobytes()
                 )
+            else:  # GIF: indexed lossless — palette-mapped RGB exact
+                from archetype_spark.operators import gif_io
+
+                rng = _np.random.default_rng(100 + mid)
+                pal = rng.integers(0, 256, (32, 3), dtype=_np.uint8)
+                gidx = rng.integers(0, 32, (12, 19), dtype=_np.uint8)
+                px = pal[gidx]
+                payload = gif_io.gif_encode(gidx, pal)
             with open(os.path.join(building, f"m{mid:02d}.img"), "wb") as fh:
                 fh.write(payload)
             rows.append(
@@ -498,7 +508,7 @@ def q121_image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-pixel decode, oracle-gated end-to-end: ingest
     the media_pixels fixture files via binaryFile, entropy-decode the
     pixels executor-side (multimodal.image_pixel_stats — baseline
-    JPEG Huffman+IDCT, exact PNG, P6), and emit each image's dims and
+    JPEG Huffman+IDCT, exact PNG, P6, LZW GIF), and emit each image's dims and
     pixel-bytes sha256. The oracle reads the manifest the GENERATOR
     wrote (dims + source-array digests) — the decode must reproduce
     the source pixels bit-exactly to hash-match."""

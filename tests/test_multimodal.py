@@ -232,11 +232,19 @@ def test_image_pixel_stats_container_independent_digest(spark):
     assert out[3]["pixel_digest"] == hashlib.sha256(tiles.tobytes()).hexdigest()
     import pytest as _pytest
 
+    # a format none of the codecs decode refuses, naming them
     bad = spark.createDataFrame(
-        [(9, b"GIF89a\x01\x00\x01\x00")], "media_id long, payload binary"
+        [(9, b"BM\x01\x00\x01\x00")], "media_id long, payload binary"
     )
     with _pytest.raises(Exception, match="pixel codecs"):
         multimodal.image_pixel_stats(bad).collect()
+    # a TRUNCATED GIF reaches the real decoder (r11) and fails loudly
+    # there, never a silent wrong digest
+    tgif = spark.createDataFrame(
+        [(10, b"GIF89a\x01\x00\x01\x00")], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="GIF"):
+        multimodal.image_pixel_stats(tgif).collect()
 
 
 def test_malformed_payloads_degrade_not_crash(spark):
