@@ -1222,6 +1222,19 @@ def _mask_rows_commit(
     if rename is not None:
         # logical view for the predicate; the meta columns ride along
         scan = scan.select(*rename, "__dv_file", "__dv_ridx")
+    if existing:
+        # the raw file scan still CONTAINS previously-deleted rows;
+        # they must not match — an UPDATE whose predicate hits a dead
+        # row would otherwise stage it as a live replacement
+        # (resurrection). KB-scale broadcast of the already-deleted
+        # positions, the read path's own anti-join shape.
+        dead = spark.createDataFrame(
+            [(f, int(i)) for f, ids in existing.items() for i in ids],
+            "__dv_file string, __dv_ridx bigint",
+        )
+        scan = scan.join(
+            F.broadcast(dead), ["__dv_file", "__dv_ridx"], "left_anti"
+        )
     matched = scan.filter(condition)
     by_file: dict[str, set[int]] = {}
     for r in matched.select("__dv_file", "__dv_ridx").collect():

@@ -260,3 +260,30 @@ def test_compact_materializes_deletes(spark, tmp_path, people):
     _meta, active, _ = _snapshot_actions(t)
     assert all(not add.get("deletionVector") for add in active.values())
     assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [3, 4]
+
+
+def test_update_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
+    """Regression (found r11): the mask scan reads raw files, so an
+    UPDATE whose predicate also matches a previously-DV-deleted row
+    staged that dead row as a live replacement. The already-deleted
+    positions must be anti-joined out before the predicate."""
+    from archetype_spark.sources import (
+        delete_where_delta,
+        read_delta,
+        update_where_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us"), (2, "us"), (3, "jp")], "id long, c string"
+    ).coalesce(1)
+    write_delta(df, t)
+    delete_where_delta(spark, t, "id = 1")
+    out = update_where_delta(spark, t, "c = 'us'", {"c": "'uk'"})
+    assert out["rows_updated"] == 1  # only the LIVE us-row
+    rows = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    assert rows == [(2, "uk"), (3, "jp")]
+    # and a second DELETE over the same predicate stays a no-op
+    again = delete_where_delta(spark, t, "id = 1")
+    assert again["rows_deleted"] == 0
