@@ -250,6 +250,13 @@ _MODULES = (
 #       with an exactly-once property mark; static source-view
 #       oracle) pins next, deferring q70 (green r8/r10; curation
 #       keeps q95 in-window).
+#       q127 (Delta CHANGE DATA FEED read: derived inserts +
+#       _change_data deletes/update images, with the delete/update
+#       predicate overlap pinning the r11 resurrection fix in the
+#       hash gate) and q128 (delete-PROPAGATING replication of the
+#       CDF source into an Iceberg mirror) pin next, deferring
+#       q01/q02 (green r10; the relational family is amply covered
+#       by this round's q03-q16 pins).
 #   r12 sketch (execute when CORRECTNESS_r11 lands green): the
 #       longest-deferred cohort is the carried r9 block q80/q81/q83/
 #       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
@@ -292,6 +299,8 @@ _PINNED: tuple[str, ...] = (
     "q124_delta_mapped_scan",
     "q125_ivf_pq_rerank",
     "q126_lake_replication",
+    "q127_delta_cdf_scan",
+    "q128_cdf_mirror_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -327,6 +336,8 @@ _DEFERRED: frozenset[str] = frozenset(
         "q98_minhash_containment",
         "q103_quality_tiers",
         "q70_corpus_curation",
+        "q01_scan_filter_project",
+        "q02_in_list",
         # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
         # persisted-IVF stays driver-covered via q72/q96, retrieval

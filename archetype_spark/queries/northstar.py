@@ -94,6 +94,8 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_iceberg_cdc_documents(spark, sf_dir)
     _ensure_iceberg_events_days(spark, sf_dir)
     _ensure_iceberg_mirror_documents(spark, sf_dir)
+    _ensure_delta_cdf_documents(spark, sf_dir)
+    _ensure_iceberg_cdf_mirror(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
     _ensure_delta_evolved(spark, sf_dir)
     _ensure_zorder_lineitem(spark, sf_dir)
@@ -1136,6 +1138,95 @@ def q126_lake_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
+    ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
+    n_chars % 7 = 3 (v2 — the deleted rows land in _change_data as
+    'delete' rows), UPDATE lang='xx' WHERE n_chars % 11 = 5 (v3 —
+    pre+post images). The update's predicate OVERLAPS the delete's
+    (rows with both residues), which makes the r11 resurrection fix
+    oracle-gated: a mask scan that still matched dead rows would
+    inflate the v3 image counts by exactly that overlap."""
+    from archetype_spark.sources import (
+        delete_where_delta,
+        update_where_delta,
+        write_delta,
+    )
+    from archetype_spark.sources.delta import enable_cdf_delta
+
+    def build(base: DataFrame, btable: str) -> None:
+        write_delta(base.repartition("lang"), btable, partition_by=["lang"])
+        enable_cdf_delta(btable)
+        delete_where_delta(spark, btable, "n_chars % 7 = 3")
+        update_where_delta(
+            spark, btable, "n_chars % 11 = 5", {"lang": "'xx'"}
+        )
+
+    return _ensure_lake_documents(spark, sf_dir, "delta_cdf_documents", build)
+
+
+def q127_delta_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Change Data Feed read end-to-end: every change the table's
+    history made, aggregated per (commit, change type) — inserts
+    derived from the ingest's add actions, deletes and update
+    pre/post images served from the _change_data files the mutation
+    commits wrote. The oracle re-derives each cohort from the source
+    documents view with the fixture's own predicates; the overlap
+    between the delete and update predicates pins that dead rows
+    never re-enter a change set."""
+    from archetype_spark.sources.delta import read_delta_cdf
+
+    table = _ensure_delta_cdf_documents(spark, sf_dir)
+    return (
+        read_delta_cdf(spark, table, 0)
+        .groupBy(
+            F.col("_commit_version").alias("commit_v"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("commit_v", "change_type", "n_rows", "sum_chars")
+    )
+
+
+def _ensure_iceberg_cdf_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """The Iceberg mirror of the CDF table, q128: replication with
+    DELETE PROPAGATION — the CDF source's delete and update commits
+    apply to the mirror as one equality-delete + upsert snapshot."""
+    from archetype_spark.sources.replicate import replicate_delta_to_iceberg
+
+    src = _ensure_delta_cdf_documents(spark, sf_dir)
+
+    def build(base: DataFrame, btable: str) -> None:
+        replicate_delta_to_iceberg(spark, src, btable, ["doc_id"])
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "iceberg_cdf_mirror_documents", build
+    )
+
+
+def q128_cdf_mirror_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-propagating heterogeneous replication end-to-end: the
+    mirror must hold EXACTLY the CDF source's final state — corpus
+    minus the deleted residue class, the updated rows re-langed, no
+    duplicates and no resurrections — recomputed by the oracle from
+    the source view. The mirror answers per-lang count+sum."""
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    table = _ensure_iceberg_cdf_mirror(spark, sf_dir)
+    return (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("lang", "n_docs", "sum_chars")
+    )
+
+
 def _ensure_iceberg_events_days(spark: SparkSession, sf_dir: str) -> str:
     """The day(ts)-PARTITION-TRANSFORMED Iceberg table q123 scans:
     events written through spec field day(ts) (Iceberg partition
@@ -2152,6 +2243,8 @@ QUERIES = {
     "q123_iceberg_day_prune_scan": q123_iceberg_day_prune_scan,
     "q124_delta_mapped_scan": q124_delta_mapped_scan,
     "q126_lake_replication": q126_lake_replication,
+    "q127_delta_cdf_scan": q127_delta_cdf_scan,
+    "q128_cdf_mirror_scan": q128_cdf_mirror_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -3377,6 +3470,41 @@ ORACLES["q126_lake_replication"] = """
     SELECT lang, count(*)::BIGINT AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang
+"""
+
+# q127: each CDF cohort recomputed from the source view with the
+# fixture's predicates — v0 inserts = the corpus; v2 deletes =
+# n_chars%7=3; v3 pre/post images = n_chars%11=5 MINUS the rows v2
+# already deleted (the resurrection-fix pin: a mask scan matching
+# dead rows inflates both image cohorts by the residue overlap).
+ORACLES["q127_delta_cdf_scan"] = """
+    SELECT 0::BIGINT AS commit_v, 'insert' AS change_type,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents
+    UNION ALL
+    SELECT 2::BIGINT, 'delete', count(*)::BIGINT,
+           CAST(sum(length(text)) AS BIGINT)
+    FROM documents WHERE length(text) % 7 = 3
+    UNION ALL
+    SELECT 3::BIGINT, 'update_preimage', count(*)::BIGINT,
+           CAST(sum(length(text)) AS BIGINT)
+    FROM documents WHERE length(text) % 11 = 5 AND length(text) % 7 <> 3
+    UNION ALL
+    SELECT 3::BIGINT, 'update_postimage', count(*)::BIGINT,
+           CAST(sum(length(text)) AS BIGINT)
+    FROM documents WHERE length(text) % 11 = 5 AND length(text) % 7 <> 3
+"""
+
+# q128: the mirror's final state from the source view — corpus minus
+# the deleted residue, updated rows re-langed; a resurrection,
+# duplicate, or unpropagated delete breaks a per-lang sum.
+ORACLES["q128_cdf_mirror_scan"] = """
+    SELECT CASE WHEN length(text) % 11 = 5 THEN 'xx' ELSE lang END AS lang,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE length(text) % 7 <> 3
+    GROUP BY 1
 """
 
 # q111: each snapshot's added cohort recomputed from the source view

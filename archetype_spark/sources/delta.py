@@ -985,6 +985,181 @@ def drop_column_delta(path: str, name: str) -> int:
     return version + 1
 
 
+def enable_cdf_delta(path: str) -> int:
+    """Turn on the Change Data Feed (metadata-only commit): sets the
+    delta.enableChangeDataFeed table property and raises the writer
+    protocol to the CDF-capable level (legacy minWriterVersion 4, or
+    the changeDataFeed writer feature on table-features tables). From
+    the NEXT commit on, DELETE/UPDATE statements write their touched
+    rows into _change_data/ files and read_delta_cdf can serve
+    row-level changes — including deletes — instead of refusing.
+    Returns the committed version."""
+    table = os.path.abspath(path)
+    version = _latest_version(table)
+    if version is None:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    meta, _active, _txns, protocol = _snapshot_actions(
+        table, return_protocol=True
+    )
+    conf = dict(meta.get("configuration") or {})
+    if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        raise ValueError(f"Change Data Feed already enabled on {table}")
+    conf["delta.enableChangeDataFeed"] = "true"
+    new_meta = dict(meta)
+    new_meta["configuration"] = conf
+    actions: list[dict] = []
+    p = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mwv = int(p.get("minWriterVersion", 2))
+    if mwv >= 7:
+        wfeats = set(p.get("writerFeatures") or [])
+        if "changeDataFeed" not in wfeats:
+            actions.append(
+                {
+                    "protocol": {
+                        **p,
+                        "writerFeatures": sorted(
+                            wfeats | {"changeDataFeed"}
+                        ),
+                    }
+                }
+            )
+    elif mwv < 4:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": int(p.get("minReaderVersion", 1)),
+                    "minWriterVersion": 4,
+                }
+            }
+        )
+    actions.append({"metaData": new_meta})
+    _publish_commit(table, version + 1, actions)
+    return version + 1
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE read — the Change Data Feed consumer: every
+    change each commit in the range made, as table columns plus
+    `_change_type` ('insert' | 'delete' | 'update_preimage' |
+    'update_postimage') and `_commit_version`. Commits that wrote
+    change-data files (DELETE/UPDATE under the CDF property) serve
+    them verbatim; plain append commits derive their rows as inserts
+    from the add actions (the protocol's rule — blind appends need no
+    change files); a commit that REMOVES rows without change files
+    (mutations from before enable_cdf_delta) refuses loudly — there
+    is nothing on disk that can say WHICH rows died.
+
+    This is what lifts read_delta_changes' adds-only limit: CDC
+    consumers (replicate_delta_to_iceberg among them) get deletes and
+    update pre/post images at O(changes) cost."""
+    table = os.path.abspath(path)
+    latest = _latest_version(table)
+    if latest is None:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    end = latest if ending_version is None else ending_version
+    if not 0 <= starting_version <= end <= latest:
+        raise ValueError(
+            f"bad version range [{starting_version}, {end}] for table "
+            f"at version {latest}"
+        )
+    meta, _active, _txns = _snapshot_actions(table, end)
+    logical, schema, part_cols, rename = _physical_read(meta)
+    from pyspark.sql.types import StringType, StructField
+
+    cdc_schema = StructType(
+        list(schema.fields) + [StructField("_change_type", StringType(), False)]
+    )
+    out_cols = [f.name for f in logical.fields] + ["_change_type"]
+    per_version: list[DataFrame] = []
+    for v in range(starting_version, end + 1):
+        p = _commit_path(table, v)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"commit {v} missing from {table} (log cleaned?): "
+                "CDF read cannot skip versions"
+            )
+        adds, cdcs = [], []
+        removed_data = dv_add = False
+        with open(p) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                add = action.get("add")
+                rm = action.get("remove")
+                cdc = action.get("cdc")
+                if cdc:
+                    cdcs.append(
+                        (
+                            os.path.join(
+                                table, urllib.parse.unquote(cdc["path"])
+                            ),
+                            cdc.get("partitionValues") or {},
+                        )
+                    )
+                if rm and rm.get("dataChange", True):
+                    removed_data = True
+                if add and add.get("deletionVector"):
+                    dv_add = True
+                if add and add.get("dataChange", True):
+                    adds.append(
+                        (
+                            os.path.join(
+                                table, urllib.parse.unquote(add["path"])
+                            ),
+                            add.get("partitionValues") or {},
+                        )
+                    )
+        if cdcs:
+            scan = _scan_snapshot(
+                spark,
+                os.path.join(table, "_change_data"),
+                cdc_schema,
+                part_cols,
+                cdcs,
+            )
+            if rename is not None:
+                scan = scan.select(*rename, "_change_type")
+            per_version.append(
+                scan.select(*out_cols).withColumn(
+                    "_commit_version", F.lit(v).cast("bigint")
+                )
+            )
+            continue
+        if removed_data or dv_add:
+            raise NotImplementedError(
+                f"commit {v} changes rows without change-data files "
+                "(mutation from before enable_cdf_delta): the CDF read "
+                "cannot reconstruct which rows changed; read full "
+                "snapshots instead"
+            )
+        if adds:
+            scan = _scan_snapshot(spark, table, schema, part_cols, adds)
+            if rename is not None:
+                scan = scan.select(*rename)
+            per_version.append(
+                scan.withColumn("_change_type", F.lit("insert"))
+                .select(*out_cols)
+                .withColumn("_commit_version", F.lit(v).cast("bigint"))
+            )
+    if not per_version:
+        return (
+            spark.createDataFrame([], logical)
+            .withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("bigint"))
+        )
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def last_txn_version(path: str, app_id: str) -> int | None:
     """The highest `txn` version this app has committed to the table
     (None for a fresh table or unseen app) — the streaming sink's
@@ -1262,7 +1437,56 @@ def _mask_rows_commit(
             part_cols,
         )
 
-    actions: list[dict] = []
+    # Change Data Feed (protocol "Add CDC File"): when the table
+    # property is on, every row this statement touches lands in
+    # _change_data/ parquet carrying _change_type — DELETE writes the
+    # removed rows as 'delete'; UPDATE writes 'update_preimage' +
+    # 'update_postimage'. CDF readers consume these instead of
+    # reverse-engineering the DV diff; the files are dataChange=false
+    # (snapshot readers never see them).
+    cdc_actions: list[dict] = []
+    if (
+        str((meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed", ""
+        )).lower()
+        == "true"
+    ):
+        pre = matched.select(
+            *[F.col(f.name) for f in logical.fields]
+        ).withColumn(
+            "_change_type",
+            F.lit("delete" if set_exprs is None else "update_preimage"),
+        )
+        changes = pre
+        if set_exprs is not None:
+            changes = pre.unionByName(
+                updated.select(
+                    *[F.col(f.name) for f in logical.fields]
+                ).withColumn("_change_type", F.lit("update_postimage"))
+            )
+        changes = changes.select(
+            *[F.col(f.name).alias(l2p[f.name]) for f in logical.fields],
+            "_change_type",
+        )
+        for f in _stage_data_files(
+            changes, os.path.join(table, "_change_data"), part_cols
+        ):
+            cdc_actions.append(
+                {
+                    "cdc": {
+                        "path": "_change_data/"
+                        + urllib.parse.quote(f["rel_path"], safe="/="),
+                        "partitionValues": {
+                            c: f["partition_values"].get(c)
+                            for c in part_cols
+                        },
+                        "size": f["size"],
+                        "dataChange": False,
+                    }
+                }
+            )
+
+    actions: list[dict] = cdc_actions
     feats = set((protocol or {}).get("readerFeatures") or [])
     if (
         protocol is None
@@ -1479,6 +1703,26 @@ def vacuum_delta(path: str, clean_log: bool = False) -> dict:
     keep = {
         os.path.normpath(urllib.parse.unquote(p)) for p in active
     }
+    # change-data files are referenced by cdc actions in the commit
+    # JSONs, never by the active add set: keep every one a RETAINED
+    # commit names (clean_log dropping old commits is what retires
+    # them — the protocol's own CDF retention coupling)
+    log_dir_path = os.path.join(table, _LOG_DIR)
+    for name in os.listdir(log_dir_path):
+        if not (name.endswith(".json") and name[:20].isdigit()):
+            continue
+        with open(os.path.join(log_dir_path, name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    keep.add(
+                        os.path.normpath(
+                            urllib.parse.unquote(action["cdc"]["path"])
+                        )
+                    )
     # deletion-vector files referenced by the ACTIVE adds stay; stale
     # ones (replaced by a later delete, or tombstoned with their file)
     # are unreferenced metadata and vacuum like data files

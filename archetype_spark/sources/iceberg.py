@@ -1339,6 +1339,37 @@ def upsert_by_key_iceberg(
     )
 
 
+def apply_cdc_iceberg(
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    upserts: DataFrame,
+    keys: Sequence[str],
+    properties_update: dict[str, str] | None = None,
+) -> dict:
+    """Apply one CDC batch — deletes AND upserts — as ONE v2 snapshot:
+    the equality-delete file covers every key in `deletes` (a key-only
+    frame) plus every upsert key; the upsert rows land as data files
+    at the same sequence number (strict scoping shields them from
+    their own delete). The one-commit shape is what makes a mixed
+    batch atomic: no reader ever sees the deletes applied without the
+    inserts or vice versa. `properties_update` rides the same commit
+    (exactly-once high-water marks). Returns the upsert engine's
+    counts; `delete_keys` counts the UNION of deleted and upserted
+    keys (what the delete file physically holds)."""
+    missing = [k for k in keys if k not in upserts.columns]
+    missing_d = [k for k in keys if k not in deletes.columns]
+    if missing or missing_d:
+        raise ValueError(
+            f"CDC keys {missing or missing_d} absent from the "
+            f"{'upserts' if missing else 'deletes'} frame"
+        )
+    del_keys = upserts.select(*keys).unionByName(deletes.select(*keys))
+    return _equality_delta_commit_iceberg(
+        spark, path, del_keys, upserts, properties_update=properties_update
+    )
+
+
 def _equality_delta_commit_iceberg(
     spark: SparkSession,
     path: str,

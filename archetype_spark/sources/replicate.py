@@ -4,14 +4,17 @@ The medallion/CDC pattern a heterogeneous lakehouse needs: a Delta
 source keeps committing, an Iceberg mirror follows at O(changes) per
 sync — never O(table). Three existing primitives compose into it:
 
-- `read_delta_changes` resolves exactly the rows each source commit
-  ADDED (O(new data) scan, loud on gaps and on delete commits the
-  adds-only read cannot express);
-- a latest-wins cut per key collapses multi-commit batches so a key
-  rewritten twice in the range lands once, with its newest row;
-- `upsert_by_key_iceberg` applies the batch as ONE v2 row-delta
-  snapshot (equality delete + inserts at one sequence number), with
-  the source version high-water mark written to the mirror's TABLE
+- `read_delta_cdf` resolves every row-level CHANGE each source
+  commit made (O(changes) scan): plain appends derive as inserts,
+  and DELETE/UPDATE commits under the Change Data Feed serve their
+  _change_data files — deletes and update post-images replicate too;
+- a latest-wins cut per key collapses multi-commit batches (commit
+  version, then post-image over pre-image) so a key touched twice in
+  the range lands once, in its newest state;
+- `apply_cdc_iceberg` applies the batch as ONE v2 row-delta snapshot
+  (one equality-delete file covering deleted AND upserted keys, the
+  upsert rows as data files at the same sequence number), with the
+  source version high-water mark written to the mirror's TABLE
   PROPERTIES in the SAME atomic metadata commit — the exactly-once
   handshake: a crashed-and-retried sync re-reads the mark and skips
   everything already applied; there is no window where rows are
@@ -22,10 +25,9 @@ changed rows plus a KB-scale equality-delete file; the mirror's
 history stays time-travelable per sync; compact_iceberg materializes
 the accumulated deletes on maintenance schedule.
 
-Declared limits (loud, inherited from the adds-only changes reader):
-source commits that remove rows (row-level/whole-file DELETE, DV
-rewrites) refuse — replicating deletes needs the Change Data Feed's
-change-data files, which the public log alone does not carry.
+Declared limits (loud, inherited from the CDF reader): source
+commits that mutated rows BEFORE enable_cdf_delta carry no
+change-data files and refuse — nothing on disk says which rows died.
 """
 
 from __future__ import annotations
@@ -36,11 +38,16 @@ from typing import Sequence
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from archetype_spark.sources.delta import _latest_version, read_delta_changes
+from archetype_spark.sources.delta import (
+    _latest_version,
+    _snapshot_actions,
+    read_delta_cdf,
+    read_delta_changes,
+)
 from archetype_spark.sources.iceberg import (
     _current_metadata_version,
     _load_metadata,
-    upsert_by_key_iceberg,
+    apply_cdc_iceberg,
 )
 
 _MARK = "replication.delta.last-version"
@@ -81,25 +88,53 @@ def replicate_delta_to_iceberg(
     out = {"from_version": start, "to_version": end, "rows_applied": 0}
     if start > end:
         return out
-    changes = read_delta_changes(spark, src, start, end)
-    # latest-wins per key across the batch: one surviving row per key
-    # (keyed ties inside ONE commit are a source modeling error —
-    # refuse via the marker column's uniqueness rather than pick
-    # arbitrarily? No: _commit_version ties broken deterministically
-    # is impossible without a row order, so the window keeps the
-    # commit-version order only — same-commit duplicate keys follow
-    # the upsert's own dropDuplicates on the delete side and land
-    # once per (key, batch) on the insert side by this row_number)
-    w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
-    batch = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "_commit_version")
+    meta_src, _active, _txns = _snapshot_actions(src)
+    cdf_on = (
+        str((meta_src.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed", ""
+        )).lower()
+        == "true"
     )
-    res = upsert_by_key_iceberg(
+    if cdf_on:
+        # full-fidelity CDC: deletes and update images replicate
+        changes = read_delta_cdf(spark, src, start, end)
+        # latest-wins per key: newest commit first, and within a
+        # commit the post-image outranks its pre-image, so the rank-1
+        # row is each key's final state in the range
+        pri = F.when(
+            F.col("_change_type") == "update_preimage", 0
+        ).otherwise(1)
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("_commit_version"), F.desc(pri)
+        )
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ups = latest.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type", "_commit_version")
+        gone = latest.filter(F.col("_change_type") == "delete").select(
+            *keys
+        )
+    else:
+        # source without the Change Data Feed: the adds-only reader —
+        # upserts replicate (incl. overwrite rewrites), row deletes
+        # refuse loudly inside read_delta_changes
+        changes = read_delta_changes(spark, src, start, end)
+        w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
+        ups = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "_commit_version")
+        )
+        gone = ups.select(*keys).limit(0)
+    res = apply_cdc_iceberg(
         spark,
         dst,
-        batch,
+        gone,
+        ups,
         list(keys),
         properties_update={_MARK: str(end)},
     )
