@@ -931,3 +931,101 @@ def audio_features(
     return media.select("media_id", payload_col).mapInPandas(
         process, schema=out_schema
     )
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("dominant_bin", IntegerType(), False),
+    ]
+)
+
+
+def audio_spectral(
+    media: DataFrame, frame_size: int = 256, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-level SPECTRAL analysis of 16-bit PCM WAV payloads — the
+    real-DSP tier above audio_features' time-domain energies: mono
+    mixdown, non-overlapping `frame_size` frames (tail samples
+    dropped — n_frames is the floor), one rfft power spectrum per
+    frame (numpy, executor-side), spectra summed over the clip, and
+    the clip's DOMINANT BIN = argmax over the summed spectrum with DC
+    excluded (ties break to the lowest bin). The dominant bin is
+    EXACT for any signal whose strongest component clears the
+    quantization-noise floor (a full-scale sine at bin k carries
+    ~A²N²/4 in bin k vs O(N) noise elsewhere), which is what lets
+    q129's oracle state it ANALYTICALLY — the manifest is derived
+    from the generator's math, never from running this code.
+
+    Arrow-batched mapInPandas; the FFT work is numpy over whole
+    frames, never per-row Python. Output: (media_id, sample_rate,
+    n_frames, dominant_bin)."""
+    if frame_size < 4:
+        raise ValueError(f"frame_size must be >= 4, got {frame_size}")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rates, nfr, dom = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                parsed = _wav_pcm(bytes(payload) if payload is not None else b"")
+                if parsed is None:
+                    raise NotImplementedError(
+                        f"audio_spectral: media {mid} payload is not "
+                        "RIFF/WAVE — only PCM WAV is decodable without "
+                        "codec libraries"
+                    )
+                rate, channels, samples = parsed
+                mono = (
+                    samples.reshape(-1, channels).mean(axis=1)
+                    if channels > 1
+                    else samples.astype(np.float64)
+                )
+                n_frames = mono.size // frame_size
+                if n_frames == 0:
+                    raise ValueError(
+                        f"audio_spectral: media {mid} has {mono.size} "
+                        f"samples, shorter than one {frame_size}-frame"
+                    )
+                frames = mono[: n_frames * frame_size].reshape(
+                    n_frames, frame_size
+                )
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                total = spec.sum(axis=0)
+                ids.append(mid)
+                rates.append(int(rate))
+                nfr.append(int(n_frames))
+                dom.append(int(total[1:].argmax()) + 1)  # DC excluded
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "n_frames": pd.array(nfr, dtype="int32"),
+                    "dominant_bin": pd.array(dom, dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(
+        process, schema=SPECTRAL_SCHEMA
+    )
+
+
+def wav_encode_pcm16(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE container around int16 PCM samples
+    (interleaved when channels > 1) — the fixture generators' tool;
+    round-trips through _wav_pcm exactly."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm

@@ -257,6 +257,10 @@ _MODULES = (
 #       CDF source into an Iceberg mirror) pin next, deferring
 #       q01/q02 (green r10; the relational family is amply covered
 #       by this round's q03-q16 pins).
+#       q129 (frame-level rfft spectral analysis over PCM WAV with an
+#       ANALYTIC manifest oracle — exact-bin sinusoids) pins next,
+#       deferring q100 (green r9/r10; the binaryFile source stays
+#       driver-covered via q121/q129's ingest).
 #   r12 sketch (execute when CORRECTNESS_r11 lands green): the
 #       longest-deferred cohort is the carried r9 block q80/q81/q83/
 #       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
@@ -301,6 +305,7 @@ _PINNED: tuple[str, ...] = (
     "q126_lake_replication",
     "q127_delta_cdf_scan",
     "q128_cdf_mirror_scan",
+    "q129_audio_spectral",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -338,6 +343,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q70_corpus_curation",
         "q01_scan_filter_project",
         "q02_in_list",
+        "q100_binary_ingest",
         # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
         # persisted-IVF stays driver-covered via q72/q96, retrieval
@@ -475,4 +481,7 @@ def all_oracles(
     mpx = northstar.media_pixels_oracle(d, require_live_index=require_live_index)
     if mpx is not None:
         o["q121_image_pixel_decode"] = mpx
+    mau = northstar.media_audio_oracle(d, require_live_index=require_live_index)
+    if mau is not None:
+        o["q129_audio_spectral"] = mau
     return o

@@ -100,6 +100,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_delta_evolved(spark, sf_dir)
     _ensure_zorder_lineitem(spark, sf_dir)
     _ensure_media_pixels(sf_dir)
+    _ensure_media_audio(sf_dir)
 
 
 # ------------------------------------------------------------------- Q29/Q30
@@ -539,6 +540,123 @@ def media_pixels_oracle(sf_dir: str, require_live_index: bool = True) -> str | N
     return f"""
         SELECT media_id, width::INT AS width, height::INT AS height,
                n_px::BIGINT AS n_px, pixel_digest
+        FROM read_parquet('{man}')
+        ORDER BY media_id
+    """
+
+
+def _ensure_media_audio(sf_dir: str) -> str:
+    """The spectral-analysis fixture q129 scans: deterministic 16-bit
+    PCM WAV files — pure sinusoids whose frequency is an EXACT rfft
+    bin of the 256-sample frame (freq = k * sr / 256), so the
+    dominant bin is known ANALYTICALLY: all signal energy lands in
+    bin k; int16 quantization scatters only O(N) noise across the
+    rest vs the tone's ~A²N²/4. The manifest records (sample_rate,
+    n_frames, dominant_bin) from the generator's MATH — the oracle
+    never runs an FFT, so a framing, mixdown, or spectrum bug cannot
+    cancel out. Includes a stereo clip (mixdown preserves the tone)
+    and a ragged-length clip (tail samples dropped: n_frames is the
+    floor). Driver-side build, atomic slot swap."""
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    idx = ann_index.default_index_dir(sf_dir, "media_audio")
+    expect = {"kind": "media_audio", "schema": 1, "frame": 256}
+    pfile = os.path.join(idx, "_build_params.json")
+    if os.path.exists(pfile):
+        try:
+            with open(pfile) as fh:
+                if _json.load(fh) == expect:
+                    return idx
+        except (OSError, ValueError):
+            pass
+    building = os.path.join(
+        os.path.dirname(idx), f".building-{_uuid.uuid4().hex}"
+    )
+    os.makedirs(building, exist_ok=True)
+    rows = []
+    try:
+        sr, n = 8000, 256
+        cases = [  # (bin_k, n_frames, channels, tail_samples)
+            (3, 4, 1, 0),
+            (17, 6, 1, 0),
+            (40, 5, 2, 0),
+            (97, 8, 1, 100),  # ragged tail: dropped by framing
+            (120, 7, 1, 0),
+            (5, 9, 2, 37),
+        ]
+        for mid, (k, nf, ch, tail) in enumerate(cases):
+            t = _np.arange(nf * n + tail)
+            tone = _np.round(
+                12000.0 * _np.sin(2 * _np.pi * k * t / n)
+            ).astype("<i2")
+            pcm = (
+                tone
+                if ch == 1
+                else _np.column_stack([tone, tone]).reshape(-1)
+            )
+            payload = multimodal.wav_encode_pcm16(pcm, sr, channels=ch)
+            with open(os.path.join(building, f"a{mid:02d}.wav"), "wb") as fh:
+                fh.write(payload)
+            rows.append(
+                {
+                    "media_id": mid,
+                    "sample_rate": sr,
+                    "n_frames": nf,
+                    "dominant_bin": k,
+                }
+            )
+        _pq.write_table(
+            _pa.Table.from_pylist(rows),
+            os.path.join(building, "manifest.parquet"),
+        )
+        with open(os.path.join(building, "_build_params.json"), "w") as fh:
+            _json.dump(expect, fh)
+        _swap_slot(idx, building)
+    except BaseException:
+        _shutil.rmtree(building, ignore_errors=True)
+        raise
+    return idx
+
+
+def q129_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain audio analysis, oracle-gated end-to-end:
+    binaryFile-ingest the WAV fixtures, frame + rfft executor-side
+    (multimodal.audio_spectral), emit each clip's frame count and
+    dominant spectral bin. The oracle reads the generator manifest
+    whose expected values are ANALYTIC (exact-bin sinusoids) — the
+    q121 pattern with mathematics instead of a lossless codec as the
+    independence argument."""
+    from archetype_spark.sources.io import read_binary_dir
+
+    fdir = _ensure_media_audio(sf_dir)
+    blobs = read_binary_dir(spark, fdir, glob="*.wav").select(
+        F.regexp_extract("path", r"a(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.audio_spectral(blobs, frame_size=256).orderBy(
+        "media_id"
+    )
+
+
+def media_audio_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """q129's conditional oracle (the q121/media_pixels pattern): the
+    analytically-derived manifest IS the expected result."""
+    man = os.path.join(
+        ann_index.default_index_dir(sf_dir, "media_audio"), "manifest.parquet"
+    )
+    if require_live_index and not os.path.isfile(man):
+        return None
+    return f"""
+        SELECT media_id, sample_rate::INT AS sample_rate,
+               n_frames::INT AS n_frames, dominant_bin::INT AS dominant_bin
         FROM read_parquet('{man}')
         ORDER BY media_id
     """
@@ -2245,6 +2363,7 @@ QUERIES = {
     "q126_lake_replication": q126_lake_replication,
     "q127_delta_cdf_scan": q127_delta_cdf_scan,
     "q128_cdf_mirror_scan": q128_cdf_mirror_scan,
+    "q129_audio_spectral": q129_audio_spectral,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,

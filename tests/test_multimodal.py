@@ -774,3 +774,61 @@ def test_wav_zero_channels_raises_loudly():
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     with _pytest.raises(ValueError, match="0 channels"):
         _wav_pcm(wav)
+
+
+def test_audio_spectral_analytic_tones(spark):
+    """Exact-bin sinusoids: dominant_bin == the generating bin, for
+    mono AND stereo (mixdown preserves the tone), with ragged tails
+    dropped (n_frames = floor). A two-tone clip picks the stronger;
+    Parseval sanity: the tone bin carries >99% of the energy."""
+    import numpy as np
+
+    from archetype_spark.operators import multimodal
+
+    n, sr = 256, 8000
+    t = np.arange(6 * n)
+    tone17 = np.round(12000 * np.sin(2 * np.pi * 17 * t / n)).astype("<i2")
+    stereo = np.column_stack([tone17, tone17]).reshape(-1)
+    two = np.round(
+        9000 * np.sin(2 * np.pi * 31 * t / n)
+        + 4000 * np.sin(2 * np.pi * 80 * t / n)
+    ).astype("<i2")
+    ragged = np.round(
+        11000 * np.sin(2 * np.pi * 5 * np.arange(3 * n + 99) / n)
+    ).astype("<i2")
+    rows = [
+        (0, multimodal.wav_encode_pcm16(tone17, sr)),
+        (1, multimodal.wav_encode_pcm16(stereo, sr, channels=2)),
+        (2, multimodal.wav_encode_pcm16(two, sr)),
+        (3, multimodal.wav_encode_pcm16(ragged, sr)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (r["n_frames"], r["dominant_bin"])
+        for r in multimodal.audio_spectral(media, frame_size=n).collect()
+    }
+    assert got == {0: (6, 17), 1: (6, 17), 2: (6, 31), 3: (3, 5)}
+    # energy concentration (Parseval sanity, numpy-side)
+    spec = np.abs(np.fft.rfft(tone17[:n].astype(float))) ** 2
+    assert spec[17] / spec.sum() > 0.99
+
+
+def test_audio_spectral_refusals(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from archetype_spark.operators import multimodal
+
+    short = multimodal.wav_encode_pcm16(
+        np.zeros(100, dtype="<i2"), 8000
+    )
+    m = spark.createDataFrame(
+        [(0, short)], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="shorter than one"):
+        multimodal.audio_spectral(m, frame_size=256).collect()
+    notwav = spark.createDataFrame(
+        [(1, b"OggS....")], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="RIFF/WAVE"):
+        multimodal.audio_spectral(notwav).collect()
