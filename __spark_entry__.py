@@ -18,11 +18,21 @@ bounded-depth faces; PQ asymmetric-distance and composite IVF_PQ
 top-k over persisted indexes; learned-BPE token counts over the
 persisted merge/segmentation artifact),
 layout tier q116 (2-D box scan over a Z-ORDERed Delta rewrite),
-row-level-delete tier q119-q120 (Delta deletion-vector scan;
-Iceberg v2 position-delete scan with oracle-gated sequence
-scoping), and real-pixel tier q121 (baseline-JPEG/PNG/P6 entropy
-decode hash-gated against the fixture generator's source-array
-manifest)); oracles are colocated with each query module.
+row-level-delete tier q119-q120 + q122 (Delta deletion-vector scan;
+Iceberg v2 position-delete scan with oracle-gated sequence scoping;
+Iceberg EQUALITY deletes + the one-commit CDC upsert with strict
+scoping), partition-transform tier q123 (day(ts) spec with
+manifest-level pruning through read_iceberg(scan_filter=...)),
+column-mapping tier q124 (Delta mode 'name': metadata-only partition
+rename + DV delete + cross-boundary time travel), refined-retrieval
+q125 (IVF_PQ + exact rerank over the persisted index), replication
+tier q126/q128 (Delta commits into an Iceberg mirror; the CDF source
+propagates deletes), change-feed tier q127 (Delta CDF read: derived
+inserts + _change_data delete/update images), real-pixel tier q121
+(baseline-JPEG/PNG/P6/GIF entropy decode hash-gated against the
+fixture generator's source-array manifest), and spectral tier q129
+(frame-level rfft over PCM WAV, analytic-manifest oracle)); oracles
+are colocated with each query module.
 """
 
 from __future__ import annotations

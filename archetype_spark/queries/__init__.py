@@ -264,11 +264,15 @@ _MODULES = (
 #   r12 sketch (execute when CORRECTNESS_r11 lands green): the
 #       longest-deferred cohort is the carried r9 block q80/q81/q83/
 #       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
-#       r10-deferred q24-q26/q28/q36/q37/q39/q42-q49/q51-q53/
-#       q61-q64/q67/q77/q107-q116 (none since r9) — PIN from the
-#       front of that order and defer the freshly-green r11 pins
-#       (q03-q16, q29-q35, q38, q119-q121) in exchange, keeping the
-#       window at exactly 50.
+#       r10-deferred q17-q22/q27/q24-q26/q28/q36-q49/q51-q55/
+#       q57-q60/q61-q64/q67-q79/q107-q116 and the late-r11 deferrals
+#       (q85/q90/q78/q79/q93/q98/q103/q70/q01/q02/q100 — none since
+#       r10) — PIN from the front of that order and defer the
+#       freshly-green r11 pins (q03-q16, q29-q35, q38, q119-q129 —
+#       33 pins this round) in exchange, keeping the window at
+#       exactly 50. The r11-new lake/retrieval/media queries
+#       (q119-q129) should rotate back within two rounds so their
+#       conditional-oracle index paths keep getting driver rows.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
