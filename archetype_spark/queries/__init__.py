@@ -261,6 +261,11 @@ _MODULES = (
 #       ANALYTIC manifest oracle — exact-bin sinusoids) pins next,
 #       deferring q100 (green r9/r10; the binaryFile source stays
 #       driver-covered via q121/q129's ingest).
+#       q130 (the derived Iceberg CHANGELOG: position-delete commits
+#       emit their exact tombstoned rows at O(deleted); snapshot-4
+#       deletes exclude snapshot-2 kills in the hash gate) pins next,
+#       deferring q96 (green r9/r10; the persisted-IVF path stays
+#       driver-covered via q72).
 #   r12 sketch (execute when CORRECTNESS_r11 lands green): the
 #       longest-deferred cohort is the carried r9 block q80/q81/q83/
 #       q84/q86-q89/q92/q94 (no driver row since r8) followed by the
@@ -310,6 +315,7 @@ _PINNED: tuple[str, ...] = (
     "q127_delta_cdf_scan",
     "q128_cdf_mirror_scan",
     "q129_audio_spectral",
+    "q130_iceberg_changelog",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -348,6 +354,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q01_scan_filter_project",
         "q02_in_list",
         "q100_binary_ingest",
+        "q96_cluster_cap",
         # deferred r10 (fresh-green r9 — all 34 r9 pins got
         # driver rows; lake family keeps q104-q106 in-window,
         # persisted-IVF stays driver-covered via q72/q96, retrieval

@@ -1443,6 +1443,42 @@ def q123_iceberg_day_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived Iceberg CHANGELOG (read_iceberg_changes with
+    include_deletes — Delta CDF's counterpart, computed from position
+    delete files rather than stored change files): every change the
+    q120 fixture's four snapshots made, aggregated per (snapshot
+    ordinal, change type). The delete cohorts re-derive from the
+    SOURCE view with the fixture's predicate algebra — snapshot 4's
+    deletes must EXCLUDE rows snapshot 2 already killed (the position
+    files name fresh positions only), so a changelog that re-emits
+    dead rows or mis-scopes the sequence rule breaks a sum here."""
+    from archetype_spark.sources.iceberg import (
+        read_iceberg_changes,
+        snapshots_iceberg,
+    )
+
+    table = _ensure_iceberg_dv_documents(spark, sf_dir)
+    snaps = [s["snapshot-id"] for s in snapshots_iceberg(table)]
+    ords = F.create_map(
+        *[F.lit(x) for sid, i in zip(snaps, range(1, len(snaps) + 1)) for x in (sid, i)]
+    )
+    return (
+        read_iceberg_changes(spark, table, snaps[0], include_deletes=True)
+        .select(
+            ords[F.col("_snapshot_id")].cast("bigint").alias("snap_ord"),
+            "_change_type",
+            "n_chars",
+        )
+        .groupBy("snap_ord", F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("snap_ord", "change_type", "n_rows", "sum_chars")
+    )
+
+
 def _ensure_iceberg_documents(spark: SparkSession, sf_dir: str) -> str:
     """The Iceberg table q105 scans: TWO append snapshots (even then
     odd doc_ids) — append-only on purpose: the active file set then
@@ -2364,6 +2400,7 @@ QUERIES = {
     "q127_delta_cdf_scan": q127_delta_cdf_scan,
     "q128_cdf_mirror_scan": q128_cdf_mirror_scan,
     "q129_audio_spectral": q129_audio_spectral,
+    "q130_iceberg_changelog": q130_iceberg_changelog,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -3624,6 +3661,33 @@ ORACLES["q128_cdf_mirror_scan"] = """
            CAST(sum(length(text)) AS BIGINT) AS sum_chars
     FROM documents WHERE length(text) % 7 <> 3
     GROUP BY 1
+"""
+
+# q130: the derived changelog's four cohorts from the source view —
+# snap 1 insert = even ingest; snap 2 delete = evens with n_chars%5=2;
+# snap 3 insert = odd append; snap 4 delete = the %9=4 rows still
+# alive then (evens must exclude the snap-2 kill — re-emitting dead
+# rows breaks the sum).
+ORACLES["q130_iceberg_changelog"] = """
+    SELECT 1::BIGINT AS snap_ord, 'insert' AS change_type,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 2::BIGINT, 'delete', count(*)::BIGINT,
+           CAST(sum(length(text)) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 0 AND length(text) % 5 = 2
+    UNION ALL
+    SELECT 3::BIGINT, 'insert', count(*)::BIGINT,
+           CAST(sum(length(text)) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 4::BIGINT, 'delete', count(*)::BIGINT,
+           CAST(sum(length(text)) AS BIGINT)
+    FROM documents
+    WHERE (doc_id % 2 = 0 AND length(text) % 5 <> 2
+           AND length(text) % 9 = 4)
+       OR (doc_id % 2 = 1 AND length(text) % 9 = 4)
 """
 
 # q111: each snapshot's added cohort recomputed from the source view

@@ -1958,6 +1958,7 @@ def read_iceberg_changes(
     path: str,
     from_snapshot: int,
     to_snapshot: int | None = None,
+    include_deletes: bool = False,
 ) -> DataFrame:
     """Incremental read — the Iceberg twin of read_delta_changes: the
     rows each snapshot in `from_snapshot..to_snapshot` (inclusive
@@ -1966,6 +1967,19 @@ def read_iceberg_changes(
     entries whose recorded snapshot_id matches and whose status is
     ADDED — manifest metadata only, so the resolution cost is
     O(manifest KB) and the scan cost O(new data), not O(table).
+
+    With `include_deletes` the read becomes a CHANGELOG (the Delta
+    CDF counterpart, derived rather than stored — Iceberg keeps no
+    change files): output gains `_change_type`, added data files emit
+    'insert' rows, and added POSITION delete files emit the exact
+    rows they tombstone as 'delete' — the delete parquet names each
+    (file, position), so only the REFERENCED data files are scanned
+    and semi-joined on position: O(rows deleted), never O(table). A
+    v2 row-delta UPDATE therefore reads as its delete+insert pair
+    (net-changes form). EQUALITY delete files still refuse: they name
+    key VALUES, and recovering the rows they killed needs a
+    prior-snapshot diff — an O(table) cost this reader will not hide
+    inside an "incremental" API.
 
     Loud on gaps: a snapshot id in the range that is no longer
     retained (expired) raises instead of silently emitting a hole."""
@@ -2005,6 +2019,7 @@ def read_iceberg_changes(
             _abs(table, snaps[sid]["manifest-list"])
         )
         entries: list[tuple[str, dict]] = []
+        pos_deletes: list[str] = []
         for m in manifests:
             m_added = m.get("added_snapshot_id")
             if m_added not in (None, sid):
@@ -2035,32 +2050,126 @@ def read_iceberg_changes(
                 if owner != sid:
                     continue
                 dfile = r["data_file"]
-                if int(dfile.get("content") or 0) != 0:
+                content = int(dfile.get("content") or 0)
+                if content == 0:
+                    entries.append(
+                        (
+                            _abs(table, dfile["file_path"]),
+                            dict(dfile.get("partition") or {}),
+                        )
+                    )
+                elif content == 1 and include_deletes:
+                    pos_deletes.append(_abs(table, dfile["file_path"]))
+                elif content == 1:
                     raise NotImplementedError(
                         f"snapshot {sid} adds a delete file: the "
                         "adds-only incremental read cannot express "
-                        "row-level deletes; read full snapshots instead"
+                        "row-level deletes; pass include_deletes=True "
+                        "for the changelog form, or read full snapshots"
                     )
-                entries.append(
-                    (
-                        _abs(table, dfile["file_path"]),
-                        dict(dfile.get("partition") or {}),
+                else:
+                    raise NotImplementedError(
+                        f"snapshot {sid} adds an EQUALITY delete file: "
+                        "recovering the rows it killed needs a prior-"
+                        "snapshot diff (O(table)); read full snapshots "
+                        "instead"
                     )
-                )
         if entries:
+            scan = _scan_snapshot(
+                spark, os.path.join(table, "data"), schema, part_cols, entries
+            )
+            if include_deletes:
+                scan = scan.withColumn("_change_type", F.lit("insert"))
             per_snap.append(
-                _scan_snapshot(
-                    spark, os.path.join(table, "data"), schema, part_cols, entries
+                scan.withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
+            )
+        if pos_deletes:
+            per_snap.append(
+                _changelog_deleted_rows(
+                    spark,
+                    table,
+                    snaps[sid],
+                    pos_deletes,
+                    schema,
+                    part_cols,
                 ).withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
             )
     if not per_snap:
-        return spark.createDataFrame([], schema).withColumn(
-            "_snapshot_id", F.lit(None).cast("bigint")
-        )
+        out = spark.createDataFrame([], schema)
+        if include_deletes:
+            out = out.withColumn("_change_type", F.lit(None).cast("string"))
+        return out.withColumn("_snapshot_id", F.lit(None).cast("bigint"))
     out = per_snap[0]
     for df in per_snap[1:]:
         out = out.unionByName(df)
     return out
+
+
+def _changelog_deleted_rows(
+    spark: SparkSession,
+    table: str,
+    snap: dict,
+    pos_deletes: list[str],
+    schema: StructType,
+    part_cols: list[str],
+) -> DataFrame:
+    """The exact rows a snapshot's POSITION delete files tombstone,
+    tagged _change_type='delete': the delete parquet names each
+    (recorded file path, position), so only the REFERENCED data files
+    are scanned (keep_meta) and inner-joined on position — cost
+    O(rows deleted). Referenced files are resolved through the
+    snapshot's own live entries (the delete and its targets coexist
+    in the snapshot that added it); a reference to a non-live file
+    refuses loudly."""
+    cols = [f.name for f in schema.fields]
+    data, _pos, _eq = _live_entries(table, snap)
+    by_recorded = {rp: (p, pv) for p, pv, rp, _s in data}
+    del_df = (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*pos_deletes)
+        .dropDuplicates(["file_path", "pos"])
+    )
+    refs = [r["file_path"] for r in del_df.select("file_path").distinct().collect()]
+    entries = []
+    for rp in refs:
+        hit = by_recorded.get(rp)
+        if hit is None:
+            # foreign writers may record absolute URIs; retry via _abs
+            ap = os.path.abspath(_abs(table, rp))
+            hit = next(
+                (
+                    (p, pv)
+                    for p, pv, rp2, _s in data
+                    if os.path.abspath(p) == ap
+                ),
+                None,
+            )
+        if hit is None:
+            raise ValueError(
+                f"position delete references data file {rp!r} that is "
+                f"not live in snapshot {snap.get('snapshot-id')}"
+            )
+        entries.append(hit)
+    scan = _scan_snapshot(
+        spark,
+        os.path.join(table, "data"),
+        schema,
+        part_cols,
+        entries,
+        keep_meta=True,
+    )
+    norm = F.regexp_replace(F.col("file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/")
+    norm = F.when(norm.startswith("/"), norm).otherwise(
+        F.concat(F.lit(table + os.sep), norm)
+    )
+    pairs = del_df.select(
+        norm.alias("__dv_file"), F.col("pos").alias("__dv_ridx")
+    )
+    return (
+        scan.join(F.broadcast(pairs), ["__dv_file", "__dv_ridx"], "left_semi")
+        .select(*cols)
+        .withColumn("_change_type", F.lit("delete"))
+    )
 
 
 def compact_iceberg(

@@ -225,3 +225,46 @@ def test_v3_metadata_refused(tmp_path, spark, people):
         json.dump(meta, fh)
     with pytest.raises(NotImplementedError, match="format-version"):
         read_iceberg(spark, t)
+
+
+def test_changelog_materializes_position_deletes(spark, tmp_path, people):
+    """read_iceberg_changes(include_deletes=True) — the derived
+    changelog: inserts from added data files, the EXACT tombstoned
+    rows from added position-delete files (O(deleted) — only the
+    referenced files scan), and a v2 UPDATE reading as its
+    delete+insert pair. Equality-delete snapshots still refuse."""
+    from archetype_spark.sources import update_where_iceberg
+    from archetype_spark.sources.iceberg import delete_by_key_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    delete_where_iceberg(spark, t, "id IN (1, 3)")
+    update_where_iceberg(spark, t, "id = 4", {"name": "'X'"})
+    snaps = [s["snapshot-id"] for s in snapshots_iceberg(t)]
+    ch = read_iceberg_changes(spark, t, snaps[0], include_deletes=True)
+    got = sorted(
+        (r["_snapshot_id"], r["_change_type"], r["id"], r["name"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, "insert", 1, "ann"),
+        (1, "insert", 2, "bob"),
+        (1, "insert", 3, "cho"),
+        (1, "insert", 4, "dee"),
+        (2, "delete", 1, "ann"),
+        (2, "delete", 3, "cho"),
+        (3, "delete", 4, "dee"),
+        (3, "insert", 4, "X"),
+    ]
+    # without the flag the delete commit still refuses (back-compat)
+    with pytest.raises(NotImplementedError, match="include_deletes"):
+        read_iceberg_changes(spark, t, snaps[0]).count()
+    # equality-delete snapshots refuse even in changelog form
+    delete_by_key_iceberg(
+        spark, t, spark.createDataFrame([(2,)], "id long")
+    )
+    last = snapshots_iceberg(t)[-1]["snapshot-id"]
+    with pytest.raises(NotImplementedError, match="EQUALITY"):
+        read_iceberg_changes(
+            spark, t, last, include_deletes=True
+        ).count()
