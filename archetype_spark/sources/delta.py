@@ -1348,12 +1348,72 @@ def update_where_delta(
     return _mask_rows_commit(spark, path, condition, set_exprs)
 
 
-def _mask_rows_commit(
-    spark: SparkSession, path: str, condition, set_exprs: dict[str, str] | None
+def delete_by_key_delta(spark: SparkSession, path: str, keys: DataFrame) -> dict:
+    """Row-level delete by VALUE, Delta face: `keys` is a DataFrame
+    whose columns name the match columns; every live row equal to
+    some key row on ALL of them tombstones via deletion vectors —
+    the CDC-apply shape (the Iceberg twin is delete_by_key_iceberg).
+    Unlike the Iceberg equality-delete form, Delta deletes are
+    POSITIONAL, so this face pays one key-semi-join position scan of
+    the table per batch (inherent to the format: there is nothing on
+    disk that can defer a value match to read time); the commit
+    itself stays O(matched rows).
+
+    Returns {'rows_deleted', 'files_updated', 'files_removed'}."""
+    return _mask_rows_commit(spark, path, None, None, keys=keys)
+
+
+def upsert_by_key_delta(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    txn: tuple[str, int] | None = None,
 ) -> dict:
-    """Shared DELETE/UPDATE engine: mask the matched positions with
-    deletion vectors and, for UPDATE, stage the transformed rows as
-    new adds in the same commit."""
+    """CDC upsert, Delta face: ONE commit tombstones every live row
+    matching an update key (deletion vectors, no rewrite) AND stages
+    the update rows as new data files — a reader sees the old rows or
+    the new, never both. Rows with fresh keys simply insert (no mask
+    match). `txn` stamps the protocol's transaction identifier into
+    the same commit — the exactly-once hook replication/streaming
+    consumers use. Under the Change Data Feed the masked rows land as
+    'delete' and the staged rows as 'insert' change files (the net-
+    changes form a key-batch apply can state honestly — it has no
+    per-row pre/post pairing).
+
+    Returns {'rows_deleted', 'files_updated', 'files_removed',
+    'files_added'}."""
+    missing = [k for k in keys if k not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"upsert keys {missing} absent from the updates frame "
+            f"(has {updates.columns})"
+        )
+    return _mask_rows_commit(
+        spark,
+        path,
+        None,
+        None,
+        keys=updates.select(*keys),
+        inserts=updates,
+        txn=txn,
+    )
+
+
+def _mask_rows_commit(
+    spark: SparkSession,
+    path: str,
+    condition,
+    set_exprs: dict[str, str] | None,
+    keys: DataFrame | None = None,
+    inserts: DataFrame | None = None,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Shared DELETE/UPDATE/CDC-apply engine: mask the matched
+    positions with deletion vectors and, for UPDATE (`set_exprs`) or
+    a key-batch upsert (`inserts`), stage the replacement rows as new
+    adds in the same commit. Matching is either a predicate
+    (`condition`) or a key-frame semi-join (`keys`)."""
     import pyarrow.parquet as pq
 
     from archetype_spark.sources import dv as _dv
@@ -1377,12 +1437,43 @@ def _mask_rows_commit(
                 f"UPDATE sets unknown column(s) {sorted(unknown)}; table "
                 f"has {logical.fieldNames()}"
             )
-    if not active:
+    if keys is not None:
+        key_cols = list(keys.columns)
+        bad = [c for c in key_cols if c not in logical.fieldNames()]
+        if not key_cols or bad:
+            raise ValueError(
+                f"key columns {bad or '[]'} not in table schema "
+                f"{logical.fieldNames()}"
+            )
+        keys = keys.select(
+            *[
+                F.col(c).cast(logical[c].dataType).alias(c)
+                for c in key_cols
+            ]
+        ).dropDuplicates()
+    if inserts is not None:
+        out["files_added"] = 0
+        extra = set(inserts.columns) - set(logical.fieldNames())
+        if extra:
+            raise ValueError(
+                f"upsert frame has column(s) {sorted(extra)} absent "
+                f"from the table schema {logical.fieldNames()}"
+            )
+        inserts = inserts.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in inserts.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in logical.fields
+            ]
+        )
+    if not active and inserts is None:
         return out
 
     adds_by_abs: dict[str, tuple[str, dict]] = {}
     entries: list[tuple[str, dict]] = []
     existing: dict[str, set[int]] = {}
+    matched = None
     for rel, add in active.items():
         p = os.path.abspath(os.path.join(table, urllib.parse.unquote(rel)))
         adds_by_abs[p] = (rel, add)
@@ -1391,13 +1482,17 @@ def _mask_rows_commit(
             existing[p] = set(
                 _dv.read_descriptor(table, add["deletionVector"])
             )
-    scan = _scan_snapshot(
-        spark, table, schema, part_cols, entries, keep_meta=True
-    )
-    if rename is not None:
+    by_file: dict[str, set[int]] = {}
+    if not entries:
+        scan = None  # empty table: an upsert batch is pure inserts
+    else:
+        scan = _scan_snapshot(
+            spark, table, schema, part_cols, entries, keep_meta=True
+        )
+    if scan is not None and rename is not None:
         # logical view for the predicate; the meta columns ride along
         scan = scan.select(*rename, "__dv_file", "__dv_ridx")
-    if existing:
+    if scan is not None and existing:
         # the raw file scan still CONTAINS previously-deleted rows;
         # they must not match — an UPDATE whose predicate hits a dead
         # row would otherwise stage it as a live replacement
@@ -1410,13 +1505,18 @@ def _mask_rows_commit(
         scan = scan.join(
             F.broadcast(dead), ["__dv_file", "__dv_ridx"], "left_anti"
         )
-    matched = scan.filter(condition)
-    by_file: dict[str, set[int]] = {}
-    for r in matched.select("__dv_file", "__dv_ridx").collect():
-        f, i = r["__dv_file"], int(r["__dv_ridx"])
-        if i not in existing.get(f, ()):  # scan-side DVs make this moot,
-            by_file.setdefault(f, set()).add(i)  # but stay idempotent
-    if not by_file:
+    if scan is not None:
+        if keys is not None:
+            matched = scan.join(
+                F.broadcast(keys), list(keys.columns), "left_semi"
+            )
+        else:
+            matched = scan.filter(condition)
+        for r in matched.select("__dv_file", "__dv_ridx").collect():
+            f, i = r["__dv_file"], int(r["__dv_ridx"])
+            if i not in existing.get(f, ()):  # scan-side DVs: moot,
+                by_file.setdefault(f, set()).add(i)  # but idempotent
+    if not by_file and inserts is None:
         return out
 
     staged: list[dict] = []
@@ -1428,6 +1528,17 @@ def _mask_rows_commit(
             )
         staged = _stage_data_files(
             updated.select(
+                *[
+                    F.col(f.name).alias(l2p[f.name])
+                    for f in logical.fields
+                ]
+            ),
+            table,
+            part_cols,
+        )
+    elif inserts is not None:
+        staged = _stage_data_files(
+            inserts.select(
                 *[
                     F.col(f.name).alias(l2p[f.name])
                     for f in logical.fields
@@ -1451,19 +1562,29 @@ def _mask_rows_commit(
         )).lower()
         == "true"
     ):
-        pre = matched.select(
-            *[F.col(f.name) for f in logical.fields]
-        ).withColumn(
-            "_change_type",
-            F.lit("delete" if set_exprs is None else "update_preimage"),
-        )
-        changes = pre
+        changes = None
+        if matched is not None and by_file:
+            changes = matched.select(
+                *[F.col(f.name) for f in logical.fields]
+            ).withColumn(
+                "_change_type",
+                F.lit(
+                    "delete" if set_exprs is None else "update_preimage"
+                ),
+            )
         if set_exprs is not None:
-            changes = pre.unionByName(
+            changes = changes.unionByName(
                 updated.select(
                     *[F.col(f.name) for f in logical.fields]
                 ).withColumn("_change_type", F.lit("update_postimage"))
             )
+        elif inserts is not None:
+            # key-batch apply: the net-changes form (deletes +
+            # inserts; there is no per-row pre/post pairing to state)
+            ins = inserts.select(
+                *[F.col(f.name) for f in logical.fields]
+            ).withColumn("_change_type", F.lit("insert"))
+            changes = ins if changes is None else changes.unionByName(ins)
         changes = changes.select(
             *[F.col(f.name).alias(l2p[f.name]) for f in logical.fields],
             "_change_type",
@@ -1488,7 +1609,7 @@ def _mask_rows_commit(
 
     actions: list[dict] = cdc_actions
     feats = set((protocol or {}).get("readerFeatures") or [])
-    if (
+    if by_file and (
         protocol is None
         or int(protocol.get("minReaderVersion", 1)) < 3
         or "deletionVectors" not in feats
@@ -1532,6 +1653,8 @@ def _mask_rows_commit(
             }
         )
         out["files_added"] += 1
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     _publish_commit(table, version + 1, actions)
     return out
 

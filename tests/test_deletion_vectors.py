@@ -287,3 +287,86 @@ def test_update_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
     # and a second DELETE over the same predicate stays a no-op
     again = delete_where_delta(spark, t, "id = 1")
     assert again["rows_deleted"] == 0
+
+
+def test_delete_by_key_and_upsert_by_key_delta(spark, tmp_path):
+    """The Delta CDC-apply faces: key-frame DV delete, and the
+    one-commit key-batch upsert (mask + staged inserts) — replaced
+    rows never duplicate, fresh keys insert, repeats are no-ops, and
+    the txn stamp rides the same commit."""
+    from archetype_spark.sources import (
+        delete_by_key_delta,
+        read_delta,
+        upsert_by_key_delta,
+        write_delta,
+    )
+    from archetype_spark.sources.delta import _latest_version, last_txn_version
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "ann", 10), (2, "bob", 20), (3, "cho", 30)],
+            "id long, name string, v long",
+        ).coalesce(1),
+        t,
+    )
+    out = delete_by_key_delta(
+        spark, t, spark.createDataFrame([(2,)], "id long")
+    )
+    assert out["rows_deleted"] == 1
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [1, 3]
+    # repeat: dead keys never re-match
+    again = delete_by_key_delta(
+        spark, t, spark.createDataFrame([(2,)], "id long")
+    )
+    assert again["rows_deleted"] == 0
+    # upsert: replace id=1, insert id=4 — ONE commit, txn-stamped
+    v0 = _latest_version(t)
+    ups = spark.createDataFrame(
+        [(1, "ANN", 11), (4, "dee", 40)], "id long, name string, v long"
+    ).coalesce(1)
+    res = upsert_by_key_delta(spark, t, ups, ["id"], txn=("cdc-app", 7))
+    assert res["rows_deleted"] == 1 and res["files_added"] >= 1
+    assert _latest_version(t) == v0 + 1
+    assert last_txn_version(t, "cdc-app") == 7
+    got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    assert got == [(1, "ANN", 11), (3, "cho", 30), (4, "dee", 40)]
+    with __import__("pytest").raises(ValueError, match="not in table"):
+        delete_by_key_delta(
+            spark, t, spark.createDataFrame([(1,)], "nope long")
+        )
+
+
+def test_upsert_by_key_delta_writes_net_change_files(spark, tmp_path):
+    """Under the CDF, a key-batch upsert lands as the net-changes
+    form: masked rows as 'delete', staged rows as 'insert'."""
+    from archetype_spark.sources import (
+        read_delta,
+        upsert_by_key_delta,
+        write_delta,
+    )
+    from archetype_spark.sources.delta import enable_cdf_delta, read_delta_cdf
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "ann"), (2, "bob")], "id long, name string"
+        ).coalesce(1),
+        t,
+    )
+    enable_cdf_delta(t)
+    ups = spark.createDataFrame(
+        [(2, "BOB"), (3, "cho")], "id long, name string"
+    ).coalesce(1)
+    upsert_by_key_delta(spark, t, ups, ["id"])
+    v = 2
+    ch = sorted(
+        (r["_change_type"], r["id"], r["name"])
+        for r in read_delta_cdf(spark, t, v, v).collect()
+    )
+    assert ch == [
+        ("delete", 2, "bob"),
+        ("insert", 2, "BOB"),
+        ("insert", 3, "cho"),
+    ]
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [1, 2, 3]
