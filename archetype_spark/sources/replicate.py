@@ -99,11 +99,17 @@ def replicate_delta_to_iceberg(
         # full-fidelity CDC: deletes and update images replicate
         changes = read_delta_cdf(spark, src, start, end)
         # latest-wins per key: newest commit first, and within a
-        # commit the post-image outranks its pre-image, so the rank-1
-        # row is each key's final state in the range
-        pri = F.when(
-            F.col("_change_type") == "update_preimage", 0
-        ).otherwise(1)
+        # commit rank change types by finality — pre-image (0) loses
+        # to delete (1) loses to insert/post-image (2). The middle
+        # rank matters: upsert_by_key_delta emits a 'delete' AND an
+        # 'insert' for the same key in ONE commit (net-changes form),
+        # and an arbitrary tie-break could record a live key as
+        # deleted in the mirror. The same-commit insert must win.
+        pri = (
+            F.when(F.col("_change_type") == "update_preimage", 0)
+            .when(F.col("_change_type") == "delete", 1)
+            .otherwise(2)
+        )
         w = Window.partitionBy(*keys).orderBy(
             F.desc("_commit_version"), F.desc(pri)
         )

@@ -125,6 +125,43 @@ def test_source_deletes_refuse(spark, tmp_path, src_people):
     assert len(_mirror_rows(spark, dst)) == 3
 
 
+def test_upsert_commit_insert_outranks_its_paired_delete(spark, tmp_path):
+    """A single upsert_by_key_delta commit emits BOTH a 'delete' and
+    an 'insert' change row for every matched key. The latest-wins cut
+    must rank the same-commit insert above its paired delete, or the
+    mirror nondeterministically records live keys as deleted (silent
+    data loss). Many keys make an arbitrary tie-break near-certain to
+    pick at least one delete."""
+    from archetype_spark.sources.delta import (
+        enable_cdf_delta,
+        upsert_by_key_delta,
+    )
+
+    src = str(tmp_path / "src")
+    n = 60
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"v{i}", i) for i in range(n)], "id long, name string, v long"
+        ).coalesce(2),
+        src,
+    )
+    enable_cdf_delta(src)
+    ups = spark.createDataFrame(
+        [(i, f"new{i}", i + 1000) for i in range(0, n, 2)],
+        "id long, name string, v long",
+    )
+    upsert_by_key_delta(spark, src, ups, ["id"])
+    dst = str(tmp_path / "dst")
+    replicate_delta_to_iceberg(spark, src, dst, ["id"])
+    rows = {r["id"]: (r["name"], r["v"]) for r in read_iceberg(spark, dst).collect()}
+    assert len(rows) == n  # every key live — none lost to its paired delete
+    for i in range(n):
+        if i % 2 == 0:
+            assert rows[i] == (f"new{i}", i + 1000)
+        else:
+            assert rows[i] == (f"v{i}", i)
+
+
 def test_mirror_history_time_travels_per_sync(spark, tmp_path, src_people):
     from archetype_spark.sources import snapshots_iceberg
 
