@@ -124,6 +124,67 @@ def _demap(obj):
 #: reader features (minReaderVersion=3 tables) this module implements
 _READER_FEATURES = {"deletionVectors", "columnMapping"}
 
+#: writer features implied by each LEGACY minWriterVersion level
+#: (delta.io PROTOCOL.md "Table Features" upgrade rule): cumulative —
+#: a legacy writer version implies its level and every level below.
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+
+
+def _table_features_protocol(
+    protocol: dict | None,
+    meta: dict | None,
+    extra_reader=(),
+    extra_writer=(),
+) -> dict:
+    """The (minReader 3, minWriter 7) table-features protocol action
+    for an upgrade, carrying over (a) every explicit feature of the
+    prior protocol, (b) every feature the prior LEGACY versions
+    implied (PROTOCOL.md: upgrading to table features must list the
+    implied set — legacy minWriterVersion 2..6 cumulatively implies
+    appendOnly/invariants/checkConstraints/changeDataFeed/
+    generatedColumns/columnMapping/identityColumns; legacy
+    minReaderVersion 2 implies the columnMapping reader feature), and
+    (c) the features ACTIVE metadata demands (delta.columnMapping.mode
+    set -> columnMapping; delta.enableChangeDataFeed -> changeDataFeed).
+    Dropping an implied feature emits a log connector readers/writers
+    (delta-spark, delta-rs) reject or mishandle — e.g. a legacy (2,5)
+    column-mapped table upgraded for deletion vectors must keep
+    columnMapping in BOTH feature lists."""
+    p = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mrv = int(p.get("minReaderVersion", 1))
+    mwv = int(p.get("minWriterVersion", 2))
+    rfeats = set(p.get("readerFeatures") or []) | set(extra_reader)
+    wfeats = set(p.get("writerFeatures") or []) | set(extra_writer)
+    if mwv < 7:
+        for level, implied in _LEGACY_WRITER_FEATURES.items():
+            if mwv >= level:
+                wfeats |= implied
+    if mrv == 2:
+        rfeats.add("columnMapping")
+    cfg = ((meta or {}).get("configuration")) or {}
+    if cfg.get("delta.columnMapping.mode", "none") != "none":
+        rfeats.add("columnMapping")
+        wfeats.add("columnMapping")
+    if str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        wfeats.add("changeDataFeed")
+    # reader-affecting writer features must appear in BOTH lists
+    if "deletionVectors" in wfeats:
+        rfeats.add("deletionVectors")
+    if "columnMapping" in rfeats:
+        wfeats.add("columnMapping")
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rfeats),
+        "writerFeatures": sorted(wfeats),
+    }
+
 
 def _snapshot_actions(
     table: str, version: int | None = None, return_protocol: bool = False
@@ -895,23 +956,32 @@ def enable_column_mapping_delta(path: str) -> int:
     new_meta["configuration"] = conf
     actions: list[dict] = []
     mrv = int((protocol or {}).get("minReaderVersion", 1))
-    if mrv >= 3:
-        feats = set(protocol.get("readerFeatures") or [])
-        wfeats = set(protocol.get("writerFeatures") or [])
-        if "columnMapping" not in feats:
+    mwv = int((protocol or {}).get("minWriterVersion", 2))
+    if mrv >= 3 or mwv >= 7:
+        # already (or partially) on table features: merge, carrying
+        # legacy-implied features forward (a (1,7) writer-features
+        # table must not lose them to a reader upgrade)
+        feats = set((protocol or {}).get("readerFeatures") or [])
+        if "columnMapping" not in feats or mrv < 3:
             actions.append(
                 {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": sorted(feats | {"columnMapping"}),
-                        "writerFeatures": sorted(wfeats | {"columnMapping"}),
-                    }
+                    "protocol": _table_features_protocol(
+                        protocol,
+                        new_meta,
+                        extra_reader=("columnMapping",),
+                        extra_writer=("columnMapping",),
+                    )
                 }
             )
     elif mrv < 2:
+        # legacy column-mapping protocol; never lower the writer level
         actions.append(
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": max(mwv, 5),
+                }
+            }
         )
     actions.append({"metaData": new_meta})
     _publish_commit(table, version + 1, actions)
@@ -1614,15 +1684,14 @@ def _mask_rows_commit(
         or int(protocol.get("minReaderVersion", 1)) < 3
         or "deletionVectors" not in feats
     ):
-        wfeats = set((protocol or {}).get("writerFeatures") or [])
         actions.append(
             {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(feats | {"deletionVectors"}),
-                    "writerFeatures": sorted(wfeats | {"deletionVectors"}),
-                }
+                "protocol": _table_features_protocol(
+                    protocol,
+                    meta,
+                    extra_reader=("deletionVectors",),
+                    extra_writer=("deletionVectors",),
+                )
             }
         )
     for f, fresh in sorted(by_file.items()):

@@ -183,6 +183,63 @@ def test_delete_survives_checkpoint_and_appends(spark, tmp_path, people):
     assert "deletionVectors" in protocol["readerFeatures"]
 
 
+def test_dv_upgrade_carries_legacy_implied_features(spark, tmp_path, people):
+    """PROTOCOL.md table-features upgrade rule: moving a LEGACY
+    protocol to (3,7) must list every feature the legacy versions
+    implied, or connector readers/writers reject the table. A (2,5)
+    column-mapped table gaining deletion vectors must keep
+    columnMapping in BOTH feature lists (plus the mwv<=5 implied
+    writer set); a legacy CDF table (mwv 4) must keep changeDataFeed."""
+    from archetype_spark.sources.delta import (
+        enable_cdf_delta,
+        enable_column_mapping_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    enable_column_mapping_delta(t)  # legacy (2,5)
+    _m, _a, _x, p = _snapshot_actions(os.path.abspath(t), return_protocol=True)
+    assert (p["minReaderVersion"], p["minWriterVersion"]) == (2, 5)
+    delete_where_delta(spark, t, "id = 2")
+    _m, _a, _x, p = _snapshot_actions(os.path.abspath(t), return_protocol=True)
+    assert (p["minReaderVersion"], p["minWriterVersion"]) == (3, 7)
+    assert {"columnMapping", "deletionVectors"} <= set(p["readerFeatures"])
+    assert {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "columnMapping",
+        "deletionVectors",
+    } <= set(p["writerFeatures"])
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [1, 3, 4]
+
+    t2 = str(tmp_path / "t2")
+    write_delta(people, t2)
+    enable_cdf_delta(t2)  # legacy (1,4)
+    delete_where_delta(spark, t2, "id = 1")
+    _m, _a, _x, p2 = _snapshot_actions(
+        os.path.abspath(t2), return_protocol=True
+    )
+    assert (p2["minReaderVersion"], p2["minWriterVersion"]) == (3, 7)
+    assert {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "deletionVectors",
+    } <= set(p2["writerFeatures"])
+    assert "columnMapping" not in p2["readerFeatures"]  # never active
+    # the upgraded-mapped table stays readable after a further rename
+    assert sorted(r["id"] for r in read_delta(spark, t2).collect()) == [
+        2,
+        3,
+        4,
+    ]
+
+
 def test_incremental_changes_refuse_dv_commits(spark, tmp_path, people):
     t = str(tmp_path / "t")
     write_delta(people, t)
