@@ -55,6 +55,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from archetype_spark.sources import dv as _dv
+
+try:  # the wide-mask executor path ships dv's codec inside closures
+    from pyspark.cloudpickle import register_pickle_by_value
+except ImportError:  # pragma: no cover - older pyspark layouts
+    from cloudpickle import register_pickle_by_value
+register_pickle_by_value(_dv)
+
 _LOG_DIR = "_delta_log"
 
 #: partition values the hive fast path may trust: characters Spark's
@@ -1470,6 +1478,162 @@ def upsert_by_key_delta(
     )
 
 
+#: matched-position budget the DRIVER will materialize during a
+#: row-level DELETE/UPDATE commit. At or below it (the KB-scale
+#: CDC-apply faces) positions collect and bitmaps build driver-side;
+#: above it the bitmaps build executor-side and the driver handles
+#: one descriptor row per masked FILE. 200k positions ≈ a few MB of
+#: Row objects — well under driver memory, well above any sane
+#: key-batch.
+DV_DRIVER_COLLECT_MAX = 200_000
+
+#: already-deleted positions at or below this TOTAL cardinality (sum
+#: of descriptor `cardinality` fields — no deserialization needed to
+#: decide) broadcast to the resurrection-guard anti-join; larger dead
+#: sets filter executor-side against the raw roaring blobs.
+DV_DEAD_BROADCAST_MAX = 1_000_000
+
+#: "driver" or "executor" — which position path the last
+#: _mask_rows_commit took (stress-test instrumentation).
+_LAST_MASK_PATH: str | None = None
+
+
+def _drop_dead_positions(
+    spark: SparkSession,
+    table: str,
+    matched: DataFrame,
+    existing_desc: dict[str, dict],
+    existing_positions,
+) -> DataFrame:
+    """Resurrection guard: rows a previous commit already tombstoned
+    must not match a new DELETE/UPDATE (staging a dead row as a live
+    replacement resurrects it — the r11 bug class). Small dead sets
+    broadcast to a JVM anti-join; large ones are filtered
+    executor-side against the raw roaring blobs, so the driver holds
+    O(masked files) blobs, never a position set."""
+    total = sum(
+        int(d.get("cardinality") or 0) for d in existing_desc.values()
+    )
+    if total <= DV_DEAD_BROADCAST_MAX:
+        dead = spark.createDataFrame(
+            [
+                (f, int(i))
+                for f in existing_desc
+                for i in existing_positions(f)
+            ],
+            "__dv_file string, __dv_ridx bigint",
+        )
+        return matched.join(
+            F.broadcast(dead), ["__dv_file", "__dv_ridx"], "left_anti"
+        )
+    blobs = spark.sparkContext.broadcast(
+        {f: _dv.descriptor_bitmap(table, d) for f, d in existing_desc.items()}
+    )
+    schema = matched.schema
+
+    def drop_dead(batches):
+        import numpy as np
+
+        cache: dict[str, object] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.ones(len(pdf), dtype=bool)
+            ridx = pdf["__dv_ridx"].to_numpy()
+            for f, idx in pdf.groupby("__dv_file").indices.items():
+                blob = blobs.value.get(f)
+                if blob is None:
+                    continue
+                if f not in cache:
+                    cache[f] = np.asarray(
+                        _dv.roaring64_deserialize(blob), dtype="int64"
+                    )
+                keep[idx] = ~np.isin(ridx[idx], cache[f])
+            yield pdf[keep]
+
+    return matched.mapInPandas(drop_dead, schema)
+
+
+def _mask_bitmaps_executor(
+    spark: SparkSession,
+    table: str,
+    pos: DataFrame,
+    existing_desc: dict[str, dict],
+) -> list[tuple[str, dict | None, int, int]]:
+    """Per-file deletion bitmaps for a WIDE mask, built executor-side:
+    one applyInPandas group per data file unions the file's fresh
+    positions with its existing blob, writes the DV file from the
+    worker, and emits a single descriptor row — the driver collects
+    O(masked files) rows, never O(matched rows). Returns the same
+    (file, descriptor|None, fresh, total) tuples the driver path
+    produces."""
+    blobs = spark.sparkContext.broadcast(
+        {f: _dv.descriptor_bitmap(table, d) for f, d in existing_desc.items()}
+    )
+    out_schema = (
+        "file string, path_or_inline string, offset int, "
+        "size_in_bytes int, cardinality bigint, fresh bigint, "
+        "full_file boolean"
+    )
+    cols = [
+        "file",
+        "path_or_inline",
+        "offset",
+        "size_in_bytes",
+        "cardinality",
+        "fresh",
+        "full_file",
+    ]
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as papq
+
+        f = pdf["__dv_file"].iat[0]
+        fresh = np.unique(pdf["__dv_ridx"].to_numpy(dtype="int64"))
+        blob = blobs.value.get(f)
+        if blob is not None:
+            ex = np.asarray(_dv.roaring64_deserialize(blob), dtype="int64")
+            fresh = fresh[~np.isin(fresh, ex)]
+            all_deleted = np.union1d(fresh, ex)
+        else:
+            all_deleted = fresh
+        if fresh.size == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        if all_deleted.size >= papq.ParquetFile(f).metadata.num_rows:
+            row = [f, None, None, None, int(all_deleted.size), int(fresh.size), True]
+        else:
+            desc = _dv.write_descriptor(table, all_deleted.tolist())
+            row = [
+                f,
+                desc["pathOrInlineDv"],
+                desc["offset"],
+                desc["sizeInBytes"],
+                desc["cardinality"],
+                int(fresh.size),
+                False,
+            ]
+        return pd.DataFrame([row], columns=cols)
+
+    results: list[tuple[str, dict | None, int, int]] = []
+    for r in pos.groupBy("__dv_file").applyInPandas(build, out_schema).collect():
+        desc = None
+        if not r["full_file"]:
+            desc = {
+                "storageType": "u",
+                "pathOrInlineDv": r["path_or_inline"],
+                "offset": int(r["offset"]),
+                "sizeInBytes": int(r["size_in_bytes"]),
+                "cardinality": int(r["cardinality"]),
+            }
+        results.append(
+            (r["file"], desc, int(r["fresh"]), int(r["cardinality"]))
+        )
+    return results
+
+
 def _mask_rows_commit(
     spark: SparkSession,
     path: str,
@@ -1483,10 +1647,16 @@ def _mask_rows_commit(
     positions with deletion vectors and, for UPDATE (`set_exprs`) or
     a key-batch upsert (`inserts`), stage the replacement rows as new
     adds in the same commit. Matching is either a predicate
-    (`condition`) or a key-frame semi-join (`keys`)."""
-    import pyarrow.parquet as pq
+    (`condition`) or a key-frame semi-join (`keys`).
 
-    from archetype_spark.sources import dv as _dv
+    Scale shape: a probe caps what the driver will materialize at
+    DV_DRIVER_COLLECT_MAX matched positions — at or below it (the
+    KB-scale CDC faces) the positions collect and the bitmaps build
+    driver-side exactly as before; above it (a wide DELETE/UPDATE
+    WHERE) the per-file bitmaps build EXECUTOR-side
+    (_mask_bitmaps_executor) and the driver handles one descriptor
+    row per masked file, never the position set."""
+    import pyarrow.parquet as pq
 
     table = os.path.abspath(path)
     version = _latest_version(table)
@@ -1542,17 +1712,25 @@ def _mask_rows_commit(
 
     adds_by_abs: dict[str, tuple[str, dict]] = {}
     entries: list[tuple[str, dict]] = []
-    existing: dict[str, set[int]] = {}
+    existing_desc: dict[str, dict] = {}  # abs path -> DV descriptor
     matched = None
     for rel, add in active.items():
         p = os.path.abspath(os.path.join(table, urllib.parse.unquote(rel)))
         adds_by_abs[p] = (rel, add)
         entries.append((p, add.get("partitionValues") or {}))
         if add.get("deletionVector"):
-            existing[p] = set(
-                _dv.read_descriptor(table, add["deletionVector"])
+            existing_desc[p] = add["deletionVector"]
+    existing_cache: dict[str, set[int]] = {}
+
+    def _existing_positions(f: str) -> set[int]:
+        """Deserialized dead positions for one file — loaded on
+        demand, only for files something actually touches."""
+        if f not in existing_cache:
+            existing_cache[f] = set(
+                _dv.read_descriptor(table, existing_desc[f])
             )
-    by_file: dict[str, set[int]] = {}
+        return existing_cache[f]
+
     if not entries:
         scan = None  # empty table: an upsert batch is pure inserts
     else:
@@ -1562,19 +1740,6 @@ def _mask_rows_commit(
     if scan is not None and rename is not None:
         # logical view for the predicate; the meta columns ride along
         scan = scan.select(*rename, "__dv_file", "__dv_ridx")
-    if scan is not None and existing:
-        # the raw file scan still CONTAINS previously-deleted rows;
-        # they must not match — an UPDATE whose predicate hits a dead
-        # row would otherwise stage it as a live replacement
-        # (resurrection). KB-scale broadcast of the already-deleted
-        # positions, the read path's own anti-join shape.
-        dead = spark.createDataFrame(
-            [(f, int(i)) for f, ids in existing.items() for i in ids],
-            "__dv_file string, __dv_ridx bigint",
-        )
-        scan = scan.join(
-            F.broadcast(dead), ["__dv_file", "__dv_ridx"], "left_anti"
-        )
     if scan is not None:
         if keys is not None:
             matched = scan.join(
@@ -1582,11 +1747,59 @@ def _mask_rows_commit(
             )
         else:
             matched = scan.filter(condition)
-        for r in matched.select("__dv_file", "__dv_ridx").collect():
-            f, i = r["__dv_file"], int(r["__dv_ridx"])
-            if i not in existing.get(f, ()):  # scan-side DVs: moot,
-                by_file.setdefault(f, set()).add(i)  # but idempotent
-    if not by_file and inserts is None:
+        if existing_desc:
+            # the raw file scan still CONTAINS previously-deleted
+            # rows; they must not match — an UPDATE whose predicate
+            # hits a dead row would otherwise stage it as a live
+            # replacement (resurrection). Applied AFTER the match so
+            # the guard sees only matched rows.
+            matched = _drop_dead_positions(
+                spark, table, matched, existing_desc, _existing_positions
+            )
+    # --- per-file deletion bitmaps: driver path under the cap,
+    # executor path above it ----------------------------------------
+    global _LAST_MASK_PATH
+    _LAST_MASK_PATH = None
+    mask_results: list[tuple[str, dict | None, int, int]] = []
+    #   (abs file, DV descriptor or None when the file lost every
+    #    row, freshly-masked count, total masked cardinality)
+    if matched is not None:
+        pos = matched.select("__dv_file", "__dv_ridx")
+        probe = pos.limit(DV_DRIVER_COLLECT_MAX + 1).collect()
+        if len(probe) <= DV_DRIVER_COLLECT_MAX:
+            _LAST_MASK_PATH = "driver"
+            by_file: dict[str, set[int]] = {}
+            for r in probe:
+                by_file.setdefault(r["__dv_file"], set()).add(
+                    int(r["__dv_ridx"])
+                )
+            for f, fresh in sorted(by_file.items()):
+                ex = (
+                    _existing_positions(f) if f in existing_desc else set()
+                )
+                fresh -= ex  # dead-guard leftovers: moot, idempotent
+                if not fresh:
+                    continue
+                all_deleted = sorted(ex | fresh)
+                if len(all_deleted) >= pq.ParquetFile(f).metadata.num_rows:
+                    mask_results.append(
+                        (f, None, len(fresh), len(all_deleted))
+                    )
+                else:
+                    mask_results.append(
+                        (
+                            f,
+                            _dv.write_descriptor(table, all_deleted),
+                            len(fresh),
+                            len(all_deleted),
+                        )
+                    )
+        else:
+            _LAST_MASK_PATH = "executor"
+            mask_results = _mask_bitmaps_executor(
+                spark, table, pos, existing_desc
+            )
+    if not mask_results and inserts is None:
         return out
 
     staged: list[dict] = []
@@ -1633,7 +1846,7 @@ def _mask_rows_commit(
         == "true"
     ):
         changes = None
-        if matched is not None and by_file:
+        if matched is not None and mask_results:
             changes = matched.select(
                 *[F.col(f.name) for f in logical.fields]
             ).withColumn(
@@ -1679,7 +1892,7 @@ def _mask_rows_commit(
 
     actions: list[dict] = cdc_actions
     feats = set((protocol or {}).get("readerFeatures") or [])
-    if by_file and (
+    if mask_results and (
         protocol is None
         or int(protocol.get("minReaderVersion", 1)) < 3
         or "deletionVectors" not in feats
@@ -1694,16 +1907,15 @@ def _mask_rows_commit(
                 )
             }
         )
-    for f, fresh in sorted(by_file.items()):
+    for f, desc, fresh_n, _total in sorted(mask_results):
         rel, add = adds_by_abs[f]
-        all_deleted = sorted(existing.get(f, set()) | fresh)
-        out[rows_key] += len(fresh)
+        out[rows_key] += fresh_n
         actions.append({"remove": {"path": rel, "dataChange": True}})
-        if len(all_deleted) >= pq.ParquetFile(f).metadata.num_rows:
+        if desc is None:  # the file lost every row
             out["files_removed"] += 1
             continue
         new_add = dict(add)
-        new_add["deletionVector"] = _dv.write_descriptor(table, all_deleted)
+        new_add["deletionVector"] = desc
         new_add["dataChange"] = True
         actions.append({"add": new_add})
         out["files_updated"] += 1

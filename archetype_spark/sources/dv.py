@@ -266,24 +266,29 @@ def dv_path(table_root: str, path_or_inline: str) -> str:
     )
 
 
-def read_descriptor(table_root: str, desc: dict) -> list[int]:
-    """Sorted deleted row indexes for one add-action
-    `deletionVector` descriptor (storage types "u"/"i"/"p")."""
+def descriptor_bitmap(table_root: str, desc: dict) -> bytes:
+    """The raw serialized RoaringBitmapArray bytes behind one
+    add-action `deletionVector` descriptor (storage types "u"/"i"/
+    "p") — WITHOUT deserializing the positions. The wide-mask write
+    path broadcasts these blobs to executors so the driver never
+    materializes a position set."""
     st = desc.get("storageType")
     size = int(desc["sizeInBytes"])
     if st == "i":
-        bitmap = z85_decode(desc["pathOrInlineDv"])[:size]
-    elif st == "u":
-        bitmap = read_dv_bitmap(
+        return z85_decode(desc["pathOrInlineDv"])[:size]
+    if st == "u":
+        return read_dv_bitmap(
             dv_path(table_root, desc["pathOrInlineDv"]), desc.get("offset"), size
         )
-    elif st == "p":
-        bitmap = read_dv_bitmap(
-            desc["pathOrInlineDv"], desc.get("offset"), size
-        )
-    else:
-        raise NotImplementedError(f"deletion vector storageType {st!r}")
-    values = roaring64_deserialize(bitmap)
+    if st == "p":
+        return read_dv_bitmap(desc["pathOrInlineDv"], desc.get("offset"), size)
+    raise NotImplementedError(f"deletion vector storageType {st!r}")
+
+
+def read_descriptor(table_root: str, desc: dict) -> list[int]:
+    """Sorted deleted row indexes for one add-action
+    `deletionVector` descriptor (storage types "u"/"i"/"p")."""
+    values = roaring64_deserialize(descriptor_bitmap(table_root, desc))
     card = int(desc.get("cardinality", len(values)))
     if card != len(values):
         raise ValueError(

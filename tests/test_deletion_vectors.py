@@ -307,6 +307,67 @@ def test_update_where_tombstones_and_rewrites_in_one_commit(
         update_where_delta(spark, t, "id = 4", {"nope": "1"})
 
 
+def test_wide_mask_executor_path_semantics(spark, tmp_path, people, monkeypatch):
+    """Past DV_DRIVER_COLLECT_MAX the per-file bitmaps build
+    EXECUTOR-side: the driver handles one descriptor row per masked
+    file, never the position set. Same commit semantics as the
+    driver path — DV merge with existing vectors, idempotent
+    re-delete under the blob-filtered dead guard, UPDATE staging,
+    full-file removal."""
+    from archetype_spark.sources import delta as delta_mod
+    from archetype_spark.sources import update_where_delta
+
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    monkeypatch.setattr(delta_mod, "DV_DRIVER_COLLECT_MAX", 0)
+    out = delete_where_delta(spark, t, "id IN (1, 2)")
+    assert delta_mod._LAST_MASK_PATH == "executor"
+    assert out == {"rows_deleted": 2, "files_updated": 1, "files_removed": 0}
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [3, 4]
+    # repeat: dead rows never re-match, even with the executor-side
+    # (blob-broadcast) dead guard
+    monkeypatch.setattr(delta_mod, "DV_DEAD_BROADCAST_MAX", 0)
+    again = delete_where_delta(spark, t, "id IN (1, 2)")
+    assert again == {"rows_deleted": 0, "files_updated": 0, "files_removed": 0}
+    # UPDATE through the executor path merges with the existing DV
+    out2 = update_where_delta(spark, t, "id = 3", {"name": "'CHO'"})
+    assert delta_mod._LAST_MASK_PATH == "executor"
+    assert out2["rows_updated"] == 1 and out2["files_added"] == 1
+    rows = sorted((r["id"], r["name"]) for r in read_delta(spark, t).collect())
+    assert rows == [(3, "CHO"), (4, "dee")]
+    # masking the original file's last live row -> pure remove
+    out3 = delete_where_delta(spark, t, "id = 4")
+    assert delta_mod._LAST_MASK_PATH == "executor"
+    assert out3["files_removed"] == 1 and out3["rows_deleted"] == 1
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == [3]
+
+
+def test_wide_mask_executor_path_with_cdf(spark, tmp_path, people, monkeypatch):
+    """The executor bitmap path must keep writing Change Data Feed
+    files: a wide UPDATE's pre/post images land in _change_data and
+    read back through read_delta_cdf."""
+    from archetype_spark.sources import delta as delta_mod
+    from archetype_spark.sources import update_where_delta
+    from archetype_spark.sources.delta import enable_cdf_delta, read_delta_cdf
+
+    t = str(tmp_path / "t")
+    write_delta(people, t)
+    enable_cdf_delta(t)
+    monkeypatch.setattr(delta_mod, "DV_DRIVER_COLLECT_MAX", 0)
+    update_where_delta(spark, t, "country = 'us'", {"name": "upper(name)"})
+    assert delta_mod._LAST_MASK_PATH == "executor"
+    ch = read_delta_cdf(spark, t, 2, 2)
+    got = sorted(
+        (r["_change_type"], r["id"], r["name"]) for r in ch.collect()
+    )
+    assert got == [
+        ("update_postimage", 1, "ANN"),
+        ("update_postimage", 2, "BOB"),
+        ("update_preimage", 1, "ann"),
+        ("update_preimage", 2, "bob"),
+    ]
+
+
 def test_compact_materializes_deletes(spark, tmp_path, people):
     """OPTIMIZE after DELETE: the rewrite reads the DV-filtered rows,
     so the new snapshot has no deletion vectors and the same data."""
