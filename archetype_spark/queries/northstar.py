@@ -827,7 +827,12 @@ def _ensure_lake_documents(
         # v2: r9 writers stamp true record counts in Iceberg
         # manifests — q109's metadata-only COUNT requires a fixture
         # built by the post-r9 writer.
-        "schema": 2,
+        # v3: r12 equality deletes write under an UNPARTITIONED spec
+        # (table-global per the Iceberg spec); the strict-scoping
+        # reader treats a partitioned-spec all-null-partition delete
+        # (the pre-r12 form) as scoped-to-null-partition, so
+        # partitioned fixtures built by the old writer must rebuild.
+        "schema": 3,
         "corpus": ann_index.corpus_fingerprint(docs, "doc_id", "text"),
     }
     pfile = os.path.join(idx, "_build_params.json")

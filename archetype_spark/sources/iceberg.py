@@ -343,25 +343,40 @@ def count_rows_iceberg(path: str, snapshot_id: int | None = None) -> int:
     return total
 
 
-def _live_entries(table: str, snap: dict):
+def _live_entries(table: str, snap: dict, meta: dict | None = None):
     """Walk one snapshot's manifest list. Returns (data, deletes,
     eq_deletes): data = [(abs_path, partition dict, recorded
     file_path, data sequence number)], deletes = [(abs_path, sequence
     number)] for POSITION delete files (v2 content=1), eq_deletes =
     [(abs_path, sequence number, equality_ids tuple, record_count or
-    None)] for EQUALITY delete files (v2 content=2). Sequence numbers
-    follow the v2 inheritance rule — an entry with no explicit number
-    inherits its manifest-list entry's; v1 history reads as sequence
-    0, which is exactly the spec's v1->v2 upgrade semantics. An
-    equality delete entry without equality_ids refuses loudly:
+    None, scope)] for EQUALITY delete files (v2 content=2). Sequence
+    numbers follow the v2 inheritance rule — an entry with no explicit
+    number inherits its manifest-list entry's; v1 history reads as
+    sequence 0, which is exactly the spec's v1->v2 upgrade semantics.
+    An equality delete entry without equality_ids refuses loudly:
     without the field-id list there is nothing to compare, and
-    skipping the file would resurrect rows."""
+    skipping the file would resurrect rows.
+
+    `scope` (needs `meta` to resolve; None otherwise): the spec only
+    treats an equality delete as TABLE-GLOBAL when its manifest's
+    partition spec is UNPARTITIONED; under a partitioned spec the
+    delete applies only to data files in the matching partition, so
+    scope is that entry's partition dict. Callers that APPLY equality
+    deletes must pass `meta` — applying a partition-scoped delete
+    table-wide over-deletes foreign tables' rows."""
+    specs_by_id = None
+    if meta is not None:
+        specs_by_id = {
+            int(s["spec-id"]): list(s.get("fields") or [])
+            for s in meta.get("partition-specs", [])
+        }
     _schema, manifests = avro_io.read_container(
         _abs(table, snap["manifest-list"])
     )
     data, deletes, eq_deletes = [], [], []
     for m in manifests:
         m_seq = m.get("sequence_number")
+        m_spec_id = int(m.get("partition_spec_id") or 0)
         _ms, rows = avro_io.read_container(_abs(table, m["manifest_path"]))
         for r in rows:
             if r.get("status") == 2:  # DELETED
@@ -396,12 +411,31 @@ def _live_entries(table: str, snap: dict):
                         "records no equality_ids: nothing to compare "
                         "on, and skipping it would resurrect rows"
                     )
+                scope = None
+                if specs_by_id is not None:
+                    if m_spec_id in specs_by_id:
+                        sfields = specs_by_id[m_spec_id]
+                    elif m_spec_id == int(meta.get("default-spec-id", 0)):
+                        # legacy metadata without partition-specs:
+                        # fall back to the default spec resolution
+                        sfields = _spec_fields(meta)
+                    else:
+                        raise NotImplementedError(
+                            f"equality delete manifest references spec "
+                            f"id {m_spec_id} absent from the table's "
+                            "partition-specs: its scope cannot be "
+                            "resolved, and guessing either way loses "
+                            "or resurrects rows"
+                        )
+                    if sfields:  # partitioned spec -> partition scope
+                        scope = dict(dfile.get("partition") or {})
                 eq_deletes.append(
                     (
                         _abs(table, dfile["file_path"]),
                         int(seq),
                         tuple(int(i) for i in ids),
                         dfile.get("record_count"),
+                        scope,
                     )
                 )
             else:
@@ -410,6 +444,17 @@ def _live_entries(table: str, snap: dict):
                     "supported by the protocol-native reader"
                 )
     return data, deletes, eq_deletes
+
+
+def _part_fp(pv: dict) -> str:
+    """Canonical fingerprint of a manifest partition struct — the
+    equality-delete scope comparison key. Both sides (data entries,
+    delete entries) decode through the same avro reader, so stringified
+    values compare consistently."""
+    return json.dumps(
+        {str(k): (None if v is None else str(v)) for k, v in (pv or {}).items()},
+        sort_keys=True,
+    )
 
 
 def _entry_survives_filter(
@@ -489,7 +534,7 @@ def _read_snapshot(
                 f"scan_filter column(s) {sorted(unknown)} not in table "
                 f"schema {schema.fieldNames()}"
             )
-    data, deletes, eq_deletes = _live_entries(table, snap)
+    data, deletes, eq_deletes = _live_entries(table, snap, meta)
     if scan_filter:
         data = [
             e
@@ -515,8 +560,11 @@ def _read_snapshot(
     if scan_filter:
         scan = scan.filter(_filter_predicate(scan_filter))
     seq_df = spark.createDataFrame(
-        [(os.path.abspath(p), int(s)) for p, _pv, _rp, s in data],
-        "__dv_file string, __data_seq bigint",
+        [
+            (os.path.abspath(p), int(s), _part_fp(pv))
+            for p, pv, _rp, s in data
+        ],
+        "__dv_file string, __data_seq bigint, __part_fp string",
     )
     if deletes:
         # positional deletes are parquet (file_path, pos) rows; a
@@ -599,7 +647,11 @@ def _apply_equality_deletes(
     file's — the strict inequality is what lets a same-sequence
     commit pair an equality delete with the replacement rows it
     inserts (the Flink/CDC upsert shape, `upsert_by_key_iceberg`)
-    without the delete swallowing its own inserts.
+    without the delete swallowing its own inserts. A delete file
+    stored under an UNPARTITIONED spec applies table-wide; one stored
+    under a partitioned spec applies only to data files in the
+    MATCHING partition (`scope` from _live_entries) — applying it
+    globally would over-delete rows a spec-compliant engine keeps.
 
     Shape at scale: one scan over all delete files PER distinct
     equality_ids set (plan width O(#id-sets), not O(#files)); each
@@ -617,10 +669,11 @@ def _apply_equality_deletes(
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
     scan = scan.join(F.broadcast(seq_df), "__dv_file")
     groups: dict[tuple, list] = {}
-    for p, s, ids, rc in eq_deletes:
-        groups.setdefault(ids, []).append((p, s, rc))
-    for ids in sorted(groups):
-        entries = groups[ids]
+    for p, s, ids, rc, scope in eq_deletes:
+        fp = None if scope is None else _part_fp(scope)
+        groups.setdefault((ids, fp), []).append((p, s, rc))
+    for ids, scope_fp in sorted(groups, key=str):
+        entries = groups[(ids, scope_fp)]
         missing = [i for i in ids if i not in id_to_name]
         if missing:
             raise NotImplementedError(
@@ -657,8 +710,12 @@ def _apply_equality_deletes(
             op.and_,
             [scan[c].eqNullSafe(dels[f"__eq_{c}"]) for c in eq_cols],
         ) & (dels["__eq_seq"] > scan["__data_seq"])
+        if scope_fp is not None:
+            # partition-scoped delete file: only data files in the
+            # matching partition are candidates
+            cond = cond & (scan["__part_fp"] == F.lit(scope_fp))
         scan = scan.join(dels, cond, "left_anti")
-    return scan.drop("__data_seq")
+    return scan.drop("__data_seq", "__part_fp")
 
 
 def read_iceberg(
@@ -776,6 +833,18 @@ def _manifest_schema(
 #: v1-required block size stamp (the spec's historical 64 MiB default;
 #: field is write-required/ignored-on-read in v1, dropped in v2).
 _BLOCK_SIZE = 64 * 1024 * 1024
+
+#: matched-position budget the DRIVER will materialize during a
+#: row-level DELETE/UPDATE commit (the Iceberg twin of
+#: delta.DV_DRIVER_COLLECT_MAX): at or below it the collected probe
+#: builds one partition-scoped delete file per partition driver-side;
+#: above it the workers write one delete file per masked data file
+#: and the driver handles O(files) manifest rows.
+POS_DELETE_DRIVER_COLLECT_MAX = 200_000
+
+#: "driver" or "executor" — which position path the last
+#: _mask_rows_commit_iceberg took (stress-test instrumentation).
+_LAST_MASK_PATH: str | None = None
 
 _MANIFEST_LIST_SCHEMA = {
     "type": "record",
@@ -1461,6 +1530,24 @@ def _equality_delta_commit_iceberg(
     data_root = os.path.join(table, "data")
     mdir = _meta_dir(table)
     eq_ids = [name_to_id[c] for c in key_cols]
+    # spec rule (Iceberg table spec, "Delete Files"): an equality
+    # delete is TABLE-GLOBAL only when stored under an UNPARTITIONED
+    # spec — under a partitioned spec it scopes to one partition, and
+    # spec-compliant engines would apply an all-null-partition delete
+    # only to null-partition data files (resurrecting rows). Register
+    # an unpartitioned spec once and stamp the delete manifest with it.
+    unpart_spec_id = 0
+    if part_cols:
+        specs = list(meta.get("partition-specs") or [])
+        empties = [s for s in specs if not (s.get("fields") or [])]
+        if empties:
+            unpart_spec_id = int(empties[0]["spec-id"])
+        else:
+            unpart_spec_id = (
+                max((int(s["spec-id"]) for s in specs), default=-1) + 1
+            )
+            specs.append({"spec-id": unpart_spec_id, "fields": []})
+            meta["partition-specs"] = specs
     del_entries = []
     for f in _stage_data_files(keys, data_root, []):
         if f["num_rows"] == 0:
@@ -1476,8 +1563,9 @@ def _equality_delta_commit_iceberg(
                     "content": 2,  # EQUALITY DELETES
                     "file_path": f"data/{f['rel_path']}",
                     "file_format": "PARQUET",
-                    # null partition struct = table-global scope
-                    "partition": {c: None for c in part_cols},
+                    # empty partition struct: the unpartitioned spec's
+                    # table-global form
+                    "partition": {},
                     "record_count": f["num_rows"],
                     "file_size_in_bytes": f["size"],
                     "block_size_in_bytes": _BLOCK_SIZE,
@@ -1492,13 +1580,13 @@ def _equality_delta_commit_iceberg(
         man_name = f"manifest-{uuid.uuid4().hex}.avro"
         man_path = os.path.join(mdir, man_name)
         avro_io.write_container(
-            man_path, _manifest_schema(part_cols, part_types, 2), del_entries
+            man_path, _manifest_schema([], {}, 2), del_entries
         )
         new_manifests.append(
             {
                 "manifest_path": f"metadata/{man_name}",
                 "manifest_length": os.path.getsize(man_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": unpart_spec_id,
                 "added_snapshot_id": snapshot_id,
                 "added_data_files_count": len(del_entries),
                 "existing_data_files_count": 0,
@@ -1621,8 +1709,9 @@ def _mask_rows_commit_iceberg(
     matched_df = _read_snapshot(
         spark, table, meta, snap, keep_meta=True
     ).filter(condition)
-    matched = matched_df.select("__dv_file", "__dv_ridx").collect()
-    if not matched:
+    pos = matched_df.select("__dv_file", "__dv_ridx")
+    probe = pos.limit(POS_DELETE_DRIVER_COLLECT_MAX + 1).collect()
+    if not probe:
         return out
     staged: list[dict] = []
     if set_exprs is not None:
@@ -1637,14 +1726,9 @@ def _mask_rows_commit_iceberg(
             spec_fields,
         )
     # the delete file must reference data files by their RECORDED
-    # manifest path strings (spec rule), grouped by the data file's
-    # partition so each delete file is partition-scoped
+    # manifest path strings (spec rule); each delete file is
+    # partition-scoped (stamped with its data files' partition)
     info = {os.path.abspath(p): (rp, pv) for p, pv, rp, _s in data}
-    by_part: dict[tuple, list[tuple[str, int]]] = {}
-    for r in matched:
-        rp, pv = info[r["__dv_file"]]
-        key = tuple(pv.get(c) for c in part_cols)
-        by_part.setdefault(key, []).append((rp, int(r["__dv_ridx"])))
 
     if int(meta.get("format-version", 1)) == 1:
         meta["format-version"] = 2
@@ -1655,24 +1739,95 @@ def _mask_rows_commit_iceberg(
     )
     data_root = os.path.join(table, "data")
     mdir = _meta_dir(table)
-    del_entries = []
-    for key, pairs in sorted(by_part.items(), key=lambda kv: str(kv[0])):
-        pairs.sort()
-        name = f"delete-{uuid.uuid4().hex}.parquet"
-        dpath = os.path.join(data_root, name)
-        os.makedirs(data_root, exist_ok=True)
-        papq.write_table(
-            pa.table(
-                {
-                    "file_path": pa.array(
-                        [p for p, _ in pairs], pa.string()
-                    ),
-                    "pos": pa.array([i for _, i in pairs], pa.int64()),
-                }
-            ),
-            dpath,
+    os.makedirs(data_root, exist_ok=True)
+    # (partition key tuple, delete file name, positions, size) — the
+    # driver path writes one delete file per PARTITION from the
+    # collected probe; the executor path (a wide DELETE/UPDATE WHERE
+    # past the probe cap) writes one per masked DATA FILE from the
+    # workers (spec-legal: a partition may carry many position-delete
+    # files) and the driver handles O(masked files) descriptor rows,
+    # never the position set.
+    global _LAST_MASK_PATH
+    del_files: list[tuple[tuple, str, int, int]] = []
+    if len(probe) <= POS_DELETE_DRIVER_COLLECT_MAX:
+        _LAST_MASK_PATH = "driver"
+        by_part: dict[tuple, list[tuple[str, int]]] = {}
+        for r in probe:
+            rp, pv = info[r["__dv_file"]]
+            key = tuple(pv.get(c) for c in part_cols)
+            by_part.setdefault(key, []).append((rp, int(r["__dv_ridx"])))
+        for key, pairs in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+            pairs.sort()
+            name = f"delete-{uuid.uuid4().hex}.parquet"
+            dpath = os.path.join(data_root, name)
+            papq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array(
+                            [p for p, _ in pairs], pa.string()
+                        ),
+                        "pos": pa.array([i for _, i in pairs], pa.int64()),
+                    }
+                ),
+                dpath,
+            )
+            del_files.append(
+                (key, name, len(pairs), os.path.getsize(dpath))
+            )
+    else:
+        _LAST_MASK_PATH = "executor"
+        part_ids: dict[tuple, int] = {}
+        ref_by_abs: dict[str, tuple[str, int]] = {}
+        for p_abs, (rp, pv) in info.items():
+            key = tuple(pv.get(c) for c in part_cols)
+            pid = part_ids.setdefault(key, len(part_ids))
+            ref_by_abs[p_abs] = (rp, pid)
+        key_by_id = {pid: key for key, pid in part_ids.items()}
+        refs = spark.sparkContext.broadcast(ref_by_abs)
+        root = data_root
+
+        def build(pdf):
+            import uuid as _uuid
+
+            import numpy as np
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _papq
+
+            rp, pid = refs.value[pdf["__dv_file"].iat[0]]
+            positions = np.unique(pdf["__dv_ridx"].to_numpy(dtype="int64"))
+            name = f"delete-{_uuid.uuid4().hex}.parquet"
+            dpath = os.path.join(root, name)
+            _papq.write_table(
+                _pa.table(
+                    {
+                        "file_path": _pa.array(
+                            [rp] * len(positions), _pa.string()
+                        ),
+                        "pos": _pa.array(positions, _pa.int64()),
+                    }
+                ),
+                dpath,
+            )
+            return pd.DataFrame(
+                [[pid, name, int(positions.size), os.path.getsize(dpath)]],
+                columns=["part_id", "name", "n", "size"],
+            )
+
+        rows = (
+            pos.groupBy("__dv_file")
+            .applyInPandas(
+                build, "part_id int, name string, n bigint, size bigint"
+            )
+            .collect()
         )
-        out[rows_key] += len(pairs)
+        for r in sorted(rows, key=lambda r: r["name"]):
+            del_files.append(
+                (key_by_id[int(r["part_id"])], r["name"], int(r["n"]), int(r["size"]))
+            )
+    del_entries = []
+    for key, name, n_pos, fsize in del_files:
+        out[rows_key] += n_pos
         out["delete_files"] += 1
         del_entries.append(
             {
@@ -1685,8 +1840,8 @@ def _mask_rows_commit_iceberg(
                     "file_path": f"data/{name}",
                     "file_format": "PARQUET",
                     "partition": dict(zip(part_cols, key)),
-                    "record_count": len(pairs),
-                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "record_count": n_pos,
+                    "file_size_in_bytes": fsize,
                     "block_size_in_bytes": _BLOCK_SIZE,
                 },
             }

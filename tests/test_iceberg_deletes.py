@@ -120,6 +120,50 @@ def test_partitioned_delete_files_are_partition_scoped(
     assert parts == ["jp", "us"]
 
 
+def test_wide_positional_mask_executor_path(spark, tmp_path, monkeypatch):
+    """Past POS_DELETE_DRIVER_COLLECT_MAX the workers write one
+    position-delete file per masked DATA file and the driver handles
+    O(files) manifest rows, never the position set. Semantics match
+    the driver path: partition-scoped entries, sequence scoping, and
+    UPDATE staging."""
+    from archetype_spark.sources import iceberg as ice_mod
+    from archetype_spark.sources import update_where_iceberg
+
+    df = spark.createDataFrame(
+        [(1, "ann", "us"), (2, "bob", "us"), (3, "cho", "jp"), (4, "dee", "jp")],
+        "id long, name string, country string",
+    ).repartition("country")
+    t = str(tmp_path / "t")
+    write_iceberg(df, t, partition_by=["country"])
+    monkeypatch.setattr(ice_mod, "POS_DELETE_DRIVER_COLLECT_MAX", 0)
+    out = delete_where_iceberg(spark, t, "id IN (1, 3)")
+    assert ice_mod._LAST_MASK_PATH == "executor"
+    assert out["rows_deleted"] == 2
+    assert out["delete_files"] == 2  # one per masked data file
+    assert _ids(spark, t) == [2, 4]
+    # entries carry their data file's partition (scoped, per spec)
+    meta = _load_metadata(t)
+    snap = meta["snapshots"][-1]
+    _d, pos, _eq = _live_entries(os.path.abspath(t), snap, meta)
+    assert len(pos) == 2
+    # appends after the delete escape its sequence scope
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "ann2", "us")], "id long, name string, country string"
+        ).coalesce(1),
+        t,
+        mode="append",
+        partition_by=["country"],
+    )
+    assert _ids(spark, t) == [1, 2, 4]
+    # a wide UPDATE through the same path stages replacements
+    out2 = update_where_iceberg(spark, t, "country = 'us'", {"name": "upper(name)"})
+    assert ice_mod._LAST_MASK_PATH == "executor"
+    assert out2["rows_updated"] == 2  # the two LIVE 'us' rows
+    got = sorted((r["id"], r["name"]) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "ANN2"), (2, "BOB"), (4, "dee")]
+
+
 def test_count_and_changes_refuse_live_deletes(spark, tmp_path, people):
     t = str(tmp_path / "t")
     write_iceberg(people, t)

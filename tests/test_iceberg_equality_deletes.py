@@ -70,13 +70,15 @@ def test_delete_by_key_basic_upgrade_and_time_travel(spark, tmp_path, people):
     # time travel to the pre-delete snapshot sees everything
     first = snapshots_iceberg(t)[0]["snapshot-id"]
     assert _ids(spark, t, first) == [1, 2, 3, 4]
-    # manifest records the equality field ids + global (null) partition
+    # manifest records the equality field ids + table-global scope
+    meta2 = _load_metadata(t)
     _d, _pos, eq = _live_entries(
-        os.path.abspath(t), _load_metadata(t)["snapshots"][-1]
+        os.path.abspath(t), meta2["snapshots"][-1], meta2
     )
     assert len(eq) == 1
-    _path, seq, ids, rc = eq[0]
+    _path, seq, ids, rc, scope = eq[0]
     assert seq == 1 and ids == (1,) and rc == 2  # id is field 1
+    assert scope is None  # unpartitioned spec -> global
 
 
 def test_strict_scoping_reappended_keys_survive(spark, tmp_path, people):
@@ -165,6 +167,142 @@ def test_upsert_into_partitioned_table(spark, tmp_path, people):
     assert out["rows_inserted"] == 1
     got = {r["id"]: r["name"] for r in read_iceberg(spark, t).collect()}
     assert got == {1: "ann", 2: "bob", 3: "CHO", 4: "dee"}
+
+
+def test_partitioned_global_delete_uses_unpartitioned_spec(
+    spark, tmp_path, people
+):
+    """Spec rule: equality deletes are table-global only when stored
+    under an UNPARTITIONED spec. On a partitioned table the writer
+    must register one and stamp the delete manifest with its id —
+    an all-null partition under the partitioned spec would read as
+    scoped-to-null-partition in spec-compliant engines."""
+    from archetype_spark.sources import avro_io
+    from archetype_spark.sources.iceberg import _abs
+
+    t = str(tmp_path / "t")
+    write_iceberg(people.repartition("country"), t, partition_by=["country"])
+    delete_by_key_iceberg(spark, t, _keys(spark, 2, 3))  # one per partition
+    assert _ids(spark, t) == [1, 4]
+    meta = _load_metadata(t)
+    unpart = {
+        int(s["spec-id"])
+        for s in meta["partition-specs"]
+        if not (s.get("fields") or [])
+    }
+    assert unpart, "global equality delete must register an unpartitioned spec"
+    assert int(meta["default-spec-id"]) not in unpart  # data spec unchanged
+    snap = meta["snapshots"][-1]
+    _s, manifests = avro_io.read_container(
+        _abs(os.path.abspath(t), snap["manifest-list"])
+    )
+    del_mans = [m for m in manifests if int(m.get("content") or 0) == 1]
+    assert del_mans
+    assert all(int(m["partition_spec_id"]) in unpart for m in del_mans)
+    _d, _pos, eq = _live_entries(os.path.abspath(t), snap, meta)
+    assert eq and all(e[4] is None for e in eq)  # resolved scope: global
+    # upsert into the partitioned table still round-trips end to end
+    ups = spark.createDataFrame(
+        [(4, "DEE", "jp"), (9, "new", "us")],
+        "id long, name string, country string",
+    ).coalesce(1)
+    upsert_by_key_iceberg(spark, t, ups, ["id"])
+    got = {r["id"]: r["name"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "ann", 4: "DEE", 9: "new"}
+
+
+def test_foreign_partition_scoped_equality_delete_scopes(spark, tmp_path):
+    """A delete file stored under the PARTITIONED spec with real
+    partition values (the form Flink/Java writers emit for
+    partition-local deletes) must apply ONLY to data files in that
+    partition: the same key value in another partition survives.
+    Hand-built manifest so the reader is pinned to foreign files,
+    not to our own writer."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from archetype_spark.sources import avro_io
+    from archetype_spark.sources.iceberg import (
+        _BLOCK_SIZE,
+        _commit_row_delta_snapshot,
+        _manifest_schema,
+        _meta_dir,
+        _part_types,
+        _spec_fields,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us"), (1, "jp"), (2, "us"), (2, "jp")],
+        "id long, country string",
+    )
+    write_iceberg(df.repartition("country"), t, partition_by=["country"])
+    table = os.path.abspath(t)
+    meta = _load_metadata(table)
+    if int(meta.get("format-version", 1)) == 1:
+        meta["format-version"] = 2
+        meta.setdefault("last-sequence-number", 0)
+    spec_fields = _spec_fields(meta)
+    part_cols = [f["name"] for f in spec_fields]
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    name = "delete-scoped-us.parquet"
+    dpath = os.path.join(table, "data", name)
+    papq.write_table(pa.table({"id": pa.array([1], pa.int64())}), dpath)
+    entry = {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 2,
+            "file_path": f"data/{name}",
+            "file_format": "PARQUET",
+            "partition": {"country": "us"},  # scoped, not global
+            "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "block_size_in_bytes": _BLOCK_SIZE,
+            "equality_ids": [1],  # id is field 1
+        },
+    }
+    man_name = "manifest-scoped-delete.avro"
+    man_path = os.path.join(_meta_dir(table), man_name)
+    avro_io.write_container(
+        man_path,
+        _manifest_schema(part_cols, _part_types(spec_fields), 2),
+        [entry],
+    )
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _commit_row_delta_snapshot(
+        table,
+        meta,
+        snaps[meta["current-snapshot-id"]],
+        [
+            {
+                "manifest_path": f"metadata/{man_name}",
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0,  # the PARTITIONED spec
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 1,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+            }
+        ],
+        seq,
+        snapshot_id,
+        "delete",
+    )
+    got = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "jp"), (2, "jp"), (2, "us")]  # (1,'us') only
+    meta2 = _load_metadata(table)
+    _d, _pos, eq = _live_entries(table, meta2["snapshots"][-1], meta2)
+    assert eq and eq[0][4] == {"country": "us"}
 
 
 def test_mixed_position_and_equality_deletes(spark, tmp_path, people):

@@ -483,3 +483,72 @@ def test_stress_iceberg_day_partition_prune(spark, stress_docs, tmp_path):
     n_all = len(set(read_iceberg(spark, t).inputFiles()))
     n_kept = len(set(pruned.inputFiles()))
     assert n_kept <= n_all * 5 // 40 + 1, (n_kept, n_all)
+
+
+def test_stress_wide_delete_never_collects_positions_delta(
+    spark, stress_docs, tmp_path, monkeypatch
+):
+    """Wide DELETE/UPDATE WHERE at 10x: masking >=20% of 50k rows
+    with the driver's position budget pinned to 1000 forces the
+    executor bitmap path (one descriptor row per masked file on the
+    driver, never the position set) — and the answer must match the
+    predicate exactly, including a second wide mask that merges with
+    the first commit's deletion vectors executor-side."""
+    from archetype_spark.sources import (
+        delete_where_delta,
+        read_delta,
+        update_where_delta,
+        write_delta,
+    )
+    from archetype_spark.sources import delta as delta_mod
+
+    t = str(tmp_path / "wide_delta")
+    write_delta(stress_docs.repartition(8), t)
+    n = stress_docs.count()
+    monkeypatch.setattr(delta_mod, "DV_DRIVER_COLLECT_MAX", 1000)
+    out = delete_where_delta(spark, t, "doc_id % 4 = 0")
+    assert delta_mod._LAST_MASK_PATH == "executor"
+    assert out["rows_deleted"] >= n // 5  # a genuinely wide mask
+    left = read_delta(spark, t)
+    assert left.filter("doc_id % 4 = 0").count() == 0
+    assert left.count() == n - out["rows_deleted"]
+    # second wide mask: existing blobs merge executor-side and the
+    # dead guard itself runs off-driver
+    monkeypatch.setattr(delta_mod, "DV_DEAD_BROADCAST_MAX", 1000)
+    out2 = update_where_delta(
+        spark, t, "doc_id % 4 = 1", {"lang": "'masked'"}
+    )
+    assert delta_mod._LAST_MASK_PATH == "executor"
+    assert out2["rows_updated"] >= n // 5
+    left2 = read_delta(spark, t)
+    assert left2.count() == n - out["rows_deleted"]
+    assert (
+        left2.filter("doc_id % 4 = 1").filter("lang != 'masked'").count()
+        == 0
+    )
+
+
+def test_stress_wide_delete_never_collects_positions_iceberg(
+    spark, stress_docs, tmp_path, monkeypatch
+):
+    """The Iceberg twin: a wide DELETE WHERE past the probe cap
+    writes its position-delete files from the WORKERS (one per
+    masked data file) and the driver sees O(files) manifest rows."""
+    from archetype_spark.sources import (
+        delete_where_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+    from archetype_spark.sources import iceberg as ice_mod
+
+    t = str(tmp_path / "wide_ice")
+    write_iceberg(stress_docs.repartition(8), t)
+    n = stress_docs.count()
+    monkeypatch.setattr(ice_mod, "POS_DELETE_DRIVER_COLLECT_MAX", 1000)
+    out = delete_where_iceberg(spark, t, "doc_id % 4 = 0")
+    assert ice_mod._LAST_MASK_PATH == "executor"
+    assert out["rows_deleted"] >= n // 5
+    assert out["delete_files"] == 8  # one per masked data file
+    left = read_iceberg(spark, t)
+    assert left.filter("doc_id % 4 = 0").count() == 0
+    assert left.count() == n - out["rows_deleted"]
