@@ -169,15 +169,16 @@ def fit_ivf(
         "id_col": id_col,
         "vec_col": vec_col,
         # Row count at fit time: the drift gauge ensure_ivf compares
-        # appended growth against to decide append vs refit (a
-        # metadata-only parquet count — cheap even at 100 TB).
-        "n_rows_at_fit": emb.count(),
+        # appended growth against to decide append vs refit — counted
+        # from the WRITTEN assignments footers (one row per vector),
+        # so the fit makes no second corpus pass.
         "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
     _write_index(
         index_dir,
         params,
         {"centroids": (centroids.coalesce(1), None), "assignments": (assignments, ["cell"])},
+        count_rows_from="assignments",
     )
 
 
@@ -719,7 +720,7 @@ def fit_pq(
         "dim": dim,
         "id_col": id_col,
         "vec_col": vec_col,
-        "n_rows_at_fit": emb.count(),
+        # n_rows_at_fit counted from the written codes footers
         "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
     _write_index(
@@ -730,6 +731,7 @@ def fit_pq(
             "codes": (codes, ["id"]),
             "codes_long": (codes_long, ["m", "code"]),
         },
+        count_rows_from="codes",
     )
 
 
@@ -991,7 +993,9 @@ def fit_ivf_pq(
         "dim": dim,
         "id_col": id_col,
         "vec_col": vec_col,
-        "n_rows_at_fit": emb.count(),
+        # n_rows_at_fit counted from the written codes footers (one
+        # row per vector): the fit makes ONE corpus pass — the
+        # file-mode corpus fingerprint is driver-side metadata only
         "corpus": corpus_fingerprint(emb, id_col, vec_col),
     }
     _write_index(
@@ -1003,6 +1007,7 @@ def fit_ivf_pq(
             "codes": (codes, ["cell"]),
             "codes_long": (codes_long, ["cell", "m", "code"]),
         },
+        count_rows_from="codes",
     )
 
 
@@ -1284,15 +1289,35 @@ def _write_index(
     index_dir: str,
     params: dict,
     tables: dict[str, tuple[DataFrame, list[str] | None]],
+    count_rows_from: str | None = None,
 ) -> None:
     """Write tables + params sidecar to a temp dir, then swap it into
-    place with renames. Sidecar last: its presence marks validity."""
+    place with renames. Sidecar last: its presence marks validity.
+
+    `count_rows_from` names a per-vector table whose WRITTEN parquet
+    footers supply params["n_rows_at_fit"] — the fit paths' row count
+    without a second corpus pass (O(#index files) driver-side footer
+    reads, no Spark job)."""
+    import pyarrow.parquet as papq
+
     os.makedirs(os.path.dirname(index_dir) or ".", exist_ok=True)
     tmp = f"{index_dir}.building-{uuid.uuid4().hex}"
     os.makedirs(tmp)
     try:
         for name, (df, sort_by) in tables.items():
             write_table(df, os.path.join(tmp, name), sort_by=sort_by)
+        if count_rows_from is not None:
+            n = 0
+            for root_, _dirs, files in os.walk(
+                os.path.join(tmp, count_rows_from)
+            ):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n += papq.ParquetFile(
+                            os.path.join(root_, f)
+                        ).metadata.num_rows
+            params = dict(params)
+            params["n_rows_at_fit"] = n
         with open(os.path.join(tmp, _PARAMS_FILE), "w") as fh:
             json.dump(params, fh, indent=1)
         old = None
