@@ -30,3 +30,79 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert df.columns
+
+
+# ---------------------------------------------------------------------------
+# Non-vacuous twins for the two driver queries whose SURVEY-pinned
+# constants select ZERO rows in the driver's synthetic data (q03's
+# 1994 ship-date window predates the data; q09 anti-joins customers
+# against orders but every customer has one). Their driver rows prove
+# only 0 == 0, so the same operator shapes are hash-checked here on
+# shifted constants that return rows — local-only, never
+# driver-registered (SURVEY pins the originals' text).
+
+
+def test_q03_twin_compound_predicate_non_vacuous(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from archetype_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    df = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+    n = df.count()
+    assert n > 0, "twin went vacuous — shift the date window"
+    ok, detail = compare(
+        df,
+        """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        ORDER BY l_orderkey, l_linenumber
+        """,
+        sf_dir,
+    )
+    assert ok, detail
+
+
+def test_q09_twin_anti_join_non_vacuous(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from archetype_spark.tables import load
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    df = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+    n = df.count()
+    total = load(spark, sf_dir, "customer").count()
+    assert 0 < n < total, "twin went vacuous/total — shift the cutoff"
+    ok, detail = compare(
+        df,
+        """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+        ORDER BY c_custkey
+        """,
+        sf_dir,
+    )
+    assert ok, detail
