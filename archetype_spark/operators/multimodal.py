@@ -34,7 +34,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from archetype_spark.operators import gif_io, image_probe, jpeg_io, png_io
+from archetype_spark.operators import (
+    bmp_io,
+    gif_io,
+    image_probe,
+    jpeg_io,
+    png_io,
+)
 
 MEDIA_SCHEMA = StructType(
     [
@@ -79,6 +85,7 @@ register_pickle_by_value(png_io)
 register_pickle_by_value(image_probe)
 register_pickle_by_value(jpeg_io)
 register_pickle_by_value(gif_io)
+register_pickle_by_value(bmp_io)
 
 
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -529,8 +536,9 @@ PIXEL_STATS_SCHEMA = StructType(
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """REAL pixel decode -> per-image stats, dependency-free: P6 PNM,
-    PNG (png_io), baseline JPEG (jpeg_io) and GIF (gif_io — LZW,
-    palette-mapped RGB) payloads decode to their
+    PNG (png_io), baseline JPEG (jpeg_io), GIF (gif_io — LZW,
+    palette-mapped RGB) and BMP (bmp_io — 24/32-bit + 8-bit palette)
+    payloads decode to their
     uint8 pixel arrays executor-side (Arrow-batched mapInPandas);
     output (media_id, width, height, n_px, pixel_digest) where the
     digest is sha256 over the row-major pixel BYTES — identical
@@ -549,6 +557,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             px = png_io.png_decode(p)
         elif p[:6] in (b"GIF87a", b"GIF89a"):
             px = gif_io.gif_decode(p)
+        elif p[:2] == b"BM":
+            px = bmp_io.bmp_decode(p)
         elif p[:2] in (b"P6", b"P5"):
             hdr = _ppm_header(p)
             if hdr is None:
@@ -564,8 +574,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             px = px.reshape(h0, w0, ch) if ch == 3 else px.reshape(h0, w0)
         else:
             raise NotImplementedError(
-                "image_pixel_stats: payload is not P5/P6 PNM, PNG, GIF "
-                "or baseline JPEG (the dependency-free pixel codecs)"
+                "image_pixel_stats: payload is not P5/P6 PNM, PNG, GIF, "
+                "BMP or baseline JPEG (the dependency-free pixel codecs)"
             )
         h0, w0 = px.shape[0], px.shape[1]
         return {
@@ -655,6 +665,22 @@ def resize_images(
                         return jpeg_io.jpeg_encode(
                             px[ys][:, xs], quality_scale=2
                         )
+                if (payload or b"")[:2] == b"BM":
+                    # real BMP path: uncompressed decode -> nearest-
+                    # neighbor -> 24-bit BI_RGB re-encode. Variants
+                    # outside bmp_io's scope (RLE, 16-bit) fall
+                    # THROUGH to PIL when present, loud refusal below
+                    import numpy as np
+
+                    try:
+                        px = bmp_io.bmp_decode(payload)
+                    except NotImplementedError:
+                        px = None
+                    if px is not None:
+                        h0, w0 = px.shape[0], px.shape[1]
+                        ys = (np.arange(height) * h0) // height
+                        xs = (np.arange(width) * w0) // width
+                        return bmp_io.bmp_encode(px[ys][:, xs])
                 if png_io.png_info(payload or b"") is not None:
                     # real PNG path: full decode -> nearest-neighbor
                     # -> exact re-encode, all dependency-free.
