@@ -1494,6 +1494,52 @@ def q130_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q131_iceberg_eq_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EQUALITY-delete changelog (read_iceberg_changes with
+    include_deletes + equality_via_prior_snapshot — the opt-in that
+    makes a mirror built by upsert_by_key_iceberg fully
+    changelog-consumable): the q122 CDC fixture's four snapshots —
+    ingest, delete-by-key, re-append, one-commit upsert — replayed as
+    insert/delete rows and aggregated per (snapshot ordinal, change
+    type, lang). The delete cohorts derive by key-joining the PRIOR
+    snapshot, so the upsert snapshot's deletes must carry the
+    PRE-upsert langs while its inserts carry 'xx', and the
+    delete-by-key snapshot's rows must match the equality keys, not
+    positions. Oracle: the same cohort algebra over the source
+    documents view — independent of manifests and the derivation."""
+    from archetype_spark.sources.iceberg import (
+        read_iceberg_changes,
+        snapshots_iceberg,
+    )
+
+    table = _ensure_iceberg_cdc_documents(spark, sf_dir)
+    snaps = [s["snapshot-id"] for s in snapshots_iceberg(table)]
+    ords = F.create_map(
+        *[F.lit(x) for sid, i in zip(snaps, range(1, len(snaps) + 1)) for x in (sid, i)]
+    )
+    ch = read_iceberg_changes(
+        spark,
+        table,
+        snaps[0],
+        include_deletes=True,
+        equality_via_prior_snapshot=True,
+    )
+    return (
+        ch.select(
+            ords[F.col("_snapshot_id")].cast("bigint").alias("snap_ord"),
+            F.col("_change_type").alias("change_type"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("snap_ord", "change_type", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("snap_ord", "change_type", "lang", "n_rows", "sum_chars")
+    )
+
+
 def _ensure_iceberg_documents(spark: SparkSession, sf_dir: str) -> str:
     """The Iceberg table q105 scans: TWO append snapshots (even then
     odd doc_ids) — append-only on purpose: the active file set then
@@ -2416,6 +2462,7 @@ QUERIES = {
     "q128_cdf_mirror_scan": q128_cdf_mirror_scan,
     "q129_audio_spectral": q129_audio_spectral,
     "q130_iceberg_changelog": q130_iceberg_changelog,
+    "q131_iceberg_eq_changelog": q131_iceberg_eq_changelog,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -3703,6 +3750,43 @@ ORACLES["q130_iceberg_changelog"] = """
     WHERE (doc_id % 2 = 0 AND length(text) % 5 <> 2
            AND length(text) % 9 = 4)
        OR (doc_id % 2 = 1 AND length(text) % 9 = 4)
+"""
+
+# q131: the equality changelog's six cohorts from the source view —
+# the fixture algebra of _ensure_iceberg_cdc_documents. snap 4's
+# DELETE cohort carries the PRE-upsert langs (prior-snapshot join)
+# while its INSERT cohort is re-langed 'xx'; snap 3 re-inserts the
+# resurrected evens, which snap 2 already emitted as deletes.
+ORACLES["q131_iceberg_eq_changelog"] = """
+    WITH base AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    changes AS (
+      SELECT 1 AS snap_ord, 'insert' AS change_type, lang, n_chars
+      FROM base WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 2, 'delete', lang, n_chars
+      FROM base WHERE doc_id % 2 = 0 AND n_chars % 5 = 2
+      UNION ALL
+      SELECT 3, 'insert', lang, n_chars
+      FROM base WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT 3, 'insert', lang, n_chars
+      FROM base
+      WHERE doc_id % 2 = 0 AND n_chars % 5 = 2 AND doc_id % 4 = 0
+      UNION ALL
+      SELECT 4, 'insert', 'xx', n_chars
+      FROM base WHERE doc_id % 2 = 1 AND n_chars % 7 = 3
+      UNION ALL
+      SELECT 4, 'delete', lang, n_chars
+      FROM base WHERE doc_id % 2 = 1 AND n_chars % 7 = 3
+    )
+    SELECT snap_ord::BIGINT AS snap_ord, change_type, lang,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM changes
+    GROUP BY snap_ord, change_type, lang
 """
 
 # q111: each snapshot's added cohort recomputed from the source view

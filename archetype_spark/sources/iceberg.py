@@ -2114,6 +2114,7 @@ def read_iceberg_changes(
     from_snapshot: int,
     to_snapshot: int | None = None,
     include_deletes: bool = False,
+    equality_via_prior_snapshot: bool = False,
 ) -> DataFrame:
     """Incremental read — the Iceberg twin of read_delta_changes: the
     rows each snapshot in `from_snapshot..to_snapshot` (inclusive
@@ -2131,10 +2132,22 @@ def read_iceberg_changes(
     (file, position), so only the REFERENCED data files are scanned
     and semi-joined on position: O(rows deleted), never O(table). A
     v2 row-delta UPDATE therefore reads as its delete+insert pair
-    (net-changes form). EQUALITY delete files still refuse: they name
-    key VALUES, and recovering the rows they killed needs a
+    (net-changes form). EQUALITY delete files refuse BY DEFAULT: they
+    name key VALUES, and recovering the rows they killed needs a
     prior-snapshot diff — an O(table) cost this reader will not hide
     inside an "incremental" API.
+
+    `equality_via_prior_snapshot=True` opts into exactly that cost
+    (documented O(prior snapshot scan) per equality snapshot): each
+    snapshot's equality-delete keys semi-join the table AS OF the
+    previous snapshot, emitting the matched rows as 'delete' — the
+    form that makes a mirror built by `upsert_by_key_iceberg` fully
+    changelog-consumable (its commits are equality deletes + inserts).
+    Multiple equality_ids groups in one snapshot apply left-to-right
+    to the not-yet-matched remainder, so one prior row emits at most
+    one delete. Partition-SCOPED equality deletes (foreign writers)
+    still refuse: their kill set depends on partition resolution this
+    derivation does not model.
 
     Loud on gaps: a snapshot id in the range that is no longer
     retained (expired) raises instead of silently emitting a hole."""
@@ -2168,6 +2181,10 @@ def read_iceberg_changes(
         )
     want = ordered[i0 : i1 + 1]
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    specs_by_id = {
+        int(s["spec-id"]): list(s.get("fields") or [])
+        for s in meta.get("partition-specs", [])
+    }
     per_snap: list[DataFrame] = []
     for sid in want:
         _s, manifests = avro_io.read_container(
@@ -2175,8 +2192,10 @@ def read_iceberg_changes(
         )
         entries: list[tuple[str, dict]] = []
         pos_deletes: list[str] = []
+        eq_adds: list[tuple[str, tuple]] = []  # (abs path, equality ids)
         for m in manifests:
             m_added = m.get("added_snapshot_id")
+            m_spec_id = int(m.get("partition_spec_id") or 0)
             if m_added not in (None, sid):
                 continue  # manifest carried forward from an older snapshot
             _ms, rows = avro_io.read_container(
@@ -2222,12 +2241,40 @@ def read_iceberg_changes(
                         "row-level deletes; pass include_deletes=True "
                         "for the changelog form, or read full snapshots"
                     )
+                elif include_deletes and equality_via_prior_snapshot:
+                    sfields = specs_by_id.get(m_spec_id)
+                    if sfields is None and m_spec_id == int(
+                        meta.get("default-spec-id", 0)
+                    ):
+                        sfields = _spec_fields(meta)
+                    if sfields:
+                        raise NotImplementedError(
+                            f"snapshot {sid} adds a PARTITION-SCOPED "
+                            "equality delete file: its kill set "
+                            "depends on partition resolution the "
+                            "prior-snapshot derivation does not model"
+                        )
+                    ids = dfile.get("equality_ids")
+                    if not ids:
+                        raise NotImplementedError(
+                            f"equality delete file "
+                            f"{dfile['file_path']!r} records no "
+                            "equality_ids: nothing to compare on"
+                        )
+                    eq_adds.append(
+                        (
+                            _abs(table, dfile["file_path"]),
+                            tuple(int(i) for i in ids),
+                        )
+                    )
                 else:
                     raise NotImplementedError(
                         f"snapshot {sid} adds an EQUALITY delete file: "
                         "recovering the rows it killed needs a prior-"
-                        "snapshot diff (O(table)); read full snapshots "
-                        "instead"
+                        "snapshot diff (O(table)); pass "
+                        "equality_via_prior_snapshot=True with "
+                        "include_deletes=True to opt into that cost, "
+                        "or read full snapshots"
                     )
         if entries:
             scan = _scan_snapshot(
@@ -2247,6 +2294,12 @@ def read_iceberg_changes(
                     pos_deletes,
                     schema,
                     part_cols,
+                ).withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
+            )
+        if eq_adds:
+            per_snap.append(
+                _changelog_equality_deleted_rows(
+                    spark, table, meta, snaps, ordered, sid, eq_adds, schema
                 ).withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
             )
     if not per_snap:
@@ -2325,6 +2378,77 @@ def _changelog_deleted_rows(
         .select(*cols)
         .withColumn("_change_type", F.lit("delete"))
     )
+
+
+def _changelog_equality_deleted_rows(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    snaps: dict,
+    ordered: list[int],
+    sid: int,
+    eq_adds: list[tuple[str, tuple]],
+    schema: StructType,
+) -> DataFrame:
+    """Rows a snapshot's EQUALITY delete files killed, derived by
+    key-joining the table AS OF the prior snapshot — the documented
+    O(prior-snapshot scan) the `equality_via_prior_snapshot` opt-in
+    buys. Strict sequence scoping holds by construction: every prior
+    row's sequence number is below the delete's. Multiple equality_ids
+    groups apply LEFT-TO-RIGHT against the not-yet-matched remainder,
+    so one prior row emits at most one delete even when several
+    groups' keys cover it."""
+    import functools
+    import operator as op
+
+    cols = [f.name for f in schema.fields]
+    i = ordered.index(sid)
+    if i == 0:
+        if snaps[sid].get("parent-snapshot-id") is not None:
+            # an expired parent held the rows this delete killed:
+            # emitting nothing would be a silent hole
+            raise FileNotFoundError(
+                f"snapshot {sid} carries equality deletes but its "
+                "parent snapshot is no longer retained: the deleted "
+                "rows cannot be derived"
+            )
+        # the table's first snapshot: nothing existed to kill
+        return spark.createDataFrame([], schema).withColumn(
+            "_change_type", F.lit("delete")
+        )
+    prior = _read_snapshot(spark, table, meta, snaps[ordered[i - 1]]).select(
+        *cols
+    )
+    fields = _current_ice_schema(meta)["fields"]
+    id_to_name = {int(f["id"]): f["name"] for f in fields}
+    groups: dict[tuple, list[str]] = {}
+    for p, ids in eq_adds:
+        groups.setdefault(ids, []).append(p)
+    out = None
+    remaining = prior
+    for ids in sorted(groups):
+        missing = [fid for fid in ids if fid not in id_to_name]
+        if missing:
+            raise NotImplementedError(
+                f"equality delete references field id(s) {missing} "
+                "absent from the current schema"
+            )
+        eq_cols = [id_to_name[fid] for fid in ids]
+        sub = StructType([schema[c] for c in eq_cols])
+        keys = (
+            spark.read.schema(sub)
+            .parquet(*groups[ids])
+            .dropDuplicates()
+            .select(*[F.col(c).alias(f"__eq_{c}") for c in eq_cols])
+        )
+        cond = functools.reduce(
+            op.and_,
+            [remaining[c].eqNullSafe(keys[f"__eq_{c}"]) for c in eq_cols],
+        )
+        hit = remaining.join(keys, cond, "left_semi")
+        out = hit if out is None else out.unionByName(hit)
+        remaining = remaining.join(keys, cond, "left_anti")
+    return out.withColumn("_change_type", F.lit("delete"))
 
 
 def compact_iceberg(

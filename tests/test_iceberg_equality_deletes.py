@@ -336,6 +336,48 @@ def test_compaction_materializes_and_count_refusals(spark, tmp_path, people):
     assert _ids(spark, t) == [1, 3, 4]
 
 
+def test_equality_changelog_via_prior_snapshot(spark, tmp_path, people):
+    """The opt-in equality changelog: delete-by-key and upsert
+    snapshots emit the exact rows they killed by key-joining the
+    PRIOR snapshot — the upsert's delete row carries the pre-upsert
+    values; a key with no prior row (a pure insert) emits no delete.
+    Without the flag the loud refusal stands."""
+    t = str(tmp_path / "t")
+    write_iceberg(people, t)
+    delete_by_key_iceberg(spark, t, _keys(spark, 2))
+    ups = spark.createDataFrame(
+        [(3, "CHO", "jp"), (9, "new", "us")],
+        "id long, name string, country string",
+    ).coalesce(1)
+    upsert_by_key_iceberg(spark, t, ups, ["id"])
+    first = snapshots_iceberg(t)[0]["snapshot-id"]
+    with pytest.raises(NotImplementedError, match="equality_via_prior"):
+        read_iceberg_changes(spark, t, first, include_deletes=True).count()
+    ch = read_iceberg_changes(
+        spark,
+        t,
+        first,
+        include_deletes=True,
+        equality_via_prior_snapshot=True,
+    )
+    got = sorted(
+        (r["_snapshot_id"], r["_change_type"], r["id"], r["name"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, "insert", 1, "ann"),
+        (1, "insert", 2, "bob"),
+        (1, "insert", 3, "cho"),
+        (1, "insert", 4, "dee"),
+        (2, "delete", 2, "bob"),
+        (3, "delete", 3, "cho"),  # pre-upsert image; no row for key 9
+        (3, "insert", 3, "CHO"),
+        (3, "insert", 9, "new"),
+    ]
+    # replaying the changelog latest-wins reproduces the live table
+    assert _ids(spark, t) == [1, 3, 4, 9]
+
+
 def test_delete_by_key_validation_and_noop(spark, tmp_path, people):
     t = str(tmp_path / "t")
     write_iceberg(people, t)
