@@ -103,9 +103,28 @@ def _checkpoint_start(table: str, version: int | None):
             for p in range(1, int(lc["parts"]) + 1)
         ]
     else:
-        names = [
-            os.path.join(table, _LOG_DIR, f"{cp_version:020d}.checkpoint.parquet")
-        ]
+        classic = os.path.join(
+            table, _LOG_DIR, f"{cp_version:020d}.checkpoint.parquet"
+        )
+        if not os.path.exists(classic):
+            # UUID-named V2 checkpoint (PROTOCOL.md "V2 Checkpoints"):
+            # current Databricks writers produce these; the classic
+            # name is absent and the actions may live in sidecars
+            import glob as _glob
+
+            stem = os.path.join(
+                table, _LOG_DIR, f"{cp_version:020d}.checkpoint.*."
+            )
+            cand = sorted(
+                _glob.glob(stem + "parquet") + _glob.glob(stem + "json")
+            )
+            if not cand:
+                raise FileNotFoundError(
+                    f"_last_checkpoint names version {cp_version} but no "
+                    f"checkpoint file exists for it in {table}"
+                )
+            return cp_version + 1, _read_v2_checkpoint(table, cand[-1])
+        names = [classic]
     actions = []
     for name in names:
         for row in pq.read_table(name).to_pylist():
@@ -113,6 +132,55 @@ def _checkpoint_start(table: str, version: int | None):
                 if row.get(key) is not None:
                     actions.append({key: _demap(row[key])})
     return cp_version + 1, actions
+
+
+def _read_v2_checkpoint(table: str, path: str) -> list[dict]:
+    """Actions of a UUID-named V2 checkpoint (delta.io PROTOCOL.md
+    "V2 Checkpoints"): the top-level file (parquet or json) carries
+    `checkpointMetadata`, protocol/metaData/txn and possibly inline
+    file actions; add/remove actions may instead live in SIDECAR
+    parquet files under _delta_log/_sidecars/, referenced by
+    `sidecar` actions. Driver-side reads — checkpoints and sidecars
+    are metadata-sized relative to the data they index."""
+    import pyarrow.parquet as pq
+
+    if path.endswith(".json"):
+        with open(path) as fh:
+            rows = [json.loads(line) for line in fh if line.strip()]
+    else:
+        rows = pq.read_table(path).to_pylist()
+    actions: list[dict] = []
+    sidecars: list[dict] = []
+    saw_meta = False
+    for row in rows:
+        for key in ("protocol", "metaData", "add", "remove", "txn"):
+            if row.get(key) is not None:
+                actions.append({key: _demap(row[key])})
+        if row.get("sidecar") is not None:
+            sidecars.append(_demap(row["sidecar"]))
+        if row.get("checkpointMetadata") is not None:
+            saw_meta = True
+    if not saw_meta:
+        raise ValueError(
+            f"UUID-named checkpoint {path!r} has no checkpointMetadata "
+            "action: not a spec-compliant V2 checkpoint"
+        )
+    for sc in sidecars:
+        rel = sc["path"]
+        sp = (
+            rel
+            if os.path.isabs(rel)
+            else os.path.join(table, _LOG_DIR, "_sidecars", rel)
+        )
+        if not os.path.exists(sp):
+            raise FileNotFoundError(
+                f"V2 checkpoint {path!r} references missing sidecar {rel!r}"
+            )
+        for row in pq.read_table(sp).to_pylist():
+            for key in ("add", "remove"):
+                if row.get(key) is not None:
+                    actions.append({key: _demap(row[key])})
+    return actions
 
 
 def _demap(obj):
@@ -130,7 +198,7 @@ def _demap(obj):
 
 
 #: reader features (minReaderVersion=3 tables) this module implements
-_READER_FEATURES = {"deletionVectors", "columnMapping"}
+_READER_FEATURES = {"deletionVectors", "columnMapping", "v2Checkpoint"}
 
 #: writer features implied by each LEGACY minWriterVersion level
 #: (delta.io PROTOCOL.md "Table Features" upgrade rule): cumulative —

@@ -208,10 +208,11 @@ def test_delta_checkpoint_replay(spark, tmp_path, people):
 
 
 def test_delta_unsupported_features_refused(spark, tmp_path, people):
-    """deletionVectors and columnMapping are implemented now (reader
-    version 3 tables read fine when every listed feature is known);
-    any UNKNOWN feature, and the version-2 protocol WITHOUT a
-    declared column-mapping mode, still refuse loudly."""
+    """deletionVectors, columnMapping and v2Checkpoint are
+    implemented now (reader version 3 tables read fine when every
+    listed feature is known); any UNKNOWN feature, and the version-2
+    protocol WITHOUT a declared column-mapping mode, still refuse
+    loudly."""
     t = str(tmp_path / "t")
     write_delta(people, t)
     log = os.path.join(t, "_delta_log", f"{1:020d}.json")
@@ -220,11 +221,11 @@ def test_delta_unsupported_features_refused(spark, tmp_path, people):
             json.dumps(
                 {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                               "readerFeatures": ["deletionVectors",
-                                                 "v2Checkpoint"]}}
+                                                 "typeWidening"]}}
             )
             + "\n"
         )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, t)
     with open(log, "w") as fh:
         fh.write(
