@@ -278,111 +278,139 @@ _MODULES = (
 #       exactly 50. The r11-new lake/retrieval/media queries
 #       (q119-q129) should rotate back within two rounds so their
 #       conditional-oracle index paths keep getting driver rows.
+#   r12 EXECUTED (CORRECTNESS_r11 landed 50/50 green): the window is
+#       50 explicit pins — q98 (pinned for a fresh row after its
+#       drift adjudication, BASELINE.md r12 section), q131 (NEW:
+#       equality-delete changelog via prior-snapshot join, first
+#       round), the carried r9 block q80/q81/q83/q84/q86-q89/q92/q94
+#       (no driver row since r8), then the longest-deferred r10
+#       cohort in sketch order: q17-q22/q27, q24-q26/q28, q36/q37/
+#       q39, the late-r11 deferrals q40/q41, q42-q49, q51-q55,
+#       q57-q60, q61-q64, q67. Deferred in exchange: every freshly-
+#       green r11 pin (q03-q16, q29-q35, q38, q119-q130). 50 pins +
+#       0 unpinned gated = 50 exactly; 79 deferred; 129 gated total.
+#   r13 sketch: rotate back the remaining r10-deferred tail
+#       (q68-q79, q107-q116 — none since r10) plus q119-q130 (the
+#       lake tier should not go two rounds without driver rows on
+#       its conditional-oracle index paths); defer the freshly-green
+#       r12 pins in exchange. Pin any r12-new queries (q131+) their
+#       second round only if their fixtures changed.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
-    "q03_compound_predicate",
-    "q04_computed_columns",
-    "q05_inner_join",
-    "q06_multiway_join",
-    "q07_left_join",
-    "q08_semi_join",
-    "q09_anti_join",
-    "q10_cross_join",
-    "q11_global_agg",
-    "q12_grouped_agg",
-    "q13_count_distinct",
-    "q14_having",
-    "q15_rollup",
-    "q16_topk",
-    "q29_exact_dedup",
-    "q30_cosine_topk",
-    "q31_json_extract",
-    "q32_pivot",
-    "q33_hash_dedup",
-    "q34_token_stats",
-    "q35_doc_quality",
-    "q38_lang_id",
-    "q119_delta_deletes_scan",
-    "q120_iceberg_deletes_scan",
-    "q121_image_pixel_decode",
-    "q122_iceberg_cdc_scan",
-    "q123_iceberg_day_prune_scan",
-    "q124_delta_mapped_scan",
-    "q125_ivf_pq_rerank",
-    "q126_lake_replication",
-    "q127_delta_cdf_scan",
-    "q128_cdf_mirror_scan",
-    "q129_audio_spectral",
-    "q130_iceberg_changelog",
+    "q98_minhash_containment",
+    "q131_iceberg_eq_changelog",
+    "q80_boilerplate_lines",
+    "q81_pii_scrub",
+    "q83_deterministic_shuffle",
+    "q84_paragraph_dedup",
+    "q86_oov_rate",
+    "q87_doc_chunks",
+    "q88_temperature_mix",
+    "q89_bigram_surprisal",
+    "q92_mixed_language",
+    "q94_weighted_sample",
+    "q17_string_fns",
+    "q18_date_fns",
+    "q19_math_fns",
+    "q20_case_coalesce",
+    "q21_ranking_window",
+    "q22_lag_lead_runsum",
+    "q27_explode",
+    "q24_latest_state",
+    "q25_union",
+    "q26_set_ops",
+    "q28_time_bucket",
+    "q36_ngram_jaccard",
+    "q37_embedding_dups",
+    "q39_top_tokens",
+    "q40_minhash_pairs",
+    "q41_simhash_pairs",
+    "q42_lsh_topk",
+    "q43_media_decode",
+    "q44_fingerprints",
+    "q45_tumbling_window",
+    "q46_sliding_window",
+    "q47_session_window",
+    "q48_media_resize",
+    "q49_frame_sample",
+    "q51_asof_join",
+    "q52_range_join",
+    "q53_cube",
+    "q54_percentiles",
+    "q55_unpivot",
+    "q57_training_pipeline",
+    "q58_list_agg",
+    "q59_full_outer_join",
+    "q60_stats_math",
+    "q61_ivf_topk",
+    "q62_url_fetch",
+    "q63_tf_idf",
+    "q64_ingest_dedup",
+    "q67_training_mix",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
-        # newly deferred r11 (multi-green r10 pins, every one green
-        # in >=3 rounds; minhash keeps q65/q98 and simhash keeps
-        # q101 in-window, packing keeps q79/q82/q93, curation keeps
-        # q70/q95 — all still locally hash-checked every pytest run):
-        "q17_string_fns",
-        "q18_date_fns",
-        "q19_math_fns",
-        "q20_case_coalesce",
-        "q21_ranking_window",
-        "q22_lag_lead_runsum",
-        "q27_explode",
-        "q40_minhash_pairs",
-        "q41_simhash_pairs",
-        "q54_percentiles",
-        "q55_unpivot",
-        "q57_training_pipeline",
-        "q58_list_agg",
-        "q59_full_outer_join",
-        "q60_stats_math",
+        # r12: every freshly-green r11 pin rotates out; the
+        # whole r12 window is explicit pins (see log above) so
+        # the deferral set is simply every other gated query —
+        # all green r9-r11 and locally hash-checked each run.
+        "q01_scan_filter_project",
+        "q02_in_list",
+        "q03_compound_predicate",
+        "q04_computed_columns",
+        "q05_inner_join",
+        "q06_multiway_join",
+        "q07_left_join",
+        "q08_semi_join",
+        "q09_anti_join",
+        "q10_cross_join",
+        "q11_global_agg",
+        "q12_grouped_agg",
+        "q13_count_distinct",
+        "q14_having",
+        "q15_rollup",
+        "q16_topk",
+        "q29_exact_dedup",
+        "q30_cosine_topk",
+        "q31_json_extract",
+        "q32_pivot",
+        "q33_hash_dedup",
+        "q34_token_stats",
+        "q35_doc_quality",
+        "q38_lang_id",
+        "q50_ecs_tsim",
+        "q65_minhash_fast",
+        "q66_dedup_clusters",
         "q68_sequence_pack",
         "q69_repetition",
+        "q70_corpus_curation",
         "q71_decontamination",
+        "q72_semantic_dedup",
         "q73_stop_shingle_jaccard",
         "q74_quality_keeper",
         "q75_mixture_sample",
         "q76_relative_quality_gate",
+        "q77_filtered_ivf_topk",
         "q78_mixture_resample",
         "q79_pack_payloads",
+        "q82_exact_pack",
+        "q85_random_projection",
+        "q90_containment_pairs",
+        "q91_signcode_topk",
         "q93_span_corruption",
-        "q98_minhash_containment",
-        "q103_quality_tiers",
-        "q70_corpus_curation",
-        "q01_scan_filter_project",
-        "q02_in_list",
-        "q100_binary_ingest",
+        "q95_curation_v2",
         "q96_cluster_cap",
-        # deferred r10 (fresh-green r9 — all 34 r9 pins got
-        # driver rows; lake family keeps q104-q106 in-window,
-        # persisted-IVF stays driver-covered via q72/q96, retrieval
-        # keeps q117 pinned):
-        "q24_latest_state",
-        "q25_union",
-        "q26_set_ops",
-        "q28_time_bucket",
-        "q36_ngram_jaccard",
-        "q37_embedding_dups",
-        "q39_top_tokens",
-        "q42_lsh_topk",
-        "q43_media_decode",
-        "q44_fingerprints",
-        "q45_tumbling_window",
-        "q46_sliding_window",
-        "q47_session_window",
-        "q48_media_resize",
-        "q49_frame_sample",
-        "q51_asof_join",
-        "q52_range_join",
-        "q53_cube",
-        "q61_ivf_topk",
-        "q62_url_fetch",
-        "q63_tf_idf",
-        "q64_ingest_dedup",
-        "q67_training_mix",
-        "q77_filtered_ivf_topk",
+        "q97_verbatim_leaks",
+        "q99_stream_curation_face",
+        "q100_binary_ingest",
+        "q101_simhash_fast",
+        "q102_dsir_importance",
+        "q103_quality_tiers",
+        "q104_delta_scan",
+        "q105_iceberg_scan",
+        "q106_delta_merge_upsert",
         "q107_delta_changes",
         "q108_lake_federation",
         "q109_iceberg_metadata_counts",
@@ -393,20 +421,20 @@ _DEFERRED: frozenset[str] = frozenset(
         "q114_pq_adc_topk",
         "q115_bpe_token_counts",
         "q116_zorder_scan",
-        # carried-over deferrals (green r7 AND r8; families keep q95
-        # / q92-successors in-window via the composed pipelines):
-        "q80_boilerplate_lines",
-        "q81_pii_scrub",
-        "q83_deterministic_shuffle",
-        "q84_paragraph_dedup",
-        "q85_random_projection",
-        "q86_oov_rate",
-        "q87_doc_chunks",
-        "q88_temperature_mix",
-        "q89_bigram_surprisal",
-        "q90_containment_pairs",
-        "q92_mixed_language",
-        "q94_weighted_sample",
+        "q117_hybrid_rrf_bounded",
+        "q118_ivf_pq_topk",
+        "q119_delta_deletes_scan",
+        "q120_iceberg_deletes_scan",
+        "q121_image_pixel_decode",
+        "q122_iceberg_cdc_scan",
+        "q123_iceberg_day_prune_scan",
+        "q124_delta_mapped_scan",
+        "q125_ivf_pq_rerank",
+        "q126_lake_replication",
+        "q127_delta_cdf_scan",
+        "q128_cdf_mirror_scan",
+        "q129_audio_spectral",
+        "q130_iceberg_changelog",
     }
 )
 
