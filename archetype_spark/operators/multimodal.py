@@ -40,6 +40,7 @@ from archetype_spark.operators import (
     image_probe,
     jpeg_io,
     png_io,
+    webp_io,
 )
 
 MEDIA_SCHEMA = StructType(
@@ -86,6 +87,7 @@ register_pickle_by_value(image_probe)
 register_pickle_by_value(jpeg_io)
 register_pickle_by_value(gif_io)
 register_pickle_by_value(bmp_io)
+register_pickle_by_value(webp_io)
 
 
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -559,6 +561,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             px = gif_io.gif_decode(p)
         elif p[:2] == b"BM":
             px = bmp_io.bmp_decode(p)
+        elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+            px = webp_io.webp_decode(p)
         elif p[:2] in (b"P6", b"P5"):
             hdr = _ppm_header(p)
             if hdr is None:
@@ -575,7 +579,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
         else:
             raise NotImplementedError(
                 "image_pixel_stats: payload is not P5/P6 PNM, PNG, GIF, "
-                "BMP or baseline JPEG (the dependency-free pixel codecs)"
+                "BMP, lossless WebP or baseline JPEG (the dependency-free "
+                "pixel codecs)"
             )
         h0, w0 = px.shape[0], px.shape[1]
         return {
@@ -665,6 +670,23 @@ def resize_images(
                         return jpeg_io.jpeg_encode(
                             px[ys][:, xs], quality_scale=2
                         )
+                if (payload or b"")[:4] == b"RIFF" and (payload or b"")[
+                    8:12
+                ] == b"WEBP":
+                    # real lossless-WebP path: VP8L decode -> nearest-
+                    # neighbor -> literal-form VP8L re-encode. Lossy
+                    # VP8 / VP8X fall THROUGH to PIL when present
+                    import numpy as np
+
+                    try:
+                        px = webp_io.webp_decode(payload)
+                    except NotImplementedError:
+                        px = None
+                    if px is not None:
+                        h0, w0 = px.shape[0], px.shape[1]
+                        ys = (np.arange(height) * h0) // height
+                        xs = (np.arange(width) * w0) // width
+                        return webp_io.webp_encode(px[ys][:, xs])
                 if (payload or b"")[:2] == b"BM":
                     # real BMP path: uncompressed decode -> nearest-
                     # neighbor -> 24-bit BI_RGB re-encode. Variants

@@ -406,8 +406,8 @@ def q100_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_media_pixels(sf_dir: str) -> str:
     """The real-pixel-decode fixture q121 scans: deterministic image
     FILES (baseline JPEGs incl. a restart-marker one, PNGs, a P6 PNM,
-    an LZW GIF whose palette-mapped RGB is exact by construction, and
-    two uncompressed 24-bit BMPs)
+    an LZW GIF whose palette-mapped RGB is exact by construction,
+    two uncompressed 24-bit BMPs, and a prefix-coded lossless WebP)
     plus a manifest parquet recording each image's GENERATOR-side
     ground truth — dims and the sha256 of the SOURCE pixel array's
     row-major bytes. The JPEGs are piecewise-uniform per 8x8 tile at
@@ -425,12 +425,13 @@ def _ensure_media_pixels(sf_dir: str) -> str:
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    from archetype_spark.operators import bmp_io, jpeg_io, png_io
+    from archetype_spark.operators import bmp_io, jpeg_io, png_io, webp_io
 
     idx = ann_index.default_index_dir(sf_dir, "media_pixels")
     # schema 2: + GIF (mid 8, gif_io LZW/palette decode, r11)
     # schema 3: + BMP (mids 9-10, bmp_io 24-bit decode, r12)
-    expect = {"kind": "media_pixels", "schema": 3}
+    # schema 4: + lossless WebP (mid 11, webp_io VP8L decode, r12)
+    expect = {"kind": "media_pixels", "schema": 4}
     pfile = os.path.join(idx, "_build_params.json")
     if os.path.exists(pfile):
         try:
@@ -458,7 +459,7 @@ def _ensure_media_pixels(sf_dir: str) -> str:
         return _np.kron(vals, _np.ones((8, 8), dtype=_np.uint8))
 
     try:
-        for mid in range(11):
+        for mid in range(12):
             if mid < 4:  # baseline JPEG, exact by unit-DC-quant tiles
                 px = tile_image(mid, 2 + mid % 3, 3 + mid % 2)
                 payload = jpeg_io.jpeg_encode(
@@ -487,10 +488,14 @@ def _ensure_media_pixels(sf_dir: str) -> str:
                 rng = _np.random.default_rng(100 + mid)
                 px = rng.integers(0, 256, (7, 11, 3), dtype=_np.uint8)
                 payload = bmp_io.bmp_encode(px)
-            else:  # BMP from a gray source (encoder expands to RGB)
+            elif mid == 10:  # BMP from a gray source (expands to RGB)
                 g = tile_image(mid, 2, 2)
                 px = _np.repeat(g[:, :, None], 3, axis=2)
                 payload = bmp_io.bmp_encode(g)
+            else:  # lossless WebP (VP8L): prefix-coded, exact
+                rng = _np.random.default_rng(100 + mid)
+                px = rng.integers(0, 256, (9, 14, 3), dtype=_np.uint8)
+                payload = webp_io.webp_encode(px)
             with open(os.path.join(building, f"m{mid:02d}.img"), "wb") as fh:
                 fh.write(payload)
             rows.append(
