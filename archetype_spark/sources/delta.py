@@ -366,47 +366,100 @@ def _snapshot_actions(
     return meta, active, txns
 
 
-def _mapping_info(meta: dict):
+def _mapping_info(meta: dict, for_write: bool = True):
     """Column-mapping resolution (Delta protocol, "Column Mapping"):
     -> (mode, logical StructType, physical StructType, logical->
     physical name dict). Mode 'name' stores each column's PHYSICAL
     name in the field metadata (`delta.columnMapping.physicalName`);
     parquet files, add-action partitionValues, and statistics all use
     physical names, while the logical schema is free to rename
-    without touching a byte of data. Mode 'id' (parquet field-id
-    matching) refuses loudly."""
+    without touching a byte of data.
+
+    Mode 'id' (parquet field-id matching) is READ-only
+    (`for_write=False`): conforming writers stamp BOTH the field id
+    and the physical name into metadata and files, so the scan
+    resolves by the pinned physicalName exactly like mode 'name' —
+    read_delta verifies one data file's footer carries matching
+    PARQUET:field_id stamps and refuses if not (a pure-id layout this
+    resolution cannot serve). WRITES to id-mode tables refuse: this
+    writer does not stamp parquet field ids, and appending id-less
+    files would break conforming id-mode readers."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mode = ((meta.get("configuration") or {})).get(
         "delta.columnMapping.mode", "none"
     )
     if mode == "none":
         return mode, schema, schema, {f.name: f.name for f in schema.fields}
-    if mode != "name":
+    if mode == "id" and for_write:
         raise NotImplementedError(
-            f"Delta column mapping mode {mode!r} (only 'name' is "
-            "supported by the protocol-native reader)"
+            "writing to a Delta table with column mapping mode 'id' "
+            "is not supported (this writer does not stamp parquet "
+            "field ids; appended files would break id-mode readers)"
+        )
+    if mode not in ("name", "id"):
+        raise NotImplementedError(
+            f"Delta column mapping mode {mode!r} (only 'name' and "
+            "read-side 'id' are supported by the protocol-native "
+            "reader)"
         )
     from pyspark.sql.types import StructField
 
     l2p, phys = {}, []
     for f in schema.fields:
-        pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        md = f.metadata or {}
+        pn = md.get("delta.columnMapping.physicalName")
         if not pn:
             raise NotImplementedError(
                 f"column {f.name!r} lacks delta.columnMapping."
-                "physicalName under mapping mode 'name'"
+                f"physicalName under mapping mode {mode!r}"
+            )
+        if mode == "id" and md.get("delta.columnMapping.id") is None:
+            raise NotImplementedError(
+                f"column {f.name!r} lacks delta.columnMapping.id "
+                "under mapping mode 'id'"
             )
         l2p[f.name] = pn
         phys.append(StructField(pn, f.dataType, f.nullable))
     return mode, schema, StructType(phys), l2p
 
 
-def _physical_read(meta: dict):
+def _verify_field_ids(table: str, active: dict, meta: dict) -> None:
+    """Mode-'id' read guard: one data file's parquet footer must
+    carry a PARQUET:field_id stamp matching delta.columnMapping.id
+    for every physical column present — proof the physicalName
+    resolution serves the same columns an id-matching reader would.
+    O(1 footer) driver-side; refuses loudly on a pure-id layout."""
+    if not active:
+        return
+    import pyarrow.parquet as pq
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    rel = next(iter(active))
+    path = os.path.join(table, urllib.parse.unquote(rel))
+    arrow = pq.ParquetFile(path).schema_arrow
+    part_cols = set(meta.get("partitionColumns") or [])
+    for f in schema.fields:
+        md = f.metadata or {}
+        pn = md.get("delta.columnMapping.physicalName")
+        want = int(md.get("delta.columnMapping.id"))
+        if pn in part_cols or arrow.get_field_index(pn) == -1:
+            continue  # partition values / post-evolution columns
+        field = arrow.field(pn)
+        fid = (field.metadata or {}).get(b"PARQUET:field_id")
+        if fid is None or int(fid) != want:
+            raise NotImplementedError(
+                f"mode-'id' table stores column {f.name!r} with "
+                f"field id {fid!r} where metadata says {want} — the "
+                "physicalName resolution cannot serve this layout"
+            )
+
+
+def _physical_read(meta: dict, for_write: bool = True):
     """What the SCAN must use vs what the USER sees: -> (logical
     schema, scan schema, physical partition cols, rename selector or
     None). partitionColumns entries are normalized to physical
     (tolerating logs that record either side of the mapping)."""
-    mode, logical, physical, l2p = _mapping_info(meta)
+    mode, logical, physical, l2p = _mapping_info(meta, for_write=for_write)
     part_cols = list(meta.get("partitionColumns") or [])
     if mode == "none":
         return logical, logical, part_cols, None
@@ -459,7 +512,13 @@ def read_delta(
     portable-Roaring DV format) — see _apply_deletion_vectors."""
     table = os.path.abspath(path)
     meta, active, _txns = _snapshot_actions(table, version)
-    logical, schema, part_cols, rename = _physical_read(meta)
+    logical, schema, part_cols, rename = _physical_read(
+        meta, for_write=False
+    )
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "id":
+        _verify_field_ids(table, active, meta)
     if not active:
         return spark.createDataFrame([], logical)
     plain: list[tuple[str, dict]] = []
@@ -559,7 +618,9 @@ def read_delta_changes(
     # drift inside the range is refused at commit time, so one
     # metaData governs every commit in it)
     meta, _active, _txns = _snapshot_actions(table, end)
-    logical, schema, part_cols, rename = _physical_read(meta)
+    logical, schema, part_cols, rename = _physical_read(
+        meta, for_write=False
+    )
 
     per_version: list[DataFrame] = []
     for v in range(starting_version, end + 1):
@@ -1214,7 +1275,9 @@ def read_delta_cdf(
             f"at version {latest}"
         )
     meta, _active, _txns = _snapshot_actions(table, end)
-    logical, schema, part_cols, rename = _physical_read(meta)
+    logical, schema, part_cols, rename = _physical_read(
+        meta, for_write=False
+    )
     from pyspark.sql.types import StringType, StructField
 
     cdc_schema = StructType(

@@ -196,7 +196,10 @@ def test_mode_id_and_missing_physical_refuse(spark, tmp_path, people):
         "delta.columnMapping.mode": "id",
     }
     _publish_commit(table, 2, [{"metaData": bad}])
-    with pytest.raises(NotImplementedError, match="mode 'id'"):
+    # mode 'id' now READS — but only when the data files carry
+    # matching PARQUET:field_id stamps, which this name-mode-written
+    # table lacks: still a loud refusal, never silent misreads
+    with pytest.raises(NotImplementedError, match="field id"):
         read_delta(spark, t).count()
     # strip a physicalName: must refuse, not silently misread
     sch = json.loads(meta["schemaString"])
@@ -226,3 +229,117 @@ def test_legacy_reader2_protocol_accepted(spark, tmp_path, people):
         3,
         4,
     ]
+
+
+def _write_id_mode_table(tmp_path, field_ids=(1, 2)):
+    """Hand-built FOREIGN mode-'id' table: parquet stamped with
+    PARQUET:field_id metadata, a (2,5) log whose schema maps logical
+    (id, name) onto physical (col-aaa, col-bbb) with matching
+    delta.columnMapping.id values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    t = str(tmp_path / "idmode")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    arrow = pa.schema(
+        [
+            pa.field(
+                "col-aaa",
+                pa.int64(),
+                metadata={b"PARQUET:field_id": str(field_ids[0]).encode()},
+            ),
+            pa.field(
+                "col-bbb",
+                pa.string(),
+                metadata={b"PARQUET:field_id": str(field_ids[1]).encode()},
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2], "col-bbb": ["ann", "bob"]}, schema=arrow),
+        os.path.join(t, "part-0.parquet"),
+    )
+    logical = StructType(
+        [
+            StructField(
+                "id",
+                LongType(),
+                True,
+                {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa",
+                },
+            ),
+            StructField(
+                "name",
+                StringType(),
+                True,
+                {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-bbb",
+                },
+            ),
+        ]
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "t-idmode",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": logical.json(),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+            }
+        },
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(t, "part-0.parquet")),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return t
+
+
+def test_id_mode_reads_by_verified_physical_names(spark, tmp_path):
+    """Mode 'id' (read-only): conforming writers stamp physicalName
+    AND parquet field ids, so the scan resolves by physicalName
+    after a one-footer field-id verification."""
+    t = _write_id_mode_table(tmp_path)
+    got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    assert got == [(1, "ann"), (2, "bob")]
+    assert read_delta(spark, t).columns == ["id", "name"]
+
+
+def test_id_mode_mismatched_field_ids_refuse(spark, tmp_path):
+    """A pure-id layout (file ids disagree with metadata ids) cannot
+    be served by physicalName resolution — loud refusal, never
+    silently wrong columns."""
+    t = _write_id_mode_table(tmp_path, field_ids=(9, 2))
+    with pytest.raises(NotImplementedError, match="field id"):
+        read_delta(spark, t).collect()
+
+
+def test_id_mode_writes_refuse(spark, tmp_path):
+    """Appends/deletes on id-mode tables refuse: this writer does not
+    stamp parquet field ids, and id-less files break id-mode
+    readers."""
+    from archetype_spark.sources import delete_where_delta
+
+    t = _write_id_mode_table(tmp_path)
+    df = read_delta(spark, t)
+    with pytest.raises(NotImplementedError, match="mode 'id'"):
+        write_delta(df, t, mode="append")
+    with pytest.raises(NotImplementedError, match="mode 'id'"):
+        delete_where_delta(spark, t, "id = 1")
