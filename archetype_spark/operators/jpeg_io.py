@@ -4,14 +4,19 @@ The compressed-pixel gap `image_probe.jpeg_dims` left open: the probe
 reads dimensions from the SOF header; this module entropy-decodes the
 pixels — stdlib `struct` + numpy, no PIL. Scope (refusals are loud):
 
-- DECODE: baseline sequential DCT (SOF0), 8-bit, Huffman, grayscale
-  or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals,
-  0xFF00 byte unstuffing. Progressive (SOF2), arithmetic coding,
-  extended precision and unusual sampling refuse with the reason.
+- DECODE: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+  spectral selection + successive approximation: DC first/refine, AC
+  band scans with EOB runs, refinement correction bits, per T.81
+  Annex G), 8-bit, Huffman, grayscale or YCbCr with 4:4:4 / 4:2:2 /
+  4:2:0 sampling, restart intervals, 0xFF00 byte unstuffing.
+  Arithmetic coding, extended precision, lossless SOFs and unusual
+  sampling refuse with the reason.
 - ENCODE: baseline 4:4:4 (or grayscale) with the spec's Annex K
   example quantization/Huffman tables — deterministic bytes, used by
   tests (round-trip property: decode(encode(x)) ≈ x within the
-  quantization error bound) and fixtures.
+  quantization error bound) and fixtures; jpeg_encode_progressive
+  emits the spectral-selection SOF2 layout with identical
+  quantization (progressive decode == baseline decode, pixel-exact).
 
 The IDCT/DCT pair is the exact T.81 A.3.3 float transform expressed
 as one numpy basis-matrix sandwich per block batch (`_A @ block @
@@ -266,14 +271,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 values = list(body[i + 17 : i + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(counts, values)
                 i += 17 + nv
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/extended/"
-                "arithmetic) is outside the baseline decoder; "
+                f"JPEG SOF{marker - 0xC0} (extended/lossless/"
+                "arithmetic) is outside this decoder; the "
                 "PIL-conditional path handles it when present"
             )
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} != 8")
@@ -285,32 +290,269 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": int(w), "h": int(h), "comps": comps}
+            frame = {
+                "w": int(w),
+                "h": int(h),
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if marker == 0xC2:
+                _init_progressive(frame)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c : 3 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload,
+                    pos + 2 + seglen,
+                    frame,
+                    scan,
+                    qt,
+                    dc_tabs,
+                    ac_tabs,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
                 payload,
                 pos + 2 + seglen,
                 frame,
                 scan,
-                qt,
                 dc_tabs,
                 ac_tabs,
                 restart_interval,
+                int(ss),
+                int(se),
+                ahal >> 4,
+                ahal & 0xF,
             )
+            continue
         elif marker == 0xD9:
+            if frame is not None and frame.get("progressive"):
+                for c in frame["comps"]:
+                    blk = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+                    blk[:, _ZIGZAG] = c["czz"]
+                    c["blocks"] = blk.reshape(-1, 8, 8)
+                return _reconstruct(frame, qt)
             break
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive"):
+        # tolerate a missing EOI after the last scan
+        for c in frame["comps"]:
+            blk = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+            blk[:, _ZIGZAG] = c["czz"]
+            c["blocks"] = blk.reshape(-1, 8, 8)
+        return _reconstruct(frame, qt)
     raise ValueError("JPEG ended without an SOS scan")
+
+
+def _init_progressive(frame) -> None:
+    """Allocate the persistent zig-zag coefficient store progressive
+    scans accumulate into, plus per-component DC predictors."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["czz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        # the component's OWN block grid (non-interleaved scans cover
+        # ceil(comp_size/8), NOT the MCU-padded grid)
+        c["cbw"] = -(-(frame["w"] * c["h"]) // (8 * hmax))
+        c["cbh"] = -(-(frame["h"] * c["v"]) // (8 * vmax))
+        c["pred"] = 0
+
+
+def _decode_progressive_scan(
+    data,
+    pos,
+    frame,
+    scan,
+    dc_tabs,
+    ac_tabs,
+    restart_interval,
+    ss,
+    se,
+    ah,
+    al,
+) -> int:
+    """One progressive scan (T.81 G.2): DC scans (Ss=Se=0) may be
+    interleaved and carry first (Ah=0, point-transformed diffs) or
+    refinement (one bit per block) passes; AC scans cover one
+    component's spectral band [Ss, Se] with EOB-run coding, first or
+    refinement (correction bits). Updates the frame's persistent
+    zig-zag coefficient store and returns the byte position of the
+    marker after the scan's entropy segment."""
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError(f"JPEG DC scan with Se={se}")
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+        if ah == 0:
+            for comp, _td, _ta in scan:
+                comp["pred"] = 0
+        n_mcu = mcux * mcuy
+        one_comp = scan[0][0] if len(scan) == 1 else None
+        n_units = (
+            n_mcu
+            if one_comp is None
+            else one_comp["cbw"] * one_comp["cbh"]
+        )
+        for m in range(n_units):
+            if restart_interval and m and m % restart_interval == 0:
+                mk = br.align_to_marker()
+                if mk is None or not 0xD0 <= mk <= 0xD7:
+                    raise ValueError(f"expected RSTn at unit {m}, got {mk!r}")
+                for comp, _td, _ta in scan:
+                    comp["pred"] = 0
+            if one_comp is not None:
+                cy, cx = divmod(m, one_comp["cbw"])
+                _dc_unit(br, one_comp, dc_tabs, scan[0][1], cy, cx, ah, al)
+                continue
+            my, mx = divmod(m, mcux)
+            for comp, td, _ta in scan:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        _dc_unit(
+                            br,
+                            comp,
+                            dc_tabs,
+                            td,
+                            my * comp["v"] + by,
+                            mx * comp["h"] + bx,
+                            ah,
+                            al,
+                        )
+    else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
+        if len(scan) != 1:
+            raise ValueError("JPEG progressive AC scan with Ns != 1")
+        comp, _td, ta = scan[0]
+        act = ac_tabs[ta]
+        n_units = comp["cbw"] * comp["cbh"]
+        for m in range(n_units):
+            if restart_interval and m and m % restart_interval == 0:
+                mk = br.align_to_marker()
+                if mk is None or not 0xD0 <= mk <= 0xD7:
+                    raise ValueError(f"expected RSTn at unit {m}, got {mk!r}")
+                state["eobrun"] = 0
+            cy, cx = divmod(m, comp["cbw"])
+            zz = comp["czz"][cy * comp["bw"] + cx]
+            if ah == 0:
+                _ac_first(br, act, zz, ss, se, al, state)
+            else:
+                _ac_refine(br, act, zz, ss, se, al, state)
+    # the next marker after this scan's entropy bytes
+    d = data
+    p = br.pos
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            if 0xD0 <= d[p + 1] <= 0xD7:  # stray RSTn at scan end
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(d)
+
+
+def _dc_unit(br, comp, dc_tabs, td, row, col, ah, al) -> None:
+    zz = comp["czz"][row * comp["bw"] + col]
+    if ah == 0:
+        t = dc_tabs[td].decode(br)
+        diff = _extend(br.read(t), t) if t else 0
+        comp["pred"] += diff
+        zz[0] = comp["pred"] << al
+    else:
+        if br.read(1):
+            zz[0] |= 1 << al
+
+
+def _ac_first(br, act, zz, ss, se, al, state) -> None:
+    """T.81 G.1.2.2: first pass over a spectral band — EOB runs skip
+    whole blocks; coefficients land point-transformed (<< Al)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past the spectral band")
+        zz[k] = _extend(br.read(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, act, zz, ss, se, al, state) -> None:
+    """T.81 G.1.2.3: refinement pass — newly-significant coefficients
+    carry magnitude 1; every already-nonzero coefficient visited
+    reads one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+
+    def correct(idx: int) -> None:
+        if br.read(1) and (zz[idx] & p1) == 0:
+            zz[idx] += p1 if zz[idx] >= 0 else m1
+
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            new_val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read(r)
+                    break
+                # r == 15: skip 16 zero-HISTORY positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement symbol with size != 1"
+                    )
+                new_val = p1 if br.read(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if new_val:
+                if k > se:
+                    raise ValueError("JPEG AC refinement past the band")
+                zz[k] = new_val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
 
 
 def _decode_scan(
@@ -365,7 +607,16 @@ def _decode_scan(
                     blk = np.zeros(64, dtype=np.int32)
                     blk[_ZIGZAG] = zz
                     comp["blocks"][row * comp["bw"] + col] = blk.reshape(8, 8)
-    # dequantize + IDCT, vectorized per component
+    return _reconstruct(frame, qt)
+
+
+def _reconstruct(frame, qt) -> np.ndarray:
+    """Shared tail of the baseline and progressive decoders:
+    dequantize + IDCT (vectorized per component), upsample chroma,
+    crop, and convert YCbCr -> RGB."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         coef = c["blocks"].astype(np.float64) * qt[c["tq"]][None, :, :]
@@ -585,4 +836,127 @@ def jpeg_encode(
             m += 1
     out.extend(bw.flush())
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray, quality_scale: int = 1
+) -> bytes:
+    """Progressive (SOF2) spectral-selection encoder — one interleaved
+    DC scan, then one full-band AC scan per component (Ss=1, Se=63,
+    Ah=Al=0), always 4:4:4, Annex K tables. The simplest spec-valid
+    progressive layout (the K AC tables carry only EOB0, so runs end
+    per block); quantization matches jpeg_encode exactly, so
+    decode(progressive bytes) equals decode(baseline bytes) pixel for
+    pixel — the round-trip property that exercises the progressive
+    DECODER without PIL."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("jpeg_encode_progressive wants uint8 (h,w)/(h,w,3)")
+    h, w = img.shape[:2]
+    gray = img.ndim == 2
+    if not gray and img.shape[2] != 3:
+        raise ValueError("jpeg_encode_progressive wants 3 channels")
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    q_luma = np.maximum(_K1_LUMA.reshape(8, 8) // quality_scale, 1)
+    q_chroma = np.maximum(_K2_CHROMA.reshape(8, 8) // quality_scale, 1)
+    qtabs = [q_luma] + ([q_chroma, q_chroma] if not gray else [])
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    for tq, tab in enumerate([q_luma] if gray else [q_luma, q_chroma]):
+        zz = tab.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        seg(0xDB, bytes([tq]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    seg(0xC2, sof)  # SOF2: progressive
+    hts = [(0, 0, _K3_DC_LUMA), (1, 0, _K3_AC_LUMA)]
+    if not gray:
+        hts += [(0, 1, _K3_DC_CHROMA), (1, 1, _K3_AC_CHROMA)]
+    for tc, th, (counts, values) in hts:
+        seg(0xC4, bytes([(tc << 4) | th] + counts + values))
+
+    dc_codes = [_huff_codes(*_K3_DC_LUMA)] + (
+        [_huff_codes(*_K3_DC_CHROMA)] * 2 if not gray else []
+    )
+    ac_codes = [_huff_codes(*_K3_AC_LUMA)] + (
+        [_huff_codes(*_K3_AC_CHROMA)] * 2 if not gray else []
+    )
+    by_, bx_ = -(-h // 8), -(-w // 8)
+    zzs = []
+    for ci, p in enumerate(planes):
+        pp = np.pad(
+            p, ((0, by_ * 8 - h), (0, bx_ * 8 - w)), mode="edge"
+        ) - 128.0
+        blocks = (
+            pp.reshape(by_, 8, bx_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+        q = np.rint(coef / qtabs[ci][None, :, :]).astype(np.int64)
+        # natural -> zig-zag scan order
+        zzs.append(q.reshape(-1, 64)[:, _ZIGZAG])
+
+    # DC scan: interleaved, Ss=Se=0, Ah=Al=0
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, ((0 if c == 0 else 1) << 4) | 0])
+    sos += bytes([0, 0, 0])
+    seg(0xDA, sos)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for m in range(by_ * bx_):
+        for ci in range(ncomp):
+            dc = int(zzs[ci][m][0])
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            t = abs(diff).bit_length()
+            mag = diff if diff >= 0 else diff + (1 << t) - 1
+            code, length = dc_codes[ci][t]
+            bw.write(code, length)
+            if t:
+                bw.write(mag & ((1 << t) - 1), t)
+    out.extend(bw.flush())
+    # one full-band AC scan per component (Ss=1, Se=63)
+    for ci in range(ncomp):
+        seg(
+            0xDA,
+            bytes([1, ci + 1, (0 << 4) | (0 if ci == 0 else 1), 1, 63, 0]),
+        )
+        bw = _BitWriter()
+        for m in range(by_ * bx_):
+            zz = zzs[ci][m]
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[ci][0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                s = abs(v).bit_length()
+                mag = v if v >= 0 else v + (1 << s) - 1
+                code, length = ac_codes[ci][(run << 4) | s]
+                bw.write(code, length)
+                bw.write(mag & ((1 << s) - 1), s)
+                run = 0
+            if run:
+                code, length = ac_codes[ci][0x00]  # EOB (run of 1)
+                bw.write(code, length)
+        out.extend(bw.flush())
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -654,7 +654,7 @@ def resize_images(
                     # real baseline-JPEG path (operators/jpeg_io.py):
                     # Huffman+IDCT decode -> nearest-neighbor -> exact
                     # baseline re-encode, dependency-free. Profiles
-                    # outside baseline (progressive SOF2, 12-bit) fall
+                    # outside the codec (arithmetic, 12-bit) fall
                     # THROUGH to PIL when present, loud refusal below
                     # otherwise — the png_io conditional-seam pattern
                     import numpy as np

@@ -431,7 +431,9 @@ def _ensure_media_pixels(sf_dir: str) -> str:
     # schema 2: + GIF (mid 8, gif_io LZW/palette decode, r11)
     # schema 3: + BMP (mids 9-10, bmp_io 24-bit decode, r12)
     # schema 4: + lossless WebP (mid 11, webp_io VP8L decode, r12)
-    expect = {"kind": "media_pixels", "schema": 4}
+    # schema 5: + progressive JPEG (mid 12, SOF2 scan accumulation,
+    #           exact by the same unit-DC-quant tile argument, r12)
+    expect = {"kind": "media_pixels", "schema": 5}
     pfile = os.path.join(idx, "_build_params.json")
     if os.path.exists(pfile):
         try:
@@ -459,7 +461,7 @@ def _ensure_media_pixels(sf_dir: str) -> str:
         return _np.kron(vals, _np.ones((8, 8), dtype=_np.uint8))
 
     try:
-        for mid in range(12):
+        for mid in range(13):
             if mid < 4:  # baseline JPEG, exact by unit-DC-quant tiles
                 px = tile_image(mid, 2 + mid % 3, 3 + mid % 2)
                 payload = jpeg_io.jpeg_encode(
@@ -492,10 +494,15 @@ def _ensure_media_pixels(sf_dir: str) -> str:
                 g = tile_image(mid, 2, 2)
                 px = _np.repeat(g[:, :, None], 3, axis=2)
                 payload = bmp_io.bmp_encode(g)
-            else:  # lossless WebP (VP8L): prefix-coded, exact
+            elif mid == 11:  # lossless WebP (VP8L): prefix-coded, exact
                 rng = _np.random.default_rng(100 + mid)
                 px = rng.integers(0, 256, (9, 14, 3), dtype=_np.uint8)
                 payload = webp_io.webp_encode(px)
+            else:  # PROGRESSIVE JPEG: SOF2 DC + per-band AC scans
+                px = tile_image(mid, 3, 2)
+                payload = jpeg_io.jpeg_encode_progressive(
+                    px, quality_scale=16
+                )
             with open(os.path.join(building, f"m{mid:02d}.img"), "wb") as fh:
                 fh.write(payload)
             rows.append(
