@@ -88,6 +88,12 @@ register_pickle_by_value(jpeg_io)
 register_pickle_by_value(gif_io)
 register_pickle_by_value(bmp_io)
 register_pickle_by_value(webp_io)
+# vp8_io is reached through webp_io's module-top import; registering
+# it keeps the lossy path importable on workers whose cwd is not the
+# repo (the drive-contract pickling scenario)
+from archetype_spark.operators import vp8_io  # noqa: E402
+
+register_pickle_by_value(vp8_io)
 
 
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -538,9 +544,11 @@ PIXEL_STATS_SCHEMA = StructType(
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """REAL pixel decode -> per-image stats, dependency-free: P6 PNM,
-    PNG (png_io), baseline JPEG (jpeg_io), GIF (gif_io — LZW,
-    palette-mapped RGB) and BMP (bmp_io — 24/32-bit + 8-bit palette)
-    payloads decode to their
+    PNG (png_io), baseline+progressive JPEG (jpeg_io), GIF (gif_io —
+    LZW, palette-mapped RGB), BMP (bmp_io — 24/32-bit + 8-bit
+    palette) and WebP (webp_io — VP8L lossless, flat-chroma lossy
+    VP8 via vp8_io's RFC 6386 keyframe decoder, VP8X still
+    containers) payloads decode to their
     uint8 pixel arrays executor-side (Arrow-batched mapInPandas);
     output (media_id, width, height, n_px, pixel_digest) where the
     digest is sha256 over the row-major pixel BYTES — identical
@@ -579,8 +587,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
         else:
             raise NotImplementedError(
                 "image_pixel_stats: payload is not P5/P6 PNM, PNG, GIF, "
-                "BMP, lossless WebP or baseline JPEG (the dependency-free "
-                "pixel codecs)"
+                "BMP, WebP (lossless, flat-chroma lossy, or VP8X still) "
+                "or JPEG (the dependency-free pixel codecs)"
             )
         h0, w0 = px.shape[0], px.shape[1]
         return {
@@ -673,9 +681,11 @@ def resize_images(
                 if (payload or b"")[:4] == b"RIFF" and (payload or b"")[
                     8:12
                 ] == b"WEBP":
-                    # real lossless-WebP path: VP8L decode -> nearest-
-                    # neighbor -> literal-form VP8L re-encode. Lossy
-                    # VP8 / VP8X fall THROUGH to PIL when present
+                    # real WebP path: VP8L (RGB) / flat-chroma lossy
+                    # VP8 (gray) / VP8X decode -> nearest-neighbor ->
+                    # literal-form VP8L re-encode. The residual
+                    # refusals (color VP8, animation, VP8L-coded
+                    # alpha) fall THROUGH to PIL when present
                     import numpy as np
 
                     try:

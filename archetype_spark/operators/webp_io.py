@@ -15,20 +15,27 @@ format cwebp -lossless and current browsers emit):
   distance neighborhood, and ALL FOUR transforms in reverse order:
   PREDICTOR (14 modes), COLOR_TRANSFORM (signed >>5 cross-channel
   deltas), SUBTRACT_GREEN, and COLOR_INDEXING (delta-summed palette
-  + sub-byte pixel packing). Lossy WebP (VP8) and extended (VP8X
-  container) payloads refuse loudly — they need a DCT codec.
+  + sub-byte pixel packing). Lossy (VP8) chunks route to vp8_io's
+  RFC 6386 keyframe decoder (grayscale for flat-chroma streams;
+  color streams refuse rather than bake a non-normative YUV->RGB
+  matrix into the digest). Extended (VP8X) still images decode via
+  the container walk below (raw ALPH alpha honored, must be opaque;
+  animations refuse loudly).
 - encode: a minimal always-valid VP8L writer for fixtures/round
   trips — no transforms, no color cache, one prefix-code group,
   literals only, canonical Huffman per channel (simple codes when a
-  channel holds <= 2 distinct values).
+  channel holds <= 2 distinct values) — plus RIFF wrappers for the
+  lossy encoder (webp_encode_lossy_gray) and the extended container
+  (webp_encode_vp8x).
 
 The decode loop is per-pixel Python (LZ77 + color cache are
 inherently sequential); VP8L payloads in the media fixtures are
 KB-scale, and the batch boundary stays Arrow-vectorized in
 multimodal.image_pixel_stats.
 
-Decoded pixels return as uint8 (h, w, 3) RGB (alpha must be 255 —
-an alpha-carrying image refuses rather than silently dropping the
+Decoded pixels return as uint8 (h, w, 3) RGB for lossless and
+(h, w) grayscale for flat-chroma lossy (alpha must be 255 — an
+alpha-carrying image refuses rather than silently dropping the
 channel), matching the shapes image_pixel_stats digests for the
 other codecs.
 """
@@ -39,6 +46,8 @@ import heapq
 import struct
 
 import numpy as np
+
+from archetype_spark.operators import vp8_io
 
 #: code-length-code read order (RFC 9649 §3.7.1.2)
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -466,32 +475,150 @@ def webp_lossless_info(payload: bytes):
     return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
 
 
-def webp_decode(payload: bytes) -> np.ndarray:
-    """uint8 (h, w, 3) RGB pixels of a LOSSLESS WebP. Lossy (VP8) and
-    extended (VP8X) payloads refuse loudly; so does an image whose
-    alpha channel is not fully opaque (dropping it silently would
-    corrupt the pixel digest)."""
+def _walk_chunks(p: bytes, start: int = 12):
+    """(fourcc, payload) pairs of a RIFF body, honoring even padding."""
+    off = start
+    while off + 8 <= len(p):
+        fourcc = p[off:off + 4]
+        size = struct.unpack_from("<I", p, off + 4)[0]
+        body = p[off + 8:off + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"WebP chunk {fourcc!r} truncated")
+        yield fourcc, body
+        off += 8 + size + (size & 1)
+
+
+def _alph_decode(body: bytes, w: int, h: int) -> np.ndarray:
+    """VP8X ALPH chunk -> uint8 (h, w) alpha plane. Compression
+    method 0 (raw bytes) and method 1 (a HEADERLESS VP8L bitstream
+    whose green channel carries the alpha values — dimensions come
+    from the container), each under the four prediction filters."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    head = body[0]
+    method = head & 3
+    filt = (head >> 2) & 3
+    if method == 1:
+        br = _BitReader(body[1:])
+        transforms: list = []
+        argb = _decode_image(br, w, h, True, transforms)
+        argb = _inverse_transforms(argb, transforms, w, h)
+        a = ((argb >> 8) & 0xFF).astype(np.int32)
+    elif method != 0:
+        raise ValueError(f"ALPH compression method {method} is reserved")
+    else:
+        raw = body[1:1 + w * h]
+        if len(raw) < w * h:
+            raise ValueError("ALPH raw data truncated")
+        a = np.frombuffer(raw, np.uint8).reshape(h, w).astype(np.int32)
+    if filt:
+        out = np.zeros((h, w), dtype=np.int32)
+        for y in range(h):
+            for x in range(w):
+                left = out[y, x - 1] if x else 0
+                top = out[y - 1, x] if y else 0
+                tl = out[y - 1, x - 1] if (x and y) else 0
+                if filt == 1:
+                    pred = left if x else (top if y else 0)
+                elif filt == 2:
+                    pred = top if y else (left if x else 0)
+                else:
+                    pred = min(255, max(0, left + top - tl))
+                out[y, x] = (a[y, x] + pred) & 0xFF
+        a = out
+    return a.astype(np.uint8)
+
+
+def _decode_vp8_body(body: bytes) -> np.ndarray:
+    """VP8 (lossy) chunk -> uint8 (h, w) GRAYSCALE pixels when the
+    stream's chroma is flat 128 (the exact, conversion-free case);
+    color streams refuse loudly — RFC 6386 defines no normative
+    YUV->RGB matrix, so emitting RGB would bake a guessed conversion
+    into the pixel digest. vp8_io.vp8_decode_yuv exposes the full
+    normative (Y, U, V) output."""
+    y, u, v = vp8_io.vp8_decode_yuv(body)
+    if not (bool((u == 128).all()) and bool((v == 128).all())):
+        raise NotImplementedError(
+            "color VP8 stream: YUV->RGB conversion is not normative; "
+            "use vp8_io.vp8_decode_yuv for the exact YUV planes"
+        )
+    return y
+
+
+def _decode_vp8x(p: bytes) -> np.ndarray:
+    """Extended (VP8X) still image: walk the chunk sequence, decode
+    the VP8/VP8L image chunk, honor a raw ALPH chunk (which must be
+    fully opaque — the RGB pixel-stats contract), refuse animation."""
+    chunks = list(_walk_chunks(p))
+    if not chunks or chunks[0][0] != b"VP8X":
+        raise ValueError("VP8X chunk must lead the extended container")
+    head = chunks[0][1]
+    if len(head) < 10:
+        raise ValueError("VP8X header truncated")
+    flags = head[0]
+    if flags & 0x02:
+        raise NotImplementedError(
+            "animated WebP (ANIM/ANMF) is a frame sequence, not a "
+            "still image"
+        )
+    alpha_body = None
+    for fourcc, body in chunks[1:]:
+        if fourcc in (b"ANIM", b"ANMF"):
+            raise NotImplementedError(
+                "animated WebP (ANIM/ANMF) is a frame sequence, not "
+                "a still image"
+            )
+        if fourcc == b"ALPH":
+            alpha_body = body
+        elif fourcc == b"VP8L":
+            # VP8L carries its own alpha; a stray ALPH is invalid and
+            # ignored by reference readers.
+            return _decode_vp8l_body(body)
+        elif fourcc == b"VP8 ":
+            px = _decode_vp8_body(body)
+            if alpha_body is not None:
+                h, w = px.shape[:2]
+                a = _alph_decode(alpha_body, w, h)
+                if not bool((a == 255).all()):
+                    raise NotImplementedError(
+                        "VP8X image carries a non-opaque alpha plane; "
+                        "the pixel-stats contract would silently drop it"
+                    )
+            return px
+    raise ValueError("VP8X container has no VP8/VP8L image chunk")
+
+
+def webp_decode(payload: bytes):
+    """Decoded pixels of a WebP payload: uint8 (h, w, 3) RGB for
+    lossless (VP8L), uint8 (h, w) grayscale for a flat-chroma lossy
+    (VP8) stream, either behind an extended (VP8X) container. A
+    non-opaque alpha channel and color lossy streams refuse loudly
+    (dropping alpha or guessing a YUV->RGB matrix would corrupt the
+    pixel digest); so do animations."""
     p = bytes(payload or b"")
     if len(p) < 16 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) payload")
     fourcc = p[12:16]
     if fourcc == b"VP8 ":
-        raise NotImplementedError(
-            "lossy WebP (VP8) needs a DCT codec; only VP8L lossless "
-            "decodes dependency-free"
-        )
+        size = struct.unpack_from("<I", p, 16)[0]
+        body = p[20:20 + size]
+        if len(body) < size:
+            raise ValueError("VP8 chunk truncated")
+        return _decode_vp8_body(body)
     if fourcc == b"VP8X":
-        raise NotImplementedError(
-            "extended WebP (VP8X container) is not supported by the "
-            "dependency-free codec"
-        )
+        return _decode_vp8x(p)
     if fourcc != b"VP8L":
         raise ValueError(f"unknown WebP chunk {fourcc!r}")
     size = struct.unpack_from("<I", p, 16)[0]
     body = p[20 : 20 + size]
     if len(body) < size:
         raise ValueError("VP8L chunk truncated")
-    if body[0] != 0x2F:
+    return _decode_vp8l_body(body)
+
+
+def _decode_vp8l_body(body: bytes) -> np.ndarray:
+    """uint8 (h, w, 3) RGB pixels of a VP8L chunk body."""
+    if not body or body[0] != 0x2F:
         raise ValueError("VP8L signature byte missing")
     br = _BitReader(body[1:])
     w = br.read(14) + 1
@@ -623,6 +750,51 @@ def _write_prefix_code(bw: _BitWriter, lengths: dict[int, int]) -> None:
         bw.write_code(code, ln)
 
 
+def _write_vp8l_literals(bw: "_BitWriter", greens, reds, blues, alphas):
+    """The literal-only VP8L pixel stream shared by webp_encode and
+    the method-1 ALPH encoder: no transforms, no color cache, one
+    prefix group, canonical Huffman per channel."""
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix image
+    chans = []
+    for vals in (greens, reds, blues, alphas):
+        uniq, counts = np.unique(vals, return_counts=True)
+        freqs = {int(s): int(c) for s, c in zip(uniq, counts)}
+        lengths = _huffman_lengths(freqs)
+        _write_prefix_code(bw, lengths)
+        if len(lengths) == 1:
+            # single-symbol simple code: ZERO bits per symbol
+            chans.append({next(iter(lengths)): (0, 0)})
+        else:
+            chans.append(_canonical(lengths))
+    _write_prefix_code(bw, {0: 1})  # distance code: unused single symbol
+    gc, rc, bc, ac = chans
+    for g, r, b, al in zip(greens, reds, blues, alphas):
+        for code, ln in (
+            gc[int(g)], rc[int(r)], bc[int(b)], ac[int(al)]
+        ):
+            bw.write_code(code, ln)
+
+
+def alph_encode_vp8l(alpha: np.ndarray) -> bytes:
+    """A method-1 ALPH chunk body for a uint8 (h, w) alpha plane: the
+    headerless VP8L literal stream with alpha in the green channel
+    (filtering method 0). The inverse of _alph_decode's method-1
+    path."""
+    a = np.asarray(alpha, dtype=np.uint8)
+    h, w = a.shape
+    bw = _BitWriter()
+    _write_vp8l_literals(
+        bw,
+        a.ravel(),
+        np.zeros(w * h, np.uint8),
+        np.zeros(w * h, np.uint8),
+        np.full(w * h, 255, np.uint8),
+    )
+    return b"\x01" + bytes(bw.buf)
+
+
 def webp_encode(arr: np.ndarray) -> bytes:
     """Minimal VP8L bytes for a uint8 (h, w, 3) RGB or (h, w) gray
     array: literals only, one prefix group, no transforms — the
@@ -641,37 +813,54 @@ def webp_encode(arr: np.ndarray) -> bytes:
     bw.write(h - 1, 14)
     bw.write(0, 1)  # no alpha
     bw.write(0, 3)  # version
-    bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta prefix image
-    reds = a[:, :, 0].ravel()
-    greens = a[:, :, 1].ravel()
-    blues = a[:, :, 2].ravel()
-    chans = []
-    for vals in (greens, reds, blues, np.full(w * h, 255, np.uint8)):
-        uniq, counts = np.unique(vals, return_counts=True)
-        freqs = {int(s): int(c) for s, c in zip(uniq, counts)}
-        lengths = _huffman_lengths(freqs)
-        _write_prefix_code(bw, lengths)
-        if len(lengths) == 1:
-            # single-symbol simple code: ZERO bits per symbol
-            chans.append({next(iter(lengths)): (0, 0)})
-        else:
-            chans.append(_canonical(lengths))
-    _write_prefix_code(bw, {0: 1})  # distance code: unused single symbol
-    gc, rc, bc, ac = chans
-    for i in range(w * h):
-        code, ln = gc[int(greens[i])]
-        bw.write_code(code, ln)
-        code, ln = rc[int(reds[i])]
-        bw.write_code(code, ln)
-        code, ln = bc[int(blues[i])]
-        bw.write_code(code, ln)
-        code, ln = ac[255]
-        bw.write_code(code, ln)
+    _write_vp8l_literals(
+        bw,
+        a[:, :, 1].ravel(),
+        a[:, :, 0].ravel(),
+        a[:, :, 2].ravel(),
+        np.full(w * h, 255, np.uint8),
+    )
     body = bytes([0x2F]) + bytes(bw.buf)
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) & 1:
         chunk += b"\x00"
     riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     return riff
+
+
+def webp_encode_lossy_gray(px: np.ndarray, **kwargs) -> bytes:
+    """RIFF-wrapped LOSSY (VP8) WebP of a uint8 (h, w) grayscale array
+    that decodes back bit-exactly (vp8_io.vp8_encode_gray's DC-only
+    construction; kwargs pass through — qindex, mb_modes, bmodes,
+    filter_level, use_skip)."""
+    frame = vp8_io.vp8_encode_gray(np.asarray(px), **kwargs)
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_encode_vp8x(arr: np.ndarray, alpha_chunk: bool = False) -> bytes:
+    """Extended-container (VP8X) WebP wrapping this module's lossless
+    VP8L encoding of `arr` — the still-image extended layout current
+    muxers emit. With alpha_chunk=True a raw all-opaque ALPH chunk is
+    prepended (exercises the reader's alpha path; VP8L itself already
+    carries alpha, so this is only for plumbing tests)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    inner = webp_encode(a)
+    vp8l_chunk = inner[12:]  # the VP8L chunk incl. header + padding
+    flags = 0
+    body = b""
+    if alpha_chunk:
+        flags |= 0x10
+        alph = b"ALPH" + struct.pack("<I", 1 + w * h) + b"\x00" + b"\xff" * (w * h)
+        if (1 + w * h) & 1:
+            alph += b"\x00"
+        body += alph
+    head = bytes([flags, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (
+        h - 1
+    ).to_bytes(3, "little")
+    vp8x = b"VP8X" + struct.pack("<I", len(head)) + head
+    payload = vp8x + body + vp8l_chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload

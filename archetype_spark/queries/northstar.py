@@ -433,7 +433,10 @@ def _ensure_media_pixels(sf_dir: str) -> str:
     # schema 4: + lossless WebP (mid 11, webp_io VP8L decode, r12)
     # schema 5: + progressive JPEG (mid 12, SOF2 scan accumulation,
     #           exact by the same unit-DC-quant tile argument, r12)
-    expect = {"kind": "media_pixels", "schema": 5}
+    # schema 6: + LOSSY WebP (mid 13, vp8_io RFC 6386 keyframe decode
+    #           — exact by the DC-only-at-step-8 argument) and a
+    #           VP8X-wrapped VP8L still (mid 14, container walk), r12
+    expect = {"kind": "media_pixels", "schema": 6}
     pfile = os.path.join(idx, "_build_params.json")
     if os.path.exists(pfile):
         try:
@@ -461,7 +464,7 @@ def _ensure_media_pixels(sf_dir: str) -> str:
         return _np.kron(vals, _np.ones((8, 8), dtype=_np.uint8))
 
     try:
-        for mid in range(13):
+        for mid in range(15):
             if mid < 4:  # baseline JPEG, exact by unit-DC-quant tiles
                 px = tile_image(mid, 2 + mid % 3, 3 + mid % 2)
                 payload = jpeg_io.jpeg_encode(
@@ -498,11 +501,27 @@ def _ensure_media_pixels(sf_dir: str) -> str:
                 rng = _np.random.default_rng(100 + mid)
                 px = rng.integers(0, 256, (9, 14, 3), dtype=_np.uint8)
                 payload = webp_io.webp_encode(px)
-            else:  # PROGRESSIVE JPEG: SOF2 DC + per-band AC scans
+            elif mid == 12:  # PROGRESSIVE JPEG: SOF2 DC + per-band AC
                 px = tile_image(mid, 3, 2)
                 payload = jpeg_io.jpeg_encode_progressive(
                     px, quality_scale=16
                 )
+            elif mid == 13:  # LOSSY WebP (VP8): 16x16 uniform tiles
+                # decode bit-exactly (DC-only residuals at Y DC step 8
+                # + loop filter level 0 — vp8_io's docstring argument)
+                vals = _np.array(
+                    [[(37 * mid + 11 * r + 23 * c + 5) % 251
+                      for c in range(3)] for r in range(2)],
+                    dtype=_np.uint8,
+                )
+                px = _np.kron(vals, _np.ones((16, 16), dtype=_np.uint8))
+                payload = webp_io.webp_encode_lossy_gray(
+                    px, mb_modes=[[0, 1, 4], [2, 3, 0]]
+                )
+            else:  # VP8X-wrapped VP8L still (extended container walk)
+                rng = _np.random.default_rng(100 + mid)
+                px = rng.integers(0, 256, (8, 13, 3), dtype=_np.uint8)
+                payload = webp_io.webp_encode_vp8x(px, alpha_chunk=True)
             with open(os.path.join(building, f"m{mid:02d}.img"), "wb") as fh:
                 fh.write(payload)
             rows.append(
@@ -532,11 +551,13 @@ def _ensure_media_pixels(sf_dir: str) -> str:
 def q121_image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-pixel decode, oracle-gated end-to-end: ingest
     the media_pixels fixture files via binaryFile, entropy-decode the
-    pixels executor-side (multimodal.image_pixel_stats — baseline
-    JPEG Huffman+IDCT, exact PNG, P6, LZW GIF), and emit each image's dims and
-    pixel-bytes sha256. The oracle reads the manifest the GENERATOR
-    wrote (dims + source-array digests) — the decode must reproduce
-    the source pixels bit-exactly to hash-match."""
+    pixels executor-side (multimodal.image_pixel_stats — baseline +
+    progressive JPEG Huffman+IDCT, exact PNG, P6, LZW GIF, BMP,
+    lossless + lossy WebP incl. the VP8X extended container), and
+    emit each image's dims and pixel-bytes sha256. The oracle reads
+    the manifest the GENERATOR wrote (dims + source-array digests) —
+    the decode must reproduce the source pixels bit-exactly to
+    hash-match."""
     from archetype_spark.sources.io import read_binary_dir
 
     fdir = _ensure_media_pixels(sf_dir)

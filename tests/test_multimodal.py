@@ -234,10 +234,17 @@ def test_image_pixel_stats_container_independent_digest(spark):
 
     # a format none of the codecs decode refuses, naming them
     bad = spark.createDataFrame(
-        [(9, b"BM\x01\x00\x01\x00")], "media_id long, payload binary"
+        [(9, b"XZ\x01\x00\x01\x00")], "media_id long, payload binary"
     )
     with _pytest.raises(Exception, match="pixel codecs"):
         multimodal.image_pixel_stats(bad).collect()
+    # a payload that SNIFFS as BMP but is malformed fails loudly in
+    # the codec (never a silent wrong digest)
+    badbmp = spark.createDataFrame(
+        [(9, b"BM\x01\x00\x01\x00")], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="BM bitmap|truncated"):
+        multimodal.image_pixel_stats(badbmp).collect()
     # a TRUNCATED GIF reaches the real decoder (r11) and fails loudly
     # there, never a silent wrong digest
     tgif = spark.createDataFrame(

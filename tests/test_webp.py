@@ -3,8 +3,9 @@ hand-derived simple-code payload (bit-by-bit from RFC 9649, with an
 independent inline bit-writer), hand-built streams for LZ77 backward
 references, the color cache, color indexing with sub-byte packing,
 the predictor and subtract-green transforms, lossless encode round
-trips, loud refusals (lossy VP8, extended VP8X, truncation), and the
-container-independent pixel_digest through image_pixel_stats."""
+trips, loud refusals (animation, truncation), the extended (VP8X)
+container walk, and the container-independent pixel_digest through
+image_pixel_stats. Lossy (VP8) coverage lives in tests/test_vp8.py."""
 
 from __future__ import annotations
 
@@ -294,10 +295,18 @@ def test_roundtrip_lossless(shape, seed):
 
 
 def test_refusals():
-    with pytest.raises(NotImplementedError, match="lossy"):
-        webp_io.webp_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
-    with pytest.raises(NotImplementedError, match="VP8X"):
-        webp_io.webp_decode(b"RIFF\x00\x00\x00\x00WEBPVP8X" + b"\x00" * 16)
+    # a VP8 chunk of zero bytes is an interframe tag (bit 0 set is
+    # keyframe=0... bit0 clear) with a missing start code
+    with pytest.raises(ValueError, match="start code"):
+        webp_io.webp_decode(
+            b"RIFF\x00\x00\x00\x00WEBPVP8 " + struct.pack("<I", 16) + b"\x00" * 16
+        )
+    # animated VP8X refuses loudly
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0]) + b"\x00" * 6
+    with pytest.raises(NotImplementedError, match="animated"):
+        webp_io.webp_decode(
+            b"RIFF" + struct.pack("<I", 4 + len(vp8x)) + b"WEBP" + vp8x
+        )
     with pytest.raises(ValueError, match="not a WebP"):
         webp_io.webp_decode(b"JUNK")
     enc = webp_io.webp_encode(np.zeros((4, 4, 3), np.uint8))
