@@ -289,18 +289,25 @@ _MODULES = (
 #       q57-q60, q61-q64, q67. Deferred in exchange: every freshly-
 #       green r11 pin (q03-q16, q29-q35, q38, q119-q130). 50 pins +
 #       0 unpinned gated = 50 exactly; 79 deferred; 129 gated total.
+#   r12 second session: q132 (NEW: mixed-format Iceberg scan —
+#       PARQUET + ORC + AVRO data files under one equality delete,
+#       static source-view oracle) pins for its first driver row;
+#       q67_training_mix (green r8, the window's last pin) defers in
+#       exchange — window stays 50 exactly.
 #   r13 sketch: rotate back the remaining r10-deferred tail
-#       (q68-q79, q107-q116 — none since r10) plus q119-q130 (the
-#       lake tier should not go two rounds without driver rows on
-#       its conditional-oracle index paths); defer the freshly-green
-#       r12 pins in exchange. Pin any r12-new queries (q131+) their
-#       second round only if their fixtures changed.
+#       (q67-q79, q107-q116 — none since r10; q67 re-deferred late
+#       r12) plus q119-q130 (the lake tier should not go two rounds
+#       without driver rows on its conditional-oracle index paths);
+#       defer the freshly-green r12 pins in exchange. Pin any
+#       r12-new queries (q131/q132) their second round only if their
+#       fixtures changed.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
     "q98_minhash_containment",
     "q131_iceberg_eq_changelog",
+    "q132_iceberg_mixed_formats",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q83_deterministic_shuffle",
@@ -348,7 +355,6 @@ _PINNED: tuple[str, ...] = (
     "q62_url_fetch",
     "q63_tf_idf",
     "q64_ingest_dedup",
-    "q67_training_mix",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -383,6 +389,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q50_ecs_tsim",
         "q65_minhash_fast",
         "q66_dedup_clusters",
+        "q67_training_mix",
         "q68_sequence_pack",
         "q69_repetition",
         "q70_corpus_curation",

@@ -1573,6 +1573,95 @@ def q131_iceberg_eq_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_iceberg_mixed(spark: SparkSession, sf_dir: str) -> str:
+    """The MIXED-FORMAT Iceberg table q132 scans: one snapshot
+    history whose live file set spans all three spec-legal data
+    formats — a PARQUET commit (doc_id%3==0), an ORC commit
+    (doc_id%3==1, write_iceberg(file_format='orc') — Spark's native
+    JVM ORC writer/scanner), and an AVRO ingest (doc_id%3==2, a
+    container hand-encoded by avro_io and registered via
+    ingest_avro_files — the executor-side mapInPandas decode path) —
+    followed by ONE equality delete (doc_id%7==3) that must apply
+    across every format. The content is a pure function of
+    `documents`, so the oracle aggregates the SOURCE view directly.
+    The avro rows collect driver-side: fixture-scale (the documents
+    corpus is thousands of rows), and the container is the INGEST
+    input, never a scan path."""
+    from archetype_spark.sources import avro_io
+    from archetype_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        ingest_avro_files,
+        write_iceberg,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        write_iceberg(base.filter(F.col("doc_id") % 3 == 0), btable)
+        write_iceberg(
+            base.filter(F.col("doc_id") % 3 == 1),
+            btable,
+            mode="append",
+            file_format="orc",
+        )
+        rows = [
+            {
+                "doc_id": r["doc_id"],
+                "lang": r["lang"],
+                "n_chars": r["n_chars"],
+            }
+            for r in base.filter(F.col("doc_id") % 3 == 2)
+            .orderBy("doc_id")
+            .collect()
+        ]
+        ap = os.path.join(os.path.dirname(btable), "ingest.avro")
+        avro_io.write_container(
+            ap,
+            {
+                "type": "record",
+                "name": "doc",
+                "fields": [
+                    {"name": "doc_id", "type": "long"},
+                    {"name": "lang", "type": ["null", "string"]},
+                    {"name": "n_chars", "type": ["null", "long"]},
+                ],
+            },
+            rows,
+        )
+        ingest_avro_files(btable, [ap])
+        os.remove(ap)
+        delete_by_key_iceberg(
+            spark,
+            btable,
+            base.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        )
+
+    return _ensure_lake_documents(spark, sf_dir, "iceberg_mixed", build)
+
+
+def q132_iceberg_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format Iceberg scan, oracle-gated end-to-end: one
+    snapshot whose live files span PARQUET + ORC (native JVM scans,
+    per-commit file_format) + AVRO (executor-side avro_io decode over
+    binaryFile — this container's Spark ships no avro datasource),
+    with an EQUALITY delete applied across all three formats, read
+    through the protocol-native manifest walk and aggregated per
+    lang. The fixture is a pure function of `documents` (doc_id mod 3
+    fans rows across formats, doc_id%7==3 equality-deleted), so the
+    static DuckDB oracle aggregates the source view — independent of
+    the engine's scan AND of any generator-written expectation."""
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    table = _ensure_iceberg_mixed(spark, sf_dir)
+    return (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("lang", "n_docs", "sum_chars")
+    )
+
+
 def _ensure_iceberg_documents(spark: SparkSession, sf_dir: str) -> str:
     """The Iceberg table q105 scans: TWO append snapshots (even then
     odd doc_ids) — append-only on purpose: the active file set then
@@ -2496,6 +2585,7 @@ QUERIES = {
     "q129_audio_spectral": q129_audio_spectral,
     "q130_iceberg_changelog": q130_iceberg_changelog,
     "q131_iceberg_eq_changelog": q131_iceberg_eq_changelog,
+    "q132_iceberg_mixed_formats": q132_iceberg_mixed_formats,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -3833,6 +3923,18 @@ ORACLES["q111_iceberg_changes"] = """
     SELECT 2::BIGINT AS snapshot_id, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+"""
+
+# q132: the mixed-format fixture is a pure function of documents
+# (doc_id mod 3 fans rows across PARQUET/ORC/AVRO commits, and the
+# doc_id%7==3 cohort is equality-deleted across all three), so the
+# oracle aggregates the SOURCE view — independent of the manifest
+# walk, the three scan paths, and any generator-written expectation.
+ORACLES["q132_iceberg_mixed_formats"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 7 <> 3
+    GROUP BY lang
 """
 
 

@@ -278,9 +278,17 @@ def read_container(path: str):
     """-> (writer_schema: dict, records: list). Whole-file read —
     Iceberg metadata files are KBs-to-MBs, driver-side."""
     with open(path, "rb") as fh:
-        buf = io.BytesIO(fh.read())
+        data = fh.read()
+    return read_container_bytes(data, name=path)
+
+
+def read_container_bytes(data: bytes, name: str = "<bytes>"):
+    """read_container over in-memory bytes — the executor-side entry
+    point (Avro DATA files arrive as binaryFile content on workers;
+    there is no shared local path to reopen)."""
+    buf = io.BytesIO(data)
     if buf.read(4) != MAGIC:
-        raise ValueError(f"not an Avro container: {path}")
+        raise ValueError(f"not an Avro container: {name}")
     meta = _decode(_META_SCHEMA, buf, {})
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
@@ -303,7 +311,7 @@ def read_container(path: str):
         for _ in range(n):
             records.append(_decode(schema, block, names))
         if buf.read(16) != sync:
-            raise ValueError(f"sync marker mismatch in {path}")
+            raise ValueError(f"sync marker mismatch in {name}")
     return schema, records
 
 

@@ -693,24 +693,28 @@ def read_delta_changes(
 
 
 def _stage_data_files(
-    df: DataFrame, dest_root: str, part_cols: Sequence[str]
+    df: DataFrame, dest_root: str, part_cols: Sequence[str],
+    fmt: str = "parquet",
 ) -> list[dict]:
-    """Write `df` as parquet via a staging dir and move the files
-    under `dest_root` preserving hive partition dirs. Returns one
-    {rel_path, partition_values, size, mtime_ms, num_rows} per data
-    file — the lake-format-neutral half of a commit (Delta and
-    Iceberg writers both build their metadata from this)."""
+    """Write `df` as parquet (or ORC — Iceberg tables may elect it)
+    via a staging dir and move the files under `dest_root` preserving
+    hive partition dirs. Returns one {rel_path, partition_values,
+    size, mtime_ms, num_rows} per data file — the lake-format-neutral
+    half of a commit (Delta and Iceberg writers both build their
+    metadata from this; Delta is parquet-only by spec)."""
     import pyarrow.parquet as pq
 
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"stageable data file format {fmt!r}")
     stage = os.path.join(dest_root, f".stage-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
-    writer.parquet(stage)
+    writer.format(fmt).save(stage)
     out = []
     for root, _dirs, files in os.walk(stage):
         for name in files:
-            if not name.endswith(".parquet"):
+            if not name.endswith("." + fmt):
                 continue
             src = os.path.join(root, name)
             rel_dir = os.path.relpath(root, stage)
@@ -738,7 +742,13 @@ def _stage_data_files(
                     # readers may answer COUNT(*) from it without
                     # touching data files; a placeholder would be
                     # silently wrong there. Footer-only read, O(KB).
-                    "num_rows": pq.ParquetFile(dst).metadata.num_rows,
+                    "num_rows": (
+                        pq.ParquetFile(dst).metadata.num_rows
+                        if fmt == "parquet"
+                        else __import__(
+                            "pyarrow.orc", fromlist=["ORCFile"]
+                        ).ORCFile(dst).nrows
+                    ),
                 }
             )
     shutil.rmtree(stage, ignore_errors=True)
@@ -752,6 +762,7 @@ def _scan_snapshot(
     part_cols: Sequence[str],
     entries: Sequence[tuple[str, dict]],
     keep_meta: bool = False,
+    fmt: str = "parquet",
 ):
     """Assemble the snapshot scan for `entries` = [(abs_file_path,
     {partition col: value})]. Fast path: when every file sits under
@@ -766,7 +777,14 @@ def _scan_snapshot(
     each row's source file — Spark reports `file:/...` URIs locally)
     and `__dv_ridx` (`_metadata.row_index`, the physical row position
     deletion vectors and positional deletes address) — the join key
-    for row-level delete application."""
+    for row-level delete application.
+
+    `fmt` selects the native Spark reader ('parquet' or 'orc' — both
+    stay JVM-side with pushdown; Iceberg tables may carry ORC data
+    files). Spark's ORC scan exposes no `_metadata.row_index`, so
+    with keep_meta an ORC `__dv_ridx` is NULL — callers that apply
+    POSITIONAL semantics must refuse ORC entries themselves (the
+    Iceberg reader does, loudly)."""
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
@@ -777,7 +795,11 @@ def _scan_snapshot(
             F.regexp_replace(
                 F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
             ).alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_ridx"),
+            (
+                F.col("_metadata.row_index")
+                if fmt == "parquet"
+                else F.lit(None).cast("bigint")
+            ).alias("__dv_ridx"),
         ]
         if keep_meta
         else []
@@ -797,7 +819,8 @@ def _scan_snapshot(
         return (
             spark.read.schema(schema)
             .option("basePath", base_root)
-            .parquet(*[p for p, _ in entries])
+            .format(fmt)
+            .load([p for p, _ in entries])
             .select(*cols, *meta_cols)
         )
 
@@ -807,7 +830,7 @@ def _scan_snapshot(
         groups.setdefault(key, []).append(p)
     parts = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*files)
+        df = spark.read.schema(data_schema).format(fmt).load(files)
         for col, raw in zip(part_cols, key):
             typed = (F.lit(None) if raw is None else F.lit(raw)).cast(
                 part_fields[col].dataType

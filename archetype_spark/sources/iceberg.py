@@ -33,11 +33,23 @@ the new one alone, so prior files stay reachable ONLY via time
 travel), a new v<N>.metadata.json recording the snapshot, and finally
 the version-hint — the rename of which is the atomic commit point.
 
+Data file formats: parquet and ORC scan natively (JVM-side, ORC
+selectable per commit via write_iceberg(file_format=...)); AVRO data
+files decode executor-side through the stdlib avro_io codec
+(binaryFile + Arrow-batched mapInPandas, with synthesized row
+ordinals so positional deletes fully apply) and register via
+ingest_avro_files. ORC carries one caveat: Spark's ORC scan exposes
+no _metadata.row_index, so POSITIONAL delete application/write over
+ORC entries refuses loudly — the value-based equality faces and
+compaction stay open.
+
 Declared limits (refuse loudly, never silently wrong): format-version
-3+, non-identity partition transforms, non-parquet data files,
-multi-writer commit races, equality deletes whose field ids left the
-current schema, metadata-only COUNT and adds-only incremental reads
-over tables with live delete files.
+3+, non-identity partition transforms, non-parquet DELETE files and
+data formats beyond parquet/ORC/Avro, positional deletes over ORC
+entries, decimal columns in Avro data files, multi-writer commit
+races, equality deletes whose field ids left the current schema,
+metadata-only COUNT and adds-only incremental reads over tables with
+live delete files.
 """
 
 from __future__ import annotations
@@ -54,6 +66,16 @@ from pyspark.sql.types import StructType
 
 from archetype_spark.sources import avro_io, ice_transforms
 from archetype_spark.sources.delta import _scan_snapshot, _stage_data_files
+
+# The Avro data-file scan decodes executor-side (mapInPandas over
+# binaryFile content); ship avro_io by value so workers need only
+# stdlib + pandas, the same rationale as operators/multimodal.py.
+try:  # pyspark vendors cloudpickle; plain cloudpickle as fallback
+    from pyspark.cloudpickle import register_pickle_by_value
+except ImportError:  # pragma: no cover
+    from cloudpickle import register_pickle_by_value
+
+register_pickle_by_value(avro_io)
 
 _SPARK_TO_ICE = {
     "long": "long",
@@ -346,7 +368,7 @@ def count_rows_iceberg(path: str, snapshot_id: int | None = None) -> int:
 def _live_entries(table: str, snap: dict, meta: dict | None = None):
     """Walk one snapshot's manifest list. Returns (data, deletes,
     eq_deletes): data = [(abs_path, partition dict, recorded
-    file_path, data sequence number)], deletes = [(abs_path, sequence
+    file_path, data sequence number, file format)], deletes = [(abs_path, sequence
     number)] for POSITION delete files (v2 content=1), eq_deletes =
     [(abs_path, sequence number, equality_ids tuple, record_count or
     None, scope)] for EQUALITY delete files (v2 content=2). Sequence
@@ -388,17 +410,24 @@ def _live_entries(table: str, snap: dict, meta: dict | None = None):
             if seq is None:
                 seq = m_seq if m_seq is not None else 0
             content = int(dfile.get("content") or 0)
-            if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
+            fmt = str(dfile.get("file_format", "PARQUET")).upper()
+            if content != 0 and fmt != "PARQUET":
                 raise NotImplementedError(
-                    f"Iceberg data format {dfile['file_format']!r}"
+                    f"Iceberg DELETE file format {fmt!r}: only parquet "
+                    "delete files are readable here"
                 )
             if content == 0:
+                if fmt not in ("PARQUET", "ORC", "AVRO"):
+                    raise NotImplementedError(
+                        f"Iceberg data format {fmt!r}"
+                    )
                 data.append(
                     (
                         _abs(table, dfile["file_path"]),
                         dict(dfile.get("partition") or {}),
                         dfile["file_path"],
                         int(seq),
+                        fmt,
                     )
                 )
             elif content == 1:
@@ -511,6 +540,103 @@ def _filter_predicate(scan_filter: dict):
     return pred
 
 
+def _scan_avro_files(
+    spark: SparkSession,
+    schema: StructType,
+    part_cols: Sequence[str],
+    entries: Sequence[tuple[str, dict]],
+    keep_meta: bool,
+) -> DataFrame:
+    """Distributed scan of AVRO data files. This container's Spark
+    ships no avro datasource, so files load via binaryFile and decode
+    executor-side with the stdlib avro_io codec (Arrow-batched
+    mapInPandas, one whole container file per input row — cost scales
+    with executor count, never the driver). Synthesized per-file row
+    ordinals give Avro entries FULL positional-delete semantics
+    (which the native ORC scan cannot offer — it exposes no
+    _metadata.row_index).
+
+    Value mapping is driven by the TABLE schema (authoritative):
+    Avro longs under timestamp/timestamp_ntz columns are Iceberg
+    epoch-micros, date ints are epoch-days; decimals refuse loudly
+    (avro_io passes logical types through raw — emitting unscaled
+    ints as decimals would be silently wrong). Identity partition
+    values come from the manifest (authoritative), matching the
+    parquet path's literal-column fallback."""
+    import re as _re
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    for f in schema.fields:
+        kind = f.dataType.simpleString()
+        if kind.startswith("decimal"):
+            raise NotImplementedError(
+                f"Avro data file column {f.name}: decimal decode is "
+                "not supported by the stdlib codec (unscaled-int "
+                "passthrough would be silently wrong)"
+            )
+    pv_by_path = {
+        _re.sub(r"^[a-zA-Z][\w+.-]*:/+", "/", os.path.abspath(p)): pv
+        for p, pv in entries
+    }
+    target = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    part_set = set(part_cols)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                ospath = _re.sub(r"^[a-zA-Z][\w+.-]*:/+", "/", path)
+                _ws, rows = avro_io.read_container_bytes(
+                    bytes(content), name=ospath
+                )
+                pv = pv_by_path.get(ospath, {})
+                out = {}
+                for name, kind in target:
+                    if name in part_set and all(
+                        name not in r for r in rows[:1]
+                    ):
+                        vals = [pv.get(name)] * len(rows)
+                    else:
+                        vals = [r.get(name) for r in rows]
+                    s = pd.Series(vals, dtype="object")
+                    if kind in ("timestamp", "timestamp_ntz"):
+                        s = pd.to_datetime(s.astype("Int64"), unit="us")
+                    elif kind == "date":
+                        s = pd.to_datetime(
+                            s.astype("Int64"), unit="D"
+                        ).dt.date
+                    elif kind == "string":
+                        s = s.map(
+                            lambda v: v.decode("utf-8")
+                            if isinstance(v, (bytes, bytearray))
+                            else v
+                        )
+                    out[name] = s
+                frame = pd.DataFrame(out)
+                frame["__dv_file"] = ospath
+                frame["__dv_ridx"] = range(len(rows))
+                yield frame
+
+    out_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField("__dv_file", StringType(), True),
+            StructField("__dv_ridx", LongType(), True),
+        ]
+    )
+    blobs = (
+        spark.read.format("binaryFile")
+        .load([p for p, _pv in entries])
+        .select("path", "content")
+    )
+    df = blobs.mapInPandas(decode, schema=out_schema)
+    if not keep_meta:
+        df = df.drop("__dv_file", "__dv_ridx")
+    return df
+
+
 def _read_snapshot(
     spark: SparkSession,
     table: str,
@@ -549,20 +675,47 @@ def _read_snapshot(
         return df
     cols = [f.name for f in schema.fields]
     keep = keep_meta or bool(deletes) or bool(eq_deletes)
-    scan = _scan_snapshot(
-        spark,
-        os.path.join(table, "data"),
-        schema,
-        _identity_scan_cols(spec_fields),
-        [(p, pv) for p, pv, _rp, _s in data],
-        keep_meta=keep,
-    )
+    ident_cols = _identity_scan_cols(spec_fields)
+    by_fmt: dict[str, list] = {}
+    for p, pv, _rp, _s, fmt in data:
+        by_fmt.setdefault(fmt, []).append((p, pv))
+    if deletes and "ORC" in by_fmt:
+        # Spark's ORC scan exposes no _metadata.row_index, so a
+        # positional delete cannot be applied to an ORC entry; with
+        # both in the snapshot, skipping would resurrect rows and
+        # guessing positions would silently drop the wrong ones.
+        raise NotImplementedError(
+            "snapshot mixes POSITION delete files with ORC data files: "
+            "Spark's ORC scan exposes no row_index to apply them — "
+            "compact to parquet or use equality deletes"
+        )
+    scans = []
+    for fmt in sorted(by_fmt):
+        if fmt == "AVRO":
+            scans.append(
+                _scan_avro_files(spark, schema, ident_cols, by_fmt[fmt], keep)
+            )
+        else:
+            scans.append(
+                _scan_snapshot(
+                    spark,
+                    os.path.join(table, "data"),
+                    schema,
+                    ident_cols,
+                    by_fmt[fmt],
+                    keep_meta=keep,
+                    fmt=fmt.lower(),
+                )
+            )
+    scan = scans[0]
+    for s in scans[1:]:
+        scan = scan.unionByName(s)
     if scan_filter:
         scan = scan.filter(_filter_predicate(scan_filter))
     seq_df = spark.createDataFrame(
         [
             (os.path.abspath(p), int(s), _part_fp(pv))
-            for p, pv, _rp, s in data
+            for p, pv, _rp, s, _f in data
         ],
         "__dv_file string, __data_seq bigint, __part_fp string",
     )
@@ -944,7 +1097,8 @@ def _spec_field_name(source: str, transform: str) -> str:
 
 
 def _stage_spec_files(
-    df: DataFrame, data_root: str, spec_fields: list[dict]
+    df: DataFrame, data_root: str, spec_fields: list[dict],
+    fmt: str = "parquet",
 ) -> list[dict]:
     """Stage data files under the spec's hive layout: identity fields
     partition by the source column (hive-encoded out of the file
@@ -969,7 +1123,7 @@ def _stage_spec_files(
             df, f["name"], f["source"], f["transform"], f["source_type"]
         )
         part_cols.append(f["name"])
-    return _stage_data_files(df, data_root, part_cols)
+    return _stage_data_files(df, data_root, part_cols, fmt=fmt)
 
 
 def write_iceberg(
@@ -979,6 +1133,7 @@ def write_iceberg(
     partition_by: Sequence[str] | None = None,
     properties_update: dict[str, str] | None = None,
     partition_transforms: dict[str, str] | None = None,
+    file_format: str = "parquet",
 ) -> None:
     """Append/overwrite a DataFrame as one Iceberg v1 snapshot
     (single-writer; module docstring). `properties_update` merges
@@ -994,9 +1149,23 @@ def write_iceberg(
     partition_transforms={"ts": "day"}` creates the spec field
     `day(ts)` — the layout whose manifest values let
     read_iceberg(scan_filter=...) prune a time range without opening
-    a file. Appends must repeat (or omit) the logged spec."""
+    a file. Appends must repeat (or omit) the logged spec.
+
+    `file_format` ('parquet' default, or 'orc' — both spec-legal data
+    formats, both written by Spark's native JVM writers) is per
+    COMMIT: a table may mix formats across snapshots and the reader
+    scans each file with its manifest-recorded format. Caveat ORC:
+    Spark's ORC scan exposes no row_index, so positional row-level
+    faces (delete_where/update_where) refuse over ORC entries — the
+    equality-delete faces and compaction (which rewrites to parquet)
+    stay open."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if file_format not in ("parquet", "orc"):
+        raise ValueError(
+            f"file_format must be parquet|orc, got {file_format!r} "
+            "(AVRO data files are readable but not written here)"
+        )
     table = os.path.abspath(path)
     prev_v = _current_metadata_version(table)
     part_cols = list(partition_by or [])
@@ -1105,7 +1274,7 @@ def write_iceberg(
     part_cols = [f["name"] for f in spec_fields]
     part_types = _part_types(spec_fields)
     data_root = os.path.join(table, "data")
-    staged = _stage_spec_files(df, data_root, spec_fields)
+    staged = _stage_spec_files(df, data_root, spec_fields, fmt=file_format)
 
     # max+1, NOT count+1: after expire_snapshots a count-based id
     # would collide with a retained snapshot (silent data loss via
@@ -1126,7 +1295,7 @@ def write_iceberg(
     for f in staged:
         dfile = {
             "file_path": f"data/{f['rel_path']}",
-            "file_format": "PARQUET",
+            "file_format": file_format.upper(),
             "partition": {
                 c: _typed_partition(
                     f["partition_values"].get(c), part_types[c]
@@ -1208,6 +1377,133 @@ def write_iceberg(
         meta["properties"] = props
 
     _publish_metadata(table, meta)
+
+
+def ingest_avro_files(path: str, avro_paths: Sequence[str]) -> int:
+    """Register pre-encoded Avro container files as one APPEND
+    snapshot of an existing UNPARTITIONED table — the interop shape
+    for pipelines whose upstream (Flink CDC, log shippers) emits
+    Avro: the files move under the table untouched and the manifest
+    records file_format=AVRO, which read_iceberg scans executor-side
+    (see _scan_avro_files; positional deletes fully apply via
+    synthesized row ordinals). Each file is decoded ONCE here for its
+    authoritative record_count (manifests require it; a placeholder
+    would corrupt metadata-only COUNT) — registration cost O(ingested
+    bytes) on the driver, never the table. Returns the snapshot id."""
+    import shutil as _shutil
+
+    table = os.path.abspath(path)
+    if _current_metadata_version(table) is None:
+        raise ValueError(f"no Iceberg table at {table}")
+    meta = _load_metadata(table)
+    if _spec_fields(meta):
+        raise NotImplementedError(
+            "ingest_avro_files supports unpartitioned tables only "
+            "(partition values for foreign files cannot be inferred "
+            "safely)"
+        )
+    schema = _ice_schema_to_spark(_current_ice_schema(meta))
+    want = set(schema.fieldNames())
+    staged = []
+    for p in avro_paths:
+        _ws, rows = avro_io.read_container(p)
+        for r in rows[:1]:
+            extra = set(r) - want
+            if extra:
+                raise ValueError(
+                    f"avro file {p!r} carries field(s) {sorted(extra)} "
+                    f"absent from the table schema {sorted(want)}"
+                )
+        name = f"ingest-{uuid.uuid4().hex}.avro"
+        dst = os.path.join(table, "data", name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        _shutil.copyfile(p, dst)
+        staged.append(
+            {
+                "rel_path": name,
+                "partition_values": {},
+                "size": os.path.getsize(dst),
+                "num_rows": len(rows),
+            }
+        )
+    fmt = int(meta.get("format-version", 1))
+    seq = int(meta.get("last-sequence-number", 0)) + 1 if fmt >= 2 else None
+    snapshot_id = (
+        max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
+    )
+    mdir = _meta_dir(table)
+    manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
+    manifest_path = os.path.join(mdir, manifest_name)
+    entries = []
+    for f in staged:
+        dfile = {
+            "file_path": f"data/{f['rel_path']}",
+            "file_format": "AVRO",
+            "partition": {},
+            "record_count": f["num_rows"],
+            "file_size_in_bytes": f["size"],
+            "block_size_in_bytes": _BLOCK_SIZE,
+        }
+        e = {"status": 1, "snapshot_id": snapshot_id}
+        if fmt >= 2:
+            dfile = {"content": 0, **dfile}
+            e["sequence_number"] = seq
+            e["file_sequence_number"] = seq
+        e["data_file"] = dfile
+        entries.append(e)
+    avro_io.write_container(
+        manifest_path, _manifest_schema([], {}, fmt), entries
+    )
+    manifest_entry = {
+        "manifest_path": f"metadata/{manifest_name}",
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(f["num_rows"] for f in staged),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    if fmt >= 2:
+        manifest_entry.update(
+            {"content": 0, "sequence_number": seq, "min_sequence_number": seq}
+        )
+    if meta.get("current-snapshot-id", -1) != -1:
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _s, prev = avro_io.read_container(_abs(table, cur["manifest-list"]))
+        prev_manifests = [{**_list_defaults(fmt), **m} for m in prev]
+    else:
+        prev_manifests = []
+    mlist_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    mlist_path = os.path.join(mdir, mlist_name)
+    avro_io.write_container(
+        mlist_path, _list_schema(fmt), prev_manifests + [manifest_entry]
+    )
+    now_ms = int(time.time() * 1000)
+    snap_entry = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"metadata/{mlist_name}",
+        "summary": {"operation": "append"},
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    if fmt >= 2:
+        snap_entry["sequence-number"] = seq
+        meta["last-sequence-number"] = seq
+    meta["snapshots"].append(snap_entry)
+    meta["snapshot-log"].append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    )
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now_ms
+    _publish_metadata(table, meta)
+    return snapshot_id
 
 
 # ---------------------------------------------------------------- maintenance
@@ -1728,7 +2024,16 @@ def _mask_rows_commit_iceberg(
     # the delete file must reference data files by their RECORDED
     # manifest path strings (spec rule); each delete file is
     # partition-scoped (stamped with its data files' partition)
-    info = {os.path.abspath(p): (rp, pv) for p, pv, rp, _s in data}
+    if any(e[4] == "ORC" for e in data):
+        # ORC rows scanned natively carry no row_index: a positional
+        # mask would record NULL positions — silent row loss. The
+        # value-based faces (delete_by_key/upsert_by_key) stay open.
+        raise NotImplementedError(
+            "positional DELETE/UPDATE over a table with ORC data "
+            "files: Spark's ORC scan exposes no row_index — compact "
+            "to parquet or use the equality-delete faces"
+        )
+    info = {os.path.abspath(p): (rp, pv) for p, pv, rp, _s, _f in data}
 
     if int(meta.get("format-version", 1)) == 1:
         meta["format-version"] = 2
@@ -2230,6 +2535,7 @@ def read_iceberg_changes(
                         (
                             _abs(table, dfile["file_path"]),
                             dict(dfile.get("partition") or {}),
+                            str(dfile.get("file_format", "PARQUET")).upper(),
                         )
                     )
                 elif content == 1 and include_deletes:
@@ -2277,9 +2583,33 @@ def read_iceberg_changes(
                         "or read full snapshots"
                     )
         if entries:
-            scan = _scan_snapshot(
-                spark, os.path.join(table, "data"), schema, part_cols, entries
-            )
+            e_by_fmt: dict[str, list] = {}
+            for p, pv, fmt in entries:
+                if fmt not in ("PARQUET", "ORC", "AVRO"):
+                    raise NotImplementedError(f"Iceberg data format {fmt!r}")
+                e_by_fmt.setdefault(fmt, []).append((p, pv))
+            fscans = []
+            for fmt in sorted(e_by_fmt):
+                if fmt == "AVRO":
+                    fscans.append(
+                        _scan_avro_files(
+                            spark, schema, part_cols, e_by_fmt[fmt], False
+                        )
+                    )
+                else:
+                    fscans.append(
+                        _scan_snapshot(
+                            spark,
+                            os.path.join(table, "data"),
+                            schema,
+                            part_cols,
+                            e_by_fmt[fmt],
+                            fmt=fmt.lower(),
+                        )
+                    )
+            scan = fscans[0]
+            for s in fscans[1:]:
+                scan = scan.unionByName(s)
             if include_deletes:
                 scan = scan.withColumn("_change_type", F.lit("insert"))
             per_snap.append(
@@ -2331,7 +2661,8 @@ def _changelog_deleted_rows(
     refuses loudly."""
     cols = [f.name for f in schema.fields]
     data, _pos, _eq = _live_entries(table, snap)
-    by_recorded = {rp: (p, pv) for p, pv, rp, _s in data}
+    by_recorded = {rp: (p, pv) for p, pv, rp, _s, _f in data}
+    nonpq = {rp for _p, _pv, rp, _s, f in data if f != "PARQUET"}
     del_df = (
         spark.read.schema("file_path string, pos long")
         .parquet(*pos_deletes)
@@ -2347,10 +2678,17 @@ def _changelog_deleted_rows(
             hit = next(
                 (
                     (p, pv)
-                    for p, pv, rp2, _s in data
+                    for p, pv, rp2, _s, _f in data
                     if os.path.abspath(p) == ap
                 ),
                 None,
+            )
+        if rp in nonpq:
+            raise NotImplementedError(
+                f"position-delete changelog references non-parquet "
+                f"data file {rp!r}: recovering its tombstoned rows "
+                "needs a positional rescan this reader only does for "
+                "parquet"
             )
         if hit is None:
             raise ValueError(

@@ -151,7 +151,7 @@ def test_upsert_one_snapshot_inserts_escape_own_delete(
     meta = _load_metadata(t)
     data, _pos, eq = _live_entries(os.path.abspath(t), meta["snapshots"][-1])
     assert eq[0][1] == 1
-    assert {s for _p, _pv, _rp, s in data} == {0, 1}
+    assert {s for _p, _pv, _rp, s, _f in data} == {0, 1}
     # upserting again is idempotent in effect
     upsert_by_key_iceberg(spark, t, ups, ["id"])
     assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == got

@@ -1,0 +1,240 @@
+"""Iceberg non-parquet DATA files (sources/iceberg.py): ORC commits
+scan natively (per-commit file_format, mixed-format snapshots, hive
+and literal partition paths), AVRO data files decode executor-side
+via avro_io (ingest_avro_files registration, timestamp/date mapping,
+synthesized row ordinals giving them FULL positional-delete
+semantics), equality deletes apply across all three formats, and the
+positional faces refuse loudly over ORC entries (Spark's ORC scan
+exposes no _metadata.row_index)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.sources import avro_io
+from archetype_spark.sources.iceberg import (
+    count_rows_iceberg,
+    delete_by_key_iceberg,
+    delete_where_iceberg,
+    ingest_avro_files,
+    read_iceberg,
+    read_iceberg_changes,
+    write_iceberg,
+)
+
+
+def _mixed_table(spark, tmp_path) -> str:
+    t = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+        ),
+        t,
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, "c", 3.5), (4, "d", 4.5)], "id long, s string, v double"
+        ),
+        t,
+        file_format="orc",
+    )
+    ap = str(tmp_path / "in.avro")
+    avro_io.write_container(
+        ap,
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "s", "type": ["null", "string"]},
+                {"name": "v", "type": "double"},
+            ],
+        },
+        [{"id": 5, "s": "e", "v": 5.5}, {"id": 6, "s": None, "v": 6.5}],
+    )
+    ingest_avro_files(t, [ap])
+    return t
+
+
+def test_mixed_formats_scan_and_metadata_count(spark, tmp_path):
+    t = _mixed_table(spark, tmp_path)
+    out = read_iceberg(spark, t).orderBy("id").collect()
+    assert [(r.id, r.s, r.v) for r in out] == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5),
+        (4, "d", 4.5), (5, "e", 5.5), (6, None, 6.5),
+    ]
+    # manifests record true record_counts for every format
+    assert count_rows_iceberg(t) == 6
+
+
+def test_equality_delete_applies_across_formats(spark, tmp_path):
+    t = _mixed_table(spark, tmp_path)
+    delete_by_key_iceberg(
+        spark, t, spark.createDataFrame([(3,), (5,)], "id long")
+    )
+    out = read_iceberg(spark, t).orderBy("id").collect()
+    assert [r.id for r in out] == [1, 2, 4, 6]
+
+
+def test_positional_faces_refuse_over_orc(spark, tmp_path):
+    t = _mixed_table(spark, tmp_path)
+    with pytest.raises(NotImplementedError, match="ORC"):
+        delete_where_iceberg(spark, t, F.col("id") == 2)
+
+
+def test_positional_delete_applies_to_avro_entries(spark, tmp_path):
+    # parquet + avro table (no ORC): the positional mask face works,
+    # including positions INSIDE the avro file via synthesized ordinals
+    t = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), t
+    )
+    ap = str(tmp_path / "in.avro")
+    avro_io.write_container(
+        ap,
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "s", "type": "string"},
+            ],
+        },
+        [{"id": 3, "s": "c"}, {"id": 4, "s": "d"}, {"id": 5, "s": "e"}],
+    )
+    ingest_avro_files(t, [ap])
+    delete_where_iceberg(spark, t, F.col("id").isin(2, 4))
+    out = read_iceberg(spark, t).orderBy("id").collect()
+    assert [r.id for r in out] == [1, 3, 5]
+    # the avro file itself was NOT rewritten — the delete is positional
+    data_files = [
+        n for n in os.listdir(os.path.join(t, "data"))
+        if n.startswith("ingest-")
+    ]
+    assert len(data_files) == 1
+
+
+def test_avro_timestamp_and_date_mapping(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2024, 3, 1, 12, 30, 0, 250), datetime.date(2024, 3, 1))],
+            "id long, ts timestamp, d date",
+        ),
+        t,
+    )
+    micros = int(
+        datetime.datetime(
+            2024, 3, 2, 7, 45, 1, 125, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    days = (datetime.date(2024, 3, 2) - datetime.date(1970, 1, 1)).days
+    ap = str(tmp_path / "in.avro")
+    avro_io.write_container(
+        ap,
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {
+                    "name": "ts",
+                    "type": {"type": "long", "logicalType": "timestamp-micros"},
+                },
+                {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            ],
+        },
+        [{"id": 2, "ts": micros, "d": days}],
+    )
+    ingest_avro_files(t, [ap])
+    out = read_iceberg(spark, t).orderBy("id").collect()
+    assert out[1].ts == datetime.datetime(2024, 3, 2, 7, 45, 1, 125)
+    assert out[1].d == datetime.date(2024, 3, 2)
+
+
+def test_orc_partitioned_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 20), (3, "y", 30)], "id long, p string, v long"
+    )
+    write_iceberg(df, t, partition_by=["p"], file_format="orc")
+    out = read_iceberg(spark, t).orderBy("id").collect()
+    assert [(r.id, r.p, r.v) for r in out] == [
+        (1, "x", 10), (2, "x", 20), (3, "y", 30)
+    ]
+    # partition pruning still drives off manifests
+    out = read_iceberg(spark, t, scan_filter={"p": "y"}).collect()
+    assert [(r.id, r.v) for r in [out[0]]] == [(3, 30)] and len(out) == 1
+
+
+def test_changes_over_mixed_formats(spark, tmp_path):
+    t = _mixed_table(spark, tmp_path)
+    ch = read_iceberg_changes(spark, t, from_snapshot=1).orderBy("id")
+    rows = ch.collect()
+    assert [r.id for r in rows] == [1, 2, 3, 4, 5, 6]
+    # each row is attributed to the snapshot that added it
+    assert len({r._snapshot_id for r in rows}) == 3
+
+
+def test_ingest_refuses_partitioned_and_unknown_fields(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.createDataFrame([(1, "x")], "id long, p string"),
+        t,
+        partition_by=["p"],
+    )
+    ap = str(tmp_path / "in.avro")
+    avro_io.write_container(
+        ap,
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "id", "type": "long"}],
+        },
+        [{"id": 9}],
+    )
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        ingest_avro_files(t, [ap])
+    t2 = str(tmp_path / "tbl2")
+    write_iceberg(spark.createDataFrame([(1,)], "id long"), t2)
+    avro_io.write_container(
+        ap,
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "zz", "type": "long"},
+            ],
+        },
+        [{"id": 9, "zz": 1}],
+    )
+    with pytest.raises(ValueError, match="zz"):
+        ingest_avro_files(t2, [ap])
+
+
+def test_avro_decimal_refuses(spark):
+    # our writer cannot create decimal columns, but a FOREIGN table's
+    # schema can carry them — the avro scan must refuse rather than
+    # emit unscaled ints as decimals
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from archetype_spark.sources.iceberg import _scan_avro_files
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("dec", DecimalType(10, 2)),
+        ]
+    )
+    with pytest.raises(NotImplementedError, match="decimal"):
+        _scan_avro_files(spark, schema, [], [("/nope.avro", {})], False)

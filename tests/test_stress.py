@@ -552,3 +552,72 @@ def test_stress_wide_delete_never_collects_positions_iceberg(
     left = read_iceberg(spark, t)
     assert left.filter("doc_id % 4 = 0").count() == 0
     assert left.count() == n - out["rows_deleted"]
+
+
+def test_stress_iceberg_mixed_formats(spark, stress_docs, tmp_path):
+    """Mixed-format headroom at 50k rows: doc_id mod 3 fans the
+    corpus across a PARQUET commit, an ORC commit and an AVRO ingest
+    (the executor-side avro_io decode path chews ~17k rows), then ONE
+    equality delete kills the doc_id%7==3 cohort across all three
+    formats. The aggregate must equal the same algebra over the
+    source frame — scan-path-independent."""
+    from archetype_spark.sources import avro_io
+    from archetype_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        ingest_avro_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    write_iceberg(base.filter(F.col("doc_id") % 3 == 0), t)
+    write_iceberg(
+        base.filter(F.col("doc_id") % 3 == 1),
+        t,
+        mode="append",
+        file_format="orc",
+    )
+    rows = [
+        {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
+        for r in base.filter(F.col("doc_id") % 3 == 2).collect()
+    ]
+    ap = str(tmp_path / "ingest.avro")
+    avro_io.write_container(
+        ap,
+        {
+            "type": "record",
+            "name": "doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "lang", "type": ["null", "string"]},
+                {"name": "n_chars", "type": ["null", "long"]},
+            ],
+        },
+        rows,
+    )
+    ingest_avro_files(t, [ap])
+    delete_by_key_iceberg(
+        spark, t, base.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    got = (
+        read_iceberg(spark, t)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.sum(F.hash("lang").cast("bigint")).alias("h"),
+        )
+        .collect()[0]
+    )
+    want = (
+        base.filter(F.col("doc_id") % 7 != 3)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.sum(F.hash("lang").cast("bigint")).alias("h"),
+        )
+        .collect()[0]
+    )
+    assert (got.n, got.s, got.h) == (want.n, want.s, want.h)
