@@ -2097,7 +2097,7 @@ def _mask_rows_commit(
 # ---------------------------------------------------------------- maintenance
 
 
-def checkpoint_delta(path: str) -> int:
+def checkpoint_delta(path: str, v2: bool = False, sidecars: int = 0) -> int:
     """Write a parquet checkpoint of the CURRENT snapshot plus the
     `_last_checkpoint` marker, returning the checkpointed version.
     Afterwards snapshot resolution replays O(commits since this
@@ -2106,6 +2106,17 @@ def checkpoint_delta(path: str) -> int:
     retains protocol, metaData, every active add, AND the txn
     high-water marks (dropping txns would break the streaming sink's
     idempotence after log cleanup).
+
+    `v2=True` writes the spec's V2 form current Delta writers emit
+    (PROTOCOL.md "V2 Checkpoints"): a UUID-named top-level file
+    leading with a `checkpointMetadata` action, with the file actions
+    either inline or — `sidecars=N` — split across N parquet SIDECAR
+    files under _delta_log/_sidecars/ referenced by `sidecar`
+    actions. V2 checkpoints require the `v2Checkpoint` reader table
+    feature, so a table whose protocol lacks it first gets ONE
+    protocol-upgrade commit through the legacy-feature-carrying
+    upgrade helper (the same rule the DV writer follows); the
+    checkpoint then covers that commit.
 
     Driver-side pyarrow write under the spec's explicit checkpoint
     schema (partitionValues/configuration/options/tags as
@@ -2116,6 +2127,8 @@ def checkpoint_delta(path: str) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if sidecars and not v2:
+        raise ValueError("sidecar files are a V2-checkpoint form")
     table = os.path.abspath(path)
     version = _latest_version(table)
     if version is None:
@@ -2123,6 +2136,17 @@ def checkpoint_delta(path: str) -> int:
     meta, active, txns, protocol = _snapshot_actions(
         table, return_protocol=True
     )
+    if v2 and "v2Checkpoint" not in set(
+        (protocol or {}).get("readerFeatures") or []
+    ):
+        version += 1
+        protocol = _table_features_protocol(
+            protocol,
+            meta,
+            extra_reader=("v2Checkpoint",),
+            extra_writer=("v2Checkpoint",),
+        )
+        _publish_commit(table, version, [{"protocol": protocol}])
 
     str_map = pa.map_(pa.string(), pa.string())
     cp_schema = pa.schema(
@@ -2225,17 +2249,90 @@ def checkpoint_delta(path: str) -> int:
         {"txn": {"appId": app, "version": int(v)}} for app, v in txns.items()
     ]
     add_t = cp_schema.field("add").type
-    rows += [{"add": shape(add, add_t)} for add in active.values()]
-    keys = ("protocol", "metaData", "txn", "add")
-    cp = os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
-    tmp = cp + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(
-        pa.Table.from_pylist(
-            [{k: r.get(k) for k in keys} for r in rows], schema=cp_schema
-        ),
-        tmp,
-    )
-    os.rename(tmp, cp)
+    add_rows = [{"add": shape(add, add_t)} for add in active.values()]
+
+    if not v2:
+        rows += add_rows
+        keys = ("protocol", "metaData", "txn", "add")
+        cp = os.path.join(
+            table, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+        )
+        tmp = cp + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{k: r.get(k) for k in keys} for r in rows], schema=cp_schema
+            ),
+            tmp,
+        )
+        os.rename(tmp, cp)
+    else:
+        str_map2 = pa.map_(pa.string(), pa.string())
+        v2_schema = pa.schema(
+            list(cp_schema)
+            + [
+                (
+                    "checkpointMetadata",
+                    pa.struct(
+                        [("version", pa.int64()), ("tags", str_map2)]
+                    ),
+                ),
+                (
+                    "sidecar",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("sizeInBytes", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("tags", str_map2),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        rows = [{"checkpointMetadata": {"version": version}}] + rows
+        if sidecars:
+            sdir = os.path.join(table, _LOG_DIR, "_sidecars")
+            os.makedirs(sdir, exist_ok=True)
+            sc_schema = pa.schema([cp_schema.field("add")])
+            for i in range(sidecars):
+                chunk = add_rows[i::sidecars]
+                name = f"{uuid.uuid4().hex}.parquet"
+                sp = os.path.join(sdir, name)
+                tmp = sp + f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(
+                    pa.Table.from_pylist(
+                        [{"add": r["add"]} for r in chunk], schema=sc_schema
+                    ),
+                    tmp,
+                )
+                os.rename(tmp, sp)
+                rows.append(
+                    {
+                        "sidecar": {
+                            "path": name,
+                            "sizeInBytes": os.path.getsize(sp),
+                            "modificationTime": int(
+                                os.path.getmtime(sp) * 1000
+                            ),
+                        }
+                    }
+                )
+        else:
+            rows += add_rows
+        keys = tuple(f.name for f in v2_schema)
+        cp = os.path.join(
+            table,
+            _LOG_DIR,
+            f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet",
+        )
+        tmp = cp + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{k: r.get(k) for k in keys} for r in rows], schema=v2_schema
+            ),
+            tmp,
+        )
+        os.rename(tmp, cp)
     lc_tmp = os.path.join(table, _LOG_DIR, f".lc-tmp-{uuid.uuid4().hex}")
     with open(lc_tmp, "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)

@@ -177,3 +177,67 @@ def test_missing_sidecar_refuses(spark, table):
         json.dump({"version": 1, "size": len(lines)}, fh)
     with pytest.raises(FileNotFoundError, match="sidecar"):
         read_delta(spark, table).collect()
+
+
+# ----------------------------------------------------------- WRITE side
+def test_checkpoint_v2_write_roundtrip(spark, table):
+    """Our own V2 write (checkpoint_delta(v2=True)): UUID-named file,
+    leading checkpointMetadata action, a one-time protocol upgrade
+    adding the v2Checkpoint feature (legacy-implied features carried),
+    and a replay that survives deleting every JSON commit."""
+    import glob
+
+    from archetype_spark.sources.delta import checkpoint_delta
+
+    v = checkpoint_delta(table, v2=True)
+    # the upgrade commit bumped the version by one (2 commits -> v2)
+    assert v == 2
+    cps = glob.glob(
+        os.path.join(table, _LOG_DIR, f"{v:020d}.checkpoint.*.parquet")
+    )
+    assert len(cps) == 1 and len(os.path.basename(cps[0]).split(".")) == 4
+    rows = pq.read_table(cps[0]).to_pylist()
+    assert any(r.get("checkpointMetadata") is not None for r in rows)
+    protos = [r["protocol"] for r in rows if r.get("protocol") is not None]
+    assert len(protos) == 1
+    feats = set(protos[0]["readerFeatures"])
+    assert "v2Checkpoint" in feats
+    # legacy minWriterVersion 2 implied features survive the upgrade
+    wfeats = set(protos[0]["writerFeatures"])
+    assert {"appendOnly", "invariants", "v2Checkpoint"} <= wfeats
+    _drop_json_commits(table)
+    out = read_delta(spark, table).orderBy("id").collect()
+    assert [r.id for r in out] == [1, 2, 3, 4]
+    # a second v2 checkpoint does NOT stack another protocol commit
+    assert checkpoint_delta(table, v2=True) == v
+
+
+def test_checkpoint_v2_write_sidecars(spark, table):
+    """sidecars=2 splits the add actions across two sidecar parquet
+    files; the top level carries only sidecar references (no inline
+    adds) and the snapshot replays from checkpoint + sidecars alone."""
+    import glob
+
+    from archetype_spark.sources.delta import checkpoint_delta
+
+    v = checkpoint_delta(table, v2=True, sidecars=2)
+    cps = glob.glob(
+        os.path.join(table, _LOG_DIR, f"{v:020d}.checkpoint.*.parquet")
+    )
+    rows = pq.read_table(cps[0]).to_pylist()
+    assert all(r.get("add") is None for r in rows)
+    scs = [r["sidecar"] for r in rows if r.get("sidecar") is not None]
+    assert len(scs) == 2
+    for sc in scs:
+        sp = os.path.join(table, _LOG_DIR, "_sidecars", sc["path"])
+        assert os.path.getsize(sp) == sc["sizeInBytes"]
+    _drop_json_commits(table)
+    out = read_delta(spark, table).orderBy("id").collect()
+    assert [r.id for r in out] == [1, 2, 3, 4]
+
+
+def test_checkpoint_sidecars_require_v2():
+    from archetype_spark.sources.delta import checkpoint_delta
+
+    with pytest.raises(ValueError, match="V2"):
+        checkpoint_delta("/nope", sidecars=2)
