@@ -293,7 +293,9 @@ _MODULES = (
 #       PARQUET + ORC + AVRO data files under one equality delete,
 #       static source-view oracle) pins for its first driver row;
 #       q67_training_mix (green r8, the window's last pin) defers in
-#       exchange — window stays 50 exactly.
+#       exchange — window stays 50 exactly. q133 (NEW: HTML -> text
+#       extraction with a source-digest oracle) pins next, deferring
+#       q64_ingest_dedup (green r5/r8) the same way.
 #   r13 sketch: rotate back the remaining r10-deferred tail
 #       (q67-q79, q107-q116 — none since r10; q67 re-deferred late
 #       r12) plus q119-q130 (the lake tier should not go two rounds
@@ -308,6 +310,7 @@ _PINNED: tuple[str, ...] = (
     "q98_minhash_containment",
     "q131_iceberg_eq_changelog",
     "q132_iceberg_mixed_formats",
+    "q133_html_extract",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q83_deterministic_shuffle",
@@ -354,7 +357,6 @@ _PINNED: tuple[str, ...] = (
     "q61_ivf_topk",
     "q62_url_fetch",
     "q63_tf_idf",
-    "q64_ingest_dedup",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -387,6 +389,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q35_doc_quality",
         "q38_lang_id",
         "q50_ecs_tsim",
+        "q64_ingest_dedup",  # re-deferred late r12 (q133 pin swap)
         "q65_minhash_fast",
         "q66_dedup_clusters",
         "q67_training_mix",

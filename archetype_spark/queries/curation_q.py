@@ -448,6 +448,58 @@ def q103_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q103_quality_tiers"] = q103_quality_tiers
 
+
+def q133_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (operators/html_text — the web-corpus
+    ingestion step upstream of every text operator): each document is
+    wrapped JVM-side in synthetic HTML (title + h1 + script/style/
+    comment/footer noise, the body escaped into a <pre> main block),
+    and the stdlib-parser extraction recovers the title, the link
+    count, and the main-content block — which must equal the ORIGINAL
+    text bit-exactly, pinned by digest. The oracle digests the SOURCE
+    column, never this operator's output, so tag stripping, entity
+    decoding, script/comment exclusion and largest-block selection
+    all sit inside the hash gate. Synthesis stays in codegen (chained
+    replace); only the parse crosses into Python (Arrow-batched)."""
+    from archetype_spark.operators.html_text import html_fields
+
+    d = load(spark, sf_dir, "documents")
+    esc = F.expr(
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+    )
+    h1 = F.expr(
+        "replace(replace(replace(substring(text, 1, 8), '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style>body {color:#333}</style></head><body>'
+            '<script type="text/javascript">var x = '
+            '"<div>not content</div>";</script><h1>'
+        ),
+        h1,
+        F.lit('</h1><div class="main"><pre>'),
+        esc,
+        F.lit(
+            "</pre></div><!-- generated --><p>footer &amp; links: "
+            '<a href="/a?x=1&amp;y=2">a</a> <a href="/b">b</a></p>'
+            "</body></html>"
+        ),
+    )
+    ex = html_fields(d.select("doc_id", html.alias("html")), "html")
+    return ex.select(
+        "doc_id",
+        "title",
+        F.md5(F.encode(F.col("main_text"), "UTF-8")).alias("text_digest"),
+        F.col("n_links").cast("int").alias("n_links"),
+    )
+
+
+QUERIES["q133_html_extract"] = q133_html_extract
+
 ORACLES = {
     "q84_paragraph_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1041,3 +1093,13 @@ ORACLES["q97_verbatim_leaks"] = """
         LEFT JOIN lk USING (doc_id)
         ORDER BY doc_id
     """
+
+# q133: the synthesis wraps the source text losslessly (escaped into
+# the <pre> main block), so extraction must return it BIT-EXACTLY —
+# the oracle digests documents.text directly, fully independent of
+# both the synthesis and the parser.
+ORACLES["q133_html_extract"] = """
+    SELECT doc_id, 'doc ' || doc_id AS title,
+           md5(text) AS text_digest, 2::INT AS n_links
+    FROM documents
+"""
