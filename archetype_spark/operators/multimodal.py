@@ -36,6 +36,7 @@ from pyspark.sql.types import (
 
 from archetype_spark.operators import (
     bmp_io,
+    flac_io,
     gif_io,
     image_probe,
     jpeg_io,
@@ -88,6 +89,7 @@ register_pickle_by_value(jpeg_io)
 register_pickle_by_value(gif_io)
 register_pickle_by_value(bmp_io)
 register_pickle_by_value(webp_io)
+register_pickle_by_value(flac_io)
 # vp8_io is reached through webp_io's module-top import; registering
 # it keeps the lossy path importable on workers whose cwd is not the
 # repo (the drive-contract pickling scenario)
@@ -932,6 +934,26 @@ def _wav_pcm(payload: bytes):
     return rate, channels, samples
 
 
+def _audio_pcm(payload: bytes):
+    """(sample_rate, n_channels, int16 samples) for a PCM audio
+    payload in either container the dependency-free tier decodes:
+    16-bit RIFF/WAVE (_wav_pcm) or 16-bit FLAC (flac_io — lossless,
+    CRC+MD5-verified, so the samples are the SAME ones a WAV of the
+    clip would carry). None if the payload is neither."""
+    import numpy as np
+
+    p = bytes(payload or b"")
+    if p[:4] == b"fLaC":
+        sr, ch, samples, bps = flac_io.flac_decode(p)
+        if bps != 16:
+            raise NotImplementedError(
+                f"{bps}-bit FLAC: the audio operators' PCM contract "
+                "is 16-bit"
+            )
+        return sr, ch, samples.astype(np.int16)
+    return _wav_pcm(p)
+
+
 def audio_features(
     media: DataFrame, window_ms: int = 100, payload_col: str = "payload"
 ) -> DataFrame:
@@ -954,12 +976,14 @@ def audio_features(
         for pdf in batches:
             ids, widx, rms, peak = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
-                parsed = _wav_pcm(bytes(payload) if payload is not None else b"")
+                parsed = _audio_pcm(
+                    bytes(payload) if payload is not None else b""
+                )
                 if parsed is None:
                     raise NotImplementedError(
-                        f"audio_features: media {mid} payload is not "
-                        "RIFF/WAVE — only PCM WAV is decodable without "
-                        "codec libraries"
+                        f"audio_features: media {mid} payload is neither "
+                        "RIFF/WAVE nor FLAC — the dependency-free audio "
+                        "codecs"
                     )
                 rate, channels, samples = parsed
                 if samples.size == 0:
@@ -1029,12 +1053,14 @@ def audio_spectral(
         for pdf in batches:
             ids, rates, nfr, dom = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
-                parsed = _wav_pcm(bytes(payload) if payload is not None else b"")
+                parsed = _audio_pcm(
+                    bytes(payload) if payload is not None else b""
+                )
                 if parsed is None:
                     raise NotImplementedError(
-                        f"audio_spectral: media {mid} payload is not "
-                        "RIFF/WAVE — only PCM WAV is decodable without "
-                        "codec libraries"
+                        f"audio_spectral: media {mid} payload is neither "
+                        "RIFF/WAVE nor FLAC — the dependency-free audio "
+                        "codecs"
                     )
                 rate, channels, samples = parsed
                 mono = (

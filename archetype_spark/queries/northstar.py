@@ -609,7 +609,11 @@ def _ensure_media_audio(sf_dir: str) -> str:
     import pyarrow.parquet as _pq
 
     idx = ann_index.default_index_dir(sf_dir, "media_audio")
-    expect = {"kind": "media_audio", "schema": 1, "frame": 256}
+    # schema 2: two clips arrive FLAC-encoded (flac_io — lossless and
+    # CRC+MD5-verified, so the decoded samples are bit-identical to
+    # the WAV form and the analytic argument is unchanged), one
+    # mono/ragged with fixed-predictor blocks, one stereo mid-side.
+    expect = {"kind": "media_audio", "schema": 2, "frame": 256}
     pfile = os.path.join(idx, "_build_params.json")
     if os.path.exists(pfile):
         try:
@@ -624,16 +628,20 @@ def _ensure_media_audio(sf_dir: str) -> str:
     os.makedirs(building, exist_ok=True)
     rows = []
     try:
+        from archetype_spark.operators import flac_io
+
         sr, n = 8000, 256
-        cases = [  # (bin_k, n_frames, channels, tail_samples)
-            (3, 4, 1, 0),
-            (17, 6, 1, 0),
-            (40, 5, 2, 0),
-            (97, 8, 1, 100),  # ragged tail: dropped by framing
-            (120, 7, 1, 0),
-            (5, 9, 2, 37),
+        cases = [  # (bin_k, n_frames, channels, tail_samples, container)
+            (3, 4, 1, 0, "wav"),
+            (17, 6, 1, 0, "wav"),
+            (40, 5, 2, 0, "wav"),
+            (97, 8, 1, 100, "wav"),  # ragged tail: dropped by framing
+            (120, 7, 1, 0, "wav"),
+            (5, 9, 2, 37, "wav"),
+            (29, 6, 1, 61, "flac"),  # FLAC mono, ragged, fixed blocks
+            (64, 5, 2, 0, "flac"),  # FLAC stereo, mid-side decorrelated
         ]
-        for mid, (k, nf, ch, tail) in enumerate(cases):
+        for mid, (k, nf, ch, tail, container) in enumerate(cases):
             t = _np.arange(nf * n + tail)
             tone = _np.round(
                 12000.0 * _np.sin(2 * _np.pi * k * t / n)
@@ -643,8 +651,18 @@ def _ensure_media_audio(sf_dir: str) -> str:
                 if ch == 1
                 else _np.column_stack([tone, tone]).reshape(-1)
             )
-            payload = multimodal.wav_encode_pcm16(pcm, sr, channels=ch)
-            with open(os.path.join(building, f"a{mid:02d}.wav"), "wb") as fh:
+            if container == "wav":
+                payload = multimodal.wav_encode_pcm16(pcm, sr, channels=ch)
+            else:
+                payload = flac_io.flac_encode_pcm16(
+                    pcm,
+                    sr,
+                    channels=ch,
+                    block_size=512,
+                    stereo_mode="mid-side" if ch == 2 else "independent",
+                )
+            name = f"a{mid:02d}.{container}"
+            with open(os.path.join(building, name), "wb") as fh:
                 fh.write(payload)
             rows.append(
                 {
@@ -669,17 +687,19 @@ def _ensure_media_audio(sf_dir: str) -> str:
 
 def q129_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frequency-domain audio analysis, oracle-gated end-to-end:
-    binaryFile-ingest the WAV fixtures, frame + rfft executor-side
-    (multimodal.audio_spectral), emit each clip's frame count and
-    dominant spectral bin. The oracle reads the generator manifest
-    whose expected values are ANALYTIC (exact-bin sinusoids) — the
-    q121 pattern with mathematics instead of a lossless codec as the
-    independence argument."""
+    binaryFile-ingest the WAV **and FLAC** fixtures (flac_io entropy-
+    decodes the compressed clips — rice residuals, fixed predictors,
+    mid-side stereo — to the same verified PCM), frame + rfft
+    executor-side (multimodal.audio_spectral), emit each clip's frame
+    count and dominant spectral bin. The oracle reads the generator
+    manifest whose expected values are ANALYTIC (exact-bin sinusoids)
+    — the q121 pattern with mathematics instead of a lossless codec
+    as the independence argument."""
     from archetype_spark.sources.io import read_binary_dir
 
     fdir = _ensure_media_audio(sf_dir)
-    blobs = read_binary_dir(spark, fdir, glob="*.wav").select(
-        F.regexp_extract("path", r"a(\d+)\.wav$", 1)
+    blobs = read_binary_dir(spark, fdir, glob="a*.*").select(
+        F.regexp_extract("path", r"a(\d+)\.(?:wav|flac)$", 1)
         .cast("long")
         .alias("media_id"),
         F.col("content").alias("payload"),
