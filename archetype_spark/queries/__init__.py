@@ -295,7 +295,10 @@ _MODULES = (
 #       q67_training_mix (green r8, the window's last pin) defers in
 #       exchange — window stays 50 exactly. q133 (NEW: HTML -> text
 #       extraction with a source-digest oracle) pins next, deferring
-#       q64_ingest_dedup (green r5/r8) the same way.
+#       q64_ingest_dedup (green r5/r8) the same way; q134 (NEW:
+#       PDF -> text extraction, same oracle shape) pins deferring
+#       q63_tf_idf. The r13 rotation should return q63/q64/q67 with
+#       the r10-deferred tail.
 #   r13 sketch: rotate back the remaining r10-deferred tail
 #       (q67-q79, q107-q116 — none since r10; q67 re-deferred late
 #       r12) plus q119-q130 (the lake tier should not go two rounds
@@ -311,6 +314,7 @@ _PINNED: tuple[str, ...] = (
     "q131_iceberg_eq_changelog",
     "q132_iceberg_mixed_formats",
     "q133_html_extract",
+    "q134_pdf_extract",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q83_deterministic_shuffle",
@@ -356,7 +360,6 @@ _PINNED: tuple[str, ...] = (
     "q60_stats_math",
     "q61_ivf_topk",
     "q62_url_fetch",
-    "q63_tf_idf",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -389,6 +392,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q35_doc_quality",
         "q38_lang_id",
         "q50_ecs_tsim",
+        "q63_tf_idf",  # re-deferred late r12 (q134 pin swap)
         "q64_ingest_dedup",  # re-deferred late r12 (q133 pin swap)
         "q65_minhash_fast",
         "q66_dedup_clusters",

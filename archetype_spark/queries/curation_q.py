@@ -500,6 +500,34 @@ def q133_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q133_html_extract"] = q133_html_extract
 
+
+def q134_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF -> text extraction (operators/pdf_text — the document half
+    of the ingestion tier beside q133's HTML): each document becomes
+    a real two-page PDF (correct xref, FlateDecode content streams;
+    page 1 embeds the text losslessly as one TJ segment array, page 2
+    a footer), and the stdlib extraction — object scan, page-tree
+    walk, inflate, content tokenization with string escapes — must
+    return the ORIGINAL text bit-exactly. As with q133 the oracle
+    digests the SOURCE column, so the whole parse chain sits inside
+    the hash gate; the footer and page count pin the page-tree walk."""
+    from archetype_spark.operators import pdf_text
+
+    d = load(spark, sf_dir, "documents")
+    pdfs = pdf_text.synth_pdf_from_text(d)
+    ex = pdf_text.pdf_fields(pdfs, "payload")
+    page1 = F.split(F.col("pdf_text"), "\f").getItem(0)
+    page2 = F.split(F.col("pdf_text"), "\f").getItem(1)
+    return ex.select(
+        "doc_id",
+        F.col("n_pages").cast("int").alias("n_pages"),
+        F.md5(F.encode(page1, "UTF-8")).alias("text_digest"),
+        page2.alias("footer"),
+    )
+
+
+QUERIES["q134_pdf_extract"] = q134_pdf_extract
+
 ORACLES = {
     "q84_paragraph_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1101,5 +1129,15 @@ ORACLES["q97_verbatim_leaks"] = """
 ORACLES["q133_html_extract"] = """
     SELECT doc_id, 'doc ' || doc_id AS title,
            md5(text) AS text_digest, 2::INT AS n_links
+    FROM documents
+"""
+
+# q134: page 1's TJ segments concatenate to the source text exactly,
+# so the oracle digests documents.text — independent of both the PDF
+# writer and the extraction chain. split('\f') never splits page 1
+# (the corpus is newline/formfeed-free plain text).
+ORACLES["q134_pdf_extract"] = """
+    SELECT doc_id, 2::INT AS n_pages, md5(text) AS text_digest,
+           'doc ' || doc_id AS footer
     FROM documents
 """
