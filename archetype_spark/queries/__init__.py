@@ -297,8 +297,10 @@ _MODULES = (
 #       extraction with a source-digest oracle) pins next, deferring
 #       q64_ingest_dedup (green r5/r8) the same way; q134 (NEW:
 #       PDF -> text extraction, same oracle shape) pins deferring
-#       q63_tf_idf. The r13 rotation should return q63/q64/q67 with
-#       the r10-deferred tail.
+#       q63_tf_idf; q135 (NEW: the WARC -> HTTP -> HTML ingestion
+#       CHAIN, same oracle shape) pins deferring q62_url_fetch. The
+#       r13 rotation should return q62/q63/q64/q67 with the
+#       r10-deferred tail.
 #   r13 sketch: rotate back the remaining r10-deferred tail
 #       (q67-q79, q107-q116 — none since r10; q67 re-deferred late
 #       r12) plus q119-q130 (the lake tier should not go two rounds
@@ -315,6 +317,7 @@ _PINNED: tuple[str, ...] = (
     "q132_iceberg_mixed_formats",
     "q133_html_extract",
     "q134_pdf_extract",
+    "q135_warc_pipeline",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q83_deterministic_shuffle",
@@ -359,7 +362,6 @@ _PINNED: tuple[str, ...] = (
     "q59_full_outer_join",
     "q60_stats_math",
     "q61_ivf_topk",
-    "q62_url_fetch",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -392,6 +394,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q35_doc_quality",
         "q38_lang_id",
         "q50_ecs_tsim",
+        "q62_url_fetch",  # re-deferred late r12 (q135 pin swap)
         "q63_tf_idf",  # re-deferred late r12 (q134 pin swap)
         "q64_ingest_dedup",  # re-deferred late r12 (q133 pin swap)
         "q65_minhash_fast",

@@ -528,6 +528,43 @@ def q134_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q134_pdf_extract"] = q134_pdf_extract
 
+
+def q135_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-corpus ingestion CHAIN, end to end inside one hash
+    gate: each document becomes a two-record gzip-member WARC (the
+    Common Crawl layout — warcinfo + an HTTP response whose HTML body
+    escapes the text losslessly), then operators/warc_io splits the
+    records and the HTTP message, the response body routes through
+    operators/html_text, and the extracted main-content block must
+    equal the ORIGINAL text bit-exactly. Three real operators (WARC
+    record parse incl. gzip members, HTTP response split, HTML
+    extraction) each sit in the decode path of the digest the oracle
+    derives from the SOURCE column alone — a bug in any of them
+    breaks the hash. The warcinfo record pins record filtering; the
+    URI pins header extraction."""
+    from archetype_spark.operators import warc_io
+    from archetype_spark.operators.html_text import html_fields
+
+    d = load(spark, sf_dir, "documents")
+    warcs = warc_io.synth_warc_from_text(d)
+    recs = warc_io.warc_records(warcs, "payload")
+    resp = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        "doc_id",
+        "target_uri",
+        F.decode(F.col("body"), "UTF-8").alias("html"),
+    )
+    ex = html_fields(resp, "html")
+    return ex.select(
+        "doc_id",
+        "target_uri",
+        F.md5(F.encode(F.col("main_text"), "UTF-8")).alias("text_digest"),
+    )
+
+
+QUERIES["q135_warc_pipeline"] = q135_warc_pipeline
+
 ORACLES = {
     "q84_paragraph_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1139,5 +1176,15 @@ ORACLES["q133_html_extract"] = """
 ORACLES["q134_pdf_extract"] = """
     SELECT doc_id, 2::INT AS n_pages, md5(text) AS text_digest,
            'doc ' || doc_id AS footer
+    FROM documents
+"""
+
+# q135: the WARC response's HTML <pre> block escapes the source text
+# losslessly, so WARC-split + HTTP-split + HTML-extract must compose
+# to the identity — the oracle digests documents.text and derives the
+# URI from doc_id, independent of all three operators.
+ORACLES["q135_warc_pipeline"] = """
+    SELECT doc_id, 'http://fixture/doc/' || doc_id AS target_uri,
+           md5(text) AS text_digest
     FROM documents
 """
