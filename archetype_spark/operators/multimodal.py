@@ -509,10 +509,16 @@ def _real_decode(kind: str, payload: bytes) -> dict:
         if ms is not None:
             out["duration_ms"] = ms
             return out
+        fl = flac_io.flac_info(payload or b"")
+        if fl is not None:
+            sr, _ch, _bps, total = fl
+            out["duration_ms"] = round(total * 1000 / sr) if sr else None
+            return out
         info = _av_media_info(payload)
         if info is None:
             raise NotImplementedError(
-                "real audio decode: payload is not RIFF/WAVE PCM and av "
+                "real audio decode: payload is not RIFF/WAVE PCM or FLAC "
+                "and av "
                 + ("could not parse it" if _CODEC_LIBS["av"] else "is not installed")
             )
         out["duration_ms"] = info[2]
