@@ -621,3 +621,30 @@ def test_stress_iceberg_mixed_formats(spark, stress_docs, tmp_path):
         .collect()[0]
     )
     assert (got.n, got.s, got.h) == (want.n, want.s, want.h)
+
+
+def test_stress_ingestion_chain(spark, stress_docs):
+    """Web-ingestion headroom at 50k docs: the q135 chain (WARC
+    synthesis -> record + HTTP split -> HTML extraction) end to end,
+    every extracted main-content block joined back against the source
+    text — zero mismatches allowed. All three stages are Arrow-batched
+    per-row Python, so this pins the linear-scale behavior (and the
+    gzip-member walk) at 10x the oracle corpus."""
+    from archetype_spark.operators import warc_io
+    from archetype_spark.operators.html_text import html_fields
+
+    base = stress_docs.select("doc_id", "text")
+    n = base.count()
+    recs = warc_io.warc_records(warc_io.synth_warc_from_text(base), "payload")
+    resp = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select("doc_id", F.decode("body", "UTF-8").alias("html"))
+    ex = html_fields(resp, "html").select("doc_id", "main_text")
+    joined = ex.join(base, "doc_id")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("main_text") == F.col("text")).cast("long")
+        ).alias("exact"),
+    ).collect()[0]
+    assert agg.n == n and agg.exact == n
