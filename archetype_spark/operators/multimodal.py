@@ -550,6 +550,123 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
+def decode_image_pixels(payload: bytes):
+    """REAL pixel decode through the dependency-free codec dispatch:
+    uint8 (h, w[, 3]) for P5/P6 PNM, PNG, GIF, BMP, WebP (lossless,
+    flat-chroma lossy, VP8X still) and JPEG (baseline + progressive)
+    payloads. Anything else raises loudly naming the codecs — never
+    silently wrong pixels. Shared by image_pixel_stats and
+    image_dhash."""
+    import numpy as _np
+
+    p = bytes(payload or b"")
+    if p[:2] == b"\xff\xd8":
+        return jpeg_io.jpeg_decode(p)
+    if png_io.png_info(p) is not None:
+        return png_io.png_decode(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_io.gif_decode(p)
+    if p[:2] == b"BM":
+        return bmp_io.bmp_decode(p)
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        return webp_io.webp_decode(p)
+    if p[:2] in (b"P6", b"P5"):
+        hdr = _ppm_header(p)
+        if hdr is None:
+            raise ValueError("malformed PNM header")
+        w0, h0, maxval, off = hdr
+        if maxval > 255:
+            raise NotImplementedError("PNM maxval > 255 (2-byte samples)")
+        ch = 3 if p[:2] == b"P6" else 1
+        need = w0 * h0 * ch
+        if len(p) < off + need:
+            raise ValueError("PNM raster truncated")
+        px = _np.frombuffer(p, _np.uint8, count=need, offset=off)
+        return px.reshape(h0, w0, ch) if ch == 3 else px.reshape(h0, w0)
+    raise NotImplementedError(
+        "image decode: payload is not P5/P6 PNM, PNG, GIF, "
+        "BMP, WebP (lossless, flat-chroma lossy, or VP8X still) "
+        "or JPEG (the dependency-free pixel codecs)"
+    )
+
+
+def image_dhash_int(px) -> int:
+    """The 64-bit difference hash of a decoded uint8 array — the
+    perceptual near-dup key (the LAION-style image-dedup signal):
+    integer luma ((r+g+b)//3; gray passes through), a 9x8
+    nearest-neighbor sample grid (rows (j*h)//8, cols (i*w)//9 —
+    NN rather than area means so the definition is exact for ANY
+    dimensions and trivially re-derivable), and bit r*8+c set when
+    sample[r][c+1] > sample[r][c]. Returned as SIGNED int64 (bit 63
+    is the sign bit) so it round-trips Spark/DuckDB BIGINT columns."""
+    import numpy as _np
+
+    a = _np.asarray(px)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim == 3:
+        luma = (
+            a[:, :, 0].astype(_np.int64)
+            + a[:, :, 1].astype(_np.int64)
+            + a[:, :, 2].astype(_np.int64)
+        ) // 3
+    else:
+        luma = a.astype(_np.int64)
+    h0, w0 = luma.shape
+    ys = (_np.arange(8) * h0) // 8
+    xs = (_np.arange(9) * w0) // 9
+    grid = luma[ys][:, xs]
+    bits = grid[:, 1:] > grid[:, :-1]
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if bits[r, c]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v & (1 << 63) else v
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Per-image perceptual hash (image_dhash_int over the real codec
+    dispatch) — the candidate key for near-duplicate IMAGE dedup:
+    re-encodes and small perturbations keep the gradient signs, so
+    equal/near hashes flag visual duplicates exact digests miss.
+    Arrow-batched mapInPandas; input (media_id, payload)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hv = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image_pixels(
+                    bytes(payload) if payload is not None else b""
+                )
+                ids.append(mid)
+                hs.append(int(px.shape[0]))
+                ws.append(int(px.shape[1]))
+                hv.append(image_dhash_int(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "dhash": pd.array(hv, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, schema=DHASH_SCHEMA
+    )
+
+
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """REAL pixel decode -> per-image stats, dependency-free: P6 PNM,
     PNG (png_io), baseline+progressive JPEG (jpeg_io), GIF (gif_io —
@@ -568,36 +685,7 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     def stats_one(payload: bytes) -> dict:
         import numpy as _np
 
-        p = bytes(payload or b"")
-        if p[:2] == b"\xff\xd8":
-            px = jpeg_io.jpeg_decode(p)
-        elif png_io.png_info(p) is not None:
-            px = png_io.png_decode(p)
-        elif p[:6] in (b"GIF87a", b"GIF89a"):
-            px = gif_io.gif_decode(p)
-        elif p[:2] == b"BM":
-            px = bmp_io.bmp_decode(p)
-        elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
-            px = webp_io.webp_decode(p)
-        elif p[:2] in (b"P6", b"P5"):
-            hdr = _ppm_header(p)
-            if hdr is None:
-                raise ValueError("malformed PNM header")
-            w0, h0, maxval, off = hdr
-            if maxval > 255:
-                raise NotImplementedError("PNM maxval > 255 (2-byte samples)")
-            ch = 3 if p[:2] == b"P6" else 1
-            need = w0 * h0 * ch
-            if len(p) < off + need:
-                raise ValueError("PNM raster truncated")
-            px = _np.frombuffer(p, _np.uint8, count=need, offset=off)
-            px = px.reshape(h0, w0, ch) if ch == 3 else px.reshape(h0, w0)
-        else:
-            raise NotImplementedError(
-                "image_pixel_stats: payload is not P5/P6 PNM, PNG, GIF, "
-                "BMP, WebP (lossless, flat-chroma lossy, or VP8X still) "
-                "or JPEG (the dependency-free pixel codecs)"
-            )
+        px = decode_image_pixels(payload)
         h0, w0 = px.shape[0], px.shape[1]
         return {
             "width": int(w0),

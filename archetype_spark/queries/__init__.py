@@ -298,9 +298,11 @@ _MODULES = (
 #       q64_ingest_dedup (green r5/r8) the same way; q134 (NEW:
 #       PDF -> text extraction, same oracle shape) pins deferring
 #       q63_tf_idf; q135 (NEW: the WARC -> HTTP -> HTML ingestion
-#       CHAIN, same oracle shape) pins deferring q62_url_fetch. The
-#       r13 rotation should return q62/q63/q64/q67 with the
-#       r10-deferred tail.
+#       CHAIN, same oracle shape) pins deferring q62_url_fetch; q136
+#       (NEW: perceptual image near-dup pairs over the media_pixels
+#       fixture, conditional manifest oracle) pins deferring
+#       q61_ivf_topk. The r13 rotation should return
+#       q61/q62/q63/q64/q67 with the r10-deferred tail.
 #   r13 sketch: rotate back the remaining r10-deferred tail
 #       (q67-q79, q107-q116 — none since r10; q67 re-deferred late
 #       r12) plus q119-q130 (the lake tier should not go two rounds
@@ -318,6 +320,7 @@ _PINNED: tuple[str, ...] = (
     "q133_html_extract",
     "q134_pdf_extract",
     "q135_warc_pipeline",
+    "q136_image_near_dups",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q83_deterministic_shuffle",
@@ -361,7 +364,6 @@ _PINNED: tuple[str, ...] = (
     "q58_list_agg",
     "q59_full_outer_join",
     "q60_stats_math",
-    "q61_ivf_topk",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -394,6 +396,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q35_doc_quality",
         "q38_lang_id",
         "q50_ecs_tsim",
+        "q61_ivf_topk",  # re-deferred late r12 (q136 pin swap)
         "q62_url_fetch",  # re-deferred late r12 (q135 pin swap)
         "q63_tf_idf",  # re-deferred late r12 (q134 pin swap)
         "q64_ingest_dedup",  # re-deferred late r12 (q133 pin swap)
@@ -537,6 +540,9 @@ def all_oracles(
     mpx = northstar.media_pixels_oracle(d, require_live_index=require_live_index)
     if mpx is not None:
         o["q121_image_pixel_decode"] = mpx
+    mdh = northstar.media_dhash_oracle(d, require_live_index=require_live_index)
+    if mdh is not None:
+        o["q136_image_near_dups"] = mdh
     mau = northstar.media_audio_oracle(d, require_live_index=require_live_index)
     if mau is not None:
         o["q129_audio_spectral"] = mau

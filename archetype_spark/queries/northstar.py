@@ -436,7 +436,13 @@ def _ensure_media_pixels(sf_dir: str) -> str:
     # schema 6: + LOSSY WebP (mid 13, vp8_io RFC 6386 keyframe decode
     #           — exact by the DC-only-at-step-8 argument) and a
     #           VP8X-wrapped VP8L still (mid 14, container walk), r12
-    expect = {"kind": "media_pixels", "schema": 6}
+    # schema 7: + a `dhash` manifest column (independent pure-python
+    #           derivation — q136's expected perceptual hashes) and
+    #           two NEAR-DUP rows: mid 15 re-encodes mid 4's exact
+    #           pixels as BMP (hamming 0 to mid 4), mid 16 perturbs
+    #           one of mid 5's dhash sample points (hamming <= 3,
+    #           asserted at build), r12
+    expect = {"kind": "media_pixels", "schema": 7, "neardup": 2}
     pfile = os.path.join(idx, "_build_params.json")
     if os.path.exists(pfile):
         try:
@@ -463,8 +469,31 @@ def _ensure_media_pixels(sf_dir: str) -> str:
         )
         return _np.kron(vals, _np.ones((8, 8), dtype=_np.uint8))
 
+    def dhash_independent(px: "_np.ndarray") -> int:
+        """q136's expected hash, derived with plain loops — a second
+        implementation of the documented dhash definition (integer
+        luma, 9x8 NN sample grid, row-major gradient bits, signed
+        int64), deliberately NOT the operator's numpy code path."""
+        h0, w0 = px.shape[0], px.shape[1]
+        v = 0
+        for r in range(8):
+            row = []
+            for c in range(9):
+                y, x = (r * h0) // 8, (c * w0) // 9
+                p = px[y, x]
+                row.append(
+                    (int(p[0]) + int(p[1]) + int(p[2])) // 3
+                    if px.ndim == 3
+                    else int(p)
+                )
+            for c in range(8):
+                if row[c + 1] > row[c]:
+                    v |= 1 << (r * 8 + c)
+        return v - (1 << 64) if v & (1 << 63) else v
+
+    src_arrays: dict[int, "_np.ndarray"] = {}
     try:
-        for mid in range(15):
+        for mid in range(17):
             if mid < 4:  # baseline JPEG, exact by unit-DC-quant tiles
                 px = tile_image(mid, 2 + mid % 3, 3 + mid % 2)
                 payload = jpeg_io.jpeg_encode(
@@ -518,10 +547,29 @@ def _ensure_media_pixels(sf_dir: str) -> str:
                 payload = webp_io.webp_encode_lossy_gray(
                     px, mb_modes=[[0, 1, 4], [2, 3, 0]]
                 )
-            else:  # VP8X-wrapped VP8L still (extended container walk)
+            elif mid == 14:  # VP8X-wrapped VP8L still (container walk)
                 rng = _np.random.default_rng(100 + mid)
                 px = rng.integers(0, 256, (8, 13, 3), dtype=_np.uint8)
                 payload = webp_io.webp_encode_vp8x(px, alpha_chunk=True)
+            elif mid == 15:  # NEAR-DUP: mid 4's exact pixels as BMP
+                px = src_arrays[4]
+                payload = bmp_io.bmp_encode(px)
+            else:  # NEAR-DUP: mid 5 with one dhash sample perturbed
+                px = src_arrays[5].copy()
+                h0, w0 = px.shape[0], px.shape[1]
+                y, x = (3 * h0) // 8, (4 * w0) // 9
+                # flip AGAINST the original luma so >=1 gradient bit
+                # genuinely changes (an extreme value inverts the
+                # comparisons a mid-range nudge can leave intact)
+                lum = int(px[y, x].astype(_np.int64).sum()) // 3
+                v = 255 if lum <= 127 else 0
+                px[y, x] = (v, v, v)
+                d_a = dhash_independent(px)
+                d_b = dhash_independent(src_arrays[5])
+                ham = bin((d_a ^ d_b) & ((1 << 64) - 1)).count("1")
+                assert 0 < ham <= 3, f"engineered near-dup drifted: {ham}"
+                payload = png_io.png_encode(px)
+            src_arrays[mid] = px
             with open(os.path.join(building, f"m{mid:02d}.img"), "wb") as fh:
                 fh.write(payload)
             rows.append(
@@ -533,6 +581,7 @@ def _ensure_media_pixels(sf_dir: str) -> str:
                     "pixel_digest": __import__("hashlib")
                     .sha256(_np.ascontiguousarray(px).tobytes())
                     .hexdigest(),
+                    "dhash": dhash_independent(px),
                 }
             )
         _pq.write_table(
@@ -568,6 +617,91 @@ def q121_image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("payload"),
     )
     return multimodal.image_pixel_stats(blobs).orderBy("media_id")
+
+
+def q136_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-dup pairs, oracle-gated end-to-end: the
+    media_pixels files decode executor-side through the full codec
+    dispatch, hash to the 64-bit dhash (multimodal.image_dhash), and
+    pair via 4x16-bit band blocking + a hamming<=3 verify — the
+    simhash pigeonhole shape on pixels (<=3 differing bits cannot
+    touch all four bands, so banding is pure optimization with FULL
+    recall, never the correctness boundary; at scale the band
+    equi-join is the only shuffle and it moves 8-byte keys, not
+    pixels). The fixture plants a cross-container exact re-encode
+    (hamming 0) and a one-sample perturbation (hamming<=3, asserted
+    at build); the oracle derives the SAME pairs from the manifest's
+    independently-computed hashes, so decode + hash + pairing all sit
+    inside the gate."""
+    from archetype_spark.sources.io import read_binary_dir
+
+    fdir = _ensure_media_pixels(sf_dir)
+    blobs = read_binary_dir(spark, fdir, glob="*.img").select(
+        F.regexp_extract("path", r"m(\d+)\.img$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    dh = multimodal.image_dhash(blobs).select("media_id", "dhash")
+    bands = dh.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("dhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band", "b.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.dhash").alias("__da"),
+            F.col("b.dhash").alias("__db"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__da").bitwiseXOR(F.col("__db"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def media_dhash_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """q136's conditional oracle: the manifest carries each image's
+    dhash computed by an INDEPENDENT plain-loop implementation at
+    build time, so DuckDB derives the expected pair set with pure
+    bit arithmetic — the Spark side must reproduce it through the
+    real decode + numpy hash + banded join."""
+    man = os.path.join(
+        ann_index.default_index_dir(sf_dir, "media_pixels"), "manifest.parquet"
+    )
+    if require_live_index and not os.path.isfile(man):
+        return None
+    return f"""
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+        FROM read_parquet('{man}') a, read_parquet('{man}') b
+        WHERE a.media_id < b.media_id
+          AND bit_count(xor(a.dhash, b.dhash)) <= 3
+    """
 
 
 def media_pixels_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
@@ -2606,6 +2740,7 @@ QUERIES = {
     "q130_iceberg_changelog": q130_iceberg_changelog,
     "q131_iceberg_eq_changelog": q131_iceberg_eq_changelog,
     "q132_iceberg_mixed_formats": q132_iceberg_mixed_formats,
+    "q136_image_near_dups": q136_image_near_dups,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,

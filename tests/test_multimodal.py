@@ -839,3 +839,49 @@ def test_audio_spectral_refusals(spark):
     )
     with _pytest.raises(Exception, match="RIFF/WAVE"):
         multimodal.audio_spectral(notwav).collect()
+
+
+def test_image_dhash_definition_and_near_dup(spark):
+    """dhash pins: the documented definition on a hand-built gradient
+    (independent loop derivation), invariance across containers of
+    the SAME pixels, small-perturbation closeness, and the sign-bit
+    round trip through a Spark BIGINT."""
+    import numpy as np
+
+    from archetype_spark.operators import bmp_io, multimodal, png_io
+
+    # hand-check: strictly increasing rows -> every gradient bit set
+    inc = np.tile(np.arange(0, 90, 10, dtype=np.uint8), (8, 1))
+    assert multimodal.image_dhash_int(inc) == -1  # all 64 bits (signed)
+    dec = inc[:, ::-1].copy()
+    assert multimodal.image_dhash_int(dec) == 0
+    # independent loop derivation agrees on a random RGB image
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (15, 21, 3), dtype=np.uint8)
+    v = 0
+    for r in range(8):
+        row = []
+        for c in range(9):
+            y, x = (r * 15) // 8, (c * 21) // 9
+            row.append(int(px[y, x].astype(int).sum()) // 3)
+        for c in range(8):
+            if row[c + 1] > row[c]:
+                v |= 1 << (r * 8 + c)
+    v = v - (1 << 64) if v & (1 << 63) else v
+    assert multimodal.image_dhash_int(px) == v
+    # container invariance + near-dup through the Spark face
+    perturbed = px.copy()
+    perturbed[(3 * 15) // 8, (4 * 21) // 9] = (255, 255, 255)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(png_io.png_encode(px))),
+            (1, bytearray(bmp_io.bmp_encode(px))),
+            (2, bytearray(png_io.png_encode(perturbed))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = multimodal.image_dhash(media).orderBy("media_id").collect()
+    assert rows[0].dhash == rows[1].dhash == v
+    ham = bin((rows[0].dhash ^ rows[2].dhash) & ((1 << 64) - 1)).count("1")
+    assert 0 < ham <= 3
+    assert (rows[0].width, rows[0].height) == (21, 15)
