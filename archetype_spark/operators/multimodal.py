@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 )
 
 from archetype_spark.operators import (
+    avi_io,
     bmp_io,
     flac_io,
     gif_io,
@@ -90,6 +91,7 @@ register_pickle_by_value(gif_io)
 register_pickle_by_value(bmp_io)
 register_pickle_by_value(webp_io)
 register_pickle_by_value(flac_io)
+register_pickle_by_value(avi_io)
 # vp8_io is reached through webp_io's module-top import; registering
 # it keeps the lossy path importable on workers whose cwd is not the
 # repo (the drive-contract pickling scenario)
@@ -523,12 +525,15 @@ def _real_decode(kind: str, payload: bytes) -> dict:
             )
         out["duration_ms"] = info[2]
     elif kind == "video":
-        info = _mp4_info(payload or b"")
+        info = avi_io.avi_info(payload or b"")
+        if info is None:
+            info = _mp4_info(payload or b"")
         if info is None:
             info = _av_media_info(payload)
         if info is None:
             raise NotImplementedError(
-                "real video decode: payload is not MP4 box structure and av "
+                "real video decode: payload is not AVI or MP4 box structure "
+                "and av "
                 + ("could not parse it" if _CODEC_LIBS["av"] else "is not installed")
             )
         out["width"], out["height"], out["duration_ms"], out["n_frames"] = info
@@ -918,22 +923,43 @@ def sample_frames(
         ]
     )
     if use_real_decoders:
-        if not _CODEC_LIBS["av"]:
-            raise NotImplementedError(
-                "real frame sampling requires av; not installed"
-            )
 
         def process_real(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
-            import io
-
-            import av
+            import numpy as _np
 
             for pdf in batches:
                 rows = []
                 for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                    with av.open(io.BytesIO(payload or b"")) as c:
+                    p = bytes(payload or b"")
+                    if (p[:4] == b"RIFF" and p[8:12] == b"AVI ") or p[
+                        :6
+                    ] in (b"GIF87a", b"GIF89a"):
+                        # dependency-free tier (avi_io / gif_io)
+                        for idx, fr in enumerate(decode_video_frames(p)):
+                            if idx % every_n == 0:
+                                rows.append(
+                                    (
+                                        mid,
+                                        idx,
+                                        hashlib.sha256(
+                                            _np.ascontiguousarray(fr).tobytes()
+                                        ).hexdigest()[:16],
+                                    )
+                                )
+                        continue
+                    if not _CODEC_LIBS["av"]:
+                        raise NotImplementedError(
+                            "real frame sampling: payload is not AVI/GIF "
+                            "(the dependency-free codecs) and av is not "
+                            "installed"
+                        )
+                    import io
+
+                    import av
+
+                    with av.open(io.BytesIO(p)) as c:
                         for idx, frame in enumerate(c.decode(video=0)):
                             if idx % every_n == 0:
                                 rows.append(
@@ -976,6 +1002,97 @@ def sample_frames(
         media.filter(F.col("kind") == "video")
         .select("media_id", "payload")
         .mapInPandas(process, schema=out_schema)
+    )
+
+
+# ------------------------------------------------------------- video frames
+
+
+def decode_video_frames(payload: bytes) -> list:
+    """REAL per-frame pixel decode through the dependency-free video
+    dispatch: AVI containers (operators/avi_io.py — MJPG pictures via
+    the full JPEG codec, uncompressed BI_RGB DIB frames) and animated
+    GIF (gif_io.gif_decode_frames — GCE compositing: sub-rects,
+    transparency, all three disposal modes). Returns a list of uint8
+    arrays, (h, w) gray or (h, w, 3) RGB. MP4 payloads name the PyAV
+    gap loudly (the container ships no H.264 codec); anything else
+    refuses naming the formats — never silently wrong frames."""
+    p = bytes(payload or b"")
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        return avi_io.avi_decode_frames(p)[0]
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_io.gif_decode_frames(p)
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "video frame decode: MP4 payloads need a codec library (PyAV), "
+            + ("available" if _CODEC_LIBS["av"] else "not installed")
+            + " — route through sample_frames(use_real_decoders=True)"
+        )
+    raise NotImplementedError(
+        "video frame decode: payload is not AVI (MJPG / DIB) or GIF "
+        "(the dependency-free video codecs)"
+    )
+
+
+#: video_frame_stats output: frame_digest = sha256 hexdigest of the
+#: decoded frame's row-major uint8 pixel bytes — the container- and
+#: codec-independent frame identity (the exact-dedup key for frames),
+#: mirroring image_pixel_stats' pixel_digest.
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("frame_digest", StringType(), False),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling, dependency-free: each payload's
+    frames decode executor-side (decode_video_frames — AVI MJPG/DIB,
+    animated GIF) and every `every_n`-th frame emits (media_id,
+    frame_idx, width, height, frame_digest). The 1-to-N mapInPandas
+    expansion shape of sample_frames, but over REAL pixels: two
+    encodings of the same frame get one digest, so downstream
+    frame-level dedup/fingerprinting works across containers. At
+    scale the payload column moves ONCE into the Python workers per
+    partition (Arrow batches); emitted rows carry only scalars, so a
+    100 TB video corpus shuffles digests, never pixels. Input:
+    (media_id, payload)."""
+    import numpy as _np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, dg = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_video_frames(
+                    bytes(payload) if payload is not None else b""
+                )
+                for fi in range(0, len(frames), every_n):
+                    fr = frames[fi]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hs.append(int(fr.shape[0]))
+                    ws.append(int(fr.shape[1]))
+                    dg.append(
+                        hashlib.sha256(
+                            _np.ascontiguousarray(fr).tobytes()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "frame_digest": pd.array(dg, dtype=object),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, schema=VIDEO_FRAME_SCHEMA
     )
 
 

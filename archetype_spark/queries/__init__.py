@@ -303,6 +303,12 @@ _MODULES = (
 #       fixture, conditional manifest oracle) pins deferring
 #       q61_ivf_topk. The r13 rotation should return
 #       q61/q62/q63/q64/q67 with the r10-deferred tail.
+#   r12 third session: q137 (NEW: real VIDEO frame decode — AVI
+#       MJPG/DIB via avi_io + animated-GIF GCE compositing via
+#       gif_io, every-2nd-frame sampling, conditional manifest
+#       oracle with an independent plain-loop compositor) pins for
+#       its first driver row, deferring q60_stats_math (green r10)
+#       — window stays 50 exactly. q60 returns with the r13 tail.
 #   r13 sketch: rotate back the remaining r10-deferred tail
 #       (q67-q79, q107-q116 — none since r10; q67 re-deferred late
 #       r12) plus q119-q130 (the lake tier should not go two rounds
@@ -321,6 +327,7 @@ _PINNED: tuple[str, ...] = (
     "q134_pdf_extract",
     "q135_warc_pipeline",
     "q136_image_near_dups",
+    "q137_video_frames",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q83_deterministic_shuffle",
@@ -363,7 +370,6 @@ _PINNED: tuple[str, ...] = (
     "q57_training_pipeline",
     "q58_list_agg",
     "q59_full_outer_join",
-    "q60_stats_math",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -396,6 +402,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q35_doc_quality",
         "q38_lang_id",
         "q50_ecs_tsim",
+        "q60_stats_math",  # re-deferred late r12 (q137 pin swap)
         "q61_ivf_topk",  # re-deferred late r12 (q136 pin swap)
         "q62_url_fetch",  # re-deferred late r12 (q135 pin swap)
         "q63_tf_idf",  # re-deferred late r12 (q134 pin swap)
@@ -546,4 +553,7 @@ def all_oracles(
     mau = northstar.media_audio_oracle(d, require_live_index=require_live_index)
     if mau is not None:
         o["q129_audio_spectral"] = mau
+    vfr = northstar.video_frames_oracle(d, require_live_index=require_live_index)
+    if vfr is not None:
+        o["q137_video_frames"] = vfr
     return o

@@ -101,6 +101,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_zorder_lineitem(spark, sf_dir)
     _ensure_media_pixels(sf_dir)
     _ensure_media_audio(sf_dir)
+    _ensure_video_frames(sf_dir)
 
 
 # ------------------------------------------------------------------- Q29/Q30
@@ -719,6 +720,207 @@ def media_pixels_oracle(sf_dir: str, require_live_index: bool = True) -> str | N
                n_px::BIGINT AS n_px, pixel_digest
         FROM read_parquet('{man}')
         ORDER BY media_id
+    """
+
+
+def _ensure_video_frames(sf_dir: str) -> str:
+    """The real-video-decode fixture q137 scans: deterministic VIDEO
+    files — two AVIs (an MJPG one whose frames are 8x8-tile images at
+    unit DC quantization, bit-exact through T.81 by the q121
+    media_pixels argument; a rec_groups-interleaved uncompressed
+    BI_RGB DIB one, exact for arbitrary content) and two animated
+    GIFs (full-frame; and sub-rect frames with transparency plus
+    disposal background/previous) — plus a manifest parquet recording
+    each frame's GENERATOR-side ground truth: dims and the sha256 of
+    the EXPECTED full-canvas pixel bytes. The GIF expectations come
+    from an INDEPENDENT plain-loop compositor (the dhash_independent
+    pattern), deliberately not gif_io's numpy path, so a compositing
+    bug cannot cancel out. Driver-side build (KB), atomic slot swap,
+    build-once."""
+    import hashlib as _hashlib
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from archetype_spark.operators import avi_io, gif_io
+
+    idx = ann_index.default_index_dir(sf_dir, "video_frames")
+    expect = {"kind": "video_frames", "schema": 1}
+    pfile = os.path.join(idx, "_build_params.json")
+    if os.path.exists(pfile):
+        try:
+            with open(pfile) as fh:
+                if _json.load(fh) == expect:
+                    return idx
+        except (OSError, ValueError):
+            pass
+    building = os.path.join(
+        os.path.dirname(idx), f".building-{_uuid.uuid4().hex}"
+    )
+    os.makedirs(building, exist_ok=True)
+    rows = []
+
+    def record(mid: int, frames) -> None:
+        for fi, fr in enumerate(frames):
+            rows.append(
+                {
+                    "media_id": mid,
+                    "frame_idx": fi,
+                    "width": int(fr.shape[1]),
+                    "height": int(fr.shape[0]),
+                    "frame_digest": _hashlib.sha256(
+                        _np.ascontiguousarray(fr).tobytes()
+                    ).hexdigest(),
+                }
+            )
+
+    def tile_frame(mid: int, fi: int, th: int, tw: int) -> "_np.ndarray":
+        vals = _np.array(
+            [
+                [(41 * mid + 13 * fi + 11 * r + 23 * c + 7) % 251
+                 for c in range(tw)]
+                for r in range(th)
+            ],
+            dtype=_np.uint8,
+        )
+        return _np.kron(vals, _np.ones((8, 8), dtype=_np.uint8))
+
+    def composite_independent(frames, pal, screen, bg_index):
+        """Plain-loop GIF compositor — the documented GCE semantics
+        re-derived without gif_io (or numpy vector ops)."""
+        sw0, sh0 = screen
+        canvas = [
+            [list(int(v) for v in pal[bg_index]) for _ in range(sw0)]
+            for _ in range(sh0)
+        ]
+        outs = []
+        for fr in frames:
+            fidx = fr["indices"]
+            x, y = fr.get("x", 0), fr.get("y", 0)
+            t, d = fr.get("transparent"), fr.get("disposal", 0)
+            before = (
+                [[list(c) for c in row] for row in canvas] if d == 3 else None
+            )
+            for r in range(fidx.shape[0]):
+                for c in range(fidx.shape[1]):
+                    v = int(fidx[r, c])
+                    if t is not None and v == t:
+                        continue
+                    canvas[y + r][x + c] = [int(u) for u in pal[v]]
+            outs.append(_np.array(canvas, dtype=_np.uint8))
+            if d == 2:
+                for r in range(fidx.shape[0]):
+                    for c in range(fidx.shape[1]):
+                        canvas[y + r][x + c] = [
+                            int(u) for u in pal[bg_index]
+                        ]
+            elif d == 3:
+                canvas = before
+        return outs
+
+    try:
+        # v0: AVI / MJPG — exact by the unit-DC-quant tile argument
+        mj = [tile_frame(0, fi, 2, 3) for fi in range(6)]
+        with open(os.path.join(building, "v00.vid"), "wb") as fh:
+            fh.write(
+                avi_io.avi_encode(mj, fps_num=24, codec="MJPG", quality_scale=16)
+            )
+        record(0, mj)
+        # v1: AVI / uncompressed DIB, 'rec '-interleaved layout
+        rng = _np.random.default_rng(201)
+        db = [
+            rng.integers(0, 256, (7, 11, 3), dtype=_np.uint8)
+            for _ in range(5)
+        ]
+        with open(os.path.join(building, "v01.vid"), "wb") as fh:
+            fh.write(
+                avi_io.avi_encode(db, fps_num=30, codec="DIB", rec_groups=True)
+            )
+        record(1, db)
+        # v2: animated GIF, full-canvas frames
+        rng = _np.random.default_rng(202)
+        pal2 = rng.integers(0, 256, (16, 3), dtype=_np.uint8)
+        g2 = [
+            {"indices": rng.integers(0, 16, (9, 13), dtype=_np.uint8),
+             "disposal": 1, "delay_cs": 4}
+            for _ in range(4)
+        ]
+        with open(os.path.join(building, "v02.vid"), "wb") as fh:
+            fh.write(gif_io.gif_encode_frames(g2, pal2, (13, 9), bg_index=3))
+        record(2, composite_independent(g2, pal2, (13, 9), 3))
+        # v3: animated GIF, sub-rects + transparency + disposal 2/3
+        rng = _np.random.default_rng(203)
+        pal3 = rng.integers(0, 256, (8, 3), dtype=_np.uint8)
+        g3 = [
+            {"indices": rng.integers(0, 8, (10, 14), dtype=_np.uint8),
+             "disposal": 1, "delay_cs": 4},
+            {"indices": rng.integers(0, 8, (4, 6), dtype=_np.uint8),
+             "x": 2, "y": 3, "disposal": 2, "transparent": 5, "delay_cs": 4},
+            {"indices": rng.integers(0, 8, (3, 5), dtype=_np.uint8),
+             "x": 8, "y": 6, "disposal": 3, "transparent": 0, "delay_cs": 4},
+            {"indices": rng.integers(0, 8, (5, 7), dtype=_np.uint8),
+             "x": 1, "y": 1, "disposal": 0, "delay_cs": 4},
+        ]
+        with open(os.path.join(building, "v03.vid"), "wb") as fh:
+            fh.write(gif_io.gif_encode_frames(g3, pal3, (14, 10), bg_index=1))
+        record(3, composite_independent(g3, pal3, (14, 10), 1))
+        _pq.write_table(
+            _pa.Table.from_pylist(rows),
+            os.path.join(building, "manifest.parquet"),
+        )
+        with open(os.path.join(building, "_build_params.json"), "w") as fh:
+            _json.dump(expect, fh)
+        _swap_slot(idx, building)
+    except BaseException:
+        _shutil.rmtree(building, ignore_errors=True)
+        raise
+    return idx
+
+
+def q137_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, oracle-gated end-to-end: ingest the
+    video_frames fixture files via binaryFile, decode every frame
+    executor-side (multimodal.video_frame_stats — AVI MJPG through
+    the full JPEG codec, AVI uncompressed DIB, animated GIF with GCE
+    compositing), sample every 2nd frame, and emit each sampled
+    frame's dims and pixel-bytes sha256. The oracle reads the
+    manifest the GENERATOR wrote (independent plain-loop compositing
+    for the GIFs) filtered to even frame_idx — decode, compositing
+    AND the sampling arithmetic all sit inside the gate."""
+    from archetype_spark.sources.io import read_binary_dir
+
+    fdir = _ensure_video_frames(sf_dir)
+    blobs = read_binary_dir(spark, fdir, glob="*.vid").select(
+        F.regexp_extract("path", r"v(\d+)\.vid$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.video_frame_stats(blobs, every_n=2).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+def video_frames_oracle(sf_dir: str, require_live_index: bool = True) -> str | None:
+    """q137's conditional oracle (the q121 pattern): the generator-
+    side manifest IS the expected result, filtered to the sampled
+    (even) frame indexes; None before the fixture exists (rows-only
+    degrade on a cold checkout until entry()'s warm-build runs)."""
+    man = os.path.join(
+        ann_index.default_index_dir(sf_dir, "video_frames"), "manifest.parquet"
+    )
+    if require_live_index and not os.path.isfile(man):
+        return None
+    return f"""
+        SELECT media_id, frame_idx::INT AS frame_idx,
+               width::INT AS width, height::INT AS height, frame_digest
+        FROM read_parquet('{man}')
+        WHERE frame_idx % 2 = 0
+        ORDER BY media_id, frame_idx
     """
 
 
@@ -2741,6 +2943,7 @@ QUERIES = {
     "q131_iceberg_eq_changelog": q131_iceberg_eq_changelog,
     "q132_iceberg_mixed_formats": q132_iceberg_mixed_formats,
     "q136_image_near_dups": q136_image_near_dups,
+    "q137_video_frames": q137_video_frames,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,

@@ -15,7 +15,9 @@ from archetype_spark.operators.gif_io import (
     _lzw_decode,
     _lzw_encode,
     gif_decode,
+    gif_decode_frames,
     gif_encode,
+    gif_encode_frames,
 )
 
 
@@ -132,3 +134,115 @@ def test_encode_validations():
         gif_encode(np.zeros((2, 2), dtype=np.uint8), np.zeros((300, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="exceeds"):
         gif_encode(np.full((2, 2), 9, dtype=np.uint8), pal)
+
+
+# ---------------------------------------------------------------- animation
+
+
+def _composite_plain(frames, pal, screen, bg_index):
+    """Independent plain-loop GCE compositor (no gif_io, no numpy
+    vector ops) — the ground-truth derivation the fixture uses."""
+    sw, sh = screen
+    canvas = [[list(int(v) for v in pal[bg_index]) for _ in range(sw)] for _ in range(sh)]
+    outs = []
+    for fr in frames:
+        idx = fr["indices"]
+        x, y = fr.get("x", 0), fr.get("y", 0)
+        t, d = fr.get("transparent"), fr.get("disposal", 0)
+        before = [[list(c) for c in row] for row in canvas] if d == 3 else None
+        for r in range(idx.shape[0]):
+            for c in range(idx.shape[1]):
+                v = int(idx[r, c])
+                if t is not None and v == t:
+                    continue
+                canvas[y + r][x + c] = [int(u) for u in pal[v]]
+        outs.append(np.array(canvas, dtype=np.uint8))
+        if d == 2:
+            for r in range(idx.shape[0]):
+                for c in range(idx.shape[1]):
+                    canvas[y + r][x + c] = [int(u) for u in pal[bg_index]]
+        elif d == 3:
+            canvas = before
+    return outs
+
+
+def test_animation_full_frames_round_trip():
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames = [
+        {"indices": rng.integers(0, 16, (6, 8), dtype=np.uint8), "disposal": 1}
+        for _ in range(3)
+    ]
+    enc = gif_encode_frames(frames, pal, (8, 6), bg_index=0)
+    got = gif_decode_frames(enc)
+    exp = _composite_plain(frames, pal, (8, 6), 0)
+    assert len(got) == 3
+    for a, b in zip(exp, got):
+        assert np.array_equal(a, b)
+    # full-canvas first frame: still-image decode agrees
+    assert np.array_equal(gif_decode(enc), exp[0])
+
+
+def test_animation_subrect_transparency_and_disposals():
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [
+        {"indices": rng.integers(0, 8, (5, 7), dtype=np.uint8), "disposal": 1},
+        {
+            "indices": rng.integers(0, 8, (2, 3), dtype=np.uint8),
+            "x": 1, "y": 2, "disposal": 2, "transparent": 3,
+        },
+        {
+            "indices": rng.integers(0, 8, (2, 2), dtype=np.uint8),
+            "x": 4, "y": 0, "disposal": 3, "transparent": 0,
+        },
+        {"indices": rng.integers(0, 8, (3, 4), dtype=np.uint8), "x": 2, "y": 1},
+    ]
+    enc = gif_encode_frames(frames, pal, (7, 5), bg_index=2)
+    got = gif_decode_frames(enc)
+    exp = _composite_plain(frames, pal, (7, 5), 2)
+    assert len(got) == 4
+    for i, (a, b) in enumerate(zip(exp, got)):
+        assert np.array_equal(a, b), f"frame {i}"
+
+
+def test_animation_hand_built_two_frame_vector():
+    # hand-assembled 2x1 screen, 2-entry GCT, two 1x1 frames placed
+    # at x=0 and x=1 — no encoder involved
+    pal = bytes([10, 20, 30, 40, 50, 60])  # idx0 RGB, idx1 RGB
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)  # GCT size 2, bg 0
+    out += pal
+    for x, idx_val in ((0, 1), (1, 0)):
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, 0, 0, 0)  # GCE
+        out += struct.pack("<BHHHHB", 0x2C, x, 0, 1, 1, 0)
+        out.append(2)  # min code size (spec floor)
+        lzw = _lzw_encode(2, bytes([idx_val]))
+        out.append(len(lzw))
+        out += lzw
+        out.append(0)
+    out.append(0x3B)
+    frames = gif_decode_frames(bytes(out))
+    assert len(frames) == 2
+    # frame 0: pixel(0)=pal[1], pixel(1)=bg=pal[0]
+    assert frames[0].tolist() == [[[40, 50, 60], [10, 20, 30]]]
+    # frame 1 keeps frame 0's left pixel (disposal none), right=pal[0]
+    assert frames[1].tolist() == [[[40, 50, 60], [10, 20, 30]]]
+
+
+def test_animation_refusals():
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_decode_frames(b"BM..")
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    enc = gif_encode_frames(
+        [{"indices": rng.integers(0, 4, (2, 2), dtype=np.uint8)}],
+        pal, (2, 2),
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        gif_decode_frames(enc[:-4])
+    with pytest.raises(ValueError, match="exceeds the logical screen"):
+        gif_encode_frames(
+            [{"indices": rng.integers(0, 4, (3, 3), dtype=np.uint8)}],
+            pal, (2, 2),
+        )

@@ -885,3 +885,106 @@ def test_image_dhash_definition_and_near_dup(spark):
     ham = bin((rows[0].dhash ^ rows[2].dhash) & ((1 << 64) - 1)).count("1")
     assert 0 < ham <= 3
     assert (rows[0].width, rows[0].height) == (21, 15)
+
+
+def test_video_frame_stats_real_decode(spark):
+    """video_frame_stats: AVI (MJPG + DIB) and animated-GIF payloads
+    decode to REAL frames executor-side; digests equal the source
+    arrays' (MJPG exact via unit-DC-quant tiles), and every_n
+    samples by frame index."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from archetype_spark.operators import avi_io, gif_io, multimodal
+
+    def tile(fi):
+        vals = np.array(
+            [[(13 * fi + 11 * r + 23 * c + 7) % 251 for c in range(3)]
+             for r in range(2)],
+            dtype=np.uint8,
+        )
+        return np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+
+    mj = [tile(fi) for fi in range(4)]
+    rng = np.random.default_rng(31)
+    db = [rng.integers(0, 256, (5, 6, 3), dtype=np.uint8) for _ in range(3)]
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    g = [
+        {"indices": rng.integers(0, 8, (4, 6), dtype=np.uint8), "disposal": 1}
+        for _ in range(3)
+    ]
+    payloads = {
+        0: avi_io.avi_encode(mj, codec="MJPG"),
+        1: avi_io.avi_encode(db, codec="DIB"),
+        2: gif_io.gif_encode_frames(g, pal, (6, 4), bg_index=0),
+    }
+    df = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in payloads.items()],
+        "media_id long, payload binary",
+    )
+    out = {
+        (r.media_id, r.frame_idx): r
+        for r in multimodal.video_frame_stats(df, every_n=2).collect()
+    }
+    # sampling: frames 0 and 2 of each (mjpg also has idx 2; db 0,2; gif 0,2)
+    assert set(out) == {(0, 0), (0, 2), (1, 0), (1, 2), (2, 0), (2, 2)}
+    for fi in (0, 2):
+        assert (
+            out[(0, fi)].frame_digest
+            == _hl.sha256(np.ascontiguousarray(mj[fi]).tobytes()).hexdigest()
+        )
+        assert (
+            out[(1, fi)].frame_digest
+            == _hl.sha256(np.ascontiguousarray(db[fi]).tobytes()).hexdigest()
+        )
+    assert out[(0, 0)].width == 24 and out[(0, 0)].height == 16
+    # GIF frames: full-canvas composite (disposal none) == raw frames
+    exp2 = pal[g[2]["indices"]]
+    assert (
+        out[(2, 2)].frame_digest
+        == _hl.sha256(np.ascontiguousarray(exp2).tobytes()).hexdigest()
+    )
+
+
+def test_sample_frames_real_tier_dependency_free(spark):
+    """sample_frames(use_real_decoders=True) handles AVI/GIF without
+    PyAV (the dependency-free tier) and still refuses loudly for
+    payloads only a codec library could open."""
+    import numpy as np
+    import pytest as _pytest
+
+    from archetype_spark.operators import avi_io, multimodal
+
+    frames = [np.full((2, 2), v, dtype=np.uint8) for v in (10, 20, 30)]
+    payload = avi_io.avi_encode(frames, codec="DIB")
+    df = spark.createDataFrame(
+        [(7, bytearray(payload), "video")],
+        "media_id long, payload binary, kind string",
+    )
+    rows = multimodal.sample_frames(
+        df, every_n=2, use_real_decoders=True
+    ).collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(7, 0), (7, 2)]
+    if not multimodal._CODEC_LIBS["av"]:
+        bad = spark.createDataFrame(
+            [(8, bytearray(b"\x00" * 32), "video")],
+            "media_id long, payload binary, kind string",
+        )
+        with _pytest.raises(Exception, match="not AVI/GIF"):
+            multimodal.sample_frames(
+                bad, every_n=1, use_real_decoders=True
+            ).collect()
+
+
+def test_decode_video_frames_refusals():
+    import pytest as _pytest
+
+    from archetype_spark.operators import multimodal
+
+    with _pytest.raises(NotImplementedError, match="not AVI"):
+        multimodal.decode_video_frames(b"\x89PNG....")
+    # a minimal MP4 ftyp box names the PyAV gap, not a generic error
+    mp4 = bytes.fromhex("0000001466747970") + b"isom" + bytes(4)
+    with _pytest.raises(NotImplementedError, match="PyAV"):
+        multimodal.decode_video_frames(mp4)
