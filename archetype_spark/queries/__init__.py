@@ -309,6 +309,12 @@ _MODULES = (
 #       oracle with an independent plain-loop compositor) pins for
 #       its first driver row, deferring q60_stats_math (green r10)
 #       — window stays 50 exactly. q60 returns with the r13 tail.
+#       q138 (NEW: REVERSE lake replication — Iceberg snapshots
+#       applied to a Delta mirror via the derived changelog +
+#       deletion-vector CDC commit + txn exactly-once mark; static
+#       source-view oracle, the q122 cohort algebra) pins next,
+#       deferring q59_full_outer_join (green r10) the same way; q59
+#       returns with the r13 tail too.
 #   r13 sketch: rotate back the remaining r10-deferred tail
 #       (q67-q79, q107-q116 — none since r10; q67 re-deferred late
 #       r12) plus q119-q130 (the lake tier should not go two rounds
@@ -328,6 +334,7 @@ _PINNED: tuple[str, ...] = (
     "q135_warc_pipeline",
     "q136_image_near_dups",
     "q137_video_frames",
+    "q138_delta_mirror_scan",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q83_deterministic_shuffle",
@@ -369,7 +376,6 @@ _PINNED: tuple[str, ...] = (
     "q55_unpivot",
     "q57_training_pipeline",
     "q58_list_agg",
-    "q59_full_outer_join",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -402,6 +408,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q35_doc_quality",
         "q38_lang_id",
         "q50_ecs_tsim",
+        "q59_full_outer_join",  # re-deferred late r12 (q138 pin swap)
         "q60_stats_math",  # re-deferred late r12 (q137 pin swap)
         "q61_ivf_topk",  # re-deferred late r12 (q136 pin swap)
         "q62_url_fetch",  # re-deferred late r12 (q135 pin swap)

@@ -94,6 +94,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_iceberg_cdc_documents(spark, sf_dir)
     _ensure_iceberg_events_days(spark, sf_dir)
     _ensure_iceberg_mirror_documents(spark, sf_dir)
+    _ensure_delta_mirror_documents(spark, sf_dir)
     _ensure_delta_cdf_documents(spark, sf_dir)
     _ensure_iceberg_cdf_mirror(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
@@ -1660,6 +1661,53 @@ def q126_lake_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_delta_mirror_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The DELTA mirror of the q122 Iceberg CDC table, built by the
+    REVERSE replication direction (replicate_iceberg_to_delta): the
+    source's four snapshots — v1 ingest (seq 0 after upgrade),
+    equality delete, re-append with resurrected keys, one-commit
+    upsert — replay through the derived changelog
+    (equality_via_prior_snapshot recovers the value-form kills) ->
+    sequence-ordered latest-wins -> ONE deletion-vector CDC commit,
+    exactly-once via the mirror's txn mark. Every risky seam is
+    load-bearing: a missed equality recovery leaves dead rows, a
+    broken same-snapshot ranking records upserted keys as deleted,
+    and a re-applied batch doubles counts q138's hash gate catches."""
+    from archetype_spark.sources.replicate import replicate_iceberg_to_delta
+
+    src = _ensure_iceberg_cdc_documents(spark, sf_dir)
+
+    def build(base: DataFrame, btable: str) -> None:
+        replicate_iceberg_to_delta(spark, src, btable, ["doc_id"])
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "delta_mirror_documents", build
+    )
+
+
+def q138_delta_mirror_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous lake replication, REVERSE direction, end-to-end:
+    the Iceberg source's full snapshot history (equality deletes,
+    resurrection re-appends, a one-commit upsert) lands in a Delta
+    mirror at O(changes) per sync (derived changelog out of the
+    Iceberg manifests, deletion-vector CDC apply into Delta,
+    exactly-once via the protocol's txn mark); the per-lang aggregate
+    over the MIRROR must equal the q122 cohort algebra recomputed
+    from the source documents view."""
+    from archetype_spark.sources.delta import read_delta
+
+    table = _ensure_delta_mirror_documents(spark, sf_dir)
+    return (
+        read_delta(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("lang", "n_docs", "sum_chars")
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -2944,6 +2992,7 @@ QUERIES = {
     "q132_iceberg_mixed_formats": q132_iceberg_mixed_formats,
     "q136_image_near_dups": q136_image_near_dups,
     "q137_video_frames": q137_video_frames,
+    "q138_delta_mirror_scan": q138_delta_mirror_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -4293,6 +4342,26 @@ ORACLES["q132_iceberg_mixed_formats"] = """
            CAST(sum(length(text)) AS BIGINT) AS sum_chars
     FROM documents WHERE doc_id % 7 <> 3
     GROUP BY lang
+"""
+
+# q138: the reverse-replicated Delta mirror's final state — the q122
+# 'latest' cohort algebra recomputed from the source view (survivors
+# of the equality delete plus the resurrected %4 keys, odd upserts
+# re-langed). A dead row the changelog failed to recover, a
+# same-snapshot ranking bug, or a double-applied batch all move a
+# per-lang sum.
+ORACLES["q138_delta_mirror_scan"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (
+      SELECT CASE WHEN doc_id % 2 = 1 AND n_chars % 7 = 3
+                  THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents
+      WHERE doc_id % 2 = 1
+         OR n_chars % 5 <> 2
+         OR doc_id % 4 = 0
+    ) GROUP BY lang
 """
 
 

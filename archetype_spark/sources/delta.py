@@ -1632,6 +1632,48 @@ def upsert_by_key_delta(
     )
 
 
+def apply_cdc_delta(
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    upserts: DataFrame,
+    keys: Sequence[str],
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Apply one CDC batch — deletes AND upserts — as ONE Delta
+    commit: the Delta face of apply_cdc_iceberg. Every live row
+    matching a key in `deletes` (a key-only frame) OR an upsert key
+    tombstones via deletion vectors, the upsert rows stage as new
+    data files, and `txn` stamps the protocol's transaction
+    identifier — all in the same commit, so a reader sees the batch
+    fully applied or not at all, and a replication consumer gets the
+    exactly-once handshake (there is no window where rows are applied
+    but the mark is not). On a table that does not exist yet the
+    deletes are a no-op and the upserts bootstrap it as a plain
+    create-append carrying the same `txn`.
+
+    Returns the upsert engine's counts ({'rows_deleted',
+    'files_updated', 'files_removed', 'files_added'}); bootstrap
+    returns {'rows_inserted'}."""
+    missing = [k for k in keys if k not in upserts.columns]
+    missing_d = [k for k in keys if k not in deletes.columns]
+    if missing or missing_d:
+        raise ValueError(
+            f"CDC keys {missing or missing_d} absent from the "
+            f"{'upserts' if missing else 'deletes'} frame"
+        )
+    table = os.path.abspath(path)
+    if _latest_version(table) is None:
+        write_delta(upserts, table, txn=txn)
+        return {"rows_inserted": read_delta(spark, table).count()}
+    mask_keys = (
+        upserts.select(*keys).unionByName(deletes.select(*keys)).dropDuplicates()
+    )
+    return _mask_rows_commit(
+        spark, table, None, None, keys=mask_keys, inserts=upserts, txn=txn
+    )
+
+
 #: matched-position budget the DRIVER will materialize during a
 #: row-level DELETE/UPDATE commit. At or below it (the KB-scale
 #: CDC-apply faces) positions collect and bitmaps build driver-side;

@@ -1,8 +1,11 @@
-"""Cross-format lake replication: Delta commits -> Iceberg mirror.
+"""Cross-format lake replication, BOTH directions: Delta commits ->
+Iceberg mirror (replicate_delta_to_iceberg) and Iceberg snapshots ->
+Delta mirror (replicate_iceberg_to_delta).
 
-The medallion/CDC pattern a heterogeneous lakehouse needs: a Delta
-source keeps committing, an Iceberg mirror follows at O(changes) per
-sync — never O(table). Three existing primitives compose into it:
+The medallion/CDC pattern a heterogeneous lakehouse needs: a source
+table keeps committing, a mirror in the OTHER format follows at
+O(changes) per sync — never O(table). Three existing primitives
+compose into each direction; Delta->Iceberg:
 
 - `read_delta_cdf` resolves every row-level CHANGE each source
   commit made (O(changes) scan): plain appends derive as inserts,
@@ -25,9 +28,24 @@ changed rows plus a KB-scale equality-delete file; the mirror's
 history stays time-travelable per sync; compact_iceberg materializes
 the accumulated deletes on maintenance schedule.
 
-Declared limits (loud, inherited from the CDF reader): source
+The REVERSE direction swaps the seams: `read_iceberg_changes` in its
+changelog form resolves the row-level changes (position-delete
+commits emit their tombstoned rows at O(deleted);
+`equality_via_prior_snapshot=True` opts into the documented
+O(prior-snapshot scan) that recovers equality-delete kills — the form
+`upsert_by_key_iceberg` mirrors need), the same latest-wins cut
+collapses the batch (snapshot SEQUENCE order, same-snapshot insert
+outranks its paired delete), and `apply_cdc_delta` lands it as ONE
+deletion-vector commit stamped with the protocol's `txn` action —
+the Delta-native exactly-once mark (appId `iceberg-replication`,
+version = the source's last applied sequence number, monotonic where
+snapshot ids are random 64-bit values).
+
+Declared limits (loud, inherited from the readers): Delta source
 commits that mutated rows BEFORE enable_cdf_delta carry no
-change-data files and refuse — nothing on disk says which rows died.
+change-data files and refuse — nothing on disk says which rows died;
+Iceberg sources without v2 sequence numbers (format v1) refuse — the
+mark needs a monotonic commit coordinate.
 """
 
 from __future__ import annotations
@@ -145,4 +163,127 @@ def replicate_delta_to_iceberg(
         properties_update={_MARK: str(end)},
     )
     out["rows_applied"] = res.get("rows_inserted", 0)
+    return out
+
+
+_ICE_APP_ID = "iceberg-replication"
+
+
+def replicated_iceberg_sequence(dst: str) -> int | None:
+    """The highest source SEQUENCE NUMBER already applied to the
+    Delta mirror (None for a fresh mirror) — read from the mirror's
+    `txn` high-water marks, the Delta-native exactly-once coordinate
+    (log checkpoints preserve txn actions, so compaction never
+    re-opens the window)."""
+    from archetype_spark.sources.delta import last_txn_version
+
+    return last_txn_version(os.path.abspath(dst), _ICE_APP_ID)
+
+
+def replicate_iceberg_to_delta(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    keys: Sequence[str],
+    end_sequence: int | None = None,
+) -> dict:
+    """Sync the Delta mirror at `dst` with every Iceberg snapshot of
+    `src` whose sequence number exceeds the mirror's recorded
+    high-water mark (module docstring). `keys` identifies rows across
+    snapshots (latest sequence wins inside a batch; within ONE
+    snapshot an insert outranks its paired equality-delete — the
+    one-commit upsert form). Idempotent: re-running after success is
+    a no-op; re-running after a crash replays only the unacknowledged
+    range. Returns {'from_sequence', 'to_sequence'} plus the apply
+    engine's counts ('rows_inserted' on bootstrap; 'rows_deleted'/
+    'files_updated'/'files_added' on incremental syncs — counting the
+    upsert ROWS would re-evaluate the changelog scan, so the engine
+    reports what the commit physically did instead).
+
+    Scale shape: each sync scans the changed rows (plus one prior-
+    snapshot scan per equality-delete snapshot — the documented cost
+    of recovering value-form kills), shuffles once on `keys` for the
+    latest-wins cut, and commits O(batch) to the mirror: deletion-
+    vector masks for dead/updated keys, new data files for upserts.
+    """
+    from archetype_spark.sources.delta import apply_cdc_delta
+    from archetype_spark.sources.iceberg import read_iceberg_changes
+
+    src = os.path.abspath(src)
+    if _current_metadata_version(src) is None:
+        raise FileNotFoundError(f"not an Iceberg table: {src}")
+    meta = _load_metadata(src)
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots in Iceberg table {src}")
+    if int(meta.get("format-version", 1)) < 2:
+        raise NotImplementedError(
+            f"Iceberg source {src} is format v1: replication needs the "
+            "monotonic v2 sequence number for its high-water mark "
+            "(upgrade the table — any row-delta write does)"
+        )
+    # the spec's v1->v2 upgrade rule: snapshots written before the
+    # upgrade have sequence number 0. That prefix is FROZEN (every
+    # post-upgrade commit sequences >= 1), so a mark of 0 is exact:
+    # "all pre-upgrade snapshots applied".
+    def eff_seq(s: dict) -> int:
+        return int(s.get("sequence-number") or 0)
+
+    last = replicated_iceberg_sequence(dst)
+    end = (
+        max(eff_seq(s) for s in snaps)
+        if end_sequence is None
+        else int(end_sequence)
+    )
+    start = -1 if last is None else int(last)
+    pending = [s for s in snaps if start < eff_seq(s) <= end]
+    out = {
+        "from_sequence": (
+            min(eff_seq(s) for s in pending) if pending else None
+        ),
+        "to_sequence": end,
+    }
+    if not pending:
+        return out
+    changes = read_iceberg_changes(
+        spark,
+        src,
+        pending[0]["snapshot-id"],
+        pending[-1]["snapshot-id"],
+        include_deletes=True,
+        equality_via_prior_snapshot=True,
+    )
+    # snapshot ids are random 64-bit values; order the cut by each
+    # snapshot's ORDINAL in the metadata list (commit order — it
+    # refines ties among seq-0 pre-upgrade snapshots, and sequence
+    # order everywhere else). Driver-side KB mapping, broadcast into
+    # the plan.
+    ordinal = {int(s["snapshot-id"]): i for i, s in enumerate(snaps)}
+    seq_map = spark.createDataFrame(
+        [
+            (int(s["snapshot-id"]), ordinal[int(s["snapshot-id"])])
+            for s in pending
+        ],
+        "_snapshot_id bigint, __seq bigint",
+    )
+    changes = changes.join(F.broadcast(seq_map), "_snapshot_id")
+    # same-snapshot ranking: a one-commit upsert emits a 'delete' AND
+    # an 'insert' for the same key at ONE sequence number; the insert
+    # must win or the mirror records a live key as deleted (the same
+    # rationale as the CDF direction's change-type ranking)
+    pri = F.when(F.col("_change_type") == "delete", 1).otherwise(2)
+    w = Window.partitionBy(*keys).orderBy(F.desc("__seq"), F.desc(pri))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq", "_snapshot_id")
+    )
+    ups = latest.filter(F.col("_change_type") == "insert").drop(
+        "_change_type"
+    )
+    gone = latest.filter(F.col("_change_type") == "delete").select(*keys)
+    res = apply_cdc_delta(
+        spark, dst, gone, ups, list(keys), txn=(_ICE_APP_ID, end)
+    )
+    out.update(res)
     return out

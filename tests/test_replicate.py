@@ -181,3 +181,142 @@ def test_mirror_history_time_travels_per_sync(spark, tmp_path, src_people):
     pre = {r["id"]: r["v"] for r in read_iceberg(spark, dst, first).collect()}
     cur = {r["id"]: r["v"] for r in read_iceberg(spark, dst).collect()}
     assert pre[1] == 10 and cur[1] == 99
+
+
+# ------------------------------------------------ Iceberg -> Delta (reverse)
+
+
+@pytest.fixture()
+def src_ice(spark, tmp_path):
+    """An Iceberg source with the risky history: v1 append (seq 0
+    after upgrade), equality delete (seq 1), append incl. a
+    resurrected key (seq 2), one-commit upsert (seq 3)."""
+    from archetype_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        upsert_by_key_iceberg,
+        write_iceberg,
+    )
+
+    src = str(tmp_path / "ice_src")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "ann", 10), (2, "bob", 20), (3, "cho", 30)],
+            "id long, name string, v long",
+        ).coalesce(1),
+        src,
+    )
+    delete_by_key_iceberg(
+        spark, src, spark.createDataFrame([(2,)], "id long")
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(2, "bob2", 21), (4, "dee", 40)], "id long, name string, v long"
+        ).coalesce(1),
+        src,
+        mode="append",
+    )
+    upsert_by_key_iceberg(
+        spark,
+        src,
+        spark.createDataFrame([(3, "cho2", 31)], "id long, name string, v long"),
+        ["id"],
+    )
+    return src
+
+
+def _delta_rows(spark, dst):
+    from archetype_spark.sources.delta import read_delta
+
+    return sorted(tuple(r) for r in read_delta(spark, dst).collect())
+
+
+def test_reverse_bootstrap_full_history(spark, tmp_path, src_ice):
+    from archetype_spark.sources.replicate import (
+        replicate_iceberg_to_delta,
+        replicated_iceberg_sequence,
+    )
+
+    dst = str(tmp_path / "delta_dst")
+    out = replicate_iceberg_to_delta(spark, src_ice, dst, ["id"])
+    assert (out["from_sequence"], out["to_sequence"]) == (0, 3)
+    assert replicated_iceberg_sequence(dst) == 3
+    # the resurrected key 2 (re-append after its equality delete) and
+    # the one-commit upsert of key 3 must both land in their newest
+    # state; key 1 untouched, key 4 plain insert
+    assert _delta_rows(spark, dst) == [
+        (1, "ann", 10),
+        (2, "bob2", 21),
+        (3, "cho2", 31),
+        (4, "dee", 40),
+    ]
+    # idempotent no-op
+    again = replicate_iceberg_to_delta(spark, src_ice, dst, ["id"])
+    assert again["from_sequence"] is None
+    assert _delta_rows(spark, dst) == [
+        (1, "ann", 10),
+        (2, "bob2", 21),
+        (3, "cho2", 31),
+        (4, "dee", 40),
+    ]
+
+
+def test_reverse_partial_range_then_catchup(spark, tmp_path, src_ice):
+    """Crash-window replay: sync to an early sequence, then catch up —
+    the txn mark scopes the second sync to the unacknowledged tail,
+    and a delete that arrives in that tail propagates."""
+    from archetype_spark.sources.iceberg import delete_by_key_iceberg
+    from archetype_spark.sources.replicate import (
+        replicate_iceberg_to_delta,
+        replicated_iceberg_sequence,
+    )
+
+    dst = str(tmp_path / "delta_dst")
+    out1 = replicate_iceberg_to_delta(
+        spark, src_ice, dst, ["id"], end_sequence=1
+    )
+    assert (out1["from_sequence"], out1["to_sequence"]) == (0, 1)
+    assert replicated_iceberg_sequence(dst) == 1
+    assert _delta_rows(spark, dst) == [(1, "ann", 10), (3, "cho", 30)]
+    # a fresh delete lands in the un-replicated tail (seq 4)
+    delete_by_key_iceberg(
+        spark, src_ice, spark.createDataFrame([(4,)], "id long")
+    )
+    out2 = replicate_iceberg_to_delta(spark, src_ice, dst, ["id"])
+    assert (out2["from_sequence"], out2["to_sequence"]) == (2, 4)
+    assert _delta_rows(spark, dst) == [
+        (1, "ann", 10),
+        (2, "bob2", 21),
+        (3, "cho2", 31),
+    ]
+
+
+def test_reverse_mirror_equals_source_via_roundtrip(spark, tmp_path, src_ice):
+    """The two directions compose: Iceberg -> Delta mirror -> Iceberg
+    mirror-of-mirror equals the original source state."""
+    from archetype_spark.sources.replicate import (
+        replicate_delta_to_iceberg,
+        replicate_iceberg_to_delta,
+    )
+
+    mid = str(tmp_path / "delta_mid")
+    back = str(tmp_path / "ice_back")
+    replicate_iceberg_to_delta(spark, src_ice, mid, ["id"])
+    replicate_delta_to_iceberg(spark, mid, back, ["id"])
+    assert _mirror_rows(spark, back) == sorted(
+        tuple(r) for r in read_iceberg(spark, src_ice).collect()
+    )
+
+
+def test_reverse_refuses_v1_source(spark, tmp_path):
+    from archetype_spark.sources.iceberg import write_iceberg
+    from archetype_spark.sources.replicate import replicate_iceberg_to_delta
+
+    src = str(tmp_path / "v1_src")
+    write_iceberg(
+        spark.createDataFrame([(1, "a")], "id long, s string").coalesce(1),
+        src,
+    )
+    with pytest.raises(NotImplementedError, match="format v1"):
+        replicate_iceberg_to_delta(
+            spark, src, str(tmp_path / "d"), ["id"]
+        )

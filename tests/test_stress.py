@@ -648,3 +648,122 @@ def test_stress_ingestion_chain(spark, stress_docs):
         ).alias("exact"),
     ).collect()[0]
     assert agg.n == n and agg.exact == n
+
+
+def test_stress_reverse_replication_chain(spark, stress_docs, tmp_path):
+    """Reverse-replication headroom: the 10x CDC chain (ingest + 6
+    equality-delete upserts + a delete) replayed into a Delta mirror
+    in TWO syncs — the first cuts mid-chain, the second catches up
+    from the txn mark. The derived changelog pays one prior-snapshot
+    scan per equality snapshot (the documented cost); the mirror must
+    equal the source bit-for-bit with no duplicates and no
+    resurrections across the sync boundary."""
+    from archetype_spark.sources import read_iceberg, write_iceberg
+    from archetype_spark.sources.delta import read_delta
+    from archetype_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        upsert_by_key_iceberg,
+    )
+    from archetype_spark.sources.replicate import (
+        replicate_iceberg_to_delta,
+        replicated_iceberg_sequence,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    write_iceberg(base.repartition(8), src)
+    for i in range(3):
+        upsert_by_key_iceberg(
+            spark,
+            src,
+            base.filter(F.col("doc_id") % 37 == i).withColumn(
+                "lang", F.lit(f"cdc{i}")
+            ),
+            ["doc_id"],
+        )
+    # first sync: ingest + 3 upserts (sequences 0..3)
+    replicate_iceberg_to_delta(spark, src, dst, ["doc_id"])
+    assert replicated_iceberg_sequence(dst) == 3
+    for i in range(3, 6):
+        upsert_by_key_iceberg(
+            spark,
+            src,
+            base.filter(F.col("doc_id") % 37 == i).withColumn(
+                "lang", F.lit(f"cdc{i}")
+            ),
+            ["doc_id"],
+        )
+    delete_by_key_iceberg(
+        spark, src, base.filter(F.col("doc_id") % 37 == 6).select("doc_id")
+    )
+    # catch-up sync: only the unacknowledged tail replays
+    out = replicate_iceberg_to_delta(spark, src, dst, ["doc_id"])
+    assert out["from_sequence"] == 4
+    mirror = read_delta(spark, dst)
+    source = read_iceberg(spark, src)
+    exp_n = base.filter(F.col("doc_id") % 37 != 6).count()
+    assert mirror.count() == exp_n
+    assert mirror.select("doc_id").distinct().count() == exp_n
+    # state equality without a driver-side collect: anti-joins both
+    # ways over the full row are empty
+    cols = ["doc_id", "lang", "n_chars"]
+    assert (
+        mirror.select(cols).exceptAll(source.select(cols)).limit(1).count()
+        == 0
+    )
+    assert (
+        source.select(cols).exceptAll(mirror.select(cols)).limit(1).count()
+        == 0
+    )
+
+
+def test_stress_video_many_frames(spark, tmp_path):
+    """Video-decode headroom: a 600-frame uncompressed AVI and a
+    150-frame MJPG AVI decode executor-side; frame sampling keeps
+    only every 25th/10th frame, so the emitted rows stay O(sampled)
+    while the decode walks every chunk. Digest spot-checks pin the
+    sampled frames to their generator arrays."""
+    import hashlib
+
+    import numpy as np
+
+    from archetype_spark.operators import avi_io, multimodal
+
+    rng = np.random.default_rng(97)
+    dib_frames = [
+        rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(600)
+    ]
+
+    def tile(fi):
+        vals = np.array(
+            [[(13 * fi + 11 * r + 23 * c + 7) % 251 for c in range(4)]
+             for r in range(3)],
+            dtype=np.uint8,
+        )
+        return np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+
+    mjpg_frames = [tile(fi) for fi in range(150)]
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(avi_io.avi_encode(dib_frames, codec="DIB"))),
+            (1, bytearray(avi_io.avi_encode(mjpg_frames, codec="MJPG"))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {
+        (r.media_id, r.frame_idx): r.frame_digest
+        for r in multimodal.video_frame_stats(df, every_n=25).collect()
+    }
+    assert len([k for k in rows if k[0] == 0]) == 24  # 600 / 25
+    assert len([k for k in rows if k[0] == 1]) == 6  # ceil(150 / 25)
+    for fi in (0, 275, 575):
+        assert rows[(0, fi)] == hashlib.sha256(
+            np.ascontiguousarray(dib_frames[fi]).tobytes()
+        ).hexdigest()
+    for fi in (0, 125):
+        assert rows[(1, fi)] == hashlib.sha256(
+            np.ascontiguousarray(mjpg_frames[fi]).tobytes()
+        ).hexdigest()
