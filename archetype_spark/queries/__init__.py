@@ -314,7 +314,11 @@ _MODULES = (
 #       deletion-vector CDC commit + txn exactly-once mark; static
 #       source-view oracle, the q122 cohort algebra) pins next,
 #       deferring q59_full_outer_join (green r10) the same way; q59
-#       returns with the r13 tail too.
+#       returns with the r13 tail too. q139 (NEW: Hudi COPY_ON_WRITE
+#       — the third lake format: timeline-resolved file slices,
+#       copy-on-write upsert/delete, time travel; static source-view
+#       oracle, the q122 algebra) pins next, deferring q58_list_agg
+#       (green r10); q58 returns with the r13 tail as well.
 #   r13 sketch: rotate back the remaining r10-deferred tail
 #       (q67-q79, q107-q116 — none since r10; q67 re-deferred late
 #       r12) plus q119-q130 (the lake tier should not go two rounds
@@ -335,6 +339,7 @@ _PINNED: tuple[str, ...] = (
     "q136_image_near_dups",
     "q137_video_frames",
     "q138_delta_mirror_scan",
+    "q139_hudi_scan",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q83_deterministic_shuffle",
@@ -375,7 +380,6 @@ _PINNED: tuple[str, ...] = (
     "q54_percentiles",
     "q55_unpivot",
     "q57_training_pipeline",
-    "q58_list_agg",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -408,6 +412,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q35_doc_quality",
         "q38_lang_id",
         "q50_ecs_tsim",
+        "q58_list_agg",  # re-deferred late r12 (q139 pin swap)
         "q59_full_outer_join",  # re-deferred late r12 (q138 pin swap)
         "q60_stats_math",  # re-deferred late r12 (q137 pin swap)
         "q61_ivf_topk",  # re-deferred late r12 (q136 pin swap)

@@ -95,6 +95,7 @@ def ensure_ann_indexes(spark: SparkSession, sf_dir: str) -> None:
     _ensure_iceberg_events_days(spark, sf_dir)
     _ensure_iceberg_mirror_documents(spark, sf_dir)
     _ensure_delta_mirror_documents(spark, sf_dir)
+    _ensure_hudi_documents(spark, sf_dir)
     _ensure_delta_cdf_documents(spark, sf_dir)
     _ensure_iceberg_cdf_mirror(spark, sf_dir)
     _ensure_delta_merged(spark, sf_dir)
@@ -1708,6 +1709,79 @@ def q138_delta_mirror_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_hudi_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The Hudi COPY_ON_WRITE table q139 scans — the q122 history
+    shape on the third lake format: ingest the even doc_ids (two file
+    groups per lang partition), DELETE-by-key the evens with
+    n_chars % 5 = 2 (copy-on-write group rewrites; a group losing
+    every row gets an empty shadowing base file), INSERT the odd
+    cohort plus the deleted keys with doc_id % 4 = 0 (new file groups
+    — identical key VALUES as the deleted rows, so a reader that
+    resolves stale slices or lists directories resurrects the old
+    copies), then UPSERT the odd docs with n_chars % 7 = 3 re-langed
+    to 'xx' (group rewrites + the re-lang moves rows ACROSS partition
+    dirs while their group stays put — Hudi partitions are physical
+    layout, not row identity here). The oracle re-derives the
+    surviving set from the source documents view with the same cohort
+    algebra — independent of the timeline, slices, and joins."""
+    from archetype_spark.sources.hudi import (
+        delete_by_key_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        even = base.filter(F.col("doc_id") % 2 == 0)
+        odd = base.filter(F.col("doc_id") % 2 == 1)
+        write_hudi(
+            even, btable, record_key="doc_id", partition_by="lang", buckets=2
+        )
+        doomed = even.filter(F.col("n_chars") % 5 == 2)
+        delete_by_key_hudi(spark, btable, doomed.select("doc_id"))
+        resurrected = doomed.filter(F.col("doc_id") % 4 == 0)
+        write_hudi(
+            odd.unionByName(resurrected), btable,
+            record_key="doc_id", mode="insert",
+        )
+        upsert_hudi(
+            spark,
+            btable,
+            odd.filter(F.col("n_chars") % 7 == 3).withColumn(
+                "lang", F.lit("xx")
+            ),
+        )
+
+    return _ensure_lake_documents(spark, sf_dir, "hudi_documents", build)
+
+
+def q139_hudi_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi COPY_ON_WRITE snapshot + time travel end-to-end: the
+    'latest' cohort aggregates the newest file slice per group
+    (timeline-resolved — obsolete base files and the resurrection
+    bait never open), the 'v0' cohort time-travels to the first
+    commit. The oracle re-derives both from the source documents
+    view, so slice resolution, copy-on-write rewrites, empty-file
+    shadowing and the timeline cut all sit inside the hash gate."""
+    from archetype_spark.sources.hudi import hudi_timeline, read_hudi
+
+    table = _ensure_hudi_documents(spark, sf_dir)
+    first = hudi_timeline(table)[0]
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .select(F.lit(snap).alias("snap"), "lang", "n_docs", "sum_chars")
+        )
+
+    return agg(read_hudi(spark, table), "latest").unionByName(
+        agg(read_hudi(spark, table, as_of=first), "v0")
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -2993,6 +3067,7 @@ QUERIES = {
     "q136_image_near_dups": q136_image_near_dups,
     "q137_video_frames": q137_video_frames,
     "q138_delta_mirror_scan": q138_delta_mirror_scan,
+    "q139_hudi_scan": q139_hudi_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -4342,6 +4417,30 @@ ORACLES["q132_iceberg_mixed_formats"] = """
            CAST(sum(length(text)) AS BIGINT) AS sum_chars
     FROM documents WHERE doc_id % 7 <> 3
     GROUP BY lang
+"""
+
+# q139: the Hudi table's two cohorts from the source view — same
+# algebra as q122 (the fixture replays the same history on the third
+# lake format): 'latest' = equality-delete survivors + resurrected
+# %4 keys + re-langed odd upserts; 'v0' = the even ingest. A stale
+# file slice, a directory-listing read, or a broken empty-file shadow
+# moves a per-lang sum.
+ORACLES["q139_hudi_scan"] = """
+    SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (
+      SELECT CASE WHEN doc_id % 2 = 1 AND n_chars % 7 = 3
+                  THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents
+      WHERE doc_id % 2 = 1
+         OR n_chars % 5 <> 2
+         OR doc_id % 4 = 0
+    ) GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
 """
 
 # q138: the reverse-replicated Delta mirror's final state — the q122

@@ -767,3 +767,51 @@ def test_stress_video_many_frames(spark, tmp_path):
         assert rows[(1, fi)] == hashlib.sha256(
             np.ascontiguousarray(mjpg_frames[fi]).tobytes()
         ).hexdigest()
+
+
+def test_stress_hudi_cow_chain(spark, stress_docs, tmp_path):
+    """Hudi copy-on-write headroom: 10x docs ingested across lang
+    partitions, then 4 upsert commits (each re-langs a doc_id band —
+    cross-partition moves included) and a delete commit. Every
+    rewrite touches only the groups owning matched keys; the snapshot
+    must resolve the newest slice per group with no duplicates, no
+    resurrections, and a metadata-only count that agrees."""
+    from archetype_spark.sources.hudi import (
+        count_rows_hudi,
+        delete_by_key_hudi,
+        read_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "t")
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    write_hudi(base, t, record_key="doc_id", partition_by="lang", buckets=4)
+    for i in range(4):
+        upsert_hudi(
+            spark,
+            t,
+            base.filter(F.col("doc_id") % 41 == i).withColumn(
+                "lang", F.lit(f"cdc{i}")
+            ),
+        )
+    delete_by_key_hudi(
+        spark, t, base.filter(F.col("doc_id") % 41 == 4).select("doc_id")
+    )
+    exp_n = base.filter(F.col("doc_id") % 41 != 4).count()
+    got = read_hudi(spark, t)
+    assert got.count() == exp_n
+    assert got.select("doc_id").distinct().count() == exp_n
+    assert count_rows_hudi(t) == exp_n
+    assert (
+        got.filter(
+            (F.col("doc_id") % 41 == 2) & (F.col("lang") != "cdc2")
+        ).count()
+        == 0
+    )
+    exp_sum = base.filter(F.col("doc_id") % 41 != 4).agg(
+        F.sum("n_chars")
+    ).first()[0]
+    assert got.agg(F.sum("n_chars")).first()[0] == exp_sum
