@@ -42,6 +42,7 @@ from archetype_spark.operators import (
     image_probe,
     jpeg_io,
     png_io,
+    tiff_io,
     webp_io,
 )
 
@@ -92,6 +93,7 @@ register_pickle_by_value(bmp_io)
 register_pickle_by_value(webp_io)
 register_pickle_by_value(flac_io)
 register_pickle_by_value(avi_io)
+register_pickle_by_value(tiff_io)
 # vp8_io is reached through webp_io's module-top import; registering
 # it keeps the lossy path importable on workers whose cwd is not the
 # repo (the drive-contract pickling scenario)
@@ -499,6 +501,10 @@ def _real_decode(kind: str, payload: bytes) -> dict:
             # pixel access for these still needs PIL
             out["width"], out["height"] = probed
             return out
+        tf = tiff_io.tiff_info(payload or b"")
+        if tf is not None:
+            out["width"], out["height"] = tf
+            return out
         dims = _pil_image_info(payload)
         if dims is None:
             raise NotImplementedError(
@@ -573,6 +579,8 @@ def decode_image_pixels(payload: bytes):
         return gif_io.gif_decode(p)
     if p[:2] == b"BM":
         return bmp_io.bmp_decode(p)
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        return tiff_io.tiff_decode(p)
     if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
         return webp_io.webp_decode(p)
     if p[:2] in (b"P6", b"P5"):
@@ -590,7 +598,8 @@ def decode_image_pixels(payload: bytes):
         return px.reshape(h0, w0, ch) if ch == 3 else px.reshape(h0, w0)
     raise NotImplementedError(
         "image decode: payload is not P5/P6 PNM, PNG, GIF, "
-        "BMP, WebP (lossless, flat-chroma lossy, or VP8X still) "
+        "BMP, TIFF (baseline: none/PackBits/LZW strips), "
+        "WebP (lossless, flat-chroma lossy, or VP8X still) "
         "or JPEG (the dependency-free pixel codecs)"
     )
 

@@ -445,7 +445,11 @@ def _ensure_media_pixels(sf_dir: str) -> str:
     #           pixels as BMP (hamming 0 to mid 4), mid 16 perturbs
     #           one of mid 5's dhash sample points (hamming <= 3,
     #           asserted at build), r12
-    expect = {"kind": "media_pixels", "schema": 7, "neardup": 2}
+    # schema 8: + TIFF (mids 17-19, tiff_io: big-endian uncompressed
+    #           RGB, PackBits gray, multi-strip LZW + horizontal
+    #           predictor RGB — all lossless, exact by construction),
+    #           late r12
+    expect = {"kind": "media_pixels", "schema": 8, "neardup": 2}
     pfile = os.path.join(idx, "_build_params.json")
     if os.path.exists(pfile):
         try:
@@ -496,7 +500,7 @@ def _ensure_media_pixels(sf_dir: str) -> str:
 
     src_arrays: dict[int, "_np.ndarray"] = {}
     try:
-        for mid in range(17):
+        for mid in range(20):
             if mid < 4:  # baseline JPEG, exact by unit-DC-quant tiles
                 px = tile_image(mid, 2 + mid % 3, 3 + mid % 2)
                 payload = jpeg_io.jpeg_encode(
@@ -557,6 +561,25 @@ def _ensure_media_pixels(sf_dir: str) -> str:
             elif mid == 15:  # NEAR-DUP: mid 4's exact pixels as BMP
                 px = src_arrays[4]
                 payload = bmp_io.bmp_encode(px)
+            elif mid == 17:  # TIFF: big-endian uncompressed RGB
+                from archetype_spark.operators import tiff_io
+
+                rng = _np.random.default_rng(100 + mid)
+                px = rng.integers(0, 256, (8, 12, 3), dtype=_np.uint8)
+                payload = tiff_io.tiff_encode(px, big_endian=True)
+            elif mid == 18:  # TIFF: PackBits gray (runs + literals)
+                from archetype_spark.operators import tiff_io
+
+                px = tile_image(mid, 2, 3)
+                payload = tiff_io.tiff_encode(px, compression="packbits")
+            elif mid == 19:  # TIFF: multi-strip LZW + predictor RGB
+                from archetype_spark.operators import tiff_io
+
+                rng = _np.random.default_rng(100 + mid)
+                px = rng.integers(0, 256, (10, 9, 3), dtype=_np.uint8)
+                payload = tiff_io.tiff_encode(
+                    px, compression="lzw", rows_per_strip=4, predictor=True
+                )
             else:  # NEAR-DUP: mid 5 with one dhash sample perturbed
                 px = src_arrays[5].copy()
                 h0, w0 = px.shape[0], px.shape[1]
