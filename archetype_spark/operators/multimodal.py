@@ -94,6 +94,12 @@ register_pickle_by_value(webp_io)
 register_pickle_by_value(flac_io)
 register_pickle_by_value(avi_io)
 register_pickle_by_value(tiff_io)
+# audio_codecs is reached lazily from _wav_pcm's compressed-format
+# dispatch; register it so compressed WAVs decode on workers whose
+# cwd is not the repo (the drive-contract pickling scenario)
+from archetype_spark.operators import audio_codecs  # noqa: E402
+
+register_pickle_by_value(audio_codecs)
 # vp8_io is reached through webp_io's module-top import; registering
 # it keeps the lossy path importable on workers whose cwd is not the
 # repo (the drive-contract pickling scenario)
@@ -1136,10 +1142,20 @@ def _wav_pcm(payload: bytes):
     audio_format, channels, rate, _br, _ba, bits = struct.unpack(
         "<HHIIHH", fmt_body[:16]
     )
+    if audio_format in (6, 7, 0x11):
+        # compressed encodings the dependency-free tier decodes:
+        # G.711 A-law / mu-law and IMA ADPCM (operators/audio_codecs —
+        # module-level import so the reference pickles BY VALUE; a
+        # function-local import would re-run on workers whose cwd
+        # cannot import the package)
+        return audio_codecs.wav_decode_compressed(
+            fmt_body, data, payload or b""
+        )
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"WAV format {audio_format} / {bits}-bit: only 16-bit PCM "
-            "is supported without codec libraries"
+            f"WAV format {audio_format} / {bits}-bit: only 16-bit PCM, "
+            "G.711 mu-law/A-law (7/6) and IMA ADPCM (17) are supported "
+            "without codec libraries"
         )
     if channels == 0 or rate == 0:
         # Malformed header: dividing by channels below would crash the

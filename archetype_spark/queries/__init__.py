@@ -319,6 +319,13 @@ _MODULES = (
 #       copy-on-write upsert/delete, time travel; static source-view
 #       oracle, the q122 algebra) pins next, deferring q58_list_agg
 #       (green r10); q58 returns with the r13 tail as well.
+#       q140 (NEW: tri-format consistency — the Delta mirror, the
+#       Iceberg CDC table and the Hudi table all hold the q122
+#       cohort state; a three-way broadcast join proves it against
+#       one source-view recompute) pins last, deferring
+#       q57_training_pipeline (green r8/r10); q57 returns with the
+#       r13 tail. Net late-r12 pin swaps: q137-q140 in,
+#       q57/q58/q59/q60 out.
 #   r13 sketch: rotate back the remaining r10-deferred tail
 #       (q67-q79, q107-q116 — none since r10; q67 re-deferred late
 #       r12) plus q119-q130 (the lake tier should not go two rounds
@@ -340,6 +347,7 @@ _PINNED: tuple[str, ...] = (
     "q137_video_frames",
     "q138_delta_mirror_scan",
     "q139_hudi_scan",
+    "q140_tri_lake_consistency",
     "q80_boilerplate_lines",
     "q81_pii_scrub",
     "q83_deterministic_shuffle",
@@ -379,7 +387,6 @@ _PINNED: tuple[str, ...] = (
     "q53_cube",
     "q54_percentiles",
     "q55_unpivot",
-    "q57_training_pipeline",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -412,6 +419,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q35_doc_quality",
         "q38_lang_id",
         "q50_ecs_tsim",
+        "q57_training_pipeline",  # re-deferred late r12 (q140 pin swap)
         "q58_list_agg",  # re-deferred late r12 (q139 pin swap)
         "q59_full_outer_join",  # re-deferred late r12 (q138 pin swap)
         "q60_stats_math",  # re-deferred late r12 (q137 pin swap)

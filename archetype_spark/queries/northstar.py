@@ -974,7 +974,14 @@ def _ensure_media_audio(sf_dir: str) -> str:
     # CRC+MD5-verified, so the decoded samples are bit-identical to
     # the WAV form and the analytic argument is unchanged), one
     # mono/ragged with fixed-predictor blocks, one stereo mid-side.
-    expect = {"kind": "media_audio", "schema": 2, "frame": 256}
+    # schema 3: three clips arrive COMPRESSED (audio_codecs — G.711
+    #           mu-law, G.711 A-law stereo+ragged, IMA ADPCM): lossy
+    #           but deterministic, and the analytic argument still
+    #           holds — the codecs' quantization noise is wideband
+    #           (worst measured SNR 17 dB at the ADPCM clip's bin)
+    #           while the tone's coherent FFT gain adds 10*log10(N/2)
+    #           ≈ 21 dB, so the dominant bin wins by >35 dB. Late r12.
+    expect = {"kind": "media_audio", "schema": 3, "frame": 256}
     pfile = os.path.join(idx, "_build_params.json")
     if os.path.exists(pfile):
         try:
@@ -1001,6 +1008,10 @@ def _ensure_media_audio(sf_dir: str) -> str:
             (5, 9, 2, 37, "wav"),
             (29, 6, 1, 61, "flac"),  # FLAC mono, ragged, fixed blocks
             (64, 5, 2, 0, "flac"),  # FLAC stereo, mid-side decorrelated
+            (11, 5, 1, 0, "ulaw"),  # G.711 mu-law mono
+            (33, 4, 2, 25, "alaw"),  # G.711 A-law stereo, ragged tail
+            (52, 6, 1, 0, "adpcm"),  # IMA ADPCM mono (worst-SNR bin)
+            (21, 5, 2, 0, "adpcm"),  # IMA ADPCM stereo word interleave
         ]
         for mid, (k, nf, ch, tail, container) in enumerate(cases):
             t = _np.arange(nf * n + tail)
@@ -1014,7 +1025,7 @@ def _ensure_media_audio(sf_dir: str) -> str:
             )
             if container == "wav":
                 payload = multimodal.wav_encode_pcm16(pcm, sr, channels=ch)
-            else:
+            elif container == "flac":
                 payload = flac_io.flac_encode_pcm16(
                     pcm,
                     sr,
@@ -1022,7 +1033,19 @@ def _ensure_media_audio(sf_dir: str) -> str:
                     block_size=512,
                     stereo_mode="mid-side" if ch == 2 else "independent",
                 )
-            name = f"a{mid:02d}.{container}"
+            else:  # G.711 / IMA ADPCM — compressed WAV containers
+                from archetype_spark.operators import audio_codecs
+
+                payload = audio_codecs.wav_encode_compressed(
+                    pcm,
+                    sr,
+                    {"ulaw": "ulaw", "alaw": "alaw", "adpcm": "ima_adpcm"}[
+                        container
+                    ],
+                    channels=ch,
+                )
+            ext = "flac" if container == "flac" else "wav"
+            name = f"a{mid:02d}.{ext}"
             with open(os.path.join(building, name), "wb") as fh:
                 fh.write(payload)
             rows.append(
@@ -1802,6 +1825,47 @@ def q139_hudi_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return agg(read_hudi(spark, table), "latest").unionByName(
         agg(read_hudi(spark, table, as_of=first), "v0")
+    )
+
+
+def q140_tri_lake_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE lake formats, one Catalyst plan, one mutated state: the
+    reverse-replicated Delta mirror (deletion-vector masks + txn
+    marks), the Iceberg CDC table (equality deletes under strict
+    sequence scoping) and the Hudi copy-on-write table (timeline-
+    resolved file slices) each hold the SAME final state — the q122
+    cohort history applied through three completely different
+    metadata stacks. The per-lang three-way join is the cross-format
+    consistency proof: every count column must agree with the others
+    AND with the oracle's source-view recompute. Join sides are
+    aggregate-tiny and explicitly broadcast — no shuffle join at any
+    corpus scale."""
+    from archetype_spark.sources.delta import read_delta
+    from archetype_spark.sources.hudi import read_hudi
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    dm = (
+        read_delta(spark, _ensure_delta_mirror_documents(spark, sf_dir))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("delta_docs"),
+            F.sum("n_chars").cast("bigint").alias("delta_chars"),
+        )
+    )
+    ic = (
+        read_iceberg(spark, _ensure_iceberg_cdc_documents(spark, sf_dir))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("iceberg_docs"))
+    )
+    hu = (
+        read_hudi(spark, _ensure_hudi_documents(spark, sf_dir))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hudi_docs"))
+    )
+    return (
+        dm.join(F.broadcast(ic), "lang")
+        .join(F.broadcast(hu), "lang")
+        .select("lang", "delta_docs", "iceberg_docs", "hudi_docs", "delta_chars")
     )
 
 
@@ -3091,6 +3155,7 @@ QUERIES = {
     "q137_video_frames": q137_video_frames,
     "q138_delta_mirror_scan": q138_delta_mirror_scan,
     "q139_hudi_scan": q139_hudi_scan,
+    "q140_tri_lake_consistency": q140_tri_lake_consistency,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -4464,6 +4529,26 @@ ORACLES["q139_hudi_scan"] = """
     SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+"""
+
+# q140: the three-format consistency join — one cohort-algebra
+# recompute feeds all three count columns (they must agree with each
+# other AND the source view; any one format resolving a stale row
+# breaks its column).
+ORACLES["q140_tri_lake_consistency"] = """
+    SELECT lang, count(*)::BIGINT AS delta_docs,
+           count(*)::BIGINT AS iceberg_docs,
+           count(*)::BIGINT AS hudi_docs,
+           sum(n_chars)::BIGINT AS delta_chars
+    FROM (
+      SELECT CASE WHEN doc_id % 2 = 1 AND n_chars % 7 = 3
+                  THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents
+      WHERE doc_id % 2 = 1
+         OR n_chars % 5 <> 2
+         OR doc_id % 4 = 0
+    ) GROUP BY lang
 """
 
 # q138: the reverse-replicated Delta mirror's final state — the q122
