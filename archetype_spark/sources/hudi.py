@@ -231,6 +231,7 @@ def _write_commit(
     fg_partitions: dict[str, str],
     rewritten: dict[str, dict] | None = None,
     op: str = "upsert",
+    extra_metadata: dict[str, str] | None = None,
 ) -> dict:
     """Stage `df` (carrying __hoodie_fg) partitioned by file group,
     move each staged file to its spec name under its partition dir
@@ -321,15 +322,14 @@ def _write_commit(
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
-    _publish_commit(
-        table,
-        instant,
-        {
-            "partitionToWriteStats": stats,
-            "operationType": op.upper(),
-            "compacted": False,
-        },
-    )
+    meta: dict = {
+        "partitionToWriteStats": stats,
+        "operationType": op.upper(),
+        "compacted": False,
+    }
+    if extra_metadata:
+        meta["extraMetadata"] = dict(extra_metadata)
+    _publish_commit(table, instant, meta)
     return {
         "instant": instant,
         "files_written": sum(len(v) for v in stats.values()),
@@ -380,6 +380,7 @@ def write_hudi(
     partition_by: str | None = None,
     buckets: int = 1,
     mode: str = "create",
+    extra_metadata: dict[str, str] | None = None,
 ) -> dict:
     """Create a Hudi COPY_ON_WRITE table (mode='create') or bulk-
     insert into an existing one as NEW file groups (mode='insert' —
@@ -423,6 +424,7 @@ def write_hudi(
     return _write_commit(
         assigned.drop("__hoodie_key"), table, instant, record_key, fg_parts,
         op="insert" if mode == "insert" else "bulk_insert",
+        extra_metadata=extra_metadata,
     )
 
 
@@ -602,3 +604,67 @@ def count_rows_hudi(path: str, as_of: str | None = None) -> int:
             for st in stats:
                 slices[st["fileId"]] = int(st["numWrites"])
     return sum(slices.values())
+
+
+# ------------------------------------------------------------------ streaming
+
+_STREAM_KEY = "streaming.batch.{app_id}"
+
+
+def last_streaming_batch_hudi(path: str, app_id: str) -> int | None:
+    """The app's highest committed micro-batch id, from commit
+    metadata's extraMetadata (the field Hudi's own streaming writers
+    stamp checkpoints into) — newest commit wins; None for a fresh
+    table or unseen app."""
+    table = os.path.abspath(path)
+    key = _STREAM_KEY.format(app_id=app_id)
+    for instant in reversed(hudi_timeline(table)):
+        extra = _read_commit(table, instant).get("extraMetadata") or {}
+        if key in extra:
+            return int(extra[key])
+    return None
+
+
+def streaming_hudi_sink(
+    path: str,
+    record_key: str,
+    app_id: str,
+    partition_by: str | None = None,
+    buckets: int = 1,
+):
+    """`foreachBatch` body for an exactly-once streaming Hudi sink —
+    the Hudi face of streaming_delta_sink / streaming_iceberg_sink:
+    one timeline commit per micro-batch, the app's batch high-water
+    mark stamped into the SAME commit's extraMetadata (the completed
+    .commit file publishes atomically, so there is no window where
+    rows are applied but the mark is not). On restart Structured
+    Streaming replays the last unacknowledged batch; the sink skips
+    batch ids at or below the logged mark. The first batch bootstraps
+    the table.
+
+    Usage:
+        q = (df.writeStream.foreachBatch(
+                 streaming_hudi_sink(table, "event_id", app_id="cur"))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table = os.path.abspath(path)
+        exists = os.path.isdir(_hoodie_dir(table))
+        if exists:
+            last = last_streaming_batch_hudi(table, app_id)
+            if last is not None and batch_id <= last:
+                return  # replayed batch: its commit already landed
+        write_hudi(
+            batch_df,
+            table,
+            record_key=record_key,
+            partition_by=partition_by,
+            buckets=buckets,
+            mode="insert" if exists else "create",
+            extra_metadata={
+                _STREAM_KEY.format(app_id=app_id): str(batch_id)
+            },
+        )
+
+    return sink

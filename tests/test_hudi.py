@@ -203,3 +203,33 @@ def test_refusals_are_loud(spark, tmp_path, people):
     open(os.path.join(t, ".hoodie", "99999999999999999.replacecommit"), "w").close()
     with pytest.raises(NotImplementedError, match="replacecommit"):
         read_hudi(spark, t)
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """The foreachBatch body: bootstrap on batch 0, append on later
+    batches, SKIP a replayed batch id (the crash-recovery path) —
+    the mark rides the same atomic .commit file as the rows."""
+    from archetype_spark.sources.hudi import (
+        last_streaming_batch_hudi,
+        streaming_hudi_sink,
+    )
+
+    t = str(tmp_path / "t")
+    sink = streaming_hudi_sink(t, "id", app_id="cur-v1")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, s string")
+    sink(b0, 0)
+    assert last_streaming_batch_hudi(t, "cur-v1") == 0
+    sink(b1, 1)
+    assert last_streaming_batch_hudi(t, "cur-v1") == 1
+    n_before = len(hudi_timeline(t))
+    # replay batch 1 (restart semantics): must be a no-op
+    sink(b1, 1)
+    assert len(hudi_timeline(t)) == n_before
+    assert count_rows_hudi(t) == 3
+    rows = sorted(
+        tuple(r) for r in read_hudi(spark, t).select("id", "s").collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    # a different app's mark is independent
+    assert last_streaming_batch_hudi(t, "other") is None
