@@ -41,6 +41,7 @@ from archetype_spark.operators import (
     gif_io,
     image_probe,
     jpeg_io,
+    mp4_io,
     png_io,
     tiff_io,
     webp_io,
@@ -94,6 +95,7 @@ register_pickle_by_value(webp_io)
 register_pickle_by_value(flac_io)
 register_pickle_by_value(avi_io)
 register_pickle_by_value(tiff_io)
+register_pickle_by_value(mp4_io)
 # audio_codecs is reached lazily from _wav_pcm's compressed-format
 # dispatch; register it so compressed WAVs decode on workers whose
 # cwd is not the repo (the drive-contract pickling scenario)
@@ -948,10 +950,17 @@ def sample_frames(
                 rows = []
                 for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                     p = bytes(payload or b"")
-                    if (p[:4] == b"RIFF" and p[8:12] == b"AVI ") or p[
-                        :6
-                    ] in (b"GIF87a", b"GIF89a"):
-                        # dependency-free tier (avi_io / gif_io)
+                    if (
+                        (p[:4] == b"RIFF" and p[8:12] == b"AVI ")
+                        or p[:6] in (b"GIF87a", b"GIF89a")
+                        or (
+                            len(p) >= 12
+                            and p[4:8] == b"ftyp"
+                            and mp4_io.mp4_sample_format(p)
+                            in ("jpeg", "mjpa")
+                        )
+                    ):
+                        # dependency-free tier (avi_io / gif_io / mp4_io)
                         for idx, fr in enumerate(decode_video_frames(p)):
                             if idx % every_n == 0:
                                 rows.append(
@@ -1038,14 +1047,22 @@ def decode_video_frames(payload: bytes) -> list:
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return gif_io.gif_decode_frames(p)
     if len(p) >= 12 and p[4:8] == b"ftyp":
+        # MP4: Motion-JPEG tracks decode dependency-free (mp4_io walks
+        # the full stsd/stsz/stsc/stco sample table); other codings
+        # name the codec and the PyAV gap
+        fmt = mp4_io.mp4_sample_format(p)
+        if fmt in ("jpeg", "mjpa"):
+            return mp4_io.mp4_decode_frames(p)[0]
         raise NotImplementedError(
-            "video frame decode: MP4 payloads need a codec library (PyAV), "
+            f"video frame decode: MP4 video coding {fmt!r} needs a codec "
+            "library (PyAV), "
             + ("available" if _CODEC_LIBS["av"] else "not installed")
             + " — route through sample_frames(use_real_decoders=True)"
         )
     raise NotImplementedError(
-        "video frame decode: payload is not AVI (MJPG / DIB) or GIF "
-        "(the dependency-free video codecs)"
+        "video frame decode: payload is not AVI (MJPG / DIB), animated "
+        "GIF, or MP4 with Motion-JPEG samples (the dependency-free "
+        "video codecs)"
     )
 
 

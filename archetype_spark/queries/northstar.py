@@ -774,7 +774,10 @@ def _ensure_video_frames(sf_dir: str) -> str:
     from archetype_spark.operators import avi_io, gif_io
 
     idx = ann_index.default_index_dir(sf_dir, "video_frames")
-    expect = {"kind": "video_frames", "schema": 1}
+    # schema 2: + an MP4 Motion-JPEG clip (v04 — mp4_io walks the full
+    #           stsd/stsz/stsc/stco sample table; frames are unit-DC
+    #           tiles so T.81 round-trips them bit-exactly), late r12
+    expect = {"kind": "video_frames", "schema": 2}
     pfile = os.path.join(idx, "_build_params.json")
     if os.path.exists(pfile):
         try:
@@ -893,6 +896,14 @@ def _ensure_video_frames(sf_dir: str) -> str:
         with open(os.path.join(building, "v03.vid"), "wb") as fh:
             fh.write(gif_io.gif_encode_frames(g3, pal3, (14, 10), bg_index=1))
         record(3, composite_independent(g3, pal3, (14, 10), 1))
+        # v4: MP4 / Motion-JPEG ('jpeg' sample entries) — exact by the
+        # unit-DC-quant tile argument, full ISO-BMFF sample-table walk
+        from archetype_spark.operators import mp4_io
+
+        m4 = [tile_frame(4, fi, 2, 2) for fi in range(5)]
+        with open(os.path.join(building, "v04.vid"), "wb") as fh:
+            fh.write(mp4_io.mp4_encode_mjpeg(m4, fps=24, quality_scale=16))
+        record(4, m4)
         _pq.write_table(
             _pa.Table.from_pylist(rows),
             os.path.join(building, "manifest.parquet"),
@@ -911,7 +922,8 @@ def q137_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     video_frames fixture files via binaryFile, decode every frame
     executor-side (multimodal.video_frame_stats — AVI MJPG through
     the full JPEG codec, AVI uncompressed DIB, animated GIF with GCE
-    compositing), sample every 2nd frame, and emit each sampled
+    compositing, and MP4 Motion-JPEG via the full ISO-BMFF sample-
+    table walk), sample every 2nd frame, and emit each sampled
     frame's dims and pixel-bytes sha256. The oracle reads the
     manifest the GENERATOR wrote (independent plain-loop compositing
     for the GIFs) filtered to even frame_idx — decode, compositing
