@@ -238,6 +238,7 @@ def mp4_encode_mjpeg(
     fps: int = 24,
     quality_scale: int = 16,
     samples_per_chunk: int | None = None,
+    use_co64: bool = False,
 ) -> bytes:
     """uint8 frames — (h, w) gray or (h, w, 3) RGB, one shape — as an
     ISO-BMFF file with a 'jpeg' (photo-JPEG) video track: ftyp, mdat
@@ -247,7 +248,8 @@ def mp4_encode_mjpeg(
     `samples_per_chunk` splits the samples across multiple chunks
     (a trailing short chunk gets its own stsc run) — the layout real
     muxers interleave with audio, exercising the decoder's full
-    run-expansion path."""
+    run-expansion path; `use_co64` writes 64-bit chunk offsets (the
+    box >4 GB files carry), exercising the reader's co64 branch."""
     import numpy as np
 
     if not frames:
@@ -345,9 +347,12 @@ def mp4_encode_mjpeg(
         + struct.pack(f">{n}I", *[len(s) for s in samples]),
     )
     stco = _box(
-        b"stco",
+        b"co64" if use_co64 else b"stco",
         struct.pack(">II", 0, len(chunk_offsets))
-        + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+        + struct.pack(
+            f">{len(chunk_offsets)}{'Q' if use_co64 else 'I'}",
+            *chunk_offsets,
+        ),
     )
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = _box(b"minf", vmhd + dinf + stbl)

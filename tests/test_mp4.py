@@ -92,3 +92,17 @@ def test_refusals_are_loud():
         multimodal.decode_video_frames(bytes(payload))
     with pytest.raises(ValueError, match="at least one frame"):
         mp4_encode_mjpeg([])
+
+
+def test_co64_offsets():
+    """64-bit chunk offsets (the >4 GB layout): same samples, co64
+    instead of stco — the reader's width-64 branch."""
+    frames = [_tile(i, 2, 2) for i in range(4)]
+    payload = mp4_encode_mjpeg(
+        frames, fps=24, samples_per_chunk=2, use_co64=True
+    )
+    assert b"co64" in payload and b"stco" not in payload
+    dec, meta = mp4_decode_frames(payload)
+    assert meta["n_frames"] == 4
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)

@@ -721,8 +721,9 @@ def test_stress_reverse_replication_chain(spark, stress_docs, tmp_path):
 
 
 def test_stress_video_many_frames(spark, tmp_path):
-    """Video-decode headroom: a 600-frame uncompressed AVI and a
-    150-frame MJPG AVI decode executor-side; frame sampling keeps
+    """Video-decode headroom: a 600-frame uncompressed AVI, a
+    150-frame MJPG AVI and the same 150 frames as a multi-chunk MP4
+    Motion-JPEG track decode executor-side; frame sampling keeps
     only every 25th/10th frame, so the emitted rows stay O(sampled)
     while the decode walks every chunk. Digest spot-checks pin the
     sampled frames to their generator arrays."""
@@ -746,10 +747,14 @@ def test_stress_video_many_frames(spark, tmp_path):
         return np.kron(vals, np.ones((8, 8), dtype=np.uint8))
 
     mjpg_frames = [tile(fi) for fi in range(150)]
+    from archetype_spark.operators import mp4_io
+
     df = spark.createDataFrame(
         [
             (0, bytearray(avi_io.avi_encode(dib_frames, codec="DIB"))),
             (1, bytearray(avi_io.avi_encode(mjpg_frames, codec="MJPG"))),
+            (2, bytearray(mp4_io.mp4_encode_mjpeg(
+                mjpg_frames, fps=24, samples_per_chunk=16))),
         ],
         "media_id long, payload binary",
     )
@@ -759,14 +764,17 @@ def test_stress_video_many_frames(spark, tmp_path):
     }
     assert len([k for k in rows if k[0] == 0]) == 24  # 600 / 25
     assert len([k for k in rows if k[0] == 1]) == 6  # ceil(150 / 25)
+    assert len([k for k in rows if k[0] == 2]) == 6  # MP4, same frames
     for fi in (0, 275, 575):
         assert rows[(0, fi)] == hashlib.sha256(
             np.ascontiguousarray(dib_frames[fi]).tobytes()
         ).hexdigest()
     for fi in (0, 125):
-        assert rows[(1, fi)] == hashlib.sha256(
+        digest = hashlib.sha256(
             np.ascontiguousarray(mjpg_frames[fi]).tobytes()
         ).hexdigest()
+        assert rows[(1, fi)] == digest
+        assert rows[(2, fi)] == digest  # MP4 samples == AVI pictures
 
 
 def test_stress_hudi_cow_chain(spark, stress_docs, tmp_path):
