@@ -13,7 +13,7 @@ WAVs actually carry, all from public specifications:
   structured 4-bit adaptive codec from the IMA Digital Audio Focus
   Group spec — per-block (predictor, step-index) header then packed
   nibbles, the 89-entry step table, index deltas [-1x4, +2,+4,+6,+8],
-  mono and stereo (8-byte per-channel word interleave).
+  mono and stereo (4-byte per-channel word interleave).
 
 Decode is DETERMINISTIC (bit-exact per spec), so the generator-side
 manifest can gate the operators with an INDEPENDENT plain-loop
@@ -282,8 +282,7 @@ def wav_encode_compressed(
         byte_rate = sample_rate * channels
     elif codec == "ima_adpcm":
         fmt_tag, bits = 0x11, 4
-        block_align = 4 * channels + ((samples_per_block - 1) * channels + 1) // 2
-        # round block data up to whole 4-byte words per channel
+        # block data rounded up to whole 4-byte words per channel
         nib_bytes = -(-((samples_per_block - 1)) // 8) * 4 * channels
         block_align = 4 * channels + nib_bytes
         extra = struct.pack("<HH", 2, samples_per_block)

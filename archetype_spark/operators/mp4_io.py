@@ -49,6 +49,11 @@ def _boxes(data: bytes, start: int, end: int):
             if size < 16:
                 return
             yield btype, i + 16, i + size
+        elif size == 0:
+            # ISO-BMFF 4.2: size 0 = box extends to the end of the
+            # enclosing span (streaming writers' final mdat)
+            yield btype, i + 8, end
+            return
         elif size >= 8:
             yield btype, i + 8, i + size
         else:

@@ -414,8 +414,20 @@ def write_hudi(
                 fh.write(f"{k}={v}\n")
     elif mode == "insert":
         props = _load_properties(table)
-        record_key = props["hoodie.table.recordkey.fields"]
-        partition_by = props.get("hoodie.table.partition.fields")
+        table_key = props["hoodie.table.recordkey.fields"]
+        table_part = props.get("hoodie.table.partition.fields")
+        if record_key != table_key:
+            raise ValueError(
+                f"record key {record_key!r} disagrees with the table's "
+                f"hoodie.properties ({table_key!r}); the table's key "
+                "governs inserts"
+            )
+        if partition_by is not None and partition_by != table_part:
+            raise ValueError(
+                f"partition field {partition_by!r} disagrees with the "
+                f"table's hoodie.properties ({table_part!r})"
+            )
+        record_key, partition_by = table_key, table_part
     else:
         raise ValueError(f"write_hudi mode {mode!r}: create or insert")
     instant = _next_instant(table)
@@ -443,19 +455,60 @@ def _snapshot_with_groups(
     return cur, slices, record_key, part_field
 
 
-def upsert_hudi(spark: SparkSession, path: str, updates: DataFrame) -> dict:
+def upsert_hudi(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    precombine: str | None = None,
+) -> dict:
     """CDC upsert, copy-on-write: file groups owning an updated key
     are rewritten at the new instant (surviving rows + update rows,
     one base file each); fresh keys insert as new groups. Rewrites
     read ONLY the affected groups — the group resolution is one
     semi-join against the snapshot's key->group map, and the commit
-    publishes atomically after all base files land."""
+    publishes atomically after all base files land.
+
+    Duplicate record keys WITHIN the updates batch collapse via
+    `precombine` (largest value wins, real Hudi's
+    hoodie.datasource.write.precombine.field semantics); without one
+    a duplicated key raises loudly — writing both rows would leave
+    duplicate record keys in the snapshot, silently wrong."""
     table = os.path.abspath(path)
     cur, slices, record_key, part_field = _snapshot_with_groups(spark, table)
     if record_key not in updates.columns:
         raise ValueError(
             f"record key {record_key!r} not in updates frame {updates.columns}"
         )
+    if precombine is not None:
+        if precombine not in updates.columns:
+            raise ValueError(
+                f"precombine field {precombine!r} not in updates frame "
+                f"{updates.columns}"
+            )
+        rank = F.row_number().over(
+            Window.partitionBy(F.col(record_key).cast("string")).orderBy(
+                F.col(precombine).desc()
+            )
+        )
+        updates = (
+            updates.withColumn("__pc_rank", rank)
+            .filter(F.col("__pc_rank") == 1)
+            .drop("__pc_rank")
+        )
+    else:
+        dup = (
+            updates.groupBy(F.col(record_key).cast("string"))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "updates batch carries duplicate record keys; pass "
+                "precombine=<field> to collapse them (largest wins) — "
+                "writing both would leave duplicate keys in the snapshot"
+            )
     # key -> owning file group, from the meta columns (no listing)
     fg_expr = F.split(F.col("_hoodie_file_name"), "_").getItem(0)
     keyed = cur.withColumn("__cur_fg", fg_expr)

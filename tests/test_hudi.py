@@ -233,3 +233,46 @@ def test_streaming_sink_exactly_once(spark, tmp_path):
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
     # a different app's mark is independent
     assert last_streaming_batch_hudi(t, "other") is None
+
+
+def test_upsert_duplicate_keys_refuse_or_precombine(spark, tmp_path, people):
+    """Two update rows for one record key: without a precombine field
+    the upsert refuses loudly (both landing would leave duplicate
+    keys in the snapshot); with one, the largest precombine value
+    wins — real Hudi's precombine semantics."""
+    t = str(tmp_path / "t")
+    write_hudi(people, t, record_key="id", partition_by="grp")
+    dup = spark.createDataFrame(
+        [(2, "bob-old", "b", 21), (2, "bob-new", "b", 22)],
+        "id long, name string, grp string, v long",
+    )
+    with pytest.raises(ValueError, match="duplicate record keys"):
+        upsert_hudi(spark, t, dup)
+    upsert_hudi(spark, t, dup, precombine="v")
+    assert _rows(spark, t) == [
+        (1, "ann", "a", 10), (2, "bob-new", "b", 22),
+        (3, "cho", "a", 30), (4, "dee", "b", 40),
+    ]
+    with pytest.raises(ValueError, match="precombine field"):
+        upsert_hudi(spark, t, dup, precombine="nope")
+
+
+def test_insert_mode_key_mismatch_refuses(spark, tmp_path, people):
+    """mode='insert' must not silently re-key: a caller-passed
+    record_key or partition_by that disagrees with the table's
+    hoodie.properties raises instead of keying rows by a field the
+    caller did not choose."""
+    t = str(tmp_path / "t")
+    write_hudi(people, t, record_key="id", partition_by="grp")
+    with pytest.raises(ValueError, match="disagrees with the table"):
+        write_hudi(people, t, record_key="v", mode="insert")
+    with pytest.raises(ValueError, match="disagrees with the table"):
+        write_hudi(
+            people, t, record_key="id", partition_by="name", mode="insert"
+        )
+    # matching (or defaulted) fields still insert
+    more = spark.createDataFrame(
+        [(9, "zed", "c", 90)], "id long, name string, grp string, v long"
+    )
+    write_hudi(more, t, record_key="id", mode="insert")
+    assert count_rows_hudi(t) == 5

@@ -106,3 +106,30 @@ def test_co64_offsets():
     assert meta["n_frames"] == 4
     for a, b in zip(frames, dec):
         assert np.array_equal(a, b)
+
+
+def test_size_zero_final_mdat():
+    """ISO-BMFF allows a final box with size 0 = 'extends to end of
+    file' (streaming writers' trailing mdat, moov written first).
+    Rebuild the encoder's ftyp+mdat+moov layout into that shape and
+    pin that probe + decode still work."""
+    frames = [_tile(i, 2, 2) for i in range(3)]
+    payload = mp4_encode_mjpeg(frames, fps=24)
+    (ftyp_sz,) = struct.unpack(">I", payload[:4])
+    ftyp = payload[:ftyp_sz]
+    (mdat_sz,) = struct.unpack(">I", payload[ftyp_sz : ftyp_sz + 4])
+    mdat_body = payload[ftyp_sz + 8 : ftyp_sz + mdat_sz]
+    moov = payload[ftyp_sz + mdat_sz :]
+    # chunk offsets shift by the moov now sitting before the mdat;
+    # single chunk, so the old stco body is a unique byte pattern
+    old_off = ftyp_sz + 8
+    old_stco = struct.pack(">III", 0, 1, old_off)
+    new_stco = struct.pack(">III", 0, 1, old_off + len(moov))
+    assert moov.count(old_stco) == 1
+    moov = moov.replace(old_stco, new_stco)
+    stream = ftyp + moov + struct.pack(">I", 0) + b"mdat" + mdat_body
+    assert mp4_sample_format(stream) == "jpeg"
+    dec, meta = mp4_decode_frames(stream)
+    assert meta["n_frames"] == 3
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
