@@ -1,64 +1,101 @@
-"""Protocol-native Apache Hudi COPY-ON-WRITE tables — no hudi-spark
-bundle, no JVM extensions: the timeline and file-layout conventions
-from the public Hudi table format (hudi.apache.org "Table & Query
-Types" + the storage layout docs, table version 6 — the pre-1.0
-layout current fleets run) implemented over plain JSON + parquet,
-the same design stance as sources/delta.py and sources/iceberg.py.
+"""Protocol-native Apache Hudi tables — COPY_ON_WRITE and
+MERGE_ON_READ — no hudi-spark bundle, no JVM extensions: the timeline
+and file-layout conventions from the public Hudi table format
+(hudi.apache.org "Table & Query Types" + the storage layout docs,
+table version 6 — the pre-1.0 layout current fleets run) implemented
+over plain JSON + parquet + the log-block codec in
+sources/hudi_log.py, the same design stance as sources/delta.py and
+sources/iceberg.py.
 
 Layout written and read:
 
 - `.hoodie/hoodie.properties` — table name/type/version and the
   record-key + partition-path fields (the upsert faces read them
   back, so a table is self-describing).
-- `.hoodie/<instant>.commit` — COMPLETED commit metadata (JSON):
-  `partitionToWriteStats` maps each partition path to one stat per
-  written base file {fileId, path, numWrites, numUpdateWrites,
-  numDeletes, prevCommit}. `<instant>.commit.requested` and
-  `<instant>.inflight` mark the transition states like the real
+- `.hoodie/<instant>.<action>` — COMPLETED instant metadata (JSON),
+  action `commit` (CoW writes, MOR compaction), `deltacommit` (MOR
+  writes) or `replacecommit` (clustering): `partitionToWriteStats`
+  maps each partition path to one stat per written file {fileId,
+  path, numWrites, numUpdateWrites, numDeletes, prevCommit};
+  replacecommits add `partitionToReplaceFileIds`. Transition files
+  (`.requested`/`.inflight`) mark the in-flight states like the real
   writer. Instants are 17-digit millisecond timestamps, strictly
   monotonic per table.
-- data files: `<partitionpath>/<fileId>_<writeToken>_<instant>.parquet`
-  — a FILE GROUP is all base files sharing a fileId; copy-on-write
+- base files: `<partitionpath>/<fileId>_<writeToken>_<instant>.parquet`
+  — a FILE GROUP is all files sharing a fileId; copy-on-write
   UPDATE/DELETE rewrites a group as a new base file at the new
   instant (a new FILE SLICE) and never touches the old one.
+- log files: `<partitionpath>/.<fileId>_<baseInstant>.log.<v>_<token>`
+  — MERGE_ON_READ updates/deletes append avro-data / delete blocks
+  (hudi_log.py) to the newest file slice instead of rewriting it;
+  a snapshot read merges them onto the base file per slice, newest
+  record version wins. Compaction (`compact_hudi`) folds a slice's
+  logs into a new base file under a `commit` instant.
 - every row carries the five Hudi meta columns
   (`_hoodie_commit_time`, `_hoodie_commit_seqno`,
   `_hoodie_record_key`, `_hoodie_partition_path`,
-  `_hoodie_file_name`), stamped executor-side at write.
+  `_hoodie_file_name`), stamped executor-side at write. Rewrites
+  (CoW upsert survivors, compaction, clustering) PRESERVE the meta
+  of unchanged records — real writers do, and the incremental face
+  (`read_hudi_changes`) depends on `_hoodie_commit_time` naming the
+  instant that produced each row.
 
 Snapshot resolution is TIMELINE-ONLY, never a directory listing: the
-completed commits' write stats name every base file, so the reader
-picks the newest slice per file group from O(timeline JSON) and
-uncommitted/crashed writes (data files whose instant never completed)
-are invisible by construction — the same O(metadata) planning shape
-as the Delta log replay and the Iceberg manifest walk. Time travel =
-truncating the completed-instant list at `as_of`.
+completed instants' write stats name every base and log file, so the
+reader picks the newest slice per file group (plus its ordered log
+chain) from O(timeline JSON); uncommitted/crashed writes are
+invisible by construction — the same O(metadata) planning shape as
+the Delta log replay and the Iceberg manifest walk. Time travel =
+truncating the completed-instant list at `as_of`; a replacecommit at
+or before the cut excludes its replaced groups, one after it leaves
+them visible.
 
 Scale shape: writes stage through Spark's parquet writer partitioned
 by file group (one shuffle on the record key), the driver handles
-O(written files) renames + stats — never row data; upsert/delete
-join the updates against ONLY the affected file groups' rows
-(copy-on-write's inherent cost), with the group->file resolution at
-O(timeline). Declared limits (loud, never silently wrong):
-MERGE_ON_READ tables (log files need the HFile/avro readers), multi-
-level partition paths, and replacecommit/clustering instants refuse
-by name.
+O(written files) renames + stats — never row data; MOR log files are
+written EXECUTOR-side (one applyInPandas task per affected group,
+the Delta deletion-vector pattern), and the MOR snapshot merge
+shuffles ONLY the log-bearing groups' rows on (group, record key) —
+clean groups stream straight from parquet. Declared limits (loud,
+never silently wrong): HFile/parquet log blocks and command
+(rollback) blocks refuse by name (hudi_log.py); MOR log records
+support flat primitive schemas (string/long/int/double/float/
+boolean); multi-level partition paths refuse; clustering refuses
+log-bearing groups (compact first).
 
 Reference parity: SURVEY.md §2.2 Sources row — the reference's
 dependency surface reads lakehouse tables through its connector tier;
 Delta + Iceberg + Hudi covers the three open table formats that tier
-serves.
+serves, and MERGE_ON_READ is the default table type for streaming
+Hudi ingest in the wild.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from archetype_spark.sources import hudi_log
+
+try:  # pyspark vendors cloudpickle; plain cloudpickle as fallback
+    from pyspark.cloudpickle import register_pickle_by_value
+except ImportError:  # pragma: no cover
+    from cloudpickle import register_pickle_by_value
+
+# mapInPandas/applyInPandas closures below reference this module and
+# the log codec; by-value registration keeps Spark Python workers
+# independent of the consumer's cwd (the multimodal.py pattern).
+register_pickle_by_value(sys.modules[__name__])
+register_pickle_by_value(hudi_log)
+from archetype_spark.sources import avro_io  # noqa: E402
+
+register_pickle_by_value(avro_io)
 
 _HOODIE = ".hoodie"
 _META_COLS = (
@@ -91,32 +128,35 @@ def _load_properties(path: str) -> dict[str, str]:
             k, _, v = line.partition("=")
             props[k] = v
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype != "COPY_ON_WRITE":
-        raise NotImplementedError(
-            f"Hudi table type {ttype}: only COPY_ON_WRITE is implemented "
-            "(MERGE_ON_READ log files need the avro/HFile log readers)"
-        )
+    if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise NotImplementedError(f"Hudi table type {ttype!r}")
     return props
 
 
-def hudi_timeline(path: str) -> list[str]:
-    """COMPLETED commit instants, ascending — the timeline the
-    snapshot reader resolves against. Replacecommit/clustering
-    instants refuse loudly (their replaced-group semantics are not
-    modeled); transition files (.requested/.inflight) are ignored."""
+#: completed-instant actions, in file-suffix form
+_ACTIONS = (".commit", ".deltacommit", ".replacecommit")
+
+
+def _timeline_actions(path: str) -> list[tuple[str, str]]:
+    """COMPLETED instants with their action suffix, ascending:
+    [(instant, '.commit' | '.deltacommit' | '.replacecommit')].
+    Transition files (.requested/.inflight) are ignored."""
     hd = _hoodie_dir(path)
     if not os.path.isdir(hd):
         raise FileNotFoundError(f"not a Hudi table: {path}")
     out = []
     for name in os.listdir(hd):
-        if name.endswith(".replacecommit"):
-            raise NotImplementedError(
-                f"Hudi replacecommit instant {name!r}: clustering/"
-                "insert_overwrite resolution is not implemented"
-            )
-        if name.endswith(".commit"):
-            out.append(name[: -len(".commit")])
+        for action in _ACTIONS:
+            if name.endswith(action):
+                out.append((name[: -len(action)], action))
+                break
     return sorted(out)
+
+
+def hudi_timeline(path: str) -> list[str]:
+    """COMPLETED instants (all actions), ascending — the timeline the
+    snapshot reader resolves against."""
+    return [instant for instant, _action in _timeline_actions(path)]
 
 
 def _next_instant(path: str) -> str:
@@ -134,43 +174,74 @@ def _next_instant(path: str) -> str:
     return now if now > prev else str(int(prev) + 1)
 
 
-def _read_commit(path: str, instant: str) -> dict:
-    with open(os.path.join(_hoodie_dir(path), f"{instant}.commit")) as fh:
+def _read_commit(path: str, instant: str, action: str = ".commit") -> dict:
+    with open(os.path.join(_hoodie_dir(path), f"{instant}{action}")) as fh:
         return json.load(fh)
 
 
-def _publish_commit(path: str, instant: str, metadata: dict) -> None:
+def _publish_commit(
+    path: str, instant: str, metadata: dict, action: str = ".commit"
+) -> None:
     """requested -> inflight -> completed, the completed file written
     atomically (tmp + rename) so a crash never leaves a readable
-    half-commit."""
+    half-commit. `action` names the instant kind (.commit /
+    .deltacommit / .replacecommit); the plain-commit inflight keeps
+    the real writer's bare `<instant>.inflight` name."""
     hd = _hoodie_dir(path)
     os.makedirs(hd, exist_ok=True)
-    for suffix in (".commit.requested", ".inflight"):
-        with open(os.path.join(hd, f"{instant}{suffix}"), "w"):
+    inflight = (
+        f"{instant}.inflight"
+        if action == ".commit"
+        else f"{instant}{action}.inflight"
+    )
+    for name in (f"{instant}{action}.requested", inflight):
+        with open(os.path.join(hd, name), "w"):
             pass
     tmp = os.path.join(hd, f".{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
         json.dump(metadata, fh)
-    os.rename(tmp, os.path.join(hd, f"{instant}.commit"))
+    os.rename(tmp, os.path.join(hd, f"{instant}{action}"))
 
 
 def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
-    """Latest base file per FILE GROUP from the completed timeline
-    alone: {fileId: {path, partition, instant}}. A group whose latest
-    rewrite carries no file (every row deleted writes an empty base
-    file instead, see _write_commit) never reaches here without one."""
+    """Latest FILE SLICE per file group from the completed timeline
+    alone: {fileId: {path, partition, instant, logs}} where `logs` is
+    the ordered [(instant, path)] chain appended to that base file by
+    deltacommits. A new base file (CoW rewrite or MOR compaction)
+    starts a fresh slice, resetting the chain; a replacecommit at or
+    before the cut drops its replaced groups entirely. A group whose
+    latest rewrite carries no file (every row deleted writes an empty
+    base file instead, see _write_commit) never reaches here without
+    one."""
     slices: dict[str, dict] = {}
-    for instant in hudi_timeline(path):
+    for instant, action in _timeline_actions(path):
         if as_of is not None and instant > str(as_of):
             break
-        meta = _read_commit(path, instant)
+        meta = _read_commit(path, instant, action)
+        if action == ".replacecommit":
+            for _part, fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    slices.pop(fid, None)
         for part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
-                slices[st["fileId"]] = {
-                    "path": st["path"],
-                    "partition": part,
-                    "instant": instant,
-                }
+                if st["path"].endswith(".parquet"):
+                    slices[st["fileId"]] = {
+                        "path": st["path"],
+                        "partition": part,
+                        "instant": instant,
+                        "logs": [],
+                    }
+                else:  # a log file appended to the group's open slice
+                    sl = slices.get(st["fileId"])
+                    if sl is None:
+                        raise ValueError(
+                            f"Hudi log file {st['path']} targets file "
+                            f"group {st['fileId']} with no base file at "
+                            f"instant {instant}"
+                        )
+                    sl["logs"].append((instant, st["path"]))
     return slices
 
 
@@ -186,7 +257,13 @@ def _stamp_meta(
     row's field value: an upsert that changes the partition field
     keeps the row in its original file group (global-index
     update.partition.path=false semantics), so the meta column must
-    agree with where the file actually lives."""
+    agree with where the file actually lives.
+
+    Rows that ALREADY carry meta columns (rewrite survivors,
+    compaction/clustering pass-throughs) keep them — real writers
+    preserve unmerged records' meta, and `read_hudi_changes` depends
+    on `_hoodie_commit_time` naming the instant that produced each
+    row. Fresh rows (null meta) get the new stamp."""
     spark = df.sparkSession
     pp_map = spark.createDataFrame(
         list(fg_partitions.items()) or [("", "")],
@@ -199,28 +276,29 @@ def _stamp_meta(
             F.col(record_key).cast("string")
         )
     )
-    return (
-        df.withColumn("_hoodie_commit_time", F.lit(instant))
-        .withColumn(
-            "_hoodie_commit_seqno",
-            F.concat_ws("_", F.lit(instant), F.lit("0"), seq.cast("string")),
-        )
-        .withColumn("_hoodie_record_key", F.col(record_key).cast("string"))
-        .withColumn("_hoodie_partition_path", part_path)
-        .withColumn(
-            "_hoodie_file_name",
-            F.concat(
-                F.concat_ws(
-                    "_",
-                    F.col("__hoodie_fg"),
-                    F.lit(_WRITE_TOKEN),
-                    F.lit(instant),
-                ),
-                F.lit(".parquet"),
+    fresh = {
+        "_hoodie_commit_time": F.lit(instant),
+        "_hoodie_commit_seqno": F.concat_ws(
+            "_", F.lit(instant), F.lit("0"), seq.cast("string")
+        ),
+        "_hoodie_record_key": F.col(record_key).cast("string"),
+        "_hoodie_partition_path": part_path,
+        "_hoodie_file_name": F.concat(
+            F.concat_ws(
+                "_",
+                F.col("__hoodie_fg"),
+                F.lit(_WRITE_TOKEN),
+                F.lit(instant),
             ),
-        )
-        .drop("__hoodie_pp")
-    )
+            F.lit(".parquet"),
+        ),
+    }
+    for name, expr in fresh.items():
+        if name in df.columns:
+            df = df.withColumn(name, F.coalesce(F.col(name), expr))
+        else:
+            df = df.withColumn(name, expr)
+    return df.drop("__hoodie_pp")
 
 
 def _write_commit(
@@ -232,6 +310,9 @@ def _write_commit(
     rewritten: dict[str, dict] | None = None,
     op: str = "upsert",
     extra_metadata: dict[str, str] | None = None,
+    action: str = ".commit",
+    extra_stats: dict[str, list[dict]] | None = None,
+    replace_file_ids: dict[str, list[str]] | None = None,
 ) -> dict:
     """Stage `df` (carrying __hoodie_fg) partitioned by file group,
     move each staged file to its spec name under its partition dir
@@ -246,19 +327,23 @@ def _write_commit(
 
     table = os.path.abspath(path)
     rewritten = rewritten or {}
-    stamped = _stamp_meta(df, instant, record_key, fg_partitions)
-    data_cols = [c for c in stamped.columns if c != "__hoodie_fg"]
-    ordered = stamped.select(
-        *_META_COLS,
-        *[c for c in data_cols if c not in _META_COLS],
-        "__hoodie_fg",
-    )
-    stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
-    ordered.write.mode("overwrite").partitionBy("__hoodie_fg").parquet(stage)
+    stage = None
+    if df is not None:
+        stamped = _stamp_meta(df, instant, record_key, fg_partitions)
+        data_cols = [c for c in stamped.columns if c != "__hoodie_fg"]
+        ordered = stamped.select(
+            *_META_COLS,
+            *[c for c in data_cols if c not in _META_COLS],
+            "__hoodie_fg",
+        )
+        stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
+        ordered.write.mode("overwrite").partitionBy("__hoodie_fg").parquet(
+            stage
+        )
 
     stats: dict[str, list[dict]] = {}
     seen: set[str] = set()
-    for root, _dirs, files in os.walk(stage):
+    for root, _dirs, files in os.walk(stage or ""):
         parquets = [n for n in files if n.endswith(".parquet")]
         if not parquets:
             continue
@@ -321,15 +406,22 @@ def _write_commit(
         )
     import shutil
 
-    shutil.rmtree(stage, ignore_errors=True)
+    if stage is not None:
+        shutil.rmtree(stage, ignore_errors=True)
+    for part, extra in (extra_stats or {}).items():
+        stats.setdefault(part, []).extend(extra)
     meta: dict = {
         "partitionToWriteStats": stats,
         "operationType": op.upper(),
-        "compacted": False,
+        "compacted": op == "compact",
     }
+    if replace_file_ids:
+        meta["partitionToReplaceFileIds"] = {
+            p: sorted(fids) for p, fids in replace_file_ids.items()
+        }
     if extra_metadata:
         meta["extraMetadata"] = dict(extra_metadata)
-    _publish_commit(table, instant, meta)
+    _publish_commit(table, instant, meta, action=action)
     return {
         "instant": instant,
         "files_written": sum(len(v) for v in stats.values()),
@@ -373,6 +465,280 @@ def _assign_new_groups(
     )
 
 
+# ------------------------------------------------------- MERGE_ON_READ logs
+
+#: Spark typeName() -> Avro primitive, the declared MOR log subset
+_AVRO_PRIMS = {
+    "long": "long",
+    "integer": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+}
+
+#: the wire schema _parse_log_frame emits before from_json typing
+_LOG_PARSE_SCHEMA = (
+    "__fg string, __ord string, __seq long, __op string, "
+    "__key string, __json string"
+)
+
+
+def _fg_expr():
+    """fileId from `_hoodie_file_name` — base files are
+    `<fileId>_<token>_<instant>.parquet`, log files
+    `.<fileId>_<base>.log.<v>_<token>` (the leading dot strips)."""
+    return F.regexp_extract(F.col("_hoodie_file_name"), r"^\.?([^_]+)", 1)
+
+
+def _avro_schema_for(schema) -> dict:
+    """Spark StructType -> flat Avro record schema for MOR log
+    records. Complex/temporal columns refuse by name — log records
+    cover the declared primitive subset (module docstring)."""
+    fields = []
+    for f in schema.fields:
+        prim = _AVRO_PRIMS.get(f.dataType.typeName())
+        if prim is None:
+            raise NotImplementedError(
+                f"MOR log record column {f.name!r} of type "
+                f"{f.dataType.typeName()}: flat primitive schemas only "
+                "(string/long/int/double/float/boolean)"
+            )
+        fields.append({"name": f.name, "type": ["null", prim]})
+    return {"type": "record", "name": "HoodieRecord", "fields": fields}
+
+
+def _append_log_files(
+    df: DataFrame,
+    table: str,
+    instant: str,
+    record_key: str,
+    fg_meta: dict[str, dict],
+    avro_schema: dict | None = None,
+    deletes: bool = False,
+) -> dict[str, list[dict]]:
+    """EXECUTOR-side MOR log append: one applyInPandas task per
+    affected file group serializes its block (an avro-data block of
+    the group's update records, or a delete-record list) and writes
+    the slice's next log file; the driver handles one stat row per
+    group — never record data (the Delta deletion-vector bitmap
+    pattern, delta.py _mask_bitmaps_executor). `fg_meta` maps each
+    group to its partition, base instant and pre-allocated log name
+    (O(affected groups) driver metadata). Returns commit write stats
+    keyed by partition."""
+    import pandas as pd
+
+    out_schema = (
+        "fileId string, partition string, path string, "
+        "numUpdateWrites long, numDeletes long"
+    )
+    data_fields = (
+        []
+        if deletes or avro_schema is None
+        else [
+            (f["name"], f["type"][1])
+            for f in avro_schema["fields"]
+            if f["name"] not in _META_COLS
+        ]
+    )
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        fg = pdf["__hoodie_fg"].iloc[0]
+        m = fg_meta[fg]
+        part = m["partition"]
+        if deletes:
+            keys = [(str(k), part, 0) for k in pdf["__hoodie_key"]]
+            block = hudi_log.delete_block(keys, instant)
+            n_upd, n_del = 0, len(keys)
+        else:
+            recs = []
+            for i, row in enumerate(pdf.to_dict("records")):
+                rec = {}
+                for name, prim in data_fields:
+                    v = row.get(name)
+                    if v is None or pd.isna(v):
+                        rec[name] = None
+                    elif prim in ("long", "int"):
+                        rec[name] = int(v)
+                    elif prim in ("double", "float"):
+                        rec[name] = float(v)
+                    elif prim == "boolean":
+                        rec[name] = bool(v)
+                    else:
+                        rec[name] = str(v)
+                rec["_hoodie_commit_time"] = instant
+                rec["_hoodie_commit_seqno"] = f"{instant}_0_{i + 1}"
+                rec["_hoodie_record_key"] = str(row[record_key])
+                rec["_hoodie_partition_path"] = part
+                rec["_hoodie_file_name"] = m["name"]
+                recs.append(rec)
+            block = hudi_log.avro_data_block(recs, avro_schema, instant)
+            n_upd, n_del = len(recs), 0
+        dst_dir = os.path.join(table, part) if part else table
+        os.makedirs(dst_dir, exist_ok=True)
+        # "wb": a crashed prior attempt at this (never-committed)
+        # version is overwritten, not extended
+        with open(os.path.join(dst_dir, m["name"]), "wb") as fh:
+            fh.write(block)
+        return pd.DataFrame(
+            [[fg, part, m["path"], n_upd, n_del]],
+            columns=[
+                "fileId", "partition", "path",
+                "numUpdateWrites", "numDeletes",
+            ],
+        )
+
+    stats: dict[str, list[dict]] = {}
+    for r in (
+        df.groupBy("__hoodie_fg").applyInPandas(write_group, out_schema)
+    ).collect():
+        stats.setdefault(r["partition"], []).append(
+            {
+                "fileId": r["fileId"],
+                "path": r["path"],
+                "numWrites": 0,
+                "numUpdateWrites": int(r["numUpdateWrites"]),
+                "numDeletes": int(r["numDeletes"]),
+                "prevCommit": fg_meta[r["fileId"]]["base_instant"],
+            }
+        )
+    return stats
+
+
+def _log_fg_meta(slices: dict[str, dict], fgs) -> dict[str, dict]:
+    """Pre-allocate each affected group's next log file name from its
+    slice state — O(affected groups), driver-side metadata only."""
+    out = {}
+    for fg in fgs:
+        sl = slices[fg]
+        name = hudi_log.log_file_name(
+            fg, sl["instant"], len(sl["logs"]) + 1, _WRITE_TOKEN
+        )
+        part = sl["partition"]
+        out[fg] = {
+            "partition": part,
+            "base_instant": sl["instant"],
+            "name": name,
+            "path": f"{part}/{name}" if part else name,
+        }
+    return out
+
+
+def _parse_log_frame(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """EXECUTOR-side log parsing: a path frame fans the log files out
+    to workers, which open them directly (log names are dot-prefixed
+    per the spec, so Spark's binaryFile source would hide them) and
+    run hudi_log.parse_log_entries. Record payloads leave the worker
+    as JSON strings (from_json applies the table schema downstream)
+    — log bytes never touch the driver."""
+    path_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 32))
+
+    def parse(batches):
+        import json as _json
+        import os as _os
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for pth in pdf["path"]:
+                name = _os.path.basename(pth)
+                fid = name[1:].split("_", 1)[0]
+                with open(pth, "rb") as fh:
+                    content = fh.read()
+                for seq, (instant, op, rec) in enumerate(
+                    hudi_log.parse_log_entries(content, name)
+                ):
+                    if op == "upsert":
+                        rows.append(
+                            (
+                                fid,
+                                instant,
+                                seq,
+                                op,
+                                str(rec.get("_hoodie_record_key")),
+                                _json.dumps(rec),
+                            )
+                        )
+                    else:
+                        rows.append(
+                            (fid, instant, seq, op, str(rec["recordKey"]), None)
+                        )
+            yield _pd.DataFrame(
+                rows,
+                columns=["__fg", "__ord", "__seq", "__op", "__key", "__json"],
+            )
+
+    return path_df.mapInPandas(parse, _LOG_PARSE_SCHEMA)
+
+
+def _merge_slices(
+    spark: SparkSession, table: str, slices: dict[str, dict]
+) -> DataFrame:
+    """Resolve a snapshot (meta columns included) from file slices:
+    base parquet for every group, with each log-bearing group's
+    blocks merged on top — newest record version per (group, key)
+    wins, delete blocks tombstone. Scale shape: groups WITHOUT logs
+    stream straight from parquet (no shuffle); only log-bearing
+    groups' rows shuffle on (group, record key) — the inherent MOR
+    snapshot merge cost, paid exactly where a delta exists."""
+    base = spark.read.parquet(
+        *[os.path.join(table, s["path"]) for s in slices.values()]
+    )
+    dirty = {fid: s for fid, s in slices.items() if s["logs"]}
+    if not dirty:
+        return base
+    cols = list(base.columns)
+    tagged = base.withColumn("__fg", _fg_expr())
+    dirty_ids = list(dirty)
+    clean_df = tagged.filter(~F.col("__fg").isin(dirty_ids)).drop("__fg")
+    log_paths = [
+        os.path.join(table, p) for s in dirty.values() for _i, p in s["logs"]
+    ]
+    parsed = _parse_log_frame(spark, log_paths)
+    upserts = (
+        parsed.filter(F.col("__op") == "upsert")
+        .select(
+            "__fg",
+            "__ord",
+            "__seq",
+            "__op",
+            F.from_json("__json", base.schema).alias("__d"),
+        )
+        .select("__fg", "__ord", "__seq", "__op", "__d.*")
+    )
+    tombstones = parsed.filter(F.col("__op") == "delete").select(
+        "__fg",
+        "__ord",
+        "__seq",
+        "__op",
+        F.col("__key").alias("_hoodie_record_key"),
+    )
+    dirty_df = (
+        tagged.filter(F.col("__fg").isin(dirty_ids))
+        .withColumn("__ord", F.col("_hoodie_commit_time"))
+        .withColumn("__seq", F.lit(-1).cast("long"))
+        .withColumn("__op", F.lit("base"))
+    )
+    merged = (
+        dirty_df.unionByName(upserts, allowMissingColumns=True)
+        .unionByName(tombstones, allowMissingColumns=True)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__fg", "_hoodie_record_key").orderBy(
+                    F.col("__ord").desc(), F.col("__seq").desc()
+                )
+            ),
+        )
+        .filter((F.col("__rn") == 1) & (F.col("__op") != "delete"))
+        .select(*cols)
+    )
+    return clean_df.unionByName(merged)
+
+
 def write_hudi(
     df: DataFrame,
     path: str,
@@ -381,12 +747,16 @@ def write_hudi(
     buckets: int = 1,
     mode: str = "create",
     extra_metadata: dict[str, str] | None = None,
+    table_type: str = "COPY_ON_WRITE",
 ) -> dict:
-    """Create a Hudi COPY_ON_WRITE table (mode='create') or bulk-
-    insert into an existing one as NEW file groups (mode='insert' —
-    the append shape; key collisions with existing groups are the
-    upsert face's job, not checked here). One shuffle (the bucket
-    assignment window); `buckets` file groups per partition value."""
+    """Create a Hudi table (mode='create'; `table_type` COPY_ON_WRITE
+    or MERGE_ON_READ) or bulk-insert into an existing one as NEW file
+    groups (mode='insert' — the append shape; key collisions with
+    existing groups are the upsert face's job, not checked here).
+    Inserts always write base files (both table types); a MOR table's
+    instants publish as deltacommits, the real writer's convention.
+    One shuffle (the bucket assignment window); `buckets` file groups
+    per partition value."""
     table = os.path.abspath(path)
     exists = os.path.isdir(_hoodie_dir(table))
     if mode == "create":
@@ -396,10 +766,12 @@ def write_hudi(
             raise ValueError(f"record key {record_key!r} not in {df.columns}")
         if partition_by is not None and partition_by not in df.columns:
             raise ValueError(f"partition field {partition_by!r} not in frame")
+        if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+            raise ValueError(f"write_hudi table_type {table_type!r}")
         os.makedirs(_hoodie_dir(table), exist_ok=True)
         props = {
             "hoodie.table.name": os.path.basename(table),
-            "hoodie.table.type": "COPY_ON_WRITE",
+            "hoodie.table.type": table_type,
             "hoodie.table.version": "6",
             "hoodie.timeline.layout.version": "1",
             "hoodie.table.recordkey.fields": record_key,
@@ -430,6 +802,10 @@ def write_hudi(
         record_key, partition_by = table_key, table_part
     else:
         raise ValueError(f"write_hudi mode {mode!r}: create or insert")
+    if mode == "insert":
+        table_type = _load_properties(table).get(
+            "hoodie.table.type", "COPY_ON_WRITE"
+        )
     instant = _next_instant(table)
     keyed = df.withColumn("__hoodie_key", F.col(record_key).cast("string"))
     assigned, fg_parts = _assign_new_groups(keyed, partition_by, buckets)
@@ -437,12 +813,16 @@ def write_hudi(
         assigned.drop("__hoodie_key"), table, instant, record_key, fg_parts,
         op="insert" if mode == "insert" else "bulk_insert",
         extra_metadata=extra_metadata,
+        action=".deltacommit" if table_type == "MERGE_ON_READ" else ".commit",
     )
 
 
 def _snapshot_with_groups(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, dict[str, dict], str, str | None]:
+    """Current snapshot WITH meta columns (MOR logs merged), plus the
+    slice map and the table's key/partition fields — the shared
+    preamble of the mutation faces."""
     props = _load_properties(path)
     record_key = props["hoodie.table.recordkey.fields"]
     part_field = props.get("hoodie.table.partition.fields")
@@ -450,8 +830,7 @@ def _snapshot_with_groups(
     if not slices:
         raise FileNotFoundError(f"Hudi table has no completed commits: {path}")
     table = os.path.abspath(path)
-    paths = [os.path.join(table, s["path"]) for s in slices.values()]
-    cur = spark.read.parquet(*paths)
+    cur = _merge_slices(spark, table, slices)
     return cur, slices, record_key, part_field
 
 
@@ -461,12 +840,16 @@ def upsert_hudi(
     updates: DataFrame,
     precombine: str | None = None,
 ) -> dict:
-    """CDC upsert, copy-on-write: file groups owning an updated key
+    """CDC upsert. COPY_ON_WRITE: file groups owning an updated key
     are rewritten at the new instant (surviving rows + update rows,
-    one base file each); fresh keys insert as new groups. Rewrites
-    read ONLY the affected groups — the group resolution is one
+    one base file each) — survivors KEEP their meta columns, real
+    merge-handle semantics. MERGE_ON_READ: each affected group gets
+    its slice's next LOG file carrying an avro-data block of the
+    group's updates (executor-side, O(updates) bytes written — the
+    base file is never rewritten). Both: fresh keys insert as new
+    base-file groups in the same instant; group resolution is one
     semi-join against the snapshot's key->group map, and the commit
-    publishes atomically after all base files land.
+    publishes atomically after all files land.
 
     Duplicate record keys WITHIN the updates batch collapse via
     `precombine` (largest value wins, real Hudi's
@@ -474,6 +857,9 @@ def upsert_hudi(
     a duplicated key raises loudly — writing both rows would leave
     duplicate record keys in the snapshot, silently wrong."""
     table = os.path.abspath(path)
+    mor = (
+        _load_properties(table).get("hoodie.table.type") == "MERGE_ON_READ"
+    )
     cur, slices, record_key, part_field = _snapshot_with_groups(spark, table)
     if record_key not in updates.columns:
         raise ValueError(
@@ -510,8 +896,7 @@ def upsert_hudi(
                 "writing both would leave duplicate keys in the snapshot"
             )
     # key -> owning file group, from the meta columns (no listing)
-    fg_expr = F.split(F.col("_hoodie_file_name"), "_").getItem(0)
-    keyed = cur.withColumn("__cur_fg", fg_expr)
+    keyed = cur.withColumn("__cur_fg", _fg_expr())
     upd_keys = updates.select(
         F.col(record_key).cast("string").alias("__k")
     ).dropDuplicates()
@@ -526,18 +911,6 @@ def upsert_hudi(
     affected = {r["__cur_fg"] for r in owners}
     rewritten = {fg: slices[fg] for fg in affected if fg in slices}
     data_cols = [c for c in cur.columns if c not in _META_COLS]
-    # survivors of the affected groups (their key not updated)
-    survivors = (
-        keyed.filter(F.col("__cur_fg").isin(list(affected)))
-        .join(
-            upd_keys,
-            keyed["_hoodie_record_key"] == upd_keys["__k"],
-            "left_anti",
-        )
-        .select(*data_cols, F.col("__cur_fg").alias("__hoodie_fg"))
-        if affected
-        else None
-    )
     # updated rows land in their CURRENT group; fresh keys get new ones
     key_to_fg = keyed.select(
         F.col("_hoodie_record_key").alias("__k"), "__cur_fg"
@@ -551,19 +924,52 @@ def upsert_hudi(
     fresh = upd.join(key_to_fg, "__k", "left_anti").withColumnRenamed(
         "__k", "__hoodie_key"
     )
-    parts = [matched]
-    if survivors is not None:
-        parts.append(survivors)
-    combined = parts[0]
-    for p in parts[1:]:
-        combined = combined.unionByName(p)
-    fg_parts = {fg: sl["partition"] for fg, sl in rewritten.items()}
-    if fresh.limit(1).count() > 0:
-        assigned, new_parts = _assign_new_groups(fresh, part_field, 1)
-        combined = combined.unionByName(assigned.drop("__hoodie_key"))
-        fg_parts.update(new_parts)
-    combined = combined.repartition("__hoodie_fg")
     instant = _next_instant(table)
+    fg_parts: dict[str, str] = {}
+    base_df = None
+    if fresh.limit(1).count() > 0:
+        base_df, fg_parts = _assign_new_groups(fresh, part_field, 1)
+        base_df = base_df.drop("__hoodie_key")
+
+    if mor:
+        # affected groups: append ONE log file each (avro-data block)
+        log_stats: dict[str, list[dict]] = {}
+        if affected:
+            fg_meta = _log_fg_meta(slices, affected)
+            avro_schema = _avro_schema_for(cur.schema)
+            log_stats = _append_log_files(
+                matched,
+                table,
+                instant,
+                record_key,
+                fg_meta,
+                avro_schema=avro_schema,
+            )
+        return _write_commit(
+            base_df, table, instant, record_key, fg_parts,
+            op="upsert", action=".deltacommit", extra_stats=log_stats,
+        )
+
+    # copy-on-write: survivors keep their meta (real merge-handle
+    # semantics — read_hudi_changes filters on _hoodie_commit_time)
+    survivors = (
+        keyed.filter(F.col("__cur_fg").isin(list(affected)))
+        .join(
+            upd_keys,
+            keyed["_hoodie_record_key"] == upd_keys["__k"],
+            "left_anti",
+        )
+        .select(*data_cols, *_META_COLS, F.col("__cur_fg").alias("__hoodie_fg"))
+        if affected
+        else None
+    )
+    combined = matched
+    if survivors is not None:
+        combined = combined.unionByName(survivors, allowMissingColumns=True)
+    if base_df is not None:
+        combined = combined.unionByName(base_df, allowMissingColumns=True)
+    fg_parts.update({fg: sl["partition"] for fg, sl in rewritten.items()})
+    combined = combined.repartition("__hoodie_fg")
     return _write_commit(
         combined, table, instant, record_key, fg_parts,
         rewritten=rewritten, op="upsert",
@@ -573,18 +979,22 @@ def upsert_hudi(
 def delete_by_key_hudi(
     spark: SparkSession, path: str, keys: DataFrame
 ) -> dict:
-    """Row-level delete by VALUE, Hudi face: file groups owning a
-    doomed key are rewritten WITHOUT those rows (copy-on-write); a
-    group losing every row gets an empty base file so its new slice
-    shadows the old. Untouched groups are never read or written."""
+    """Row-level delete by VALUE. COPY_ON_WRITE: file groups owning a
+    doomed key are rewritten WITHOUT those rows; a group losing every
+    row gets an empty base file so its new slice shadows the old.
+    MERGE_ON_READ: each affected group gets its slice's next log file
+    carrying a DELETE block of the doomed keys — O(deleted keys)
+    bytes, no rewrite. Untouched groups are never read or written."""
     table = os.path.abspath(path)
+    mor = (
+        _load_properties(table).get("hoodie.table.type") == "MERGE_ON_READ"
+    )
     cur, slices, record_key, part_field = _snapshot_with_groups(spark, table)
     key_col = keys.columns[0]
     doomed = keys.select(
         F.col(key_col).cast("string").alias("__k")
     ).dropDuplicates()
-    fg_expr = F.split(F.col("_hoodie_file_name"), "_").getItem(0)
-    keyed = cur.withColumn("__cur_fg", fg_expr)
+    keyed = cur.withColumn("__cur_fg", _fg_expr())
     affected = {
         r["__cur_fg"]
         for r in keyed.join(
@@ -596,15 +1006,39 @@ def delete_by_key_hudi(
     }
     if not affected:
         return {"instant": None, "files_written": 0}
+    instant = _next_instant(table)
+    if mor:
+        doomed_fg = (
+            keyed.join(
+                doomed, keyed["_hoodie_record_key"] == doomed["__k"], "inner"
+            )
+            .select(
+                F.col("_hoodie_record_key").alias("__hoodie_key"),
+                F.col("__cur_fg").alias("__hoodie_fg"),
+            )
+            .dropDuplicates()
+        )
+        log_stats = _append_log_files(
+            doomed_fg,
+            table,
+            instant,
+            record_key,
+            _log_fg_meta(slices, affected),
+            deletes=True,
+        )
+        return _write_commit(
+            None, table, instant, record_key, {},
+            op="delete", action=".deltacommit", extra_stats=log_stats,
+        )
     data_cols = [c for c in cur.columns if c not in _META_COLS]
+    # survivors keep their meta columns (unchanged records)
     survivors = (
         keyed.filter(F.col("__cur_fg").isin(list(affected)))
         .join(doomed, keyed["_hoodie_record_key"] == doomed["__k"], "left_anti")
-        .select(*data_cols, F.col("__cur_fg").alias("__hoodie_fg"))
+        .select(*data_cols, *_META_COLS, F.col("__cur_fg").alias("__hoodie_fg"))
         .repartition("__hoodie_fg")
     )
     rewritten = {fg: slices[fg] for fg in affected if fg in slices}
-    instant = _next_instant(table)
     return _write_commit(
         survivors, table, instant, record_key,
         {fg: sl["partition"] for fg, sl in rewritten.items()},
@@ -624,10 +1058,15 @@ def read_hudi(
     """Snapshot read: the newest FILE SLICE per file group, resolved
     from the completed timeline alone (module docstring) — crashed or
     in-flight writes are invisible, obsolete base files are never
-    opened. `as_of` time-travels to any completed instant; the five
-    meta columns are dropped unless `with_meta`."""
+    opened. MERGE_ON_READ slices merge their log blocks onto the base
+    file (newest record version wins, delete blocks tombstone); log
+    parsing and the merge both run executor-side, and only
+    log-bearing groups shuffle. `as_of` time-travels to any completed
+    instant — the log chain truncates with the timeline, so a
+    mid-chain cut replays exactly the blocks committed by then. The
+    five meta columns are dropped unless `with_meta`."""
     table = os.path.abspath(path)
-    _load_properties(table)  # existence + COW check
+    _load_properties(table)  # existence + table-type check
     slices = _file_slices(table, as_of=as_of)
     if not slices:
         raise FileNotFoundError(
@@ -635,28 +1074,215 @@ def read_hudi(
             + (f" at or before {as_of}" if as_of else "")
             + f": {table}"
         )
-    df = spark.read.parquet(
-        *[os.path.join(table, s["path"]) for s in slices.values()]
-    )
+    df = _merge_slices(spark, table, slices)
     if not with_meta:
         df = df.drop(*_META_COLS)
     return df
 
 
 def count_rows_hudi(path: str, as_of: str | None = None) -> int:
-    """Metadata-only COUNT: the newest slice per group sums its
-    commit stat's numWrites — O(timeline JSON), zero data reads (the
-    Hudi twin of count_rows_iceberg)."""
+    """Metadata-only COUNT: the newest slice per group sums its base
+    stat's numWrites minus its log chain's numDeletes — O(timeline
+    JSON), zero data reads (the Hudi twin of count_rows_iceberg).
+    Sound for tables written by this module (log upserts only touch
+    EXISTING keys — fresh keys land in base files — and delete blocks
+    only name LIVE keys); a foreign log that inserts new keys or
+    re-deletes dead ones would shift the true count."""
     table = os.path.abspath(path)
-    slices: dict[str, int] = {}
-    for instant in hudi_timeline(table):
+    base_counts: dict[str, int] = {}
+    log_deletes: dict[str, int] = {}
+    for instant, action in _timeline_actions(table):
         if as_of is not None and instant > str(as_of):
             break
-        meta = _read_commit(table, instant)
+        meta = _read_commit(table, instant, action)
+        if action == ".replacecommit":
+            for _p, fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    base_counts.pop(fid, None)
+                    log_deletes.pop(fid, None)
         for _part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
-                slices[st["fileId"]] = int(st["numWrites"])
-    return sum(slices.values())
+                if st["path"].endswith(".parquet"):
+                    base_counts[st["fileId"]] = int(st["numWrites"])
+                    log_deletes[st["fileId"]] = 0
+                else:
+                    log_deletes[st["fileId"]] = log_deletes.get(
+                        st["fileId"], 0
+                    ) + int(st.get("numDeletes", 0))
+    return sum(base_counts.values()) - sum(log_deletes.values())
+
+
+def compact_hudi(spark: SparkSession, path: str) -> dict:
+    """MOR compaction: every log-bearing slice merges (base + blocks,
+    newest version wins) into a NEW base file published under a
+    `commit` instant — the real writer's convention — resetting the
+    group's log chain. Unchanged records keep their meta columns;
+    groups without logs are untouched. Time travel to a pre-compaction
+    instant still replays the old base + logs (nothing is deleted)."""
+    table = os.path.abspath(path)
+    props = _load_properties(table)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError(f"compact_hudi: not a MERGE_ON_READ table: {table}")
+    record_key = props["hoodie.table.recordkey.fields"]
+    slices = _file_slices(table)
+    dirty = {fid: sl for fid, sl in slices.items() if sl["logs"]}
+    if not dirty:
+        return {"instant": None, "files_written": 0}
+    rows = _merge_slices(spark, table, dirty).withColumn(
+        "__hoodie_fg", _fg_expr()
+    )
+    instant = _next_instant(table)
+    return _write_commit(
+        rows.repartition("__hoodie_fg"), table, instant, record_key,
+        {fg: sl["partition"] for fg, sl in dirty.items()},
+        rewritten=dirty, op="compact",
+    )
+
+
+def cluster_hudi(
+    spark: SparkSession, path: str, buckets: int = 1
+) -> dict:
+    """Clustering (the replacecommit action): rewrite every current
+    file group into `buckets` fresh groups per partition value and
+    publish a `replacecommit` naming the replaced groups — readers at
+    or after it resolve only the new groups; time travel before it
+    still sees the old ones (nothing is deleted). Records keep their
+    meta columns except `_hoodie_file_name`, which must name the new
+    file (the group-resolution column). Log-bearing groups refuse —
+    compact first (real clustering plans around pending logs; this
+    module keeps the two rewrites orthogonal)."""
+    table = os.path.abspath(path)
+    props = _load_properties(table)
+    record_key = props["hoodie.table.recordkey.fields"]
+    part_field = props.get("hoodie.table.partition.fields")
+    slices = _file_slices(table)
+    if not slices:
+        raise FileNotFoundError(f"Hudi table has no completed commits: {table}")
+    pending = [fid for fid, sl in slices.items() if sl["logs"]]
+    if pending:
+        raise NotImplementedError(
+            f"cluster_hudi: file groups {sorted(pending)} carry log "
+            "files; run compact_hudi first"
+        )
+    cur = _merge_slices(spark, table, slices)
+    keyed = cur.drop("_hoodie_file_name").withColumn(
+        "__hoodie_key", F.col(record_key).cast("string")
+    )
+    assigned, fg_parts = _assign_new_groups(keyed, part_field, buckets)
+    replace: dict[str, list[str]] = {}
+    for fid, sl in slices.items():
+        replace.setdefault(sl["partition"], []).append(fid)
+    instant = _next_instant(table)
+    return _write_commit(
+        assigned.drop("__hoodie_key"), table, instant, record_key, fg_parts,
+        op="cluster", action=".replacecommit", replace_file_ids=replace,
+    )
+
+
+def read_hudi_changes(
+    spark: SparkSession,
+    path: str,
+    begin_instant: str | None = None,
+    end_instant: str | None = None,
+) -> DataFrame:
+    """Incremental read, Hudi incremental-query semantics: the rows
+    upserted by each instant in (begin_instant, end_instant] — begin
+    EXCLUSIVE (None = from the start), end INCLUSIVE (None = latest)
+    — tagged with a `_commit_instant` column. Deletes are absent,
+    like the real incremental relation (and read_delta_changes).
+
+    Cost O(new data), never O(table): only the files each in-range
+    instant WROTE are opened — base files filter to the rows the
+    instant stamped (rewrite survivors keep their original
+    `_hoodie_commit_time`, so they are excluded for free), log files
+    parse executor-side. Compaction commits and replacecommits
+    contribute nothing by construction (they re-house existing
+    records) and are skipped at O(metadata).
+
+    Loud failures, never silent gaps: an unknown begin/end instant or
+    an inverted range raises — an incremental consumer silently
+    skipping a missing instant would emit a hole as if it were
+    empty."""
+    table = os.path.abspath(path)
+    _load_properties(table)
+    actions = _timeline_actions(table)
+    if not actions:
+        raise FileNotFoundError(f"Hudi table has no completed commits: {table}")
+    instants = [i for i, _a in actions]
+    if end_instant is None:
+        end_instant = instants[-1]
+    elif end_instant not in instants:
+        raise ValueError(
+            f"end instant {end_instant!r} is not a completed instant"
+        )
+    if begin_instant is not None and begin_instant not in instants:
+        raise ValueError(
+            f"begin instant {begin_instant!r} is not a completed instant"
+        )
+    if begin_instant is not None and begin_instant > end_instant:
+        raise ValueError(
+            f"inverted instant range ({begin_instant!r}, {end_instant!r}]"
+        )
+    in_range = [
+        (i, a)
+        for i, a in actions
+        if (begin_instant is None or i > begin_instant) and i <= end_instant
+    ]
+    # a sample base file names the table schema (one always exists)
+    any_slices = _file_slices(table, as_of=end_instant)
+    sample = next(iter(any_slices.values()))["path"]
+    schema = spark.read.parquet(os.path.join(table, sample)).schema
+    data_cols = [c for c in schema.fieldNames() if c not in _META_COLS]
+    pieces: list[DataFrame] = []
+    for instant, action in in_range:
+        if action == ".replacecommit":
+            continue  # clustering re-houses records, adds none
+        meta = _read_commit(table, instant, action)
+        if meta.get("operationType") == "COMPACT":
+            continue  # compaction bakes in already-emitted records
+        base_paths, log_paths = [], []
+        for _part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                if st["path"].endswith(".parquet"):
+                    if int(st["numWrites"]):
+                        base_paths.append(os.path.join(table, st["path"]))
+                elif int(st.get("numUpdateWrites", 0)):
+                    log_paths.append(os.path.join(table, st["path"]))
+        if base_paths:
+            pieces.append(
+                spark.read.parquet(*base_paths)
+                .filter(F.col("_hoodie_commit_time") == instant)
+                .select(
+                    F.lit(instant).alias("_commit_instant"), *data_cols
+                )
+            )
+        if log_paths:
+            parsed = _parse_log_frame(spark, log_paths)
+            pieces.append(
+                parsed.filter(
+                    (F.col("__op") == "upsert")
+                    & (F.col("__ord") == instant)
+                )
+                .select(F.from_json("__json", schema).alias("__d"))
+                .select(
+                    F.lit(instant).alias("_commit_instant"),
+                    *[F.col(f"__d.{c}").alias(c) for c in data_cols],
+                )
+            )
+    if not pieces:
+        return (
+            spark.read.parquet(os.path.join(table, sample))
+            .limit(0)
+            .select(
+                F.lit("").alias("_commit_instant"), *data_cols
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ------------------------------------------------------------------ streaming
@@ -671,8 +1297,8 @@ def last_streaming_batch_hudi(path: str, app_id: str) -> int | None:
     table or unseen app."""
     table = os.path.abspath(path)
     key = _STREAM_KEY.format(app_id=app_id)
-    for instant in reversed(hudi_timeline(table)):
-        extra = _read_commit(table, instant).get("extraMetadata") or {}
+    for instant, action in reversed(_timeline_actions(table)):
+        extra = _read_commit(table, instant, action).get("extraMetadata") or {}
         if key in extra:
             return int(extra[key])
     return None

@@ -191,18 +191,19 @@ def test_refusals_are_loud(spark, tmp_path, people):
         write_hudi(people, t, record_key="id")
     with pytest.raises(FileNotFoundError, match="not a Hudi table"):
         read_hudi(spark, str(tmp_path / "nope"))
-    # MERGE_ON_READ refuses by name
+    # an unknown table type refuses by name
     pfile = os.path.join(t, ".hoodie", "hoodie.properties")
-    body = open(pfile).read().replace("COPY_ON_WRITE", "MERGE_ON_READ")
+    body = open(pfile).read().replace("COPY_ON_WRITE", "MERGE_ON_TREE")
     open(pfile, "w").write(body)
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+    with pytest.raises(NotImplementedError, match="MERGE_ON_TREE"):
         read_hudi(spark, t)
-    body = body.replace("MERGE_ON_READ", "COPY_ON_WRITE")
+    body = body.replace("MERGE_ON_TREE", "COPY_ON_WRITE")
     open(pfile, "w").write(body)
-    # replacecommit (clustering) refuses by name
-    open(os.path.join(t, ".hoodie", "99999999999999999.replacecommit"), "w").close()
-    with pytest.raises(NotImplementedError, match="replacecommit"):
-        read_hudi(spark, t)
+    # compaction refuses a COPY_ON_WRITE table
+    from archetype_spark.sources.hudi import compact_hudi
+
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        compact_hudi(spark, t)
 
 
 def test_streaming_sink_exactly_once(spark, tmp_path):

@@ -1,0 +1,383 @@
+"""Hudi MERGE_ON_READ (sources/hudi.py + sources/hudi_log.py): the
+log-block codec framing, snapshot merge (avro-data upserts + delete
+tombstones onto base files, newest record version wins), time travel
+across the log chain, compaction (logs fold into a new base file
+under a commit instant), clustering (replacecommit exclusion +
+pre-replace time travel), the incremental face read_hudi_changes,
+metadata-only counts, and the loud refusals (HFile/parquet/command
+blocks, clustering over pending logs)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archetype_spark.sources import hudi_log
+from archetype_spark.sources.hudi import (
+    cluster_hudi,
+    compact_hudi,
+    count_rows_hudi,
+    delete_by_key_hudi,
+    hudi_timeline,
+    read_hudi,
+    read_hudi_changes,
+    upsert_hudi,
+    write_hudi,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "ann", "a", 10), (2, "bob", "b", 20), (3, "cho", "a", 30),
+         (4, "dee", "b", 40)],
+        "id long, name string, grp string, v long",
+    )
+
+
+def _rows(spark, path, **kw):
+    return sorted(
+        tuple(r)
+        for r in read_hudi(spark, path, **kw)
+        .select("id", "name", "grp", "v")
+        .collect()
+    )
+
+
+def _mor(spark, tmp_path, people) -> str:
+    t = str(tmp_path / "mor")
+    write_hudi(
+        people, t, record_key="id", partition_by="grp",
+        table_type="MERGE_ON_READ",
+    )
+    return t
+
+
+# ------------------------------------------------------------------ log codec
+
+
+def test_log_block_roundtrip():
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "k", "type": ["null", "string"]},
+            {"name": "v", "type": ["null", "long"]},
+        ],
+    }
+    recs = [{"k": "a", "v": 1}, {"k": "b", "v": None}]
+    data = hudi_log.avro_data_block(recs, schema, "001")
+    data += hudi_log.delete_block([("a", "grp=a", 0)], "002")
+    entries = hudi_log.parse_log_entries(data)
+    assert entries[0] == ("001", "upsert", {"k": "a", "v": 1})
+    assert entries[1] == ("001", "upsert", {"k": "b", "v": None})
+    assert entries[2][0:2] == ("002", "delete")
+    assert entries[2][2]["recordKey"] == "a"
+    # framing is strict: a flipped magic byte raises, never resyncs
+    with pytest.raises(ValueError, match="magic"):
+        hudi_log.parse_log_entries(b"#HUDX#" + data[6:])
+
+
+def test_log_block_refusals_are_loud():
+    blk = hudi_log.write_block(
+        hudi_log.HFILE_DATA_BLOCK, {hudi_log.INSTANT_TIME: "001"}, b"x"
+    )
+    with pytest.raises(NotImplementedError, match="HFile"):
+        hudi_log.parse_log_entries(blk)
+    blk = hudi_log.write_block(
+        hudi_log.COMMAND_BLOCK, {hudi_log.INSTANT_TIME: "001"}, b""
+    )
+    with pytest.raises(NotImplementedError, match="rollback"):
+        hudi_log.parse_log_entries(blk)
+    blk = hudi_log.write_block(
+        hudi_log.PARQUET_DATA_BLOCK, {hudi_log.INSTANT_TIME: "001"}, b"x"
+    )
+    with pytest.raises(NotImplementedError, match="parquet"):
+        hudi_log.parse_log_entries(blk)
+
+
+# --------------------------------------------------------------- MOR snapshot
+
+
+def test_mor_upsert_appends_log_not_base(spark, tmp_path, people):
+    t = _mor(spark, tmp_path, people)
+    base_files_before = [
+        n for n in os.listdir(os.path.join(t, "grp=b"))
+        if n.endswith(".parquet")
+    ]
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    # no base rewrite: same parquet set, one new dot-prefixed log file
+    base_files_after = [
+        n for n in os.listdir(os.path.join(t, "grp=b"))
+        if n.endswith(".parquet")
+    ]
+    assert base_files_before == base_files_after
+    logs = [
+        n for n in os.listdir(os.path.join(t, "grp=b")) if ".log." in n
+    ]
+    assert len(logs) == 1 and logs[0].startswith(".")
+    assert _rows(spark, t) == [
+        (1, "ann", "a", 10), (2, "bob2", "b", 21),
+        (3, "cho", "a", 30), (4, "dee", "b", 40),
+    ]
+    # the deltacommit action (not a commit) carries the instant
+    hd = os.path.join(t, ".hoodie")
+    assert any(n.endswith(".deltacommit") for n in os.listdir(hd))
+
+
+def test_mor_delete_block_and_last_wins(spark, tmp_path, people):
+    t = _mor(spark, tmp_path, people)
+    delete_by_key_hudi(
+        spark, t, spark.createDataFrame([(3,)], "id long")
+    )
+    assert _rows(spark, t) == [
+        (1, "ann", "a", 10), (2, "bob", "b", 20), (4, "dee", "b", 40),
+    ]
+    assert count_rows_hudi(t) == 3
+    # delete then re-upsert the SAME key: the newer block wins
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(3, "cho2", "a", 31)], "id long, name string, grp string, v long"
+        ),
+    )
+    assert (3, "cho2", "a", 31) in _rows(spark, t)
+
+
+def test_mor_multiple_updates_same_key_across_instants(spark, tmp_path, people):
+    t = _mor(spark, tmp_path, people)
+    for i, name in enumerate(["bob2", "bob3", "bob4"]):
+        upsert_hudi(
+            spark, t,
+            spark.createDataFrame(
+                [(2, name, "b", 20 + i)],
+                "id long, name string, grp string, v long",
+            ),
+        )
+    assert (2, "bob4", "b", 22) in _rows(spark, t)
+    # three log files rolled on the same slice, versions 1..3
+    logs = sorted(
+        n for n in os.listdir(os.path.join(t, "grp=b")) if ".log." in n
+    )
+    assert [n.split(".log.")[1].split("_")[0] for n in logs] == ["1", "2", "3"]
+
+
+def test_mor_fresh_keys_become_base_files(spark, tmp_path, people):
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(9, "zed", "c", 90), (2, "bob2", "b", 21)],
+            "id long, name string, grp string, v long",
+        ),
+    )
+    assert os.path.isdir(os.path.join(t, "grp=c"))
+    assert (9, "zed", "c", 90) in _rows(spark, t)
+    assert count_rows_hudi(t) == 5
+
+
+def test_mor_time_travel_truncates_log_chain(spark, tmp_path, people):
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    delete_by_key_hudi(spark, t, spark.createDataFrame([(1,)], "id long"))
+    t0, t1, t2 = hudi_timeline(t)
+    assert _rows(spark, t, as_of=t0) == [
+        (1, "ann", "a", 10), (2, "bob", "b", 20),
+        (3, "cho", "a", 30), (4, "dee", "b", 40),
+    ]
+    assert (2, "bob2", "b", 21) in _rows(spark, t, as_of=t1)
+    assert (1, "ann", "a", 10) in _rows(spark, t, as_of=t1)
+    assert (1, "ann", "a", 10) not in _rows(spark, t, as_of=t2)
+    assert count_rows_hudi(t, as_of=t1) == 4
+    assert count_rows_hudi(t, as_of=t2) == 3
+
+
+def test_mor_compaction_folds_logs(spark, tmp_path, people):
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    delete_by_key_hudi(spark, t, spark.createDataFrame([(4,)], "id long"))
+    pre = _rows(spark, t)
+    out = compact_hudi(spark, t)
+    assert out["instant"] is not None
+    # compaction publishes a COMMIT instant (the real convention)
+    hd = os.path.join(t, ".hoodie")
+    assert os.path.isfile(os.path.join(hd, f"{out['instant']}.commit"))
+    assert _rows(spark, t) == pre
+    assert count_rows_hudi(t) == len(pre)
+    # time travel to a pre-compaction instant still replays the logs
+    t1 = hudi_timeline(t)[1]
+    assert (2, "bob2", "b", 21) in _rows(spark, t, as_of=t1)
+    # idempotent: nothing left to compact
+    assert compact_hudi(spark, t)["instant"] is None
+    # unchanged records kept their original commit stamps
+    m = read_hudi(spark, t, with_meta=True)
+    t0 = hudi_timeline(t)[0]
+    r = m.filter(F.col("id") == 1).collect()[0]
+    assert r["_hoodie_commit_time"] == t0
+
+
+def test_mor_upsert_after_compaction(spark, tmp_path, people):
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    compact_hudi(spark, t)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob3", "b", 22)], "id long, name string, grp string, v long"
+        ),
+    )
+    assert (2, "bob3", "b", 22) in _rows(spark, t)
+    # the new log attaches to the COMPACTED slice (version restarts)
+    logs = sorted(
+        n for n in os.listdir(os.path.join(t, "grp=b")) if ".log." in n
+    )
+    assert any(n.split(".log.")[1].startswith("1") for n in logs)
+
+
+# ----------------------------------------------------------------- clustering
+
+
+def test_cluster_replacecommit_and_time_travel(spark, tmp_path, people):
+    t = str(tmp_path / "cow")
+    write_hudi(people, t, record_key="id", partition_by="grp", buckets=2)
+    pre = _rows(spark, t)
+    out = cluster_hudi(spark, t, buckets=1)
+    assert out["instant"] is not None
+    hd = os.path.join(t, ".hoodie")
+    assert os.path.isfile(
+        os.path.join(hd, f"{out['instant']}.replacecommit")
+    )
+    # same rows, new (fewer) file groups; replaced groups excluded
+    assert _rows(spark, t) == pre
+    assert count_rows_hudi(t) == len(pre)
+    # time travel BEFORE the replacecommit still sees the old groups
+    t0 = hudi_timeline(t)[0]
+    assert _rows(spark, t, as_of=t0) == pre
+    assert count_rows_hudi(t, as_of=t0) == len(pre)
+    # upserts still resolve groups after clustering (fresh file name)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    assert (2, "bob2", "b", 21) in _rows(spark, t)
+
+
+def test_cluster_refuses_pending_logs(spark, tmp_path, people):
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    with pytest.raises(NotImplementedError, match="compact"):
+        cluster_hudi(spark, t)
+    compact_hudi(spark, t)
+    assert cluster_hudi(spark, t)["instant"] is not None
+
+
+# ---------------------------------------------------------------- incremental
+
+
+def test_read_hudi_changes_per_instant(spark, tmp_path, people):
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21), (9, "zed", "c", 90)],
+            "id long, name string, grp string, v long",
+        ),
+    )
+    delete_by_key_hudi(spark, t, spark.createDataFrame([(1,)], "id long"))
+    t0, t1, t2 = hudi_timeline(t)
+    full = read_hudi_changes(spark, t)
+    got = sorted(
+        (r["_commit_instant"], r["id"], r["name"]) for r in full.collect()
+    )
+    assert got == sorted(
+        [(t0, 1, "ann"), (t0, 2, "bob"), (t0, 3, "cho"), (t0, 4, "dee"),
+         (t1, 2, "bob2"), (t1, 9, "zed")]
+    )  # the delete instant adds no rows (incremental = upserts only)
+    # begin-exclusive windowing
+    inc = read_hudi_changes(spark, t, begin_instant=t0)
+    assert sorted((r["id"], r["name"]) for r in inc.collect()) == [
+        (2, "bob2"), (9, "zed")
+    ]
+    # replay idempotence: the same window returns the same rows
+    again = read_hudi_changes(spark, t, begin_instant=t0, end_instant=t1)
+    assert sorted(tuple(r) for r in again.collect()) == sorted(
+        tuple(r) for r in inc.collect()
+    )
+    # compaction contributes nothing to a later window
+    compact_hudi(spark, t)
+    t3 = hudi_timeline(t)[-1]
+    assert read_hudi_changes(spark, t, begin_instant=t2).count() == 0
+    assert t3 > t2
+    # loud range errors
+    with pytest.raises(ValueError, match="not a completed instant"):
+        read_hudi_changes(spark, t, begin_instant="123")
+    with pytest.raises(ValueError, match="inverted"):
+        read_hudi_changes(spark, t, begin_instant=t2, end_instant=t0)
+
+
+def test_cow_changes_track_rewrites(spark, tmp_path, people):
+    """CoW survivors keep their original commit stamps, so an
+    incremental window over a rewrite instant emits ONLY the upserted
+    rows — never the carried-over survivors."""
+    t = str(tmp_path / "cow")
+    write_hudi(people, t, record_key="id", partition_by="grp")
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    t0, t1 = hudi_timeline(t)
+    inc = read_hudi_changes(spark, t, begin_instant=t0)
+    assert [(r["id"], r["name"]) for r in inc.collect()] == [(2, "bob2")]
+    # group b's other row (4, dee) survived the rewrite un-emitted
+    m = read_hudi(spark, t, with_meta=True)
+    assert (
+        m.filter(F.col("id") == 4).collect()[0]["_hoodie_commit_time"] == t0
+    )
+
+
+def test_mor_log_schema_refusal_is_loud(spark, tmp_path):
+    import datetime
+
+    t = str(tmp_path / "mor")
+    spark_df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "id long, ts timestamp"
+    )
+    write_hudi(spark_df, t, record_key="id", table_type="MERGE_ON_READ")
+    with pytest.raises(NotImplementedError, match="primitive"):
+        upsert_hudi(
+            spark, t,
+            spark.createDataFrame(
+                [(1, datetime.datetime(2024, 2, 2))], "id long, ts timestamp"
+            ),
+        )
