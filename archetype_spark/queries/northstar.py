@@ -1881,6 +1881,113 @@ def q140_tri_lake_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_hudi_mor_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The Hudi MERGE_ON_READ table q141/q142 read — the fourth lake
+    face: ingest the even doc_ids as base files (two file groups per
+    lang partition, a deltacommit — MOR's convention), DELETE-by-key
+    the evens with n_chars % 5 = 2 (a DELETE log block per affected
+    slice, no base rewrite), bulk-INSERT the odd cohort (new base-file
+    groups), then UPSERT the surviving evens with n_chars % 7 = 3
+    re-langed to 'xx' (an AVRO-DATA log block per affected slice —
+    the update predicate excludes deleted keys, so no block order
+    ambiguity). Affected slices end the history with base + two log
+    files (the delete block and the update block), exercising the
+    multi-block merge chain; nothing is compacted, so every read pays
+    the real log-merge path."""
+    from archetype_spark.sources.hudi import (
+        delete_by_key_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        even = base.filter(F.col("doc_id") % 2 == 0)
+        odd = base.filter(F.col("doc_id") % 2 == 1)
+        write_hudi(
+            even, btable, record_key="doc_id", partition_by="lang",
+            buckets=2, table_type="MERGE_ON_READ",
+        )
+        delete_by_key_hudi(
+            spark, btable,
+            even.filter(F.col("n_chars") % 5 == 2).select("doc_id"),
+        )
+        write_hudi(odd, btable, record_key="doc_id", mode="insert")
+        upsert_hudi(
+            spark,
+            btable,
+            even.filter(
+                (F.col("n_chars") % 5 != 2) & (F.col("n_chars") % 7 == 3)
+            ).withColumn("lang", F.lit("xx")),
+        )
+
+    return _ensure_lake_documents(spark, sf_dir, "hudi_mor_documents", build)
+
+
+def q141_hudi_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE_ON_READ snapshot + time travel ACROSS the log
+    chain: 'latest' merges base files + delete blocks + avro-data
+    update blocks per file slice (newest record version wins,
+    executor-side log parsing, only log-bearing groups shuffle);
+    'mid' cuts the timeline at the delete instant — the delete block
+    applies but the later update block and the odd inserts must not;
+    'v0' predates every log. The oracle re-derives all three cohorts
+    from the source documents view, so block framing, merge order,
+    tombstoning and the chain truncation all sit inside the hash
+    gate. Parity: Hudi MOR snapshot/read-optimized queries
+    (hudi.apache.org Table & Query Types); the reference's connector
+    tier reads whatever the format ships."""
+    from archetype_spark.sources.hudi import hudi_timeline, read_hudi
+
+    table = _ensure_hudi_mor_documents(spark, sf_dir)
+    line = hudi_timeline(table)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .select(F.lit(snap).alias("snap"), "lang", "n_docs", "sum_chars")
+        )
+
+    return (
+        agg(read_hudi(spark, table), "latest")
+        .unionByName(agg(read_hudi(spark, table, as_of=line[1]), "mid"))
+        .unionByName(agg(read_hudi(spark, table, as_of=line[0]), "v0"))
+    )
+
+
+def q142_hudi_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi INCREMENTAL read (read_hudi_changes): the rows upserted
+    by each instant of the MOR fixture's timeline, keyed by commit
+    ordinal — seq 0 the even ingest, seq 2 the odd insert, seq 3 the
+    re-lang update blocks (parsed from the avro log files); seq 1,
+    the delete deltacommit, contributes NO rows (incremental =
+    upserts only, the real incremental-relation semantics). Cost
+    O(new data): only the files each instant wrote are opened, and
+    rewrite survivors are excluded by their preserved
+    _hoodie_commit_time. Replay-idempotent by construction — the
+    driver's repeated runs hash identically."""
+    from archetype_spark.sources.hudi import hudi_timeline, read_hudi_changes
+
+    table = _ensure_hudi_mor_documents(spark, sf_dir)
+    seq = {inst: i for i, inst in enumerate(hudi_timeline(table))}
+    mapping = F.create_map(
+        *[x for inst, i in seq.items() for x in (F.lit(inst), F.lit(i))]
+    )
+    return (
+        read_hudi_changes(spark, table)
+        .withColumn("commit_seq", mapping[F.col("_commit_instant")])
+        .groupBy("commit_seq", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("commit_seq", "lang", "n_docs", "sum_chars")
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -3168,6 +3275,8 @@ QUERIES = {
     "q138_delta_mirror_scan": q138_delta_mirror_scan,
     "q139_hudi_scan": q139_hudi_scan,
     "q140_tri_lake_consistency": q140_tri_lake_consistency,
+    "q141_hudi_mor_scan": q141_hudi_mor_scan,
+    "q142_hudi_changes": q142_hudi_changes,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -4561,6 +4670,55 @@ ORACLES["q140_tri_lake_consistency"] = """
          OR n_chars % 5 <> 2
          OR doc_id % 4 = 0
     ) GROUP BY lang
+"""
+
+# q141: the MOR table's three cohorts from the source view — 'latest'
+# = delete-block survivors with the update blocks' re-lang applied +
+# the odd inserts; 'mid' (timeline cut at the delete instant) = the
+# survivors in their ORIGINAL lang, no odds; 'v0' = the even ingest.
+# A mis-framed block, a merge that lets the base row outrank its
+# update, a tombstone that leaks past its instant, or a chain cut in
+# the wrong place each move a per-lang sum.
+ORACLES["q141_hudi_mor_scan"] = """
+    SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (
+      SELECT CASE WHEN n_chars % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents WHERE doc_id % 2 = 0 AND n_chars % 5 <> 2
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY lang
+    UNION ALL
+    SELECT 'mid' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 AND n_chars % 5 <> 2
+    GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+"""
+
+# q142: the incremental face per commit ordinal — seq 0 the even
+# ingest, seq 2 the odd insert, seq 3 the update blocks' rows ('xx',
+# parsed back out of the avro log files); the delete instant (seq 1)
+# is absent by the incremental-relation contract. A survivor leaking
+# into a rewrite window, a log row emitted under the wrong instant,
+# or a replayed window drifting all break the hash.
+ORACLES["q142_hudi_changes"] = """
+    SELECT 0 AS commit_seq, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    UNION ALL
+    SELECT 2 AS commit_seq, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+    UNION ALL
+    SELECT 3 AS commit_seq, 'xx' AS lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 AND n_chars % 5 <> 2
+                     AND n_chars % 7 = 3
 """
 
 # q138: the reverse-replicated Delta mirror's final state — the q122

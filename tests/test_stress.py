@@ -823,3 +823,87 @@ def test_stress_hudi_cow_chain(spark, stress_docs, tmp_path):
         F.sum("n_chars")
     ).first()[0]
     assert got.agg(F.sum("n_chars")).first()[0] == exp_sum
+
+
+def test_stress_hudi_mor_chain(spark, stress_docs, tmp_path):
+    """Hudi MERGE_ON_READ headroom: the CoW chain's history replayed
+    as LOG BLOCKS over 10x docs — 4 update deltacommits (avro-data
+    blocks, cross-partition re-langs) + a delete deltacommit (delete
+    blocks), then a compaction, then one MORE update block on the
+    compacted slices. The snapshot merge must resolve newest-wins per
+    (group, key) across the whole chain with no duplicates and no
+    resurrections; the metadata-only count and the incremental face
+    must agree; and no base file is ever rewritten outside the
+    compaction."""
+    from archetype_spark.sources.hudi import (
+        compact_hudi,
+        count_rows_hudi,
+        delete_by_key_hudi,
+        read_hudi,
+        read_hudi_changes,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "t")
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    write_hudi(
+        base, t, record_key="doc_id", partition_by="lang", buckets=4,
+        table_type="MERGE_ON_READ",
+    )
+    for i in range(4):
+        upsert_hudi(
+            spark,
+            t,
+            base.filter(F.col("doc_id") % 41 == i).withColumn(
+                "lang", F.lit(f"cdc{i}")
+            ),
+        )
+    delete_by_key_hudi(
+        spark, t, base.filter(F.col("doc_id") % 41 == 4).select("doc_id")
+    )
+    exp_n = base.filter(F.col("doc_id") % 41 != 4).count()
+    got = read_hudi(spark, t)
+    assert got.count() == exp_n
+    assert got.select("doc_id").distinct().count() == exp_n
+    assert count_rows_hudi(t) == exp_n
+    # the chain is logs, not rewrites: one base file per group+lang
+    # from the ingest, everything after it dot-prefixed log files
+    n_parquet = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _d, _s, fs in os.walk(t)
+        if ".hoodie" not in _d and ".stage" not in _d
+    )
+    groups_per_lang = 4
+    langs = base.select("lang").distinct().count()
+    assert n_parquet == groups_per_lang * langs
+    compact_hudi(spark, t)
+    assert read_hudi(spark, t).count() == exp_n
+    upsert_hudi(
+        spark,
+        t,
+        base.filter(F.col("doc_id") % 41 == 5).withColumn(
+            "lang", F.lit("cdc5")
+        ),
+    )
+    got = read_hudi(spark, t)
+    assert got.count() == exp_n
+    assert (
+        got.filter(
+            (F.col("doc_id") % 41 == 5) & (F.col("lang") != "cdc5")
+        ).count()
+        == 0
+    )
+    assert count_rows_hudi(t) == exp_n
+    # incremental: every instant's adds, replayed twice, agree
+    inc = read_hudi_changes(spark, t)
+    assert inc.count() == inc.count()
+    # upserts-only contract: ingest + 5 update batches, no deletes
+    exp_inc = base.count() + sum(
+        base.filter(F.col("doc_id") % 41 == i).count() for i in range(4)
+    ) + base.filter(
+        (F.col("doc_id") % 41 == 5)
+    ).count()
+    assert inc.count() == exp_inc
