@@ -375,32 +375,27 @@ def _mapping_info(meta: dict, for_write: bool = True):
     physical names, while the logical schema is free to rename
     without touching a byte of data.
 
-    Mode 'id' (parquet field-id matching) is READ-only
-    (`for_write=False`): conforming writers stamp BOTH the field id
-    and the physical name into metadata and files, so the scan
-    resolves by the pinned physicalName exactly like mode 'name' —
-    read_delta verifies one data file's footer carries matching
-    PARQUET:field_id stamps and refuses if not (a pure-id layout this
-    resolution cannot serve). WRITES to id-mode tables refuse: this
-    writer does not stamp parquet field ids, and appending id-less
-    files would break conforming id-mode readers."""
+    Mode 'id' (parquet field-id matching): conforming writers stamp
+    BOTH the field id and the physical name into metadata and files,
+    so the scan resolves by the pinned physicalName exactly like mode
+    'name' — read_delta verifies one data file's footer carries
+    matching PARQUET:field_id stamps and refuses if not (a pure-id
+    layout this resolution cannot serve). WRITES stage under physical
+    names with `parquet.field.id` alias metadata, which Spark's
+    parquet writer (fieldId.write.enabled) turns into PARQUET:field_id
+    footer stamps — so appended files satisfy both this reader's
+    verification and a conforming id-matching reader
+    (`_physical_select`)."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mode = ((meta.get("configuration") or {})).get(
         "delta.columnMapping.mode", "none"
     )
     if mode == "none":
         return mode, schema, schema, {f.name: f.name for f in schema.fields}
-    if mode == "id" and for_write:
-        raise NotImplementedError(
-            "writing to a Delta table with column mapping mode 'id' "
-            "is not supported (this writer does not stamp parquet "
-            "field ids; appended files would break id-mode readers)"
-        )
     if mode not in ("name", "id"):
         raise NotImplementedError(
             f"Delta column mapping mode {mode!r} (only 'name' and "
-            "read-side 'id' are supported by the protocol-native "
-            "reader)"
+            "'id' are supported by the protocol-native reader/writer)"
         )
     from pyspark.sql.types import StructField
 
@@ -421,6 +416,27 @@ def _mapping_info(meta: dict, for_write: bool = True):
         l2p[f.name] = pn
         phys.append(StructField(pn, f.dataType, f.nullable))
     return mode, schema, StructType(phys), l2p
+
+
+def _physical_select(logical, l2p: dict, mode: str) -> list:
+    """Logical->physical rename selector for STAGING data files on a
+    column-mapped table. Mode 'id' additionally stamps each alias
+    with `parquet.field.id` metadata — Spark's parquet writer
+    (spark.sql.parquet.fieldId.write.enabled, default on) emits it as
+    the PARQUET:field_id footer stamp conforming id-mode readers (and
+    this module's own `_verify_field_ids` guard) match on."""
+    sel = []
+    for f in logical.fields:
+        if mode == "id":
+            fid = int((f.metadata or {})["delta.columnMapping.id"])
+            sel.append(
+                F.col(f.name).alias(
+                    l2p[f.name], metadata={"parquet.field.id": fid}
+                )
+            )
+        else:
+            sel.append(F.col(f.name).alias(l2p[f.name]))
+    return sel
 
 
 def _verify_field_ids(table: str, active: dict, meta: dict) -> None:
@@ -946,10 +962,8 @@ def write_delta(
         # files and in add-action partitionValues (protocol rule);
         # the caller's frame speaks logical names
         cm_mode, logical, _phys, l2p = _mapping_info(meta)
-        if cm_mode == "name":
-            df = df.select(
-                *[F.col(f.name).alias(l2p[f.name]) for f in logical.fields]
-            )
+        if cm_mode != "none":
+            df = df.select(*_physical_select(logical, l2p, cm_mode))
             part_cols_stage = [l2p.get(c, c) for c in part_cols]
         else:
             part_cols_stage = part_cols
@@ -1059,7 +1073,7 @@ def add_column_delta(path: str, name: str, spark_type: str) -> int:
         "delta.columnMapping.mode", "none"
     )
     md = None
-    if mode == "name":
+    if mode in ("name", "id"):
         # mapped tables: a NEW column gets a fresh field id and a
         # never-reusable physical name (the spec's rule — reusing a
         # dropped column's physical name would resurrect its bytes)
@@ -1862,7 +1876,7 @@ def _mask_rows_commit(
         table, return_protocol=True
     )
     logical, schema, part_cols, rename = _physical_read(meta)
-    _mode, _logical2, _phys2, l2p = _mapping_info(meta)
+    cm_mode, _logical2, _phys2, l2p = _mapping_info(meta)
     rows_key = "rows_deleted" if set_exprs is None else "rows_updated"
     out = {rows_key: 0, "files_updated": 0, "files_removed": 0}
     if set_exprs is not None:
@@ -2006,23 +2020,13 @@ def _mask_rows_commit(
                 col, F.expr(expr).cast(logical[col].dataType)
             )
         staged = _stage_data_files(
-            updated.select(
-                *[
-                    F.col(f.name).alias(l2p[f.name])
-                    for f in logical.fields
-                ]
-            ),
+            updated.select(*_physical_select(logical, l2p, cm_mode)),
             table,
             part_cols,
         )
     elif inserts is not None:
         staged = _stage_data_files(
-            inserts.select(
-                *[
-                    F.col(f.name).alias(l2p[f.name])
-                    for f in logical.fields
-                ]
-            ),
+            inserts.select(*_physical_select(logical, l2p, cm_mode)),
             table,
             part_cols,
         )
@@ -2065,7 +2069,7 @@ def _mask_rows_commit(
             ).withColumn("_change_type", F.lit("insert"))
             changes = ins if changes is None else changes.unionByName(ins)
         changes = changes.select(
-            *[F.col(f.name).alias(l2p[f.name]) for f in logical.fields],
+            *_physical_select(logical, l2p, cm_mode),
             "_change_type",
         )
         for f in _stage_data_files(

@@ -331,15 +331,89 @@ def test_id_mode_mismatched_field_ids_refuse(spark, tmp_path):
         read_delta(spark, t).collect()
 
 
-def test_id_mode_writes_refuse(spark, tmp_path):
-    """Appends/deletes on id-mode tables refuse: this writer does not
-    stamp parquet field ids, and id-less files break id-mode
-    readers."""
-    from archetype_spark.sources import delete_where_delta
+def _assert_field_ids(table, want: dict[str, int], skip: set | None = None):
+    """Every data file THIS writer staged must carry PARQUET:field_id
+    stamps matching the table metadata (what a conforming id-matching
+    reader resolves on)."""
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for root, _dirs, files in os.walk(table):
+        if "_delta_log" in root:
+            continue
+        for f in files:
+            if not f.endswith(".parquet") or f in (skip or set()):
+                continue
+            arrow = pq.ParquetFile(os.path.join(root, f)).schema_arrow
+            for pn, fid in want.items():
+                if arrow.get_field_index(pn) == -1:
+                    continue
+                got = (arrow.field(pn).metadata or {}).get(
+                    b"PARQUET:field_id"
+                )
+                assert got is not None and int(got) == fid, (f, pn, got)
+            checked += 1
+    assert checked > 0
+
+
+def test_id_mode_append_round_trip(spark, tmp_path):
+    """Mode-'id' APPEND (r13): staged files carry PARQUET:field_id
+    stamps from the alias metadata, so both this reader's one-footer
+    verification and a conforming id-matching reader accept them."""
+    t = _write_id_mode_table(tmp_path)
+    more = spark.createDataFrame([(3, "eve")], "id long, name string")
+    write_delta(more, t, mode="append")
+    got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    assert got == [(1, "ann"), (2, "bob"), (3, "eve")]
+    _assert_field_ids(t, {"col-aaa": 1, "col-bbb": 2}, skip={"part-0.parquet"})
+
+
+def test_id_mode_dv_delete_and_update(spark, tmp_path):
+    """Mode-'id' row-level DELETE/UPDATE: the DV mask composes with
+    id mapping, and UPDATE's replacement files are id-stamped."""
+    from archetype_spark.sources import delete_where_delta, update_where_delta
 
     t = _write_id_mode_table(tmp_path)
-    df = read_delta(spark, t)
-    with pytest.raises(NotImplementedError, match="mode 'id'"):
-        write_delta(df, t, mode="append")
-    with pytest.raises(NotImplementedError, match="mode 'id'"):
-        delete_where_delta(spark, t, "id = 1")
+    out = delete_where_delta(spark, t, "id = 1")
+    assert out["rows_deleted"] == 1
+    assert sorted(tuple(r) for r in read_delta(spark, t).collect()) == [
+        (2, "bob")
+    ]
+    out = update_where_delta(spark, t, "id = 2", {"name": "'bobby'"})
+    assert out["rows_updated"] == 1
+    assert sorted(tuple(r) for r in read_delta(spark, t).collect()) == [
+        (2, "bobby")
+    ]
+    _assert_field_ids(t, {"col-aaa": 1, "col-bbb": 2}, skip={"part-0.parquet"})
+
+
+def test_id_mode_add_column_and_evolution_refusals(spark, tmp_path):
+    """add_column on an id-mode table assigns a fresh id + physical
+    name and bumps maxColumnId; appends then stamp the new column
+    too. Rename/drop evolution stays refused (only the 'name'-mode
+    contract covers it)."""
+    t = _write_id_mode_table(tmp_path)
+    add_column_delta(t, "age", "long")
+    meta, _a, _t2 = _snapshot_actions(os.path.abspath(t))
+    sch = json.loads(meta["schemaString"])
+    new_md = sch["fields"][2]["metadata"]
+    assert new_md["delta.columnMapping.id"] == 3
+    assert new_md["delta.columnMapping.physicalName"].startswith("col-")
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+    # old rows read NULL for the new column; new appends carry it
+    more = spark.createDataFrame(
+        [(3, "eve", 30)], "id long, name string, age long"
+    )
+    write_delta(more, t, mode="append")
+    got = sorted(
+        tuple(r) for r in read_delta(spark, t).collect()
+    )
+    assert got == [(1, "ann", None), (2, "bob", None), (3, "eve", 30)]
+    pn = new_md["delta.columnMapping.physicalName"]
+    _assert_field_ids(
+        t, {"col-aaa": 1, "col-bbb": 2, pn: 3}, skip={"part-0.parquet"}
+    )
+    with pytest.raises(ValueError, match="mode 'id'"):
+        rename_column_delta(t, "name", "nm")
+    with pytest.raises(ValueError, match="mode 'id'"):
+        drop_column_delta(t, "name")
