@@ -408,3 +408,107 @@ def test_key_type_coercion_matches_table_types(spark, tmp_path, people):
     keys = spark.createDataFrame([(1,)], "id int")
     delete_by_key_iceberg(spark, t, keys)
     assert _ids(spark, t) == [2, 3, 4]
+
+
+def test_foreign_global_equality_delete_under_registered_spec(
+    spark, tmp_path
+):
+    """The OTHER scoping direction, foreign-built: an equality delete
+    stored under a REGISTERED UNPARTITIONED spec (stamped spec-id,
+    empty fields — the table-global form conforming engines emit)
+    must apply to the key in EVERY partition; and strict sequence
+    scoping must keep it from over-deleting — the same key value
+    re-appended AFTER the delete (higher sequence) survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from archetype_spark.sources import avro_io
+    from archetype_spark.sources.iceberg import (
+        _BLOCK_SIZE,
+        _commit_row_delta_snapshot,
+        _manifest_schema,
+        _meta_dir,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us"), (1, "jp"), (2, "us"), (2, "jp")],
+        "id long, country string",
+    )
+    write_iceberg(df.repartition("country"), t, partition_by=["country"])
+    table = os.path.abspath(t)
+    meta = _load_metadata(table)
+    if int(meta.get("format-version", 1)) == 1:
+        meta["format-version"] = 2
+        meta.setdefault("last-sequence-number", 0)
+    # a foreign engine registers its own unpartitioned spec id
+    specs = list(meta.get("partition-specs") or [])
+    foreign_spec = max((int(s["spec-id"]) for s in specs), default=-1) + 7
+    specs.append({"spec-id": foreign_spec, "fields": []})
+    meta["partition-specs"] = specs
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    name = "delete-global.parquet"
+    dpath = os.path.join(table, "data", name)
+    papq.write_table(pa.table({"id": pa.array([1], pa.int64())}), dpath)
+    entry = {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 2,
+            "file_path": f"data/{name}",
+            "file_format": "PARQUET",
+            "partition": {},  # table-global under the empty spec
+            "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "block_size_in_bytes": _BLOCK_SIZE,
+            "equality_ids": [1],
+        },
+    }
+    man_name = "manifest-global-delete.avro"
+    man_path = os.path.join(_meta_dir(table), man_name)
+    avro_io.write_container(man_path, _manifest_schema([], {}, 2), [entry])
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    _commit_row_delta_snapshot(
+        table,
+        meta,
+        snaps[meta["current-snapshot-id"]],
+        [
+            {
+                "manifest_path": f"metadata/{man_name}",
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": foreign_spec,  # stamped, not 0
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 1,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+            }
+        ],
+        seq,
+        snapshot_id,
+        "delete",
+    )
+    # global: key 1 dies in BOTH partitions
+    got = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert got == [(2, "jp"), (2, "us")]
+    # the delete resolved with NO partition scope
+    meta2 = _load_metadata(table)
+    _d, _pos, eq = _live_entries(table, meta2["snapshots"][-1], meta2)
+    assert eq and eq[0][4] is None
+    # no over-delete: the same key re-appended at a HIGHER sequence
+    # escapes the delete's scope (strict sequence rule)
+    write_iceberg(
+        spark.createDataFrame([(1, "de")], "id long, country string"),
+        t,
+        mode="append",
+    )
+    got = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "de"), (2, "jp"), (2, "us")]
