@@ -348,12 +348,23 @@ _MODULES = (
 #       freshly-green r12 pin (q98, q131-q140, the carried r9 block
 #       q80-q94 odds, q17-q28, q37-q55 evens). 50 pins + 0 unpinned
 #       gated = 50 exactly; 90 deferred; 140 gated total.
+#   r13 second batch: q143 (NEW: the read-optimized MOR query type
+#       contrasted against the real-time snapshot on one table) pins
+#       for its first driver row, deferring q78_mixture_resample
+#       (green r8/r10) — window stays 50 exactly; q144 (NEW: Hudi
+#       clustering — replacecommit exclusion, pre-replace time
+#       travel, post-cluster upsert routing) pins next, deferring
+#       q79_pack_payloads (green r8/r10) the same way. q78/q79
+#       return with the r14 tail. 50 pins + 0 unpinned gated = 50
+#       exactly; 92 deferred; 142 gated total.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
     "q141_hudi_mor_scan",
     "q142_hudi_changes",
+    "q143_hudi_read_optimized",
+    "q144_hudi_clustered_scan",
     "q36_ngram_jaccard",
     "q42_lsh_topk",
     "q112_bm25_topk",
@@ -378,8 +389,6 @@ _PINNED: tuple[str, ...] = (
     "q75_mixture_sample",
     "q76_relative_quality_gate",
     "q77_filtered_ivf_topk",
-    "q78_mixture_resample",
-    "q79_pack_payloads",
     "q82_exact_pack",
     "q107_delta_changes",
     "q108_lake_federation",
@@ -461,6 +470,8 @@ _DEFERRED: frozenset[str] = frozenset(
         "q53_cube",
         "q54_percentiles",
         "q55_unpivot",
+        "q78_mixture_resample",  # re-deferred late r13 (q143 pin swap)
+        "q79_pack_payloads",  # re-deferred late r13 (q144 pin swap)
         "q80_boilerplate_lines",
         "q81_pii_scrub",
         "q83_deterministic_shuffle",

@@ -1988,6 +1988,107 @@ def q142_hudi_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_hudi_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi's SECOND MOR query type, contrasted against the first on
+    one table: 'ro' reads base files only (read-optimized — columnar
+    latency, staleness bounded by the last compaction; the q141
+    fixture never compacts, so every log delete/update is invisible),
+    'rt' is the real-time snapshot through the log merge. The oracle
+    derives both from the source view, so the DIFFERENCE between the
+    cohorts — exactly the un-compacted delete + update blocks — is
+    hash-gated: an RO face that accidentally merged logs, or a
+    snapshot face that dropped them, each collapse the two cohorts.
+    Parity: hudi.apache.org Table & Query Types (read-optimized vs
+    snapshot queries)."""
+    from archetype_spark.sources.hudi import read_hudi
+
+    table = _ensure_hudi_mor_documents(spark, sf_dir)
+
+    def agg(df: DataFrame, face: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .select(F.lit(face).alias("face"), "lang", "n_docs", "sum_chars")
+        )
+
+    return agg(read_hudi(spark, table, read_optimized=True), "ro").unionByName(
+        agg(read_hudi(spark, table), "rt")
+    )
+
+
+def _ensure_hudi_clustered_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The CLUSTERED Hudi table q144 scans: ingest the full corpus
+    copy-on-write (two file groups per lang partition), DELETE-by-key
+    n_chars % 5 = 2 (group rewrites), CLUSTER (cluster_hudi — a
+    replacecommit rewriting every partition's groups down to one,
+    naming the replaced groups), then UPSERT the surviving
+    n_chars % 7 = 3 re-langed to 'xx' AFTER the clustering — the
+    update must resolve the NEW groups (rows re-stamped with fresh
+    file names at cluster time; a reader or group-resolver still
+    holding replaced groups mis-routes it)."""
+    from archetype_spark.sources.hudi import (
+        cluster_hudi,
+        delete_by_key_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        write_hudi(
+            base, btable, record_key="doc_id", partition_by="lang", buckets=2
+        )
+        delete_by_key_hudi(
+            spark, btable,
+            base.filter(F.col("n_chars") % 5 == 2).select("doc_id"),
+        )
+        cluster_hudi(spark, btable, buckets=1)
+        upsert_hudi(
+            spark,
+            btable,
+            base.filter(
+                (F.col("n_chars") % 5 != 2) & (F.col("n_chars") % 7 == 3)
+            ).withColumn("lang", F.lit("xx")),
+        )
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "hudi_clustered_documents", build
+    )
+
+
+def q144_hudi_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CLUSTERING (the replacecommit action) end-to-end:
+    'latest' resolves only the clustered groups (replaced-group
+    exclusion) WITH the post-cluster upsert applied — proving upserts
+    route to the new groups; 'pre' time-travels to the instant BEFORE
+    the replacecommit, where the original (since-replaced) groups
+    must still resolve; 'v0' is the ingest. The oracle recomputes all
+    three cohorts from the source view, so exclusion, pre-replace
+    resolution and post-cluster group routing are all hash-gated."""
+    from archetype_spark.sources.hudi import hudi_timeline, read_hudi
+
+    table = _ensure_hudi_clustered_documents(spark, sf_dir)
+    line = hudi_timeline(table)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .select(F.lit(snap).alias("snap"), "lang", "n_docs", "sum_chars")
+        )
+
+    return (
+        agg(read_hudi(spark, table), "latest")
+        .unionByName(agg(read_hudi(spark, table, as_of=line[1]), "pre"))
+        .unionByName(agg(read_hudi(spark, table, as_of=line[0]), "v0"))
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -2257,6 +2358,14 @@ def q131_iceberg_eq_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q132's Avro ingest cohort collects driver-side (the container is
+#: hand-encoded); this cap bounds that collect at ~10 MB regardless
+#: of the driver's sf. Deterministic (doc_id order) and mirrored in
+#: the oracle, so capping changes nothing until the cohort actually
+#: exceeds it — and stays oracle-exact when it does.
+_AVRO_FIXTURE_MAX_ROWS = 100_000
+
+
 def _ensure_iceberg_mixed(spark: SparkSession, sf_dir: str) -> str:
     """The MIXED-FORMAT Iceberg table q132 scans: one snapshot
     history whose live file set spans all three spec-legal data
@@ -2270,7 +2379,10 @@ def _ensure_iceberg_mixed(spark: SparkSession, sf_dir: str) -> str:
     `documents`, so the oracle aggregates the SOURCE view directly.
     The avro rows collect driver-side: fixture-scale (the documents
     corpus is thousands of rows), and the container is the INGEST
-    input, never a scan path."""
+    input, never a scan path — SIZE-GUARDED at
+    _AVRO_FIXTURE_MAX_ROWS so an sf-scaled driver run can never
+    balloon the collect (the fixture caps deterministically by
+    doc_id order; the oracle applies the same cap)."""
     from archetype_spark.sources import avro_io
     from archetype_spark.sources.iceberg import (
         delete_by_key_iceberg,
@@ -2294,6 +2406,7 @@ def _ensure_iceberg_mixed(spark: SparkSession, sf_dir: str) -> str:
             }
             for r in base.filter(F.col("doc_id") % 3 == 2)
             .orderBy("doc_id")
+            .limit(_AVRO_FIXTURE_MAX_ROWS)
             .collect()
         ]
         ap = os.path.join(os.path.dirname(btable), "ingest.avro")
@@ -3277,6 +3390,8 @@ QUERIES = {
     "q140_tri_lake_consistency": q140_tri_lake_consistency,
     "q141_hudi_mor_scan": q141_hudi_mor_scan,
     "q142_hudi_changes": q142_hudi_changes,
+    "q143_hudi_read_optimized": q143_hudi_read_optimized,
+    "q144_hudi_clustered_scan": q144_hudi_clustered_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -4621,11 +4736,19 @@ ORACLES["q111_iceberg_changes"] = """
 # doc_id%7==3 cohort is equality-deleted across all three), so the
 # oracle aggregates the SOURCE view — independent of the manifest
 # walk, the three scan paths, and any generator-written expectation.
-ORACLES["q132_iceberg_mixed_formats"] = """
+ORACLES["q132_iceberg_mixed_formats"] = f"""
     SELECT lang, count(*)::BIGINT AS n_docs,
-           CAST(sum(length(text)) AS BIGINT) AS sum_chars
-    FROM documents WHERE doc_id % 7 <> 3
-    GROUP BY lang
+           CAST(sum(n) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT lang, length(text) AS n FROM documents
+      WHERE doc_id % 3 IN (0, 1) AND doc_id % 7 <> 3
+      UNION ALL
+      SELECT lang, n FROM (
+        SELECT lang, length(text) AS n, doc_id FROM documents
+        WHERE doc_id % 3 = 2 ORDER BY doc_id
+        LIMIT {_AVRO_FIXTURE_MAX_ROWS}
+      ) WHERE doc_id % 7 <> 3
+    ) GROUP BY lang
 """
 
 # q139: the Hudi table's two cohorts from the source view — same
@@ -4698,6 +4821,52 @@ ORACLES["q141_hudi_mor_scan"] = """
     SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+"""
+
+# q143: read-optimized vs real-time on the uncompacted MOR fixture —
+# 'ro' sees only base files (all evens + all odds, original lang: the
+# log delete/update blocks are invisible), 'rt' is the merged q141
+# 'latest' algebra. The cohorts MUST differ by exactly the log
+# deltas; either face borrowing the other's path collapses them.
+ORACLES["q143_hudi_read_optimized"] = """
+    SELECT 'ro' AS face, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'rt' AS face, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (
+      SELECT CASE WHEN n_chars % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents WHERE doc_id % 2 = 0 AND n_chars % 5 <> 2
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY lang
+"""
+
+# q144: the clustered table's three cohorts — 'latest' = delete
+# survivors with the POST-cluster re-lang applied (resolved from the
+# replacement groups only), 'pre' = survivors in original lang read
+# at the instant before the replacecommit (the replaced groups must
+# still resolve), 'v0' = the ingest. Replaced-group leakage,
+# pre-replace exclusion, or a mis-routed post-cluster upsert each
+# move a per-lang sum.
+ORACLES["q144_hudi_clustered_scan"] = """
+    SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (
+      SELECT CASE WHEN n_chars % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents WHERE n_chars % 5 <> 2
+    ) GROUP BY lang
+    UNION ALL
+    SELECT 'pre' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE n_chars % 5 <> 2 GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents GROUP BY lang
 """
 
 # q142: the incremental face per commit ordinal — seq 0 the even

@@ -1054,6 +1054,7 @@ def read_hudi(
     path: str,
     as_of: str | None = None,
     with_meta: bool = False,
+    read_optimized: bool = False,
 ) -> DataFrame:
     """Snapshot read: the newest FILE SLICE per file group, resolved
     from the completed timeline alone (module docstring) — crashed or
@@ -1063,7 +1064,11 @@ def read_hudi(
     parsing and the merge both run executor-side, and only
     log-bearing groups shuffle. `as_of` time-travels to any completed
     instant — the log chain truncates with the timeline, so a
-    mid-chain cut replays exactly the blocks committed by then. The
+    mid-chain cut replays exactly the blocks committed by then.
+    `read_optimized` is Hudi's second MOR query type: base files
+    ONLY, skipping the log merge entirely — columnar-scan latency at
+    the cost of staleness bounded by the last compaction (on a CoW
+    table, or a fully-compacted MOR one, it equals the snapshot). The
     five meta columns are dropped unless `with_meta`."""
     table = os.path.abspath(path)
     _load_properties(table)  # existence + table-type check
@@ -1074,7 +1079,12 @@ def read_hudi(
             + (f" at or before {as_of}" if as_of else "")
             + f": {table}"
         )
-    df = _merge_slices(spark, table, slices)
+    if read_optimized:
+        df = spark.read.parquet(
+            *[os.path.join(table, s["path"]) for s in slices.values()]
+        )
+    else:
+        df = _merge_slices(spark, table, slices)
     if not with_meta:
         df = df.drop(*_META_COLS)
     return df

@@ -381,3 +381,23 @@ def test_mor_log_schema_refusal_is_loud(spark, tmp_path):
                 [(1, datetime.datetime(2024, 2, 2))], "id long, ts timestamp"
             ),
         )
+
+
+def test_read_optimized_skips_log_merge(spark, tmp_path, people):
+    """Hudi's second MOR query type: base files only — log updates
+    and deletes are invisible until compaction folds them in, after
+    which read-optimized equals the snapshot."""
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    delete_by_key_hudi(spark, t, spark.createDataFrame([(1,)], "id long"))
+    assert _rows(spark, t, read_optimized=True) == [
+        (1, "ann", "a", 10), (2, "bob", "b", 20),
+        (3, "cho", "a", 30), (4, "dee", "b", 40),
+    ]  # the pre-log base state
+    compact_hudi(spark, t)
+    assert _rows(spark, t, read_optimized=True) == _rows(spark, t)
