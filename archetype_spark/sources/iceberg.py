@@ -1379,33 +1379,56 @@ def write_iceberg(
     _publish_metadata(table, meta)
 
 
-def ingest_avro_files(path: str, avro_paths: Sequence[str]) -> int:
+def ingest_avro_files(
+    path: str,
+    avro_paths: Sequence[str],
+    partition_values: Sequence[dict] | None = None,
+) -> int:
     """Register pre-encoded Avro container files as one APPEND
-    snapshot of an existing UNPARTITIONED table — the interop shape
-    for pipelines whose upstream (Flink CDC, log shippers) emits
-    Avro: the files move under the table untouched and the manifest
-    records file_format=AVRO, which read_iceberg scans executor-side
-    (see _scan_avro_files; positional deletes fully apply via
-    synthesized row ordinals). Each file is decoded ONCE here for its
+    snapshot of an existing table — the interop shape for pipelines
+    whose upstream (Flink CDC, log shippers) emits Avro: the files
+    move under the table untouched and the manifest records
+    file_format=AVRO, which read_iceberg scans executor-side (see
+    _scan_avro_files; positional deletes fully apply via synthesized
+    row ordinals). Each file is decoded ONCE here for its
     authoritative record_count (manifests require it; a placeholder
     would corrupt metadata-only COUNT) — registration cost O(ingested
-    bytes) on the driver, never the table. Returns the snapshot id."""
+    bytes) on the driver, never the table. Returns the snapshot id.
+
+    Partitioned tables (identity transforms only): each file must lie
+    entirely in ONE partition — its values are VERIFIED against the
+    file's own rows (never inferred), or taken from
+    `partition_values[i]` (one dict per file) when the rows omit the
+    hive-encoded source column. A file spanning two partitions, a
+    value disagreeing with the rows, or a transform-derived spec
+    (bucket/day/...) refuses loudly — a wrong manifest partition
+    record would silently mis-prune forever."""
     import shutil as _shutil
 
     table = os.path.abspath(path)
     if _current_metadata_version(table) is None:
         raise ValueError(f"no Iceberg table at {table}")
     meta = _load_metadata(table)
-    if _spec_fields(meta):
+    spec_fields = _spec_fields(meta)
+    non_identity = [f["name"] for f in spec_fields if f["kind"] != "identity"]
+    if non_identity:
         raise NotImplementedError(
-            "ingest_avro_files supports unpartitioned tables only "
-            "(partition values for foreign files cannot be inferred "
-            "safely)"
+            f"ingest_avro_files: transform-derived partition field(s) "
+            f"{non_identity} — derived values for foreign files cannot "
+            "be computed here; write through write_iceberg instead"
+        )
+    if partition_values is not None and len(partition_values) != len(
+        avro_paths
+    ):
+        raise ValueError(
+            f"partition_values ({len(partition_values)}) must align "
+            f"with avro_paths ({len(avro_paths)})"
         )
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
     want = set(schema.fieldNames())
+    part_cols = [f["name"] for f in spec_fields]
     staged = []
-    for p in avro_paths:
+    for i, p in enumerate(avro_paths):
         _ws, rows = avro_io.read_container(p)
         for r in rows[:1]:
             extra = set(r) - want
@@ -1414,14 +1437,52 @@ def ingest_avro_files(path: str, avro_paths: Sequence[str]) -> int:
                     f"avro file {p!r} carries field(s) {sorted(extra)} "
                     f"absent from the table schema {sorted(want)}"
                 )
+        claimed = dict(partition_values[i]) if partition_values else {}
+        pv = {}
+        for f in spec_fields:
+            src = f["source"]
+            in_rows = bool(rows) and src in rows[0]
+            if in_rows:
+                vals = {r.get(src) for r in rows}
+                if len(vals) != 1:
+                    raise ValueError(
+                        f"avro file {p!r} spans {len(vals)} values of "
+                        f"partition column {src!r}; one file = one "
+                        "partition — split upstream"
+                    )
+                v = next(iter(vals))
+                if src in claimed and claimed[src] != v:
+                    raise ValueError(
+                        f"avro file {p!r}: claimed partition "
+                        f"{src}={claimed[src]!r} disagrees with the "
+                        f"rows ({v!r})"
+                    )
+            elif src in claimed:
+                v = claimed[src]
+            else:
+                raise ValueError(
+                    f"avro file {p!r} omits partition column {src!r}; "
+                    "pass partition_values for it"
+                )
+            if v is None:
+                raise NotImplementedError(
+                    f"avro file {p!r}: null partition value for "
+                    f"{src!r} is not supported"
+                )
+            pv[f["name"]] = v
         name = f"ingest-{uuid.uuid4().hex}.avro"
-        dst = os.path.join(table, "data", name)
+        hive = [
+            f"{c}={str(pv[c]).lower() if isinstance(pv[c], bool) else pv[c]}"
+            for c in part_cols
+        ]
+        rel = "/".join(hive + [name]) if hive else name
+        dst = os.path.join(table, "data", rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         _shutil.copyfile(p, dst)
         staged.append(
             {
-                "rel_path": name,
-                "partition_values": {},
+                "rel_path": rel,
+                "partition_values": pv,
                 "size": os.path.getsize(dst),
                 "num_rows": len(rows),
             }
@@ -1439,7 +1500,7 @@ def ingest_avro_files(path: str, avro_paths: Sequence[str]) -> int:
         dfile = {
             "file_path": f"data/{f['rel_path']}",
             "file_format": "AVRO",
-            "partition": {},
+            "partition": f["partition_values"],
             "record_count": f["num_rows"],
             "file_size_in_bytes": f["size"],
             "block_size_in_bytes": _BLOCK_SIZE,
@@ -1452,12 +1513,14 @@ def ingest_avro_files(path: str, avro_paths: Sequence[str]) -> int:
         e["data_file"] = dfile
         entries.append(e)
     avro_io.write_container(
-        manifest_path, _manifest_schema([], {}, fmt), entries
+        manifest_path,
+        _manifest_schema(part_cols, _part_types(spec_fields), fmt),
+        entries,
     )
     manifest_entry = {
         "manifest_path": f"metadata/{manifest_name}",
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": int(meta.get("default-spec-id", 0)),
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(entries),
         "existing_data_files_count": 0,

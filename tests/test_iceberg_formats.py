@@ -181,6 +181,9 @@ def test_changes_over_mixed_formats(spark, tmp_path):
 
 
 def test_ingest_refuses_partitioned_and_unknown_fields(spark, tmp_path):
+    # partitioned ingest without row values OR a claim refuses (the
+    # r13 partitioned face needs one or the other; full coverage in
+    # test_ingest_avro_partitioned_*)
     t = str(tmp_path / "tbl")
     write_iceberg(
         spark.createDataFrame([(1, "x")], "id long, p string"),
@@ -197,7 +200,7 @@ def test_ingest_refuses_partitioned_and_unknown_fields(spark, tmp_path):
         },
         [{"id": 9}],
     )
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
+    with pytest.raises(ValueError, match="pass partition_values"):
         ingest_avro_files(t, [ap])
     t2 = str(tmp_path / "tbl2")
     write_iceberg(spark.createDataFrame([(1,)], "id long"), t2)
@@ -238,3 +241,169 @@ def test_avro_decimal_refuses(spark):
     )
     with pytest.raises(NotImplementedError, match="decimal"):
         _scan_avro_files(spark, schema, [], [("/nope.avro", {})], False)
+
+
+def test_q132_avro_fixture_collect_is_size_guarded(
+    spark, tmp_path, monkeypatch
+):
+    """The q132 fixture's Avro cohort collects driver-side; the cap
+    (_AVRO_FIXTURE_MAX_ROWS, mirrored in the oracle) must bound that
+    collect at ANY sf. Build the fixture with the cap forced tiny and
+    pin that exactly the cap's worth of avro rows (smallest doc_ids)
+    entered the table."""
+    import shutil
+
+    from archetype_spark.queries import northstar
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    monkeypatch.setenv(
+        "SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx")
+    )
+    monkeypatch.setattr(northstar, "_AVRO_FIXTURE_MAX_ROWS", 7)
+    table = northstar._ensure_iceberg_mixed(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    avro_ids = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 3 == 2).collect()
+    )[:7]
+    expect = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            ((F.col("doc_id") % 3).isin(0, 1))
+            | F.col("doc_id").isin(avro_ids)
+        )
+        .filter(F.col("doc_id") % 7 != 3)
+        .collect()
+    )
+    got = sorted(
+        r["doc_id"] for r in read_iceberg(spark, table).collect()
+    )
+    assert got == expect
+    # and the cohort beyond the cap is really absent
+    beyond = [
+        i
+        for i in (
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % 3 == 2).collect()
+        )
+        if i not in avro_ids and i % 7 != 3
+    ]
+    assert beyond and not set(beyond) & set(got)
+
+
+def test_ingest_avro_partitioned_identity(spark, tmp_path):
+    """Partitioned AVRO ingest (r13 — closes the unpartitioned-only
+    asymmetry): per-file partition values are VERIFIED against the
+    file's own rows, or supplied explicitly when the rows omit the
+    hive-encoded source column; the manifest records a typed
+    partition struct under the default spec, so identity
+    reconstruction and partition pruning both work on the ingested
+    files."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us", 10), (2, "us", 20), (3, "jp", 30)],
+        "id long, country string, v long",
+    )
+    write_iceberg(df.repartition("country"), t, partition_by=["country"])
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "country", "type": ["null", "string"]},
+            {"name": "v", "type": ["null", "long"]},
+        ],
+    }
+    # file 1: rows CARRY the partition column (verified, not claimed)
+    a1 = str(tmp_path / "a1.avro")
+    avro_io.write_container(a1, schema, [{"id": 4, "country": "us", "v": 40}])
+    # file 2: rows OMIT the column (hive-encoded upstream) -> claimed
+    schema2 = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "long"]},
+        ],
+    }
+    a2 = str(tmp_path / "a2.avro")
+    avro_io.write_container(a2, schema2, [{"id": 5, "v": 50}])
+    ingest_avro_files(
+        t, [a1, a2], partition_values=[{}, {"country": "jp"}]
+    )
+    got = sorted(
+        (r["id"], r["country"], r["v"])
+        for r in read_iceberg(spark, t).collect()
+    )
+    assert got == [
+        (1, "us", 10), (2, "us", 20), (3, "jp", 30),
+        (4, "us", 40), (5, "jp", 50),
+    ]
+    assert count_rows_iceberg(t) == 5
+    # pruning: a country filter must keep the ingested file in scope
+    us = read_iceberg(spark, t).filter(F.col("country") == "us")
+    assert sorted(r["id"] for r in us.collect()) == [1, 2, 4]
+
+
+def test_ingest_avro_partitioned_refusals(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us", 10)], "id long, country string, v long"
+    )
+    write_iceberg(df, t, partition_by=["country"])
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "country", "type": ["null", "string"]},
+            {"name": "v", "type": ["null", "long"]},
+        ],
+    }
+    # a file spanning two partitions refuses
+    span = str(tmp_path / "span.avro")
+    avro_io.write_container(
+        span,
+        schema,
+        [
+            {"id": 2, "country": "us", "v": 1},
+            {"id": 3, "country": "jp", "v": 2},
+        ],
+    )
+    with pytest.raises(ValueError, match="one file = one partition"):
+        ingest_avro_files(t, [span])
+    # a claimed value disagreeing with the rows refuses
+    one = str(tmp_path / "one.avro")
+    avro_io.write_container(
+        one, schema, [{"id": 2, "country": "us", "v": 1}]
+    )
+    with pytest.raises(ValueError, match="disagrees with the rows"):
+        ingest_avro_files(t, [one], partition_values=[{"country": "jp"}])
+    # rows omitting the column with no claim refuse
+    bare_schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "long"]},
+        ],
+    }
+    bare = str(tmp_path / "bare.avro")
+    avro_io.write_container(bare, bare_schema, [{"id": 2, "v": 1}])
+    with pytest.raises(ValueError, match="pass partition_values"):
+        ingest_avro_files(t, [bare])
+    # transform-derived specs refuse by name
+    t2 = str(tmp_path / "t2")
+    write_iceberg(
+        spark.createDataFrame([(1, 10)], "id long, v long"),
+        t2,
+        partition_by=["id"],
+        partition_transforms={"id": "bucket[4]"},
+    )
+    with pytest.raises(NotImplementedError, match="transform-derived"):
+        ingest_avro_files(t2, [one])
