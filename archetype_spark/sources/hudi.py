@@ -680,51 +680,57 @@ def _merge_slices(
     """Resolve a snapshot (meta columns included) from file slices:
     base parquet for every group, with each log-bearing group's
     blocks merged on top — newest record version per (group, key)
-    wins, delete blocks tombstone. Scale shape: groups WITHOUT logs
-    stream straight from parquet (no shuffle); only log-bearing
-    groups' rows shuffle on (group, record key) — the inherent MOR
-    snapshot merge cost, paid exactly where a delta exists."""
-    base = spark.read.parquet(
-        *[os.path.join(table, s["path"]) for s in slices.values()]
-    )
+    wins, delete blocks tombstone. Scale shape: the clean/dirty split
+    is FILE-level (the slice map names each group's base file), so
+    groups without logs stream straight from their own parquet scan —
+    no second scan, no runtime group filter — and only log-bearing
+    groups' rows shuffle on (group, record key), the inherent MOR
+    merge cost, paid exactly where a delta exists. Each log file
+    parses ONCE: upserts and tombstones leave the single Arrow stage
+    as one frame (a two-branch formulation would re-run the parse per
+    branch)."""
     dirty = {fid: s for fid, s in slices.items() if s["logs"]}
+    clean_paths = [
+        os.path.join(table, s["path"])
+        for fid, s in slices.items()
+        if fid not in dirty
+    ]
+    dirty_paths = [
+        os.path.join(table, s["path"]) for s in dirty.values()
+    ]
     if not dirty:
-        return base
-    cols = list(base.columns)
-    tagged = base.withColumn("__fg", _fg_expr())
-    dirty_ids = list(dirty)
-    clean_df = tagged.filter(~F.col("__fg").isin(dirty_ids)).drop("__fg")
+        return spark.read.parquet(*clean_paths)
+    base_dirty = spark.read.parquet(*dirty_paths)
+    cols = list(base_dirty.columns)
     log_paths = [
         os.path.join(table, p) for s in dirty.values() for _i, p in s["logs"]
     ]
     parsed = _parse_log_frame(spark, log_paths)
-    upserts = (
-        parsed.filter(F.col("__op") == "upsert")
-        .select(
-            "__fg",
-            "__ord",
-            "__seq",
-            "__op",
-            F.from_json("__json", base.schema).alias("__d"),
-        )
-        .select("__fg", "__ord", "__seq", "__op", "__d.*")
-    )
-    tombstones = parsed.filter(F.col("__op") == "delete").select(
+    struct = F.from_json("__json", base_dirty.schema).alias("__d")
+    log_rows = parsed.select(
+        "__fg", "__ord", "__seq", "__op", "__key", struct
+    ).select(
         "__fg",
         "__ord",
         "__seq",
         "__op",
-        F.col("__key").alias("_hoodie_record_key"),
+        F.coalesce(F.col("__d._hoodie_record_key"), F.col("__key")).alias(
+            "_hoodie_record_key"
+        ),
+        *[
+            F.col(f"__d.{c}").alias(c)
+            for c in cols
+            if c != "_hoodie_record_key"
+        ],
     )
     dirty_df = (
-        tagged.filter(F.col("__fg").isin(dirty_ids))
+        base_dirty.withColumn("__fg", _fg_expr())
         .withColumn("__ord", F.col("_hoodie_commit_time"))
         .withColumn("__seq", F.lit(-1).cast("long"))
         .withColumn("__op", F.lit("base"))
     )
     merged = (
-        dirty_df.unionByName(upserts, allowMissingColumns=True)
-        .unionByName(tombstones, allowMissingColumns=True)
+        dirty_df.unionByName(log_rows)
         .withColumn(
             "__rn",
             F.row_number().over(
@@ -736,7 +742,9 @@ def _merge_slices(
         .filter((F.col("__rn") == 1) & (F.col("__op") != "delete"))
         .select(*cols)
     )
-    return clean_df.unionByName(merged)
+    if not clean_paths:
+        return merged
+    return spark.read.parquet(*clean_paths).unionByName(merged)
 
 
 def write_hudi(
@@ -1055,6 +1063,7 @@ def read_hudi(
     as_of: str | None = None,
     with_meta: bool = False,
     read_optimized: bool = False,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: the newest FILE SLICE per file group, resolved
     from the completed timeline alone (module docstring) — crashed or
@@ -1068,10 +1077,13 @@ def read_hudi(
     `read_optimized` is Hudi's second MOR query type: base files
     ONLY, skipping the log merge entirely — columnar-scan latency at
     the cost of staleness bounded by the last compaction (on a CoW
-    table, or a fully-compacted MOR one, it equals the snapshot). The
-    five meta columns are dropped unless `with_meta`."""
+    table, or a fully-compacted MOR one, it equals the snapshot).
+    `partition_filter` ({field: value}) prunes file GROUPS at
+    O(timeline metadata) — non-matching groups' base and log files
+    are never opened (the iceberg scan_filter twin); an unknown field
+    refuses. The five meta columns are dropped unless `with_meta`."""
     table = os.path.abspath(path)
-    _load_properties(table)  # existence + table-type check
+    props = _load_properties(table)  # existence + table-type check
     slices = _file_slices(table, as_of=as_of)
     if not slices:
         raise FileNotFoundError(
@@ -1079,6 +1091,23 @@ def read_hudi(
             + (f" at or before {as_of}" if as_of else "")
             + f": {table}"
         )
+    if partition_filter:
+        part_field = props.get("hoodie.table.partition.fields")
+        unknown = set(partition_filter) - ({part_field} if part_field else set())
+        if unknown:
+            raise ValueError(
+                f"partition_filter names field(s) {sorted(unknown)}; "
+                f"the table partitions by {part_field!r}"
+            )
+        want = {f"{k}={v}" for k, v in partition_filter.items()}
+        slices = {
+            fid: s for fid, s in slices.items() if s["partition"] in want
+        }
+        if not slices:
+            raise FileNotFoundError(
+                f"no file groups match partition_filter "
+                f"{partition_filter} in {table}"
+            )
     if read_optimized:
         df = spark.read.parquet(
             *[os.path.join(table, s["path"]) for s in slices.values()]
