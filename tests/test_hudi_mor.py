@@ -401,3 +401,35 @@ def test_read_optimized_skips_log_merge(spark, tmp_path, people):
     ]  # the pre-log base state
     compact_hudi(spark, t)
     assert _rows(spark, t, read_optimized=True) == _rows(spark, t)
+
+
+def test_partition_filter_prunes_groups(spark, tmp_path, people):
+    """partition_filter prunes file GROUPS at O(timeline metadata):
+    non-matching groups' base and log files never open (pinned by
+    breaking the other partition's file on disk), and unknown fields
+    refuse."""
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    # corrupt partition a's base file: a pruned read must never see it
+    a_dir = os.path.join(t, "grp=a")
+    victim = next(
+        n for n in os.listdir(a_dir) if n.endswith(".parquet")
+    )
+    with open(os.path.join(a_dir, victim), "wb") as fh:
+        fh.write(b"not parquet")
+    got = sorted(
+        tuple(r)
+        for r in read_hudi(spark, t, partition_filter={"grp": "b"})
+        .select("id", "name", "grp", "v")
+        .collect()
+    )
+    assert got == [(2, "bob2", "b", 21), (4, "dee", "b", 40)]
+    with pytest.raises(ValueError, match="partition_filter"):
+        read_hudi(spark, t, partition_filter={"nope": "x"})
+    with pytest.raises(FileNotFoundError, match="no file groups match"):
+        read_hudi(spark, t, partition_filter={"grp": "zz"})

@@ -474,3 +474,120 @@ def test_iceberg_lifecycle_model_fuzz(spark, tmp_path):
             # current-schema read: pad the recorded model to width
             want = sorted(_pad(history[hv], evolved))
             assert hgot == want, f"time travel snap {hv} after {op}"
+
+
+def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
+    """The Hudi MERGE_ON_READ mirror of the lake lifecycle fuzzes: a
+    seeded random sequence of upsert (log blocks) / fresh-key insert /
+    delete-by-key (delete blocks) / compaction / clustering runs
+    against BOTH the real table and a dict model; after every op the
+    merged snapshot must equal the model, a random recorded instant
+    must time-travel to its model state, and the metadata-only count
+    must agree. Catches chain-interaction bugs (delete then re-upsert
+    then compact then cluster then time travel) no single-op test
+    sees."""
+    import random
+
+    from archetype_spark.sources.hudi import (
+        cluster_hudi,
+        compact_hudi,
+        count_rows_hudi,
+        delete_by_key_hudi,
+        hudi_timeline,
+        read_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    rng = random.Random(20260816)
+    t = str(tmp_path / "t")
+    schema = "id long, grp string, val long"
+
+    def mk_rows(n, id_start):
+        return [
+            (id_start + i, rng.choice(["a", "b"]), rng.randrange(1000))
+            for i in range(n)
+        ]
+
+    next_id = 0
+    rows = mk_rows(5, next_id)
+    next_id += 5
+    write_hudi(
+        spark.createDataFrame(rows, schema), t, record_key="id",
+        partition_by="grp", buckets=2, table_type="MERGE_ON_READ",
+    )
+    model = {r[0]: r for r in rows}
+    history = {hudi_timeline(t)[-1]: dict(model)}
+
+    def check(step, op):
+        got = sorted(
+            tuple(r)
+            for r in read_hudi(spark, t).select("id", "grp", "val").collect()
+        )
+        want = sorted(model.values())
+        assert got == want, f"step {step} op {op}: {got} != {want}"
+        assert count_rows_hudi(t) == len(model), f"step {step} op {op} count"
+        instant = hudi_timeline(t)[-1]
+        history[instant] = dict(model)
+        if history and rng.random() < 0.5:
+            hv = rng.choice(sorted(history))
+            hgot = sorted(
+                tuple(r)
+                for r in read_hudi(spark, t, as_of=hv)
+                .select("id", "grp", "val")
+                .collect()
+            )
+            assert hgot == sorted(history[hv].values()), (
+                f"time travel {hv} after step {step} op {op}"
+            )
+
+    for step in range(12):
+        op = rng.choice(
+            ["upsert", "upsert", "insert", "delete", "delete",
+             "compact", "cluster"]
+        )
+        if op == "upsert":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(2, len(model)))
+            urows = [(k, model[k][1], rng.randrange(1000)) for k in keys]
+            upsert_hudi(
+                spark, t, spark.createDataFrame(urows, schema)
+            )
+            for r in urows:
+                model[r[0]] = r
+        elif op == "insert":
+            rows = mk_rows(rng.randrange(1, 3), next_id)
+            next_id += len(rows)
+            write_hudi(
+                spark.createDataFrame(rows, schema), t,
+                record_key="id", mode="insert",
+            )
+            for r in rows:
+                model[r[0]] = r
+        elif op == "delete":
+            if not model:
+                continue
+            key = rng.choice(sorted(model))
+            delete_by_key_hudi(
+                spark, t, spark.createDataFrame([(key,)], "id long")
+            )
+            del model[key]
+        elif op == "compact":
+            out = compact_hudi(spark, t)
+            if out["instant"] is None:
+                continue  # nothing to fold; no new instant
+            # read-optimized == snapshot right after compaction
+            ro = sorted(
+                tuple(r)
+                for r in read_hudi(spark, t, read_optimized=True)
+                .select("id", "grp", "val")
+                .collect()
+            )
+            assert ro == sorted(model.values()), f"step {step} RO"
+        elif op == "cluster":
+            try:
+                cluster_hudi(spark, t, buckets=1)
+            except NotImplementedError:
+                continue  # pending logs: the declared refusal
+        check(step, op)
