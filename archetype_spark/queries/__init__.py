@@ -357,6 +357,16 @@ _MODULES = (
 #       q79_pack_payloads (green r8/r10) the same way. q78/q79
 #       return with the r14 tail. 50 pins + 0 unpinned gated = 50
 #       exactly; 92 deferred; 142 gated total.
+#   r14 sketch: the longest-deferred cohort after r13 is
+#       q95-q106 + q117/q118 (no driver row since r11 — q95/q99/
+#       q104/q105/q106 and both bounded-RRF/IVF_PQ retrieval faces),
+#       followed by q01-q16, q29-q35, q38, q50 (green r11) and the
+#       conditional-oracle q96/q101 index paths. PIN from the front
+#       of that order; defer the freshly-green r13 pins (q141-q144
+#       after their first rows, the q57-q79/q82 tail, the lake tier
+#       q119-q130) in exchange, keeping the window at exactly 50.
+#       Pin q141-q144 a second round ONLY if their fixtures change
+#       (the _ensure_lake_documents schema key bumps).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
