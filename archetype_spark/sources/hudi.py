@@ -847,6 +847,7 @@ def upsert_hudi(
     path: str,
     updates: DataFrame,
     precombine: str | None = None,
+    extra_metadata: dict[str, str] | None = None,
 ) -> dict:
     """CDC upsert. COPY_ON_WRITE: file groups owning an updated key
     are rewritten at the new instant (surviving rows + update rows,
@@ -956,6 +957,7 @@ def upsert_hudi(
         return _write_commit(
             base_df, table, instant, record_key, fg_parts,
             op="upsert", action=".deltacommit", extra_stats=log_stats,
+            extra_metadata=extra_metadata,
         )
 
     # copy-on-write: survivors keep their meta (real merge-handle
@@ -980,7 +982,7 @@ def upsert_hudi(
     combined = combined.repartition("__hoodie_fg")
     return _write_commit(
         combined, table, instant, record_key, fg_parts,
-        rewritten=rewritten, op="upsert",
+        rewritten=rewritten, op="upsert", extra_metadata=extra_metadata,
     )
 
 
@@ -1220,6 +1222,60 @@ def cluster_hudi(
     )
 
 
+def clean_hudi(path: str, keep_last: int = 2) -> dict:
+    """Hudi cleaning (KEEP_LATEST_COMMITS): physically remove data
+    files no retained snapshot can reach — the Hudi face of
+    vacuum_delta / expire_snapshots_iceberg. Retention = the last
+    `keep_last` completed instants: every base/log file some retained
+    `as_of` resolves stays; everything else recorded by the timeline
+    (obsolete slices, replaced groups, compacted-away logs) unlinks,
+    and a `<instant>.clean` metadata file records exactly what was
+    removed (the real cleaner's convention). Planning is O(timeline
+    JSON) — never a directory listing. Time travel to a cleaned
+    instant fails loudly at read (missing files), the vacuum_delta
+    contract."""
+    table = os.path.abspath(path)
+    _load_properties(table)
+    actions = _timeline_actions(table)
+    if not actions:
+        raise FileNotFoundError(f"Hudi table has no completed commits: {table}")
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    retained = [i for i, _a in actions][-keep_last:]
+    referenced: set[str] = set()
+    for instant in retained:
+        for sl in _file_slices(table, as_of=instant).values():
+            referenced.add(sl["path"])
+            referenced.update(p for _i, p in sl["logs"])
+    recorded: set[str] = set()
+    for instant, action in actions:
+        meta = _read_commit(table, instant, action)
+        for _part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                recorded.add(st["path"])
+    doomed = sorted(recorded - referenced)
+    removed = []
+    for rel in doomed:
+        full = os.path.join(table, rel)
+        if os.path.isfile(full):
+            os.remove(full)
+            removed.append(rel)
+    instant = _next_instant(table)
+    hd = _hoodie_dir(table)
+    tmp = os.path.join(hd, f".{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "earliestCommitToRetain": retained[0],
+                "totalFilesDeleted": len(removed),
+                "filesDeleted": removed,
+            },
+            fh,
+        )
+    os.rename(tmp, os.path.join(hd, f"{instant}.clean"))
+    return {"instant": instant, "files_deleted": len(removed)}
+
+
 def read_hudi_changes(
     spark: SparkSession,
     path: str,
@@ -1349,22 +1405,35 @@ def streaming_hudi_sink(
     app_id: str,
     partition_by: str | None = None,
     buckets: int = 1,
+    mode: str = "insert",
+    precombine: str | None = None,
+    table_type: str = "COPY_ON_WRITE",
 ):
     """`foreachBatch` body for an exactly-once streaming Hudi sink —
     the Hudi face of streaming_delta_sink / streaming_iceberg_sink:
-    one timeline commit per micro-batch, the app's batch high-water
-    mark stamped into the SAME commit's extraMetadata (the completed
-    .commit file publishes atomically, so there is no window where
+    one timeline instant per micro-batch, the app's batch high-water
+    mark stamped into the SAME instant's extraMetadata (the completed
+    timeline file publishes atomically, so there is no window where
     rows are applied but the mark is not). On restart Structured
     Streaming replays the last unacknowledged batch; the sink skips
     batch ids at or below the logged mark. The first batch bootstraps
-    the table.
+    the table (`table_type` picks CoW or MOR).
+
+    `mode='insert'` (default) appends every batch as new file groups
+    — the append-only event-stream shape. `mode='upsert'` is the CDC
+    stream shape: each batch upserts by the record key (pass
+    `precombine` to collapse intra-batch duplicate keys, largest
+    wins); on a MERGE_ON_READ table that means one LOG FILE per
+    affected slice per batch — the production streaming-Hudi layout,
+    compacted out-of-band via compact_hudi.
 
     Usage:
         q = (df.writeStream.foreachBatch(
                  streaming_hudi_sink(table, "event_id", app_id="cur"))
              .option("checkpointLocation", ckpt).start())
     """
+    if mode not in ("insert", "upsert"):
+        raise ValueError(f"streaming_hudi_sink mode {mode!r}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         table = os.path.abspath(path)
@@ -1373,16 +1442,35 @@ def streaming_hudi_sink(
             last = last_streaming_batch_hudi(table, app_id)
             if last is not None and batch_id <= last:
                 return  # replayed batch: its commit already landed
-        write_hudi(
-            batch_df,
-            table,
-            record_key=record_key,
-            partition_by=partition_by,
-            buckets=buckets,
-            mode="insert" if exists else "create",
-            extra_metadata={
-                _STREAM_KEY.format(app_id=app_id): str(batch_id)
-            },
-        )
+        mark = {_STREAM_KEY.format(app_id=app_id): str(batch_id)}
+        if not exists:
+            write_hudi(
+                batch_df,
+                table,
+                record_key=record_key,
+                partition_by=partition_by,
+                buckets=buckets,
+                mode="create",
+                table_type=table_type,
+                extra_metadata=mark,
+            )
+        elif mode == "insert":
+            write_hudi(
+                batch_df,
+                table,
+                record_key=record_key,
+                partition_by=partition_by,
+                buckets=buckets,
+                mode="insert",
+                extra_metadata=mark,
+            )
+        else:
+            upsert_hudi(
+                batch_df.sparkSession,
+                table,
+                batch_df,
+                precombine=precombine,
+                extra_metadata=mark,
+            )
 
     return sink

@@ -433,3 +433,114 @@ def test_partition_filter_prunes_groups(spark, tmp_path, people):
         read_hudi(spark, t, partition_filter={"nope": "x"})
     with pytest.raises(FileNotFoundError, match="no file groups match"):
         read_hudi(spark, t, partition_filter={"grp": "zz"})
+
+
+def test_clean_removes_unreachable_slices(spark, tmp_path, people):
+    """clean_hudi (KEEP_LATEST_COMMITS): obsolete base files, replaced
+    groups and compacted-away logs unlink once no retained as_of can
+    reach them; every retained snapshot still reads exactly, and the
+    .clean metadata records what was removed."""
+    import json as _json
+
+    from archetype_spark.sources.hudi import clean_hudi
+
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    compact_hudi(spark, t)  # the pre-compaction slice becomes garbage
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob3", "b", 22)], "id long, name string, grp string, v long"
+        ),
+    )
+    pre_rows = _rows(spark, t)
+    line = hudi_timeline(t)
+    out = clean_hudi(t, keep_last=2)
+    assert out["files_deleted"] > 0
+    # retained snapshots read exactly
+    assert _rows(spark, t) == pre_rows
+    assert _rows(spark, t, as_of=line[-2]) is not None
+    # the cleaned instant fails LOUDLY, never silently wrong
+    with pytest.raises(Exception):
+        _rows(spark, t, as_of=line[0])
+    # .clean metadata records the removals
+    hd = os.path.join(t, ".hoodie")
+    clean_files = [n for n in os.listdir(hd) if n.endswith(".clean")]
+    assert len(clean_files) == 1
+    meta = _json.load(open(os.path.join(hd, clean_files[0])))
+    assert meta["totalFilesDeleted"] == out["files_deleted"]
+    assert meta["earliestCommitToRetain"] == line[-2]
+    # idempotent: nothing else to remove
+    assert clean_hudi(t, keep_last=2)["files_deleted"] == 0
+    # the table still accepts writes afterwards
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "ann2", "a", 11)], "id long, name string, grp string, v long"
+        ),
+    )
+    assert (1, "ann2", "a", 11) in _rows(spark, t)
+
+
+def test_streaming_upsert_sink_exactly_once_mor(spark, tmp_path):
+    """The CDC-stream sink shape: mode='upsert' on a MERGE_ON_READ
+    table appends one log file per affected slice per micro-batch,
+    the batch mark riding the same atomic deltacommit; replayed batch
+    ids skip, intra-batch duplicate keys collapse via precombine."""
+    from archetype_spark.sources.hudi import (
+        last_streaming_batch_hudi,
+        streaming_hudi_sink,
+    )
+
+    t = str(tmp_path / "t")
+    sink = streaming_hudi_sink(
+        t, "id", app_id="cdc-v1", mode="upsert",
+        precombine="ver", table_type="MERGE_ON_READ",
+    )
+    schema = "id long, s string, ver long"
+    sink(spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema), 0)
+    assert last_streaming_batch_hudi(t, "cdc-v1") == 0
+    # batch 1: update key 2 (duplicate in-batch rows, larger ver wins)
+    # and insert key 3
+    sink(
+        spark.createDataFrame(
+            [(2, "b-old", 2), (2, "b-new", 3), (3, "c", 1)], schema
+        ),
+        1,
+    )
+    assert last_streaming_batch_hudi(t, "cdc-v1") == 1
+    got = sorted(
+        tuple(r)
+        for r in read_hudi(spark, t).select("id", "s", "ver").collect()
+    )
+    assert got == [(1, "a", 1), (2, "b-new", 3), (3, "c", 1)]
+    # the update landed as a LOG file, not a base rewrite
+    logs = [
+        n
+        for _d, _s, fs in os.walk(t)
+        if ".hoodie" not in _d
+        for n in fs
+        if ".log." in n
+    ]
+    assert logs
+    # replayed batch: a no-op (no new instant, same rows)
+    n_before = len(hudi_timeline(t))
+    sink(
+        spark.createDataFrame([(2, "zzz", 9)], schema), 1
+    )
+    assert len(hudi_timeline(t)) == n_before
+    assert sorted(
+        tuple(r)
+        for r in read_hudi(spark, t).select("id", "s", "ver").collect()
+    ) == got
+    # compaction folds the stream's logs without changing the rows
+    compact_hudi(spark, t)
+    assert sorted(
+        tuple(r)
+        for r in read_hudi(spark, t).select("id", "s", "ver").collect()
+    ) == got

@@ -907,3 +907,12 @@ def test_stress_hudi_mor_chain(spark, stress_docs, tmp_path):
         (F.col("doc_id") % 41 == 5)
     ).count()
     assert inc.count() == exp_inc
+    # cleaning at 10x: unreachable pre-compaction slices and their
+    # log chains unlink; the retained snapshot still reads exactly
+    from archetype_spark.sources.hudi import clean_hudi
+
+    out = clean_hudi(t, keep_last=2)
+    assert out["files_deleted"] > 0
+    got = read_hudi(spark, t)
+    assert got.count() == exp_n
+    assert got.select("doc_id").distinct().count() == exp_n
