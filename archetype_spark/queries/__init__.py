@@ -356,7 +356,11 @@ _MODULES = (
 #       travel, post-cluster upsert routing) pins next, deferring
 #       q79_pack_payloads (green r8/r10) the same way. q78/q79
 #       return with the r14 tail. 50 pins + 0 unpinned gated = 50
-#       exactly; 92 deferred; 142 gated total.
+#       exactly; 92 deferred; 142 gated total. q145 (NEW: Hudi
+#       cleaning — retained reads exact over the post-clean file
+#       set) pins next, deferring q75_mixture_sample (green r8/r10);
+#       q75 returns with the r14 tail. 50 pins + 0 unpinned gated =
+#       50 exactly; 93 deferred; 143 gated total.
 #   r14 sketch: the longest-deferred cohort after r13 is
 #       q95-q106 + q117/q118 (no driver row since r11 — q95/q99/
 #       q104/q105/q106 and both bounded-RRF/IVF_PQ retrieval faces),
@@ -375,6 +379,7 @@ _PINNED: tuple[str, ...] = (
     "q142_hudi_changes",
     "q143_hudi_read_optimized",
     "q144_hudi_clustered_scan",
+    "q145_hudi_cleaned_scan",
     "q36_ngram_jaccard",
     "q42_lsh_topk",
     "q112_bm25_topk",
@@ -396,7 +401,6 @@ _PINNED: tuple[str, ...] = (
     "q72_semantic_dedup",
     "q73_stop_shingle_jaccard",
     "q74_quality_keeper",
-    "q75_mixture_sample",
     "q76_relative_quality_gate",
     "q77_filtered_ivf_topk",
     "q82_exact_pack",
@@ -480,6 +484,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q53_cube",
         "q54_percentiles",
         "q55_unpivot",
+        "q75_mixture_sample",  # re-deferred late r13 (q145 pin swap)
         "q78_mixture_resample",  # re-deferred late r13 (q143 pin swap)
         "q79_pack_payloads",  # re-deferred late r13 (q144 pin swap)
         "q80_boilerplate_lines",

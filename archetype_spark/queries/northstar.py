@@ -2089,6 +2089,77 @@ def q144_hudi_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_hudi_cleaned_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The CLEANED Hudi table q145 scans: ingest the full corpus
+    copy-on-write (two groups per lang partition), DELETE-by-key
+    n_chars % 5 = 2 (group rewrites — the ingest slices become
+    obsolete), UPSERT the survivors with n_chars % 7 = 3 re-langed to
+    'xx' (rewrites again), then CLEAN with keep_last=2 — every base
+    file only the ingest snapshot could reach physically unlinks
+    under a .clean record. The retained reads must not move by a
+    row."""
+    from archetype_spark.sources.hudi import (
+        clean_hudi,
+        delete_by_key_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        write_hudi(
+            base, btable, record_key="doc_id", partition_by="lang", buckets=2
+        )
+        delete_by_key_hudi(
+            spark, btable,
+            base.filter(F.col("n_chars") % 5 == 2).select("doc_id"),
+        )
+        upsert_hudi(
+            spark,
+            btable,
+            base.filter(
+                (F.col("n_chars") % 5 != 2) & (F.col("n_chars") % 7 == 3)
+            ).withColumn("lang", F.lit("xx")),
+        )
+        clean_hudi(btable, keep_last=2)
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "hudi_cleaned_documents", build
+    )
+
+
+def q145_hudi_cleaned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CLEANING under the driver gate: after clean_hudi removed
+    every file only the expired ingest snapshot referenced, 'latest'
+    (delete survivors + re-lang) and 'mid' (the retained delete
+    instant — survivors in original lang) must still read EXACTLY
+    from the surviving file set; the oracle recomputes both cohorts
+    from the source view, so an over-eager cleaner (a needed file
+    unlinked) crashes the scan and an under-eager one cannot hide
+    (the suite pins files_deleted > 0 and loud expired-instant
+    reads). Parity: Hudi cleaner KEEP_LATEST_COMMITS
+    (hudi.apache.org concepts); the vacuum_delta /
+    expire_snapshots_iceberg face on the third format."""
+    from archetype_spark.sources.hudi import hudi_timeline, read_hudi
+
+    table = _ensure_hudi_cleaned_documents(spark, sf_dir)
+    line = hudi_timeline(table)  # ingest, delete, upsert, (clean is
+    # not a commit action and never enters the timeline walk)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .select(F.lit(snap).alias("snap"), "lang", "n_docs", "sum_chars")
+        )
+
+    return agg(read_hudi(spark, table), "latest").unionByName(
+        agg(read_hudi(spark, table, as_of=line[1]), "mid")
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -3392,6 +3463,7 @@ QUERIES = {
     "q142_hudi_changes": q142_hudi_changes,
     "q143_hudi_read_optimized": q143_hudi_read_optimized,
     "q144_hudi_clustered_scan": q144_hudi_clustered_scan,
+    "q145_hudi_cleaned_scan": q145_hudi_cleaned_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -4867,6 +4939,25 @@ ORACLES["q144_hudi_clustered_scan"] = """
     SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents GROUP BY lang
+"""
+
+# q145: the cleaned table's two retained cohorts — cleaning must not
+# move a row of any retained read: 'latest' = delete survivors with
+# the re-lang, 'mid' = survivors in original lang at the retained
+# delete instant. An over-eager cleaner crashes the scan (missing
+# file); a wrong retention cut moves a per-lang sum.
+ORACLES["q145_hudi_cleaned_scan"] = """
+    SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (
+      SELECT CASE WHEN n_chars % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents WHERE n_chars % 5 <> 2
+    ) GROUP BY lang
+    UNION ALL
+    SELECT 'mid' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE n_chars % 5 <> 2 GROUP BY lang
 """
 
 # q142: the incremental face per commit ordinal — seq 0 the even

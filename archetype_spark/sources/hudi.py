@@ -1222,6 +1222,42 @@ def cluster_hudi(
     )
 
 
+def hudi_history(spark: SparkSession, path: str) -> DataFrame:
+    """Timeline introspection (the DESCRIBE HISTORY / snapshots
+    twin): one row per completed instant — (instant, action,
+    operation, files_written, rows_written, rows_updated,
+    rows_deleted) — from the timeline JSON alone, zero data reads."""
+    table = os.path.abspath(path)
+    _load_properties(table)
+    rows = []
+    for instant, action in _timeline_actions(table):
+        meta = _read_commit(table, instant, action)
+        n_files = n_rows = n_upd = n_del = 0
+        for _p, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                n_files += 1
+                n_rows += int(st.get("numWrites", 0))
+                n_upd += int(st.get("numUpdateWrites", 0))
+                n_del += int(st.get("numDeletes", 0))
+        rows.append(
+            (
+                instant,
+                action.lstrip("."),
+                str(meta.get("operationType", "")),
+                n_files,
+                n_rows,
+                n_upd,
+                n_del,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "instant string, action string, operation string, "
+        "files_written int, rows_written long, rows_updated long, "
+        "rows_deleted long",
+    )
+
+
 def clean_hudi(path: str, keep_last: int = 2) -> dict:
     """Hudi cleaning (KEEP_LATEST_COMMITS): physically remove data
     files no retained snapshot can reach — the Hudi face of

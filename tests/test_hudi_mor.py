@@ -544,3 +544,31 @@ def test_streaming_upsert_sink_exactly_once_mor(spark, tmp_path):
         tuple(r)
         for r in read_hudi(spark, t).select("id", "s", "ver").collect()
     ) == got
+
+
+def test_hudi_history_introspection(spark, tmp_path, people):
+    """hudi_history: one row per completed instant from the timeline
+    JSON alone — actions, operations and write stats (the DESCRIBE
+    HISTORY / snapshots_iceberg twin)."""
+    from archetype_spark.sources.hudi import hudi_history
+
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    delete_by_key_hudi(spark, t, spark.createDataFrame([(1,)], "id long"))
+    compact_hudi(spark, t)
+    h = hudi_history(spark, t).orderBy("instant").collect()
+    assert [r["action"] for r in h] == [
+        "deltacommit", "deltacommit", "deltacommit", "commit"
+    ]
+    assert [r["operation"] for r in h] == [
+        "BULK_INSERT", "UPSERT", "DELETE", "COMPACT"
+    ]
+    assert h[0]["rows_written"] == 4
+    assert h[1]["rows_updated"] == 1 and h[1]["rows_written"] == 0
+    assert h[2]["rows_deleted"] == 1
+    assert h[3]["rows_written"] == 3  # the compacted slices' rows
