@@ -59,8 +59,9 @@ shuffles ONLY the log-bearing groups' rows on (group, record key) —
 clean groups stream straight from parquet. Declared limits (loud,
 never silently wrong): HFile/parquet log blocks and command
 (rollback) blocks refuse by name (hudi_log.py); MOR log records
-support flat primitive schemas (string/long/int/double/float/
-boolean); multi-level partition paths refuse; clustering refuses
+support flat schemas (string/long/int/double/float/boolean +
+timestamp/timestamp_ntz/date as Avro logical types — complex types
+refuse); multi-level partition paths refuse; clustering refuses
 log-bearing groups (compact first).
 
 Reference parity: SURVEY.md §2.2 Sources row — the reference's
@@ -477,6 +478,21 @@ _AVRO_PRIMS = {
     "boolean": "boolean",
 }
 
+#: temporal Spark types -> (avro logical type, wire kind) — stored in
+#: log records as the Iceberg/Avro epoch forms (micros / days), the
+#: real HoodieAvroDataBlock convention
+_AVRO_TEMPORALS = {
+    "timestamp": (
+        {"type": "long", "logicalType": "timestamp-micros"},
+        "ts",
+    ),
+    "timestamp_ntz": (
+        {"type": "long", "logicalType": "timestamp-micros"},
+        "ts",
+    ),
+    "date": ({"type": "int", "logicalType": "date"}, "date"),
+}
+
 #: the wire schema _parse_log_frame emits before from_json typing
 _LOG_PARSE_SCHEMA = (
     "__fg string, __ord string, __seq long, __op string, "
@@ -493,19 +509,37 @@ def _fg_expr():
 
 def _avro_schema_for(schema) -> dict:
     """Spark StructType -> flat Avro record schema for MOR log
-    records. Complex/temporal columns refuse by name — log records
-    cover the declared primitive subset (module docstring)."""
+    records. Temporal columns carry Avro logical types
+    (timestamp-micros / date, the real data-block convention);
+    complex columns refuse by name — log records cover the declared
+    flat subset (module docstring)."""
     fields = []
     for f in schema.fields:
-        prim = _AVRO_PRIMS.get(f.dataType.typeName())
+        tn = f.dataType.typeName()
+        if tn in _AVRO_TEMPORALS:
+            fields.append({"name": f.name, "type": ["null", _AVRO_TEMPORALS[tn][0]]})
+            continue
+        prim = _AVRO_PRIMS.get(tn)
         if prim is None:
             raise NotImplementedError(
-                f"MOR log record column {f.name!r} of type "
-                f"{f.dataType.typeName()}: flat primitive schemas only "
-                "(string/long/int/double/float/boolean)"
+                f"MOR log record column {f.name!r} of type {tn}: flat "
+                "schemas only (string/long/int/double/float/boolean/"
+                "timestamp/timestamp_ntz/date)"
             )
         fields.append({"name": f.name, "type": ["null", prim]})
     return {"type": "record", "name": "HoodieRecord", "fields": fields}
+
+
+def _temporal_kinds(schema) -> dict[str, str]:
+    """{column: 'ts' | 'date'} for the schema's temporal fields —
+    threaded into the executor-side parse/write closures so epoch
+    ints and ISO strings convert consistently on both sides."""
+    out = {}
+    for f in schema.fields:
+        t = _AVRO_TEMPORALS.get(f.dataType.typeName())
+        if t is not None:
+            out[f.name] = t[1]
+    return out
 
 
 def _append_log_files(
@@ -551,6 +585,8 @@ def _append_log_files(
             block = hudi_log.delete_block(keys, instant)
             n_upd, n_del = 0, len(keys)
         else:
+            import datetime as _dt
+
             recs = []
             for i, row in enumerate(pdf.to_dict("records")):
                 rec = {}
@@ -558,6 +594,16 @@ def _append_log_files(
                     v = row.get(name)
                     if v is None or pd.isna(v):
                         rec[name] = None
+                    elif isinstance(prim, dict):  # temporal logical
+                        if prim["logicalType"] == "timestamp-micros":
+                            rec[name] = pd.Timestamp(v).value // 1000
+                        else:  # date -> epoch days
+                            d = (
+                                v.date()
+                                if isinstance(v, (pd.Timestamp, _dt.datetime))
+                                else v
+                            )
+                            rec[name] = (d - _dt.date(1970, 1, 1)).days
                     elif prim in ("long", "int"):
                         rec[name] = int(v)
                     elif prim in ("double", "float"):
@@ -624,22 +670,33 @@ def _log_fg_meta(slices: dict[str, dict], fgs) -> dict[str, dict]:
     return out
 
 
-def _parse_log_frame(spark: SparkSession, paths: list[str]) -> DataFrame:
+def _parse_log_frame(
+    spark: SparkSession,
+    paths: list[str],
+    temporal: dict[str, str] | None = None,
+) -> DataFrame:
     """EXECUTOR-side log parsing: a path frame fans the log files out
     to workers, which open them directly (log names are dot-prefixed
     per the spec, so Spark's binaryFile source would hide them) and
     run hudi_log.parse_log_entries. Record payloads leave the worker
     as JSON strings (from_json applies the table schema downstream)
-    — log bytes never touch the driver."""
+    — log bytes never touch the driver. `temporal` ({column: 'ts' |
+    'date'}) converts the blocks' epoch-micros/epoch-days ints to the
+    ISO strings from_json expects."""
     path_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(min(len(paths), 32))
+    temporal = dict(temporal or {})
 
     def parse(batches):
+        import datetime as _dt
         import json as _json
         import os as _os
 
         import pandas as _pd
+
+        epoch_d = _dt.date(1970, 1, 1)
+        epoch_ts = _dt.datetime(1970, 1, 1)
 
         for pdf in batches:
             rows = []
@@ -652,6 +709,19 @@ def _parse_log_frame(spark: SparkSession, paths: list[str]) -> DataFrame:
                     hudi_log.parse_log_entries(content, name)
                 ):
                     if op == "upsert":
+                        for col, kind in temporal.items():
+                            v = rec.get(col)
+                            if v is None:
+                                continue
+                            if kind == "ts":
+                                rec[col] = (
+                                    epoch_ts
+                                    + _dt.timedelta(microseconds=int(v))
+                                ).isoformat()
+                            else:
+                                rec[col] = (
+                                    epoch_d + _dt.timedelta(days=int(v))
+                                ).isoformat()
                         rows.append(
                             (
                                 fid,
@@ -705,7 +775,9 @@ def _merge_slices(
     log_paths = [
         os.path.join(table, p) for s in dirty.values() for _i, p in s["logs"]
     ]
-    parsed = _parse_log_frame(spark, log_paths)
+    parsed = _parse_log_frame(
+        spark, log_paths, temporal=_temporal_kinds(base_dirty.schema)
+    )
     struct = F.from_json("__json", base_dirty.schema).alias("__d")
     log_rows = parsed.select(
         "__fg", "__ord", "__seq", "__op", "__key", struct
@@ -1390,7 +1462,9 @@ def read_hudi_changes(
                 )
             )
         if log_paths:
-            parsed = _parse_log_frame(spark, log_paths)
+            parsed = _parse_log_frame(
+                spark, log_paths, temporal=_temporal_kinds(schema)
+            )
             pieces.append(
                 parsed.filter(
                     (F.col("__op") == "upsert")

@@ -367,18 +367,19 @@ def test_cow_changes_track_rewrites(spark, tmp_path, people):
 
 
 def test_mor_log_schema_refusal_is_loud(spark, tmp_path):
-    import datetime
-
+    """Temporal columns ride Avro logical types (the temporal
+    round-trip test); genuinely COMPLEX columns still refuse by
+    name — an array column cannot enter a flat log record."""
     t = str(tmp_path / "mor")
     spark_df = spark.createDataFrame(
-        [(1, datetime.datetime(2024, 1, 1))], "id long, ts timestamp"
+        [(1, ["a", "b"])], "id long, tags array<string>"
     )
     write_hudi(spark_df, t, record_key="id", table_type="MERGE_ON_READ")
-    with pytest.raises(NotImplementedError, match="primitive"):
+    with pytest.raises(NotImplementedError, match="tags"):
         upsert_hudi(
             spark, t,
             spark.createDataFrame(
-                [(1, datetime.datetime(2024, 2, 2))], "id long, ts timestamp"
+                [(1, ["c"])], "id long, tags array<string>"
             ),
         )
 
@@ -572,3 +573,58 @@ def test_hudi_history_introspection(spark, tmp_path, people):
     assert h[1]["rows_updated"] == 1 and h[1]["rows_written"] == 0
     assert h[2]["rows_deleted"] == 1
     assert h[3]["rows_written"] == 3  # the compacted slices' rows
+
+
+def test_mor_temporal_columns_round_trip(spark, tmp_path):
+    """MOR log records with timestamp / timestamp_ntz / date columns:
+    the avro block stores epoch micros/days under logical types, the
+    merge read converts back exactly — and the incremental face sees
+    the same values."""
+    import datetime
+
+    from archetype_spark.sources.hudi import read_hudi_changes
+
+    t = str(tmp_path / "t")
+    ts0 = datetime.datetime(2024, 3, 1, 12, 30, 0, 250)
+    d0 = datetime.date(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(1, ts0, d0, "a"), (2, ts0, d0, "b")],
+        "id long, ts timestamp, d date, s string",
+    )
+    write_hudi(df, t, record_key="id", table_type="MERGE_ON_READ")
+    ts1 = datetime.datetime(2025, 7, 4, 1, 2, 3, 456789)
+    d1 = datetime.date(2025, 7, 4)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, ts1, d1, "b2")], "id long, ts timestamp, d date, s string"
+        ),
+    )
+    got = {
+        r["id"]: (r["ts"], r["d"], r["s"])
+        for r in read_hudi(spark, t).collect()
+    }
+    assert got[1] == (ts0, d0, "a")
+    assert got[2] == (ts1, d1, "b2")  # exact micros through the log
+    # a null temporal survives the block too
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(1, None, None, "a2")], "id long, ts timestamp, d date, s string"
+        ),
+    )
+    r1 = read_hudi(spark, t).filter(F.col("id") == 1).collect()[0]
+    assert r1["ts"] is None and r1["d"] is None and r1["s"] == "a2"
+    # the incremental face reads the same values back out of the logs
+    line = hudi_timeline(t)
+    inc = read_hudi_changes(spark, t, begin_instant=line[0]).collect()
+    by_instant = {(r["_commit_instant"], r["id"]): r for r in inc}
+    assert by_instant[(line[1], 2)]["ts"] == ts1
+    assert by_instant[(line[2], 1)]["ts"] is None
+    # compaction folds temporal log records exactly
+    compact_hudi(spark, t)
+    got2 = {
+        r["id"]: (r["ts"], r["d"], r["s"])
+        for r in read_hudi(spark, t).collect()
+    }
+    assert got2[2] == (ts1, d1, "b2") and got2[1] == (None, None, "a2")
