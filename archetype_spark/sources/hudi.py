@@ -250,7 +250,11 @@ def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
 
 
 def _stamp_meta(
-    df: DataFrame, instant: str, record_key: str, fg_partitions: dict[str, str]
+    df: DataFrame,
+    instant: str,
+    record_key: str,
+    fg_partitions: dict[str, str],
+    preserve_meta: bool = False,
 ) -> DataFrame:
     """Add the five Hudi meta columns; `__hoodie_fg` must already
     name each row's file group (it becomes the file name). The
@@ -260,11 +264,22 @@ def _stamp_meta(
     update.partition.path=false semantics), so the meta column must
     agree with where the file actually lives.
 
-    Rows that ALREADY carry meta columns (rewrite survivors,
-    compaction/clustering pass-throughs) keep them — real writers
+    `preserve_meta=True` is the INTERNAL-rewrite contract (upsert/
+    delete survivors, compaction pass-throughs): rows that already
+    carry commit_time/seqno/key/partition keep them — real writers
     preserve unmerged records' meta, and `read_hudi_changes` depends
     on `_hoodie_commit_time` naming the instant that produced each
-    row. Fresh rows (null meta) get the new stamp."""
+    row. `_hoodie_file_name` is ALWAYS restamped: every row passing
+    through this function physically lands in this commit's new base
+    file, so the column must name that file (real merge-handle
+    output), never the pre-rewrite one. The default (False) is the
+    public-ingest contract: all five columns are overwritten
+    unconditionally, so a caller frame that happens to carry FOREIGN
+    meta columns (e.g. `read_hudi(..., with_meta=True)` output fed
+    into `write_hudi`) cannot smuggle stale commit times / file names
+    into a new table — a later upsert resolves file groups from
+    `_hoodie_file_name`, and a stale value routes keys to
+    non-existent groups (silent duplicate keys)."""
     spark = df.sparkSession
     pp_map = spark.createDataFrame(
         list(fg_partitions.items()) or [("", "")],
@@ -295,7 +310,11 @@ def _stamp_meta(
         ),
     }
     for name, expr in fresh.items():
-        if name in df.columns:
+        if (
+            preserve_meta
+            and name != "_hoodie_file_name"
+            and name in df.columns
+        ):
             df = df.withColumn(name, F.coalesce(F.col(name), expr))
         else:
             df = df.withColumn(name, expr)
@@ -314,6 +333,7 @@ def _write_commit(
     action: str = ".commit",
     extra_stats: dict[str, list[dict]] | None = None,
     replace_file_ids: dict[str, list[str]] | None = None,
+    preserve_meta: bool = False,
 ) -> dict:
     """Stage `df` (carrying __hoodie_fg) partitioned by file group,
     move each staged file to its spec name under its partition dir
@@ -330,7 +350,10 @@ def _write_commit(
     rewritten = rewritten or {}
     stage = None
     if df is not None:
-        stamped = _stamp_meta(df, instant, record_key, fg_partitions)
+        stamped = _stamp_meta(
+            df, instant, record_key, fg_partitions,
+            preserve_meta=preserve_meta,
+        )
         data_cols = [c for c in stamped.columns if c != "__hoodie_fg"]
         ordered = stamped.select(
             *_META_COLS,
@@ -484,11 +507,11 @@ _AVRO_PRIMS = {
 _AVRO_TEMPORALS = {
     "timestamp": (
         {"type": "long", "logicalType": "timestamp-micros"},
-        "ts",
+        "ts",  # tz-aware: stored as TRUE UTC epoch-micros
     ),
     "timestamp_ntz": (
         {"type": "long", "logicalType": "timestamp-micros"},
-        "ts",
+        "ntz",  # wall clock: stored as-is, no zone conversion
     ),
     "date": ({"type": "int", "logicalType": "date"}, "date"),
 }
@@ -531,9 +554,16 @@ def _avro_schema_for(schema) -> dict:
 
 
 def _temporal_kinds(schema) -> dict[str, str]:
-    """{column: 'ts' | 'date'} for the schema's temporal fields —
-    threaded into the executor-side parse/write closures so epoch
-    ints and ISO strings convert consistently on both sides."""
+    """{column: 'ts' | 'ntz' | 'date'} for the schema's temporal
+    fields — threaded into the executor-side parse/write closures so
+    epoch ints and ISO strings convert consistently on both sides.
+    'ts' (TimestampType) is zone-normalized: Arrow delivers it to
+    Python as session-local naive wall clock, so the writer localizes
+    to the session zone and converts to UTC before taking
+    epoch-micros (real HoodieAvroDataBlock timestamp-micros are UTC
+    instants), and the parser emits offset-bearing ISO strings that
+    from_json resolves to the same instant in ANY reader session
+    zone. 'ntz' stores/reads the wall clock verbatim."""
     out = {}
     for f in schema.fields:
         t = _AVRO_TEMPORALS.get(f.dataType.typeName())
@@ -550,6 +580,7 @@ def _append_log_files(
     fg_meta: dict[str, dict],
     avro_schema: dict | None = None,
     deletes: bool = False,
+    temporal: dict[str, str] | None = None,
 ) -> dict[str, list[dict]]:
     """EXECUTOR-side MOR log append: one applyInPandas task per
     affected file group serializes its block (an avro-data block of
@@ -559,8 +590,13 @@ def _append_log_files(
     pattern, delta.py _mask_bitmaps_executor). `fg_meta` maps each
     group to its partition, base instant and pre-allocated log name
     (O(affected groups) driver metadata). Returns commit write stats
-    keyed by partition."""
+    keyed by partition. `temporal` (from `_temporal_kinds`) marks
+    which columns need the session-zone -> UTC conversion before
+    epoch-micros encoding (see _temporal_kinds)."""
     import pandas as pd
+
+    temporal = dict(temporal or {})
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
 
     out_schema = (
         "fileId string, partition string, path string, "
@@ -596,7 +632,17 @@ def _append_log_files(
                         rec[name] = None
                     elif isinstance(prim, dict):  # temporal logical
                         if prim["logicalType"] == "timestamp-micros":
-                            rec[name] = pd.Timestamp(v).value // 1000
+                            ts = pd.Timestamp(v)
+                            if temporal.get(name) == "ts":
+                                # Arrow hands TimestampType over as
+                                # session-local naive wall clock;
+                                # normalize to a true UTC instant
+                                ts = (
+                                    ts.tz_localize(session_tz)
+                                    if ts.tzinfo is None
+                                    else ts.tz_convert("UTC")
+                                )
+                            rec[name] = ts.value // 1000
                         else:  # date -> epoch days
                             d = (
                                 v.date()
@@ -697,6 +743,7 @@ def _parse_log_frame(
 
         epoch_d = _dt.date(1970, 1, 1)
         epoch_ts = _dt.datetime(1970, 1, 1)
+        epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
         for pdf in batches:
             rows = []
@@ -714,6 +761,14 @@ def _parse_log_frame(
                             if v is None:
                                 continue
                             if kind == "ts":
+                                # UTC instant WITH offset: from_json
+                                # resolves it identically in any
+                                # reader session zone
+                                rec[col] = (
+                                    epoch_utc
+                                    + _dt.timedelta(microseconds=int(v))
+                                ).isoformat()
+                            elif kind == "ntz":
                                 rec[col] = (
                                     epoch_ts
                                     + _dt.timedelta(microseconds=int(v))
@@ -778,7 +833,13 @@ def _merge_slices(
     parsed = _parse_log_frame(
         spark, log_paths, temporal=_temporal_kinds(base_dirty.schema)
     )
-    struct = F.from_json("__json", base_dirty.schema).alias("__d")
+    # FAILFAST: a log payload that fails typed parsing (foreign
+    # writer, schema drift, out-of-range temporal) must raise, not
+    # silently null the row's columns — PERMISSIVE would let the
+    # __key coalesce below resurrect such a row with all-null data
+    struct = F.from_json(
+        "__json", base_dirty.schema, {"mode": "FAILFAST"}
+    ).alias("__d")
     log_rows = parsed.select(
         "__fg", "__ord", "__seq", "__op", "__key", struct
     ).select(
@@ -1025,6 +1086,7 @@ def upsert_hudi(
                 record_key,
                 fg_meta,
                 avro_schema=avro_schema,
+                temporal=_temporal_kinds(cur.schema),
             )
         return _write_commit(
             base_df, table, instant, record_key, fg_parts,
@@ -1032,8 +1094,10 @@ def upsert_hudi(
             extra_metadata=extra_metadata,
         )
 
-    # copy-on-write: survivors keep their meta (real merge-handle
-    # semantics — read_hudi_changes filters on _hoodie_commit_time)
+    # copy-on-write: survivors keep commit_time/seqno/key/partition
+    # (real merge-handle semantics — read_hudi_changes filters on
+    # _hoodie_commit_time); _hoodie_file_name restamps to the NEW
+    # base file every row physically lands in (preserve_meta=True)
     survivors = (
         keyed.filter(F.col("__cur_fg").isin(list(affected)))
         .join(
@@ -1055,6 +1119,7 @@ def upsert_hudi(
     return _write_commit(
         combined, table, instant, record_key, fg_parts,
         rewritten=rewritten, op="upsert", extra_metadata=extra_metadata,
+        preserve_meta=True,
     )
 
 
@@ -1124,7 +1189,7 @@ def delete_by_key_hudi(
     return _write_commit(
         survivors, table, instant, record_key,
         {fg: sl["partition"] for fg, sl in rewritten.items()},
-        rewritten=rewritten, op="delete",
+        rewritten=rewritten, op="delete", preserve_meta=True,
     )
 
 
@@ -1231,7 +1296,8 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
     """MOR compaction: every log-bearing slice merges (base + blocks,
     newest version wins) into a NEW base file published under a
     `commit` instant — the real writer's convention — resetting the
-    group's log chain. Unchanged records keep their meta columns;
+    group's log chain. Unchanged records keep commit_time/seqno/key/
+    partition (`_hoodie_file_name` restamps to the new base file);
     groups without logs are untouched. Time travel to a pre-compaction
     instant still replays the old base + logs (nothing is deleted)."""
     table = os.path.abspath(path)
@@ -1250,7 +1316,7 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
     return _write_commit(
         rows.repartition("__hoodie_fg"), table, instant, record_key,
         {fg: sl["partition"] for fg, sl in dirty.items()},
-        rewritten=dirty, op="compact",
+        rewritten=dirty, op="compact", preserve_meta=True,
     )
 
 
@@ -1291,6 +1357,7 @@ def cluster_hudi(
     return _write_commit(
         assigned.drop("__hoodie_key"), table, instant, record_key, fg_parts,
         op="cluster", action=".replacecommit", replace_file_ids=replace,
+        preserve_meta=True,
     )
 
 
@@ -1470,7 +1537,11 @@ def read_hudi_changes(
                     (F.col("__op") == "upsert")
                     & (F.col("__ord") == instant)
                 )
-                .select(F.from_json("__json", schema).alias("__d"))
+                .select(
+                    F.from_json(
+                        "__json", schema, {"mode": "FAILFAST"}
+                    ).alias("__d")
+                )
                 .select(
                     F.lit(instant).alias("_commit_instant"),
                     *[F.col(f"__d.{c}").alias(c) for c in data_cols],

@@ -277,3 +277,63 @@ def test_insert_mode_key_mismatch_refuses(spark, tmp_path, people):
     )
     write_hudi(more, t, record_key="id", mode="insert")
     assert count_rows_hudi(t) == 5
+
+
+def test_write_hudi_overwrites_foreign_meta(spark, tmp_path, people):
+    """Public ingest faces stamp ALL five meta columns fresh: feeding
+    read_hudi(..., with_meta=True) output into write_hudi must not
+    smuggle the SOURCE table's commit times / file names into the new
+    table (stale _hoodie_file_name would route later upserts to
+    non-existent file groups -> silent duplicate keys)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_hudi(people, src, record_key="id", partition_by="grp")
+    write_hudi(
+        read_hudi(spark, src, with_meta=True), dst,
+        record_key="id", partition_by="grp",
+    )
+    instants = hudi_timeline(dst)
+    assert len(instants) == 1
+    rows = read_hudi(spark, dst, with_meta=True).collect()
+    on_disk = {
+        n
+        for _r, _d, files in os.walk(dst)
+        for n in files
+        if n.endswith(".parquet")
+    }
+    for r in rows:
+        assert r["_hoodie_commit_time"] == instants[0]  # not src's
+        assert r["_hoodie_file_name"] in on_disk  # names a REAL file
+    # the re-keyed table stays upsert-consistent: no duplicates
+    upsert_hudi(
+        spark, dst,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    assert _rows(spark, dst) == [
+        (1, "ann", "a", 10), (2, "bob2", "b", 21),
+        (3, "cho", "a", 30), (4, "dee", "b", 40),
+    ]
+
+
+def test_cow_rewrite_restamps_survivor_file_name(spark, tmp_path, people):
+    """Rewrite survivors keep commit_time/seqno/key/partition but
+    _hoodie_file_name must name the file the row NOW lives in (the
+    post-rewrite base file), matching real merge-handle output."""
+    t = str(tmp_path / "t")
+    write_hudi(people, t, record_key="id", partition_by="grp")
+    first = hudi_timeline(t)[0]
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    second = hudi_timeline(t)[-1]
+    m = {r["id"]: r for r in read_hudi(spark, t, with_meta=True).collect()}
+    # id=4 shares grp=b's file group with id=2: rewritten as survivor
+    assert m[4]["_hoodie_commit_time"] == first  # meta preserved
+    assert m[4]["_hoodie_file_name"].endswith(f"_{second}.parquet")
+    assert m[4]["_hoodie_file_name"] == m[2]["_hoodie_file_name"]
+    # untouched group (grp=a) keeps its original file name
+    assert m[1]["_hoodie_file_name"].endswith(f"_{first}.parquet")

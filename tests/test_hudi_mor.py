@@ -628,3 +628,85 @@ def test_mor_temporal_columns_round_trip(spark, tmp_path):
         for r in read_hudi(spark, t).collect()
     }
     assert got2[2] == (ts1, d1, "b2") and got2[1] == (None, None, "a2")
+
+
+def test_mor_timestamp_cross_timezone_read(spark, tmp_path):
+    """MOR log timestamp-micros are TRUE UTC instants: a snapshot read
+    under a DIFFERENT session time zone resolves log-merged rows to
+    the same instant as base-file rows (regression: the encoder used
+    to store the session-local wall clock as if it were UTC, shifting
+    cross-tz reads by the zone offset)."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ts0 = datetime.datetime(2024, 3, 1, 12, 30, 0)  # EST wall clock
+        df = spark.createDataFrame(
+            [(1, ts0, "a"), (2, ts0, "b")], "id long, ts timestamp, s string"
+        )
+        # the instant the writer session means by ts0 (EST -> UTC)
+        want = {
+            r["id"]: r["u"]
+            for r in df.select(
+                "id", F.unix_micros("ts").alias("u")
+            ).collect()
+        }
+        write_hudi(df, t, record_key="id", table_type="MERGE_ON_READ")
+        ts1 = datetime.datetime(2024, 7, 4, 8, 0, 0, 123456)  # EDT (DST)
+        upd = spark.createDataFrame(
+            [(2, ts1, "b2")], "id long, ts timestamp, s string"
+        )
+        want[2] = upd.select(F.unix_micros("ts").alias("u")).collect()[0]["u"]
+        upsert_hudi(spark, t, upd)  # id=2 rides the LOG path
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        got = {
+            r["id"]: r["u"]
+            for r in read_hudi(spark, t)
+            .select("id", F.unix_micros("ts").alias("u"))
+            .collect()
+        }
+        assert got == want  # base row AND log row: same instants
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_mor_malformed_log_payload_fails_fast(spark, tmp_path, people):
+    """A log record whose payload cannot parse as the table schema
+    raises at read (FAILFAST) — PERMISSIVE would silently null the
+    columns and resurrect the row as key-only/all-null data."""
+    t = _mor(spark, tmp_path, people)
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "bob2", "b", 21)], "id long, name string, grp string, v long"
+        ),
+    )
+    # overwrite the committed log file with a type-poisoned record:
+    # v is declared long in the table schema but carries a string
+    log_path = next(
+        os.path.join(r, n)
+        for r, _d, files in os.walk(t)
+        for n in files
+        if ".log." in n
+    )
+    bad_schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    instant = hudi_timeline(t)[-1]
+    with open(log_path, "wb") as fh:
+        fh.write(
+            hudi_log.avro_data_block(
+                [{"_hoodie_record_key": "2", "v": "not-a-long"}],
+                bad_schema,
+                instant,
+            )
+        )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_hudi(spark, t).collect()
