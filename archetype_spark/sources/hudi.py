@@ -12,6 +12,16 @@ Layout written and read:
 - `.hoodie/hoodie.properties` — table name/type/version and the
   record-key + partition-path fields (the upsert faces read them
   back, so a table is self-describing).
+- `.hoodie/archived/` — the ARCHIVED timeline: HoodieLogFormat files
+  of avro-data blocks holding instants moved off the active timeline
+  (`archive_hudi`, the real writer's hoodie.keep.max.commits
+  behavior). The reader merges archived + active instants, so file
+  groups whose only write stats live in the archive stay visible;
+  unreadable archive shapes refuse loudly (_archived_entries).
+- `.hoodie/<instant>.rollback` — a rollback instant: its metadata
+  names the command-block log files the rollback appended
+  (partitionMetadata[*].rollbackLogFiles); those logs join their
+  slice's chain so the dead instant's blocks mask at merge.
 - `.hoodie/<instant>.<action>` — COMPLETED instant metadata (JSON),
   action `commit` (CoW writes, MOR compaction), `deltacommit` (MOR
   writes) or `replacecommit` (clustering): `partitionToWriteStats`
@@ -56,9 +66,12 @@ O(written files) renames + stats — never row data; MOR log files are
 written EXECUTOR-side (one applyInPandas task per affected group,
 the Delta deletion-vector pattern), and the MOR snapshot merge
 shuffles ONLY the log-bearing groups' rows on (group, record key) —
-clean groups stream straight from parquet. Declared limits (loud,
-never silently wrong): HFile/parquet log blocks and command
-(rollback) blocks refuse by name (hudi_log.py); MOR log records
+clean groups stream straight from parquet. Rollback command blocks
+(a foreign writer's crashed-then-rolled-back MOR write) mask the
+dead instant's log entries chain-wide per the public
+HoodieLogFormat semantics. Declared limits (loud, never silently
+wrong): HFile/parquet log blocks and non-rollback command blocks
+refuse by name (hudi_log.py); MOR log records
 support flat schemas (string/long/int/double/float/boolean +
 timestamp/timestamp_ntz/date as Avro logical types — complex types
 refuse); multi-level partition paths refuse; clustering refuses
@@ -134,29 +147,155 @@ def _load_properties(path: str) -> dict[str, str]:
     return props
 
 
-#: completed-instant actions, in file-suffix form
+#: completed DATA-instant actions, in file-suffix form
 _ACTIONS = (".commit", ".deltacommit", ".replacecommit")
+#: the rollback action: masks a failed instant's MOR log blocks
+_ROLLBACK = ".rollback"
+
+#: the archived-timeline record shape this module writes: the SAME
+#: JSON payload the active timeline held, inside the HoodieLogFormat
+#: container real archives use. Real HoodieArchivedMetaEntry records
+#: instead embed the metadata as typed Avro sub-records
+#: (hoodieCommitMetadata / hoodieReplaceCommitMetadata / ...) —
+#: _archived_entries accepts BOTH shapes (the Avro sub-record decodes
+#: to the same dict-of-lists the JSON holds) and refuses anything
+#: else loudly.
+_ARCHIVE_SCHEMA = {
+    "type": "record",
+    "name": "HoodieArchivedMetaEntry",
+    "fields": [
+        {"name": "commitTime", "type": ["null", "string"]},
+        {"name": "actionType", "type": ["null", "string"]},
+        {"name": "actionState", "type": ["null", "string"]},
+        {"name": "metadataJson", "type": ["null", "string"]},
+    ],
+}
+
+#: archived actionType values that can contribute file slices or
+#: masks; clean/savepoint entries are metadata-only and skip
+_ARCHIVE_ACTIONS = ("commit", "deltacommit", "replacecommit", "rollback")
+
+#: archived metadata sub-record field per action (the real
+#: HoodieArchivedMetaEntry layout)
+_ARCHIVE_META_FIELDS = (
+    "hoodieCommitMetadata",
+    "hoodieReplaceCommitMetadata",
+    "hoodieRollbackMetadata",
+)
 
 
-def _timeline_actions(path: str) -> list[tuple[str, str]]:
-    """COMPLETED instants with their action suffix, ascending:
-    [(instant, '.commit' | '.deltacommit' | '.replacecommit')].
+def _archived_dir(path: str) -> str:
+    return os.path.join(_hoodie_dir(path), "archived")
+
+
+def _archived_entries(path: str) -> list[tuple[str, str, dict]]:
+    """Completed instants parsed out of `.hoodie/archived/` —
+    ascending [(instant, action_suffix, metadata)]. Long-lived real
+    tables archive old instants off the active timeline
+    (hoodie.keep.max.commits); a timeline-only reader that ignored
+    them would silently DROP every file group whose only write stats
+    live in the archive. Archive files are HoodieLogFormat files of
+    avro-data blocks; records carry the instant metadata either as
+    this module's `metadataJson` payload or as the real writer's
+    typed sub-record — anything else refuses loudly (never guess at
+    an archive)."""
+    adir = _archived_dir(path)
+    if not os.path.isdir(adir):
+        return []
+    out: list[tuple[str, str, dict]] = []
+    for name in sorted(os.listdir(adir)):
+        fp = os.path.join(adir, name)
+        if not os.path.isfile(fp):
+            continue
+        with open(fp, "rb") as fh:
+            data = fh.read()
+        for btype, header, content in hudi_log.read_blocks(data, name=name):
+            if btype != hudi_log.AVRO_DATA_BLOCK:
+                raise NotImplementedError(
+                    f"Hudi archived-timeline file {name}: block type "
+                    f"{btype} — avro-data archive blocks only"
+                )
+            for rec in hudi_log.decode_avro_data(header, content):
+                action = rec.get("actionType")
+                instant = rec.get("commitTime")
+                if not instant or not action:
+                    raise ValueError(
+                        f"Hudi archived entry in {name} lacks "
+                        "commitTime/actionType"
+                    )
+                if action not in _ARCHIVE_ACTIONS:
+                    continue  # clean/savepoint: metadata-only
+                if rec.get("metadataJson") is not None:
+                    meta = json.loads(rec["metadataJson"])
+                else:
+                    sub = next(
+                        (
+                            rec[f]
+                            for f in _ARCHIVE_META_FIELDS
+                            if isinstance(rec.get(f), dict)
+                        ),
+                        None,
+                    )
+                    if sub is None:
+                        raise NotImplementedError(
+                            f"Hudi archived entry for instant {instant} "
+                            f"in {name} carries neither metadataJson nor "
+                            "a typed metadata sub-record — refusing "
+                            "rather than resolving a short snapshot"
+                        )
+                    meta = sub
+                out.append((str(instant), "." + action, meta))
+    return sorted(out, key=lambda e: e[0])
+
+
+def _active_instants(path: str, rollbacks: bool = False) -> list[tuple[str, str]]:
+    """ACTIVE completed instants with their action suffix, ascending.
     Transition files (.requested/.inflight) are ignored."""
     hd = _hoodie_dir(path)
     if not os.path.isdir(hd):
         raise FileNotFoundError(f"not a Hudi table: {path}")
+    suffixes = _ACTIONS + ((_ROLLBACK,) if rollbacks else ())
     out = []
     for name in os.listdir(hd):
-        for action in _ACTIONS:
+        for action in suffixes:
             if name.endswith(action):
                 out.append((name[: -len(action)], action))
                 break
     return sorted(out)
 
 
+def _timeline_with_meta(
+    path: str, rollbacks: bool = False
+) -> list[tuple[str, str, dict]]:
+    """The COMPLETE completed timeline — archived + active, ascending
+    — with each instant's metadata loaded: [(instant, action, meta)].
+    Active wins a duplicate instant (the archive crash window leaves
+    an instant in both places with identical payloads). Rollback
+    instants are included only when `rollbacks` — they carry no data,
+    only log-block masks."""
+    entries: dict[str, tuple[str, dict]] = {}
+    for instant, action, meta in _archived_entries(path):
+        if action == _ROLLBACK and not rollbacks:
+            continue
+        entries[instant] = (action, meta)
+    for instant, action in _active_instants(path, rollbacks=rollbacks):
+        entries[instant] = (action, _read_commit(path, instant, action))
+    return [
+        (i, a, m) for i, (a, m) in sorted(entries.items())
+    ]
+
+
+def _timeline_actions(path: str) -> list[tuple[str, str]]:
+    """COMPLETED data instants with their action suffix, ascending:
+    [(instant, '.commit' | '.deltacommit' | '.replacecommit')] —
+    archived AND active (an archived instant's writes are still part
+    of the snapshot)."""
+    return [(i, a) for i, a, _m in _timeline_with_meta(path)]
+
+
 def hudi_timeline(path: str) -> list[str]:
-    """COMPLETED instants (all actions), ascending — the timeline the
-    snapshot reader resolves against."""
+    """COMPLETED data instants (all actions), ascending — the timeline
+    the snapshot reader resolves against, archived instants included."""
     return [instant for instant, _action in _timeline_actions(path)]
 
 
@@ -213,12 +352,30 @@ def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
     before the cut drops its replaced groups entirely. A group whose
     latest rewrite carries no file (every row deleted writes an empty
     base file instead, see _write_commit) never reaches here without
-    one."""
+    one.
+
+    Rollback instants (active or archived) name the command-block log
+    files the rollback appended (`partitionMetadata[*].rollbackLogFiles`,
+    the public HoodieRollbackMetadata shape); those join their group's
+    chain so the parser sees the mask — the file group is recovered
+    from the log file NAME's fileId prefix."""
     slices: dict[str, dict] = {}
-    for instant, action in _timeline_actions(path):
+    for instant, action, meta in _timeline_with_meta(path, rollbacks=True):
         if as_of is not None and instant > str(as_of):
             break
-        meta = _read_commit(path, instant, action)
+        if action == _ROLLBACK:
+            for _part, pm in (meta.get("partitionMetadata") or {}).items():
+                for rel in pm.get("rollbackLogFiles") or []:
+                    name = os.path.basename(rel)
+                    fid = name[1:].split("_", 1)[0]
+                    sl = slices.get(fid)
+                    if sl is None:
+                        # the rolled-back write targeted a group whose
+                        # slice opened AFTER this cut (or never
+                        # completed a base) — nothing to mask here
+                        continue
+                    sl["logs"].append((instant, rel))
+            continue
         if action == ".replacecommit":
             for _part, fids in (
                 meta.get("partitionToReplaceFileIds") or {}
@@ -787,9 +944,20 @@ def _parse_log_frame(
                                 _json.dumps(rec),
                             )
                         )
-                    else:
+                    elif op == "delete":
                         rows.append(
                             (fid, instant, seq, op, str(rec["recordKey"]), None)
+                        )
+                    else:  # rollback: __key carries the DEAD instant
+                        rows.append(
+                            (
+                                fid,
+                                instant,
+                                seq,
+                                op,
+                                str(rec["targetInstant"]),
+                                None,
+                            )
                         )
             yield _pd.DataFrame(
                 rows,
@@ -832,6 +1000,25 @@ def _merge_slices(
     ]
     parsed = _parse_log_frame(
         spark, log_paths, temporal=_temporal_kinds(base_dirty.schema)
+    )
+    # rollback masking: a command block shadows EVERY entry of its
+    # target (dead) instant within the file group, even when the
+    # command lives in a later log file of the slice. One window on
+    # __fg keeps the log parse single-pass — a second filtered branch
+    # would re-run the Arrow stage per use.
+    rb_targets = F.collect_set(
+        F.when(F.col("__op") == "rollback", F.col("__key"))
+    ).over(Window.partitionBy("__fg"))
+    parsed = (
+        parsed.withColumn("__rb", rb_targets)
+        .filter(
+            (F.col("__op") != "rollback")
+            & ~F.coalesce(
+                F.array_contains(F.col("__rb"), F.col("__ord")),
+                F.lit(False),
+            )
+        )
+        .drop("__rb")
     )
     # FAILFAST: a log payload that fails typed parsing (foreign
     # writer, schema drift, out-of-range temporal) must raise, not
@@ -1369,8 +1556,7 @@ def hudi_history(spark: SparkSession, path: str) -> DataFrame:
     table = os.path.abspath(path)
     _load_properties(table)
     rows = []
-    for instant, action in _timeline_actions(table):
-        meta = _read_commit(table, instant, action)
+    for instant, action, meta in _timeline_with_meta(table, rollbacks=True):
         n_files = n_rows = n_upd = n_del = 0
         for _p, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
@@ -1382,7 +1568,10 @@ def hudi_history(spark: SparkSession, path: str) -> DataFrame:
             (
                 instant,
                 action.lstrip("."),
-                str(meta.get("operationType", "")),
+                str(
+                    meta.get("operationType")
+                    or ("ROLLBACK" if action == _ROLLBACK else "")
+                ),
                 n_files,
                 n_rows,
                 n_upd,
@@ -1423,11 +1612,13 @@ def clean_hudi(path: str, keep_last: int = 2) -> dict:
             referenced.add(sl["path"])
             referenced.update(p for _i, p in sl["logs"])
     recorded: set[str] = set()
-    for instant, action in actions:
-        meta = _read_commit(table, instant, action)
+    for _instant, action, meta in _timeline_with_meta(table, rollbacks=True):
         for _part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
                 recorded.add(st["path"])
+        if action == _ROLLBACK:  # command logs are physical files too
+            for _part, pm in (meta.get("partitionMetadata") or {}).items():
+                recorded.update(pm.get("rollbackLogFiles") or [])
     doomed = sorted(recorded - referenced)
     removed = []
     for rel in doomed:
@@ -1449,6 +1640,78 @@ def clean_hudi(path: str, keep_last: int = 2) -> dict:
         )
     os.rename(tmp, os.path.join(hd, f"{instant}.clean"))
     return {"instant": instant, "files_deleted": len(removed)}
+
+
+def archive_hudi(path: str, keep_last: int = 30) -> dict:
+    """Timeline archival (hoodie.keep.max.commits): move every
+    completed instant older than the last `keep_last` off the active
+    timeline into `.hoodie/archived/` — the real writer's default
+    behavior on long-lived tables, which is why a reader that ignores
+    the archive silently drops old file groups. The archive file is a
+    HoodieLogFormat file (one avro-data block) whose records carry
+    each instant's metadata VERBATIM as `metadataJson` (see
+    _ARCHIVE_SCHEMA — the real writer embeds a typed sub-record
+    instead; _archived_entries reads both). Data files are untouched:
+    archival is timeline metadata movement, cleaning is what removes
+    data (clean_hudi).
+
+    Crash-safe ordering: the archive file publishes atomically
+    (tmp+rename) BEFORE the active instant files unlink, and the
+    reader dedups instants preferring the active copy — a crash
+    between the two steps leaves a readable table, re-archiving is
+    idempotent."""
+    table = os.path.abspath(path)
+    _load_properties(table)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    active = _active_instants(table, rollbacks=True)
+    data_instants = [i for i, a in active if a != _ROLLBACK]
+    if len(data_instants) <= keep_last:
+        return {"archived": 0, "file": None}
+    cut = data_instants[-keep_last]  # oldest RETAINED data instant
+    to_move = [(i, a) for i, a in active if i < cut]
+    if not to_move:
+        return {"archived": 0, "file": None}
+    records = [
+        {
+            "commitTime": instant,
+            "actionType": action.lstrip("."),
+            "actionState": "COMPLETED",
+            "metadataJson": json.dumps(_read_commit(table, instant, action)),
+        }
+        for instant, action in to_move
+    ]
+    adir = _archived_dir(table)
+    os.makedirs(adir, exist_ok=True)
+    seq = 1 + max(
+        (
+            int(n.split(".archive.")[1].split("_")[0])
+            for n in os.listdir(adir)
+            if ".archive." in n
+        ),
+        default=0,
+    )
+    name = f".commits_.archive.{seq}_{_WRITE_TOKEN}"
+    block = hudi_log.avro_data_block(
+        records, _ARCHIVE_SCHEMA, to_move[-1][0]
+    )
+    tmp = os.path.join(adir, f".{uuid.uuid4().hex}.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(block)
+    os.rename(tmp, os.path.join(adir, name))
+    hd = _hoodie_dir(table)
+    for instant, action in to_move:
+        os.remove(os.path.join(hd, f"{instant}{action}"))
+        for trans in (
+            f"{instant}{action}.requested",
+            f"{instant}.inflight"
+            if action == ".commit"
+            else f"{instant}{action}.inflight",
+        ):
+            fp = os.path.join(hd, trans)
+            if os.path.isfile(fp):
+                os.remove(fp)
+    return {"archived": len(to_move), "file": name}
 
 
 def read_hudi_changes(
@@ -1477,7 +1740,9 @@ def read_hudi_changes(
     empty."""
     table = os.path.abspath(path)
     _load_properties(table)
-    actions = _timeline_actions(table)
+    timeline = _timeline_with_meta(table)
+    actions = [(i, a) for i, a, _m in timeline]
+    metas = {i: m for i, _a, m in timeline}
     if not actions:
         raise FileNotFoundError(f"Hudi table has no completed commits: {table}")
     instants = [i for i, _a in actions]
@@ -1509,7 +1774,7 @@ def read_hudi_changes(
     for instant, action in in_range:
         if action == ".replacecommit":
             continue  # clustering re-houses records, adds none
-        meta = _read_commit(table, instant, action)
+        meta = metas[instant]
         if meta.get("operationType") == "COMPACT":
             continue  # compaction bakes in already-emitted records
         base_paths, log_paths = [], []
@@ -1573,8 +1838,8 @@ def last_streaming_batch_hudi(path: str, app_id: str) -> int | None:
     table or unseen app."""
     table = os.path.abspath(path)
     key = _STREAM_KEY.format(app_id=app_id)
-    for instant, action in reversed(_timeline_actions(table)):
-        extra = _read_commit(table, instant, action).get("extraMetadata") or {}
+    for _instant, _action, meta in reversed(_timeline_with_meta(table)):
+        extra = meta.get("extraMetadata") or {}
         if key in extra:
             return int(extra[key])
     return None

@@ -36,10 +36,22 @@ Block contents:
 - DELETE (1): BE-int content format version, BE-int payload size,
   then an Avro-array of {recordKey, partitionPath, orderingVal}
   records (the HoodieDeleteRecordList shape).
+- COMMAND (0): the rollback marker. A failed MOR write that was
+  rolled back leaves a command block whose COMMAND_BLOCK_TYPE header
+  is ROLLBACK_PREVIOUS_BLOCK (enum ordinal 0) and whose
+  TARGET_INSTANT_TIME header names the dead instant; content is
+  empty. Readers MASK every block carrying that instant — a
+  rolled-back instant time is never retried (retries get a fresh
+  instant), so the masking is chain-wide per the public
+  AbstractHoodieLogRecordReader semantics. parse_log_entries emits
+  them as ('<block instant>', 'rollback', {'targetInstant': ...})
+  entries; the merge layer applies the mask (sources/hudi.py) so a
+  rollback living in a LATER log file of the same slice still
+  shadows the dead blocks.
 - HFILE_DATA (4) and PARQUET_DATA (5) refuse by name (the container
   ships no HFile reader; parquet log blocks are a 1.x layout this
-  table version never writes). COMMAND (0, the rollback marker)
-  refuses by name — rollbacks are not modeled.
+  table version never writes). Non-rollback command types refuse by
+  name.
 
 Reference parity: SURVEY.md §2.2 Sources — the reference reads
 lakehouse tables through its connector tier; MERGE_ON_READ is the
@@ -239,6 +251,25 @@ def decode_delete(content: bytes) -> list[dict]:
     return avro_io._decode(_DELETE_LIST_SCHEMA, buf, {})
 
 
+#: HoodieCommandBlockTypeEnum ordinals (public enum order)
+ROLLBACK_PREVIOUS_BLOCK = 0
+
+
+def rollback_block(target_instant: str, instant: str) -> bytes:
+    """A COMMAND block masking `target_instant`'s blocks — what the
+    real writer appends to a slice's log after rolling back a failed
+    write. Empty content; the action rides the headers."""
+    return write_block(
+        COMMAND_BLOCK,
+        {
+            INSTANT_TIME: instant,
+            TARGET_INSTANT_TIME: target_instant,
+            COMMAND_BLOCK_TYPE: str(ROLLBACK_PREVIOUS_BLOCK),
+        },
+        b"",
+    )
+
+
 def log_file_name(
     file_id: str, base_instant: str, version: int, token: str = "0-0-0"
 ) -> str:
@@ -248,9 +279,12 @@ def log_file_name(
 def parse_log_entries(data: bytes, name: str = "<bytes>"):
     """Flatten a log file into merge-ready entries, in block order:
     (instant, op, record) where op is 'upsert' (record = the avro
-    dict) or 'delete' (record = the HoodieDeleteRecord dict).
-    HFile/parquet/command/CDC blocks refuse by name — silently
-    skipping an unreadable block would resolve a WRONG snapshot."""
+    dict), 'delete' (record = the HoodieDeleteRecord dict) or
+    'rollback' (record = {'targetInstant': ...} — the caller masks
+    the target instant's entries chain-wide, see module docstring).
+    HFile/parquet/CDC and non-rollback command blocks refuse by name
+    — silently skipping an unreadable block would resolve a WRONG
+    snapshot."""
     out = []
     for btype, header, content in read_blocks(data, name=name):
         instant = header.get(INSTANT_TIME, "")
@@ -260,6 +294,20 @@ def parse_log_entries(data: bytes, name: str = "<bytes>"):
         elif btype == DELETE_BLOCK:
             for rec in decode_delete(content):
                 out.append((instant, "delete", rec))
+        elif btype == COMMAND_BLOCK:
+            ctype = header.get(COMMAND_BLOCK_TYPE, "")
+            if ctype != str(ROLLBACK_PREVIOUS_BLOCK):
+                raise NotImplementedError(
+                    f"Hudi command block type {ctype!r} in {name}: "
+                    "only rollback (0) is modeled"
+                )
+            target = header.get(TARGET_INSTANT_TIME)
+            if not target:
+                raise ValueError(
+                    f"Hudi rollback block in {name} carries no "
+                    "TARGET_INSTANT_TIME header"
+                )
+            out.append((instant, "rollback", {"targetInstant": target}))
         elif btype == HFILE_DATA_BLOCK:
             raise NotImplementedError(
                 f"Hudi HFile log block in {name}: the container ships "
@@ -269,11 +317,6 @@ def parse_log_entries(data: bytes, name: str = "<bytes>"):
             raise NotImplementedError(
                 f"Hudi parquet log block in {name}: a 1.x layout this "
                 "table version never writes"
-            )
-        elif btype == COMMAND_BLOCK:
-            raise NotImplementedError(
-                f"Hudi command (rollback) block in {name}: rollbacks "
-                "are not modeled"
             )
         else:
             raise NotImplementedError(

@@ -86,10 +86,26 @@ def test_log_block_refusals_are_loud():
     )
     with pytest.raises(NotImplementedError, match="HFile"):
         hudi_log.parse_log_entries(blk)
+    # a command block that is NOT a rollback refuses by name
     blk = hudi_log.write_block(
-        hudi_log.COMMAND_BLOCK, {hudi_log.INSTANT_TIME: "001"}, b""
+        hudi_log.COMMAND_BLOCK,
+        {hudi_log.INSTANT_TIME: "001", hudi_log.COMMAND_BLOCK_TYPE: "7"},
+        b"",
     )
-    with pytest.raises(NotImplementedError, match="rollback"):
+    with pytest.raises(NotImplementedError, match="command block type"):
+        hudi_log.parse_log_entries(blk)
+    # a rollback block without a target raises (never guess the mask)
+    blk = hudi_log.write_block(
+        hudi_log.COMMAND_BLOCK,
+        {
+            hudi_log.INSTANT_TIME: "001",
+            hudi_log.COMMAND_BLOCK_TYPE: str(
+                hudi_log.ROLLBACK_PREVIOUS_BLOCK
+            ),
+        },
+        b"",
+    )
+    with pytest.raises(ValueError, match="TARGET_INSTANT_TIME"):
         hudi_log.parse_log_entries(blk)
     blk = hudi_log.write_block(
         hudi_log.PARQUET_DATA_BLOCK, {hudi_log.INSTANT_TIME: "001"}, b"x"
