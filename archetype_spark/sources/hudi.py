@@ -71,11 +71,13 @@ clean groups stream straight from parquet. Rollback command blocks
 dead instant's log entries chain-wide per the public
 HoodieLogFormat semantics. Declared limits (loud, never silently
 wrong): HFile/parquet log blocks and non-rollback command blocks
-refuse by name (hudi_log.py); MOR log records
-support flat schemas (string/long/int/double/float/boolean +
-timestamp/timestamp_ntz/date as Avro logical types — complex types
-refuse); multi-level partition paths refuse; clustering refuses
-log-bearing groups (compact first).
+refuse by name (hudi_log.py); MOR log record schemas nest
+arrays/structs/maps with primitive leaves
+(string/long/int/double/float/boolean) plus TOP-LEVEL
+timestamp/timestamp_ntz/date as Avro logical types — nested
+temporals, non-string map keys and other leaf types refuse by name;
+multi-level partition paths refuse; clustering refuses log-bearing
+groups (compact first).
 
 Reference parity: SURVEY.md §2.2 Sources row — the reference's
 dependency surface reads lakehouse tables through its connector tier;
@@ -400,6 +402,23 @@ def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
                             f"instant {instant}"
                         )
                     sl["logs"].append((instant, st["path"]))
+    # chain integrity: log versions must run 1..n with no gap — a gap
+    # means a commit this timeline no longer names wrote a log file
+    # between two we can see (a hole the merge would silently skip)
+    import re as _re
+
+    for fid, sl in slices.items():
+        versions = [
+            int(m.group(1))
+            for _i, p in sl["logs"]
+            if (m := _re.search(r"\.log\.(\d+)", os.path.basename(p)))
+        ]
+        if versions and versions != list(range(1, len(versions) + 1)):
+            raise ValueError(
+                f"Hudi log chain for file group {fid} has a version "
+                f"gap or disorder: {versions} (expected 1..n) — "
+                "refusing to merge a chain with a hole"
+            )
     return slices
 
 
@@ -687,27 +706,87 @@ def _fg_expr():
     return F.regexp_extract(F.col("_hoodie_file_name"), r"^\.?([^_]+)", 1)
 
 
-def _avro_schema_for(schema) -> dict:
-    """Spark StructType -> flat Avro record schema for MOR log
-    records. Temporal columns carry Avro logical types
-    (timestamp-micros / date, the real data-block convention);
-    complex columns refuse by name — log records cover the declared
-    flat subset (module docstring)."""
-    fields = []
-    for f in schema.fields:
-        tn = f.dataType.typeName()
-        if tn in _AVRO_TEMPORALS:
-            fields.append({"name": f.name, "type": ["null", _AVRO_TEMPORALS[tn][0]]})
-            continue
-        prim = _AVRO_PRIMS.get(tn)
-        if prim is None:
+def _avro_name(colpath: str) -> str:
+    """A valid Avro record name from a column path."""
+    import re
+
+    return "r_" + re.sub(r"[^A-Za-z0-9_]", "_", colpath)
+
+
+def _avro_type_for(dt, colpath: str):
+    """Spark DataType -> the non-null Avro branch for MOR log record
+    fields; arrays/structs/maps recurse with nullable elements.
+    Temporal types are TOP-LEVEL only (the epoch<->ISO wire
+    conversion in _append_log_files/_parse_log_frame walks top-level
+    columns; a nested temporal would round-trip WRONG, so it refuses
+    loudly). Map keys must be strings (the Avro map constraint)."""
+    tn = dt.typeName()
+    if tn in _AVRO_TEMPORALS:
+        if colpath != colpath.split(".")[0].split("[")[0].split("{")[0]:
             raise NotImplementedError(
-                f"MOR log record column {f.name!r} of type {tn}: flat "
-                "schemas only (string/long/int/double/float/boolean/"
-                "timestamp/timestamp_ntz/date)"
+                f"MOR log record field {colpath!r}: temporal types are "
+                "supported at top level only (nested temporal values "
+                "would skip the epoch wire conversion)"
             )
-        fields.append({"name": f.name, "type": ["null", prim]})
-    return {"type": "record", "name": "HoodieRecord", "fields": fields}
+        return _AVRO_TEMPORALS[tn][0]
+    prim = _AVRO_PRIMS.get(tn)
+    if prim is not None:
+        return prim
+    if tn == "array":
+        return {
+            "type": "array",
+            "items": ["null", _avro_type_for(dt.elementType, colpath + "[]")],
+        }
+    if tn == "struct":
+        return {
+            "type": "record",
+            "name": _avro_name(colpath),
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": [
+                        "null",
+                        _avro_type_for(f.dataType, f"{colpath}.{f.name}"),
+                    ],
+                }
+                for f in dt.fields
+            ],
+        }
+    if tn == "map":
+        if dt.keyType.typeName() != "string":
+            raise NotImplementedError(
+                f"MOR log record field {colpath!r}: map keys must be "
+                "strings (the Avro map constraint)"
+            )
+        return {
+            "type": "map",
+            "values": ["null", _avro_type_for(dt.valueType, colpath + "{}")],
+        }
+    raise NotImplementedError(
+        f"MOR log record column {colpath!r} of type {tn}: supported "
+        "leaves are string/long/int/double/float/boolean + top-level "
+        "timestamp/timestamp_ntz/date; containers are "
+        "array/struct/map<string,_>"
+    )
+
+
+def _avro_schema_for(schema) -> dict:
+    """Spark StructType -> Avro record schema for MOR log records.
+    Temporal columns carry Avro logical types (timestamp-micros /
+    date, the real data-block convention); arrays/structs/maps nest
+    with primitive leaves; anything else refuses by name (module
+    docstring)."""
+    return {
+        "type": "record",
+        "name": "HoodieRecord",
+        "fields": [
+            {
+                "name": f.name,
+                "type": ["null", _avro_type_for(f.dataType, f.name)],
+            }
+            for f in schema.fields
+        ],
+    }
 
 
 def _temporal_kinds(schema) -> dict[str, str]:
@@ -780,14 +859,55 @@ def _append_log_files(
         else:
             import datetime as _dt
 
+            def _isna(v) -> bool:
+                if v is None:
+                    return True
+                try:  # arrays/dicts aren't scalar-nan testable
+                    return bool(pd.isna(v))
+                except (TypeError, ValueError):
+                    return False
+
+            def _wire(v, typ):
+                """Pandas value -> avro-encodable, recursing through
+                containers; temporal leaves are top-level only and
+                handled by the caller."""
+                if _isna(v):
+                    return None
+                if isinstance(typ, list):  # nullable union
+                    return _wire(v, typ[1])
+                if isinstance(typ, dict):
+                    t = typ.get("type")
+                    if t == "array":
+                        return [_wire(x, typ["items"]) for x in v]
+                    if t == "map":
+                        items = v.items() if isinstance(v, dict) else v
+                        return {
+                            str(k): _wire(x, typ["values"])
+                            for k, x in items
+                        }
+                    if t == "record":
+                        return {
+                            f["name"]: _wire(v.get(f["name"]), f["type"])
+                            for f in typ["fields"]
+                        }
+                if typ in ("long", "int"):
+                    return int(v)
+                if typ in ("double", "float"):
+                    return float(v)
+                if typ == "boolean":
+                    return bool(v)
+                return str(v)
+
             recs = []
             for i, row in enumerate(pdf.to_dict("records")):
                 rec = {}
                 for name, prim in data_fields:
                     v = row.get(name)
-                    if v is None or pd.isna(v):
+                    if _isna(v):
                         rec[name] = None
-                    elif isinstance(prim, dict):  # temporal logical
+                    elif (
+                        isinstance(prim, dict) and "logicalType" in prim
+                    ):  # top-level temporal
                         if prim["logicalType"] == "timestamp-micros":
                             ts = pd.Timestamp(v)
                             if temporal.get(name) == "ts":
@@ -807,14 +927,8 @@ def _append_log_files(
                                 else v
                             )
                             rec[name] = (d - _dt.date(1970, 1, 1)).days
-                    elif prim in ("long", "int"):
-                        rec[name] = int(v)
-                    elif prim in ("double", "float"):
-                        rec[name] = float(v)
-                    elif prim == "boolean":
-                        rec[name] = bool(v)
                     else:
-                        rec[name] = str(v)
+                        rec[name] = _wire(v, prim)
                 rec["_hoodie_commit_time"] = instant
                 rec["_hoodie_commit_seqno"] = f"{instant}_0_{i + 1}"
                 rec["_hoodie_record_key"] = str(row[record_key])

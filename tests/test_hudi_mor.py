@@ -383,21 +383,97 @@ def test_cow_changes_track_rewrites(spark, tmp_path, people):
 
 
 def test_mor_log_schema_refusal_is_loud(spark, tmp_path):
-    """Temporal columns ride Avro logical types (the temporal
-    round-trip test); genuinely COMPLEX columns still refuse by
-    name — an array column cannot enter a flat log record."""
+    """Containers with primitive leaves ride the log (the complex
+    round-trip test); what stays OUT refuses by name: nested
+    temporals (the epoch wire conversion is top-level only),
+    non-string map keys, and unsupported leaf types."""
     t = str(tmp_path / "mor")
-    spark_df = spark.createDataFrame(
-        [(1, ["a", "b"])], "id long, tags array<string>"
+    df = spark.createDataFrame(
+        [(1, [("x",)])],
+        "id long, evs array<struct<s:string>>",
     )
-    write_hudi(spark_df, t, record_key="id", table_type="MERGE_ON_READ")
-    with pytest.raises(NotImplementedError, match="tags"):
-        upsert_hudi(
-            spark, t,
-            spark.createDataFrame(
-                [(1, ["c"])], "id long, tags array<string>"
-            ),
-        )
+    write_hudi(df, t, record_key="id", table_type="MERGE_ON_READ")
+    # nested temporal refuses
+    nested_ts = spark.createDataFrame(
+        [(1, (None,))],
+        "id long, evs struct<at:timestamp>",
+    )
+    t2 = str(tmp_path / "mor2")
+    write_hudi(nested_ts, t2, record_key="id", table_type="MERGE_ON_READ")
+    with pytest.raises(NotImplementedError, match="top level"):
+        upsert_hudi(spark, t2, nested_ts)
+    # non-string map key refuses
+    t3 = str(tmp_path / "mor3")
+    mk = spark.createDataFrame(
+        [(1, {2: "x"})], "id long, m map<long,string>"
+    )
+    write_hudi(mk, t3, record_key="id", table_type="MERGE_ON_READ")
+    with pytest.raises(NotImplementedError, match="map keys"):
+        upsert_hudi(spark, t3, mk)
+    # unsupported leaf (binary) refuses
+    t4 = str(tmp_path / "mor4")
+    bn = spark.createDataFrame([(1, b"x")], "id long, b binary")
+    write_hudi(bn, t4, record_key="id", table_type="MERGE_ON_READ")
+    with pytest.raises(NotImplementedError, match="'b'"):
+        upsert_hudi(spark, t4, bn)
+
+
+def test_mor_complex_columns_round_trip(spark, tmp_path):
+    """MOR log records with array / struct / map columns: the avro
+    block nests containers with nullable elements, the merge read
+    types them back exactly through from_json — upsert, null
+    container, delete tombstone and compaction all hold."""
+    from archetype_spark.sources.hudi import delete_by_key_hudi
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"], (10, "x"), {"k1": 1}),
+            (2, ["c"], (20, "y"), {"k2": 2}),
+            (3, [], (30, None), {}),
+        ],
+        "id long, tags array<string>, st struct<n:long,s:string>, "
+        "m map<string,long>",
+    )
+    write_hudi(df, t, record_key="id", table_type="MERGE_ON_READ")
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(2, ["c2", None], (21, "y2"), {"k2": 22, "k3": None})],
+            "id long, tags array<string>, st struct<n:long,s:string>, "
+            "m map<string,long>",
+        ),
+    )
+    got = {
+        r["id"]: (r["tags"], r["st"], r["m"])
+        for r in read_hudi(spark, t).collect()
+    }
+    assert got[1] == (["a", "b"], (10, "x"), {"k1": 1})
+    assert got[2][0] == ["c2", None]  # null element survives
+    assert tuple(got[2][1]) == (21, "y2")
+    assert got[2][2] == {"k2": 22, "k3": None}
+    # a null container survives the block
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(1, None, None, None)],
+            "id long, tags array<string>, st struct<n:long,s:string>, "
+            "m map<string,long>",
+        ),
+    )
+    r1 = read_hudi(spark, t).filter(F.col("id") == 1).collect()[0]
+    assert r1["tags"] is None and r1["st"] is None and r1["m"] is None
+    # delete block + compaction over the complex schema
+    delete_by_key_hudi(
+        spark, t, spark.createDataFrame([(3,)], "id long")
+    )
+    compact_hudi(spark, t)
+    after = {
+        r["id"]: (r["tags"], r["m"])
+        for r in read_hudi(spark, t).collect()
+    }
+    assert set(after) == {1, 2}
+    assert after[2] == (["c2", None], {"k2": 22, "k3": None})
 
 
 def test_read_optimized_skips_log_merge(spark, tmp_path, people):

@@ -436,3 +436,97 @@ def test_rollback_instant_masks_across_log_files(spark, tmp_path, people):
     assert hist[rb] == "rollback"
     # but the DATA timeline (time travel / incremental) excludes it
     assert rb not in hudi_timeline(t)
+
+
+# ------------------------------------------------- foreign-written MOR layout
+
+
+def test_foreign_log_layout_and_version_rollover(spark, tmp_path, people):
+    """A log file assembled byte-by-byte the way the real writer lays
+    it out — magic, BE sizes, headers in NON-sorted map order, the
+    trailing reverse pointer — parses identically, and rolled-over
+    log versions (.log.2, .log.3 from separate commits) resolve in
+    chain order."""
+    import struct
+
+    t, fg, base, part, schema = _mor_with_log(spark, tmp_path, people)
+
+    def hand_block(btype, headers, content):
+        # headers written in GIVEN order (real writers use a HashMap
+        # — ordering is not part of the format)
+        import io
+
+        hdr = io.BytesIO()
+        hdr.write(struct.pack(">i", len(headers)))
+        for k, v in headers:
+            raw = v.encode()
+            hdr.write(struct.pack(">ii", k, len(raw)))
+            hdr.write(raw)
+        hdr = hdr.getvalue()
+        ftr = struct.pack(">i", 0)
+        blocksize = 4 + 4 + len(hdr) + 8 + len(content) + len(ftr) + 8
+        total = 6 + 8 + blocksize
+        out = io.BytesIO()
+        out.write(b"#HUDI#")
+        out.write(struct.pack(">q", blocksize))
+        out.write(struct.pack(">ii", 1, btype))
+        out.write(hdr)
+        out.write(struct.pack(">q", len(content)))
+        out.write(content)
+        out.write(ftr)
+        out.write(struct.pack(">q", total))
+        return out.getvalue()
+
+    last = int(hudi_timeline(t)[-1])
+    i2, i3 = str(last + 1), str(last + 2)
+    # reuse the codec's avro body but reframe with reversed headers
+    ref = hudi_log.avro_data_block(
+        [_rec(fg, 2, "v2", "b", 2, i2)], schema, i2
+    )
+    blocks = hudi_log.read_blocks(ref)
+    content = blocks[0][2]
+    hand = hand_block(
+        hudi_log.AVRO_DATA_BLOCK,
+        [  # SCHEMA before INSTANT_TIME: reversed map order
+            (hudi_log.SCHEMA, json.dumps(schema)),
+            (hudi_log.INSTANT_TIME, i2),
+        ],
+        content,
+    )
+    log2 = hudi_log.log_file_name(fg, base, 2, "1-0-1")
+    with open(os.path.join(t, part, log2), "wb") as fh:
+        fh.write(hand)
+    _publish_log(t, part, log2, fg, base, i2)
+    # a third rolled-over version from another commit
+    log3 = hudi_log.log_file_name(fg, base, 3, "2-0-2")
+    with open(os.path.join(t, part, log3), "wb") as fh:
+        fh.write(
+            hudi_log.avro_data_block(
+                [_rec(fg, 2, "v3", "b", 3, i3)], schema, i3
+            )
+        )
+    _publish_log(t, part, log3, fg, base, i3)
+    got = {r[0]: r for r in _rows(spark, t)}
+    assert got[2] == (2, "v3", "b", 3)  # chain resolved in order
+    sl = _file_slices(t)[fg]
+    assert [p.split(".log.")[1].split("_")[0] for _i, p in sl["logs"]] == [
+        "1", "2", "3"
+    ]
+
+
+def test_log_chain_version_gap_refuses(spark, tmp_path, people):
+    """A timeline that names .log.1 and .log.3 but no .log.2 lost a
+    commit — merging around the hole would be silently wrong."""
+    t, fg, base, part, schema = _mor_with_log(spark, tmp_path, people)
+    last = int(hudi_timeline(t)[-1])
+    i3 = str(last + 1)
+    log3 = hudi_log.log_file_name(fg, base, 3, "1-0-1")  # skips v2
+    with open(os.path.join(t, part, log3), "wb") as fh:
+        fh.write(
+            hudi_log.avro_data_block(
+                [_rec(fg, 2, "v3", "b", 3, i3)], schema, i3
+            )
+        )
+    _publish_log(t, part, log3, fg, base, i3)
+    with pytest.raises(ValueError, match="version"):
+        read_hudi(spark, t).collect()
