@@ -2160,6 +2160,185 @@ def q145_hudi_cleaned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_hudi_mesh(spark: SparkSession, sf_dir: str) -> str:
+    """The Hudi-sourced replication mesh q146 reads: a MERGE_ON_READ
+    source table plays the q141 cohort history (even ingest, delete
+    blocks for n_chars % 5 = 2, odd bulk-insert, re-lang upsert for
+    n_chars % 7 = 3) while Delta and Iceberg mirrors follow via
+    replicate_hudi_to_delta / replicate_hudi_to_iceberg in TWO syncs
+    each — a mid-history bootstrap (so the mirrors hold state the
+    incremental path must then mutate, deletes included) and a final
+    catch-up. Each sync is O(changes): upserts from the incremental
+    face, deleted keys from the delete blocks, one latest-wins
+    shuffle, one atomic mirror commit carrying the high-water mark."""
+    from archetype_spark.sources.hudi import (
+        delete_by_key_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+    from archetype_spark.sources.replicate import (
+        replicate_hudi_to_delta,
+        replicate_hudi_to_iceberg,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        src = os.path.join(btable, "src")
+        dm = os.path.join(btable, "delta")
+        im = os.path.join(btable, "iceberg")
+        even = base.filter(F.col("doc_id") % 2 == 0)
+        write_hudi(
+            even, src, record_key="doc_id", partition_by="lang",
+            buckets=2, table_type="MERGE_ON_READ",
+        )
+        delete_by_key_hudi(
+            spark, src,
+            even.filter(F.col("n_chars") % 5 == 2).select("doc_id"),
+        )
+        # mid-history bootstrap: mirrors hold the post-delete evens
+        replicate_hudi_to_delta(spark, src, dm)
+        replicate_hudi_to_iceberg(spark, src, im)
+        write_hudi(
+            base.filter(F.col("doc_id") % 2 == 1), src,
+            record_key="doc_id", mode="insert",
+        )
+        upsert_hudi(
+            spark,
+            src,
+            even.filter(
+                (F.col("n_chars") % 5 != 2) & (F.col("n_chars") % 7 == 3)
+            ).withColumn("lang", F.lit("xx")),
+        )
+        # incremental catch-up: inserts + updates land on bootstrapped
+        # mirrors as one CDC commit each
+        replicate_hudi_to_delta(spark, src, dm)
+        replicate_hudi_to_iceberg(spark, src, im)
+
+    return _ensure_lake_documents(spark, sf_dir, "hudi_mesh", build)
+
+
+def q146_hudi_replication_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi as the CDC SOURCE of a tri-format mesh: the MOR source
+    table (log-merged snapshot), its Delta mirror (deletion-vector
+    commits under txn marks) and its Iceberg mirror (equality-delete
+    row-delta snapshots under a table-property mark) must hold the
+    SAME final state after a bootstrap + incremental sync each — the
+    q140 consistency shape with the third format driving instead of
+    following. Deletes replicate from MOR delete blocks
+    (read_hudi_deleted_keys), upserts from the incremental face; any
+    stale or resurrected row breaks its column against the oracle's
+    source-view recompute. Join sides are aggregate-tiny and
+    explicitly broadcast. Parity: the reference's connector tier
+    reads all three formats; heterogeneous mirrors are how a real
+    lakehouse migrates between them."""
+    from archetype_spark.sources.delta import read_delta
+    from archetype_spark.sources.hudi import read_hudi
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    mesh = _ensure_hudi_mesh(spark, sf_dir)
+    hu = (
+        read_hudi(spark, os.path.join(mesh, "src"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hudi_docs"),
+            F.sum("n_chars").cast("bigint").alias("hudi_chars"),
+        )
+    )
+    dm = (
+        read_delta(spark, os.path.join(mesh, "delta"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("delta_docs"))
+    )
+    ic = (
+        read_iceberg(spark, os.path.join(mesh, "iceberg"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("iceberg_docs"))
+    )
+    return (
+        hu.join(F.broadcast(dm), "lang")
+        .join(F.broadcast(ic), "lang")
+        .select("lang", "hudi_docs", "delta_docs", "iceberg_docs", "hudi_chars")
+    )
+
+
+def _ensure_hudi_archived_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The ARCHIVED-timeline Hudi table q147 scans: the q141 MOR
+    cohort history (even ingest, delete blocks, odd insert, re-lang
+    upsert) followed by archive_hudi(keep_last=1) — every instant but
+    the final upsert moves into .hoodie/archived/, so snapshot
+    resolution, time travel and the log chains all depend on write
+    stats that now live ONLY in the archive's avro blocks. A reader
+    that ignored the archive would drop the ingest-era file groups
+    silently; the oracle's source-view recompute catches exactly
+    that."""
+    from archetype_spark.sources.hudi import (
+        archive_hudi,
+        delete_by_key_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        even = base.filter(F.col("doc_id") % 2 == 0)
+        write_hudi(
+            even, btable, record_key="doc_id", partition_by="lang",
+            buckets=2, table_type="MERGE_ON_READ",
+        )
+        delete_by_key_hudi(
+            spark, btable,
+            even.filter(F.col("n_chars") % 5 == 2).select("doc_id"),
+        )
+        write_hudi(
+            base.filter(F.col("doc_id") % 2 == 1), btable,
+            record_key="doc_id", mode="insert",
+        )
+        upsert_hudi(
+            spark,
+            btable,
+            even.filter(
+                (F.col("n_chars") % 5 != 2) & (F.col("n_chars") % 7 == 3)
+            ).withColumn("lang", F.lit("xx")),
+        )
+        archive_hudi(btable, keep_last=1)
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "hudi_archived_documents", build
+    )
+
+
+def q147_hudi_archived_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi ARCHIVED-timeline reads under the driver gate: after
+    archival moved every instant but the newest off the active
+    timeline, 'latest' (survivors + re-lang + odds), 'mid' (the
+    archived delete instant) and 'v0' (the archived ingest) must all
+    read exactly — the same three cuts as q141, now resolved through
+    the archive's avro blocks instead of active JSON. The file groups
+    the even ingest created have NO active write stats at all; a
+    timeline reader that skipped the archive would resolve a short
+    snapshot, and every per-lang sum would move. Parity: real Hudi
+    writers archive by default (hoodie.keep.max.commits), so
+    long-lived production tables always carry an archive."""
+    from archetype_spark.sources.hudi import hudi_timeline, read_hudi
+
+    table = _ensure_hudi_archived_documents(spark, sf_dir)
+    line = hudi_timeline(table)  # archived + active, merged
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .select(F.lit(snap).alias("snap"), "lang", "n_docs", "sum_chars")
+        )
+
+    return (
+        agg(read_hudi(spark, table), "latest")
+        .unionByName(agg(read_hudi(spark, table, as_of=line[1]), "mid"))
+        .unionByName(agg(read_hudi(spark, table, as_of=line[0]), "v0"))
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -3464,6 +3643,8 @@ QUERIES = {
     "q143_hudi_read_optimized": q143_hudi_read_optimized,
     "q144_hudi_clustered_scan": q144_hudi_clustered_scan,
     "q145_hudi_cleaned_scan": q145_hudi_cleaned_scan,
+    "q146_hudi_replication_mesh": q146_hudi_replication_mesh,
+    "q147_hudi_archived_scan": q147_hudi_archived_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -4958,6 +5139,50 @@ ORACLES["q145_hudi_cleaned_scan"] = """
     SELECT 'mid' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents WHERE n_chars % 5 <> 2 GROUP BY lang
+"""
+
+# q146: the Hudi-sourced mesh — one cohort-algebra recompute feeds
+# the source column AND both mirror columns (final state = delete
+# survivors with the upsert's re-lang + the odd inserts). A delete
+# the mirror never learned of, a stale bootstrap row the incremental
+# sync failed to overwrite, or a double-applied batch breaks exactly
+# one column's counts.
+ORACLES["q146_hudi_replication_mesh"] = """
+    SELECT lang, count(*)::BIGINT AS hudi_docs,
+           count(*)::BIGINT AS delta_docs,
+           count(*)::BIGINT AS iceberg_docs,
+           sum(n_chars)::BIGINT AS hudi_chars
+    FROM (
+      SELECT CASE WHEN n_chars % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents WHERE doc_id % 2 = 0 AND n_chars % 5 <> 2
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY lang
+"""
+
+# q147: identical cohort algebra to q141 — archival must not move a
+# row in any cut; the three snapshots now resolve through the
+# archive's avro blocks (only the final upsert instant stays active).
+ORACLES["q147_hudi_archived_scan"] = """
+    SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (
+      SELECT CASE WHEN n_chars % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents WHERE doc_id % 2 = 0 AND n_chars % 5 <> 2
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY lang
+    UNION ALL
+    SELECT 'mid' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 AND n_chars % 5 <> 2
+    GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
 """
 
 # q142: the incremental face per commit ordinal — seq 0 the even

@@ -570,13 +570,22 @@ def _write_commit(
         seen.add(fg)
         rel_path = f"{part}/{name}" if part else name
         prior = rewritten.get(fg)
+        n_del = 0
+        if op == "delete" and prior:
+            # real write stats record how many records the rewrite
+            # dropped: prior base rows minus survivors (CoW slices
+            # carry no logs on the delete path)
+            prior_rows = pq.read_metadata(
+                os.path.join(table, prior["path"])
+            ).num_rows
+            n_del = max(prior_rows - n_rows, 0)
         stats.setdefault(part, []).append(
             {
                 "fileId": fg,
                 "path": rel_path,
                 "numWrites": n_rows,
                 "numUpdateWrites": n_rows if prior else 0,
-                "numDeletes": 0,
+                "numDeletes": n_del,
                 "prevCommit": prior["instant"] if prior else "null",
             }
         )
@@ -600,7 +609,11 @@ def _write_commit(
                 "path": f"{part}/{name}" if part else name,
                 "numWrites": 0,
                 "numUpdateWrites": 0,
-                "numDeletes": prior.get("numDeletes", 0),
+                # every prior-slice row died (that is what made the
+                # shadow empty)
+                "numDeletes": pq.read_metadata(
+                    os.path.join(table, prior["path"])
+                ).num_rows,
                 "prevCommit": prior["instant"],
             }
         )
@@ -697,6 +710,25 @@ _LOG_PARSE_SCHEMA = (
     "__fg string, __ord string, __seq long, __op string, "
     "__key string, __json string"
 )
+
+
+def _rolled_back_instants(path: str) -> set[str]:
+    """The DEAD instants the timeline's rollback actions name —
+    accepted in every public HoodieRollbackMetadata spelling
+    (commitsRollback strings, instantsRollback strings or
+    HoodieInstantInfo dicts, instantToRollback). O(timeline JSON),
+    archived rollbacks included."""
+    dead: set[str] = set()
+    for _i, action, meta in _timeline_with_meta(path, rollbacks=True):
+        if action != _ROLLBACK:
+            continue
+        for c in meta.get("commitsRollback") or []:
+            dead.add(str(c))
+        for c in meta.get("instantsRollback") or []:
+            dead.add(str(c.get("commitTime")) if isinstance(c, dict) else str(c))
+        if meta.get("instantToRollback"):
+            dead.add(str(meta["instantToRollback"]))
+    return dead
 
 
 def _fg_expr():
@@ -1023,9 +1055,19 @@ def _parse_log_frame(
                 fid = name[1:].split("_", 1)[0]
                 with open(pth, "rb") as fh:
                     content = fh.read()
-                for seq, (instant, op, rec) in enumerate(
-                    hudi_log.parse_log_entries(content, name)
-                ):
+                entries = hudi_log.parse_log_entries(content, name)
+                # same-file rollback masking: a command block kills
+                # every entry of its target instant in THIS file (the
+                # append-capable writer's shape); cross-file masks
+                # apply downstream from the .rollback metadata
+                file_dead = {
+                    rec["targetInstant"]
+                    for _i, op, rec in entries
+                    if op == "rollback"
+                }
+                for seq, (instant, op, rec) in enumerate(entries):
+                    if op == "rollback" or instant in file_dead:
+                        continue
                     if op == "upsert":
                         for col, kind in temporal.items():
                             v = rec.get(col)
@@ -1058,20 +1100,9 @@ def _parse_log_frame(
                                 _json.dumps(rec),
                             )
                         )
-                    elif op == "delete":
+                    else:  # delete tombstone
                         rows.append(
                             (fid, instant, seq, op, str(rec["recordKey"]), None)
-                        )
-                    else:  # rollback: __key carries the DEAD instant
-                        rows.append(
-                            (
-                                fid,
-                                instant,
-                                seq,
-                                op,
-                                str(rec["targetInstant"]),
-                                None,
-                            )
                         )
             yield _pd.DataFrame(
                 rows,
@@ -1115,25 +1146,18 @@ def _merge_slices(
     parsed = _parse_log_frame(
         spark, log_paths, temporal=_temporal_kinds(base_dirty.schema)
     )
-    # rollback masking: a command block shadows EVERY entry of its
-    # target (dead) instant within the file group, even when the
-    # command lives in a later log file of the slice. One window on
-    # __fg keeps the log parse single-pass — a second filtered branch
-    # would re-run the Arrow stage per use.
-    rb_targets = F.collect_set(
-        F.when(F.col("__op") == "rollback", F.col("__key"))
-    ).over(Window.partitionBy("__fg"))
-    parsed = (
-        parsed.withColumn("__rb", rb_targets)
-        .filter(
-            (F.col("__op") != "rollback")
-            & ~F.coalesce(
-                F.array_contains(F.col("__rb"), F.col("__ord")),
-                F.lit(False),
-            )
-        )
-        .drop("__rb")
-    )
+    # rollback masking, the cross-file half: command blocks living in
+    # the SAME log file as their dead blocks are consumed inside the
+    # parse closure; blocks rolled back from a DIFFERENT file (an
+    # object-storage writer appends the command as a new log file
+    # under a .rollback instant) mask here via the driver-side dead
+    # set — O(timeline) metadata, a literal IN filter, no shuffle. A
+    # dead instant is dead at every as_of (rollback only ever targets
+    # instants that never completed), so the unconditional mask is
+    # exact.
+    dead = _rolled_back_instants(table)
+    if dead:
+        parsed = parsed.filter(~F.col("__ord").isin(sorted(dead)))
     # FAILFAST: a log payload that fails typed parsing (foreign
     # writer, schema drift, out-of-range temporal) must raise, not
     # silently null the row's columns — PERMISSIVE would let the
@@ -1933,6 +1957,128 @@ def read_hudi_changes(
             .select(
                 F.lit("").alias("_commit_instant"), *data_cols
             )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_hudi_deleted_keys(
+    spark: SparkSession,
+    path: str,
+    begin_instant: str | None = None,
+    end_instant: str | None = None,
+) -> DataFrame:
+    """The record keys each in-range instant DELETED, as
+    (_commit_instant, <record key column, table-typed>) — the delete
+    side of the CDC feed `read_hudi_changes` deliberately omits (the
+    real incremental relation has no delete rows), which a
+    cross-format mirror needs (sources/replicate.py).
+
+    Cost O(deletes + rewritten groups), never O(table): MOR delete
+    blocks name their doomed keys outright (parsed executor-side);
+    CoW delete commits record only survivor files, so the dead keys
+    recover as prior-slice keys of the REWRITTEN groups minus the new
+    base files' keys — the same documented prior-state cost as the
+    Iceberg changelog's equality_via_prior_snapshot."""
+    table = os.path.abspath(path)
+    props = _load_properties(table)
+    record_key = props["hoodie.table.recordkey.fields"]
+    timeline = _timeline_with_meta(table)
+    if not timeline:
+        raise FileNotFoundError(f"Hudi table has no completed commits: {table}")
+    instants = [i for i, _a, _m in timeline]
+    if end_instant is None:
+        end_instant = instants[-1]
+    elif end_instant not in instants:
+        raise ValueError(
+            f"end instant {end_instant!r} is not a completed instant"
+        )
+    if begin_instant is not None and begin_instant not in instants:
+        raise ValueError(
+            f"begin instant {begin_instant!r} is not a completed instant"
+        )
+    sample = next(iter(_file_slices(table, as_of=end_instant).values()))[
+        "path"
+    ]
+    key_type = dict(
+        (f.name, f.dataType)
+        for f in spark.read.parquet(os.path.join(table, sample)).schema.fields
+    )[record_key]
+    pieces: list[DataFrame] = []
+    prev: str | None = None
+    for instant, action, meta in timeline:
+        at = instant
+        if begin_instant is not None and at <= begin_instant:
+            prev = at
+            continue
+        if at > end_instant:
+            break
+        if action == ".replacecommit" or meta.get("operationType") == (
+            "COMPACT"
+        ):
+            prev = at
+            continue
+        del_logs: list[str] = []
+        rewritten: list[tuple[str, str]] = []  # (fileId, new base path)
+        op_delete = str(meta.get("operationType", "")).upper() == "DELETE"
+        for _part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                if st["path"].endswith(".parquet"):
+                    rewrite = str(st.get("prevCommit") or "null") != "null"
+                    # numDeletes marks the dropping rewrite; op=DELETE
+                    # is the fallback for stats that omit the count
+                    if rewrite and (
+                        int(st.get("numDeletes", 0)) or op_delete
+                    ):
+                        rewritten.append((st["fileId"], st["path"]))
+                elif int(st.get("numDeletes", 0)):
+                    del_logs.append(os.path.join(table, st["path"]))
+        if del_logs:
+            parsed = _parse_log_frame(spark, del_logs)
+            pieces.append(
+                parsed.filter(
+                    (F.col("__op") == "delete") & (F.col("__ord") == at)
+                ).select(
+                    F.lit(at).alias("_commit_instant"),
+                    F.col("__key").cast(key_type).alias(record_key),
+                )
+            )
+        if rewritten:
+            if prev is None:
+                raise ValueError(
+                    f"Hudi instant {at} records deletes but no prior "
+                    "instant exists to diff against"
+                )
+            prior = _file_slices(table, as_of=prev)
+            prior_sub = {
+                fid: prior[fid] for fid, _p in rewritten if fid in prior
+            }
+            prior_keys = _merge_slices(spark, table, prior_sub).select(
+                "_hoodie_record_key"
+            )
+            new_keys = spark.read.parquet(
+                *[os.path.join(table, p) for _f, p in rewritten]
+            ).select("_hoodie_record_key")
+            pieces.append(
+                prior_keys.join(new_keys, "_hoodie_record_key", "left_anti")
+                .select(
+                    F.lit(at).alias("_commit_instant"),
+                    F.col("_hoodie_record_key")
+                    .cast(key_type)
+                    .alias(record_key),
+                )
+            )
+        prev = at
+    if not pieces:
+        return (
+            spark.range(0)
+            .select(
+                F.lit("").alias("_commit_instant"),
+                F.lit(None).cast(key_type).alias(record_key),
+            )
+            .limit(0)
         )
     out = pieces[0]
     for p in pieces[1:]:

@@ -1,6 +1,9 @@
-"""Cross-format lake replication, BOTH directions: Delta commits ->
-Iceberg mirror (replicate_delta_to_iceberg) and Iceberg snapshots ->
-Delta mirror (replicate_iceberg_to_delta).
+"""Cross-format lake replication: Delta commits -> Iceberg mirror
+(replicate_delta_to_iceberg), Iceberg snapshots -> Delta mirror
+(replicate_iceberg_to_delta), and Hudi instants -> either mirror
+(replicate_hudi_to_delta / replicate_hudi_to_iceberg) — the
+tri-format mesh: any of the three open table formats can be the
+source of truth for a mirror in another.
 
 The medallion/CDC pattern a heterogeneous lakehouse needs: a source
 table keeps committing, a mirror in the OTHER format follows at
@@ -284,6 +287,139 @@ def replicate_iceberg_to_delta(
     gone = latest.filter(F.col("_change_type") == "delete").select(*keys)
     res = apply_cdc_delta(
         spark, dst, gone, ups, list(keys), txn=(_ICE_APP_ID, end)
+    )
+    out.update(res)
+    return out
+
+
+_HUDI_APP_ID = "hudi-replication"
+_HUDI_MARK = "replication.hudi.last-instant"
+
+
+def _hudi_pending(
+    spark: SparkSession,
+    src: str,
+    last: str | None,
+    end_instant: str | None,
+):
+    """Shared Hudi-source preamble: resolve the sync range against
+    the source timeline and build the latest-wins cut of upserts +
+    deleted keys. Returns (end, key, ups, gone) — ups/gone are None
+    when the mirror is already caught up."""
+    from archetype_spark.sources.hudi import (
+        _load_properties,
+        hudi_timeline,
+        read_hudi_changes,
+        read_hudi_deleted_keys,
+    )
+
+    src = os.path.abspath(src)
+    key = _load_properties(src)["hoodie.table.recordkey.fields"]
+    timeline = hudi_timeline(src)
+    if not timeline:
+        raise FileNotFoundError(f"Hudi table has no completed commits: {src}")
+    end = timeline[-1] if end_instant is None else str(end_instant)
+    if end not in timeline:
+        raise ValueError(f"end instant {end!r} is not a completed instant")
+    if last is not None and last >= end:
+        return end, key, None, None
+    ups_raw = read_hudi_changes(
+        spark, src, begin_instant=last, end_instant=end
+    )
+    gone_raw = read_hudi_deleted_keys(
+        spark, src, begin_instant=last, end_instant=end
+    )
+    # latest-wins per key across the batch: newest instant first;
+    # within one instant an upsert outranks a delete (the same
+    # finality ranking as the Delta/Iceberg directions — Hudi's own
+    # faces never mix them in one instant, foreign writers may)
+    data_cols = [c for c in ups_raw.columns if c != "_commit_instant"]
+    combined = ups_raw.withColumn("__pri", F.lit(2)).unionByName(
+        gone_raw.withColumn("__pri", F.lit(1)), allowMissingColumns=True
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.desc("_commit_instant"), F.desc("__pri")
+    )
+    latest = (
+        combined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    ups = latest.filter(F.col("__pri") == 2).select(*data_cols)
+    gone = latest.filter(F.col("__pri") == 1).select(key)
+    return end, key, ups, gone
+
+
+def replicated_hudi_instant_delta(dst: str) -> str | None:
+    """The highest source instant already applied to the Delta
+    mirror (None for a fresh mirror) — from the mirror's `txn`
+    high-water marks (instants are 17-digit numerics, so the int
+    round-trip is exact)."""
+    from archetype_spark.sources.delta import last_txn_version
+
+    v = last_txn_version(os.path.abspath(dst), _HUDI_APP_ID)
+    return str(v) if v is not None else None
+
+
+def replicate_hudi_to_delta(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    end_instant: str | None = None,
+) -> dict:
+    """Sync a Delta mirror at `dst` with every Hudi instant of `src`
+    newer than the mirror's recorded high-water mark. The record key
+    comes from the source's hoodie.properties (self-describing);
+    upserts ride `read_hudi_changes` (O(new data)), deletes ride
+    `read_hudi_deleted_keys` (O(deletes + rewritten groups)), one
+    latest-wins shuffle on the key collapses the batch, and
+    `apply_cdc_delta` lands it as ONE deletion-vector commit stamped
+    with the protocol's `txn` action — exactly-once, idempotent on
+    crash-and-retry. Returns {'from_instant', 'to_instant'} plus the
+    apply engine's counts."""
+    last = replicated_hudi_instant_delta(dst)
+    end, key, ups, gone = _hudi_pending(spark, src, last, end_instant)
+    out = {"from_instant": last, "to_instant": end}
+    if ups is None:
+        return out
+    from archetype_spark.sources.delta import apply_cdc_delta
+
+    res = apply_cdc_delta(
+        spark, dst, gone, ups, [key], txn=(_HUDI_APP_ID, int(end))
+    )
+    out.update(res)
+    return out
+
+
+def replicated_hudi_instant_iceberg(dst: str) -> str | None:
+    """The highest source instant already applied to the Iceberg
+    mirror (None for a fresh mirror) — from the mirror's table
+    properties, the same atomic-commit coordinate as the Delta->
+    Iceberg direction."""
+    table = os.path.abspath(dst)
+    if _current_metadata_version(table) is None:
+        return None
+    props = _load_metadata(table).get("properties") or {}
+    return props.get(_HUDI_MARK)
+
+
+def replicate_hudi_to_iceberg(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    end_instant: str | None = None,
+) -> dict:
+    """Sync an Iceberg mirror at `dst` with every Hudi instant of
+    `src` newer than the mirror's recorded high-water mark — the
+    Iceberg face of replicate_hudi_to_delta: the batch lands as ONE
+    v2 row-delta snapshot (equality-delete file + data files) with
+    the mark in the same atomic metadata commit."""
+    last = replicated_hudi_instant_iceberg(dst)
+    end, key, ups, gone = _hudi_pending(spark, src, last, end_instant)
+    out = {"from_instant": last, "to_instant": end}
+    if ups is None:
+        return out
+    res = apply_cdc_iceberg(
+        spark, dst, gone, ups, [key], properties_update={_HUDI_MARK: end}
     )
     out.update(res)
     return out

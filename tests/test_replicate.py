@@ -320,3 +320,120 @@ def test_reverse_refuses_v1_source(spark, tmp_path):
         replicate_iceberg_to_delta(
             spark, src, str(tmp_path / "d"), ["id"]
         )
+
+
+# --------------------------------------------------- Hudi as the CDC source
+
+
+def _hudi_src(spark, tmp_path, table_type="COPY_ON_WRITE"):
+    from archetype_spark.sources.hudi import write_hudi
+
+    src = str(tmp_path / "hsrc")
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "ann", 10), (2, "bob", 20), (3, "cho", 30)],
+            "id long, name string, v long",
+        ),
+        src,
+        record_key="id",
+        table_type=table_type,
+    )
+    return src
+
+
+def _hupd(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string, v long")
+
+
+@pytest.mark.parametrize("ttype", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_hudi_to_delta_bootstrap_upserts_deletes(
+    spark, tmp_path, ttype
+):
+    """Hudi -> Delta mirror: bootstrap, then an incremental sync
+    carrying an upsert AND a delete lands as one commit; deleted keys
+    recover from delete blocks (MOR) or the prior-slice diff (CoW)."""
+    from archetype_spark.sources.delta import read_delta
+    from archetype_spark.sources.hudi import (
+        delete_by_key_hudi,
+        upsert_hudi,
+    )
+    from archetype_spark.sources.replicate import (
+        replicate_hudi_to_delta,
+        replicated_hudi_instant_delta,
+    )
+
+    src = _hudi_src(spark, tmp_path, table_type=ttype)
+    dst = str(tmp_path / "dmirror")
+    out = replicate_hudi_to_delta(spark, src, dst)
+    assert out["rows_inserted"] == 3
+    # idempotent re-run is a no-op
+    again = replicate_hudi_to_delta(spark, src, dst)
+    assert "rows_inserted" not in again and "rows_deleted" not in again
+    # source keeps moving: update 2, insert 4, delete 1
+    upsert_hudi(spark, src, _hupd(spark, [(2, "bob2", 21), (4, "dee", 40)]))
+    delete_by_key_hudi(spark, src, spark.createDataFrame([(1,)], "id long"))
+    out2 = replicate_hudi_to_delta(spark, src, dst)
+    assert out2["from_instant"] == out["to_instant"]
+    got = sorted(tuple(r) for r in read_delta(spark, dst).collect())
+    assert got == [(2, "bob2", 21), (3, "cho", 30), (4, "dee", 40)]
+    assert replicated_hudi_instant_delta(dst) == out2["to_instant"]
+
+
+@pytest.mark.parametrize("ttype", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_hudi_to_iceberg_mirror_follows(spark, tmp_path, ttype):
+    """Hudi -> Iceberg mirror: the same batch lands as one v2
+    row-delta snapshot with the mark in the same commit; a key
+    deleted then re-inserted across instants lands in its newest
+    state (latest-wins)."""
+    from archetype_spark.sources.hudi import (
+        delete_by_key_hudi,
+        upsert_hudi,
+    )
+    from archetype_spark.sources.replicate import (
+        replicate_hudi_to_iceberg,
+        replicated_hudi_instant_iceberg,
+    )
+
+    src = _hudi_src(spark, tmp_path, table_type=ttype)
+    dst = str(tmp_path / "imirror")
+    replicate_hudi_to_iceberg(spark, src, dst)
+    assert _mirror_rows(spark, dst) == [
+        (1, "ann", 10), (2, "bob", 20), (3, "cho", 30)
+    ]
+    # delete 2, then re-insert it newer — the insert must win the cut
+    delete_by_key_hudi(spark, src, spark.createDataFrame([(2,)], "id long"))
+    upsert_hudi(spark, src, _hupd(spark, [(2, "bob3", 22)]))
+    delete_by_key_hudi(spark, src, spark.createDataFrame([(3,)], "id long"))
+    out = replicate_hudi_to_iceberg(spark, src, dst)
+    assert _mirror_rows(spark, dst) == [(1, "ann", 10), (2, "bob3", 22)]
+    assert replicated_hudi_instant_iceberg(dst) == out["to_instant"]
+    # replay-idempotence: a third sync applies nothing
+    assert replicate_hudi_to_iceberg(spark, src, dst).get(
+        "rows_deleted"
+    ) is None
+
+
+def test_hudi_deleted_keys_cow_group_wipe(spark, tmp_path):
+    """A CoW delete that wipes an entire file group (empty shadow)
+    still reports its dead keys via the prior-slice diff."""
+    from archetype_spark.sources.hudi import (
+        delete_by_key_hudi,
+        read_hudi_deleted_keys,
+        write_hudi,
+    )
+
+    src = str(tmp_path / "h")
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")],
+            "id long, name string, grp string",
+        ),
+        src,
+        record_key="id",
+        partition_by="grp",
+    )
+    delete_by_key_hudi(
+        spark, src, spark.createDataFrame([(1,), (2,)], "id long")
+    )
+    dead = read_hudi_deleted_keys(spark, src).collect()
+    assert sorted(r["id"] for r in dead) == [1, 2]
