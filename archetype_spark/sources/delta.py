@@ -798,9 +798,9 @@ def _scan_snapshot(
     `fmt` selects the native Spark reader ('parquet' or 'orc' — both
     stay JVM-side with pushdown; Iceberg tables may carry ORC data
     files). Spark's ORC scan exposes no `_metadata.row_index`, so
-    with keep_meta an ORC `__dv_ridx` is NULL — callers that apply
-    POSITIONAL semantics must refuse ORC entries themselves (the
-    Iceberg reader does, loudly)."""
+    with keep_meta an ORC `__dv_ridx` is NULL — callers needing REAL
+    ORC positions route those entries through the pyarrow scan
+    instead (iceberg._scan_orc_files_positional)."""
     part_fields = {f.name: f for f in schema.fields if f.name in part_cols}
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]

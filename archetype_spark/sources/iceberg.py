@@ -38,18 +38,24 @@ selectable per commit via write_iceberg(file_format=...)); AVRO data
 files decode executor-side through the stdlib avro_io codec
 (binaryFile + Arrow-batched mapInPandas, with synthesized row
 ordinals so positional deletes fully apply) and register via
-ingest_avro_files. ORC carries one caveat: Spark's ORC scan exposes
-no _metadata.row_index, so POSITIONAL delete application/write over
-ORC entries refuses loudly — the value-based equality faces and
-compaction stay open.
+ingest_avro_files. ORC positional semantics: Spark's native ORC scan
+exposes no _metadata.row_index, so when position-delete files must
+APPLY to ORC entries (or a positional DELETE/UPDATE stages a mask
+over them) those entries scan executor-side via pyarrow.orc with
+synthesized per-file ordinals — full positional parity, pushdown
+traded away only on those paths; plain ORC reads stay native.
+
+Partition transforms: identity, year/month/day/hour, bucket[N] and
+truncate[W] are implemented end-to-end (Column builders + Python
+pruning twins in ice_transforms.py, wired into manifest pruning and
+write staging); an UNKNOWN transform name refuses loudly.
 
 Declared limits (refuse loudly, never silently wrong): format-version
-3+, non-identity partition transforms, non-parquet DELETE files and
-data formats beyond parquet/ORC/Avro, positional deletes over ORC
-entries, decimal columns in Avro data files, multi-writer commit
-races, equality deletes whose field ids left the current schema,
-metadata-only COUNT and adds-only incremental reads over tables with
-live delete files.
+3+, non-parquet DELETE files and data formats beyond
+parquet/ORC/Avro, decimal columns in Avro data files, multi-writer
+commit races, equality deletes whose field ids left the current
+schema, metadata-only COUNT and adds-only incremental reads over
+tables with live delete files.
 """
 
 from __future__ import annotations
@@ -637,6 +643,82 @@ def _scan_avro_files(
     return df
 
 
+def _scan_orc_files_positional(
+    spark: SparkSession,
+    schema: StructType,
+    part_cols: Sequence[str],
+    entries: Sequence[tuple[str, dict]],
+) -> DataFrame:
+    """Executor-side ORC scan with synthesized per-file row ordinals
+    (pyarrow.orc over binaryFile payloads): Spark's native ORC scan
+    exposes no `_metadata.row_index`, so when POSITIONAL semantics
+    must touch ORC entries — applying position-delete files, or
+    staging a positional DELETE/UPDATE mask — the files decode in
+    executors (one whole file per input row, the Avro-scan pattern)
+    and each row gets its physical ordinal. Full positional parity
+    with parquet, at the cost of pushdown — paid ONLY on the
+    positional paths; plain ORC reads stay on the native JVM scan.
+    Identity partition values come from the manifest (authoritative)
+    when the data file does not carry the column."""
+    import re as _re
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    pv_by_path = {
+        _re.sub(r"^[a-zA-Z][\w+.-]*:/+", "/", os.path.abspath(p)): pv
+        for p, pv in entries
+    }
+    names = [f.name for f in schema.fields]
+    ntz = {
+        f.name
+        for f in schema.fields
+        if f.dataType.simpleString() == "timestamp_ntz"
+    }
+
+    def decode(batches):
+        import io as _io
+
+        import pandas as pd
+        import pyarrow.orc as _orc
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                ospath = _re.sub(r"^[a-zA-Z][\w+.-]*:/+", "/", path)
+                tbl = _orc.ORCFile(_io.BytesIO(bytes(content))).read()
+                frame = tbl.to_pandas()
+                pv = pv_by_path.get(ospath, {})
+                n = len(frame)
+                for name in names:
+                    if name not in frame.columns:
+                        frame[name] = pd.Series(
+                            [pv.get(name)] * n, dtype="object"
+                        )
+                    elif name in ntz and str(
+                        frame[name].dtype
+                    ).startswith("datetime64[ns,"):
+                        # ORC TIMESTAMP comes back zone-tagged from
+                        # arrow; NTZ columns store the wall clock
+                        frame[name] = frame[name].dt.tz_localize(None)
+                frame = frame[names]
+                frame["__dv_file"] = ospath
+                frame["__dv_ridx"] = range(n)
+                yield frame
+
+    out_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField("__dv_file", StringType(), True),
+            StructField("__dv_ridx", LongType(), True),
+        ]
+    )
+    blobs = (
+        spark.read.format("binaryFile")
+        .load([p for p, _pv in entries])
+        .select("path", "content")
+    )
+    return blobs.mapInPandas(decode, schema=out_schema)
+
+
 def _read_snapshot(
     spark: SparkSession,
     table: str,
@@ -679,21 +761,23 @@ def _read_snapshot(
     by_fmt: dict[str, list] = {}
     for p, pv, _rp, _s, fmt in data:
         by_fmt.setdefault(fmt, []).append((p, pv))
-    if deletes and "ORC" in by_fmt:
-        # Spark's ORC scan exposes no _metadata.row_index, so a
-        # positional delete cannot be applied to an ORC entry; with
-        # both in the snapshot, skipping would resurrect rows and
-        # guessing positions would silently drop the wrong ones.
-        raise NotImplementedError(
-            "snapshot mixes POSITION delete files with ORC data files: "
-            "Spark's ORC scan exposes no row_index to apply them — "
-            "compact to parquet or use equality deletes"
-        )
+    # ORC needs REAL row ordinals when positional semantics touch it:
+    # position-delete files to apply, or a caller staging a positional
+    # mask (keep_meta). The pyarrow executor-side scan synthesizes
+    # them; otherwise ORC stays on the native JVM scan (equality
+    # deletes join on values + __dv_file only).
+    orc_positional = bool(deletes) or keep_meta
     scans = []
     for fmt in sorted(by_fmt):
         if fmt == "AVRO":
             scans.append(
                 _scan_avro_files(spark, schema, ident_cols, by_fmt[fmt], keep)
+            )
+        elif fmt == "ORC" and orc_positional:
+            scans.append(
+                _scan_orc_files_positional(
+                    spark, schema, ident_cols, by_fmt[fmt]
+                )
             )
         else:
             scans.append(
@@ -1154,11 +1238,11 @@ def write_iceberg(
     `file_format` ('parquet' default, or 'orc' — both spec-legal data
     formats, both written by Spark's native JVM writers) is per
     COMMIT: a table may mix formats across snapshots and the reader
-    scans each file with its manifest-recorded format. Caveat ORC:
-    Spark's ORC scan exposes no row_index, so positional row-level
-    faces (delete_where/update_where) refuse over ORC entries — the
-    equality-delete faces and compaction (which rewrites to parquet)
-    stay open."""
+    scans each file with its manifest-recorded format. ORC rows gain
+    positional-delete semantics through the pyarrow executor-side
+    scan (_scan_orc_files_positional) whenever positions matter —
+    delete_where/update_where and position-delete application work
+    over ORC entries like parquet ones."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if file_format not in ("parquet", "orc"):
@@ -2087,15 +2171,9 @@ def _mask_rows_commit_iceberg(
     # the delete file must reference data files by their RECORDED
     # manifest path strings (spec rule); each delete file is
     # partition-scoped (stamped with its data files' partition)
-    if any(e[4] == "ORC" for e in data):
-        # ORC rows scanned natively carry no row_index: a positional
-        # mask would record NULL positions — silent row loss. The
-        # value-based faces (delete_by_key/upsert_by_key) stay open.
-        raise NotImplementedError(
-            "positional DELETE/UPDATE over a table with ORC data "
-            "files: Spark's ORC scan exposes no row_index — compact "
-            "to parquet or use the equality-delete faces"
-        )
+    # ORC entries scan through the pyarrow positional path under
+    # keep_meta (_read_snapshot), so their __dv_ridx values here are
+    # REAL physical ordinals — the mask records correct positions.
     info = {os.path.abspath(p): (rp, pv) for p, pv, rp, _s, _f in data}
 
     if int(meta.get("format-version", 1)) == 1:

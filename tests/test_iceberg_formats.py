@@ -3,9 +3,10 @@ scan natively (per-commit file_format, mixed-format snapshots, hive
 and literal partition paths), AVRO data files decode executor-side
 via avro_io (ingest_avro_files registration, timestamp/date mapping,
 synthesized row ordinals giving them FULL positional-delete
-semantics), equality deletes apply across all three formats, and the
-positional faces refuse loudly over ORC entries (Spark's ORC scan
-exposes no _metadata.row_index)."""
+semantics), equality deletes apply across all three formats, and ORC
+entries gain REAL row ordinals through the pyarrow executor-side
+scan whenever positional semantics touch them (r14 — previously a
+loud refusal)."""
 
 from __future__ import annotations
 
@@ -80,10 +81,61 @@ def test_equality_delete_applies_across_formats(spark, tmp_path):
     assert [r.id for r in out] == [1, 2, 4, 6]
 
 
-def test_positional_faces_refuse_over_orc(spark, tmp_path):
+def test_positional_delete_spans_all_three_formats(spark, tmp_path):
+    """delete_where over a parquet+ORC+avro snapshot: the mask
+    records real positions for every format (ORC via the pyarrow
+    positional scan), no data file is rewritten, and time travel
+    before the delete still sees every row."""
     t = _mixed_table(spark, tmp_path)
-    with pytest.raises(NotImplementedError, match="ORC"):
-        delete_where_iceberg(spark, t, F.col("id") == 2)
+    before = {
+        n
+        for n in os.listdir(os.path.join(t, "data"))
+        if not n.startswith(".")
+    }
+    out = delete_where_iceberg(
+        spark, t, F.col("id").isin(2, 4, 6)  # parquet, ORC, avro rows
+    )
+    assert out["rows_deleted"] == 3
+    got = read_iceberg(spark, t).orderBy("id").collect()
+    assert [r.id for r in got] == [1, 3, 5]
+    after = {
+        n
+        for n in os.listdir(os.path.join(t, "data"))
+        if not n.startswith(".")
+    }
+    assert before <= after  # positional: nothing rewritten
+    # time travel to the pre-delete snapshot
+    from archetype_spark.sources.iceberg import _load_metadata
+
+    snaps = _load_metadata(t)["snapshots"]
+    pre = sorted(s["snapshot-id"] for s in snaps)[-2]
+    allrows = read_iceberg(spark, t, snapshot_id=pre).collect()
+    assert sorted(r.id for r in allrows) == [1, 2, 3, 4, 5, 6]
+
+
+def test_positional_update_over_orc_partitioned(spark, tmp_path):
+    """update_where over a partitioned pure-ORC table: matched ORC
+    rows mask positionally and the updated images land as new files;
+    partition pruning still drives off manifests afterwards."""
+    from archetype_spark.sources.iceberg import update_where_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "x", 10), (2, "x", 20), (3, "y", 30)],
+            "id long, p string, v long",
+        ),
+        t,
+        partition_by=["p"],
+        file_format="orc",
+    )
+    update_where_iceberg(spark, t, F.col("v") >= 20, {"v": "v + 1"})
+    got = sorted(
+        (r.id, r.p, r.v) for r in read_iceberg(spark, t).collect()
+    )
+    assert got == [(1, "x", 10), (2, "x", 21), (3, "y", 31)]
+    pruned = read_iceberg(spark, t, scan_filter={"p": "y"}).collect()
+    assert sorted((r.id, r.v) for r in pruned) == [(3, 31)]
 
 
 def test_positional_delete_applies_to_avro_entries(spark, tmp_path):
