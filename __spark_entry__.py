@@ -31,7 +31,13 @@ propagates deletes), change-feed tier q127 (Delta CDF read: derived
 inserts + _change_data delete/update images), real-pixel tier q121
 (baseline-JPEG/PNG/P6/GIF entropy decode hash-gated against the
 fixture generator's source-array manifest), and spectral tier q129
-(frame-level rfft over PCM WAV, analytic-manifest oracle)); oracles
+(frame-level rfft over PCM WAV, analytic-manifest oracle), lake tier
+q130-q145 (Iceberg changelog + equality-delete changelog; mixed
+parquet/ORC/Avro snapshots; HTML/PDF/WARC extraction; image
+near-dups; video frames; the reverse Delta mirror; Hudi CoW +
+MERGE_ON_READ snapshot/incremental/read-optimized/clustered/cleaned
+faces), and the r14 Hudi hardening tier q146-q147 (the Hudi-sourced
+tri-format replication mesh; archived-timeline scans)); oracles
 are colocated with each query module.
 """
 

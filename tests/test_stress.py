@@ -916,3 +916,110 @@ def test_stress_hudi_mor_chain(spark, stress_docs, tmp_path):
     got = read_hudi(spark, t)
     assert got.count() == exp_n
     assert got.select("doc_id").distinct().count() == exp_n
+    # retained as_of snapshots read EXACTLY after the clean (their
+    # files survived), and a cleaned instant fails loudly — never a
+    # silently short snapshot
+    from archetype_spark.sources.hudi import hudi_timeline
+
+    line = hudi_timeline(t)
+    retained = read_hudi(spark, t, as_of=line[-2])
+    assert retained.count() == exp_n
+    with pytest.raises(Exception):
+        read_hudi(spark, t, as_of=line[0]).count()
+    # the incremental face still replays the retained tail
+    assert read_hudi_changes(
+        spark, t, begin_instant=line[-2]
+    ).count() == base.filter(F.col("doc_id") % 41 == 5).count()
+
+
+def test_stress_hudi_archive_replication_mesh(spark, stress_docs, tmp_path):
+    """r14 lifecycle headroom at 10x: a MOR source plays updates +
+    deletes, ARCHIVES all but the newest instants, keeps writing, and
+    two mirror formats follow through bootstrap + incremental syncs —
+    archival must not move a row in the source, and both mirrors must
+    converge to the source's exact final state (counts and sums),
+    with the second sync O(changes) on already-bootstrapped state."""
+    from archetype_spark.sources.delta import read_delta
+    from archetype_spark.sources.hudi import (
+        archive_hudi,
+        delete_by_key_hudi,
+        read_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+    from archetype_spark.sources.iceberg import read_iceberg
+    from archetype_spark.sources.replicate import (
+        replicate_hudi_to_delta,
+        replicate_hudi_to_iceberg,
+    )
+
+    t = str(tmp_path / "src")
+    dm, im = str(tmp_path / "dm"), str(tmp_path / "im")
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    write_hudi(
+        base, t, record_key="doc_id", partition_by="lang", buckets=4,
+        table_type="MERGE_ON_READ",
+    )
+    for i in range(3):
+        upsert_hudi(
+            spark,
+            t,
+            base.filter(F.col("doc_id") % 37 == i).withColumn(
+                "lang", F.lit(f"cdc{i}")
+            ),
+        )
+    delete_by_key_hudi(
+        spark, t, base.filter(F.col("doc_id") % 37 == 3).select("doc_id")
+    )
+    # mid-history bootstrap of both mirrors
+    replicate_hudi_to_delta(spark, t, dm)
+    replicate_hudi_to_iceberg(spark, t, im)
+    before = read_hudi(spark, t).agg(
+        F.count(F.lit(1)), F.sum("n_chars")
+    ).first()
+    out = archive_hudi(t, keep_last=2)
+    assert out["archived"] >= 3
+    after = read_hudi(spark, t).agg(
+        F.count(F.lit(1)), F.sum("n_chars")
+    ).first()
+    assert tuple(before) == tuple(after)  # archival moved no row
+    # post-archive writes + catch-up syncs across the archive boundary
+    upsert_hudi(
+        spark,
+        t,
+        base.filter(F.col("doc_id") % 37 == 4).withColumn(
+            "lang", F.lit("cdc4")
+        ),
+    )
+    delete_by_key_hudi(
+        spark, t, base.filter(F.col("doc_id") % 37 == 5).select("doc_id")
+    )
+    replicate_hudi_to_delta(spark, t, dm)
+    replicate_hudi_to_iceberg(spark, t, im)
+    src_state = (
+        read_hudi(spark, t)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s"),
+        )
+    )
+    exp = sorted(tuple(r) for r in src_state.collect())
+    got_d = sorted(
+        tuple(r)
+        for r in read_delta(spark, dm)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    )
+    got_i = sorted(
+        tuple(r)
+        for r in read_iceberg(spark, im)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    )
+    assert got_d == exp
+    assert got_i == exp
