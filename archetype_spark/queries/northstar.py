@@ -2339,6 +2339,73 @@ def q147_hudi_archived_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_iceberg_v3_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The format-version 3 Iceberg table q148 scans: ingest the full
+    corpus (v1, partitioned by lang), UPGRADE to v3 (row-lineage
+    counter initialized), DELETE WHERE n_chars % 5 = 2 — which now
+    lands as puffin DELETION VECTORS, one blob per masked data file,
+    not position-delete parquet — then UPDATE WHERE n_chars % 7 = 3
+    re-langing survivors to 'xx' (a second DV commit whose masks
+    MERGE + SUPERSEDE the first commit's DVs on shared files, plus
+    replacement data files carrying first_row_id). Every v3 mechanism
+    (puffin framing, CRC, the replace rule, row lineage, time travel
+    across the upgrade) sits inside the oracle gate."""
+    from archetype_spark.sources.iceberg import (
+        delete_where_iceberg,
+        update_where_iceberg,
+        upgrade_iceberg,
+        write_iceberg,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        write_iceberg(
+            base.repartition("lang"), btable, partition_by=["lang"]
+        )
+        upgrade_iceberg(btable, 3)
+        delete_where_iceberg(spark, btable, "n_chars % 5 = 2")
+        update_where_iceberg(
+            spark, btable, "n_chars % 7 = 3", {"lang": "'xx'"}
+        )
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "iceberg_v3_documents", build
+    )
+
+
+def q148_iceberg_v3_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 3 under the driver gate: 'latest' reads
+    the post-upgrade state through puffin deletion vectors (the
+    delete commit's DVs merged-and-superseded by the update commit's
+    on shared files — the one-live-DV-per-file replace rule), 'v0'
+    time-travels to the pre-upgrade ingest. A mis-framed blob, a CRC
+    the codec fails to verify, a lost merge during the replace, or a
+    DV applied to the wrong referenced file each move a per-lang sum
+    against the oracle's source-view recompute. Parity: v3 is
+    shipping in engines now (Iceberg 1.8+/Spark 4); DVs are its
+    flagship feature, and the reference's connector tier reads
+    whatever the format ships."""
+    from archetype_spark.sources.iceberg import _load_metadata, read_iceberg
+
+    table = _ensure_iceberg_v3_documents(spark, sf_dir)
+    first = min(
+        s["snapshot-id"] for s in _load_metadata(table)["snapshots"]
+    )
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .select(F.lit(snap).alias("snap"), "lang", "n_docs", "sum_chars")
+        )
+
+    return agg(read_iceberg(spark, table), "latest").unionByName(
+        agg(read_iceberg(spark, table, snapshot_id=first), "v0")
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -3645,6 +3712,7 @@ QUERIES = {
     "q145_hudi_cleaned_scan": q145_hudi_cleaned_scan,
     "q146_hudi_replication_mesh": q146_hudi_replication_mesh,
     "q147_hudi_archived_scan": q147_hudi_archived_scan,
+    "q148_iceberg_v3_dv_scan": q148_iceberg_v3_dv_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -5183,6 +5251,24 @@ ORACLES["q147_hudi_archived_scan"] = """
     SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+"""
+
+# q148: the v3 DV lifecycle — 'latest' = delete survivors with the
+# update's re-lang (the q145 cohort algebra, now resolved through
+# puffin deletion vectors with the replace rule); 'v0' = the full
+# pre-upgrade ingest.
+ORACLES["q148_iceberg_v3_dv_scan"] = """
+    SELECT 'latest' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (
+      SELECT CASE WHEN n_chars % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents WHERE n_chars % 5 <> 2
+    ) GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents GROUP BY lang
 """
 
 # q142: the incremental face per commit ordinal — seq 0 the even

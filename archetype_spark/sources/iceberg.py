@@ -83,6 +83,15 @@ except ImportError:  # pragma: no cover
 
 register_pickle_by_value(avro_io)
 
+# The v3 deletion-vector write path serializes roaring bitmaps in
+# executors (applyInPandas per masked file); ship the puffin codec
+# (and the dv container codec it delegates to) by value too.
+from archetype_spark.sources import dv as _dv_mod  # noqa: E402
+from archetype_spark.sources import puffin as _puffin_mod  # noqa: E402
+
+register_pickle_by_value(_puffin_mod)
+register_pickle_by_value(_dv_mod)
+
 _SPARK_TO_ICE = {
     "long": "long",
     "bigint": "long",
@@ -151,11 +160,35 @@ def _load_metadata(table: str) -> dict:
         raise FileNotFoundError(f"not an Iceberg table (no metadata): {table}")
     with open(os.path.join(_meta_dir(table), f"v{v}.metadata.json")) as fh:
         meta = json.load(fh)
-    if int(meta.get("format-version", 1)) not in (1, 2):
+    fmt = int(meta.get("format-version", 1))
+    if fmt not in (1, 2, 3):
         raise NotImplementedError(
             f"Iceberg format-version {meta['format-version']} exceeds "
             "the protocol-native reader; use a connector-enabled cluster"
         )
+    if fmt >= 3:
+        # v3 features handled here: deletion vectors (puffin.py) and
+        # minimal row-lineage bookkeeping. Features that would make a
+        # plain scan silently wrong refuse by name: a field default
+        # means rows in files that predate the column must read as
+        # the default, not null.
+        def walk(fields, where):
+            for f in fields or []:
+                if (
+                    f.get("initial-default") is not None
+                    or f.get("write-default") is not None
+                ):
+                    raise NotImplementedError(
+                        f"Iceberg v3 field {where}{f.get('name')!r} "
+                        "carries a default value — reading it as null "
+                        "would be silently wrong; defaults are not "
+                        "implemented"
+                    )
+                t = f.get("type")
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    walk(t.get("fields"), f"{where}{f.get('name')}.")
+        for s in meta.get("schemas") or [meta.get("schema") or {}]:
+            walk(s.get("fields"), "")
     return meta
 
 
@@ -375,7 +408,10 @@ def _live_entries(table: str, snap: dict, meta: dict | None = None):
     """Walk one snapshot's manifest list. Returns (data, deletes,
     eq_deletes): data = [(abs_path, partition dict, recorded
     file_path, data sequence number, file format)], deletes = [(abs_path, sequence
-    number)] for POSITION delete files (v2 content=1), eq_deletes =
+    number, dv)] for POSITION deletes — dv is None for a v2 parquet
+    position-delete file, or {'offset', 'size', 'referenced'} for a
+    v3 PUFFIN deletion vector (referenced = the manifest-recorded
+    path of the ONE data file it masks), eq_deletes =
     [(abs_path, sequence number, equality_ids tuple, record_count or
     None, scope)] for EQUALITY delete files (v2 content=2). Sequence
     numbers follow the v2 inheritance rule — an entry with no explicit
@@ -417,10 +453,35 @@ def _live_entries(table: str, snap: dict, meta: dict | None = None):
                 seq = m_seq if m_seq is not None else 0
             content = int(dfile.get("content") or 0)
             fmt = str(dfile.get("file_format", "PARQUET")).upper()
+            if content == 1 and fmt == "PUFFIN":
+                # v3 deletion vector: one blob masking ONE data file
+                ref = dfile.get("referenced_data_file")
+                off = dfile.get("content_offset")
+                size = dfile.get("content_size_in_bytes")
+                if ref is None or off is None or size is None:
+                    raise ValueError(
+                        f"Iceberg DV entry {dfile['file_path']!r} lacks "
+                        "referenced_data_file/content_offset/"
+                        "content_size_in_bytes — the mask target is "
+                        "unresolvable"
+                    )
+                deletes.append(
+                    (
+                        _abs(table, dfile["file_path"]),
+                        int(seq),
+                        {
+                            "offset": int(off),
+                            "size": int(size),
+                            "referenced": str(ref),
+                        },
+                    )
+                )
+                continue
             if content != 0 and fmt != "PARQUET":
                 raise NotImplementedError(
                     f"Iceberg DELETE file format {fmt!r}: only parquet "
-                    "delete files are readable here"
+                    "delete files and puffin deletion vectors are "
+                    "readable here"
                 )
             if content == 0:
                 if fmt not in ("PARQUET", "ORC", "AVRO"):
@@ -437,7 +498,7 @@ def _live_entries(table: str, snap: dict, meta: dict | None = None):
                     )
                 )
             elif content == 1:
-                deletes.append((_abs(table, dfile["file_path"]), int(seq)))
+                deletes.append((_abs(table, dfile["file_path"]), int(seq), None))
             elif content == 2:
                 ids = dfile.get("equality_ids")
                 if not ids:
@@ -803,7 +864,10 @@ def _read_snapshot(
         ],
         "__dv_file string, __data_seq bigint, __part_fp string",
     )
-    if deletes:
+    pos_files = [(p, s) for p, s, dvi in deletes if dvi is None]
+    dv_entries = [(p, s, dvi) for p, s, dvi in deletes if dvi is not None]
+    applicable = None
+    if pos_files:
         # positional deletes are parquet (file_path, pos) rows; a
         # delete applies to data files whose data sequence number is
         # <= its own (v2 scoping — rows appended AFTER a delete are
@@ -816,12 +880,12 @@ def _read_snapshot(
         # number by joining the KB-scale path->seq map on
         # _metadata.file_path
         delseq_df = spark.createDataFrame(
-            [(os.path.abspath(p), int(s)) for p, s in deletes],
+            [(os.path.abspath(p), int(s)) for p, s in pos_files],
             "__del_path string, __del_seq bigint",
         )
         del_raw = (
             spark.read.schema("file_path string, pos long")
-            .parquet(*[p for p, _s in deletes])
+            .parquet(*[p for p, _s in pos_files])
             .withColumn(
                 "__del_path",
                 F.regexp_replace(
@@ -846,6 +910,45 @@ def _read_snapshot(
             .filter(F.col("__del_seq") >= F.col("__data_seq"))
             .select("__dv_file", "__dv_ridx")
         )
+    if dv_entries:
+        # v3 deletion vectors: each masks exactly ONE data file by
+        # recorded path — no sequence comparison needed (the
+        # reference is explicit). Blobs decode DRIVER-side: a DV is a
+        # compressed bitmap, metadata-sized relative to its data file
+        # (the Delta DV reader's stance), and the position frame
+        # broadcasts. The spec allows one live DV per data file;
+        # duplicates refuse — merging could hide a writer bug that
+        # lost the replace rule.
+        import re as _re
+
+        from archetype_spark.sources import puffin as _puffin
+
+        seen_ref: set[str] = set()
+        rows: list[tuple[str, int]] = []
+        for p, _s, dvi in dv_entries:
+            ref = _re.sub(
+                r"^[a-zA-Z][\w+.-]*:/+", "/", str(dvi["referenced"])
+            )
+            if not ref.startswith("/"):
+                ref = os.path.join(table, ref)
+            if ref in seen_ref:
+                raise ValueError(
+                    f"two live deletion vectors reference {ref!r}: the "
+                    "v3 spec allows at most one — the writer lost the "
+                    "replace rule; refusing rather than guessing"
+                )
+            seen_ref.add(ref)
+            blob = _puffin.read_blob(p, dvi["offset"], dvi["size"])
+            rows.extend((ref, int(x)) for x in _puffin.dv_positions(blob))
+        dv_df = spark.createDataFrame(
+            rows or [("", -1)], "__dv_file string, __dv_ridx bigint"
+        )
+        applicable = (
+            dv_df
+            if applicable is None
+            else applicable.unionByName(dv_df)
+        )
+    if applicable is not None:
         scan = scan.join(
             F.broadcast(applicable), ["__dv_file", "__dv_ridx"], "left_anti"
         )
@@ -1050,6 +1153,30 @@ def _manifest_schema(
                 "default": None,
             }
         )
+        # v3 additions, all optional: deletion-vector references
+        # (content=1 PUFFIN entries) and row-lineage assignment
+        data_file_fields += [
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "default": None,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "default": None,
+            },
+        ]
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -1397,6 +1524,7 @@ def write_iceberg(
             e["file_sequence_number"] = seq
         e["data_file"] = dfile
         entries.append(e)
+    frid = _assign_row_lineage(meta, entries)
     avro_io.write_container(
         manifest_path, _manifest_schema(part_cols, part_types, fmt), entries
     )
@@ -1449,6 +1577,8 @@ def write_iceberg(
     if fmt >= 2:
         snap_entry["sequence-number"] = seq
         meta["last-sequence-number"] = seq
+    if frid is not None:
+        snap_entry["first-row-id"] = frid
     meta["snapshots"].append(snap_entry)
     meta["snapshot-log"].append(
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
@@ -2042,6 +2172,7 @@ def _equality_delta_commit_iceberg(
                 "min_sequence_number": seq,
             }
         )
+    frid: int | None = None
     if inserts is not None:
         data_entries = []
         for f in _stage_spec_files(inserts, data_root, spec_fields):
@@ -2069,6 +2200,7 @@ def _equality_delta_commit_iceberg(
             )
             out["files_added"] += 1
             out["rows_inserted"] += f["num_rows"]
+        frid = _assign_row_lineage(meta, data_entries)
         if data_entries:
             dman_name = f"manifest-{uuid.uuid4().hex}.avro"
             dman_path = os.path.join(mdir, dman_name)
@@ -2094,6 +2226,8 @@ def _equality_delta_commit_iceberg(
                     "min_sequence_number": seq,
                 }
             )
+    if frid is None:
+        frid = _assign_row_lineage(meta, [])
     if properties_update:
         props = dict(meta.get("properties") or {})
         props.update({str(k): str(v) for k, v in properties_update.items()})
@@ -2114,6 +2248,7 @@ def _equality_delta_commit_iceberg(
         seq,
         snapshot_id,
         "delete" if inserts is None else "overwrite",
+        first_row_id=frid,
     )
     return out
 
@@ -2194,8 +2329,21 @@ def _mask_rows_commit_iceberg(
     # files) and the driver handles O(masked files) descriptor rows,
     # never the position set.
     global _LAST_MASK_PATH
+    fmt_v = int(meta.get("format-version", 1))
+    carry_manifests = None
+    dv_entries_v3: list[dict] | None = None
+    if fmt_v >= 3:
+        # v3 forbids NEW position-delete files: the mask lands as
+        # deletion vectors in one puffin file (_build_dv_commit),
+        # merging and superseding each masked file's existing DV
+        dv_entries_v3, carry_manifests, n_new, n_dv = _build_dv_commit(
+            spark, table, meta, snap, pos, probe, info, part_cols,
+            seq, snapshot_id, data_root,
+        )
+        out[rows_key] += n_new
+        out["delete_files"] += n_dv
     del_files: list[tuple[tuple, str, int, int]] = []
-    if len(probe) <= POS_DELETE_DRIVER_COLLECT_MAX:
+    if fmt_v < 3 and len(probe) <= POS_DELETE_DRIVER_COLLECT_MAX:
         _LAST_MASK_PATH = "driver"
         by_part: dict[tuple, list[tuple[str, int]]] = {}
         for r in probe:
@@ -2220,7 +2368,7 @@ def _mask_rows_commit_iceberg(
             del_files.append(
                 (key, name, len(pairs), os.path.getsize(dpath))
             )
-    else:
+    elif fmt_v < 3:
         _LAST_MASK_PATH = "executor"
         part_ids: dict[tuple, int] = {}
         ref_by_abs: dict[str, tuple[str, int]] = {}
@@ -2271,7 +2419,7 @@ def _mask_rows_commit_iceberg(
             del_files.append(
                 (key_by_id[int(r["part_id"])], r["name"], int(r["n"]), int(r["size"]))
             )
-    del_entries = []
+    del_entries = list(dv_entries_v3 or [])
     for key, name, n_pos, fsize in del_files:
         out[rows_key] += n_pos
         out["delete_files"] += 1
@@ -2313,6 +2461,7 @@ def _mask_rows_commit_iceberg(
         "min_sequence_number": seq,
     }
     new_manifests = [manifest_entry]
+    frid: int | None = None
     if staged:
         # the UPDATE's replacement rows: a DATA manifest at the SAME
         # sequence number (the v2 row-delta commit shape). The
@@ -2345,6 +2494,7 @@ def _mask_rows_commit_iceberg(
                 }
             )
             out["files_added"] += 1
+        frid = _assign_row_lineage(meta, data_entries)
         dman_name = f"manifest-{uuid.uuid4().hex}.avro"
         dman_path = os.path.join(mdir, dman_name)
         avro_io.write_container(
@@ -2367,6 +2517,8 @@ def _mask_rows_commit_iceberg(
                 "min_sequence_number": seq,
             }
         )
+    if frid is None:
+        frid = _assign_row_lineage(meta, [])
     _commit_row_delta_snapshot(
         table,
         meta,
@@ -2375,8 +2527,284 @@ def _mask_rows_commit_iceberg(
         seq,
         snapshot_id,
         "delete" if set_exprs is None else "overwrite",
+        carry_manifests=carry_manifests,
+        first_row_id=frid,
     )
     return out
+
+
+def _assign_row_lineage(meta: dict, data_entries: list[dict]) -> int | None:
+    """v3 row-lineage bookkeeping: give each new data file an explicit
+    first_row_id from the table's next-row-id counter and advance it;
+    returns the snapshot's first-row-id (None below v3). Row ids
+    themselves stay derived (first_row_id + position), per the spec —
+    nothing is materialized into data files."""
+    if int(meta.get("format-version", 1)) < 3:
+        return None
+    frid = rid = int(meta.get("next-row-id", 0))
+    for e in data_entries:
+        e["data_file"]["first_row_id"] = rid
+        rid += int(e["data_file"]["record_count"])
+    meta["next-row-id"] = rid
+    return frid
+
+
+def _norm_table_path(table: str, p: str) -> str:
+    """Scheme-stripped absolute OS path for a manifest-recorded (or
+    URI) file path — the comparison key DV references resolve by."""
+    import re as _re
+
+    p = _re.sub(r"^[a-zA-Z][\w+.-]*:/+", "/", str(p))
+    return p if p.startswith("/") else os.path.join(table, p)
+
+
+def _build_dv_commit(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    snap: dict,
+    pos: DataFrame,
+    probe: list,
+    info: dict,
+    part_cols: Sequence[str],
+    seq: int,
+    snapshot_id: int,
+    data_root: str,
+) -> tuple[list[dict], list[dict] | None, int, int]:
+    """The v3 positional mask: ONE puffin file holding one
+    deletion-vector blob per masked data file. Spec rules implemented:
+    a new DV MERGES the file's existing DV (and any v2 position-delete
+    rows recorded for that file — an upgraded table's legacy deletes),
+    and the superseded DV's manifest entry marks DELETED in a
+    rewritten carry manifest (at most one live DV per data file).
+    Returns (del_entries, carry_manifests, n_new_positions, n_files).
+
+    Scale shape mirrors the v2 path: under the probe cap positions
+    group driver-side; past it executors build each file's serialized
+    bitmap (applyInPandas per __dv_file) and the driver handles one
+    compressed blob per masked FILE — never the position set. DV
+    blobs are compressed bitmaps, metadata-sized relative to their
+    data files (the Delta DV stance)."""
+    from archetype_spark.sources import puffin as _puffin
+
+    global _LAST_MASK_PATH
+    data, deletes, _eq = _live_entries(table, snap, meta)
+    abs_by_recorded = {rp: os.path.abspath(p) for p, _pv, rp, _s, _f in data}
+    # existing DVs by the NORMALIZED abs path of their referenced file
+    dv_by_ref: dict[str, tuple[str, dict]] = {}
+    pos_files = []
+    for p, _s, dvi in deletes:
+        if dvi is None:
+            pos_files.append(p)
+        else:
+            dv_by_ref[_norm_table_path(table, dvi["referenced"])] = (p, dvi)
+
+    # ---- per-file NEW positions
+    new_by_abs: dict[str, list[int]] = {}
+    blob_by_abs: dict[str, bytes] = {}
+    n_new = 0
+    if len(probe) <= POS_DELETE_DRIVER_COLLECT_MAX:
+        _LAST_MASK_PATH = "driver"
+        for r in probe:
+            new_by_abs.setdefault(r["__dv_file"], []).append(
+                int(r["__dv_ridx"])
+            )
+    else:
+        _LAST_MASK_PATH = "executor"
+
+        def build(pdf):
+            import numpy as np
+            import pandas as pd
+
+            positions = np.unique(pdf["__dv_ridx"].to_numpy(dtype="int64"))
+            return pd.DataFrame(
+                {
+                    "f": [pdf["__dv_file"].iat[0]],
+                    "blob": [
+                        _puffin.roaring64_portable_serialize(positions)
+                    ],
+                    "n": [int(positions.size)],
+                }
+            )
+
+        for r in (
+            pos.groupBy("__dv_file")
+            .applyInPandas(build, "f string, blob binary, n bigint")
+            .collect()
+        ):
+            blob_by_abs[r["f"]] = bytes(r["blob"])
+            n_new += int(r["n"])
+    masked_abs = sorted(set(new_by_abs) | set(blob_by_abs))
+
+    # ---- existing positions to merge (per masked file only)
+    existing: dict[str, set[int]] = {}
+    replaced_refs: set[str] = set()
+    for a in masked_abs:
+        hit = dv_by_ref.get(a)
+        if hit is not None:
+            p, dvi = hit
+            blob = _puffin.read_blob(p, dvi["offset"], dvi["size"])
+            existing.setdefault(a, set()).update(
+                _puffin.dv_positions(blob)
+            )
+            replaced_refs.add(a)
+    if pos_files:
+        # legacy v2 position-delete rows for the masked files fold
+        # into the new DVs (the upgrade-merge rule); the delete files
+        # themselves stay carried — our reader dedups identical
+        # positions, DV-preferring readers see the merged mask
+        recorded_masked = {
+            rp
+            for rp, a in abs_by_recorded.items()
+            if a in set(masked_abs)
+        }
+        rows = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*pos_files)
+            .filter(F.col("file_path").isin(sorted(recorded_masked)))
+            .collect()
+        )
+        for r in rows:
+            a = abs_by_recorded.get(r["file_path"])
+            if a is not None:
+                existing.setdefault(a, set()).add(int(r["pos"]))
+
+    # ---- final blob per file
+    blobs: list[dict] = []
+    entries_meta: list[tuple[str, int]] = []  # (abs path, cardinality)
+    for a in masked_abs:
+        if a in new_by_abs:
+            newpos = set(new_by_abs[a])
+            n_new += len(newpos)
+            final = sorted(newpos | existing.get(a, set()))
+        elif existing.get(a):
+            final = sorted(
+                set(
+                    _puffin.roaring64_portable_deserialize(blob_by_abs[a])
+                )
+                | existing[a]
+            )
+        else:
+            final = None  # executor blob is already the full mask
+        rp = info[a][0]
+        if final is not None:
+            data_blob = _puffin.dv_blob(final)
+            card = len(final)
+        else:
+            vec = blob_by_abs[a]
+            body = _puffin.DV_MAGIC + vec
+            import struct as _struct
+
+            data_blob = (
+                _struct.pack(">i", len(body))
+                + body
+                + _struct.pack(">I", _puffin.crc32c(body))
+            )
+            card = len(_puffin.roaring64_portable_deserialize(vec))
+        blobs.append(
+            {
+                "type": _puffin.DELETION_VECTOR_V1,
+                "data": data_blob,
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "referenced-data-file": rp,
+                    "cardinality": str(card),
+                },
+            }
+        )
+        entries_meta.append((a, card))
+
+    name = f"delete-{uuid.uuid4().hex}.puffin"
+    ppath = os.path.join(data_root, name)
+    metas = _puffin.write_puffin(ppath, blobs)
+    fsize = os.path.getsize(ppath)
+    del_entries = []
+    for (a, card), bm in zip(entries_meta, metas):
+        rp, pv = info[a]
+        del_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": f"data/{name}",
+                    "file_format": "PUFFIN",
+                    "partition": dict(
+                        zip(part_cols, (pv.get(c) for c in part_cols))
+                    ),
+                    "record_count": card,
+                    "file_size_in_bytes": fsize,
+                    "block_size_in_bytes": _BLOCK_SIZE,
+                    "referenced_data_file": rp,
+                    "content_offset": bm["offset"],
+                    "content_size_in_bytes": bm["length"],
+                },
+            }
+        )
+
+    # ---- carry manifests, superseded DV entries marked DELETED
+    carry = None
+    if replaced_refs:
+        _s, prev = avro_io.read_container(_abs(table, snap["manifest-list"]))
+        carry = []
+        for m in prev:
+            m = {**_list_defaults(2), **m}
+            if int(m.get("content") or 0) != 1:
+                carry.append(m)
+                continue
+            ms, rows = avro_io.read_container(
+                _abs(table, m["manifest_path"])
+            )
+            hit = False
+            new_rows = []
+            n_live = n_dead = 0
+            for r in rows:
+                df_ = r["data_file"]
+                is_dv = (
+                    int(df_.get("content") or 0) == 1
+                    and str(df_.get("file_format", "")).upper() == "PUFFIN"
+                )
+                replaced = (
+                    is_dv
+                    and r.get("status") != 2
+                    and _norm_table_path(
+                        table, df_.get("referenced_data_file") or ""
+                    )
+                    in replaced_refs
+                )
+                rseq = r.get("sequence_number")
+                if rseq is None:
+                    rseq = m.get("sequence_number")
+                nr = dict(r)
+                nr["sequence_number"] = rseq
+                if replaced:
+                    hit = True
+                    nr["status"] = 2
+                    n_dead += 1
+                elif r.get("status") != 2:
+                    nr["status"] = 0
+                    n_live += 1
+                new_rows.append(nr)
+            if not hit:
+                carry.append(m)
+                continue
+            nname = f"manifest-{uuid.uuid4().hex}.avro"
+            npath = os.path.join(_meta_dir(table), nname)
+            avro_io.write_container(npath, ms, new_rows)
+            carry.append(
+                {
+                    **m,
+                    "manifest_path": f"metadata/{nname}",
+                    "manifest_length": os.path.getsize(npath),
+                    "added_data_files_count": 0,
+                    "existing_data_files_count": n_live,
+                    "deleted_data_files_count": n_dead,
+                }
+            )
+    return del_entries, carry, n_new, len(masked_abs)
 
 
 def _commit_row_delta_snapshot(
@@ -2387,6 +2815,8 @@ def _commit_row_delta_snapshot(
     seq: int,
     snapshot_id: int,
     operation: str,
+    carry_manifests: list[dict] | None = None,
+    first_row_id: int | None = None,
 ) -> None:
     """Shared tail of every v2 row-delta commit (DELETE WHERE, UPDATE,
     equality delete, upsert-by-key): carry the previous snapshot's
@@ -2394,10 +2824,19 @@ def _commit_row_delta_snapshot(
     record the snapshot, bump last-sequence-number (EVERY v2 commit
     must — appends after a delete escape its scope only because their
     number is higher), and publish. One implementation so the
-    metadata-update invariants cannot drift between the four faces."""
+    metadata-update invariants cannot drift between the four faces.
+    `carry_manifests` overrides the carried-forward set (the v3 DV
+    replace rule rewrites prior delete manifests to mark superseded
+    DVs deleted); `first_row_id` stamps the snapshot's row-lineage
+    start (v3)."""
     mdir = _meta_dir(table)
-    _s, prev = avro_io.read_container(_abs(table, prev_snap["manifest-list"]))
-    prev_manifests = [{**_list_defaults(2), **m} for m in prev]
+    if carry_manifests is None:
+        _s, prev = avro_io.read_container(
+            _abs(table, prev_snap["manifest-list"])
+        )
+        prev_manifests = [{**_list_defaults(2), **m} for m in prev]
+    else:
+        prev_manifests = [{**_list_defaults(2), **m} for m in carry_manifests]
     mlist_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     avro_io.write_container(
         os.path.join(mdir, mlist_name),
@@ -2405,16 +2844,17 @@ def _commit_row_delta_snapshot(
         prev_manifests + new_manifests,
     )
     now_ms = int(time.time() * 1000)
-    meta["snapshots"].append(
-        {
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": now_ms,
-            "manifest-list": f"metadata/{mlist_name}",
-            "summary": {"operation": operation},
-            "schema-id": meta.get("current-schema-id", 0),
-            "sequence-number": seq,
-        }
-    )
+    snap_rec = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"metadata/{mlist_name}",
+        "summary": {"operation": operation},
+        "schema-id": meta.get("current-schema-id", 0),
+        "sequence-number": seq,
+    }
+    if first_row_id is not None:
+        snap_rec["first-row-id"] = int(first_row_id)
+    meta["snapshots"].append(snap_rec)
     meta["snapshot-log"].append(
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
     )
@@ -2492,6 +2932,36 @@ def streaming_iceberg_sink(
 
 
 # ------------------------------------------------------------------ evolution
+
+
+def upgrade_iceberg(path: str, to_version: int = 3) -> int:
+    """Upgrade a table's format-version in one metadata commit — no
+    data or manifest rewrites (the spec's upgrade path: existing
+    snapshots read as sequence 0 / null row ids). v3 initializes the
+    row-lineage counter (`next-row-id`); after the upgrade,
+    delete_where/update_where write puffin DELETION VECTORS instead
+    of position-delete parquet (the v3 rule), new data files get
+    first_row_id assignments, and existing v2 position deletes keep
+    applying until a DV supersedes them. Downgrades refuse."""
+    table = os.path.abspath(path)
+    meta = _load_metadata(table)
+    cur = int(meta.get("format-version", 1))
+    if to_version not in (2, 3):
+        raise NotImplementedError(
+            f"upgrade_iceberg to_version {to_version}: 2 or 3"
+        )
+    if to_version < cur:
+        raise ValueError(
+            f"cannot downgrade format-version {cur} -> {to_version}"
+        )
+    if to_version == cur:
+        return _current_metadata_version(table)
+    meta["format-version"] = to_version
+    meta.setdefault("last-sequence-number", 0)
+    if to_version >= 3:
+        meta.setdefault("next-row-id", 0)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    return _publish_metadata(table, meta)
 
 
 def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
@@ -2638,6 +3108,8 @@ def read_iceberg_changes(
         )
         entries: list[tuple[str, dict]] = []
         pos_deletes: list[str] = []
+        # v3 DVs: (abs puffin path, offset, size, referenced path)
+        dv_dels: list[tuple[str, int, int, str]] = []
         eq_adds: list[tuple[str, tuple]] = []  # (abs path, equality ids)
         for m in manifests:
             m_added = m.get("added_snapshot_id")
@@ -2680,7 +3152,20 @@ def read_iceberg_changes(
                         )
                     )
                 elif content == 1 and include_deletes:
-                    pos_deletes.append(_abs(table, dfile["file_path"]))
+                    if (
+                        str(dfile.get("file_format", "PARQUET")).upper()
+                        == "PUFFIN"
+                    ):
+                        dv_dels.append(
+                            (
+                                _abs(table, dfile["file_path"]),
+                                int(dfile["content_offset"]),
+                                int(dfile["content_size_in_bytes"]),
+                                str(dfile["referenced_data_file"]),
+                            )
+                        )
+                    else:
+                        pos_deletes.append(_abs(table, dfile["file_path"]))
                 elif content == 1:
                     raise NotImplementedError(
                         f"snapshot {sid} adds a delete file: the "
@@ -2756,7 +3241,7 @@ def read_iceberg_changes(
             per_snap.append(
                 scan.withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
             )
-        if pos_deletes:
+        if pos_deletes or dv_dels:
             per_snap.append(
                 _changelog_deleted_rows(
                     spark,
@@ -2765,6 +3250,7 @@ def read_iceberg_changes(
                     pos_deletes,
                     schema,
                     part_cols,
+                    dv_dels=dv_dels,
                 ).withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
             )
         if eq_adds:
@@ -2791,24 +3277,42 @@ def _changelog_deleted_rows(
     pos_deletes: list[str],
     schema: StructType,
     part_cols: list[str],
+    dv_dels: list[tuple[str, int, int, str]] | None = None,
 ) -> DataFrame:
-    """The exact rows a snapshot's POSITION delete files tombstone,
-    tagged _change_type='delete': the delete parquet names each
-    (recorded file path, position), so only the REFERENCED data files
-    are scanned (keep_meta) and inner-joined on position — cost
-    O(rows deleted). Referenced files are resolved through the
-    snapshot's own live entries (the delete and its targets coexist
-    in the snapshot that added it); a reference to a non-live file
-    refuses loudly."""
+    """The exact rows a snapshot's POSITION delete files (and v3
+    deletion vectors, `dv_dels`) tombstone, tagged
+    _change_type='delete': each names (recorded file path, position),
+    so only the REFERENCED data files are scanned (keep_meta) and
+    inner-joined on position — cost O(rows deleted). DV blobs decode
+    driver-side (compressed bitmaps, metadata-sized). Referenced
+    files are resolved through the snapshot's own live entries (the
+    delete and its targets coexist in the snapshot that added it); a
+    reference to a non-live file refuses loudly."""
     cols = [f.name for f in schema.fields]
     data, _pos, _eq = _live_entries(table, snap)
     by_recorded = {rp: (p, pv) for p, pv, rp, _s, _f in data}
     nonpq = {rp for _p, _pv, rp, _s, f in data if f != "PARQUET"}
-    del_df = (
-        spark.read.schema("file_path string, pos long")
-        .parquet(*pos_deletes)
-        .dropDuplicates(["file_path", "pos"])
-    )
+    frames = []
+    if pos_deletes:
+        frames.append(
+            spark.read.schema("file_path string, pos long").parquet(
+                *pos_deletes
+            )
+        )
+    if dv_dels:
+        from archetype_spark.sources import puffin as _puffin
+
+        rows = []
+        for p, off, size, ref in dv_dels:
+            blob = _puffin.read_blob(p, off, size)
+            rows.extend((ref, int(x)) for x in _puffin.dv_positions(blob))
+        frames.append(
+            spark.createDataFrame(rows, "file_path string, pos long")
+        )
+    del_df = frames[0]
+    for fr in frames[1:]:
+        del_df = del_df.unionByName(fr)
+    del_df = del_df.dropDuplicates(["file_path", "pos"])
     refs = [r["file_path"] for r in del_df.select("file_path").distinct().collect()]
     entries = []
     for rp in refs:

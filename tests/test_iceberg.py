@@ -153,10 +153,12 @@ def test_iceberg_schema_drift_refused(spark, tmp_path, people):
         write_iceberg(people.drop("country"), t, mode="append")
 
 
-def test_iceberg_v2_readable_v3_refused(spark, tmp_path, people):
+def test_iceberg_v2_v3_readable_v4_refused(spark, tmp_path, people):
     """format-version 2 is supported since r11 (position deletes,
-    sequence scoping — tests/test_iceberg_deletes.py); a v2 stamp on
-    a delete-free table reads normally, while v3+ still refuses."""
+    sequence scoping — tests/test_iceberg_deletes.py) and 3 since r14
+    (deletion vectors — tests/test_iceberg_v3.py); a bare version
+    stamp on a delete-free table reads normally either way, while an
+    unknown future version still refuses."""
     t = str(tmp_path / "t")
     write_iceberg(people, t)
     mdir = os.path.join(t, "metadata")
@@ -169,6 +171,10 @@ def test_iceberg_v2_readable_v3_refused(spark, tmp_path, people):
         fh.write("2")
     assert read_iceberg(spark, t).count() == 4
     meta["format-version"] = 3
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    assert read_iceberg(spark, t).count() == 4
+    meta["format-version"] = 4
     with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
         json.dump(meta, fh)
     with pytest.raises(NotImplementedError, match="format-version"):

@@ -258,13 +258,15 @@ def test_equality_deletes_without_ids_refused(spark, tmp_path, people):
         read_iceberg(spark, t).count()
 
 
-def test_v3_metadata_refused(tmp_path, spark, people):
+def test_v4_metadata_refused(tmp_path, spark, people):
+    # v3 reads since r14 (tests/test_iceberg_v3.py); unknown future
+    # versions keep refusing
     t = str(tmp_path / "t")
     write_iceberg(people, t)
     mfile = os.path.join(t, "metadata", "v1.metadata.json")
     with open(mfile) as fh:
         meta = json.load(fh)
-    meta["format-version"] = 3
+    meta["format-version"] = 4
     with open(mfile, "w") as fh:
         json.dump(meta, fh)
     with pytest.raises(NotImplementedError, match="format-version"):

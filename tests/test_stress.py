@@ -554,6 +554,46 @@ def test_stress_wide_delete_never_collects_positions_iceberg(
     assert left.count() == n - out["rows_deleted"]
 
 
+def test_stress_iceberg_v3_wide_dv_delete(
+    spark, stress_docs, tmp_path, monkeypatch
+):
+    """v3 at 10x: a wide DELETE past the probe cap builds each masked
+    file's DELETION VECTOR bitmap in the WORKERS (applyInPandas per
+    file) — the driver handles one compressed blob per file, never
+    the position set — then a SECOND wide delete exercises the
+    merge-and-supersede replace rule over the same files."""
+    from archetype_spark.sources import iceberg as ice_mod
+    from archetype_spark.sources.iceberg import (
+        _live_entries,
+        _load_metadata,
+        delete_where_iceberg,
+        read_iceberg,
+        upgrade_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "wide_v3")
+    write_iceberg(stress_docs.repartition(8), t)
+    upgrade_iceberg(t, 3)
+    n = stress_docs.count()
+    monkeypatch.setattr(ice_mod, "POS_DELETE_DRIVER_COLLECT_MAX", 1000)
+    out = delete_where_iceberg(spark, t, "doc_id % 4 = 0")
+    assert ice_mod._LAST_MASK_PATH == "executor"
+    assert out["delete_files"] == 8  # one DV per masked data file
+    out2 = delete_where_iceberg(spark, t, "doc_id % 4 = 1")
+    left = read_iceberg(spark, t)
+    assert left.filter("doc_id % 4 <= 1").count() == 0
+    assert left.count() == n - out["rows_deleted"] - out2["rows_deleted"]
+    # replace rule held at scale: still one live DV per data file
+    meta = _load_metadata(t)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    _d, deletes, _e = _live_entries(t, snap, meta)
+    refs = [d[2]["referenced"] for d in deletes if d[2] is not None]
+    assert len(refs) == len(set(refs)) == 8
+
+
 def test_stress_iceberg_mixed_formats(spark, stress_docs, tmp_path):
     """Mixed-format headroom at 50k rows: doc_id mod 3 fans the
     corpus across a PARQUET commit, an ORC commit and an AVRO ingest
