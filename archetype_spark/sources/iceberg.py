@@ -1830,6 +1830,10 @@ def vacuum_iceberg(path: str) -> dict:
             keep_manifests.add(os.path.normpath(mpath))
             _ms, rows = avro_io.read_container(mpath)
             for r in rows:
+                if r.get("status") == 2:
+                    # DELETED entries (e.g. superseded deletion
+                    # vectors) are invisible to every retained read
+                    continue
                 keep_files.add(
                     os.path.normpath(_abs(table, r["data_file"]["file_path"]))
                 )
@@ -1838,7 +1842,7 @@ def vacuum_iceberg(path: str) -> dict:
     for root, dirs, files in os.walk(data_root):
         dirs[:] = [d for d in dirs if not d.startswith(".")]
         for name in files:
-            if not name.endswith(".parquet"):
+            if not name.endswith((".parquet", ".puffin", ".orc", ".avro")):
                 continue
             p = os.path.normpath(os.path.join(root, name))
             if p not in keep_files:

@@ -30,12 +30,14 @@ from archetype_spark.sources.iceberg import (
 )
 
 
-def _v3_table(spark, tmp_path, partitioned=False):
+def _v3_table(spark, tmp_path, partitioned=False, one_file=False):
     t = str(tmp_path / "t")
     df = spark.createDataFrame(
         [(i, "x" if i % 2 else "y", i * 10) for i in range(1, 9)],
         "id long, p string, v long",
     )
+    if one_file:
+        df = df.coalesce(1)
     write_iceberg(df, t, partition_by=["p"] if partitioned else None)
     upgrade_iceberg(t, 3)
     return t
@@ -82,7 +84,7 @@ def test_dv_replace_rule_merges(spark, tmp_path):
     """A second positional delete on the same file MERGES the prior
     DV and supersedes it: at most one live DV per data file, and both
     delete sets apply."""
-    t = _v3_table(spark, tmp_path)
+    t = _v3_table(spark, tmp_path, one_file=True)
     delete_where_iceberg(spark, t, F.col("id") == 2)
     delete_where_iceberg(spark, t, F.col("id") == 4)
     assert _ids(spark, t) == [1, 3, 5, 6, 7, 8]
@@ -91,11 +93,12 @@ def test_dv_replace_rule_merges(spark, tmp_path):
         meta["current-snapshot-id"]
     ]
     _data, deletes, _eq = _live_entries(t, snap, meta)
-    dv_refs = [d[2]["referenced"] for d in deletes if d[2] is not None]
-    assert len(dv_refs) == len(set(dv_refs))  # one live DV per file
-    # and the live DV for the doubly-masked file holds BOTH positions
-    # (cardinality rides the manifest record_count)
-    assert sum(1 for d in deletes if d[2] is not None) >= 1
+    dvs = [d for d in deletes if d[2] is not None]
+    assert len(dvs) == 1  # the second DV superseded the first
+    positions = puffin.dv_positions(
+        puffin.read_blob(dvs[0][0], dvs[0][2]["offset"], dvs[0][2]["size"])
+    )
+    assert len(positions) == 2  # merged: both masked rows
 
 
 def test_update_where_v3_and_row_lineage(spark, tmp_path):
@@ -261,3 +264,25 @@ def test_partitioned_v3_dv_delete(spark, tmp_path):
     assert _ids(spark, t) == [1, 2, 3, 4, 5]
     got = read_iceberg(spark, t, scan_filter={"p": "x"}).collect()
     assert sorted(r.id for r in got) == [1, 3, 5]
+
+
+def test_expire_vacuum_reclaims_superseded_dvs(spark, tmp_path):
+    """After snapshot expiry, vacuum removes puffin files only a
+    superseded DV (status=2 carry entry) or an expired snapshot
+    references — retained reads stay exact, orphans are gone."""
+    from archetype_spark.sources.iceberg import (
+        expire_snapshots_iceberg,
+        vacuum_iceberg,
+    )
+
+    t = _v3_table(spark, tmp_path, one_file=True)
+    delete_where_iceberg(spark, t, F.col("id") == 2)
+    delete_where_iceberg(spark, t, F.col("id") == 4)  # supersedes
+    puffins_before = {n for n in _data_files(t) if n.endswith(".puffin")}
+    assert len(puffins_before) == 2
+    expire_snapshots_iceberg(t, keep_last=1)
+    out = vacuum_iceberg(t)
+    assert out["data_files"] >= 1  # the superseded DV reclaimed
+    puffins_after = {n for n in _data_files(t) if n.endswith(".puffin")}
+    assert len(puffins_after) == 1
+    assert _ids(spark, t) == [1, 3, 5, 6, 7, 8]
