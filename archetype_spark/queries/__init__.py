@@ -398,6 +398,7 @@ _PINNED: tuple[str, ...] = (
     "q146_hudi_replication_mesh",
     "q147_hudi_archived_scan",
     "q148_iceberg_v3_dv_scan",
+    "q149_lake_relay",
     "q08_semi_join",
     "q95_curation_v2",
     "q96_cluster_cap",
@@ -444,12 +445,12 @@ _PINNED: tuple[str, ...] = (
     "q21_ranking_window",
     "q22_lag_lead_runsum",
     "q24_latest_state",
-    "q25_union",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
         # r14: everything gated outside the 50 explicit pins —
         # all green r11-r13 and locally hash-checked each run.
+        "q25_union",
         "q26_set_ops",
         "q27_explode",
         "q28_time_bucket",

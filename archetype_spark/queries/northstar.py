@@ -2406,6 +2406,88 @@ def q148_iceberg_v3_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_lake_relay(spark: SparkSession, sf_dir: str) -> str:
+    """The six-direction mesh's TRANSITIVE fixture q149 reads: a
+    Delta source (CDF on) plays the q127 cohort history (ingest,
+    delete n_chars % 7 = 3, re-lang n_chars % 11 = 5 to 'xx') while a
+    HUDI mirror follows via replicate_delta_to_hudi in two syncs
+    (bootstrap + catch-up: the CDF deletes land through
+    apply_cdc_hudi's delete commit, updates through its upsert
+    commit) — and then an ICEBERG mirror follows the HUDI MIRROR
+    (replicate_hudi_to_iceberg): second-hop CDC whose delete side
+    comes from read_hudi_deleted_keys over commits apply_cdc_hudi
+    itself wrote. Any loss at either hop breaks the third column."""
+    from archetype_spark.sources import (
+        delete_where_delta,
+        update_where_delta,
+        write_delta,
+    )
+    from archetype_spark.sources.delta import enable_cdf_delta
+    from archetype_spark.sources.replicate import (
+        replicate_delta_to_hudi,
+        replicate_hudi_to_iceberg,
+    )
+
+    def build(base: DataFrame, btable: str) -> None:
+        src = os.path.join(btable, "delta")
+        hm = os.path.join(btable, "hudi")
+        im = os.path.join(btable, "iceberg")
+        write_delta(base.repartition("lang"), src, partition_by=["lang"])
+        enable_cdf_delta(src)
+        replicate_delta_to_hudi(spark, src, hm, record_key="doc_id")
+        delete_where_delta(spark, src, "n_chars % 7 = 3")
+        update_where_delta(
+            spark, src, "n_chars % 11 = 5", {"lang": "'xx'"}
+        )
+        replicate_delta_to_hudi(spark, src, hm, record_key="doc_id")
+        replicate_hudi_to_iceberg(spark, hm, im)
+
+    return _ensure_lake_documents(spark, sf_dir, "lake_relay", build)
+
+
+def q149_lake_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE cross-format consistency — the six-direction mesh's
+    capstone: the Delta SOURCE, the Hudi mirror that followed it
+    (bootstrap + CDF catch-up through apply_cdc_hudi), and the
+    Iceberg mirror that followed THE HUDI MIRROR (second-hop CDC:
+    upserts from the incremental face, deletes recovered from the
+    very commits the first hop wrote) must all hold the same final
+    state. One source-view recompute gates all three columns — a row
+    lost or resurrected at either hop, a mark replayed twice, or a
+    delete the second hop failed to recover moves exactly one column.
+    Join sides are aggregate-tiny and explicitly broadcast."""
+    from archetype_spark.sources.delta import read_delta
+    from archetype_spark.sources.hudi import read_hudi
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    relay = _ensure_lake_relay(spark, sf_dir)
+    d = (
+        read_delta(spark, os.path.join(relay, "delta"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("delta_docs"),
+            F.sum("n_chars").cast("bigint").alias("delta_chars"),
+        )
+    )
+    h = (
+        read_hudi(spark, os.path.join(relay, "hudi"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hudi_docs"))
+    )
+    i = (
+        read_iceberg(spark, os.path.join(relay, "iceberg"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("iceberg_docs"))
+    )
+    return (
+        d.join(F.broadcast(h), "lang")
+        .join(F.broadcast(i), "lang")
+        .select(
+            "lang", "delta_docs", "hudi_docs", "iceberg_docs", "delta_chars"
+        )
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -3713,6 +3795,7 @@ QUERIES = {
     "q146_hudi_replication_mesh": q146_hudi_replication_mesh,
     "q147_hudi_archived_scan": q147_hudi_archived_scan,
     "q148_iceberg_v3_dv_scan": q148_iceberg_v3_dv_scan,
+    "q149_lake_relay": q149_lake_relay,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -5251,6 +5334,21 @@ ORACLES["q147_hudi_archived_scan"] = """
     SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+"""
+
+# q149: the transitive relay — the q127 CDF cohort algebra recomputed
+# once feeds the source column AND both mirror hops (Delta -> Hudi ->
+# Iceberg); final state = delete survivors with the update's re-lang.
+ORACLES["q149_lake_relay"] = """
+    SELECT lang, count(*)::BIGINT AS delta_docs,
+           count(*)::BIGINT AS hudi_docs,
+           count(*)::BIGINT AS iceberg_docs,
+           sum(n_chars)::BIGINT AS delta_chars
+    FROM (
+      SELECT CASE WHEN n_chars % 11 = 5 THEN 'xx' ELSE lang END AS lang,
+             n_chars
+      FROM documents WHERE n_chars % 7 <> 3
+    ) GROUP BY lang
 """
 
 # q148: the v3 DV lifecycle — 'latest' = delete survivors with the

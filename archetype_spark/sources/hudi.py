@@ -1449,7 +1449,10 @@ def upsert_hudi(
 
 
 def delete_by_key_hudi(
-    spark: SparkSession, path: str, keys: DataFrame
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    extra_metadata: dict[str, str] | None = None,
 ) -> dict:
     """Row-level delete by VALUE. COPY_ON_WRITE: file groups owning a
     doomed key are rewritten WITHOUT those rows; a group losing every
@@ -1501,6 +1504,7 @@ def delete_by_key_hudi(
         return _write_commit(
             None, table, instant, record_key, {},
             op="delete", action=".deltacommit", extra_stats=log_stats,
+            extra_metadata=extra_metadata,
         )
     data_cols = [c for c in cur.columns if c not in _META_COLS]
     # survivors keep their meta columns (unchanged records)
@@ -1515,6 +1519,7 @@ def delete_by_key_hudi(
         survivors, table, instant, record_key,
         {fg: sl["partition"] for fg, sl in rewritten.items()},
         rewritten=rewritten, op="delete", preserve_meta=True,
+        extra_metadata=extra_metadata,
     )
 
 
@@ -2083,6 +2088,69 @@ def read_hudi_deleted_keys(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def last_commit_mark_hudi(path: str, key: str) -> str | None:
+    """The newest completed instant's extraMetadata value for `key`
+    (None if never stamped) — the generic exactly-once high-water
+    mark readback (replication consumers; the streaming sink has its
+    own app-keyed variant below). Archived instants included."""
+    table = os.path.abspath(path)
+    for _i, _a, meta in reversed(_timeline_with_meta(table)):
+        extra = meta.get("extraMetadata") or {}
+        if key in extra:
+            return str(extra[key])
+    return None
+
+
+def apply_cdc_hudi(
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    upserts: DataFrame,
+    record_key: str,
+    extra_metadata: dict[str, str] | None = None,
+    partition_by: str | None = None,
+) -> dict:
+    """Apply one CDC batch — deletes (a key-only frame) then upserts
+    — to a Hudi table: the Hudi face of apply_cdc_delta /
+    apply_cdc_iceberg. The format has no mixed delete+upsert commit,
+    so the batch lands as up to TWO commits with `extra_metadata`
+    (the replication high-water mark) riding only the FINAL one;
+    exactly-once still holds because a crash before the mark replays
+    the whole batch, and the batch is idempotent (same upsert values,
+    already-dead keys delete as no-ops). On a table that does not
+    exist yet the deletes are a no-op and the upserts bootstrap it.
+    Returns {'rows_deleted', 'rows_upserted'} (bootstrap adds
+    'rows_inserted')."""
+    table = os.path.abspath(path)
+    out: dict = {"rows_deleted": 0, "rows_upserted": 0}
+    if not os.path.isdir(_hoodie_dir(table)):
+        write_hudi(
+            upserts, table, record_key=record_key,
+            partition_by=partition_by, extra_metadata=extra_metadata,
+        )
+        out["rows_inserted"] = count_rows_hudi(table)
+        return out
+    props = _load_properties(table)
+    if props["hoodie.table.recordkey.fields"] != record_key:
+        raise ValueError(
+            f"record key {record_key!r} disagrees with the mirror's "
+            f"hoodie.properties "
+            f"({props['hoodie.table.recordkey.fields']!r})"
+        )
+    dels = deletes.select(
+        F.col(record_key).alias(record_key)
+    ).dropDuplicates()
+    n_del = dels.count()
+    if n_del:
+        delete_by_key_hudi(spark, table, dels)
+        out["rows_deleted"] = n_del
+    # the upsert commit carries the mark — it publishes even for an
+    # empty updates frame (an empty commit), so the mark always lands
+    out["rows_upserted"] = upserts.count()
+    upsert_hudi(spark, table, upserts, extra_metadata=extra_metadata)
     return out
 
 

@@ -1,9 +1,13 @@
-"""Cross-format lake replication: Delta commits -> Iceberg mirror
-(replicate_delta_to_iceberg), Iceberg snapshots -> Delta mirror
-(replicate_iceberg_to_delta), and Hudi instants -> either mirror
-(replicate_hudi_to_delta / replicate_hudi_to_iceberg) — the
-tri-format mesh: any of the three open table formats can be the
-source of truth for a mirror in another.
+"""Cross-format lake replication — ALL SIX directions of the
+tri-format mesh: Delta -> Iceberg/Hudi, Iceberg -> Delta/Hudi, and
+Hudi -> Delta/Iceberg. Any of the three open table formats can be
+the source of truth for a mirror in either other format; each
+direction composes one source-side latest-wins cut (_delta_pending /
+_iceberg_pending / _hudi_pending) with one sink-side CDC apply
+engine (apply_cdc_iceberg / apply_cdc_delta / apply_cdc_hudi), each
+carrying its exactly-once high-water mark in the sink's native
+atomic coordinate (table properties / txn actions / commit
+extraMetadata).
 
 The medallion/CDC pattern a heterogeneous lakehouse needs: a source
 table keeps committing, a mirror in the OTHER format follows at
@@ -109,6 +113,29 @@ def replicate_delta_to_iceberg(
     out = {"from_version": start, "to_version": end, "rows_applied": 0}
     if start > end:
         return out
+    ups, gone = _delta_pending(spark, src, start, end, keys)
+    res = apply_cdc_iceberg(
+        spark,
+        dst,
+        gone,
+        ups,
+        list(keys),
+        properties_update={_MARK: str(end)},
+    )
+    out["rows_applied"] = res.get("rows_inserted", 0)
+    return out
+
+
+def _delta_pending(
+    spark: SparkSession,
+    src: str,
+    start: int,
+    end: int,
+    keys: Sequence[str],
+):
+    """The latest-wins cut of a Delta source's commits in
+    [start, end]: returns (upserts, deleted-keys) frames — the shared
+    front half of every Delta-sourced mirror direction."""
     meta_src, _active, _txns = _snapshot_actions(src)
     cdf_on = (
         str((meta_src.get("configuration") or {}).get(
@@ -157,16 +184,7 @@ def replicate_delta_to_iceberg(
             .drop("__rn", "_commit_version")
         )
         gone = ups.select(*keys).limit(0)
-    res = apply_cdc_iceberg(
-        spark,
-        dst,
-        gone,
-        ups,
-        list(keys),
-        properties_update={_MARK: str(end)},
-    )
-    out["rows_applied"] = res.get("rows_inserted", 0)
-    return out
+    return ups, gone
 
 
 _ICE_APP_ID = "iceberg-replication"
@@ -248,6 +266,26 @@ def replicate_iceberg_to_delta(
     }
     if not pending:
         return out
+    ups, gone = _iceberg_pending(spark, src, snaps, pending, keys)
+    res = apply_cdc_delta(
+        spark, dst, gone, ups, list(keys), txn=(_ICE_APP_ID, end)
+    )
+    out.update(res)
+    return out
+
+
+def _iceberg_pending(
+    spark: SparkSession,
+    src: str,
+    snaps: list[dict],
+    pending: list[dict],
+    keys: Sequence[str],
+):
+    """The latest-wins cut of an Iceberg source's pending snapshots:
+    returns (upserts, deleted-keys) frames — the shared front half of
+    every Iceberg-sourced mirror direction."""
+    from archetype_spark.sources.iceberg import read_iceberg_changes
+
     changes = read_iceberg_changes(
         spark,
         src,
@@ -285,11 +323,7 @@ def replicate_iceberg_to_delta(
         "_change_type"
     )
     gone = latest.filter(F.col("_change_type") == "delete").select(*keys)
-    res = apply_cdc_delta(
-        spark, dst, gone, ups, list(keys), txn=(_ICE_APP_ID, end)
-    )
-    out.update(res)
-    return out
+    return ups, gone
 
 
 _HUDI_APP_ID = "hudi-replication"
@@ -420,6 +454,131 @@ def replicate_hudi_to_iceberg(
         return out
     res = apply_cdc_iceberg(
         spark, dst, gone, ups, [key], properties_update={_HUDI_MARK: end}
+    )
+    out.update(res)
+    return out
+
+
+def replicated_delta_version_hudi(dst: str) -> int | None:
+    """The highest Delta source commit version already applied to the
+    Hudi mirror (None for a fresh mirror) — from commit extraMetadata,
+    the coordinate the CDC-stream sink also uses."""
+    from archetype_spark.sources.hudi import (
+        _hoodie_dir,
+        last_commit_mark_hudi,
+    )
+
+    table = os.path.abspath(dst)
+    if not os.path.isdir(_hoodie_dir(table)):
+        return None
+    v = last_commit_mark_hudi(table, _MARK)
+    return int(v) if v is not None else None
+
+
+def replicate_delta_to_hudi(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    record_key: str,
+    end_version: int | None = None,
+) -> dict:
+    """Sync a Hudi mirror at `dst` with every Delta commit of `src`
+    newer than the mirror's recorded high-water mark — the direction
+    that completes the tri-format mesh alongside Delta->Iceberg and
+    the Hudi-sourced faces. The same CDF latest-wins cut feeds
+    apply_cdc_hudi (deletes as a delete-block/rewrite commit, upserts
+    as an upsert commit carrying the mark); idempotent on
+    crash-and-retry because the half-applied batch replays
+    identically. Returns {'from_version', 'to_version'} plus the
+    apply engine's counts."""
+    from archetype_spark.sources.hudi import apply_cdc_hudi
+
+    src = os.path.abspath(src)
+    latest = _latest_version(src)
+    if latest is None:
+        raise FileNotFoundError(f"not a Delta table: {src}")
+    end = latest if end_version is None else int(end_version)
+    last = replicated_delta_version_hudi(dst)
+    start = 0 if last is None else last + 1
+    out = {"from_version": start, "to_version": end}
+    if start > end:
+        return out
+    ups, gone = _delta_pending(spark, src, start, end, [record_key])
+    res = apply_cdc_hudi(
+        spark, dst, gone, ups, record_key,
+        extra_metadata={_MARK: str(end)},
+    )
+    out.update(res)
+    return out
+
+
+def replicated_iceberg_sequence_hudi(dst: str) -> int | None:
+    """The highest Iceberg source sequence number already applied to
+    the Hudi mirror (None for a fresh mirror)."""
+    from archetype_spark.sources.hudi import (
+        _hoodie_dir,
+        last_commit_mark_hudi,
+    )
+
+    table = os.path.abspath(dst)
+    if not os.path.isdir(_hoodie_dir(table)):
+        return None
+    v = last_commit_mark_hudi(table, "replication.iceberg.last-sequence")
+    return int(v) if v is not None else None
+
+
+def replicate_iceberg_to_hudi(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    record_key: str,
+    end_sequence: int | None = None,
+) -> dict:
+    """Sync a Hudi mirror at `dst` with every Iceberg snapshot of
+    `src` whose sequence number exceeds the mirror's recorded
+    high-water mark — the last edge of the six-direction mesh. The
+    same changelog latest-wins cut as the Delta direction feeds
+    apply_cdc_hudi; v1 sources refuse (no monotonic coordinate), the
+    same contract as replicate_iceberg_to_delta."""
+    from archetype_spark.sources.hudi import apply_cdc_hudi
+
+    src = os.path.abspath(src)
+    if _current_metadata_version(src) is None:
+        raise FileNotFoundError(f"not an Iceberg table: {src}")
+    meta = _load_metadata(src)
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots in Iceberg table {src}")
+    if int(meta.get("format-version", 1)) < 2:
+        raise NotImplementedError(
+            f"Iceberg source {src} is format v1: replication needs the "
+            "monotonic v2 sequence number for its high-water mark "
+            "(upgrade the table — any row-delta write does)"
+        )
+
+    def eff_seq(s: dict) -> int:
+        return int(s.get("sequence-number") or 0)
+
+    last = replicated_iceberg_sequence_hudi(dst)
+    end = (
+        max(eff_seq(s) for s in snaps)
+        if end_sequence is None
+        else int(end_sequence)
+    )
+    start = -1 if last is None else int(last)
+    pending = [s for s in snaps if start < eff_seq(s) <= end]
+    out = {
+        "from_sequence": (
+            min(eff_seq(s) for s in pending) if pending else None
+        ),
+        "to_sequence": end,
+    }
+    if not pending:
+        return out
+    ups, gone = _iceberg_pending(spark, src, snaps, pending, [record_key])
+    res = apply_cdc_hudi(
+        spark, dst, gone, ups, record_key,
+        extra_metadata={"replication.iceberg.last-sequence": str(end)},
     )
     out.update(res)
     return out

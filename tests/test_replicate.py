@@ -437,3 +437,87 @@ def test_hudi_deleted_keys_cow_group_wipe(spark, tmp_path):
     )
     dead = read_hudi_deleted_keys(spark, src).collect()
     assert sorted(r["id"] for r in dead) == [1, 2]
+
+
+# ------------------------------------------------- Hudi as the CDC sink
+
+
+def _hudi_mirror_rows(spark, dst):
+    from archetype_spark.sources.hudi import read_hudi
+
+    return sorted(tuple(r) for r in read_hudi(spark, dst).collect())
+
+
+def test_delta_to_hudi_mirror_follows(spark, tmp_path, src_people):
+    """Delta -> Hudi: bootstrap, then a CDF batch carrying deletes +
+    updates lands as the delete+upsert commit pair with the mark on
+    the final commit; idempotent re-run; latest-wins across commits."""
+    from archetype_spark.sources.delta import (
+        enable_cdf_delta,
+        upsert_by_key_delta,
+    )
+    from archetype_spark.sources.replicate import (
+        replicate_delta_to_hudi,
+        replicated_delta_version_hudi,
+    )
+
+    src, dst = src_people, str(tmp_path / "hmirror")
+    out = replicate_delta_to_hudi(spark, src, dst, record_key="id")
+    assert out.get("rows_inserted") == 3
+    assert replicate_delta_to_hudi(spark, src, dst, record_key="id")[
+        "from_version"
+    ] == out["to_version"] + 1  # no-op re-run
+    enable_cdf_delta(src)
+    delete_where_delta(spark, src, "id = 1")
+    upsert_by_key_delta(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(2, "bob2", 21), (4, "dee", 40)], "id long, name string, v long"
+        ),
+        ["id"],
+    )
+    out2 = replicate_delta_to_hudi(spark, src, dst, record_key="id")
+    assert _hudi_mirror_rows(spark, dst) == [
+        (2, "bob2", 21), (3, "cho", 30), (4, "dee", 40)
+    ]
+    assert replicated_delta_version_hudi(dst) == out2["to_version"]
+
+
+def test_iceberg_to_hudi_mirror_follows(spark, tmp_path, src_ice):
+    """Iceberg -> Hudi: the changelog cut (equality kills recovered
+    via the prior snapshot) applies as Hudi commits; a key deleted
+    then re-inserted lands in its newest state."""
+    from archetype_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        upsert_by_key_iceberg,
+    )
+    from archetype_spark.sources.replicate import (
+        replicate_iceberg_to_hudi,
+        replicated_iceberg_sequence_hudi,
+    )
+
+    src, dst = src_ice, str(tmp_path / "hmirror2")
+    replicate_iceberg_to_hudi(spark, src, dst, record_key="id")
+    assert _hudi_mirror_rows(spark, dst) == [
+        (1, "ann", 10), (2, "bob2", 21), (3, "cho2", 31), (4, "dee", 40)
+    ]
+    delete_by_key_iceberg(
+        spark, src, spark.createDataFrame([(2,)], "id long")
+    )
+    upsert_by_key_iceberg(
+        spark,
+        src,
+        spark.createDataFrame([(2, "bob3", 22)], "id long, name string, v long"),
+        ["id"],
+    )
+    delete_by_key_iceberg(
+        spark, src, spark.createDataFrame([(3,)], "id long")
+    )
+    out = replicate_iceberg_to_hudi(spark, src, dst, record_key="id")
+    got = _hudi_mirror_rows(spark, dst)
+    assert (2, "bob3", 22) in got and all(r[0] != 3 for r in got)
+    assert replicated_iceberg_sequence_hudi(dst) == out["to_sequence"]
+    # replay-idempotence
+    again = replicate_iceberg_to_hudi(spark, src, dst, record_key="id")
+    assert again["from_sequence"] is None
