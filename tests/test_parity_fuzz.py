@@ -356,14 +356,21 @@ def _pad(rows, evolved):
     return [tuple(r) + (None,) * (width - len(r)) for r in rows]
 
 
-def test_iceberg_lifecycle_model_fuzz(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("v3", [False, True])
+def test_iceberg_lifecycle_model_fuzz(spark, tmp_path, v3):
     """The Iceberg mirror of the Delta lifecycle fuzz: random
-    append / overwrite / merge / DELETE-WHERE (v2 position deletes) /
-    evolve / compact / expire+vacuum /
-    streaming-batch sequences vs the in-memory model. Time travel
-    here reads with the CURRENT schema (documented add_column
-    behavior), so historical comparisons pad the recorded model to
-    the current width."""
+    append / overwrite / merge / DELETE-WHERE / evolve / compact /
+    expire+vacuum / streaming-batch sequences vs the in-memory model.
+    Time travel here reads with the CURRENT schema (documented
+    add_column behavior), so historical comparisons pad the recorded
+    model to the current width. The v3 leg (r14) runs the SAME seeded
+    sequence on an upgraded table, so every DELETE lands as a puffin
+    deletion vector (with the merge-and-supersede replace rule under
+    compaction/retention interleavings) and row lineage advances —
+    the model must not see any difference."""
     import random
 
     from archetype_spark.sources import (
@@ -400,6 +407,10 @@ def test_iceberg_lifecycle_model_fuzz(spark, tmp_path):
     rows = mk_rows(4, next_id)
     next_id += 4
     write_iceberg(sdf(rows), t, partition_by=["grp"])
+    if v3:
+        from archetype_spark.sources.iceberg import upgrade_iceberg
+
+        upgrade_iceberg(t, 3)
     model = list(rows)
     history = {snapshots_iceberg(t)[-1]["snapshot-id"]: list(model)}
     sink = streaming_iceberg_sink(t, app_id="fuzz")
@@ -485,10 +496,14 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
     must time-travel to its model state, and the metadata-only count
     must agree. Catches chain-interaction bugs (delete then re-upsert
     then compact then cluster then time travel) no single-op test
-    sees."""
+    sees. r14 adds 'archive' to the op mix: timeline archival is pure
+    metadata movement, so the model is UNCHANGED by it — snapshot,
+    time travel (including to archived instants) and metadata counts
+    must all read identically after any archive point."""
     import random
 
     from archetype_spark.sources.hudi import (
+        archive_hudi,
         cluster_hudi,
         compact_hudi,
         count_rows_hudi,
@@ -544,7 +559,7 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
     for step in range(12):
         op = rng.choice(
             ["upsert", "upsert", "insert", "delete", "delete",
-             "compact", "cluster"]
+             "compact", "cluster", "archive"]
         )
         if op == "upsert":
             if not model:
@@ -590,4 +605,30 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
                 cluster_hudi(spark, t, buckets=1)
             except NotImplementedError:
                 continue  # pending logs: the declared refusal
+        elif op == "archive":
+            out = archive_hudi(t, keep_last=2)
+            if out["archived"] == 0:
+                continue  # nothing old enough; no state change
+            # archival adds no instant: verify against the CURRENT
+            # model immediately (check() would log a new history key)
+            got = sorted(
+                tuple(r)
+                for r in read_hudi(spark, t)
+                .select("id", "grp", "val")
+                .collect()
+            )
+            assert got == sorted(model.values()), f"step {step} archive"
+            # every recorded instant must still time-travel exactly,
+            # including the ones whose metadata just moved
+            hv = rng.choice(sorted(history))
+            hgot = sorted(
+                tuple(r)
+                for r in read_hudi(spark, t, as_of=hv)
+                .select("id", "grp", "val")
+                .collect()
+            )
+            assert hgot == sorted(history[hv].values()), (
+                f"archived time travel {hv} at step {step}"
+            )
+            continue
         check(step, op)
