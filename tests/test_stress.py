@@ -554,6 +554,57 @@ def test_stress_wide_delete_never_collects_positions_iceberg(
     assert left.count() == n - out["rows_deleted"]
 
 
+def test_stress_lake_relay(spark, stress_docs, tmp_path):
+    """The transitive mesh at 10x: a Delta CDF source mutates while a
+    Hudi mirror follows (bootstrap + catch-up), and an Iceberg mirror
+    follows the HUDI MIRROR — both hops incremental, the second hop's
+    deletes recovered from commits apply_cdc_hudi wrote. All three
+    tables must converge per-lang exactly."""
+    from archetype_spark.sources import (
+        delete_where_delta,
+        update_where_delta,
+        write_delta,
+    )
+    from archetype_spark.sources.delta import enable_cdf_delta, read_delta
+    from archetype_spark.sources.hudi import read_hudi
+    from archetype_spark.sources.iceberg import read_iceberg
+    from archetype_spark.sources.replicate import (
+        replicate_delta_to_hudi,
+        replicate_hudi_to_iceberg,
+    )
+
+    src = str(tmp_path / "dsrc")
+    hm, im = str(tmp_path / "hm"), str(tmp_path / "im")
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    write_delta(base.repartition("lang"), src, partition_by=["lang"])
+    enable_cdf_delta(src)
+    # hop 1+2 bootstrap mid-history
+    replicate_delta_to_hudi(spark, src, hm, record_key="doc_id")
+    replicate_hudi_to_iceberg(spark, hm, im)
+    delete_where_delta(spark, src, "n_chars % 7 = 3")
+    update_where_delta(spark, src, "n_chars % 11 = 5", {"lang": "'xx'"})
+    # incremental catch-up through both hops
+    replicate_delta_to_hudi(spark, src, hm, record_key="doc_id")
+    replicate_hudi_to_iceberg(spark, hm, im)
+
+    def state(df):
+        return sorted(
+            tuple(r)
+            for r in df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("s"),
+            )
+            .collect()
+        )
+
+    exp = state(read_delta(spark, src))
+    assert state(read_hudi(spark, hm)) == exp
+    assert state(read_iceberg(spark, im)) == exp
+
+
 def test_stress_iceberg_v3_wide_dv_delete(
     spark, stress_docs, tmp_path, monkeypatch
 ):
