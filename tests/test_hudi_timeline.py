@@ -530,3 +530,54 @@ def test_log_chain_version_gap_refuses(spark, tmp_path, people):
     _publish_log(t, part, log3, fg, base, i3)
     with pytest.raises(ValueError, match="version"):
         read_hudi(spark, t).collect()
+
+
+def test_rollback_mask_survives_archival(spark, tmp_path, people):
+    """Archiving the .rollback instant must not lose the mask: the
+    dead-instant set reads from the ARCHIVED rollback metadata too
+    (real tables archive rollbacks like any other instant)."""
+    from archetype_spark.sources.hudi import archive_hudi, upsert_hudi
+
+    t, fg, base, part, schema = _mor_with_log(spark, tmp_path, people)
+    last = int(hudi_timeline(t)[-1])
+    live, dead, rb = str(last + 1), str(last + 2), str(last + 3)
+    blob = hudi_log.avro_data_block(
+        [_rec(fg, 2, "bob3", "b", 22, live)], schema, live
+    ) + hudi_log.avro_data_block(
+        [_rec(fg, 2, "ZOMBIE", "b", 999, dead)], schema, dead
+    )
+    log2 = hudi_log.log_file_name(fg, base, 2, "1-0-1")
+    with open(os.path.join(t, part, log2), "wb") as fh:
+        fh.write(blob)
+    _publish_log(t, part, log2, fg, base, live)
+    log3 = hudi_log.log_file_name(fg, base, 3, "1-0-1")
+    with open(os.path.join(t, part, log3), "wb") as fh:
+        fh.write(hudi_log.rollback_block(dead, rb))
+    _publish_commit(
+        t,
+        rb,
+        {
+            "operationType": "ROLLBACK",
+            "instantsRollback": [dead],
+            "partitionMetadata": {
+                part: {
+                    "rollbackLogFiles": [f"{part}/{log3}" if part else log3]
+                }
+            },
+        },
+        action=".rollback",
+    )
+    # keep writing so the rollback instant falls behind the cut
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "ann2", "a", 11)], "id long, name string, grp string, v long"
+        ),
+    )
+    out = archive_hudi(t, keep_last=1)
+    assert out["archived"] >= 3  # incl. the rollback instant
+    hd = os.path.join(t, ".hoodie")
+    assert not any(n.endswith(".rollback") for n in os.listdir(hd))
+    got = {r[0]: r for r in _rows(spark, t)}
+    assert got[2] == (2, "bob3", "b", 22)  # mask read from the archive
+    assert got[1] == (1, "ann2", "a", 11)
