@@ -1063,6 +1063,7 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     scan_filter: dict | None = None,
+    with_row_lineage: bool = False,
 ) -> DataFrame:
     """Read an Iceberg snapshot (current, or `snapshot_id` for time
     travel) without any connector jar — module docstring. Format
@@ -1083,7 +1084,17 @@ def read_iceberg(
     KB) planning against a 100 TB table, the spec's whole point. The
     same predicate is ALWAYS re-applied row-level on the scan, so
     pruning can only skip files that cannot match, never change the
-    answer."""
+    answer.
+
+    `with_row_lineage` (v3 tables only) appends the spec's derived
+    `_row_id` metadata column: each data file's assigned
+    first_row_id plus the row's physical position — stable across
+    DV deletes (positions never shift) and fresh for rewrite
+    replacements. Files written before the v3 upgrade carry no
+    first_row_id, so their rows read a NULL id (the spec's
+    lazy-assignment state). Cost: the keep_meta scan plus one
+    broadcast KB-map join — ORC files route through the pyarrow
+    positional scan for real ordinals."""
     table = os.path.abspath(path)
     meta = _load_metadata(table)
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
@@ -1095,8 +1106,63 @@ def read_iceberg(
         raise FileNotFoundError(
             f"snapshot {want} not in table {table} (have {sorted(snaps)})"
         )
-    return _read_snapshot(
-        spark, table, meta, snaps[want], scan_filter=scan_filter
+    if not with_row_lineage:
+        return _read_snapshot(
+            spark, table, meta, snaps[want], scan_filter=scan_filter
+        )
+    if int(meta.get("format-version", 1)) < 3:
+        raise ValueError(
+            "with_row_lineage needs a format-version 3 table "
+            "(upgrade_iceberg first) — below v3 no row ids exist"
+        )
+    scan = _read_snapshot(
+        spark, table, meta, snaps[want], keep_meta=True,
+        scan_filter=scan_filter,
+    )
+    # per-file first_row_id from the snapshot's manifests (KB-scale)
+    frids: list[tuple[str, int | None]] = []
+    _s, manifests = avro_io.read_container(
+        _abs(table, snaps[want]["manifest-list"])
+    )
+    for m in manifests:
+        if int(m.get("content") or 0) != 0:
+            continue
+        _ms, rows = avro_io.read_container(_abs(table, m["manifest_path"]))
+        for r in rows:
+            if r.get("status") == 2:
+                continue
+            df_ = r["data_file"]
+            if int(df_.get("content") or 0) != 0:
+                continue
+            fr = df_.get("first_row_id")
+            frids.append(
+                (
+                    _norm_table_path(table, df_["file_path"]),
+                    int(fr) if fr is not None else None,
+                )
+            )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    frid_df = spark.createDataFrame(
+        frids,
+        StructType(
+            [
+                StructField("__dv_file", StringType(), False),
+                StructField("__frid", LongType(), True),
+            ]
+        ),
+    )
+    return (
+        scan.join(F.broadcast(frid_df), "__dv_file", "left")
+        .withColumn(
+            "_row_id", (F.col("__frid") + F.col("__dv_ridx")).cast("bigint")
+        )
+        .drop("__dv_file", "__dv_ridx", "__frid")
     )
 
 

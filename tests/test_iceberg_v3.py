@@ -286,3 +286,49 @@ def test_expire_vacuum_reclaims_superseded_dvs(spark, tmp_path):
     puffins_after = {n for n in _data_files(t) if n.endswith(".puffin")}
     assert len(puffins_after) == 1
     assert _ids(spark, t) == [1, 3, 5, 6, 7, 8]
+
+
+def test_row_lineage_read_surface(spark, tmp_path):
+    """read_iceberg(with_row_lineage=True): pre-upgrade rows carry
+    NULL _row_id (lazy assignment), post-upgrade appends get
+    first_row_id + position, DV deletes never shift surviving ids,
+    and rewrite replacements get FRESH ids; non-null ids are unique.
+    Below v3 the flag refuses."""
+    t = _v3_table(spark, tmp_path, one_file=True)
+    n0 = int(_load_metadata(t).get("next-row-id", 0))
+    write_iceberg(
+        spark.createDataFrame(
+            [(100, "x", 1000), (101, "y", 1010)], "id long, p string, v long"
+        ).coalesce(1),
+        t,
+        mode="append",
+    )
+    rows = {
+        r.id: r._row_id
+        for r in read_iceberg(spark, t, with_row_lineage=True).collect()
+    }
+    assert all(rows[i] is None for i in range(1, 9))  # pre-upgrade
+    assert sorted(rows[i] for i in (100, 101)) == [n0, n0 + 1]
+    # a DV delete shifts nothing
+    delete_where_iceberg(spark, t, F.col("id") == 100)
+    rows2 = {
+        r.id: r._row_id
+        for r in read_iceberg(spark, t, with_row_lineage=True).collect()
+    }
+    assert 100 not in rows2 and rows2[101] == rows[101]
+    # a rewrite replacement gets a FRESH id
+    update_where_iceberg(spark, t, F.col("id") == 101, {"v": "v + 1"})
+    rows3 = {
+        r.id: r._row_id
+        for r in read_iceberg(spark, t, with_row_lineage=True).collect()
+    }
+    assert rows3[101] is not None and rows3[101] > rows[101]
+    nonnull = [v for v in rows3.values() if v is not None]
+    assert len(nonnull) == len(set(nonnull))
+    # below v3 the flag refuses
+    t2 = str(tmp_path / "v2t")
+    write_iceberg(
+        spark.createDataFrame([(1, "a", 1)], "id long, p string, v long"), t2
+    )
+    with pytest.raises(ValueError, match="format-version 3"):
+        read_iceberg(spark, t2, with_row_lineage=True)
