@@ -3312,6 +3312,16 @@ def read_iceberg_changes(
                 scan.withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
             )
         if pos_deletes or dv_dels:
+            # v3 DVs MERGE on write (_build_dv_commit folds the
+            # superseded DV's positions and legacy v2 rows into the
+            # new blob), so the blob alone re-reports EARLIER
+            # snapshots' deletes as this snapshot's — subtract the
+            # parent snapshot's mask to emit only the DELTA.
+            prior = (
+                _prior_delete_mask(spark, table, snaps, ordered, sid, dv_dels)
+                if dv_dels
+                else None
+            )
             per_snap.append(
                 _changelog_deleted_rows(
                     spark,
@@ -3321,6 +3331,7 @@ def read_iceberg_changes(
                     schema,
                     part_cols,
                     dv_dels=dv_dels,
+                    prior_mask=prior,
                 ).withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
             )
         if eq_adds:
@@ -3340,6 +3351,75 @@ def read_iceberg_changes(
     return out
 
 
+def _prior_delete_mask(
+    spark: SparkSession,
+    table: str,
+    snaps: dict,
+    ordered: list[int],
+    sid: int,
+    dv_dels: list[tuple[str, int, int, str]],
+) -> dict[str, set[int]]:
+    """Positions already tombstoned — as of snapshot `sid`'s PARENT —
+    for the data files the snapshot's new DVs reference, keyed by
+    `_norm_table_path`. The changelog subtracts this mask so a
+    superseding DV (which per the spec MERGES its predecessor and any
+    folded legacy v2 position-delete rows) emits only the positions
+    `sid` itself killed; without the subtraction a mirror built from
+    the changelog can re-delete a key that was genuinely re-inserted
+    between the original delete and the supersede (latest-wins would
+    rank the stale re-reported delete above the earlier re-insert).
+    Cost: O(prior DV blobs + prior delete rows for the referenced
+    files) — metadata-sized, driver-side like the blobs themselves.
+    Refuses when the parent snapshot is expired: the prior mask is
+    unknowable and emitting the full merged DV would be silently
+    wrong."""
+    from archetype_spark.sources import puffin as _puffin
+
+    idx = ordered.index(sid)
+    if idx == 0:
+        if snaps[sid].get("parent-snapshot-id") is not None:
+            raise FileNotFoundError(
+                f"snapshot {sid} adds deletion vectors but its parent "
+                "snapshot is no longer retained: the DV delta (vs the "
+                "merged-in prior mask) cannot be derived"
+            )
+        return {}
+    want = {_norm_table_path(table, ref) for _p, _o, _s, ref in dv_dels}
+    parent = snaps[ordered[idx - 1]]
+    data, deletes, _eq = _live_entries(table, parent)
+    mask: dict[str, set[int]] = {}
+    pos_files = []
+    for p, _s, dvi in deletes:
+        if dvi is None:
+            pos_files.append(p)
+        else:
+            nref = _norm_table_path(table, dvi["referenced"])
+            if nref in want:
+                blob = _puffin.read_blob(p, dvi["offset"], dvi["size"])
+                mask.setdefault(nref, set()).update(
+                    int(x) for x in _puffin.dv_positions(blob)
+                )
+    if pos_files:
+        # legacy v2 rows the new DV folded in (the upgrade-merge rule)
+        recorded = {
+            rp: _norm_table_path(table, rp)
+            for _p, _pv, rp, _s, _f in data
+            if _norm_table_path(table, rp) in want
+        }
+        if recorded:
+            rows = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(*pos_files)
+                .filter(F.col("file_path").isin(sorted(recorded)))
+                .collect()
+            )
+            for r in rows:
+                nref = recorded.get(r["file_path"])
+                if nref is not None:
+                    mask.setdefault(nref, set()).add(int(r["pos"]))
+    return mask
+
+
 def _changelog_deleted_rows(
     spark: SparkSession,
     table: str,
@@ -3348,6 +3428,7 @@ def _changelog_deleted_rows(
     schema: StructType,
     part_cols: list[str],
     dv_dels: list[tuple[str, int, int, str]] | None = None,
+    prior_mask: dict[str, set[int]] | None = None,
 ) -> DataFrame:
     """The exact rows a snapshot's POSITION delete files (and v3
     deletion vectors, `dv_dels`) tombstone, tagged
@@ -3375,7 +3456,12 @@ def _changelog_deleted_rows(
         rows = []
         for p, off, size, ref in dv_dels:
             blob = _puffin.read_blob(p, off, size)
-            rows.extend((ref, int(x)) for x in _puffin.dv_positions(blob))
+            positions = {int(x) for x in _puffin.dv_positions(blob)}
+            if prior_mask:
+                positions -= prior_mask.get(
+                    _norm_table_path(table, ref), set()
+                )
+            rows.extend((ref, x) for x in sorted(positions))
         frames.append(
             spark.createDataFrame(rows, "file_path string, pos long")
         )
@@ -3384,6 +3470,12 @@ def _changelog_deleted_rows(
         del_df = del_df.unionByName(fr)
     del_df = del_df.dropDuplicates(["file_path", "pos"])
     refs = [r["file_path"] for r in del_df.select("file_path").distinct().collect()]
+    if not refs:
+        # every DV position was prior-masked (a pure supersede with no
+        # new kills in the range's view): an empty delta, not an error
+        return spark.createDataFrame([], schema).withColumn(
+            "_change_type", F.lit("delete")
+        )
     entries = []
     for rp in refs:
         hit = by_recorded.get(rp)

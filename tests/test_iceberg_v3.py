@@ -195,6 +195,61 @@ def test_changelog_emits_dv_tombstones(spark, tmp_path):
     assert sorted(rows) == [(1, "delete"), (8, "delete")]
 
 
+def test_changelog_dv_supersede_emits_delta(spark, tmp_path):
+    """A superseding DV MERGES its predecessor's positions on write
+    (_build_dv_commit), so the blob alone re-reports earlier
+    snapshots' deletes; the changelog must emit only the DELTA — the
+    re-reported stale delete would otherwise outrank a genuine
+    re-insert of the same key in the latest-wins replication cut."""
+    t = _v3_table(spark, tmp_path, one_file=True)
+    delete_where_iceberg(spark, t, F.col("id") == 3)  # DV{A: pos(3)}
+    snap_d3 = _load_metadata(t)["current-snapshot-id"]
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, "x", 333)], "id long, p string, v long"
+        ).coalesce(1),
+        t,
+    )  # genuine re-insert of id=3
+    delete_where_iceberg(spark, t, F.col("id") == 6)  # supersede: DV{A: 3,6}
+    snap_d6 = _load_metadata(t)["current-snapshot-id"]
+    ch = read_iceberg_changes(
+        spark, t, from_snapshot=snap_d3, include_deletes=True
+    )
+    dels = sorted(
+        (r.id, r._snapshot_id)
+        for r in ch.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [(3, snap_d3), (6, snap_d6)]  # 3 NOT re-reported
+    ins = [
+        (r.id, r.v)
+        for r in ch.filter(F.col("_change_type") == "insert").collect()
+    ]
+    assert ins == [(3, 333)]
+
+
+def test_changelog_dv_excludes_folded_v2_rows(spark, tmp_path):
+    """The upgrade-merge rule folds legacy v2 position-delete rows
+    into the first v3 DV; the changelog subtracts them the same way
+    it subtracts a superseded DV's mask."""
+    t = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, "x" if i % 2 else "y", i * 10) for i in range(1, 9)],
+            "id long, p string, v long",
+        ).coalesce(1),
+        t,
+    )
+    delete_where_iceberg(spark, t, F.col("id") == 3)  # v2 parquet rows
+    upgrade_iceberg(t, 3)
+    delete_where_iceberg(spark, t, F.col("id") == 6)  # DV folds pos(3)
+    snap_d6 = _load_metadata(t)["current-snapshot-id"]
+    ch = read_iceberg_changes(
+        spark, t, from_snapshot=snap_d6, include_deletes=True
+    )
+    rows = [(r.id, r._change_type) for r in ch.collect()]
+    assert rows == [(6, "delete")]  # the folded id=3 row stays silent
+
+
 def test_v3_field_defaults_refuse(spark, tmp_path):
     """A v3 schema field carrying initial-default would read as null
     here — silently wrong — so metadata load refuses by name."""

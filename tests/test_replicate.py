@@ -521,3 +521,38 @@ def test_iceberg_to_hudi_mirror_follows(spark, tmp_path, src_ice):
     # replay-idempotence
     again = replicate_iceberg_to_hudi(spark, src, dst, record_key="id")
     assert again["from_sequence"] is None
+
+
+def test_v3_dv_supersede_keeps_reinserted_row_live(spark, tmp_path):
+    """The advisor's silent-wrong scenario (r14): on a v3 source,
+    delete k=1 (DV), genuinely re-insert k=1, then delete ANOTHER row
+    of the same data file — the superseding DV merges k=1's old
+    position, and a changelog that re-reported it would outrank the
+    re-insert in the latest-wins cut, silently dropping the live row
+    from the mirror. The delta-emitting changelog must keep it."""
+    from archetype_spark.sources.iceberg import (
+        delete_where_iceberg,
+        upgrade_iceberg,
+        write_iceberg,
+    )
+    from archetype_spark.sources.replicate import replicate_iceberg_to_delta
+
+    src, dst = str(tmp_path / "v3src"), str(tmp_path / "v3dst")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "ann", 10), (2, "bob", 20), (3, "cho", 30)],
+            "id long, name string, v long",
+        ).coalesce(1),
+        src,
+    )
+    upgrade_iceberg(src, 3)
+    delete_where_iceberg(spark, src, F.col("id") == 1)  # DV{A: pos(1)}
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "ann2", 11)], "id long, name string, v long"
+        ).coalesce(1),
+        src,
+    )  # genuine re-insert
+    delete_where_iceberg(spark, src, F.col("id") == 2)  # supersede DV
+    replicate_iceberg_to_delta(spark, src, dst, ["id"])
+    assert _delta_rows(spark, dst) == [(1, "ann2", 11), (3, "cho", 30)]
