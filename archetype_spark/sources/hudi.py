@@ -362,6 +362,7 @@ def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
     chain so the parser sees the mask — the file group is recovered
     from the log file NAME's fileId prefix."""
     slices: dict[str, dict] = {}
+    rb_logs: dict[str, set[str]] = {}  # fid -> rollback-appended paths
     for instant, action, meta in _timeline_with_meta(path, rollbacks=True):
         if as_of is not None and instant > str(as_of):
             break
@@ -377,6 +378,7 @@ def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
                         # completed a base) — nothing to mask here
                         continue
                     sl["logs"].append((instant, rel))
+                    rb_logs.setdefault(fid, set()).add(rel)
             continue
         if action == ".replacecommit":
             for _part, fids in (
@@ -404,20 +406,38 @@ def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
                     sl["logs"].append((instant, st["path"]))
     # chain integrity: log versions must run 1..n with no gap — a gap
     # means a commit this timeline no longer names wrote a log file
-    # between two we can see (a hole the merge would silently skip)
+    # between two we can see (a hole the merge would silently skip).
+    # EXCEPT below a rollback-appended log's version: a write that
+    # died INFLIGHT leaves its physical log named by no completed
+    # instant (versions [1,3] with the rollback holding 3), and that
+    # hole is exactly the dead write the rollback's command block
+    # masks — refusing there would reject a validly rolled-back table.
     import re as _re
 
     for fid, sl in slices.items():
-        versions = [
-            int(m.group(1))
-            for _i, p in sl["logs"]
-            if (m := _re.search(r"\.log\.(\d+)", os.path.basename(p)))
-        ]
-        if versions and versions != list(range(1, len(versions) + 1)):
+        rb = rb_logs.get(fid, set())
+        versions, rb_max = [], 0
+        for _i, p in sl["logs"]:
+            m = _re.search(r"\.log\.(\d+)", os.path.basename(p))
+            if m:
+                v = int(m.group(1))
+                versions.append(v)
+                if p in rb:
+                    rb_max = max(rb_max, v)
+        if versions != sorted(set(versions)):
+            raise ValueError(
+                f"Hudi log chain for file group {fid} has duplicate "
+                f"or disordered versions: {versions} — refusing to "
+                "merge an ambiguous chain"
+            )
+        missing = set(range(1, versions[-1] + 1)) - set(versions) if versions else set()
+        uncovered = {v for v in missing if v > rb_max}
+        if uncovered:
             raise ValueError(
                 f"Hudi log chain for file group {fid} has a version "
-                f"gap or disorder: {versions} (expected 1..n) — "
-                "refusing to merge a chain with a hole"
+                f"gap at {sorted(uncovered)} (have {versions}) not "
+                "covered by any rollback instant — refusing to merge "
+                "a chain with a hole"
             )
     return slices
 

@@ -532,6 +532,51 @@ def test_log_chain_version_gap_refuses(spark, tmp_path, people):
         read_hudi(spark, t).collect()
 
 
+def test_rollback_of_inflight_write_leaves_acceptable_gap(
+    spark, tmp_path, people
+):
+    """A write that dies INFLIGHT leaves its physical log.2 named by
+    no completed instant; the rollback appends log.3 — so the chain
+    sees versions [1, 3]. That hole is exactly the dead write the
+    rollback's command block masks: the reader must accept it (the
+    r14 advisor's false-positive — the contiguity refusal rejected
+    the very rolled-back shape the feature models)."""
+    t, fg, base, part, schema = _mor_with_log(spark, tmp_path, people)
+    last = int(hudi_timeline(t)[-1])
+    dead, rb = str(last + 1), str(last + 2)
+    # log.2: the crashed write's data — physically present, named by
+    # NO completed instant (it died inflight, stats never published)
+    log2 = hudi_log.log_file_name(fg, base, 2, "1-0-1")
+    with open(os.path.join(t, part, log2), "wb") as fh:
+        fh.write(
+            hudi_log.avro_data_block(
+                [_rec(fg, 2, "ZOMBIE", "b", 999, dead)], schema, dead
+            )
+        )
+    log3 = hudi_log.log_file_name(fg, base, 3, "1-0-1")
+    with open(os.path.join(t, part, log3), "wb") as fh:
+        fh.write(hudi_log.rollback_block(dead, rb))
+    _publish_commit(
+        t,
+        rb,
+        {
+            "operationType": "ROLLBACK",
+            "instantsRollback": [dead],
+            "partitionMetadata": {
+                part: {
+                    "rollbackLogFiles": [
+                        f"{part}/{log3}" if part else log3
+                    ]
+                }
+            },
+        },
+        action=".rollback",
+    )
+    got = {r[0]: r for r in _rows(spark, t)}
+    assert got[2] == (2, "bob2", "b", 21)  # committed log.1 survives
+    assert all(r[1] != "ZOMBIE" for r in got.values())
+
+
 def test_rollback_mask_survives_archival(spark, tmp_path, people):
     """Archiving the .rollback instant must not lose the mask: the
     dead-instant set reads from the ARCHIVED rollback metadata too
