@@ -1261,7 +1261,7 @@ def _swap_slot(idx: str, building: str) -> None:
 
 
 def _ensure_lake_documents(
-    spark: SparkSession, sf_dir: str, kind: str, build
+    spark: SparkSession, sf_dir: str, kind: str, build, variant: int = 0
 ) -> str:
     """Shared scaffold for the lake-format query fixtures (q104
     Delta, q105 Iceberg): documents projected to (doc_id, lang,
@@ -1291,7 +1291,10 @@ def _ensure_lake_documents(
         # reader treats a partitioned-spec all-null-partition delete
         # (the pre-r12 form) as scoped-to-null-partition, so
         # partitioned fixtures built by the old writer must rebuild.
-        "schema": 3,
+        # `variant` is the PER-KIND history bump (folded in so other
+        # kinds' cached params stay byte-identical): hudi_mesh=1 as
+        # of r15 (the mid-mesh delete).
+        "schema": 3 + variant,
         "corpus": ann_index.corpus_fingerprint(docs, "doc_id", "text"),
     }
     pfile = os.path.join(idx, "_build_params.json")
@@ -2164,13 +2167,16 @@ def _ensure_hudi_mesh(spark: SparkSession, sf_dir: str) -> str:
     """The Hudi-sourced replication mesh q146 reads: a MERGE_ON_READ
     source table plays the q141 cohort history (even ingest, delete
     blocks for n_chars % 5 = 2, odd bulk-insert, re-lang upsert for
-    n_chars % 7 = 3) while Delta and Iceberg mirrors follow via
+    n_chars % 7 = 3) — plus a MID-MESH delete (surviving evens with
+    n_chars % 9 = 4 outside the re-lang cohort) staged BETWEEN the
+    bootstrap and catch-up syncs, so the incremental path must
+    propagate a real delete into mirrors where those keys are live —
+    while Delta and Iceberg mirrors follow via
     replicate_hudi_to_delta / replicate_hudi_to_iceberg in TWO syncs
-    each — a mid-history bootstrap (so the mirrors hold state the
-    incremental path must then mutate, deletes included) and a final
-    catch-up. Each sync is O(changes): upserts from the incremental
-    face, deleted keys from the delete blocks, one latest-wins
-    shuffle, one atomic mirror commit carrying the high-water mark."""
+    each: a mid-history bootstrap and a final catch-up. Each sync is
+    O(changes): upserts from the incremental face, deleted keys from
+    the delete blocks, one latest-wins shuffle, one atomic mirror
+    commit carrying the high-water mark."""
     from archetype_spark.sources.hudi import (
         delete_by_key_hudi,
         upsert_hudi,
@@ -2197,6 +2203,19 @@ def _ensure_hudi_mesh(spark: SparkSession, sf_dir: str) -> str:
         # mid-history bootstrap: mirrors hold the post-delete evens
         replicate_hudi_to_delta(spark, src, dm)
         replicate_hudi_to_iceberg(spark, src, im)
+        # mid-mesh delete (r14 advisor): these keys are LIVE in both
+        # mirrors, so the catch-up sync must propagate a real delete
+        # — the bootstrap-era delete's keys never existed there and
+        # applied vacuously. Cohort excludes the re-lang upsert's
+        # (n_chars % 7 = 3) so no later write resurrects it.
+        delete_by_key_hudi(
+            spark, src,
+            even.filter(
+                (F.col("n_chars") % 5 != 2)
+                & (F.col("n_chars") % 7 != 3)
+                & (F.col("n_chars") % 9 == 4)
+            ).select("doc_id"),
+        )
         write_hudi(
             base.filter(F.col("doc_id") % 2 == 1), src,
             record_key="doc_id", mode="insert",
@@ -2213,7 +2232,7 @@ def _ensure_hudi_mesh(spark: SparkSession, sf_dir: str) -> str:
         replicate_hudi_to_delta(spark, src, dm)
         replicate_hudi_to_iceberg(spark, src, im)
 
-    return _ensure_lake_documents(spark, sf_dir, "hudi_mesh", build)
+    return _ensure_lake_documents(spark, sf_dir, "hudi_mesh", build, variant=1)
 
 
 def q146_hudi_replication_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5307,6 +5326,7 @@ ORACLES["q146_hudi_replication_mesh"] = """
       SELECT CASE WHEN n_chars % 7 = 3 THEN 'xx' ELSE lang END AS lang,
              n_chars
       FROM documents WHERE doc_id % 2 = 0 AND n_chars % 5 <> 2
+        AND (n_chars % 7 = 3 OR n_chars % 9 <> 4)
       UNION ALL
       SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
     ) GROUP BY lang
