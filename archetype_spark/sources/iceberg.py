@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Sequence
@@ -167,45 +168,195 @@ def _load_metadata(table: str) -> dict:
             "the protocol-native reader; use a connector-enabled cluster"
         )
     if fmt >= 3:
-        # v3 features handled here: deletion vectors (puffin.py) and
-        # minimal row-lineage bookkeeping. Features that would make a
-        # plain scan silently wrong refuse by name: a field default
-        # means rows in files that predate the column must read as
-        # the default, not null.
-        def walk(fields, where):
+        # v3 features handled here: deletion vectors (puffin.py),
+        # minimal row-lineage bookkeeping, and TOP-LEVEL-primitive
+        # field defaults (initial-default applies at scan via
+        # _with_initial_defaults; write-default never fires because
+        # this writer demands the full schema on every append).
+        # Defaults this reader cannot APPLY still refuse by name —
+        # reading them as null would be silently wrong: a default on
+        # a field nested in a struct, or inside a LIST/MAP element
+        # (the container walk descends into those too — a default
+        # missed there is exactly the silent-wrong the check exists
+        # to prevent).
+        def walk(fields, where, depth):
             for f in fields or []:
-                if (
+                has_default = (
                     f.get("initial-default") is not None
                     or f.get("write-default") is not None
-                ):
+                )
+                t = f.get("type")
+                if has_default and (depth > 0 or not isinstance(t, str)):
                     raise NotImplementedError(
                         f"Iceberg v3 field {where}{f.get('name')!r} "
-                        "carries a default value — reading it as null "
-                        "would be silently wrong; defaults are not "
-                        "implemented"
+                        "carries a default value on a nested or "
+                        "non-primitive field — only top-level "
+                        "primitive defaults are applied here; reading "
+                        "it as null would be silently wrong"
                     )
-                t = f.get("type")
-                if isinstance(t, dict) and t.get("type") == "struct":
-                    walk(t.get("fields"), f"{where}{f.get('name')}.")
+                if has_default and f.get("initial-default") is not None:
+                    # fail at LOAD, not first scan, if unparseable
+                    _parse_ice_default(f["initial-default"], t, f["name"])
+                walk_type(t, f"{where}{f.get('name')}.", depth)
+
+        def walk_type(t, where, depth):
+            if not isinstance(t, dict):
+                return
+            kind = t.get("type")
+            if kind == "struct":
+                walk(t.get("fields"), where, depth + 1)
+            elif kind == "list":
+                walk_type(t.get("element"), f"{where}element.", depth + 1)
+            elif kind == "map":
+                walk_type(t.get("key"), f"{where}key.", depth + 1)
+                walk_type(t.get("value"), f"{where}value.", depth + 1)
+
         for s in meta.get("schemas") or [meta.get("schema") or {}]:
-            walk(s.get("fields"), "")
+            walk(s.get("fields"), "", 0)
     return meta
 
 
-def _ice_schema_to_spark(ice: dict) -> StructType:
+def _parse_ice_default(v, ice_type, name: str):
+    """A v3 single-value JSON default -> the Python literal `F.lit`
+    can carry (spec 'JSON single-value serialization'): numbers stay
+    numbers, date/timestamp parse from ISO strings, decimal from its
+    string form. Unsupported shapes refuse by name at metadata load."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    try:
+        if ice_type in ("int", "long"):
+            return int(v)
+        if ice_type in ("float", "double"):
+            return float(v)
+        if ice_type == "boolean":
+            return bool(v)
+        if ice_type == "string":
+            return str(v)
+        if ice_type == "date":
+            return _dt.date.fromisoformat(v)
+        if ice_type == "timestamp":
+            return _dt.datetime.fromisoformat(v)
+        if ice_type == "timestamptz":
+            dt = _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+            return dt
+        if isinstance(ice_type, str) and _DECIMAL_RE.match(ice_type):
+            return _decimal.Decimal(str(v))
+    except (ValueError, TypeError) as e:
+        raise NotImplementedError(
+            f"Iceberg v3 field {name!r}: default {v!r} does not parse "
+            f"as {ice_type!r} ({e})"
+        ) from e
+    raise NotImplementedError(
+        f"Iceberg v3 field {name!r}: defaults of type {ice_type!r} "
+        "are not applied here"
+    )
+
+
+def _initial_defaults(ice: dict) -> dict:
+    """{field name: (python literal, iceberg type)} for top-level
+    fields of the current schema carrying `initial-default` (the only
+    default kind that affects READS: files written before the field
+    was added read the default, not null)."""
+    out = {}
+    for f in ice.get("fields") or []:
+        if f.get("initial-default") is not None:
+            out[f["name"]] = (
+                _parse_ice_default(f["initial-default"], f["type"], f["name"]),
+                f["type"],
+            )
+    return out
+
+
+def _file_column_names(path: str, fmt: str) -> set:
+    """Top-level column names physically present in one data file —
+    the ground truth the initial-default cohort split keys on (a
+    carried-forward manifest is rewritten under the CURRENT schema
+    id, so manifest schema metadata cannot distinguish the cohorts)."""
+    if fmt == "PARQUET":
+        import pyarrow.parquet as pq
+
+        return set(pq.read_schema(path).names)
+    if fmt == "ORC":
+        from pyarrow import orc as _orc
+
+        return set(_orc.ORCFile(path).schema.names)
+    raise NotImplementedError(
+        f"initial-default over {fmt} data files is not supported "
+        "(footer column-presence probe is parquet/ORC only)"
+    )
+
+
+def _with_initial_defaults(
+    spark: SparkSession, scan: DataFrame, meta: dict, by_fmt: dict
+) -> DataFrame:
+    """Apply the current schema's `initial-default`s to a keep_meta
+    scan: files written BEFORE a defaulted field was added read the
+    default; files that carry the column keep their values, genuine
+    nulls included. A KB-scale (__dv_file -> has-column flags) map
+    broadcast-joins on the source-file path — one footer schema probe
+    per data file at plan time (driver-side pyarrow, the manifest-
+    walk metadata tier; a 100 TB table pays O(files-with-missing-
+    columns possible) footer KBs, amortizable by recording the
+    writer schema per file, noted in SCALE.md)."""
+    ice = _current_ice_schema(meta)
+    dmap = _initial_defaults(ice)
+    if not dmap:
+        return scan
+    schema = _ice_schema_to_spark(ice)
+    names = sorted(dmap)
+    rows = []
+    for fmt, entries in by_fmt.items():
+        for p, _pv in entries:
+            have = _file_column_names(p, fmt)
+            rows.append(
+                tuple([os.path.abspath(p)] + [n in have for n in names])
+            )
+    if not rows:
+        return scan
+    flags = ", ".join(f"`__has_{n}` boolean" for n in names)
+    pres = spark.createDataFrame(rows, f"__dv_file string, {flags}")
+    scan = scan.join(F.broadcast(pres), "__dv_file", "left")
+    for n in names:
+        val, _t = dmap[n]
+        scan = scan.withColumn(
+            n,
+            F.when(
+                F.coalesce(F.col(f"__has_{n}"), F.lit(True)), F.col(n)
+            ).otherwise(F.lit(val).cast(schema[n].dataType)),
+        ).drop(f"__has_{n}")
+    return scan
+
+
+_DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+_FIXED_RE = re.compile(r"^fixed\[(\d+)\]$")
+
+
+def _ice_type_to_spark(t, where: str = ""):
+    """One Iceberg schema type (JSON form) -> Spark DataType,
+    recursive: primitives plus decimal(P,S), fixed[N] (-> binary;
+    Spark's parquet scan reads FIXED_LEN_BYTE_ARRAY into BinaryType),
+    struct, list, map. `uuid` refuses by name (its parquet physical
+    form is an annotated fixed(16) Spark's vectorized reader maps
+    differently per version — reading it as raw bytes could silently
+    disagree with a connector's string form)."""
     from pyspark.sql.types import (
+        ArrayType,
         BinaryType,
         BooleanType,
         DateType,
+        DecimalType,
         DoubleType,
         FloatType,
         IntegerType,
         LongType,
+        MapType,
         StringType,
         StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
     )
-
-    from pyspark.sql.types import TimestampNTZType, TimestampType
 
     ctors = {
         "long": LongType,
@@ -219,13 +370,115 @@ def _ice_schema_to_spark(ice: dict) -> StructType:
         "timestamp": TimestampNTZType,
         "timestamptz": TimestampType,
     }
-    fields = []
-    for f in ice["fields"]:
-        t = f["type"]
-        if not isinstance(t, str) or t not in ctors:
-            raise NotImplementedError(f"Iceberg type {t!r} (field {f['name']})")
-        fields.append(StructField(f["name"], ctors[t](), True))
-    return StructType(fields)
+    if isinstance(t, str):
+        if t in ctors:
+            return ctors[t]()
+        m = _DECIMAL_RE.match(t)
+        if m:
+            return DecimalType(int(m.group(1)), int(m.group(2)))
+        m = _FIXED_RE.match(t)
+        if m:
+            return BinaryType()
+        raise NotImplementedError(f"Iceberg type {t!r} ({where or 'field'})")
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return StructType(
+                [
+                    StructField(
+                        f["name"],
+                        _ice_type_to_spark(
+                            f["type"], f"{where}.{f['name']}"
+                        ),
+                        not f.get("required", False),
+                    )
+                    for f in t.get("fields") or []
+                ]
+            )
+        if kind == "list":
+            return ArrayType(
+                _ice_type_to_spark(t["element"], f"{where}.element"),
+                containsNull=not t.get("element-required", False),
+            )
+        if kind == "map":
+            return MapType(
+                _ice_type_to_spark(t["key"], f"{where}.key"),
+                _ice_type_to_spark(t["value"], f"{where}.value"),
+                valueContainsNull=not t.get("value-required", False),
+            )
+    raise NotImplementedError(f"Iceberg type {t!r} ({where or 'field'})")
+
+
+def _ice_schema_to_spark(ice: dict) -> StructType:
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [
+            StructField(
+                f["name"], _ice_type_to_spark(f["type"], f["name"]), True
+            )
+            for f in ice["fields"]
+        ]
+    )
+
+
+def _spark_type_to_ice(dt, alloc):
+    """One Spark DataType -> Iceberg schema type (JSON form) with
+    spec field-id assignment: `alloc()` yields the next column id.
+    Mirrors Iceberg's assignFreshIds order — a struct's direct
+    children take ids first, THEN each child's own nested ids — so a
+    from-scratch table's ids match what a connector writer would
+    assign. Decimal keeps (precision, scale); nested structs, lists
+    (element-id) and maps (key-id/value-id) recurse."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
+
+    if isinstance(dt, StructType):
+        ids = [alloc() for _ in dt.fields]
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": ids[i],
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _spark_type_to_ice(f.dataType, alloc),
+                }
+                for i, f in enumerate(dt.fields)
+            ],
+        }
+    if isinstance(dt, ArrayType):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element-required": not dt.containsNull,
+            "element": _spark_type_to_ice(dt.elementType, alloc),
+        }
+    if isinstance(dt, MapType):
+        kid = alloc()
+        key = _spark_type_to_ice(dt.keyType, alloc)
+        vid = alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": key,
+            "value-id": vid,
+            "value-required": not dt.valueContainsNull,
+            "value": _spark_type_to_ice(dt.valueType, alloc),
+        }
+    if isinstance(dt, DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    s = dt.simpleString()
+    if s in _SPARK_TO_ICE:
+        return _SPARK_TO_ICE[s]
+    raise NotImplementedError(
+        f"Spark type {s!r} has no Iceberg mapping here"
+    )
 
 
 def _current_ice_schema(meta: dict) -> dict:
@@ -817,7 +1070,8 @@ def _read_snapshot(
             df = df.withColumn("__dv_ridx", F.lit(None).cast("bigint"))
         return df
     cols = [f.name for f in schema.fields]
-    keep = keep_meta or bool(deletes) or bool(eq_deletes)
+    dmap = _initial_defaults(_current_ice_schema(meta))
+    keep = keep_meta or bool(deletes) or bool(eq_deletes) or bool(dmap)
     ident_cols = _identity_scan_cols(spec_fields)
     by_fmt: dict[str, list] = {}
     for p, pv, _rp, _s, fmt in data:
@@ -855,6 +1109,10 @@ def _read_snapshot(
     scan = scans[0]
     for s in scans[1:]:
         scan = scan.unionByName(s)
+    if dmap:
+        # BEFORE the row-level filter: a predicate over a defaulted
+        # column must see the default, not the physical null
+        scan = _with_initial_defaults(spark, scan, meta, by_fmt)
     if scan_filter:
         scan = scan.filter(_filter_predicate(scan_filter))
     seq_df = spark.createDataFrame(
@@ -1455,39 +1713,40 @@ def write_iceberg(
         )
 
     if prev_v is None:
+        import itertools
+
+        counter = itertools.count(1)
+        try:
+            root = _spark_type_to_ice(df.schema, lambda: next(counter))
+        except NotImplementedError as e:
+            raise NotImplementedError(f"cannot write Iceberg: {e}") from e
+        ice_fields = root["fields"]
+        last_column_id = next(counter) - 1
+        by_name = {f["name"]: f for f in ice_fields}
         for f in df.schema.fields:
-            if f.dataType.simpleString() not in _SPARK_TO_ICE:
-                raise NotImplementedError(
-                    f"column {f.name}: Spark type "
-                    f"{f.dataType.simpleString()!r} has no Iceberg v1 "
-                    "mapping here"
-                )
             if f.name in part_cols:
+                ice_t = by_name[f.name]["type"]
+                if not isinstance(ice_t, str):
+                    raise NotImplementedError(
+                        f"partition column {f.name}: nested type "
+                        f"{f.dataType.simpleString()!r} cannot source a "
+                        "partition spec field"
+                    )
                 t = transforms.get(f.name, "identity")
                 kind, _p = ice_transforms.parse_transform(t)
-                ice_t = _SPARK_TO_ICE[f.dataType.simpleString()]
                 if ice_t not in _TRANSFORM_SOURCES[kind]:
                     raise NotImplementedError(
                         f"partition column {f.name}: transform {t!r} "
                         f"over type {f.dataType.simpleString()!r} is not "
                         "supported here"
                     )
-        ice_fields = [
-            {
-                "id": i + 1,
-                "name": f.name,
-                "required": False,
-                "type": _SPARK_TO_ICE[f.dataType.simpleString()],
-            }
-            for i, f in enumerate(df.schema.fields)
-        ]
         field_ids = {f["name"]: f["id"] for f in ice_fields}
         meta = {
             "format-version": 1,
             "table-uuid": str(uuid.uuid4()),
             "location": table,
             "last-updated-ms": int(time.time() * 1000),
-            "last-column-id": len(ice_fields),
+            "last-column-id": last_column_id,
             "schema": {"type": "struct", "schema-id": 0, "fields": ice_fields},
             "schemas": [
                 {"type": "struct", "schema-id": 0, "fields": ice_fields}
@@ -3034,23 +3293,37 @@ def upgrade_iceberg(path: str, to_version: int = 3) -> int:
     return _publish_metadata(table, meta)
 
 
-def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
+def add_column_iceberg(
+    path: str, name: str, ice_type: str, default=None
+) -> int:
     """Additive schema evolution: append an optional column as a new
     schema in the `schemas` list and flip current-schema-id — one
     metadata-version commit, zero data rewritten (the spec's
     evolution path; field ids make it safe because readers bind by
     id, and a fresh id can never collide with stored data). Files
-    written before the evolution read the column as NULL. Reads —
-    including time travel — use the CURRENT schema, matching the
-    reader's `_current_ice_schema` resolution. Only additive
-    evolution is offered; renames/drops/retypes stay refused."""
-    if ice_type not in _ICE_TO_SPARK:
+    written before the evolution read the column as NULL — or, with
+    `default` on a format-version 3 table, as that constant: the
+    spec's `initial-default`/`write-default` pair is stamped on the
+    new field and the reader's cohort split fills it per file
+    (_with_initial_defaults). Reads — including time travel — use
+    the CURRENT schema, matching the reader's `_current_ice_schema`
+    resolution. Only additive evolution is offered;
+    renames/drops/retypes stay refused."""
+    if ice_type not in _ICE_TO_SPARK and not _DECIMAL_RE.match(ice_type):
         raise NotImplementedError(
             f"iceberg type {ice_type!r}; expected one of "
-            f"{sorted(_ICE_TO_SPARK)}"
+            f"{sorted(_ICE_TO_SPARK)} or decimal(P, S)"
         )
     table = os.path.abspath(path)
     meta = _load_metadata(table)
+    if default is not None and int(meta.get("format-version", 1)) < 3:
+        raise NotImplementedError(
+            "column defaults are a format-version 3 feature "
+            "(upgrade_iceberg first) — a v1/v2 reader would silently "
+            "read null"
+        )
+    if default is not None:
+        _parse_ice_default(default, ice_type, name)  # loud pre-commit
     cur = _current_ice_schema(meta)
     if any(f["name"] == name for f in cur["fields"]):
         raise ValueError(f"column {name!r} already exists in {table}")
@@ -3074,6 +3347,11 @@ def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
                 "name": name,
                 "required": False,
                 "type": ice_type,
+                **(
+                    {"initial-default": default, "write-default": default}
+                    if default is not None
+                    else {}
+                ),
             }
         ],
     }
@@ -3140,6 +3418,7 @@ def read_iceberg_changes(
     table = os.path.abspath(path)
     meta = _load_metadata(table)
     schema = _ice_schema_to_spark(_current_ice_schema(meta))
+    dmap = _initial_defaults(_current_ice_schema(meta))
     # identity sources reconstruct from partition metadata; transform
     # sources live in the data files themselves
     part_cols = _identity_scan_cols(_spec_fields(meta))
@@ -3289,7 +3568,8 @@ def read_iceberg_changes(
                 if fmt == "AVRO":
                     fscans.append(
                         _scan_avro_files(
-                            spark, schema, part_cols, e_by_fmt[fmt], False
+                            spark, schema, part_cols, e_by_fmt[fmt],
+                            bool(dmap),
                         )
                     )
                 else:
@@ -3300,12 +3580,18 @@ def read_iceberg_changes(
                             schema,
                             part_cols,
                             e_by_fmt[fmt],
+                            keep_meta=bool(dmap),
                             fmt=fmt.lower(),
                         )
                     )
             scan = fscans[0]
             for s in fscans[1:]:
                 scan = scan.unionByName(s)
+            if dmap:
+                # pre-default files emitted by an incremental range
+                # read the default too, not null
+                scan = _with_initial_defaults(spark, scan, meta, e_by_fmt)
+                scan = scan.select(*[f.name for f in schema.fields])
             if include_deletes:
                 scan = scan.withColumn("_change_type", F.lit("insert"))
             per_snap.append(
@@ -3332,6 +3618,7 @@ def read_iceberg_changes(
                     part_cols,
                     dv_dels=dv_dels,
                     prior_mask=prior,
+                    meta=meta if dmap else None,
                 ).withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
             )
         if eq_adds:
@@ -3429,6 +3716,7 @@ def _changelog_deleted_rows(
     part_cols: list[str],
     dv_dels: list[tuple[str, int, int, str]] | None = None,
     prior_mask: dict[str, set[int]] | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """The exact rows a snapshot's POSITION delete files (and v3
     deletion vectors, `dv_dels`) tombstone, tagged
@@ -3518,11 +3806,13 @@ def _changelog_deleted_rows(
     pairs = del_df.select(
         norm.alias("__dv_file"), F.col("pos").alias("__dv_ridx")
     )
-    return (
-        scan.join(F.broadcast(pairs), ["__dv_file", "__dv_ridx"], "left_semi")
-        .select(*cols)
-        .withColumn("_change_type", F.lit("delete"))
+    out = scan.join(
+        F.broadcast(pairs), ["__dv_file", "__dv_ridx"], "left_semi"
     )
+    if meta is not None:
+        # tombstoned rows from pre-default files read defaults too
+        out = _with_initial_defaults(spark, out, meta, {"PARQUET": entries})
+    return out.select(*cols).withColumn("_change_type", F.lit("delete"))
 
 
 def _changelog_equality_deleted_rows(

@@ -630,7 +630,12 @@ def test_iceberg_add_column_evolution(spark, tmp_path, people):
     with pytest.raises(ValueError, match="already exists"):
         add_column_iceberg(t, "score", "double")
     with pytest.raises(NotImplementedError):
-        add_column_iceberg(t, "x", "decimal(38,0)")
+        add_column_iceberg(t, "x", "uuid")
+    # decimal add (r15): metadata round-trips and reads as NULL cohort
+    add_column_iceberg(t, "amount", "decimal(38, 0)")
+    got = read_iceberg(spark, t)
+    assert got.schema["amount"].dataType.simpleString() == "decimal(38,0)"
+    assert got.filter("amount IS NULL").count() == 5
 
 
 def test_iceberg_incremental_changes(spark, tmp_path, people):
@@ -745,3 +750,101 @@ def test_iceberg_compact_binpacks_small_files(spark, tmp_path, people):
     got = vacuum_iceberg(t)
     assert got["data_files"] >= 5
     assert read_iceberg(spark, t).count() == 5
+
+
+def test_iceberg_nested_and_decimal_roundtrip(spark, tmp_path):
+    """struct / list / map / decimal columns round-trip through the
+    protocol-native writer with spec field-id assignment (direct
+    children first, then each child's nested ids — the
+    assignFreshIds order); appends, time travel, positional deletes
+    and the changes reader all compose over the nested table."""
+    from decimal import Decimal
+
+    from archetype_spark.sources import read_iceberg_changes
+    from archetype_spark.sources.iceberg import (
+        _current_ice_schema,
+        _load_metadata,
+        delete_where_iceberg,
+    )
+
+    ddl = (
+        "id long, emb array<float>, m map<string,long>, "
+        "s struct<a:long,b:string>, amt decimal(10,2)"
+    )
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, 1.5], {"k": 1}, (10, "x"), Decimal("1.50")),
+            (2, [2.0], {"k": 2, "j": 3}, (20, "y"), Decimal("2.25")),
+            (3, None, None, None, None),
+        ],
+        ddl,
+    )
+    write_iceberg(df.coalesce(1), t)
+    meta = _load_metadata(t)
+    snap1 = meta["current-snapshot-id"]
+    # field-id assignment: top-level 1..5, then emb.element=6,
+    # m.key=7, m.value=8, s.a=9, s.b=10
+    fields = {f["name"]: f for f in _current_ice_schema(meta)["fields"]}
+    assert [fields[n]["id"] for n in ("id", "emb", "m", "s", "amt")] == [
+        1, 2, 3, 4, 5,
+    ]
+    assert fields["emb"]["type"]["element-id"] == 6
+    assert fields["m"]["type"]["key-id"] == 7
+    assert fields["m"]["type"]["value-id"] == 8
+    assert [f["id"] for f in fields["s"]["type"]["fields"]] == [9, 10]
+    assert fields["amt"]["type"] == "decimal(10, 2)"
+    assert meta["last-column-id"] == 10
+    got = read_iceberg(spark, t)
+    assert got.schema.simpleString() == df.schema.simpleString()
+    by_id = {r.id: r for r in got.collect()}
+    assert by_id[1].emb == [0.5, 1.5] and by_id[1].m == {"k": 1}
+    assert tuple(by_id[2].s) == (20, "y")
+    assert by_id[2].amt == Decimal("2.25") and by_id[3].amt is None
+    # append + positional delete compose
+    write_iceberg(
+        spark.createDataFrame(
+            [(4, [9.0], {"z": 9}, (40, "z"), Decimal("4.00"))], ddl
+        ).coalesce(1),
+        t,
+        mode="append",
+    )
+    delete_where_iceberg(spark, t, F.col("id") == 2)
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 3, 4]
+    # time travel sees the pre-delete nested values
+    tt = {r.id: r for r in read_iceberg(spark, t, snapshot_id=snap1).collect()}
+    assert sorted(tt) == [1, 2, 3] and tt[2].m == {"k": 2, "j": 3}
+    # changelog over the delete emits the nested tombstone row
+    ch = read_iceberg_changes(
+        spark, t, from_snapshot=snap1, include_deletes=True
+    )
+    dels = [r for r in ch.collect() if r._change_type == "delete"]
+    assert len(dels) == 1 and dels[0].id == 2 and dels[0].emb == [2.0]
+
+
+def test_iceberg_embeddings_roundtrip(spark, tmp_path):
+    """The engine's own embeddings table (array<float>) — the r14
+    verdict's named gap — writes, appends, reads and time-travels."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = str(tmp_path / "emb")
+    write_iceberg(emb.filter(F.col("vec_id") % 2 == 0), t)
+    from archetype_spark.sources.iceberg import _load_metadata
+
+    snap1 = _load_metadata(t)["current-snapshot-id"]
+    write_iceberg(emb.filter(F.col("vec_id") % 2 == 1), t, mode="append")
+    got = read_iceberg(spark, t)
+    assert got.count() == emb.count()
+    assert (
+        got.schema["embedding"].dataType.simpleString() == "array<float>"
+    )
+    # value fidelity: first component sums match exactly
+    s_ice = got.select(
+        F.sum(F.element_at("embedding", 1).cast("double")).alias("s")
+    ).first()["s"]
+    s_src = emb.select(
+        F.sum(F.element_at("embedding", 1).cast("double")).alias("s")
+    ).first()["s"]
+    assert abs(s_ice - s_src) < 1e-6
+    assert read_iceberg(spark, t, snapshot_id=snap1).count() == emb.filter(
+        F.col("vec_id") % 2 == 0
+    ).count()

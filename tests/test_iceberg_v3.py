@@ -250,12 +250,9 @@ def test_changelog_dv_excludes_folded_v2_rows(spark, tmp_path):
     assert rows == [(6, "delete")]  # the folded id=3 row stays silent
 
 
-def test_v3_field_defaults_refuse(spark, tmp_path):
-    """A v3 schema field carrying initial-default would read as null
-    here — silently wrong — so metadata load refuses by name."""
+def _edit_meta(t, fn):
     import json
 
-    t = _v3_table(spark, tmp_path)
     from archetype_spark.sources.iceberg import (
         _current_metadata_version,
         _meta_dir,
@@ -265,12 +262,133 @@ def test_v3_field_defaults_refuse(spark, tmp_path):
     mp = os.path.join(_meta_dir(t), f"v{v}.metadata.json")
     with open(mp) as fh:
         meta = json.load(fh)
-    for s in meta.get("schemas") or []:
-        s["fields"][-1]["initial-default"] = 42
+    fn(meta)
     with open(mp, "w") as fh:
         json.dump(meta, fh)
-    with pytest.raises(NotImplementedError, match="default"):
-        read_iceberg(spark, t)
+
+
+def test_v3_top_level_default_reads(spark, tmp_path):
+    """A foreign-shaped v3 schema whose existing field carries
+    initial-default: files that CARRY the column keep their values;
+    the default only fills files that physically lack it — here none,
+    so values are untouched and the load no longer refuses (r15)."""
+    t = _v3_table(spark, tmp_path)
+
+    def stamp(meta):
+        for s in meta.get("schemas") or []:
+            s["fields"][-1]["initial-default"] = 42
+
+    _edit_meta(t, stamp)
+    got = {r.id: r.v for r in read_iceberg(spark, t).collect()}
+    assert got == {i: i * 10 for i in range(1, 9)}  # no 42 leaked
+
+
+def test_v3_nested_defaults_refuse(spark, tmp_path):
+    """Defaults this reader cannot APPLY refuse by name at metadata
+    load: a struct-nested field, and — the r14 advisor's gap — one
+    nested inside a LIST element struct (the old walk recursed only
+    into struct-typed fields and would have read it silently null)."""
+    t1 = _v3_table(spark, tmp_path / "a")
+
+    def nest_struct(meta):
+        for s in meta.get("schemas") or []:
+            s["fields"].append(
+                {
+                    "id": 99,
+                    "name": "obj",
+                    "required": False,
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "id": 100,
+                                "name": "inner",
+                                "required": False,
+                                "type": "long",
+                                "initial-default": 7,
+                            }
+                        ],
+                    },
+                }
+            )
+
+    _edit_meta(t1, nest_struct)
+    with pytest.raises(NotImplementedError, match="nested"):
+        read_iceberg(spark, t1)
+
+    t2 = _v3_table(spark, tmp_path / "b")
+
+    def nest_list(meta):
+        for s in meta.get("schemas") or []:
+            s["fields"].append(
+                {
+                    "id": 99,
+                    "name": "items",
+                    "required": False,
+                    "type": {
+                        "type": "list",
+                        "element-id": 100,
+                        "element-required": False,
+                        "element": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "id": 101,
+                                    "name": "inner",
+                                    "required": False,
+                                    "type": "long",
+                                    "write-default": 7,
+                                }
+                            ],
+                        },
+                    },
+                }
+            )
+
+    _edit_meta(t2, nest_list)
+    with pytest.raises(NotImplementedError, match="nested"):
+        read_iceberg(spark, t2)
+
+
+def test_add_column_with_default_cohorts(spark, tmp_path):
+    """add_column_iceberg(default=...) on a v3 table: pre-evolution
+    files read the constant, post-evolution appends keep real values
+    INCLUDING genuine nulls, time travel composes, and the changelog
+    emits the default for pre-evolution rows."""
+    from archetype_spark.sources.iceberg import add_column_iceberg
+
+    t = _v3_table(spark, tmp_path, one_file=True)
+    meta0 = _load_metadata(t)
+    snap0 = meta0["current-snapshot-id"]
+    add_column_iceberg(t, "score", "long", default=7)
+    got = {r.id: r.score for r in read_iceberg(spark, t).collect()}
+    assert got == {i: 7 for i in range(1, 9)}  # whole old cohort
+    write_iceberg(
+        spark.createDataFrame(
+            [(20, "x", 200, 5), (21, "y", 210, None)],
+            "id long, p string, v long, score long",
+        ).coalesce(1),
+        t,
+    )
+    got = {r.id: r.score for r in read_iceberg(spark, t).collect()}
+    assert got[20] == 5 and got[21] is None  # genuine null survives
+    assert all(got[i] == 7 for i in range(1, 9))
+    # deletes compose with the default fill
+    delete_where_iceberg(spark, t, F.col("id") == 3)
+    got = {r.id: r.score for r in read_iceberg(spark, t).collect()}
+    assert 3 not in got and got[4] == 7 and got[20] == 5
+    # time travel to the pre-evolution snapshot: current schema, old
+    # files — the default fills there too
+    tt = {r.id: r.score for r in read_iceberg(spark, t, snapshot_id=snap0).collect()}
+    assert tt == {i: 7 for i in range(1, 9)}
+    # changelog: pre-evolution inserts read the default, new real rows
+    ch = read_iceberg_changes(spark, t, from_snapshot=snap0, include_deletes=True)
+    by_id = {
+        (r.id, r._change_type): r.score for r in ch.collect()
+    }
+    assert by_id[(1, "insert")] == 7 and by_id[(20, "insert")] == 5
+    assert by_id[(21, "insert")] is None
+    assert by_id[(3, "delete")] == 7  # tombstone row reads default too
 
 
 def test_duplicate_live_dvs_refuse(spark, tmp_path):

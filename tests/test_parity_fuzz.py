@@ -389,11 +389,23 @@ def test_iceberg_lifecycle_model_fuzz(spark, tmp_path, v3):
 
     rng = random.Random(4321)
     t = str(tmp_path / "t")
-    schema = "id long, grp string, val long"
+    # r15: a nested column rides the whole lifecycle — every op
+    # (merge, DV delete, compact, stream, time travel) must carry
+    # array values byte-faithfully through the nested-typed writer
+    schema = "id long, grp string, val long, tags array<long>"
+
+    def _pad(rows, evolved):  # shadows the 3-wide module helper
+        width = 5 if evolved else 4
+        return [tuple(r) + (None,) * (width - len(r)) for r in rows]
 
     def mk_rows(n, id_start):
         return [
-            (id_start + i, rng.choice(["a", "b"]), rng.randrange(1000))
+            (
+                id_start + i,
+                rng.choice(["a", "b"]),
+                rng.randrange(1000),
+                [id_start + i, rng.randrange(10)],
+            )
             for i in range(n)
         ]
 
@@ -444,8 +456,8 @@ def test_iceberg_lifecycle_model_fuzz(spark, tmp_path, v3):
                 continue
             upd_key = rng.choice(model)[0]
             urows = [
-                (upd_key, "z", 777) + ((7.0,) if evolved else ()),
-                (next_id, "z", 888) + ((8.0,) if evolved else ()),
+                (upd_key, "z", 777, [upd_key]) + ((7.0,) if evolved else ()),
+                (next_id, "z", 888, [next_id]) + ((8.0,) if evolved else ()),
             ]
             next_id += 1
             merge_iceberg(spark, t, sdf(urows), keys=["id"])
