@@ -391,75 +391,120 @@ _MODULES = (
 #       index paths q61/q65/q72/q77 return within two rounds);
 #       defer the freshly-green r14 pins in exchange. Pin q146/q147
 #       a second round ONLY if their fixtures change.
+#   r15 EXECUTED (CORRECTNESS_r14 landed 50/50 green): q150 (NEW:
+#       the nested+decimal Iceberg scan — array/struct/decimal
+#       columns through the protocol-native writer + v3 DVs) pins
+#       first round; q146 re-pins because its fixture CHANGED (the
+#       mid-mesh delete, schema-key variant bump); then the sketch's
+#       returns: the r13-green tail q57-q79/q82 (conditional index
+#       paths q61/q65/q72/q77 back within two rounds), q36/q42/q112,
+#       the lake tier q119-q130 + q141-q145, and the four STALEST
+#       r12-green multimodal/lake entries q131-q134 (no driver row
+#       since r12) to fill the window. Deferred in exchange: the
+#       freshly-green r14 pins (q147/q148/q149 — fixtures unchanged
+#       per the schema-key rule, verified; q01-q22/q24-q26/q29-q35/
+#       q38/q50/q08; q95-q106 + q117/q118), plus the still-deferred
+#       r12/r13 blocks (q135-q140, q107-q111/q113-q116 return r16).
+#       50 pins + 0 unpinned gated = 50 exactly; 98 deferred; 148
+#       gated total.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
+    "q36_ngram_jaccard",
+    "q42_lsh_topk",
+    "q57_training_pipeline",
+    "q58_list_agg",
+    "q59_full_outer_join",
+    "q60_stats_math",
+    "q61_ivf_topk",
+    "q62_url_fetch",
+    "q63_tf_idf",
+    "q64_ingest_dedup",
+    "q65_minhash_fast",
+    "q66_dedup_clusters",
+    "q67_training_mix",
+    "q68_sequence_pack",
+    "q69_repetition",
+    "q70_corpus_curation",
+    "q71_decontamination",
+    "q72_semantic_dedup",
+    "q73_stop_shingle_jaccard",
+    "q74_quality_keeper",
+    "q75_mixture_sample",
+    "q76_relative_quality_gate",
+    "q77_filtered_ivf_topk",
+    "q78_mixture_resample",
+    "q79_pack_payloads",
+    "q82_exact_pack",
+    "q112_bm25_topk",
+    "q119_delta_deletes_scan",
+    "q120_iceberg_deletes_scan",
+    "q121_image_pixel_decode",
+    "q122_iceberg_cdc_scan",
+    "q123_iceberg_day_prune_scan",
+    "q124_delta_mapped_scan",
+    "q125_ivf_pq_rerank",
+    "q126_lake_replication",
+    "q127_delta_cdf_scan",
+    "q128_cdf_mirror_scan",
+    "q129_audio_spectral",
+    "q130_iceberg_changelog",
+    "q131_iceberg_eq_changelog",
+    "q132_iceberg_mixed_formats",
+    "q133_html_extract",
+    "q134_pdf_extract",
+    "q141_hudi_mor_scan",
+    "q142_hudi_changes",
+    "q143_hudi_read_optimized",
+    "q144_hudi_clustered_scan",
+    "q145_hudi_cleaned_scan",
     "q146_hudi_replication_mesh",
-    "q147_hudi_archived_scan",
-    "q148_iceberg_v3_dv_scan",
-    "q149_lake_relay",
-    "q08_semi_join",
-    "q95_curation_v2",
-    "q96_cluster_cap",
-    "q97_verbatim_leaks",
-    "q98_minhash_containment",
-    "q99_stream_curation_face",
-    "q100_binary_ingest",
-    "q101_simhash_fast",
-    "q102_dsir_importance",
-    "q103_quality_tiers",
-    "q104_delta_scan",
-    "q105_iceberg_scan",
-    "q106_delta_merge_upsert",
-    "q117_hybrid_rrf_bounded",
-    "q118_ivf_pq_topk",
-    "q01_scan_filter_project",
-    "q02_in_list",
-    "q03_compound_predicate",
-    "q04_computed_columns",
-    "q05_inner_join",
-    "q06_multiway_join",
-    "q07_left_join",
-    "q09_anti_join",
-    "q10_cross_join",
-    "q11_global_agg",
-    "q12_grouped_agg",
-    "q13_count_distinct",
-    "q14_having",
-    "q15_rollup",
-    "q16_topk",
-    "q29_exact_dedup",
-    "q30_cosine_topk",
-    "q31_json_extract",
-    "q32_pivot",
-    "q33_hash_dedup",
-    "q34_token_stats",
-    "q35_doc_quality",
-    "q38_lang_id",
-    "q50_ecs_tsim",
-    "q17_string_fns",
-    "q18_date_fns",
-    "q19_math_fns",
-    "q20_case_coalesce",
-    "q21_ranking_window",
-    "q22_lag_lead_runsum",
-    "q24_latest_state",
+    "q150_iceberg_nested_scan",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
-        # r14: everything gated outside the 50 explicit pins —
-        # all green r11-r13 and locally hash-checked each run.
+        # r15: everything gated outside the 50 explicit pins -
+        # all green r11-r14 and locally hash-checked each run.
+        "q01_scan_filter_project",
+        "q02_in_list",
+        "q03_compound_predicate",
+        "q04_computed_columns",
+        "q05_inner_join",
+        "q06_multiway_join",
+        "q07_left_join",
+        "q08_semi_join",
+        "q09_anti_join",
+        "q10_cross_join",
+        "q11_global_agg",
+        "q12_grouped_agg",
+        "q13_count_distinct",
+        "q14_having",
+        "q15_rollup",
+        "q16_topk",
+        "q17_string_fns",
+        "q18_date_fns",
+        "q19_math_fns",
+        "q20_case_coalesce",
+        "q21_ranking_window",
+        "q22_lag_lead_runsum",
+        "q24_latest_state",
         "q25_union",
         "q26_set_ops",
         "q27_explode",
         "q28_time_bucket",
-        "q36_ngram_jaccard",
+        "q29_exact_dedup",
+        "q30_cosine_topk",
+        "q31_json_extract",
+        "q32_pivot",
+        "q33_hash_dedup",
+        "q34_token_stats",
+        "q35_doc_quality",
         "q37_embedding_dups",
+        "q38_lang_id",
         "q39_top_tokens",
         "q40_minhash_pairs",
         "q41_simhash_pairs",
-        "q42_lsh_topk",
         "q43_media_decode",
         "q44_fingerprints",
         "q45_tumbling_window",
@@ -467,37 +512,14 @@ _DEFERRED: frozenset[str] = frozenset(
         "q47_session_window",
         "q48_media_resize",
         "q49_frame_sample",
+        "q50_ecs_tsim",
         "q51_asof_join",
         "q52_range_join",
         "q53_cube",
         "q54_percentiles",
         "q55_unpivot",
-        "q57_training_pipeline",
-        "q58_list_agg",
-        "q59_full_outer_join",
-        "q60_stats_math",
-        "q61_ivf_topk",
-        "q62_url_fetch",
-        "q63_tf_idf",
-        "q64_ingest_dedup",
-        "q65_minhash_fast",
-        "q66_dedup_clusters",
-        "q67_training_mix",
-        "q68_sequence_pack",
-        "q69_repetition",
-        "q70_corpus_curation",
-        "q71_decontamination",
-        "q72_semantic_dedup",
-        "q73_stop_shingle_jaccard",
-        "q74_quality_keeper",
-        "q75_mixture_sample",
-        "q76_relative_quality_gate",
-        "q77_filtered_ivf_topk",
-        "q78_mixture_resample",
-        "q79_pack_payloads",
         "q80_boilerplate_lines",
         "q81_pii_scrub",
-        "q82_exact_pack",
         "q83_deterministic_shuffle",
         "q84_paragraph_dedup",
         "q85_random_projection",
@@ -510,43 +532,38 @@ _DEFERRED: frozenset[str] = frozenset(
         "q92_mixed_language",
         "q93_span_corruption",
         "q94_weighted_sample",
+        "q95_curation_v2",
+        "q96_cluster_cap",
+        "q97_verbatim_leaks",
+        "q98_minhash_containment",
+        "q99_stream_curation_face",
+        "q100_binary_ingest",
+        "q101_simhash_fast",
+        "q102_dsir_importance",
+        "q103_quality_tiers",
+        "q104_delta_scan",
+        "q105_iceberg_scan",
+        "q106_delta_merge_upsert",
         "q107_delta_changes",
         "q108_lake_federation",
         "q109_iceberg_metadata_counts",
         "q110_delta_evolution_scan",
         "q111_iceberg_changes",
-        "q112_bm25_topk",
         "q113_hybrid_rrf",
         "q114_pq_adc_topk",
         "q115_bpe_token_counts",
         "q116_zorder_scan",
-        "q119_delta_deletes_scan",
-        "q120_iceberg_deletes_scan",
-        "q121_image_pixel_decode",
-        "q122_iceberg_cdc_scan",
-        "q123_iceberg_day_prune_scan",
-        "q124_delta_mapped_scan",
-        "q125_ivf_pq_rerank",
-        "q126_lake_replication",
-        "q127_delta_cdf_scan",
-        "q128_cdf_mirror_scan",
-        "q129_audio_spectral",
-        "q130_iceberg_changelog",
-        "q131_iceberg_eq_changelog",
-        "q132_iceberg_mixed_formats",
-        "q133_html_extract",
-        "q134_pdf_extract",
+        "q117_hybrid_rrf_bounded",
+        "q118_ivf_pq_topk",
         "q135_warc_pipeline",
         "q136_image_near_dups",
         "q137_video_frames",
         "q138_delta_mirror_scan",
         "q139_hudi_scan",
         "q140_tri_lake_consistency",
-        "q141_hudi_mor_scan",
-        "q142_hudi_changes",
-        "q143_hudi_read_optimized",
-        "q144_hudi_clustered_scan",
-        "q145_hudi_cleaned_scan",
+        "q147_hudi_archived_scan",
+        "q148_iceberg_v3_dv_scan",
+        "q149_lake_relay",
     }
 )
 

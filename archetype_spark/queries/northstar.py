@@ -2507,6 +2507,113 @@ def q149_lake_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_iceberg_nested(spark: SparkSession, sf_dir: str) -> str:
+    """The NESTED-typed Iceberg table q150 scans — the r14 verdict's
+    named gap (the engine's own embeddings could not round-trip):
+    embeddings projected to (vec_id long, label int, embedding
+    array<float>, meta struct<dim:long, odd:long>, weight
+    decimal(18,2)), written by the protocol-native writer with spec
+    field-id assignment for the nested ids. History: even ingest
+    (v1, partitioned by label), UPGRADE to format-version 3, odd
+    append, then DELETE WHERE vec_id % 7 = 3 — puffin deletion
+    vectors masking data files that carry arrays, structs and
+    decimals. Same atomic-slot caching discipline as
+    _ensure_lake_documents."""
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from archetype_spark.sources.iceberg import (
+        delete_where_iceberg,
+        upgrade_iceberg,
+        write_iceberg,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = ann_index.default_index_dir(sf_dir, "iceberg_nested")
+    table = os.path.join(idx, "table")
+    expect = {
+        "kind": "iceberg_nested",
+        "schema": 1,
+        "corpus": ann_index.corpus_fingerprint(emb, "vec_id", "embedding"),
+    }
+    pfile = os.path.join(idx, "_build_params.json")
+    if os.path.exists(pfile):
+        try:
+            with open(pfile) as fh:
+                if _json.load(fh) == expect:
+                    return table
+        except (OSError, ValueError):
+            pass
+    building = os.path.join(
+        os.path.dirname(idx), f".building-{_uuid.uuid4().hex}"
+    )
+    os.makedirs(building, exist_ok=True)
+    base = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "embedding",
+        F.struct(
+            F.size("embedding").cast("long").alias("dim"),
+            (F.col("vec_id") % 2).alias("odd"),
+        ).alias("meta"),
+        F.col("vec_id").cast("decimal(18,2)").alias("weight"),
+    )
+    try:
+        btable = os.path.join(building, "table")
+        write_iceberg(
+            base.filter(F.col("vec_id") % 2 == 0).repartition("label"),
+            btable,
+            partition_by=["label"],
+        )
+        upgrade_iceberg(btable, 3)
+        write_iceberg(
+            base.filter(F.col("vec_id") % 2 == 1), btable, mode="append"
+        )
+        delete_where_iceberg(spark, btable, "vec_id % 7 = 3")
+        with open(os.path.join(building, "_build_params.json"), "w") as fh:
+            _json.dump(expect, fh)
+        _swap_slot(idx, building)
+    except BaseException:
+        _shutil.rmtree(building, ignore_errors=True)
+        raise
+    return table
+
+
+def q150_iceberg_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested + decimal Iceberg under the driver gate: per label —
+    vector count, decimal weight sum, struct-derived dimension sum,
+    and the summed squares of every array component (explode + agg,
+    staying in whole-stage codegen; higher-order F.aggregate runs
+    interpreted). Every value flows through the protocol-native
+    nested writer/reader AND the v3 deletion vectors the fixture's
+    delete staged, so a mis-bound nested field id, a decimal scale
+    lost in staging, a struct column dropped by the scan, or a DV
+    that mis-masked an array file each move at least one column
+    against the oracle's raw-parquet recompute. The component
+    aggregate is 10 rows (one per label) and broadcasts to the join."""
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    table = _ensure_iceberg_nested(spark, sf_dir)
+    ice = read_iceberg(spark, table)
+    x = F.col("x").cast("double")
+    comp = (
+        ice.select("label", F.explode("embedding").alias("x"))
+        .groupBy("label")
+        .agg(F.round(F.sum(x * x), 3).alias("ss"))
+    )
+    return (
+        ice.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("weight").alias("w_sum"),
+            F.sum(F.col("meta.dim")).cast("bigint").alias("dims"),
+        )
+        .join(F.broadcast(comp), "label")
+        .select("label", "n_vecs", "w_sum", "dims", "ss")
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -3815,6 +3922,7 @@ QUERIES = {
     "q147_hudi_archived_scan": q147_hudi_archived_scan,
     "q148_iceberg_v3_dv_scan": q148_iceberg_v3_dv_scan,
     "q149_lake_relay": q149_lake_relay,
+    "q150_iceberg_nested_scan": q150_iceberg_nested_scan,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -5387,6 +5495,31 @@ ORACLES["q148_iceberg_v3_dv_scan"] = """
     SELECT 'v0' AS snap, lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
     FROM documents GROUP BY lang
+"""
+
+# q150: the nested-typed Iceberg table recomputed from the raw
+# embeddings parquet — the fixture's delete (vec_id % 7 = 3) filters,
+# the struct's dim re-derives as len(embedding), the decimal weight
+# as the same CAST, and the component sum-of-squares re-aggregates
+# from UNNEST. Aggregate-level ROUND absorbs float merge order.
+ORACLES["q150_iceberg_nested_scan"] = """
+    WITH kept AS (
+      SELECT vec_id, label, embedding,
+             CAST(vec_id AS DECIMAL(18,2)) AS weight
+      FROM embeddings WHERE vec_id % 7 <> 3
+    ),
+    comp AS (
+      SELECT label,
+             ROUND(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 3) AS ss
+      FROM (SELECT label, UNNEST(embedding) AS x FROM kept)
+      GROUP BY label
+    )
+    SELECT k.label AS label, COUNT(*)::BIGINT AS n_vecs,
+           SUM(k.weight) AS w_sum,
+           SUM(len(k.embedding))::BIGINT AS dims,
+           ANY_VALUE(c.ss) AS ss
+    FROM kept k JOIN comp c ON k.label = c.label
+    GROUP BY k.label
 """
 
 # q142: the incremental face per commit ordinal — seq 0 the even
