@@ -72,12 +72,14 @@ dead instant's log entries chain-wide per the public
 HoodieLogFormat semantics. Declared limits (loud, never silently
 wrong): HFile/parquet log blocks and non-rollback command blocks
 refuse by name (hudi_log.py); MOR log record schemas nest
-arrays/structs/maps with primitive leaves
-(string/long/int/double/float/boolean) plus TOP-LEVEL
-timestamp/timestamp_ntz/date as Avro logical types — nested
-temporals, non-string map keys and other leaf types refuse by name;
-multi-level partition paths refuse; clustering refuses log-bearing
-groups (compact first).
+arrays/structs/maps with string/long/int/double/float/boolean and
+timestamp/timestamp_ntz/date leaves at ANY depth (Avro logical
+types; the epoch wire conversion walks `_wire_plan` trees on both
+sides), and non-string-key maps encode as entry-record arrays
+(logicalType 'map', the Iceberg-manifest spelling) rebuilt via
+map_from_entries after from_json — remaining leaf types (binary,
+decimal) refuse by name; multi-level partition paths refuse;
+clustering refuses log-bearing groups (compact first).
 
 Reference parity: SURVEY.md §2.2 Sources row — the reference's
 dependency surface reads lakehouse tables through its connector tier;
@@ -768,18 +770,14 @@ def _avro_name(colpath: str) -> str:
 def _avro_type_for(dt, colpath: str):
     """Spark DataType -> the non-null Avro branch for MOR log record
     fields; arrays/structs/maps recurse with nullable elements.
-    Temporal types are TOP-LEVEL only (the epoch<->ISO wire
-    conversion in _append_log_files/_parse_log_frame walks top-level
-    columns; a nested temporal would round-trip WRONG, so it refuses
-    loudly). Map keys must be strings (the Avro map constraint)."""
+    Temporal leaves carry Avro logical types at ANY depth (r15 — the
+    epoch<->ISO wire conversion walks the `_wire_plan` tree in both
+    executor closures). Maps with NON-STRING keys encode as an Avro
+    array of {key, value} records tagged logicalType 'map' (the
+    standard Avro spelling — Iceberg manifests use the same form;
+    plain Avro maps require string keys)."""
     tn = dt.typeName()
     if tn in _AVRO_TEMPORALS:
-        if colpath != colpath.split(".")[0].split("[")[0].split("{")[0]:
-            raise NotImplementedError(
-                f"MOR log record field {colpath!r}: temporal types are "
-                "supported at top level only (nested temporal values "
-                "would skip the epoch wire conversion)"
-            )
         return _AVRO_TEMPORALS[tn][0]
     prim = _AVRO_PRIMS.get(tn)
     if prim is not None:
@@ -806,20 +804,73 @@ def _avro_type_for(dt, colpath: str):
         }
     if tn == "map":
         if dt.keyType.typeName() != "string":
-            raise NotImplementedError(
-                f"MOR log record field {colpath!r}: map keys must be "
-                "strings (the Avro map constraint)"
-            )
+            return {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": _avro_name(colpath + "_kv"),
+                    "fields": [
+                        {
+                            "name": "key",
+                            "type": _avro_type_for(
+                                dt.keyType, colpath + "{k}"
+                            ),
+                        },
+                        {
+                            "name": "value",
+                            "type": [
+                                "null",
+                                _avro_type_for(
+                                    dt.valueType, colpath + "{v}"
+                                ),
+                            ],
+                        },
+                    ],
+                },
+            }
         return {
             "type": "map",
             "values": ["null", _avro_type_for(dt.valueType, colpath + "{}")],
         }
     raise NotImplementedError(
         f"MOR log record column {colpath!r} of type {tn}: supported "
-        "leaves are string/long/int/double/float/boolean + top-level "
+        "leaves are string/long/int/double/float/boolean/"
         "timestamp/timestamp_ntz/date; containers are "
-        "array/struct/map<string,_>"
+        "array/struct/map"
     )
+
+
+def _wire_plan(dt):
+    """JSON-able conversion tree for one column of a MOR log record,
+    walked by the executor closures on BOTH sides of the wire:
+    temporal leaves marked with their epoch kind ('ts' zone-
+    normalized micros / 'ntz' wall-clock micros / 'date' days) at any
+    depth, non-string-key maps marked 'kvmap' (their avro encoding is
+    an entry-record array; from_json later parses it as
+    array<struct<key,value>> and `_rebuild_from_parsed` restores the
+    MapType). None = the subtree needs no conversion (the common
+    all-primitive case costs nothing)."""
+    tn = dt.typeName()
+    t = _AVRO_TEMPORALS.get(tn)
+    if t is not None:
+        return {"k": t[1]}
+    if tn == "array":
+        sub = _wire_plan(dt.elementType)
+        return {"k": "array", "item": sub} if sub else None
+    if tn == "struct":
+        fields = {}
+        for f in dt.fields:
+            sub = _wire_plan(f.dataType)
+            if sub:
+                fields[f.name] = sub
+        return {"k": "record", "fields": fields} if fields else None
+    if tn == "map":
+        vk = _wire_plan(dt.valueType)
+        if dt.keyType.typeName() != "string":
+            return {"k": "kvmap", "key": _wire_plan(dt.keyType), "value": vk}
+        return {"k": "map", "value": vk} if vk else None
+    return None
 
 
 def _avro_schema_for(schema) -> dict:
@@ -841,22 +892,24 @@ def _avro_schema_for(schema) -> dict:
     }
 
 
-def _temporal_kinds(schema) -> dict[str, str]:
-    """{column: 'ts' | 'ntz' | 'date'} for the schema's temporal
-    fields — threaded into the executor-side parse/write closures so
-    epoch ints and ISO strings convert consistently on both sides.
-    'ts' (TimestampType) is zone-normalized: Arrow delivers it to
-    Python as session-local naive wall clock, so the writer localizes
-    to the session zone and converts to UTC before taking
-    epoch-micros (real HoodieAvroDataBlock timestamp-micros are UTC
-    instants), and the parser emits offset-bearing ISO strings that
-    from_json resolves to the same instant in ANY reader session
-    zone. 'ntz' stores/reads the wall clock verbatim."""
+def _wire_plans(schema) -> dict[str, dict]:
+    """{column: `_wire_plan` tree} for the schema's conversion-
+    needing columns — threaded into the executor-side parse/write
+    closures so epoch ints and ISO strings convert consistently on
+    both sides, at ANY nesting depth (r15; previously top-level
+    only). 'ts' (TimestampType) is zone-normalized: Arrow delivers
+    it to Python as session-local naive wall clock — nested values
+    identically, probed — so the writer localizes to the session
+    zone and converts to UTC before taking epoch-micros (real
+    HoodieAvroDataBlock timestamp-micros are UTC instants), and the
+    parser emits offset-bearing ISO strings that from_json resolves
+    to the same instant in ANY reader session zone. 'ntz'
+    stores/reads the wall clock verbatim."""
     out = {}
     for f in schema.fields:
-        t = _AVRO_TEMPORALS.get(f.dataType.typeName())
-        if t is not None:
-            out[f.name] = t[1]
+        p = _wire_plan(f.dataType)
+        if p:
+            out[f.name] = p
     return out
 
 
@@ -868,7 +921,6 @@ def _append_log_files(
     fg_meta: dict[str, dict],
     avro_schema: dict | None = None,
     deletes: bool = False,
-    temporal: dict[str, str] | None = None,
 ) -> dict[str, list[dict]]:
     """EXECUTOR-side MOR log append: one applyInPandas task per
     affected file group serializes its block (an avro-data block of
@@ -878,12 +930,11 @@ def _append_log_files(
     pattern, delta.py _mask_bitmaps_executor). `fg_meta` maps each
     group to its partition, base instant and pre-allocated log name
     (O(affected groups) driver metadata). Returns commit write stats
-    keyed by partition. `temporal` (from `_temporal_kinds`) marks
-    which columns need the session-zone -> UTC conversion before
-    epoch-micros encoding (see _temporal_kinds)."""
+    keyed by partition. Columns needing wire conversion (temporal
+    leaves at any depth, non-string-key maps) walk their `_wire_plan`
+    trees inside the closure."""
     import pandas as pd
 
-    temporal = dict(temporal or {})
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
 
     out_schema = (
@@ -899,6 +950,14 @@ def _append_log_files(
             if f["name"] not in _META_COLS
         ]
     )
+    plans = {}
+    if not deletes and avro_schema is not None:
+        for f in df.schema.fields:
+            if f.name in _META_COLS:
+                continue
+            p = _wire_plan(f.dataType)
+            if p:
+                plans[f.name] = p
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         fg = pdf["__hoodie_fg"].iloc[0]
@@ -921,8 +980,8 @@ def _append_log_files(
 
             def _wire(v, typ):
                 """Pandas value -> avro-encodable, recursing through
-                containers; temporal leaves are top-level only and
-                handled by the caller."""
+                containers; conversion-free subtrees only (temporal /
+                kvmap paths route through _wire_p's plan walk)."""
                 if _isna(v):
                     return None
                 if isinstance(typ, list):  # nullable union
@@ -950,37 +1009,71 @@ def _append_log_files(
                     return bool(v)
                 return str(v)
 
+            def _to_epoch(v, kind):
+                if kind == "date":
+                    d = (
+                        v.date()
+                        if isinstance(v, (pd.Timestamp, _dt.datetime))
+                        else v
+                    )
+                    return (d - _dt.date(1970, 1, 1)).days
+                ts = pd.Timestamp(v)
+                if kind == "ts":
+                    # Arrow hands TimestampType over as session-local
+                    # naive wall clock (top-level AND nested);
+                    # normalize to a true UTC instant
+                    ts = (
+                        ts.tz_localize(session_tz)
+                        if ts.tzinfo is None
+                        else ts.tz_convert("UTC")
+                    )
+                return ts.value // 1000
+
+            def _wire_p(v, typ, plan):
+                """The plan-walking twin of _wire: converts temporal
+                leaves to their epoch forms and non-string-key maps
+                to entry-record arrays, at any depth."""
+                if plan is None:
+                    return _wire(v, typ)
+                if _isna(v):
+                    return None
+                if isinstance(typ, list):
+                    return _wire_p(v, typ[1], plan)
+                k = plan["k"]
+                if k in ("ts", "ntz", "date"):
+                    return _to_epoch(v, k)
+                if k == "array":
+                    return [_wire_p(x, typ["items"], plan["item"]) for x in v]
+                if k == "map":
+                    items = v.items() if isinstance(v, dict) else v
+                    return {
+                        str(kk): _wire_p(x, typ["values"], plan["value"])
+                        for kk, x in items
+                    }
+                if k == "record":
+                    ft = {f["name"]: f["type"] for f in typ["fields"]}
+                    return {
+                        n: _wire_p(v.get(n), t_, plan["fields"].get(n))
+                        for n, t_ in ft.items()
+                    }
+                if k == "kvmap":
+                    items = v.items() if isinstance(v, dict) else v
+                    kt = typ["items"]["fields"][0]["type"]
+                    vt = typ["items"]["fields"][1]["type"]
+                    return [
+                        {
+                            "key": _wire_p(kk, kt, plan["key"]),
+                            "value": _wire_p(x, vt, plan["value"]),
+                        }
+                        for kk, x in items
+                    ]
+                return _wire(v, typ)
+
             recs = []
             for i, row in enumerate(pdf.to_dict("records")):
                 rec = {}
                 for name, prim in data_fields:
-                    v = row.get(name)
-                    if _isna(v):
-                        rec[name] = None
-                    elif (
-                        isinstance(prim, dict) and "logicalType" in prim
-                    ):  # top-level temporal
-                        if prim["logicalType"] == "timestamp-micros":
-                            ts = pd.Timestamp(v)
-                            if temporal.get(name) == "ts":
-                                # Arrow hands TimestampType over as
-                                # session-local naive wall clock;
-                                # normalize to a true UTC instant
-                                ts = (
-                                    ts.tz_localize(session_tz)
-                                    if ts.tzinfo is None
-                                    else ts.tz_convert("UTC")
-                                )
-                            rec[name] = ts.value // 1000
-                        else:  # date -> epoch days
-                            d = (
-                                v.date()
-                                if isinstance(v, (pd.Timestamp, _dt.datetime))
-                                else v
-                            )
-                            rec[name] = (d - _dt.date(1970, 1, 1)).days
-                    else:
-                        rec[name] = _wire(v, prim)
+                    rec[name] = _wire_p(row.get(name), prim, plans.get(name))
                 rec["_hoodie_commit_time"] = instant
                 rec["_hoodie_commit_seqno"] = f"{instant}_0_{i + 1}"
                 rec["_hoodie_record_key"] = str(row[record_key])
@@ -1042,20 +1135,23 @@ def _log_fg_meta(slices: dict[str, dict], fgs) -> dict[str, dict]:
 def _parse_log_frame(
     spark: SparkSession,
     paths: list[str],
-    temporal: dict[str, str] | None = None,
+    plans: dict[str, dict] | None = None,
 ) -> DataFrame:
     """EXECUTOR-side log parsing: a path frame fans the log files out
     to workers, which open them directly (log names are dot-prefixed
     per the spec, so Spark's binaryFile source would hide them) and
     run hudi_log.parse_log_entries. Record payloads leave the worker
     as JSON strings (from_json applies the table schema downstream)
-    — log bytes never touch the driver. `temporal` ({column: 'ts' |
-    'date'}) converts the blocks' epoch-micros/epoch-days ints to the
-    ISO strings from_json expects."""
+    — log bytes never touch the driver. `plans` (from `_wire_plans`)
+    converts the blocks' epoch-micros/epoch-days ints to the ISO
+    strings from_json expects, at any depth; kvmap entry-record
+    arrays pass through as-is (from_json parses them as
+    array<struct<key,value>> and `_rebuild_from_parsed` restores the
+    MapType downstream)."""
     path_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(min(len(paths), 32))
-    temporal = dict(temporal or {})
+    plans = dict(plans or {})
 
     def parse(batches):
         import datetime as _dt
@@ -1067,6 +1163,39 @@ def _parse_log_frame(
         epoch_d = _dt.date(1970, 1, 1)
         epoch_ts = _dt.datetime(1970, 1, 1)
         epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+        def unwire(v, plan):
+            if v is None or plan is None:
+                return v
+            k = plan["k"]
+            if k == "ts":
+                # UTC instant WITH offset: from_json resolves it
+                # identically in any reader session zone
+                return (
+                    epoch_utc + _dt.timedelta(microseconds=int(v))
+                ).isoformat()
+            if k == "ntz":
+                return (
+                    epoch_ts + _dt.timedelta(microseconds=int(v))
+                ).isoformat()
+            if k == "date":
+                return (epoch_d + _dt.timedelta(days=int(v))).isoformat()
+            if k == "array":
+                return [unwire(x, plan["item"]) for x in v]
+            if k == "map":
+                return {kk: unwire(x, plan["value"]) for kk, x in v.items()}
+            if k == "record":
+                fp = plan["fields"]
+                return {n: unwire(x, fp.get(n)) for n, x in v.items()}
+            if k == "kvmap":
+                return [
+                    {
+                        "key": unwire(e.get("key"), plan["key"]),
+                        "value": unwire(e.get("value"), plan["value"]),
+                    }
+                    for e in v
+                ]
+            return v
 
         for pdf in batches:
             rows = []
@@ -1089,27 +1218,9 @@ def _parse_log_frame(
                     if op == "rollback" or instant in file_dead:
                         continue
                     if op == "upsert":
-                        for col, kind in temporal.items():
-                            v = rec.get(col)
-                            if v is None:
-                                continue
-                            if kind == "ts":
-                                # UTC instant WITH offset: from_json
-                                # resolves it identically in any
-                                # reader session zone
-                                rec[col] = (
-                                    epoch_utc
-                                    + _dt.timedelta(microseconds=int(v))
-                                ).isoformat()
-                            elif kind == "ntz":
-                                rec[col] = (
-                                    epoch_ts
-                                    + _dt.timedelta(microseconds=int(v))
-                                ).isoformat()
-                            else:
-                                rec[col] = (
-                                    epoch_d + _dt.timedelta(days=int(v))
-                                ).isoformat()
+                        for col, plan in plans.items():
+                            if rec.get(col) is not None:
+                                rec[col] = unwire(rec[col], plan)
                         rows.append(
                             (
                                 fid,
@@ -1130,6 +1241,94 @@ def _parse_log_frame(
             )
 
     return path_df.mapInPandas(parse, _LOG_PARSE_SCHEMA)
+
+
+def _from_json_parse_type(dt):
+    """(parse-side type, changed) for one column: from_json refuses
+    MapType keys other than string, so non-string-key maps parse as
+    the entry-record array the avro wire already carries
+    (array<struct<key,value>>) and `_rebuild_from_parsed` restores
+    the MapType after. Recursive; changed=False means the type is
+    from_json-safe as-is."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+    )
+
+    tn = dt.typeName()
+    if tn == "array":
+        sub, ch = _from_json_parse_type(dt.elementType)
+        return ArrayType(sub, dt.containsNull), ch
+    if tn == "struct":
+        fields, ch = [], False
+        for f in dt.fields:
+            sub, c = _from_json_parse_type(f.dataType)
+            fields.append(StructField(f.name, sub, f.nullable))
+            ch = ch or c
+        return StructType(fields), ch
+    if tn == "map":
+        vt, vc = _from_json_parse_type(dt.valueType)
+        if dt.keyType.typeName() != "string":
+            kt, _kc = _from_json_parse_type(dt.keyType)
+            return (
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("key", kt, False),
+                            StructField("value", vt, True),
+                        ]
+                    )
+                ),
+                True,
+            )
+        return MapType(dt.keyType, vt, dt.valueContainsNull), vc
+    return dt, False
+
+
+def _rebuild_from_parsed(expr, parse_dt, want_dt):
+    """Typed Column from its from_json parse twin: identity when the
+    types already match (the common case — zero plan change); entry
+    arrays rebuild via map_from_entries; containers recurse with
+    F.transform / a null-guarded F.struct."""
+    if parse_dt == want_dt:
+        return expr
+    wn = want_dt.typeName()
+    if wn == "map" and parse_dt.typeName() == "array":
+        entry = parse_dt.elementType
+        rebuilt = F.transform(
+            expr,
+            lambda e: F.struct(
+                _rebuild_from_parsed(
+                    e["key"], entry["key"].dataType, want_dt.keyType
+                ).alias("key"),
+                _rebuild_from_parsed(
+                    e["value"], entry["value"].dataType, want_dt.valueType
+                ).alias("value"),
+            ),
+        )
+        return F.map_from_entries(rebuilt)
+    if wn == "array":
+        return F.transform(
+            expr,
+            lambda x: _rebuild_from_parsed(
+                x, parse_dt.elementType, want_dt.elementType
+            ),
+        )
+    if wn == "struct":
+        inner = F.struct(
+            *[
+                _rebuild_from_parsed(
+                    expr[f.name], pf.dataType, f.dataType
+                ).alias(f.name)
+                for f, pf in zip(want_dt.fields, parse_dt.fields)
+            ]
+        )
+        return F.when(expr.isNull(), F.lit(None).cast(want_dt)).otherwise(
+            inner
+        )
+    return expr.cast(want_dt)
 
 
 def _merge_slices(
@@ -1164,7 +1363,7 @@ def _merge_slices(
         os.path.join(table, p) for s in dirty.values() for _i, p in s["logs"]
     ]
     parsed = _parse_log_frame(
-        spark, log_paths, temporal=_temporal_kinds(base_dirty.schema)
+        spark, log_paths, plans=_wire_plans(base_dirty.schema)
     )
     # rollback masking, the cross-file half: command blocks living in
     # the SAME log file as their dead blocks are consumed inside the
@@ -1182,8 +1381,9 @@ def _merge_slices(
     # writer, schema drift, out-of-range temporal) must raise, not
     # silently null the row's columns — PERMISSIVE would let the
     # __key coalesce below resurrect such a row with all-null data
+    parse_schema, _changed = _from_json_parse_type(base_dirty.schema)
     struct = F.from_json(
-        "__json", base_dirty.schema, {"mode": "FAILFAST"}
+        "__json", parse_schema, {"mode": "FAILFAST"}
     ).alias("__d")
     log_rows = parsed.select(
         "__fg", "__ord", "__seq", "__op", "__key", struct
@@ -1196,7 +1396,11 @@ def _merge_slices(
             "_hoodie_record_key"
         ),
         *[
-            F.col(f"__d.{c}").alias(c)
+            _rebuild_from_parsed(
+                F.col(f"__d.{c}"),
+                parse_schema[c].dataType,
+                base_dirty.schema[c].dataType,
+            ).alias(c)
             for c in cols
             if c != "_hoodie_record_key"
         ],
@@ -1431,7 +1635,6 @@ def upsert_hudi(
                 record_key,
                 fg_meta,
                 avro_schema=avro_schema,
-                temporal=_temporal_kinds(cur.schema),
             )
         return _write_commit(
             base_df, table, instant, record_key, fg_parts,
@@ -1958,8 +2161,9 @@ def read_hudi_changes(
             )
         if log_paths:
             parsed = _parse_log_frame(
-                spark, log_paths, temporal=_temporal_kinds(schema)
+                spark, log_paths, plans=_wire_plans(schema)
             )
+            parse_schema, _ch = _from_json_parse_type(schema)
             pieces.append(
                 parsed.filter(
                     (F.col("__op") == "upsert")
@@ -1967,12 +2171,19 @@ def read_hudi_changes(
                 )
                 .select(
                     F.from_json(
-                        "__json", schema, {"mode": "FAILFAST"}
+                        "__json", parse_schema, {"mode": "FAILFAST"}
                     ).alias("__d")
                 )
                 .select(
                     F.lit(instant).alias("_commit_instant"),
-                    *[F.col(f"__d.{c}").alias(c) for c in data_cols],
+                    *[
+                        _rebuild_from_parsed(
+                            F.col(f"__d.{c}"),
+                            parse_schema[c].dataType,
+                            schema[c].dataType,
+                        ).alias(c)
+                        for c in data_cols
+                    ],
                 )
             )
     if not pieces:

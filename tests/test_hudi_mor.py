@@ -383,39 +383,165 @@ def test_cow_changes_track_rewrites(spark, tmp_path, people):
 
 
 def test_mor_log_schema_refusal_is_loud(spark, tmp_path):
-    """Containers with primitive leaves ride the log (the complex
-    round-trip test); what stays OUT refuses by name: nested
-    temporals (the epoch wire conversion is top-level only),
-    non-string map keys, and unsupported leaf types."""
-    t = str(tmp_path / "mor")
-    df = spark.createDataFrame(
-        [(1, [("x",)])],
-        "id long, evs array<struct<s:string>>",
-    )
-    write_hudi(df, t, record_key="id", table_type="MERGE_ON_READ")
-    # nested temporal refuses
-    nested_ts = spark.createDataFrame(
-        [(1, (None,))],
-        "id long, evs struct<at:timestamp>",
-    )
-    t2 = str(tmp_path / "mor2")
-    write_hudi(nested_ts, t2, record_key="id", table_type="MERGE_ON_READ")
-    with pytest.raises(NotImplementedError, match="top level"):
-        upsert_hudi(spark, t2, nested_ts)
-    # non-string map key refuses
-    t3 = str(tmp_path / "mor3")
-    mk = spark.createDataFrame(
-        [(1, {2: "x"})], "id long, m map<long,string>"
-    )
-    write_hudi(mk, t3, record_key="id", table_type="MERGE_ON_READ")
-    with pytest.raises(NotImplementedError, match="map keys"):
-        upsert_hudi(spark, t3, mk)
-    # unsupported leaf (binary) refuses
+    """Nested temporals and non-string map keys ride the log since
+    r15 (their own round-trip tests below); what stays OUT still
+    refuses by name: unsupported leaf types like binary."""
     t4 = str(tmp_path / "mor4")
     bn = spark.createDataFrame([(1, b"x")], "id long, b binary")
     write_hudi(bn, t4, record_key="id", table_type="MERGE_ON_READ")
     with pytest.raises(NotImplementedError, match="'b'"):
         upsert_hudi(spark, t4, bn)
+
+
+def test_mor_nested_temporals_round_trip(spark, tmp_path):
+    """Temporal leaves INSIDE containers (the r14 advisor's gap:
+    the schema builder walked them, the epoch wire conversion did
+    not): struct-nested timestamp/date, array<timestamp> and
+    map<string,timestamp> all round-trip through log blocks with
+    exact micros, nulls survive at both the container and the leaf,
+    and compaction folds the values unchanged."""
+    import datetime
+
+    from archetype_spark.sources.hudi import compact_hudi
+
+    ts1 = datetime.datetime(2024, 3, 1, 12, 30, 0, 123456)
+    ts2 = datetime.datetime(2025, 7, 4, 8, 0, 1, 654321)
+    d1 = datetime.date(2021, 5, 6)
+    ddl = (
+        "id long, ev struct<at:timestamp,on:date,tag:string>, "
+        "hist array<timestamp>, marks map<string,timestamp>"
+    )
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, (ts1, d1, "x"), [ts1, ts2], {"a": ts1}),
+            (2, (ts2, None, "y"), [], {}),
+        ],
+        ddl,
+    )
+    write_hudi(df, t, record_key="id", table_type="MERGE_ON_READ")
+    upsert_hudi(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(2, (ts1, d1, "y2"), [ts2, None], {"b": ts2, "c": None})], ddl
+        ),
+    )  # id=2 rides the LOG path with nested temporals
+    got = {
+        r["id"]: (r["ev"], r["hist"], r["marks"])
+        for r in read_hudi(spark, t).collect()
+    }
+    assert tuple(got[1][0]) == (ts1, d1, "x")  # base row untouched
+    assert tuple(got[2][0]) == (ts1, d1, "y2")  # exact micros via log
+    assert got[2][1] == [ts2, None]  # null element survives
+    assert got[2][2] == {"b": ts2, "c": None}
+    # null containers through the log
+    upsert_hudi(
+        spark,
+        t,
+        spark.createDataFrame([(1, None, None, None)], ddl),
+    )
+    r1 = read_hudi(spark, t).filter(F.col("id") == 1).collect()[0]
+    assert r1["ev"] is None and r1["hist"] is None and r1["marks"] is None
+    compact_hudi(spark, t)
+    got2 = {r["id"]: r["ev"] for r in read_hudi(spark, t).collect()}
+    assert tuple(got2[2]) == (ts1, d1, "y2")
+
+
+def test_mor_nested_timestamp_cross_timezone_read(spark, tmp_path):
+    """The zone normalization extends into containers: a
+    struct-nested TimestampType written under one session zone reads
+    back as the same INSTANT under another (nested Arrow values are
+    session-local naive wall clock exactly like top-level ones)."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ts0 = datetime.datetime(2024, 3, 1, 12, 30, 0)
+        ddl = "id long, ev struct<at:timestamp>, s string"
+        df = spark.createDataFrame([(1, (ts0,), "a"), (2, (ts0,), "b")], ddl)
+        want = {
+            r["id"]: r["u"]
+            for r in df.select(
+                "id", F.unix_micros("ev.at").alias("u")
+            ).collect()
+        }
+        write_hudi(df, t, record_key="id", table_type="MERGE_ON_READ")
+        ts1 = datetime.datetime(2024, 7, 4, 8, 0, 0, 123456)  # DST leg
+        upd = spark.createDataFrame([(2, (ts1,), "b2")], ddl)
+        want[2] = upd.select(F.unix_micros("ev.at").alias("u")).collect()[0][
+            "u"
+        ]
+        upsert_hudi(spark, t, upd)  # log path
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        got = {
+            r["id"]: r["u"]
+            for r in read_hudi(spark, t)
+            .select("id", F.unix_micros("ev.at").alias("u"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_mor_nonstring_map_keys_round_trip(spark, tmp_path):
+    """map<long,_> / map<int,struct<...timestamp>> MOR columns: the
+    avro wire carries them as entry-record arrays (logicalType
+    'map'), from_json parses the entry form and map_from_entries
+    rebuilds the typed map — including a temporal INSIDE the map
+    value. Upsert, delete, incremental face and compaction hold."""
+    import datetime
+
+    from archetype_spark.sources.hudi import (
+        compact_hudi,
+        delete_by_key_hudi,
+        hudi_timeline,
+        read_hudi_changes,
+    )
+
+    ts1 = datetime.datetime(2024, 3, 1, 12, 30, 0, 123456)
+    ddl = "id long, counts map<bigint,long>, evs map<int,struct<at:timestamp>>"
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, {10: 1, 20: 2}, {5: (ts1,)}),
+            (2, {}, {}),
+            (3, {30: 3}, None),
+        ],
+        ddl,
+    )
+    write_hudi(df, t, record_key="id", table_type="MERGE_ON_READ")
+    base = {
+        r["id"]: (r["counts"], r["evs"])
+        for r in read_hudi(spark, t).collect()
+    }
+    assert base[1] == ({10: 1, 20: 2}, {5: (ts1,)})
+    upsert_hudi(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(2, {40: 4, 50: None}, {7: (ts1,), 8: None})], ddl
+        ),
+    )  # log path: kvmap blocks
+    got = {
+        r["id"]: (r["counts"], r["evs"])
+        for r in read_hudi(spark, t).collect()
+    }
+    assert got[1] == ({10: 1, 20: 2}, {5: (ts1,)})
+    assert got[2][0] == {40: 4, 50: None}  # null value survives
+    assert got[2][1][7] == (ts1,) and got[2][1][8] is None
+    # incremental face types the kvmap back too
+    line = hudi_timeline(t)
+    inc = read_hudi_changes(spark, t, begin_instant=line[0]).collect()
+    upd = next(r for r in inc if r["_commit_instant"] == line[1])
+    assert upd["counts"] == {40: 4, 50: None}
+    delete_by_key_hudi(spark, t, spark.createDataFrame([(3,)], "id long"))
+    compact_hudi(spark, t)
+    after = {r["id"]: r["counts"] for r in read_hudi(spark, t).collect()}
+    assert set(after) == {1, 2} and after[2] == {40: 4, 50: None}
 
 
 def test_mor_complex_columns_round_trip(spark, tmp_path):

@@ -526,13 +526,27 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
         write_hudi,
     )
 
+    import datetime as _dt
+
     rng = random.Random(20260816)
     t = str(tmp_path / "t")
-    schema = "id long, grp string, val long"
+    # r15: a struct-nested timestamp rides every op — log blocks,
+    # delete/compact/cluster/archive and time travel must carry the
+    # epoch wire conversion through the container at each step
+    schema = "id long, grp string, val long, ev struct<at:timestamp,n:long>"
 
     def mk_rows(n, id_start):
         return [
-            (id_start + i, rng.choice(["a", "b"]), rng.randrange(1000))
+            (
+                id_start + i,
+                rng.choice(["a", "b"]),
+                rng.randrange(1000),
+                (
+                    _dt.datetime(2024, 1, 1)
+                    + _dt.timedelta(minutes=rng.randrange(100000)),
+                    id_start + i,
+                ),
+            )
             for i in range(n)
         ]
 
@@ -549,7 +563,7 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
     def check(step, op):
         got = sorted(
             tuple(r)
-            for r in read_hudi(spark, t).select("id", "grp", "val").collect()
+            for r in read_hudi(spark, t).select("id", "grp", "val", "ev").collect()
         )
         want = sorted(model.values())
         assert got == want, f"step {step} op {op}: {got} != {want}"
@@ -561,7 +575,7 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
             hgot = sorted(
                 tuple(r)
                 for r in read_hudi(spark, t, as_of=hv)
-                .select("id", "grp", "val")
+                .select("id", "grp", "val", "ev")
                 .collect()
             )
             assert hgot == sorted(history[hv].values()), (
@@ -577,7 +591,19 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
             if not model:
                 continue
             keys = rng.sample(sorted(model), min(2, len(model)))
-            urows = [(k, model[k][1], rng.randrange(1000)) for k in keys]
+            urows = [
+                (
+                    k,
+                    model[k][1],
+                    rng.randrange(1000),
+                    (
+                        _dt.datetime(2024, 1, 1)
+                        + _dt.timedelta(minutes=rng.randrange(100000)),
+                        k,
+                    ),
+                )
+                for k in keys
+            ]
             upsert_hudi(
                 spark, t, spark.createDataFrame(urows, schema)
             )
@@ -608,7 +634,7 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
             ro = sorted(
                 tuple(r)
                 for r in read_hudi(spark, t, read_optimized=True)
-                .select("id", "grp", "val")
+                .select("id", "grp", "val", "ev")
                 .collect()
             )
             assert ro == sorted(model.values()), f"step {step} RO"
@@ -626,7 +652,7 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
             got = sorted(
                 tuple(r)
                 for r in read_hudi(spark, t)
-                .select("id", "grp", "val")
+                .select("id", "grp", "val", "ev")
                 .collect()
             )
             assert got == sorted(model.values()), f"step {step} archive"
@@ -636,7 +662,7 @@ def test_hudi_mor_lifecycle_model_fuzz(spark, tmp_path):
             hgot = sorted(
                 tuple(r)
                 for r in read_hudi(spark, t, as_of=hv)
-                .select("id", "grp", "val")
+                .select("id", "grp", "val", "ev")
                 .collect()
             )
             assert hgot == sorted(history[hv].values()), (
