@@ -15,8 +15,17 @@ watermarks, event-time windows, or late-data handling (SURVEY §2.2,
 - stateful.py: per-key custom state via applyInPandasWithState —
   the streaming analogue of a Processor that needs memory across
   micro-batches.
+- lake_source.py: the lake formats as STREAMING SOURCES — a file
+  stream over each table's commit log triggering the idempotent
+  batch replication faces, so a continuous cross-format mirror is
+  readStream -> foreachBatch(replicate_*), exactly-once via the
+  mirror's own mark.
 """
 
+from archetype_spark.streaming.lake_source import (
+    read_lake_commits_stream,
+    stream_replicate,
+)
 from archetype_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -24,4 +33,11 @@ from archetype_spark.streaming.windows import (
     with_watermark,
 )
 
-__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "with_watermark"]
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "with_watermark",
+    "read_lake_commits_stream",
+    "stream_replicate",
+]

@@ -1114,3 +1114,75 @@ def test_stress_hudi_archive_replication_mesh(spark, stress_docs, tmp_path):
     )
     assert got_d == exp
     assert got_i == exp
+
+
+def test_stress_streaming_mirror_crash_replay(spark, stress_docs, tmp_path):
+    """r15: the streaming lake SOURCE face at 10x — a Delta source
+    plays a 50k-doc multi-commit history while a continuous
+    stream_replicate mirror follows; the stream then 'crashes'
+    (stopped, checkpoint DELETED), the source keeps committing, and a
+    restarted stream must converge the mirror exactly: the replayed
+    commit files re-trigger the face, the mirror mark no-ops the
+    already-applied range, and only the new range lands — no
+    duplicate rows, no resurrected deletes, no extra mirror
+    snapshots for the replay."""
+    import shutil
+
+    from archetype_spark.sources.delta import (
+        delete_where_delta,
+        enable_cdf_delta,
+        write_delta,
+    )
+    from archetype_spark.sources.iceberg import (
+        read_iceberg,
+        snapshots_iceberg,
+    )
+    from archetype_spark.streaming import stream_replicate
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    write_delta(base.repartition(8), src)
+    enable_cdf_delta(src)
+    delete_where_delta(spark, src, "n_chars % 7 = 3")
+    q = stream_replicate(
+        spark, src, dst, "delta", "iceberg", key="doc_id",
+        checkpoint=ckpt, available_now=True,
+    )
+    q.awaitTermination(300)
+    assert not q.exception(), q.exception()
+    # crash: checkpoint gone, history continues
+    shutil.rmtree(ckpt)
+    from archetype_spark.sources.delta import update_where_delta
+
+    update_where_delta(spark, src, "n_chars % 11 = 5", {"lang": "'xx'"})
+    delete_where_delta(spark, src, "n_chars % 13 = 6")
+    n_before = len(snapshots_iceberg(dst))
+    q2 = stream_replicate(
+        spark, src, dst, "delta", "iceberg", key="doc_id",
+        checkpoint=str(tmp_path / "ckpt2"), available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert not q2.exception(), q2.exception()
+    from archetype_spark.sources.delta import read_delta
+
+    exp = sorted(
+        tuple(r)
+        for r in read_delta(spark, src)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_iceberg(spark, dst)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    )
+    assert got == exp
+    # the replayed range produced no duplicate mirror commits: at
+    # most the genuinely-new syncs' snapshots appeared
+    assert len(snapshots_iceberg(dst)) <= n_before + 2
