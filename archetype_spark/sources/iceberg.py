@@ -2136,12 +2136,28 @@ def expire_snapshots_iceberg(path: str, keep_last: int = 1) -> list[int]:
     return expired
 
 
-def vacuum_iceberg(path: str) -> dict:
+def vacuum_iceberg(
+    path: str,
+    spark: SparkSession | None = None,
+    distributed: bool = False,
+) -> dict:
     """Physically delete data files and manifests no RETAINED
     snapshot references (run expire_snapshots_iceberg first to shrink
     the retained set). Returns {'data_files': n, 'manifests': m}
     deleted. Time travel to an expired snapshot afterwards fails
-    loudly (unknown snapshot id), never silently wrong."""
+    loudly (unknown snapshot id), never silently wrong.
+
+    `distributed=True` (requires `spark`) runs the data-dir listing
+    and deletion in EXECUTORS (sources/maintenance.py): one task per
+    partition directory lists its subtree, candidates anti-join the
+    keep frame, a second stage deletes — the shape a 100 TB table
+    needs, where the listing itself is the bottleneck. The keep-set
+    RESOLUTION (reading retained manifests) stays driver-side: it is
+    O(metadata), the same tier as snapshot planning. The metadata
+    dir's manifest sweep stays driver-side too (KB files in one
+    directory)."""
+    if distributed and spark is None:
+        raise ValueError("distributed vacuum needs the SparkSession")
     table = os.path.abspath(path)
     meta = _load_metadata(table)
     keep_files: set[str] = set()
@@ -2164,15 +2180,23 @@ def vacuum_iceberg(path: str) -> dict:
                 )
     deleted = {"data_files": 0, "manifests": 0}
     data_root = os.path.join(table, "data")
-    for root, dirs, files in os.walk(data_root):
-        dirs[:] = [d for d in dirs if not d.startswith(".")]
-        for name in files:
-            if not name.endswith((".parquet", ".puffin", ".orc", ".avro")):
-                continue
-            p = os.path.normpath(os.path.join(root, name))
-            if p not in keep_files:
-                os.remove(p)
-                deleted["data_files"] += 1
+    data_suffixes = (".parquet", ".puffin", ".orc", ".avro")
+    if distributed:
+        from archetype_spark.sources.maintenance import distributed_reclaim
+
+        deleted["data_files"] = distributed_reclaim(
+            spark, data_root, keep_files, data_suffixes
+        )
+    else:
+        for root, dirs, files in os.walk(data_root):
+            dirs[:] = [d for d in dirs if not d.startswith(".")]
+            for name in files:
+                if not name.endswith(data_suffixes):
+                    continue
+                p = os.path.normpath(os.path.join(root, name))
+                if p not in keep_files:
+                    os.remove(p)
+                    deleted["data_files"] += 1
     mdir = _meta_dir(table)
     for name in os.listdir(mdir):
         if not name.endswith(".avro"):

@@ -848,3 +848,63 @@ def test_iceberg_embeddings_roundtrip(spark, tmp_path):
     assert read_iceberg(spark, t, snapshot_id=snap1).count() == emb.filter(
         F.col("vec_id") % 2 == 0
     ).count()
+
+
+def test_iceberg_distributed_vacuum_matches_driver_walk(
+    spark, tmp_path, people
+):
+    """vacuum_iceberg(distributed=True): the executor-side listing +
+    anti-join + deletion (sources/maintenance.py) reclaims exactly
+    the same files the driver walk would — identical counts on twin
+    tables, survivors read exactly, superseded v3 deletion vectors
+    (puffin, non-parquet suffix) reclaimed too, and re-running is a
+    zero no-op."""
+    from archetype_spark.sources import (
+        expire_snapshots_iceberg,
+        vacuum_iceberg,
+    )
+    from archetype_spark.sources.iceberg import (
+        delete_where_iceberg,
+        upgrade_iceberg,
+    )
+
+    def build(path):
+        df = spark.createDataFrame(
+            [(i, "x" if i % 2 else "y", i * 10) for i in range(1, 9)],
+            "id long, p string, v long",
+        ).coalesce(1)
+        write_iceberg(df, path, partition_by=["p"])
+        upgrade_iceberg(path, 3)
+        delete_where_iceberg(spark, path, F.col("id") == 2)  # DV 1
+        delete_where_iceberg(spark, path, F.col("id") == 4)  # supersedes
+        write_iceberg(
+            spark.createDataFrame(
+                [(20, "x", 200)], "id long, p string, v long"
+            ).coalesce(1),
+            path,
+            mode="append",
+        )
+        expire_snapshots_iceberg(path, keep_last=1)
+
+    ta, tb = str(tmp_path / "driver"), str(tmp_path / "dist")
+    build(ta)
+    build(tb)
+    want = vacuum_iceberg(ta)
+    got = vacuum_iceberg(tb, spark=spark, distributed=True)
+    assert got == want and got["data_files"] > 0
+    assert sorted(r.id for r in read_iceberg(spark, tb).collect()) == sorted(
+        r.id for r in read_iceberg(spark, ta).collect()
+    )
+    # no superseded puffin blob survived the distributed reclaim
+    import glob as _glob
+
+    live_puffin = _glob.glob(os.path.join(tb, "data", "**", "*.puffin"),
+                             recursive=True)
+    assert len(live_puffin) == len(
+        _glob.glob(os.path.join(ta, "data", "**", "*.puffin"), recursive=True)
+    )
+    # idempotent
+    again = vacuum_iceberg(tb, spark=spark, distributed=True)
+    assert again["data_files"] == 0
+    with pytest.raises(ValueError, match="SparkSession"):
+        vacuum_iceberg(tb, distributed=True)
