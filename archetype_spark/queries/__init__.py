@@ -406,7 +406,10 @@ _MODULES = (
 #       q38/q50/q08; q95-q106 + q117/q118), plus the still-deferred
 #       r12/r13 blocks (q135-q140, q107-q111/q113-q116 return r16).
 #       50 pins + 0 unpinned gated = 50 exactly; 98 deferred; 148
-#       gated total.
+#       gated total. Late-r15: q151 (NEW: column-bounds file
+#       skipping) pins for its first driver row, deferring q131
+#       (returns r16 with the q135-q140 block) — window stays 50
+#       exactly; 99 deferred; 149 gated total.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -450,7 +453,6 @@ _PINNED: tuple[str, ...] = (
     "q128_cdf_mirror_scan",
     "q129_audio_spectral",
     "q130_iceberg_changelog",
-    "q131_iceberg_eq_changelog",
     "q132_iceberg_mixed_formats",
     "q133_html_extract",
     "q134_pdf_extract",
@@ -461,6 +463,7 @@ _PINNED: tuple[str, ...] = (
     "q145_hudi_cleaned_scan",
     "q146_hudi_replication_mesh",
     "q150_iceberg_nested_scan",
+    "q151_iceberg_bounds_prune",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -555,6 +558,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q116_zorder_scan",
         "q117_hybrid_rrf_bounded",
         "q118_ivf_pq_topk",
+        "q131_iceberg_eq_changelog",
         "q135_warc_pipeline",
         "q136_image_near_dups",
         "q137_video_frames",

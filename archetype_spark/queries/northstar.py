@@ -2614,6 +2614,58 @@ def q150_iceberg_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_iceberg_bounds_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The RANGE-CLUSTERED unpartitioned Iceberg table q151 probes:
+    documents written repartitionByRange(8, n_chars) + sorted within
+    partitions, so every data file covers a tight n_chars interval
+    and the manifests' per-file lower/upper COLUMN BOUNDS (r15) are
+    selective — the file-skipping layer that needs no partition
+    spec. A second odd/even split append keeps multiple manifests in
+    play."""
+    from archetype_spark.sources.iceberg import write_iceberg
+
+    def build(base: DataFrame, btable: str) -> None:
+        clustered = base.repartitionByRange(8, "n_chars")
+        clustered = clustered.sortWithinPartitions("n_chars")
+        write_iceberg(clustered.filter(F.col("doc_id") % 2 == 0), btable)
+        write_iceberg(
+            clustered.filter(F.col("doc_id") % 2 == 1), btable,
+            mode="append",
+        )
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "iceberg_bounds_documents", build
+    )
+
+
+def q151_iceberg_bounds_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-bounds file skipping under the driver gate: a range
+    probe (200 <= n_chars < 400) over the range-clustered UNPARTITIONED
+    Iceberg table resolves through the manifests' per-file MIN/MAX —
+    files whose intervals cannot intersect never open — and the
+    row-level re-application keeps the answer exact against the
+    oracle's raw-parquet recompute. The pruning itself is pinned by
+    test_iceberg_column_bounds_prune_scan; this query pins that
+    pruning NEVER changes a value. Parity: every warehouse engine's
+    zone-map/min-max skipping; at 100 TB this is the difference
+    between a point probe reading KB of manifests + a few files and
+    reading the table."""
+    from archetype_spark.sources.iceberg import read_iceberg
+
+    table = _ensure_iceberg_bounds_documents(spark, sf_dir)
+    return (
+        read_iceberg(spark, table, scan_filter={"n_chars": (200, 400)})
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .select("lang", "n_docs", "sum_chars", "min_chars", "max_chars")
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -3923,6 +3975,7 @@ QUERIES = {
     "q148_iceberg_v3_dv_scan": q148_iceberg_v3_dv_scan,
     "q149_lake_relay": q149_lake_relay,
     "q150_iceberg_nested_scan": q150_iceberg_nested_scan,
+    "q151_iceberg_bounds_prune": q151_iceberg_bounds_prune,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -5520,6 +5573,20 @@ ORACLES["q150_iceberg_nested_scan"] = """
            ANY_VALUE(c.ss) AS ss
     FROM kept k JOIN comp c ON k.label = c.label
     GROUP BY k.label
+"""
+
+# q151: the bounds-pruned range probe recomputed from raw parquet —
+# if manifest MIN/MAX pruning ever skipped a file it shouldn't, a
+# lang's count/sum/min/max moves.
+ORACLES["q151_iceberg_bounds_prune"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars
+    FROM (
+      SELECT lang, length(text) AS n_chars FROM documents
+    ) WHERE n_chars >= 200 AND n_chars < 400
+    GROUP BY lang
 """
 
 # q142: the incremental face per commit ordinal — seq 0 the even

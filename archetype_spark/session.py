@@ -63,6 +63,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT64 micros, not Spark's legacy INT96: the Iceberg spec
+        # REQUIRES int64 timestamp encodings, and INT96 columns carry
+        # no parquet min/max stats (so manifest column bounds and
+        # row-group skipping would silently never apply to them)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
     )

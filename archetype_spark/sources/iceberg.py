@@ -657,7 +657,12 @@ def count_rows_iceberg(path: str, snapshot_id: int | None = None) -> int:
     return total
 
 
-def _live_entries(table: str, snap: dict, meta: dict | None = None):
+def _live_entries(
+    table: str,
+    snap: dict,
+    meta: dict | None = None,
+    with_bounds: bool = False,
+):
     """Walk one snapshot's manifest list. Returns (data, deletes,
     eq_deletes): data = [(abs_path, partition dict, recorded
     file_path, data sequence number, file format)], deletes = [(abs_path, sequence
@@ -741,15 +746,22 @@ def _live_entries(table: str, snap: dict, meta: dict | None = None):
                     raise NotImplementedError(
                         f"Iceberg data format {fmt!r}"
                     )
-                data.append(
-                    (
-                        _abs(table, dfile["file_path"]),
-                        dict(dfile.get("partition") or {}),
-                        dfile["file_path"],
-                        int(seq),
-                        fmt,
-                    )
+                entry = (
+                    _abs(table, dfile["file_path"]),
+                    dict(dfile.get("partition") or {}),
+                    dfile["file_path"],
+                    int(seq),
+                    fmt,
                 )
+                if with_bounds:
+                    # raw manifest bound maps (entry-record arrays or
+                    # None) — only the scan_filter prune path asks,
+                    # so the common 5-tuple consumers stay untouched
+                    entry = entry + (
+                        dfile.get("lower_bounds"),
+                        dfile.get("upper_bounds"),
+                    )
+                data.append(entry)
             elif content == 1:
                 deletes.append((_abs(table, dfile["file_path"]), int(seq), None))
             elif content == 2:
@@ -841,6 +853,210 @@ def _entry_survives_filter(
         elif raw != tv(flt):
             return False
     return True
+
+
+#: iceberg primitive -> struct format for the spec's binary
+#: single-value serialization (Appendix D): little-endian fixed
+#: width. Strings/decimals/booleans are deliberately NOT recorded by
+#: this writer (parquet string stats may be truncated — pruning on a
+#: truncated max would be silently wrong) but string bounds written
+#: by FOREIGN writers still decode for the prune.
+_BOUND_PACK = {
+    "int": "<i",
+    "long": "<q",
+    "float": "<f",
+    "double": "<d",
+    "date": "<i",
+    "timestamp": "<q",
+    "timestamptz": "<q",
+}
+
+
+def _bound_bytes(v, ice_type: str) -> bytes | None:
+    """One python stats value -> the spec's binary single-value form
+    (None = unencodable, record no bound)."""
+    import datetime as _dt
+    import struct as _struct
+
+    try:
+        if ice_type in ("int", "long"):
+            return _struct.pack(_BOUND_PACK[ice_type], int(v))
+        if ice_type in ("float", "double"):
+            return _struct.pack(_BOUND_PACK[ice_type], float(v))
+        if ice_type == "date":
+            d = v.date() if isinstance(v, _dt.datetime) else v
+            return _struct.pack("<i", (d - _dt.date(1970, 1, 1)).days)
+        if ice_type in ("timestamp", "timestamptz"):
+            ts = v
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            micros = int(
+                (ts - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6
+            )
+            return _struct.pack("<q", micros)
+    except (ValueError, OverflowError, _struct.error, AttributeError):
+        return None
+    return None
+
+
+def _decode_bound(b: bytes, ice_type: str):
+    """Inverse of _bound_bytes into the comparison domain (epoch
+    micros/days stay INTEGERS — scan_filter values map through the
+    same domain before comparing). Foreign string bounds decode as
+    UTF-8. None = undecodable, keep the file."""
+    import struct as _struct
+
+    fmtc = _BOUND_PACK.get(ice_type)
+    try:
+        if fmtc is not None:
+            return _struct.unpack(fmtc, bytes(b)[: _struct.calcsize(fmtc)])[0]
+        if ice_type == "string":
+            return bytes(b).decode("utf-8")
+    except (ValueError, _struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _to_bound_domain(v, ice_type: str):
+    """A scan_filter value -> the decoded-bound comparison domain
+    (dates to epoch days, timestamps to epoch micros, numerics as-is).
+    None = incomparable, keep the file."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    try:
+        if ice_type in ("int", "long", "float", "double"):
+            return v
+        if ice_type == "date":
+            d = v.date() if isinstance(v, _dt.datetime) else v
+            return (d - _dt.date(1970, 1, 1)).days
+        if ice_type in ("timestamp", "timestamptz"):
+            ts = v
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return int((ts - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+        if ice_type == "string":
+            return str(v)
+    except (TypeError, AttributeError):
+        return None
+    return None
+
+
+def _bounds_map(raw) -> dict[int, bytes]:
+    """A manifest bounds value (entry-record array, spec map form) ->
+    {field id: bytes}; tolerant of plain dicts from foreign JSON."""
+    out: dict[int, bytes] = {}
+    if not raw:
+        return out
+    if isinstance(raw, dict):
+        items = raw.items()
+    else:
+        items = ((e.get("key"), e.get("value")) for e in raw)
+    for k, v in items:
+        if k is not None and v is not None:
+            out[int(k)] = bytes(v)
+    return out
+
+
+def _entry_survives_bounds(
+    lower_raw, upper_raw, scan_filter: dict, field_info: dict
+) -> bool:
+    """Manifest-level MIN/MAX pruning on ANY primitive column — the
+    spec's lower_bounds/upper_bounds maps, the file-skipping layer
+    that works WITHOUT a partition spec (a sorted or clustered 100 TB
+    table prunes a point/range probe to the few files whose ranges
+    intersect). `field_info` maps column name -> (field id, iceberg
+    type). Conservative by construction: missing bounds, unknown
+    types, or incomparable values keep the file; the scan re-applies
+    the full predicate row-level."""
+    lower = _bounds_map(lower_raw)
+    upper = _bounds_map(upper_raw)
+    if not lower and not upper:
+        return True
+    for col, flt in scan_filter.items():
+        info = field_info.get(col)
+        if info is None:
+            continue
+        fid, ice_t = info
+        lo_b = _decode_bound(lower[fid], ice_t) if fid in lower else None
+        hi_b = _decode_bound(upper[fid], ice_t) if fid in upper else None
+        if lo_b is None and hi_b is None:
+            continue
+        try:
+            if isinstance(flt, tuple):
+                f_lo = _to_bound_domain(flt[0], ice_t)
+                f_hi = _to_bound_domain(flt[1], ice_t)
+                # half-open [f_lo, f_hi) vs closed [lo_b, hi_b]
+                if f_lo is not None and hi_b is not None and hi_b < f_lo:
+                    return False
+                if f_hi is not None and lo_b is not None and lo_b >= f_hi:
+                    return False
+            else:
+                v = _to_bound_domain(flt, ice_t)
+                if v is None:
+                    continue
+                if lo_b is not None and v < lo_b:
+                    return False
+                if hi_b is not None and v > hi_b:
+                    return False
+        except TypeError:
+            continue  # incomparable foreign value: keep the file
+    return True
+
+
+def _bounds_fields(abs_path: str, file_format: str, ice_fields: list) -> dict:
+    """{'lower_bounds': [...], 'upper_bounds': [...]} manifest values
+    for one staged data file, from the parquet footer's row-group
+    statistics (min of mins / max of maxs across groups; a group
+    without stats for a column drops that column's bounds). Footer-
+    only read, O(KB) — the same tier as the record_count the entry
+    already requires. Empty dict for ORC/AVRO or when nothing is
+    recordable (strings and decimals are skipped: parquet may
+    truncate their stats and a truncated max prunes wrong)."""
+    if file_format.lower() != "parquet":
+        return {}
+    import pyarrow.parquet as pq
+
+    want = {
+        f["name"]: (int(f["id"]), f["type"])
+        for f in ice_fields
+        if isinstance(f["type"], str) and f["type"] in _BOUND_PACK
+    }
+    if not want:
+        return {}
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    dropped: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            name = col.path_in_schema
+            if name not in want or name in dropped:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            if name not in mins or st.min < mins[name]:
+                mins[name] = st.min
+            if name not in maxs or st.max > maxs[name]:
+                maxs[name] = st.max
+    lower, upper = [], []
+    for name, (fid, ice_t) in want.items():
+        if name in mins:
+            lb = _bound_bytes(mins[name], ice_t)
+            ub = _bound_bytes(maxs[name], ice_t)
+            if lb is not None and ub is not None:
+                lower.append({"key": fid, "value": lb})
+                upper.append({"key": fid, "value": ub})
+    if not lower:
+        return {}
+    return {"lower_bounds": lower, "upper_bounds": upper}
 
 
 def _filter_predicate(scan_filter: dict):
@@ -1056,12 +1272,20 @@ def _read_snapshot(
                 f"scan_filter column(s) {sorted(unknown)} not in table "
                 f"schema {schema.fieldNames()}"
             )
-    data, deletes, eq_deletes = _live_entries(table, snap, meta)
+    data, deletes, eq_deletes = _live_entries(
+        table, snap, meta, with_bounds=bool(scan_filter)
+    )
     if scan_filter:
+        field_info = {
+            f["name"]: (int(f["id"]), f["type"])
+            for f in _current_ice_schema(meta)["fields"]
+            if isinstance(f["type"], str)
+        }
         data = [
-            e
+            e[:5]
             for e in data
             if _entry_survives_filter(e[1], scan_filter, spec_fields)
+            and _entry_survives_bounds(e[5], e[6], scan_filter, field_info)
         ]
     if not data:
         df = spark.createDataFrame([], schema)
@@ -1339,10 +1563,15 @@ def read_iceberg(
     transform into partition-value space, so a time range over a
     day(ts)-partitioned table or a key probe over bucket(N, id)
     skips non-matching files before any parquet is opened: O(manifest
-    KB) planning against a 100 TB table, the spec's whole point. The
-    same predicate is ALWAYS re-applied row-level on the scan, so
-    pruning can only skip files that cannot match, never change the
-    answer.
+    KB) planning against a 100 TB table, the spec's whole point.
+    Predicates on ANY primitive column additionally prune by the
+    manifests' per-file lower/upper COLUMN BOUNDS (r15 — recorded by
+    this writer from parquet footer stats, decoded from foreign
+    writers per the spec's binary single-value form): a sorted or
+    range-clustered table prunes a point/range probe to the files
+    whose ranges intersect, no partition spec needed. The same
+    predicate is ALWAYS re-applied row-level on the scan, so pruning
+    can only skip files that cannot match, never change the answer.
 
     `with_row_lineage` (v3 tables only) appends the spec's derived
     `_row_id` metadata column: each data file's assigned
@@ -1458,6 +1687,48 @@ def _manifest_schema(
         # required in v1 (deprecated v2); the spec's
         # historical default split size
         {"name": "block_size_in_bytes", "type": "long"},
+        # per-column MIN/MAX (field id -> binary single-value, the
+        # spec's map-as-entry-record-array avro form) — the
+        # file-skipping layer scan_filter prunes on without a
+        # partition spec; optional, absent for ORC/string columns
+        {
+            "name": "lower_bounds",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "logicalType": "map",
+                    "items": {
+                        "type": "record",
+                        "name": "lb_kv",
+                        "fields": [
+                            {"name": "key", "type": "int"},
+                            {"name": "value", "type": "bytes"},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
+        {
+            "name": "upper_bounds",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "logicalType": "map",
+                    "items": {
+                        "type": "record",
+                        "name": "ub_kv",
+                        "fields": [
+                            {"name": "key", "type": "int"},
+                            {"name": "value", "type": "bytes"},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        },
     ]
     if fmt >= 2:
         # v2 entries carry explicit data/file sequence numbers (null =
@@ -1827,6 +2098,7 @@ def write_iceberg(
     mdir = _meta_dir(table)
     manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
     manifest_path = os.path.join(mdir, manifest_name)
+    cur_fields = _current_ice_schema(meta)["fields"]
     entries = []
     for f in staged:
         dfile = {
@@ -1841,6 +2113,11 @@ def write_iceberg(
             "record_count": f["num_rows"],
             "file_size_in_bytes": f["size"],
             "block_size_in_bytes": _BLOCK_SIZE,
+            **_bounds_fields(
+                os.path.join(data_root, f["rel_path"]),
+                file_format,
+                cur_fields,
+            ),
         }
         e = {"status": 1, "snapshot_id": snapshot_id}  # ADDED
         if fmt >= 2:

@@ -908,3 +908,95 @@ def test_iceberg_distributed_vacuum_matches_driver_walk(
     assert again["data_files"] == 0
     with pytest.raises(ValueError, match="SparkSession"):
         vacuum_iceberg(tb, distributed=True)
+
+
+def test_iceberg_column_bounds_prune_scan(spark, tmp_path):
+    """Manifest lower/upper column bounds (r15): a range-clustered
+    write records per-file MIN/MAX for primitive columns, and
+    scan_filter prunes data files by bound intersection WITHOUT any
+    partition spec — the sorted-100 TB point/range probe shape. The
+    row-level filter re-applies, so results stay exact; string
+    columns record no bounds (parquet may truncate their stats)."""
+    from archetype_spark.sources.iceberg import (
+        _current_ice_schema,
+        _live_entries,
+        _load_metadata,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("long").alias("id"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("id") / 20).cast("int"),
+        ).alias("d"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("name"),
+    )
+    t = str(tmp_path / "t")
+    write_iceberg(df.repartitionByRange(8, "id").sortWithinPartitions("id"), t)
+    meta = _load_metadata(t)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    data, _d, _e = _live_entries(t, snap, meta, with_bounds=True)
+    assert all(e[5] is not None and e[6] is not None for e in data)
+    ids = {
+        f["name"]: int(f["id"]) for f in _current_ice_schema(meta)["fields"]
+    }
+    recorded = {kv["key"] for kv in data[0][5]}
+    assert ids["id"] in recorded and ids["ts"] in recorded
+    assert ids["name"] not in recorded  # strings: no bounds by design
+
+    full = read_iceberg(spark, t)
+    n_all = len(full.inputFiles())
+    assert n_all >= 6
+    pruned = read_iceberg(spark, t, scan_filter={"id": (100, 200)})
+    assert len(pruned.inputFiles()) < n_all
+    assert sorted(r.id for r in pruned.collect()) == list(range(100, 200))
+    probe = read_iceberg(spark, t, scan_filter={"id": 500})
+    assert len(probe.inputFiles()) <= 2
+    assert [r.id for r in probe.collect()] == [500]
+    # date + timestamp bounds prune too, exactly
+    import datetime
+
+    dr = read_iceberg(
+        spark,
+        t,
+        scan_filter={
+            "d": (datetime.date(2024, 1, 11), datetime.date(2024, 1, 16))
+        },
+    )
+    assert len(dr.inputFiles()) < n_all
+    assert sorted(r.id for r in dr.collect()) == list(range(200, 300))
+    # a predicate matching nothing prunes everything
+    none = read_iceberg(spark, t, scan_filter={"id": (5000, 6000)})
+    assert none.count() == 0
+
+
+def test_iceberg_bounds_conservative_and_foreign_strings(spark, tmp_path):
+    """Bound-less entries (older writers, ORC commits) keep every
+    file — scan_filter stays exact; FOREIGN string bounds decode and
+    prune; undecodable bounds keep the file."""
+    from archetype_spark.sources.iceberg import _entry_survives_bounds
+
+    # ORC commit records no bounds; the filter still answers exactly
+    t = str(tmp_path / "orc")
+    df = spark.range(0, 100).select(F.col("id").cast("long").alias("id"))
+    write_iceberg(df, t, file_format="orc")
+    got = read_iceberg(spark, t, scan_filter={"id": (10, 20)})
+    assert sorted(r.id for r in got.collect()) == list(range(10, 20))
+
+    fi = {"name": (2, "string"), "n": (3, "long")}
+    lower = [{"key": 2, "value": b"aaa"}]
+    upper = [{"key": 2, "value": b"mmm"}]
+    assert not _entry_survives_bounds(lower, upper, {"name": "zzz"}, fi)
+    assert _entry_survives_bounds(lower, upper, {"name": "bbb"}, fi)
+    # range form on strings
+    assert not _entry_survives_bounds(
+        lower, upper, {"name": ("nnn", None)}, fi
+    )
+    # undecodable bound bytes keep the file
+    bad = [{"key": 3, "value": b"\x01"}]  # too short for a long
+    assert _entry_survives_bounds(bad, bad, {"n": 7}, fi)
+    # unfiltered columns' bounds are irrelevant
+    assert _entry_survives_bounds(lower, upper, {"n": 7}, fi)
