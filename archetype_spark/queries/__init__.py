@@ -409,7 +409,9 @@ _MODULES = (
 #       gated total. Late-r15: q151 (NEW: column-bounds file
 #       skipping) pins for its first driver row, deferring q131
 #       (returns r16 with the q135-q140 block) — window stays 50
-#       exactly; 99 deferred; 149 gated total.
+#       exactly; 99 deferred; 149 gated total. q152 (NEW: Delta
+#       add-action stats skipping, the q151 twin) pins next,
+#       deferring q132 the same way; 100 deferred; 150 gated total.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
@@ -453,7 +455,6 @@ _PINNED: tuple[str, ...] = (
     "q128_cdf_mirror_scan",
     "q129_audio_spectral",
     "q130_iceberg_changelog",
-    "q132_iceberg_mixed_formats",
     "q133_html_extract",
     "q134_pdf_extract",
     "q141_hudi_mor_scan",
@@ -464,6 +465,7 @@ _PINNED: tuple[str, ...] = (
     "q146_hudi_replication_mesh",
     "q150_iceberg_nested_scan",
     "q151_iceberg_bounds_prune",
+    "q152_delta_stats_prune",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
@@ -559,6 +561,7 @@ _DEFERRED: frozenset[str] = frozenset(
         "q117_hybrid_rrf_bounded",
         "q118_ivf_pq_topk",
         "q131_iceberg_eq_changelog",
+        "q132_iceberg_mixed_formats",
         "q135_warc_pipeline",
         "q136_image_near_dups",
         "q137_video_frames",

@@ -2666,6 +2666,54 @@ def q151_iceberg_bounds_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_delta_stats_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The range-clustered unpartitioned DELTA table q152 probes:
+    documents written repartitionByRange(8, n_chars) + sorted, so
+    every add action's protocol stats (minValues/maxValues, r15)
+    cover a tight n_chars interval — the q151 shape with the log's
+    zone-map layer instead of Iceberg manifests. Two-commit history
+    (odd/even split) keeps multiple commits in the active set."""
+    from archetype_spark.sources.delta import write_delta
+
+    def build(base: DataFrame, btable: str) -> None:
+        clustered = base.repartitionByRange(8, "n_chars")
+        clustered = clustered.sortWithinPartitions("n_chars")
+        write_delta(clustered.filter(F.col("doc_id") % 2 == 0), btable)
+        write_delta(
+            clustered.filter(F.col("doc_id") % 2 == 1), btable,
+            mode="append",
+        )
+
+    return _ensure_lake_documents(
+        spark, sf_dir, "delta_stats_documents", build
+    )
+
+
+def q152_delta_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta data skipping under the driver gate: the same range
+    probe as q151 resolved through add-action stats — files whose
+    recorded [min, max] cannot intersect never enter the plan, and
+    the row-level re-application keeps the answer exact against the
+    oracle's raw recompute. Pruning itself is pinned by
+    test_delta_stats_skipping_and_metadata_count; this query pins
+    that it never changes a value. Parity: delta-spark's data
+    skipping, the default-on layer every Delta reader leans on."""
+    from archetype_spark.sources.delta import read_delta
+
+    table = _ensure_delta_stats_documents(spark, sf_dir)
+    return (
+        read_delta(spark, table, scan_filter={"n_chars": (200, 400)})
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .select("lang", "n_docs", "sum_chars", "min_chars", "max_chars")
+    )
+
+
 def _ensure_delta_cdf_documents(spark: SparkSession, sf_dir: str) -> str:
     """The CHANGE-DATA-FEED Delta table q127 reads and q128 mirrors:
     ingest the full corpus (v0), enable the CDF (v1), DELETE WHERE
@@ -3976,6 +4024,7 @@ QUERIES = {
     "q149_lake_relay": q149_lake_relay,
     "q150_iceberg_nested_scan": q150_iceberg_nested_scan,
     "q151_iceberg_bounds_prune": q151_iceberg_bounds_prune,
+    "q152_delta_stats_prune": q152_delta_stats_prune,
     "q105_iceberg_scan": q105_iceberg_scan,
     "q106_delta_merge_upsert": q106_delta_merge_upsert,
     "q107_delta_changes": q107_delta_changes,
@@ -5579,6 +5628,19 @@ ORACLES["q150_iceberg_nested_scan"] = """
 # if manifest MIN/MAX pruning ever skipped a file it shouldn't, a
 # lang's count/sum/min/max moves.
 ORACLES["q151_iceberg_bounds_prune"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars
+    FROM (
+      SELECT lang, length(text) AS n_chars FROM documents
+    ) WHERE n_chars >= 200 AND n_chars < 400
+    GROUP BY lang
+"""
+
+# q152: the Delta twin of q151 — identical recompute; a file the
+# stats layer wrongly skipped moves a lang's aggregate.
+ORACLES["q152_delta_stats_prune"] = """
     SELECT lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars,
            min(n_chars)::BIGINT AS min_chars,

@@ -496,7 +496,10 @@ def _physical_read(meta: dict, for_write: bool = True):
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    scan_filter: dict | None = None,
 ) -> DataFrame:
     """Read a Delta table snapshot (latest, or `version` for time
     travel) without any connector jar — see module docstring.
@@ -535,6 +538,28 @@ def read_delta(
         "delta.columnMapping.mode"
     ) == "id":
         _verify_field_ids(table, active, meta)
+    if scan_filter:
+        # file skipping on the log's per-add stats (minValues/
+        # maxValues) + typed partitionValues — driver-side O(adds),
+        # the zone-map layer; the predicate re-applies row-level
+        # below, so pruning can only skip files that cannot match
+        unknown = set(scan_filter) - {f.name for f in logical.fields}
+        if unknown:
+            raise ValueError(
+                f"scan_filter column(s) {sorted(unknown)} not in table "
+                f"schema {logical.fieldNames()}"
+            )
+        _mode, _lg, _ph, l2p = _mapping_info(meta, for_write=False)
+        phys_filter = {l2p.get(c, c): v for c, v in scan_filter.items()}
+        types = {
+            l2p.get(f.name, f.name): f.dataType.simpleString()
+            for f in logical.fields
+        }
+        active = {
+            p: a
+            for p, a in active.items()
+            if _add_survives_filter(a, phys_filter, types, part_cols)
+        }
     if not active:
         return spark.createDataFrame([], logical)
     plain: list[tuple[str, dict]] = []
@@ -558,7 +583,10 @@ def read_delta(
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     # column mapping: the files were scanned under physical names;
     # hand back the logical view
-    return out.select(*rename) if rename is not None else out
+    out = out.select(*rename) if rename is not None else out
+    if scan_filter:
+        out = out.filter(_scan_filter_predicate(scan_filter))
+    return out
 
 
 def _apply_deletion_vectors(
@@ -769,6 +797,220 @@ def _stage_data_files(
             )
     shutil.rmtree(stage, ignore_errors=True)
     return out
+
+
+def _file_stats_json(abs_path: str, part_cols: Sequence[str]) -> str | None:
+    """The Delta protocol's per-file `stats` JSON from the parquet
+    footer: numRecords, minValues/maxValues for numeric/date/
+    timestamp columns (strings record nullCount only — parquet may
+    TRUNCATE string min/max and a truncated max would prune wrong),
+    and nullCount. Keys are the footer's own (physical) column
+    names, which is what the protocol stores under column mapping.
+    Footer-only read, O(KB) — the same tier as the size/mtime the
+    add action already records. None when the footer yields nothing
+    (non-parquet staging never reaches here)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    dropped: set[str] = set()
+    no_nulls: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            name = col.path_in_schema
+            if "." in name or name in part_cols:
+                continue  # nested leaves / partition cols: no stats
+            st = col.statistics
+            if st is None:
+                dropped.add(name)
+                no_nulls.add(name)
+                continue
+            if st.null_count is None:
+                no_nulls.add(name)
+                nulls.pop(name, None)
+            elif name not in no_nulls:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if (
+                name in dropped
+                or not st.has_min_max
+                or isinstance(st.min, (bytes, str))
+            ):
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            if name not in mins or st.min < mins[name]:
+                mins[name] = st.min
+            if name not in maxs or st.max > maxs[name]:
+                maxs[name] = st.max
+
+    def ser(v):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat() + "Z"
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None  # decimal/bool/unknown: record no bound
+        return v
+
+    stats: dict = {"numRecords": md.num_rows}
+    if mins:
+        lo = {k: ser(v) for k, v in sorted(mins.items())}
+        hi = {k: ser(v) for k, v in sorted(maxs.items())}
+        keep = {k for k in lo if lo[k] is not None and hi.get(k) is not None}
+        if keep:
+            stats["minValues"] = {k: lo[k] for k in sorted(keep)}
+            stats["maxValues"] = {k: hi[k] for k in sorted(keep)}
+    if nulls:
+        stats["nullCount"] = dict(sorted(nulls.items()))
+    return json.dumps(stats)
+
+
+def _stat_domain(v, dt_name: str):
+    """A stats-JSON or scan_filter value -> one comparable python
+    domain per column type (dates/timestamps to their objects,
+    numerics as-is). None = incomparable, keep the file."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    try:
+        if dt_name in ("bigint", "int", "smallint", "tinyint"):
+            return int(v)
+        if dt_name in ("double", "float"):
+            return float(v)
+        if dt_name == "date":
+            if isinstance(v, _dt.datetime):
+                return v.date()
+            if isinstance(v, _dt.date):
+                return v
+            return _dt.date.fromisoformat(str(v))
+        if dt_name in ("timestamp", "timestamp_ntz"):
+            if isinstance(v, _dt.datetime):
+                ts = v
+            else:
+                ts = _dt.datetime.fromisoformat(
+                    str(v).replace("Z", "+00:00")
+                )
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return ts
+        if dt_name == "string":
+            return str(v)
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _add_survives_filter(
+    add: dict, scan_filter: dict, types: dict, part_cols: Sequence[str]
+) -> bool:
+    """Driver-side file skipping for one add action: partitionValues
+    equality/range (typed through the schema — the log stores
+    strings) AND the protocol's per-file stats minValues/maxValues.
+    Conservative: a missing value, unparseable stats, or an
+    incomparable domain keeps the file; the scan re-applies the
+    predicate row-level. A DV on the file only removes rows, so its
+    recorded bounds stay a valid superset."""
+    pv = add.get("partitionValues") or {}
+    raw = add.get("stats")
+    mins: dict = {}
+    maxs: dict = {}
+    if raw:
+        try:
+            st = json.loads(raw)
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+        except (ValueError, TypeError):
+            pass
+    for col, flt in scan_filter.items():
+        tn = types.get(col)
+        if tn is None:
+            continue
+        if col in part_cols:
+            if col not in pv:
+                continue
+            lo = hi = _stat_domain(pv[col], tn)
+        else:
+            lo = _stat_domain(mins.get(col), tn)
+            hi = _stat_domain(maxs.get(col), tn)
+        if lo is None and hi is None:
+            continue
+        try:
+            if isinstance(flt, tuple):
+                f_lo = _stat_domain(flt[0], tn)
+                f_hi = _stat_domain(flt[1], tn)
+                if f_lo is not None and hi is not None and hi < f_lo:
+                    return False
+                if f_hi is not None and lo is not None and lo >= f_hi:
+                    return False
+            else:
+                v = _stat_domain(flt, tn)
+                if v is None:
+                    continue
+                if lo is not None and v < lo:
+                    return False
+                if hi is not None and v > hi:
+                    return False
+        except TypeError:
+            continue
+    return True
+
+
+def _scan_filter_predicate(scan_filter: dict):
+    """Row-level Column predicate for scan_filter: scalar equality;
+    (lo, hi) half-open, None unbounding a side — the re-application
+    that makes pruning an optimization, never the answer."""
+    pred = F.lit(True)
+    for col, flt in scan_filter.items():
+        if isinstance(flt, tuple):
+            lo, hi = flt
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) < F.lit(hi))
+        else:
+            pred = pred & (F.col(col) == F.lit(flt))
+    return pred
+
+
+def count_rows_delta(path: str, version: int | None = None) -> int:
+    """Metadata-only COUNT(*): sum of the active adds' stats
+    numRecords minus their deletion vectors' cardinalities — zero
+    data files opened, the same O(log) answer delta-spark serves.
+    Refuses loudly when any active file lacks numRecords (tables
+    written before stats landed — compact or rewrite to stamp them);
+    a guessed count would be silently wrong."""
+    table = os.path.abspath(path)
+    _meta, active, _txns = _snapshot_actions(table, version)
+    total = 0
+    for rel, add in active.items():
+        raw = add.get("stats")
+        n = None
+        if raw:
+            try:
+                n = json.loads(raw).get("numRecords")
+            except (ValueError, TypeError):
+                n = None
+        if n is None:
+            raise NotImplementedError(
+                f"active file {rel!r} records no numRecords stats: "
+                "metadata-only COUNT would be a guess (rewrite or "
+                "compact the table to stamp stats)"
+            )
+        total += int(n)
+        dv = add.get("deletionVector")
+        if dv is not None:
+            total -= int(dv.get("cardinality") or 0)
+    return total
 
 
 def _scan_snapshot(
@@ -986,6 +1228,9 @@ def write_delta(
                 "size": f["size"],
                 "modificationTime": f["mtime_ms"],
                 "dataChange": True,
+                "stats": _file_stats_json(
+                    os.path.join(table, f["rel_path"]), part_cols_stage
+                ),
             }
         }
         for f in _stage_data_files(df, table, part_cols_stage)
@@ -2130,6 +2375,9 @@ def _mask_rows_commit(
                     "size": f["size"],
                     "modificationTime": f["mtime_ms"],
                     "dataChange": True,
+                    "stats": _file_stats_json(
+                        os.path.join(table, f["rel_path"]), part_cols
+                    ),
                 }
             }
         )

@@ -650,3 +650,107 @@ def test_delta_multipart_checkpoint_read(spark, tmp_path, people):
     os.remove(os.path.join(log, f"{0:020d}.json"))
     got = read_delta(spark, t).select("id", "name", "country")
     assert _rows(got) == _rows(people)
+
+
+def test_delta_stats_skipping_and_metadata_count(spark, tmp_path):
+    """r15: add actions carry protocol stats (numRecords, minValues/
+    maxValues, nullCount); read_delta(scan_filter=...) prunes files
+    by them driver-side (zone-map skipping, no partitioning needed),
+    results stay exact, count_rows_delta answers COUNT(*) from the
+    log alone — DV cardinalities subtracted after a delete — and
+    stat-less foreign adds stay conservative."""
+    import datetime
+
+    from archetype_spark.sources.delta import (
+        count_rows_delta,
+        delete_where_delta,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("long").alias("id"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("name"),
+    )
+    t = str(tmp_path / "t")
+    write_delta(df.repartitionByRange(8, "id").sortWithinPartitions("id"), t)
+    # stats present in the log
+    import json as _json
+
+    log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    adds = [
+        _json.loads(line)["add"]
+        for line in open(log)
+        if '"add"' in line
+    ]
+    st = _json.loads(adds[0]["stats"])
+    assert st["numRecords"] > 0
+    assert "id" in st["minValues"] and "ts" in st["minValues"]
+    assert "name" not in st.get("minValues", {})  # strings: no bounds
+    assert st["nullCount"]["id"] == 0
+
+    full = read_delta(spark, t)
+    n_all = len(full.inputFiles())
+    assert n_all >= 6
+    pruned = read_delta(spark, t, scan_filter={"id": (100, 200)})
+    assert len(pruned.inputFiles()) < n_all
+    assert sorted(r.id for r in pruned.collect()) == list(range(100, 200))
+    probe = read_delta(spark, t, scan_filter={"id": 500})
+    assert len(probe.inputFiles()) <= 2
+    assert [r.id for r in probe.collect()] == [500]
+    # timestamp range prunes and stays exact
+    lo = datetime.datetime(1970, 1, 5)
+    hi = datetime.datetime(1970, 1, 9)
+    ts_rows = read_delta(spark, t, scan_filter={"ts": (lo, hi)})
+    assert len(ts_rows.inputFiles()) < n_all
+    assert ts_rows.count() == 96  # 4 days * 24
+    with pytest.raises(ValueError, match="scan_filter"):
+        read_delta(spark, t, scan_filter={"nope": 1})
+
+    # metadata-only COUNT, before and after a DV delete
+    assert count_rows_delta(t) == 1000
+    delete_where_delta(spark, t, "id % 10 = 0")
+    assert count_rows_delta(t) == 900
+    assert read_delta(spark, t).count() == 900
+    # DV files keep their (superset) bounds: pruning still exact
+    pruned2 = read_delta(spark, t, scan_filter={"id": (100, 200)})
+    assert sorted(r.id for r in pruned2.collect()) == [
+        i for i in range(100, 200) if i % 10 != 0
+    ]
+
+    # a stat-less add (foreign/old writer) keeps every file and
+    # refuses the metadata count loudly
+    t2 = str(tmp_path / "t2")
+    write_delta(df.repartitionByRange(4, "id"), t2)
+    log2 = os.path.join(t2, "_delta_log", f"{0:020d}.json")
+    out = []
+    for line in open(log2).read().splitlines():
+        a = _json.loads(line)
+        if "add" in a:
+            a["add"].pop("stats", None)
+        out.append(_json.dumps(a))
+    with open(log2, "w") as fh:
+        fh.write("\n".join(out))
+    nostats = read_delta(spark, t2, scan_filter={"id": (100, 200)})
+    assert len(nostats.inputFiles()) == len(read_delta(spark, t2).inputFiles())
+    assert sorted(r.id for r in nostats.collect()) == list(range(100, 200))
+    with pytest.raises(NotImplementedError, match="numRecords"):
+        count_rows_delta(t2)
+
+
+def test_delta_partition_value_pruning_via_scan_filter(spark, tmp_path):
+    """scan_filter on a PARTITION column prunes adds by their typed
+    partitionValues (the log stores strings) — equality and range."""
+    df = spark.createDataFrame(
+        [(i, i % 4, f"r{i}") for i in range(100)],
+        "id long, bucket long, payload string",
+    )
+    t = str(tmp_path / "t")
+    write_delta(df, t, partition_by=["bucket"])
+    full_files = len(read_delta(spark, t).inputFiles())
+    one = read_delta(spark, t, scan_filter={"bucket": 2})
+    assert len(one.inputFiles()) < full_files
+    assert sorted(r.id for r in one.collect()) == [
+        i for i in range(100) if i % 4 == 2
+    ]
+    rng = read_delta(spark, t, scan_filter={"bucket": (1, 3)})
+    assert sorted(set(r.bucket for r in rng.collect())) == [1, 2]
