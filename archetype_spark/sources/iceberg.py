@@ -2825,6 +2825,11 @@ def _equality_delta_commit_iceberg(
                         "record_count": f["num_rows"],
                         "file_size_in_bytes": f["size"],
                         "block_size_in_bytes": _BLOCK_SIZE,
+                        **_bounds_fields(
+                            os.path.join(data_root, f["rel_path"]),
+                            "parquet",
+                            _current_ice_schema(meta)["fields"],
+                        ),
                     },
                 }
             )
@@ -3120,6 +3125,11 @@ def _mask_rows_commit_iceberg(
                         "record_count": f["num_rows"],
                         "file_size_in_bytes": f["size"],
                         "block_size_in_bytes": _BLOCK_SIZE,
+                        **_bounds_fields(
+                            os.path.join(data_root, f["rel_path"]),
+                            "parquet",
+                            _current_ice_schema(meta)["fields"],
+                        ),
                     },
                 }
             )

@@ -754,3 +754,28 @@ def test_delta_partition_value_pruning_via_scan_filter(spark, tmp_path):
     ]
     rng = read_delta(spark, t, scan_filter={"bucket": (1, 3)})
     assert sorted(set(r.bucket for r in rng.collect())) == [1, 2]
+
+
+def test_delta_checkpoint_preserves_stats(spark, tmp_path):
+    """A checkpointed snapshot keeps serving add-action stats: data
+    skipping and the metadata-only COUNT both survive checkpoint_delta
+    dropping the JSON tail."""
+    from archetype_spark.sources.delta import (
+        checkpoint_delta,
+        count_rows_delta,
+    )
+
+    df = spark.range(0, 400).select(F.col("id").cast("long").alias("id"))
+    t = str(tmp_path / "t")
+    write_delta(df.repartitionByRange(4, "id").sortWithinPartitions("id"), t)
+    write_delta(
+        spark.range(400, 500).select(F.col("id").cast("long").alias("id")),
+        t,
+        mode="append",
+    )
+    checkpoint_delta(t)
+    n_all = len(read_delta(spark, t).inputFiles())
+    pruned = read_delta(spark, t, scan_filter={"id": (50, 120)})
+    assert len(pruned.inputFiles()) < n_all
+    assert sorted(r.id for r in pruned.collect()) == list(range(50, 120))
+    assert count_rows_delta(t) == 500
