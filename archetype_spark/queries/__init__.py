@@ -412,6 +412,15 @@ _MODULES = (
 #       exactly; 99 deferred; 149 gated total. q152 (NEW: Delta
 #       add-action stats skipping, the q151 twin) pins next,
 #       deferring q132 the same way; 100 deferred; 150 gated total.
+#   r16 sketch: the STALEST cohort is q131/q132 + q135-q140 (no
+#       driver row since r12 — the two late-r15 pin swaps kept
+#       q131/q132 out) — rotate them back first, then the r13-green
+#       retrieval/lake block q107-q111/q113-q116, then fill with the
+#       r14-green q95-q106 + q117/q118 cohort; defer the freshly-
+#       green r15 pins (the q57-q79/q82 tail, q119-q130, q141-q146,
+#       q36/q42/q112, q133/q134) in exchange. Pin q150/q151/q152 a
+#       second round ONLY if their fixtures change (schema-key /
+#       variant bumps).
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
