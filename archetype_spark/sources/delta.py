@@ -2634,7 +2634,12 @@ def checkpoint_delta(path: str, v2: bool = False, sidecars: int = 0) -> int:
     return version
 
 
-def vacuum_delta(path: str, clean_log: bool = False) -> dict:
+def vacuum_delta(
+    path: str,
+    clean_log: bool = False,
+    spark: SparkSession | None = None,
+    distributed: bool = False,
+) -> dict:
     """Physically delete data files no active snapshot references
     (tombstoned by remove actions — overwrites, merges) and, with
     `clean_log=True`, drop the JSON commits a checkpoint already
@@ -2644,9 +2649,18 @@ def vacuum_delta(path: str, clean_log: bool = False) -> dict:
     fails LOUDLY (the reader's missing-commit / missing-file errors),
     never silently wrong — the protocol's own retention trade.
     `clean_log` requires a checkpoint (refused otherwise: deleting
-    commits with no checkpoint would orphan the table)."""
+    commits with no checkpoint would orphan the table).
+
+    `distributed=True` (requires `spark`) runs the table walk in
+    EXECUTORS via sources/maintenance.py — the Iceberg twin's shape:
+    per-partition-dir listing tasks, a shuffle anti-join against the
+    keep frame, executor-side deletes. _delta_log is excluded from
+    the walk by name; the keep-set resolution (snapshot replay + CDF
+    retention + live DV descriptors) stays driver-side O(log)."""
     from archetype_spark.sources import dv as _dv
 
+    if distributed and spark is None:
+        raise ValueError("distributed vacuum needs the SparkSession")
     table = os.path.abspath(path)
     _meta, active, _txns = _snapshot_actions(table)
     keep = {
@@ -2687,20 +2701,47 @@ def vacuum_delta(path: str, clean_log: bool = False) -> dict:
                 )
             )
     deleted = {"data_files": 0, "log_files": 0}
-    for root, dirs, files in os.walk(table):
-        dirs[:] = [d for d in dirs if d != _LOG_DIR and not d.startswith(".")]
-        for name in files:
-            is_dv = name.startswith("deletion_vector_") and name.endswith(
-                ".bin"
-            )
-            if not name.endswith(".parquet") and not is_dv:
-                continue
-            rel = os.path.normpath(
-                os.path.relpath(os.path.join(root, name), table)
-            )
-            if rel not in (keep_dv if is_dv else keep):
-                os.remove(os.path.join(root, name))
-                deleted["data_files"] += 1
+
+    def _is_victim(name: str) -> bool:
+        return name.endswith(".parquet") or (
+            name.startswith("deletion_vector_") and name.endswith(".bin")
+        )
+
+    if distributed:
+        from archetype_spark.sources.maintenance import distributed_reclaim
+
+        # one abs keep frame: parquet paths and DV paths are disjoint
+        # name classes, so the union makes the same decisions as the
+        # driver walk's two-set check
+        keep_abs = {
+            os.path.normpath(os.path.join(table, p))
+            for p in (keep | keep_dv)
+        }
+        deleted["data_files"] = distributed_reclaim(
+            spark,
+            table,
+            keep_abs,
+            (".parquet",),
+            exclude_dirs=(_LOG_DIR,),
+            name_ok=_is_victim,
+        )
+    else:
+        for root, dirs, files in os.walk(table):
+            dirs[:] = [
+                d for d in dirs if d != _LOG_DIR and not d.startswith(".")
+            ]
+            for name in files:
+                is_dv = name.startswith("deletion_vector_") and name.endswith(
+                    ".bin"
+                )
+                if not name.endswith(".parquet") and not is_dv:
+                    continue
+                rel = os.path.normpath(
+                    os.path.relpath(os.path.join(root, name), table)
+                )
+                if rel not in (keep_dv if is_dv else keep):
+                    os.remove(os.path.join(root, name))
+                    deleted["data_files"] += 1
     if clean_log:
         lc_path = os.path.join(table, _LOG_DIR, "_last_checkpoint")
         if not os.path.exists(lc_path):

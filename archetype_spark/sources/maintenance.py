@@ -30,19 +30,26 @@ def distributed_reclaim(
     data_root: str,
     keep: set,
     suffixes: tuple,
+    exclude_dirs: tuple = (),
+    name_ok=None,
 ) -> int:
     """Delete every file under `data_root` whose name ends in one of
-    `suffixes` and whose normalized absolute path is NOT in `keep`.
-    Returns the number deleted. Listing, keep-join and deletion all
-    run in executors; the driver handles only the first-level
-    directory fan-out and the keep frame's creation. Hidden
-    (dot-prefixed) directories are pruned like the driver walk does."""
+    `suffixes` (or satisfies `name_ok`, when given — e.g. Delta's
+    deletion_vector_*.bin prefix+suffix shape) and whose normalized
+    absolute path is NOT in `keep`. Returns the number deleted.
+    Listing, keep-join and deletion all run in executors; the driver
+    handles only the first-level directory fan-out and the keep
+    frame's creation. Hidden (dot-prefixed) directories and any in
+    `exclude_dirs` (by name, e.g. _delta_log) are pruned like the
+    caller's driver walk would."""
     data_root = os.path.abspath(data_root)
+    excl = set(exclude_dirs)
     units = []
     subdirs = [
         os.path.join(data_root, d)
         for d in os.listdir(data_root)
         if not d.startswith(".")
+        and d not in excl
         and os.path.isdir(os.path.join(data_root, d))
     ]
     for d in sorted(subdirs):
@@ -50,6 +57,9 @@ def distributed_reclaim(
     units.append((data_root, False))  # the root's own direct files
 
     suffixes_t = tuple(suffixes)
+    ok = name_ok if name_ok is not None else (
+        lambda n: n.endswith(suffixes_t)
+    )
 
     def list_files(batches):
         import os as _os
@@ -62,10 +72,12 @@ def distributed_reclaim(
                 if rec:
                     for root, dirs, files in _os.walk(d):
                         dirs[:] = [
-                            x for x in dirs if not x.startswith(".")
+                            x
+                            for x in dirs
+                            if not x.startswith(".") and x not in excl
                         ]
                         for n in files:
-                            if n.endswith(suffixes_t):
+                            if ok(n):
                                 rows.append(
                                     _os.path.normpath(
                                         _os.path.join(root, n)
@@ -74,7 +86,7 @@ def distributed_reclaim(
                 else:
                     for n in _os.listdir(d):
                         p = _os.path.join(d, n)
-                        if n.endswith(suffixes_t) and _os.path.isfile(p):
+                        if ok(n) and _os.path.isfile(p):
                             rows.append(_os.path.normpath(p))
             yield _pd.DataFrame({"path": rows})
 

@@ -779,3 +779,40 @@ def test_delta_checkpoint_preserves_stats(spark, tmp_path):
     assert len(pruned.inputFiles()) < n_all
     assert sorted(r.id for r in pruned.collect()) == list(range(50, 120))
     assert count_rows_delta(t) == 500
+
+
+def test_delta_distributed_vacuum_matches_driver_walk(spark, tmp_path):
+    """vacuum_delta(distributed=True): the executor-side reclaim
+    (per-partition listing tasks, keep-frame anti-join, executor
+    deletes; _delta_log excluded by name) reclaims exactly what the
+    driver walk would on twin tables — tombstoned files AND stale
+    superseded deletion-vector bins — survivors read exactly, the
+    log directory is untouched, and re-running is a zero no-op."""
+    from archetype_spark.sources.delta import (
+        delete_where_delta,
+        vacuum_delta,
+    )
+
+    def build(t):
+        df = spark.createDataFrame(
+            [(i, "x" if i % 2 else "y", i * 10) for i in range(1, 9)],
+            "id long, p string, v long",
+        ).coalesce(1)
+        write_delta(df, t, partition_by=["p"])
+        write_delta(df, t, mode="overwrite")  # tombstones v0's files
+        delete_where_delta(spark, t, "id = 2")  # DV 1
+        delete_where_delta(spark, t, "id = 4")  # supersedes: stale bin
+        return t
+
+    ta = build(str(tmp_path / "driver"))
+    tb = build(str(tmp_path / "dist"))
+    n_log_before = len(os.listdir(os.path.join(tb, "_delta_log")))
+    want = vacuum_delta(ta)
+    got = vacuum_delta(tb, spark=spark, distributed=True)
+    assert got == want and got["data_files"] > 0
+    assert _rows(read_delta(spark, tb)) == _rows(read_delta(spark, ta))
+    assert len(os.listdir(os.path.join(tb, "_delta_log"))) == n_log_before
+    again = vacuum_delta(tb, spark=spark, distributed=True)
+    assert again["data_files"] == 0
+    with pytest.raises(ValueError, match="SparkSession"):
+        vacuum_delta(tb, distributed=True)
