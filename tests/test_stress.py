@@ -1186,3 +1186,47 @@ def test_stress_streaming_mirror_crash_replay(spark, stress_docs, tmp_path):
     # the replayed range produced no duplicate mirror commits: at
     # most the genuinely-new syncs' snapshots appeared
     assert len(snapshots_iceberg(dst)) <= n_before + 2
+
+
+def test_stress_zonemap_prune_both_formats(spark, stress_docs, tmp_path):
+    """r15: zone-map file skipping at 10x — 50k docs range-clustered
+    into 16 files per format; a narrow n_chars probe must open only
+    the intersecting files (pruning RATIO asserted, not just
+    plan shape) and still answer exactly; the unbounded scan stays
+    complete. Delta rides add-action stats, Iceberg manifest column
+    bounds — same fixture algebra, both gates."""
+    from archetype_spark.sources.delta import read_delta, write_delta
+    from archetype_spark.sources.iceberg import read_iceberg, write_iceberg
+
+    base = stress_docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    clustered = base.repartitionByRange(16, "n_chars").sortWithinPartitions(
+        "n_chars"
+    )
+    td, ti = str(tmp_path / "delta"), str(tmp_path / "ice")
+    write_delta(clustered, td)
+    write_iceberg(clustered, ti)
+    lo, hi = 280, 320  # a narrow band of the ~44-620 n_chars range
+    exp = base.filter(
+        (F.col("n_chars") >= lo) & (F.col("n_chars") < hi)
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    ).first()
+    for name, read, t in (
+        ("delta", read_delta, td),
+        ("iceberg", read_iceberg, ti),
+    ):
+        full = read(spark, t)
+        n_all = len(full.inputFiles())
+        assert n_all >= 12, (name, n_all)
+        probe = read(spark, t, scan_filter={"n_chars": (lo, hi)})
+        n_open = len(probe.inputFiles())
+        # a 40-char band of a range-clustered corpus intersects only
+        # a few of 16 range files — the pruning RATIO is the feature
+        assert n_open <= n_all // 3, (name, n_open, n_all)
+        got = probe.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+        ).first()
+        assert tuple(got) == tuple(exp), name
+        assert full.count() == 50_000, name
