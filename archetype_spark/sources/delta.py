@@ -830,6 +830,9 @@ def _file_stats_json(abs_path: str, part_cols: Sequence[str]) -> str | None:
             if st is None:
                 dropped.add(name)
                 no_nulls.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                nulls.pop(name, None)  # a partial count would be wrong
                 continue
             if st.null_count is None:
                 no_nulls.add(name)

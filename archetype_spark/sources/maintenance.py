@@ -111,7 +111,7 @@ def distributed_reclaim(
         .mapInPandas(list_files, "path string")
     )
     keep_df = spark.createDataFrame(
-        ((p,) for p in keep), "path string"
+        [(p,) for p in keep] or [], "path string"
     )
     doomed = listed.join(keep_df, "path", "left_anti")
     out = (
