@@ -365,10 +365,23 @@ def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
     from the log file NAME's fileId prefix."""
     slices: dict[str, dict] = {}
     rb_logs: dict[str, set[str]] = {}  # fid -> rollback-appended paths
+    rb_dead: dict[str, int] = {}  # fid -> dead instants masking it
     for instant, action, meta in _timeline_with_meta(path, rollbacks=True):
         if as_of is not None and instant > str(as_of):
             break
         if action == _ROLLBACK:
+            n_dead = len(
+                {str(c) for c in meta.get("commitsRollback") or []}
+                | {
+                    str(c.get("commitTime")) if isinstance(c, dict) else str(c)
+                    for c in meta.get("instantsRollback") or []
+                }
+                | (
+                    {str(meta["instantToRollback"])}
+                    if meta.get("instantToRollback")
+                    else set()
+                )
+            ) or 1
             for _part, pm in (meta.get("partitionMetadata") or {}).items():
                 for rel in pm.get("rollbackLogFiles") or []:
                     name = os.path.basename(rel)
@@ -381,6 +394,7 @@ def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
                         continue
                     sl["logs"].append((instant, rel))
                     rb_logs.setdefault(fid, set()).add(rel)
+                    rb_dead[fid] = rb_dead.get(fid, 0) + n_dead
             continue
         if action == ".replacecommit":
             for _part, fids in (
@@ -434,12 +448,26 @@ def _file_slices(path: str, as_of: str | None = None) -> dict[str, dict]:
             )
         missing = set(range(1, versions[-1] + 1)) - set(versions) if versions else set()
         uncovered = {v for v in missing if v > rb_max}
+        covered = missing - uncovered
         if uncovered:
             raise ValueError(
                 f"Hudi log chain for file group {fid} has a version "
                 f"gap at {sorted(uncovered)} (have {versions}) not "
                 "covered by any rollback instant — refusing to merge "
                 "a chain with a hole"
+            )
+        if len(covered) > rb_dead.get(fid, 0):
+            # each rollback masks a COUNTED set of dead instants, and
+            # a dead inflight write leaves at most one log hole per
+            # slice — more holes than dead instants means a hole a
+            # COMPLETED commit's log once filled (lost/mis-archived
+            # naming), which no mask covers
+            raise ValueError(
+                f"Hudi log chain for file group {fid} has "
+                f"{len(covered)} version gap(s) {sorted(covered)} but "
+                f"its rollback instants mask only "
+                f"{rb_dead.get(fid, 0)} dead write(s) — a completed "
+                "commit's log is unaccounted for; refusing to merge"
             )
     return slices
 

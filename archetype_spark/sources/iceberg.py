@@ -310,7 +310,10 @@ def _with_initial_defaults(
         for p, _pv in entries:
             have = _file_column_names(p, fmt)
             rows.append(
-                tuple([os.path.abspath(p)] + [n in have for n in names])
+                tuple(
+                    [os.path.normpath(os.path.abspath(p))]
+                    + [n in have for n in names]
+                )
             )
     if not rows:
         return scan
@@ -319,11 +322,26 @@ def _with_initial_defaults(
     scan = scan.join(F.broadcast(pres), "__dv_file", "left")
     for n in names:
         val, _t = dmap[n]
+        has = F.col(f"__has_{n}")
+        # a join MISS means the probed path and the scan's
+        # _metadata-derived path diverged (foreign un-normalized
+        # segments) — guessing either way would be silently wrong,
+        # so refuse loudly per the module contract
         scan = scan.withColumn(
             n,
             F.when(
-                F.coalesce(F.col(f"__has_{n}"), F.lit(True)), F.col(n)
-            ).otherwise(F.lit(val).cast(schema[n].dataType)),
+                has.isNull(),
+                F.raise_error(
+                    F.lit(
+                        "initial-default presence unresolved for a "
+                        "scanned file (path normalization mismatch "
+                        "between the manifest and the scan) — "
+                        "refusing to guess between null and default"
+                    )
+                ).cast(schema[n].dataType),
+            )
+            .when(has, F.col(n))
+            .otherwise(F.lit(val).cast(schema[n].dataType)),
         ).drop(f"__has_{n}")
     return scan
 
@@ -3973,17 +3991,25 @@ def _prior_delete_mask(
     wrong."""
     from archetype_spark.sources import puffin as _puffin
 
+    # resolve the parent by its RECORDED id, not list position: a
+    # foreign snapshots array may interleave branch/tag snapshots, and
+    # subtracting a non-ancestor's mask would itself be silently wrong
+    parent_id = snaps[sid].get("parent-snapshot-id")
     idx = ordered.index(sid)
-    if idx == 0:
-        if snaps[sid].get("parent-snapshot-id") is not None:
-            raise FileNotFoundError(
-                f"snapshot {sid} adds deletion vectors but its parent "
-                "snapshot is no longer retained: the DV delta (vs the "
-                "merged-in prior mask) cannot be derived"
-            )
-        return {}
+    if parent_id is None:
+        if idx == 0:
+            return {}  # the table's first snapshot: nothing prior
+        # our own writer's linear history records no parent ids on
+        # older metadata; positional fallback is exact there
+        parent_id = ordered[idx - 1]
+    if parent_id not in snaps:
+        raise FileNotFoundError(
+            f"snapshot {sid} adds deletion vectors but its parent "
+            f"snapshot {parent_id} is no longer retained: the DV "
+            "delta (vs the merged-in prior mask) cannot be derived"
+        )
     want = {_norm_table_path(table, ref) for _p, _o, _s, ref in dv_dels}
-    parent = snaps[ordered[idx - 1]]
+    parent = snaps[parent_id]
     data, deletes, _eq = _live_entries(table, parent)
     mask: dict[str, set[int]] = {}
     pos_files = []

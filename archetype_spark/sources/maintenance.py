@@ -41,8 +41,16 @@ def distributed_reclaim(
     handles only the first-level directory fan-out and the keep
     frame's creation. Hidden (dot-prefixed) directories and any in
     `exclude_dirs` (by name, e.g. _delta_log) are pruned like the
-    caller's driver walk would."""
+    caller's driver walk would.
+
+    The returned count is best-effort under Spark task RETRY or
+    speculation: a retried delete task finds its first attempt's
+    files already gone (counted 0) — the filesystem end-state is
+    identical either way, only the tally can undercount. Local-mode
+    tests see no retries, so twin-walk count equality holds there."""
     data_root = os.path.abspath(data_root)
+    if not os.path.isdir(data_root):
+        return 0  # metadata-only table: the driver walk no-ops too
     excl = set(exclude_dirs)
     units = []
     subdirs = [

@@ -46,12 +46,17 @@ from archetype_spark.sources.replicate import (
 )
 
 #: per-format commit-log location + the glob matching ONLY completed
-#: commits (atomically renamed into place): Hudi inflight/requested
+#: instants (atomically renamed into place): Hudi inflight/requested
 #: marker files carry extra suffixes the brace glob excludes.
+#: .rollback is included as a TRIGGER: this engine's rollbacks only
+#: ever mask instants that never completed (so nothing replicated can
+#: be rolled back), but a foreign writer's rollback still changes
+#: visible state and must wake the sync rather than leave the mirror
+#: stale until an unrelated future commit.
 _COMMIT_GLOBS = {
     "delta": ("_delta_log", "*.json"),
     "iceberg": ("metadata", "v*.metadata.json"),
-    "hudi": (".hoodie", "*.{commit,deltacommit,replacecommit}"),
+    "hudi": (".hoodie", "*.{commit,deltacommit,replacecommit,rollback}"),
 }
 
 

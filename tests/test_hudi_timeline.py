@@ -577,6 +577,46 @@ def test_rollback_of_inflight_write_leaves_acceptable_gap(
     assert all(r[1] != "ZOMBIE" for r in got.values())
 
 
+def test_rollback_gap_wider_than_dead_set_refuses(spark, tmp_path, people):
+    """The gap acceptance is COUNTED (r15 review): a rollback masking
+    ONE dead write can explain at most one hole per slice — a second
+    hole below its log version is a COMPLETED commit's log the
+    timeline lost, which no mask covers; refusing beats silently
+    merging around missing committed rows."""
+    t, fg, base, part, schema = _mor_with_log(spark, tmp_path, people)
+    last = int(hudi_timeline(t)[-1])
+    dead, rb = str(last + 1), str(last + 2)
+    for v in (2, 3):  # TWO physical unnamed logs
+        logn = hudi_log.log_file_name(fg, base, v, "1-0-1")
+        with open(os.path.join(t, part, logn), "wb") as fh:
+            fh.write(
+                hudi_log.avro_data_block(
+                    [_rec(fg, 2, f"Z{v}", "b", 999, dead)], schema, dead
+                )
+            )
+    log4 = hudi_log.log_file_name(fg, base, 4, "1-0-1")
+    with open(os.path.join(t, part, log4), "wb") as fh:
+        fh.write(hudi_log.rollback_block(dead, rb))
+    _publish_commit(
+        t,
+        rb,
+        {
+            "operationType": "ROLLBACK",
+            "instantsRollback": [dead],  # ONE dead instant
+            "partitionMetadata": {
+                part: {
+                    "rollbackLogFiles": [
+                        f"{part}/{log4}" if part else log4
+                    ]
+                }
+            },
+        },
+        action=".rollback",
+    )
+    with pytest.raises(ValueError, match="dead write"):
+        read_hudi(spark, t).collect()
+
+
 def test_rollback_mask_survives_archival(spark, tmp_path, people):
     """Archiving the .rollback instant must not lose the mask: the
     dead-instant set reads from the ARCHIVED rollback metadata too
