@@ -421,83 +421,79 @@ _MODULES = (
 #       q36/q42/q112, q133/q134) in exchange. Pin q150/q151/q152 a
 #       second round ONLY if their fixtures change (schema-key /
 #       variant bumps).
+#   r16 EXECUTED (CORRECTNESS_r15 landed 49/50; q150 hash-red on
+#       its raw-decimal w_sum per the r15 verdict): q150 re-pins
+#       (code CHANGED: w_sum -> bigint w_cents, both sides — the
+#       first-round-pin rule); then the sketch's returns: the
+#       stalest q131/q132 + q135-q140 (no driver row since r12),
+#       the r13-green q107-q111/q113-q116, the r14-green q95-q106 +
+#       q117/q118, and q01-q18 from the r14-green basics block to
+#       fill. Deferred in exchange: the freshly-green r15 pins
+#       (q36/q42/q112, the q57-q79/q82 tail, q119-q130, q133/q134,
+#       q141-q146, q151/q152) and the rest of the r14-green block
+#       (q19-q22/q24-q26/q29-q35/q37-q55/q80-q94, q147-q149).
+#       50 pins + 0 unpinned gated = 50 exactly; 100 deferred; 150
+#       gated total. New r16 queries pin on landing by swapping out
+#       tail fills (q18, then q17, ...) late-r15 style.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
-    "q36_ngram_jaccard",
-    "q42_lsh_topk",
-    "q57_training_pipeline",
-    "q58_list_agg",
-    "q59_full_outer_join",
-    "q60_stats_math",
-    "q61_ivf_topk",
-    "q62_url_fetch",
-    "q63_tf_idf",
-    "q64_ingest_dedup",
-    "q65_minhash_fast",
-    "q66_dedup_clusters",
-    "q67_training_mix",
-    "q68_sequence_pack",
-    "q69_repetition",
-    "q70_corpus_curation",
-    "q71_decontamination",
-    "q72_semantic_dedup",
-    "q73_stop_shingle_jaccard",
-    "q74_quality_keeper",
-    "q75_mixture_sample",
-    "q76_relative_quality_gate",
-    "q77_filtered_ivf_topk",
-    "q78_mixture_resample",
-    "q79_pack_payloads",
-    "q82_exact_pack",
-    "q112_bm25_topk",
-    "q119_delta_deletes_scan",
-    "q120_iceberg_deletes_scan",
-    "q121_image_pixel_decode",
-    "q122_iceberg_cdc_scan",
-    "q123_iceberg_day_prune_scan",
-    "q124_delta_mapped_scan",
-    "q125_ivf_pq_rerank",
-    "q126_lake_replication",
-    "q127_delta_cdf_scan",
-    "q128_cdf_mirror_scan",
-    "q129_audio_spectral",
-    "q130_iceberg_changelog",
-    "q133_html_extract",
-    "q134_pdf_extract",
-    "q141_hudi_mor_scan",
-    "q142_hudi_changes",
-    "q143_hudi_read_optimized",
-    "q144_hudi_clustered_scan",
-    "q145_hudi_cleaned_scan",
-    "q146_hudi_replication_mesh",
     "q150_iceberg_nested_scan",
-    "q151_iceberg_bounds_prune",
-    "q152_delta_stats_prune",
+    "q131_iceberg_eq_changelog",
+    "q132_iceberg_mixed_formats",
+    "q135_warc_pipeline",
+    "q136_image_near_dups",
+    "q137_video_frames",
+    "q138_delta_mirror_scan",
+    "q139_hudi_scan",
+    "q140_tri_lake_consistency",
+    "q107_delta_changes",
+    "q108_lake_federation",
+    "q109_iceberg_metadata_counts",
+    "q110_delta_evolution_scan",
+    "q111_iceberg_changes",
+    "q113_hybrid_rrf",
+    "q114_pq_adc_topk",
+    "q115_bpe_token_counts",
+    "q116_zorder_scan",
+    "q95_curation_v2",
+    "q96_cluster_cap",
+    "q97_verbatim_leaks",
+    "q98_minhash_containment",
+    "q99_stream_curation_face",
+    "q100_binary_ingest",
+    "q101_simhash_fast",
+    "q102_dsir_importance",
+    "q103_quality_tiers",
+    "q104_delta_scan",
+    "q105_iceberg_scan",
+    "q106_delta_merge_upsert",
+    "q117_hybrid_rrf_bounded",
+    "q118_ivf_pq_topk",
+    "q01_scan_filter_project",
+    "q02_in_list",
+    "q03_compound_predicate",
+    "q04_computed_columns",
+    "q05_inner_join",
+    "q06_multiway_join",
+    "q07_left_join",
+    "q08_semi_join",
+    "q09_anti_join",
+    "q10_cross_join",
+    "q11_global_agg",
+    "q12_grouped_agg",
+    "q13_count_distinct",
+    "q14_having",
+    "q15_rollup",
+    "q16_topk",
+    "q17_string_fns",
+    "q18_date_fns",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
-        # r15: everything gated outside the 50 explicit pins -
-        # all green r11-r14 and locally hash-checked each run.
-        "q01_scan_filter_project",
-        "q02_in_list",
-        "q03_compound_predicate",
-        "q04_computed_columns",
-        "q05_inner_join",
-        "q06_multiway_join",
-        "q07_left_join",
-        "q08_semi_join",
-        "q09_anti_join",
-        "q10_cross_join",
-        "q11_global_agg",
-        "q12_grouped_agg",
-        "q13_count_distinct",
-        "q14_having",
-        "q15_rollup",
-        "q16_topk",
-        "q17_string_fns",
-        "q18_date_fns",
+        # r16: everything gated outside the 50 explicit pins -
+        # all green r11-r15 and locally hash-checked each run.
         "q19_math_fns",
         "q20_case_coalesce",
         "q21_ranking_window",
@@ -514,11 +510,13 @@ _DEFERRED: frozenset[str] = frozenset(
         "q33_hash_dedup",
         "q34_token_stats",
         "q35_doc_quality",
+        "q36_ngram_jaccard",
         "q37_embedding_dups",
         "q38_lang_id",
         "q39_top_tokens",
         "q40_minhash_pairs",
         "q41_simhash_pairs",
+        "q42_lsh_topk",
         "q43_media_decode",
         "q44_fingerprints",
         "q45_tumbling_window",
@@ -532,8 +530,32 @@ _DEFERRED: frozenset[str] = frozenset(
         "q53_cube",
         "q54_percentiles",
         "q55_unpivot",
+        "q57_training_pipeline",
+        "q58_list_agg",
+        "q59_full_outer_join",
+        "q60_stats_math",
+        "q61_ivf_topk",
+        "q62_url_fetch",
+        "q63_tf_idf",
+        "q64_ingest_dedup",
+        "q65_minhash_fast",
+        "q66_dedup_clusters",
+        "q67_training_mix",
+        "q68_sequence_pack",
+        "q69_repetition",
+        "q70_corpus_curation",
+        "q71_decontamination",
+        "q72_semantic_dedup",
+        "q73_stop_shingle_jaccard",
+        "q74_quality_keeper",
+        "q75_mixture_sample",
+        "q76_relative_quality_gate",
+        "q77_filtered_ivf_topk",
+        "q78_mixture_resample",
+        "q79_pack_payloads",
         "q80_boilerplate_lines",
         "q81_pii_scrub",
+        "q82_exact_pack",
         "q83_deterministic_shuffle",
         "q84_paragraph_dedup",
         "q85_random_projection",
@@ -546,40 +568,32 @@ _DEFERRED: frozenset[str] = frozenset(
         "q92_mixed_language",
         "q93_span_corruption",
         "q94_weighted_sample",
-        "q95_curation_v2",
-        "q96_cluster_cap",
-        "q97_verbatim_leaks",
-        "q98_minhash_containment",
-        "q99_stream_curation_face",
-        "q100_binary_ingest",
-        "q101_simhash_fast",
-        "q102_dsir_importance",
-        "q103_quality_tiers",
-        "q104_delta_scan",
-        "q105_iceberg_scan",
-        "q106_delta_merge_upsert",
-        "q107_delta_changes",
-        "q108_lake_federation",
-        "q109_iceberg_metadata_counts",
-        "q110_delta_evolution_scan",
-        "q111_iceberg_changes",
-        "q113_hybrid_rrf",
-        "q114_pq_adc_topk",
-        "q115_bpe_token_counts",
-        "q116_zorder_scan",
-        "q117_hybrid_rrf_bounded",
-        "q118_ivf_pq_topk",
-        "q131_iceberg_eq_changelog",
-        "q132_iceberg_mixed_formats",
-        "q135_warc_pipeline",
-        "q136_image_near_dups",
-        "q137_video_frames",
-        "q138_delta_mirror_scan",
-        "q139_hudi_scan",
-        "q140_tri_lake_consistency",
+        "q112_bm25_topk",
+        "q119_delta_deletes_scan",
+        "q120_iceberg_deletes_scan",
+        "q121_image_pixel_decode",
+        "q122_iceberg_cdc_scan",
+        "q123_iceberg_day_prune_scan",
+        "q124_delta_mapped_scan",
+        "q125_ivf_pq_rerank",
+        "q126_lake_replication",
+        "q127_delta_cdf_scan",
+        "q128_cdf_mirror_scan",
+        "q129_audio_spectral",
+        "q130_iceberg_changelog",
+        "q133_html_extract",
+        "q134_pdf_extract",
+        "q141_hudi_mor_scan",
+        "q142_hudi_changes",
+        "q143_hudi_read_optimized",
+        "q144_hudi_clustered_scan",
+        "q145_hudi_cleaned_scan",
+        "q146_hudi_replication_mesh",
         "q147_hudi_archived_scan",
         "q148_iceberg_v3_dv_scan",
         "q149_lake_relay",
+        "q151_iceberg_bounds_prune",
+        "q152_delta_stats_prune",
     }
 )
 

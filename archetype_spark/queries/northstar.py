@@ -2582,16 +2582,22 @@ def _ensure_iceberg_nested(spark: SparkSession, sf_dir: str) -> str:
 
 def q150_iceberg_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested + decimal Iceberg under the driver gate: per label —
-    vector count, decimal weight sum, struct-derived dimension sum,
-    and the summed squares of every array component (explode + agg,
-    staying in whole-stage codegen; higher-order F.aggregate runs
-    interpreted). Every value flows through the protocol-native
-    nested writer/reader AND the v3 deletion vectors the fixture's
-    delete staged, so a mis-bound nested field id, a decimal scale
-    lost in staging, a struct column dropped by the scan, or a DV
-    that mis-masked an array file each move at least one column
-    against the oracle's raw-parquet recompute. The component
-    aggregate is 10 rows (one per label) and broadcasts to the join."""
+    vector count, decimal weight sum AS BIGINT CENTS, struct-derived
+    dimension sum, and the summed squares of every array component
+    (explode + agg, staying in whole-stage codegen; higher-order
+    F.aggregate runs interpreted). Every value flows through the
+    protocol-native nested writer/reader AND the v3 deletion vectors
+    the fixture's delete staged, so a mis-bound nested field id, a
+    decimal scale lost in staging, a struct column dropped by the
+    scan, or a DV that mis-masked an array file each move at least
+    one column against the oracle's raw-parquet recompute. The
+    component aggregate is 10 rows (one per label) and broadcasts to
+    the join. The weight sum quantizes to bigint cents (the corpus'
+    documented decimal pattern, see q55's note below) because the
+    r15 driver row proved raw DECIMAL output columns sit outside the
+    driver's proven hash-canonicalization domain — the decimal
+    staging through the writer/reader stays fully exercised (a lost
+    scale or mis-bound field id still moves the cents)."""
     from archetype_spark.sources.iceberg import read_iceberg
 
     table = _ensure_iceberg_nested(spark, sf_dir)
@@ -2606,11 +2612,11 @@ def q150_iceberg_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ice.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.sum("weight").alias("w_sum"),
+            (F.sum("weight") * 100).cast("bigint").alias("w_cents"),
             F.sum(F.col("meta.dim")).cast("bigint").alias("dims"),
         )
         .join(F.broadcast(comp), "label")
-        .select("label", "n_vecs", "w_sum", "dims", "ss")
+        .select("label", "n_vecs", "w_cents", "dims", "ss")
     )
 
 
@@ -5603,7 +5609,10 @@ ORACLES["q148_iceberg_v3_dv_scan"] = """
 # embeddings parquet — the fixture's delete (vec_id % 7 = 3) filters,
 # the struct's dim re-derives as len(embedding), the decimal weight
 # as the same CAST, and the component sum-of-squares re-aggregates
-# from UNNEST. Aggregate-level ROUND absorbs float merge order.
+# from UNNEST. Aggregate-level ROUND absorbs float merge order. The
+# weight sum is quantized to bigint cents on BOTH sides: r15's one
+# red driver row proved a raw DECIMAL output column diverges in the
+# driver's hash canonicalization even when values agree exactly.
 ORACLES["q150_iceberg_nested_scan"] = """
     WITH kept AS (
       SELECT vec_id, label, embedding,
@@ -5617,7 +5626,7 @@ ORACLES["q150_iceberg_nested_scan"] = """
       GROUP BY label
     )
     SELECT k.label AS label, COUNT(*)::BIGINT AS n_vecs,
-           SUM(k.weight) AS w_sum,
+           CAST(SUM(k.weight) * 100 AS BIGINT) AS w_cents,
            SUM(len(k.embedding))::BIGINT AS dims,
            ANY_VALUE(c.ss) AS ss
     FROM kept k JOIN comp c ON k.label = c.label

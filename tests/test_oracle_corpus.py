@@ -17,9 +17,30 @@ ORACLES = all_oracles(SF_SMOKE, require_live_index=False)
 QUERIES = all_queries()
 
 
+def _assert_no_raw_decimal_output(name, df):
+    """Raw DECIMAL output columns are structurally banned from the
+    corpus: r15's one red driver row (q150) proved the driver's hash
+    canonicalization diverges on Decimal values even when Spark and
+    DuckDB agree exactly (Spark keeps Decimal('8555.00'); a
+    dataframe-converted oracle side becomes float64). The corpus'
+    documented pattern is to quantize through decimal to bigint
+    cents (queries/northstar.py q55 note); this assertion makes the
+    whole bug class impossible to reintroduce."""
+    from pyspark.sql.types import DecimalType
+
+    bad = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, DecimalType)]
+    assert not bad, (
+        f"{name}: raw DECIMAL output column(s) {bad} — quantize to "
+        "bigint cents (driver hash canonicalization is unproven on "
+        "Decimal; see the q150 r15 incident)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
+    _assert_no_raw_decimal_output(name, df)
     ok, detail = compare(df, ORACLES[name], sf_dir)
     assert ok, f"{name}: {detail}"
 
@@ -27,6 +48,7 @@ def test_oracle_match(spark, sf_dir, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
+    _assert_no_raw_decimal_output(name, df)
     n = df.count()
     assert n >= 0
     assert df.columns
