@@ -143,6 +143,15 @@ def ngram_jaccard_pairs(
         F.when(F.col("_s0").isNotNull(), F.xxhash64("_s0")).alias("_s"),
     )
     if max_shingle_df is not None:
+        # Same barrier as below, one stage earlier: the stop-shingle
+        # machinery references `ex` three times (DF count, semi-join
+        # probe, per-doc recount) and each reference otherwise
+        # re-runs the shingling Generate (3 Generate stages in the
+        # executed q73 plan). Partitioning by `_s` here also
+        # pre-positions the DF aggregation and the semi-join.
+        ex = ex.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("_s")
+        )
         keep = (
             ex.groupBy("_s")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -153,6 +162,18 @@ def ngram_jaccard_pairs(
         # set sizes must match the reduced universe: recount per doc
         n_sh = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_sh2"))
         ex = ex.drop("_n_sh").join(n_sh, "_id").withColumnRenamed("_n_sh2", "_n_sh")
+    # Exchange barrier on the join key BEFORE the self-join (the
+    # minhash_pairs_from_signatures pattern): without it each side of
+    # the self-join re-runs the whole shingling subtree (the broadcast
+    # build side re-shingles the corpus — observed in the executed
+    # plan as two Generate stages over one ReusedExchange). With it
+    # both aliases read ONE computed exchange, and since the exchange
+    # is hashpartitioned on `_s` the join itself needs no further
+    # shuffle. Measured same-JVM at sf0.1: q36 1.31->1.24 s,
+    # q73 1.61->1.50 s, rows identical.
+    ex = ex.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("_s")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
@@ -473,6 +494,18 @@ def simhash63(
     # raise loudly (raise_error) instead of fingerprinting wrong —
     # split degenerate multi-MB docs upstream (they have no
     # meaningful single fingerprint anyway).
+    # Fingerprint assembly, r16: the unrolled 60-term
+    # when(ones*2>nt)<<j ADD chain was measured costing ~1.3 s of
+    # DRIVER time per execution — analysis/optimization/codegen walk
+    # the O(bits)-node tree on every fresh plan (same-object
+    # re-execution ran 0.59 s where a rebuilt plan ran 1.92 s). The
+    # vote unpack now runs as ONE higher-order aggregate over the
+    # packed-counter array: the lambda body is a constant-size tree,
+    # and interpreted evaluation only touches #docs rows (the
+    # CLAUDE.md higher-order caveat applies to per-token-occurrence
+    # work — the per-TOKEN explode+SUM phase stays in codegen
+    # unchanged). Same-JVM A/B: fingerprint stage 2.10 -> 0.75 s at
+    # sf0.1, fingerprints bit-identical.
     ex = fan_out(df).select(
         F.col(id_col).alias("_id"), F.explode(tok).alias("_t")
     ).withColumn("_h", hfn(F.col("_t")))
@@ -485,20 +518,23 @@ def simhash63(
             expr = term if expr is None else expr + term
         packed.append(F.sum(expr).alias(f"_p{gi}"))
     agg = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_nt"), *packed)
-    fp = None
-    for gi, g in enumerate(groups):
-        for k, j in enumerate(g):
-            ones = F.shiftright(f"_p{gi}", k * 21).bitwiseAND(F.lit((1 << 21) - 1))
-            bit = F.when(ones * 2 > F.col("_nt"), F.lit(1).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            ) * F.lit(1 << j).cast("bigint")
-            fp = bit if fp is None else fp + bit
+    parr = F.array(*[F.col(f"_p{gi}") for gi in range(len(groups))])
+    # bit j lives in packed slot (j DIV 3) at offset (j % 3)*21 —
+    # groups are consecutive triples, so the arithmetic mapping holds
+    # for any `bits`. 2097151 = 2^21 - 1, the counter mask.
+    fp = F.expr(
+        f"""aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),
+          (acc, j) -> acc + shiftleft(
+            CASE WHEN (shiftright(element_at(_parr, CAST(j DIV 3 AS INT) + 1),
+                                  (j % 3) * 21) & 2097151) * 2 > _nt
+                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, j))"""
+    )
     guarded = F.when(F.col("_nt") < F.lit(1 << 21), fp).otherwise(
         F.raise_error(
             F.lit("simhash packed votes overflow: document exceeds 2^21 tokens")
         ).cast("bigint")
     )
-    return agg.select("_id", guarded.alias("simhash"))
+    return agg.withColumn("_parr", parr).select("_id", guarded.alias("simhash"))
 
 
 def simhash_pairs_from_fingerprints(

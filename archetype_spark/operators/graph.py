@@ -63,10 +63,19 @@ def connected_components(
     e = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
     sym = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
     sym = sym.localCheckpoint(eager=True)
+    # Fused init: label every node with the min of its CLOSED
+    # neighborhood (itself and its direct neighbors) — identical to
+    # the identity-label init followed by one propagation round, for
+    # one groupBy instead of a distinct + a full join round (each
+    # eager round is two driver jobs; quasi-clique graphs now reach
+    # the fixpoint in 1-2 loop rounds instead of 2-3).
     labels = (
-        sym.select(F.col("_a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
+        sym.groupBy("_a")
+        .agg(F.min("_b").alias("_mn"))
+        .select(
+            F.col("_a").alias("node"),
+            F.least("_a", "_mn").alias("component"),
+        )
         .localCheckpoint(eager=True)
     )
     def _label_sum(lbl: DataFrame) -> int:

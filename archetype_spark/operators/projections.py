@@ -207,6 +207,16 @@ def signcode_topk(
         F.col(id_col).alias("_id"),
         F.posexplode(band_codes).alias("_band", "_code"),
     )
+    # Exchange barrier on the band join key (the
+    # minhash_pairs_from_signatures pattern): both self-join aliases
+    # otherwise re-run the integer-GEMM projection stage; with the
+    # barrier they read ONE computed exchange, already partitioned
+    # the way the candidate join needs it.
+    coded = coded.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism,
+        F.col("_band"),
+        F.col("_code"),
+    )
     a, b = coded.alias("a"), coded.alias("b")
     # UNORDERED candidates (a < b): halves the dedup exchange and the
     # scoring work; cosine is symmetric, so the directed view needed
@@ -241,13 +251,23 @@ def signcode_topk(
             AUTO_BROADCAST_MAX_BYTES if auto_max_bytes is None else auto_max_bytes
         ),
     )
-    scored = once.unionByName(
-        once.select(
-            F.col("other_vec_id").alias("vec_id"),
-            F.col("vec_id").alias("other_vec_id"),
-            "cos_sim",
-        )
-    )
+    # Mirror via a 2-element explode, NOT a self-union: a union's two
+    # branches each re-evaluate the whole candidate+scoring subtree
+    # (the projection mapInPandas ran TWICE in the executed plan —
+    # 19 parquet scans for one query); the explode emits both
+    # directions from one pass of the scored rows.
+    scored = once.select(
+        F.explode(
+            F.array(
+                F.struct("vec_id", "other_vec_id", "cos_sim"),
+                F.struct(
+                    F.col("other_vec_id").alias("vec_id"),
+                    F.col("vec_id").alias("other_vec_id"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("_m")
+    ).select("_m.*")
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(

@@ -115,7 +115,20 @@ def bm25_scores(
     one-row broadcast crossJoin; df rides along on the broadcast term
     rows. No join is keyed on anything wider than (doc, term)."""
     if terms is None:
-        terms = derive_query_terms(docs, id_col=id_col, text_col=text_col)
+        # Materialize the derived term set as a LITERAL frame: it is
+        # n_terms rows of bounded metadata (the documented collect-cap
+        # discipline — same class as the IVF centroid reads), and the
+        # lazy frame is referenced by TWO broadcast builds below whose
+        # projections differ, so each would otherwise re-run the full
+        # corpus token-explode + top-k subtree (guide §7.4: "compute
+        # the small side first"). Values are exactly the derived rows.
+        derived = derive_query_terms(
+            docs, id_col=id_col, text_col=text_col
+        ).collect()
+        terms = docs.sparkSession.createDataFrame(
+            docs.sparkSession.sparkContext.parallelize(derived, 1),
+            "token string, df bigint",
+        )
     toks = _tokens(docs, id_col, text_col)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),

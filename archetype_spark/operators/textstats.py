@@ -34,6 +34,23 @@ STOPWORDS = {
 LANGS = sorted(STOPWORDS)  # deterministic priority order for ties
 
 
+def _ngram_parts(text_col: str, n: int) -> F.Column:
+    """Array of n-gram part-structs (fields "0".."n-1") over the
+    split-on-space tokens: arrays_zip of n shifted slices. Stays in
+    whole-stage codegen end to end, where the former
+    transform(sequence, i -> slice/element_at...) ran as an
+    interpreted higher-order lambda per row (same-JVM A/B: the
+    bigram explode pass 0.28 -> 0.20 s at sf0.1, rows identical).
+    Short docs (< n tokens) yield an empty array via the
+    greatest(.., 0) slice-length guard — F.sequence's count-DOWN trap
+    never applies because there is no sequence. Callers explode and
+    assemble the gram (concat_ws) or use the parts directly, so the
+    string build also happens post-explode in codegen."""
+    w = F.split(F.col(text_col), " ")
+    ln = F.greatest(F.size(w) - n + 1, F.lit(0))
+    return F.arrays_zip(*[F.slice(w, i + 1, ln) for i in range(n)])
+
+
 def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document stats: token count, avg token length, lexical
     diversity, punctuation ratio, composite quality score."""
@@ -157,28 +174,22 @@ def repetition_stats(
     The count table is the same shape TF-IDF builds; at 100 TB this
     is two map-side-combinable aggs over the token stream.
     """
-    w = F.split(F.col(text_col), " ")
-    k = F.size(w)
-    # non-distinct n-grams (repetition is the point); guarded so
-    # F.sequence never sees stop < start (it would count DOWN)
-    grams_arr = F.when(
-        k >= n,
-        F.transform(
-            F.sequence(F.lit(1), k - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + F.lit(j)) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # fan_out: single-file corpora otherwise run the whole
-    # gram-generation projection in ONE task (observed: q69's 3 s was
-    # dominated by (0+1)/1 stages); group on the gram's xxhash64, not
-    # the string — counts are identical absent 64-bit collisions and
-    # the shuffle key is 8 bytes (same digest-for-body trade as the
-    # Jaccard inverted index).
+    # non-distinct n-grams (repetition is the point), via the codegen
+    # arrays_zip parts (_ngram_parts) with the gram string assembled
+    # post-explode. fan_out: single-file corpora otherwise run the
+    # whole gram-generation projection in ONE task (observed: q69's
+    # 3 s was dominated by (0+1)/1 stages); group on the gram's
+    # xxhash64, not the string — counts are identical absent 64-bit
+    # collisions and the shuffle key is 8 bytes (same digest-for-body
+    # trade as the Jaccard inverted index).
     from archetype_spark.operators.util import fan_out
 
-    grams = fan_out(df).select(F.col(id_col), F.explode(grams_arr).alias("_g"))
+    grams = fan_out(df).select(
+        F.col(id_col), F.explode(_ngram_parts(text_col, n)).alias("_z")
+    ).select(
+        id_col,
+        F.concat_ws(" ", *[F.col("_z")[str(i)] for i in range(n)]).alias("_g"),
+    )
     per_gram = grams.groupBy(id_col, F.xxhash64("_g").alias("_g")).agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -281,20 +292,12 @@ def vocab_coverage(
     from archetype_spark.operators.util import fan_out
     from archetype_spark.queries.relational import round_like_duckdb
 
-    w = F.split(F.col(text_col), " ")
     grams = fan_out(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            # guard: Spark's sequence(1, 0) counts DOWN, so short docs
-            # need an explicit empty array, not a clamped upper bound
-            F.when(
-                F.size(w) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - n + 1),
-                    lambda i: F.array_join(F.slice(w, i, n), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_g"),
+        F.explode(_ngram_parts(text_col, n)).alias("_z"),
+    ).select(
+        "_id",
+        F.concat_ws(" ", *[F.col("_z")[str(i)] for i in range(n)]).alias("_g"),
     )
     vocab = (
         grams.groupBy("_g")
@@ -362,19 +365,10 @@ def bigram_surprisal(
     )
     grams = fan_out(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.when(
-                F.size(w) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.struct(
-                        F.element_at(w, i).alias("_a"),
-                        F.element_at(w, i + 1).alias("_b"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<_a:string,_b:string>>"))
-        ).alias("_g"),
-    ).select("_id", F.col("_g._a").alias("_a"), F.col("_g._b").alias("_b"))
+        F.explode(_ngram_parts(text_col, 2)).alias("_z"),
+    ).select(
+        "_id", F.col("_z")["0"].alias("_a"), F.col("_z")["1"].alias("_b")
+    )
     cab = grams.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_cab"))
     ca = toks.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
     v = toks.agg(F.countDistinct("_a").alias("_v"))
@@ -525,7 +519,6 @@ def dsir_importance(
     from archetype_spark.operators.util import fan_out
     from archetype_spark.queries.relational import round_like_duckdb
 
-    w = F.split(F.col(text_col), " ")
     grams = fan_out(df).select(
         F.col(id_col).alias("_id"),
         # NULL target (e.g. a NULL flag column) counts as not-target:
@@ -533,18 +526,14 @@ def dsir_importance(
         # its score, and silently drop those grams from sum_micro_nats
         # while n_feats still counted them.
         F.coalesce(target.cast("boolean"), F.lit(False)).alias("_tgt"),
-        F.explode(
-            F.when(
-                F.size(w) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(w, i), F.element_at(w, i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_g"),
-    ).select("_id", "_tgt", hash_bucket(F.col("_g"), n_buckets).alias("_bkt"))
+        F.explode(_ngram_parts(text_col, 2)).alias("_z"),
+    ).select(
+        "_id",
+        "_tgt",
+        hash_bucket(
+            F.concat_ws(" ", F.col("_z")["0"], F.col("_z")["1"]), n_buckets
+        ).alias("_bkt"),
+    )
     dist = grams.groupBy("_bkt").agg(
         F.count(F.lit(1)).alias("_craw"),
         F.sum(F.col("_tgt").cast("bigint")).alias("_ctgt"),

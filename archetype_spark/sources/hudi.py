@@ -100,6 +100,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from archetype_spark.sources import hudi_log
+from archetype_spark.sources.io import parquet_cached
 
 try:  # pyspark vendors cloudpickle; plain cloudpickle as fallback
     from pyspark.cloudpickle import register_pickle_by_value
@@ -1384,8 +1385,8 @@ def _merge_slices(
         os.path.join(table, s["path"]) for s in dirty.values()
     ]
     if not dirty:
-        return spark.read.parquet(*clean_paths)
-    base_dirty = spark.read.parquet(*dirty_paths)
+        return parquet_cached(spark, *clean_paths)
+    base_dirty = parquet_cached(spark, *dirty_paths)
     cols = list(base_dirty.columns)
     log_paths = [
         os.path.join(table, p) for s in dirty.values() for _i, p in s["logs"]
@@ -1454,7 +1455,7 @@ def _merge_slices(
     )
     if not clean_paths:
         return merged
-    return spark.read.parquet(*clean_paths).unionByName(merged)
+    return parquet_cached(spark, *clean_paths).unionByName(merged)
 
 
 def write_hudi(
@@ -1829,8 +1830,8 @@ def read_hudi(
                 f"{partition_filter} in {table}"
             )
     if read_optimized:
-        df = spark.read.parquet(
-            *[os.path.join(table, s["path"]) for s in slices.values()]
+        df = parquet_cached(
+            spark, *[os.path.join(table, s["path"]) for s in slices.values()]
         )
     else:
         df = _merge_slices(spark, table, slices)
@@ -2162,7 +2163,7 @@ def read_hudi_changes(
     # a sample base file names the table schema (one always exists)
     any_slices = _file_slices(table, as_of=end_instant)
     sample = next(iter(any_slices.values()))["path"]
-    schema = spark.read.parquet(os.path.join(table, sample)).schema
+    schema = parquet_cached(spark, os.path.join(table, sample)).schema
     data_cols = [c for c in schema.fieldNames() if c not in _META_COLS]
     pieces: list[DataFrame] = []
     for instant, action in in_range:
@@ -2181,7 +2182,7 @@ def read_hudi_changes(
                     log_paths.append(os.path.join(table, st["path"]))
         if base_paths:
             pieces.append(
-                spark.read.parquet(*base_paths)
+                parquet_cached(spark, *base_paths)
                 .filter(F.col("_hoodie_commit_time") == instant)
                 .select(
                     F.lit(instant).alias("_commit_instant"), *data_cols
@@ -2216,7 +2217,7 @@ def read_hudi_changes(
             )
     if not pieces:
         return (
-            spark.read.parquet(os.path.join(table, sample))
+            parquet_cached(spark, os.path.join(table, sample))
             .limit(0)
             .select(
                 F.lit("").alias("_commit_instant"), *data_cols
@@ -2268,7 +2269,7 @@ def read_hudi_deleted_keys(
     ]
     key_type = dict(
         (f.name, f.dataType)
-        for f in spark.read.parquet(os.path.join(table, sample)).schema.fields
+        for f in parquet_cached(spark, os.path.join(table, sample)).schema.fields
     )[record_key]
     pieces: list[DataFrame] = []
     prev: str | None = None
@@ -2322,8 +2323,8 @@ def read_hudi_deleted_keys(
             prior_keys = _merge_slices(spark, table, prior_sub).select(
                 "_hoodie_record_key"
             )
-            new_keys = spark.read.parquet(
-                *[os.path.join(table, p) for _f, p in rewritten]
+            new_keys = parquet_cached(
+                spark, *[os.path.join(table, p) for _f, p in rewritten]
             ).select("_hoodie_record_key")
             pieces.append(
                 prior_keys.join(new_keys, "_hoodie_record_key", "left_anti")

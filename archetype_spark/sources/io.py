@@ -44,6 +44,41 @@ from pyspark.sql.types import StructType
 
 _FORMATS = {"parquet", "csv", "json", "orc", "delta", "iceberg", "lance", "avro"}
 
+#: (sorted (path, mtime_ns, size) tuples) -> StructType. Plain
+#: `spark.read.parquet` pays a ~75-90 ms driver-side footer/inference
+#: pass per call; lake snapshot readers open the same immutable data
+#: files many times per session (per query, per bench rep). The memo
+#: holds METADATA only (never rows), is keyed on every file's
+#: identity so any rewrite invalidates it, and dies with the process —
+#: the engine-side stand-in for a catalog that already knows the
+#: schema. Bounded: cleared wholesale past _PQ_CACHE_MAX entries.
+_PQ_SCHEMA_CACHE: dict[tuple, StructType] = {}
+_PQ_CACHE_MAX = 4096
+
+
+def parquet_cached(spark: SparkSession, *paths: str) -> DataFrame:
+    """`spark.read.parquet(*paths)` with a process-local schema memo.
+    Semantics identical to the plain reader (first-file schema, no
+    mergeSchema) — on a cache hit the schema is supplied explicitly,
+    skipping only the redundant footer inference."""
+    try:
+        key = tuple(
+            sorted(
+                (p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+                for p in paths
+            )
+        )
+    except OSError:
+        return spark.read.parquet(*paths)
+    schema = _PQ_SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if len(_PQ_SCHEMA_CACHE) >= _PQ_CACHE_MAX:
+        _PQ_SCHEMA_CACHE.clear()
+    _PQ_SCHEMA_CACHE[key] = df.schema
+    return df
+
 
 def read_table(
     spark: SparkSession,

@@ -44,15 +44,13 @@ from pyspark.sql import functions as F
 def line_chunked(d: DataFrame, k: int = 3) -> DataFrame:
     """Deterministic k-token line structure (the corpus-q80 seam):
     newline-join every k tokens. Stateless per document."""
-    w = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.array_join(F.slice(w, (i - 1) * k + 1, k), " "),
-    )
+    # one codegen'd regexp pass — identical to the former interpreted
+    # transform/slice/array_join rebuild on every input (see
+    # queries/curation_q._chunked, the corpus-verified twin)
+    pat = "((?:[^ ]* ){" + str(k - 1) + "}[^ ]*) "
     others = [c for c in d.columns if c not in ("doc_id", "text")]
     return d.select(
-        "doc_id", F.array_join(chunks, "\n").alias("text"), *others
+        "doc_id", F.regexp_replace("text", pat, "$1\n").alias("text"), *others
     )
 
 
