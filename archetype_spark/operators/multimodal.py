@@ -119,6 +119,10 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
         F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
     )
     payload = F.encode(F.col("text"), "utf-8")
+    # Deliberately NOT fanned out (r16): the fake-codec consumers do
+    # microseconds of Python per row, and a measured same-JVM A/B put
+    # the repartition + 32-task mapInPandas overhead at +0.3 s against
+    # a ~0.03 s parallel win at sf0.1. Wide real inputs arrive wide.
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),

@@ -538,7 +538,13 @@ def synth_pdf_from_text(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col, text_col).mapInPandas(process, schema=out_schema)
+    from archetype_spark.operators.util import fan_out_if_narrow
+
+    # Single-file corpora land the whole per-row PDF build (and every
+    # downstream parse) in ONE task; the guarded fan-out is a no-op on
+    # inputs that already arrive wide (util.fan_out_if_narrow).
+    src = fan_out_if_narrow(df.select(id_col, text_col))
+    return src.mapInPandas(process, schema=out_schema)
 
 
 register_pickle_by_value(sys.modules[__name__])

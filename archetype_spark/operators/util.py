@@ -22,3 +22,26 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     n = partitions or sc.defaultParallelism
     return df.repartition(n)
+
+
+def fan_out_if_narrow(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """`fan_out`, but only when the input actually has fewer partitions
+    than the target — the scale-adaptive form for payload-carrying
+    frames (media blobs, synthesized documents) where an unconditional
+    repartition would shuffle the heavy bytes even on inputs that
+    already arrive in thousands of splits. Locally (single-file corpus,
+    one scan task) it buys full-width execution of the downstream
+    Python stage; at 100 TB the partition probe sees a wide scan and
+    the whole call is a no-op with ZERO shuffle.
+
+    Only call this on exchange-free (scan/projection) frames: the
+    partition probe converts the plan to an RDD, and under AQE that
+    conversion MATERIALIZES any upstream exchanges — i.e. it would
+    eagerly run the upstream stages at DataFrame-construction time.
+    Frames downstream of a fanned-out stage inherit its width and do
+    not need (or want) a second probe."""
+    sc = df.sparkSession.sparkContext
+    n = partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

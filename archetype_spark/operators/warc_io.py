@@ -304,7 +304,13 @@ def synth_warc_from_text(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col, text_col).mapInPandas(process, schema=out_schema)
+    from archetype_spark.operators.util import fan_out_if_narrow
+
+    # Single-file corpora land the WARC build (and the downstream
+    # record/HTTP/HTML parses, which inherit this width) in ONE task;
+    # no-op on already-wide inputs (util.fan_out_if_narrow).
+    src = fan_out_if_narrow(df.select(id_col, text_col))
+    return src.mapInPandas(process, schema=out_schema)
 
 
 register_pickle_by_value(sys.modules[__name__])

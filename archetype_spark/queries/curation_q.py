@@ -496,7 +496,13 @@ def q133_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</body></html>"
         ),
     )
-    ex = html_fields(d.select("doc_id", html.alias("html")), "html")
+    from archetype_spark.operators.util import fan_out_if_narrow
+
+    # The single-file corpus otherwise runs the Python parse in ONE
+    # task; the synthesis projection stays in codegen either way.
+    ex = html_fields(
+        fan_out_if_narrow(d.select("doc_id", html.alias("html"))), "html"
+    )
     return ex.select(
         "doc_id",
         "title",
