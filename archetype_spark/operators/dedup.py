@@ -30,7 +30,7 @@ from __future__ import annotations
 import os
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from archetype_spark.functions.text import shingles, tokens
@@ -422,11 +422,17 @@ def ingest_dedup(
 
     fp = (fingerprint60_portable if portable else fingerprint64)(text_col)
     stamped = batch.withColumn("fingerprint", fp)
-    keepers = stamped.groupBy("fingerprint").agg(F.min(id_col).alias("_keep_id"))
+    # min-id keeper per fingerprint as ONE fingerprint-keyed window
+    # (the hash_dedup shape) instead of agg + join-back — the join
+    # form re-shuffled both sides on the same key the aggregation
+    # just used (guide §2.4: operations keyed the same way should
+    # share one exchange). Same keeper set: ids are unique, so
+    # row_number(id asc) == 1 IS the min-id row.
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     batch_uniq = (
-        stamped.join(keepers, "fingerprint")
-        .filter(F.col(id_col) == F.col("_keep_id"))
-        .drop("_keep_id")
+        stamped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     if os.path.isdir(table_path):
         seen = spark.read.parquet(table_path).select("fingerprint")

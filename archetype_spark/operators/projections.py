@@ -153,6 +153,82 @@ def projection_distance_preserved(
     return orig.join(pr, id_col)
 
 
+def _band_gemm_candidates(
+    coded_vec: DataFrame, k: int, margin: float
+) -> DataFrame:
+    """Per-(band, code) bucket GEMM candidate pairs for signcode_topk:
+    one normalized numpy matrix product per bucket, emitting each
+    member's top-(k within `margin`) same-bucket neighbors as
+    unordered id pairs. The merge property makes this exact for a
+    downstream global top-k: any pair in a vector's final top-k
+    shares at least one bucket with it, and inside that bucket fewer
+    than k members can outrank it (every bucket-mate outranking it is
+    itself a candidate), so the pair survives the bucket's own top-k
+    cut. The margin covers f64-GEMM-vs-exact-fold drift plus the
+    round-6 tie window (the _gemm_candidate_pairs superset argument);
+    per member the k smallest other ids are always included, so
+    NULL-cosine (zero-norm) tail ranks survive pruning. Candidates
+    only — callers re-score every pair with the exact JVM fold.
+
+    Scale shape: replaces scoring ~(bucket_pop)^2 pairs per bucket in
+    the JVM with one BLAS product per bucket plus a top-k cut — the
+    shuffle carries each vector once per band instead of each
+    candidate PAIR once, which is the smaller volume whenever buckets
+    hold more than ~2*n_bands members (always, past toy scale)."""
+    kk, mg = int(k), float(margin)
+
+    def gen(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {
+                "_cand_a": _pd.Series([], dtype="int64"),
+                "_cand_b": _pd.Series([], dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["_id"].to_numpy(_np.int64)
+        M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_v"]])
+        nrm = _np.linalg.norm(M, axis=1)
+        nz = nrm > 0
+        Mn = _np.zeros_like(M)
+        Mn[nz] = M[nz] / nrm[nz, None]
+        take = min(kk, n - 1)
+        # smallest-ids extras (NULL-tail rule): every member always
+        # emits pairs with the k+1 smallest ids present (self rows
+        # filtered below), covering zero-norm members and short
+        # finite tails exactly like _gemm_candidate_pairs
+        order = _np.argsort(ids)
+        small = order[: min(kk + 1, n)]
+        out_q = [_np.repeat(_np.arange(n), small.size)]
+        out_a = [_np.tile(small, n)]
+        block = 2048
+        for s in range(0, n, block):
+            S = Mn[s : s + block] @ Mn.T
+            S[:, ~nz] = -_np.inf
+            S[~nz[s : s + block], :] = -_np.inf
+            S[_np.arange(S.shape[0]), _np.arange(s, s + S.shape[0])] = -_np.inf
+            kth = -_np.partition(-S, take - 1, axis=1)[:, take - 1]
+            band = (S >= kth[:, None] - mg) & _np.isfinite(S)
+            qi, aj = _np.nonzero(band)
+            out_q.append(qi + s)
+            out_a.append(aj)
+        qi = _np.concatenate(out_q)
+        aj = _np.concatenate(out_a)
+        keep = qi != aj
+        a, b = ids[qi[keep]], ids[aj[keep]]
+        return _pd.DataFrame(
+            {"_cand_a": _np.minimum(a, b), "_cand_b": _np.maximum(a, b)}
+        ).drop_duplicates()
+
+    return coded_vec.select("_band", "_code", "_id", "_v").groupBy(
+        "_band", "_code"
+    ).applyInPandas(gen, "_cand_a long, _cand_b long")
+
+
 def signcode_topk(
     emb: DataFrame,
     k: int = 3,
@@ -162,6 +238,7 @@ def signcode_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     auto_max_bytes: int | None = None,
+    strategy: str = "group_gemm",
 ) -> DataFrame:
     """Sign-code banded ANN: the projection's downstream purpose,
     end-to-end. The vector projects to n_bands * code_bits integer
@@ -207,49 +284,73 @@ def signcode_topk(
         F.col(id_col).alias("_id"),
         F.posexplode(band_codes).alias("_band", "_code"),
     )
-    # Exchange barrier on the band join key (the
-    # minhash_pairs_from_signatures pattern): both self-join aliases
-    # otherwise re-run the integer-GEMM projection stage; with the
-    # barrier they read ONE computed exchange, already partitioned
-    # the way the candidate join needs it.
-    coded = coded.repartition(
-        emb.sparkSession.sparkContext.defaultParallelism,
-        F.col("_band"),
-        F.col("_code"),
+    from archetype_spark.operators.similarity import (
+        AUTO_BROADCAST_MAX_BYTES,
+        GEMM_MARGIN,
+        _estimate_build_bytes,
+        _exact_pairs_from_candidates,
     )
-    a, b = coded.alias("a"), coded.alias("b")
-    # UNORDERED candidates (a < b): halves the dedup exchange and the
-    # scoring work; cosine is symmetric, so the directed view needed
-    # for per-vector ranking is a cheap post-score mirror union.
-    cand = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._code") == F.col("b._code"))
-            & (F.col("a._id") < F.col("b._id")),
+
+    budget = (
+        AUTO_BROADCAST_MAX_BYTES if auto_max_bytes is None else auto_max_bytes
+    )
+    est = _estimate_build_bytes(emb, vec_col)
+    if strategy == "group_gemm":
+        # Per-bucket GEMM candidates (r16): attach the vector to each
+        # coded row and run one BLAS product per (band, code) bucket,
+        # emitting only per-member top-(k within margin) pairs — the
+        # executed pairwise plan scored EVERY same-bucket pair in the
+        # JVM (~pop^2/2 per bucket; 465k exact folds at sf0.1) when
+        # the downstream window can only ever keep k of them. Shuffle
+        # volume becomes one vector copy per band instead of one row
+        # per candidate pair (smaller whenever buckets hold more than
+        # ~2*n_bands members); exactness is the merge property + the
+        # margin-superset argument (_band_gemm_candidates docstring).
+        evec = emb.select(
+            F.col(id_col).alias("_eid"), F.col(vec_col).alias("_v")
         )
-        .select(F.col("a._id").alias("_cand_a"), F.col("b._id").alias("_cand_b"))
-        .dropDuplicates()
-    )
+        if est <= budget:
+            evec = F.broadcast(evec)
+        coded_vec = coded.join(evec, F.col("_id") == F.col("_eid"))
+        cand = _band_gemm_candidates(
+            coded_vec, k=k, margin=GEMM_MARGIN
+        ).dropDuplicates()
+    else:
+        # Exchange barrier on the band join key (the
+        # minhash_pairs_from_signatures pattern): both self-join
+        # aliases otherwise re-run the integer-GEMM projection stage;
+        # with the barrier they read ONE computed exchange, already
+        # partitioned the way the candidate join needs it.
+        coded = coded.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism,
+            F.col("_band"),
+            F.col("_code"),
+        )
+        a, b = coded.alias("a"), coded.alias("b")
+        # UNORDERED candidates (a < b): halves the dedup exchange and
+        # the scoring work; cosine is symmetric, so the directed view
+        # needed for per-vector ranking is a cheap post-score mirror
+        # union.
+        cand = (
+            a.join(
+                b,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._code") == F.col("b._code"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("_cand_a"), F.col("b._id").alias("_cand_b")
+            )
+            .dropDuplicates()
+        )
     # Re-rank through the shared budget-gated broadcast scorer (the
     # GEMM tier's funnel): candidate rows carry only two 8-byte ids
     # through the shuffle; vectors attach map-side from the broadcast
     # while the corpus fits the similarity budget (id-keyed shuffle
     # joins are the documented fallback past it — same trade as
     # similarity.topk_bruteforce's tiers).
-    from archetype_spark.operators.similarity import (
-        AUTO_BROADCAST_MAX_BYTES,
-        _exact_pairs_from_candidates,
-    )
-
     once = _exact_pairs_from_candidates(
-        emb,
-        cand,
-        id_col,
-        vec_col,
-        max_bytes=(
-            AUTO_BROADCAST_MAX_BYTES if auto_max_bytes is None else auto_max_bytes
-        ),
+        emb, cand, id_col, vec_col, max_bytes=budget, est_bytes=est
     )
     # Mirror via a 2-element explode, NOT a self-union: a union's two
     # branches each re-evaluate the whole candidate+scoring subtree

@@ -84,11 +84,20 @@ def derive_query_terms(
     chars — a deterministic, regeneration-proof query-term set derived
     from the data instead of hard-coded literals. Returns
     (token, df)."""
+    # df = number of DOCS containing the token: dedup per document in
+    # codegen (array_distinct on the split array) and count plain
+    # rows, instead of explode-everything + countDistinct — the
+    # distinct aggregate plans as TWO exchanges (partial on
+    # (token, doc), re-agg on token) where this shape needs ONE, with
+    # map-side partial counts (guide §2.3 "aggregate before you
+    # shuffle"). Values identical by construction.
+    w = F.split(F.col(text_col), " ")
     return (
-        _tokens(docs, id_col, text_col)
+        fan_out(docs)
+        .select(F.explode(F.array_distinct(w)).alias("token"))
         .filter(F.length("token") >= min_token_len)
         .groupBy("token")
-        .agg(F.countDistinct(id_col).alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(n_terms)
     )
@@ -114,31 +123,47 @@ def bm25_scores(
     query-term occurrences; corpus stats (N, total token count) are a
     one-row broadcast crossJoin; df rides along on the broadcast term
     rows. No join is keyed on anything wider than (doc, term)."""
+    literal_df = None
     if terms is None:
-        # Materialize the derived term set as a LITERAL frame: it is
-        # n_terms rows of bounded metadata (the documented collect-cap
-        # discipline — same class as the IVF centroid reads), and the
-        # lazy frame is referenced by TWO broadcast builds below whose
-        # projections differ, so each would otherwise re-run the full
-        # corpus token-explode + top-k subtree (guide §7.4: "compute
-        # the small side first"). Values are exactly the derived rows.
+        # Materialize the derived term set (n_terms rows of bounded
+        # metadata — the documented collect-cap discipline, same
+        # class as the IVF centroid reads): the lazy frame would
+        # otherwise be referenced by TWO broadcast builds whose
+        # projections differ, each re-running the full corpus
+        # token-explode + top-k subtree (guide §7.4: "compute the
+        # small side first"). With the rows in hand, fold them into
+        # the plan as LITERALS — an isin() filter over the token
+        # explode and a when-chain for df — so the scoring pass needs
+        # no broadcast exchange or hash probe at all (guide §1.2:
+        # per-task work after the shape is right). Values are exactly
+        # the derived rows.
         derived = derive_query_terms(
             docs, id_col=id_col, text_col=text_col
         ).collect()
-        terms = docs.sparkSession.createDataFrame(
-            docs.sparkSession.sparkContext.parallelize(derived, 1),
-            "token string, df bigint",
-        )
+        literal_df = {r["token"]: int(r["df"]) for r in derived}
     toks = _tokens(docs, id_col, text_col)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col(text_col), " "))).alias("total_dl"),
     )
-    tf = (
-        toks.join(F.broadcast(terms.select("token")), "token")
-        .groupBy(id_col, "token", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    if literal_df is not None:
+        matched = toks.filter(F.col("token").isin(*literal_df))
+    else:
+        matched = toks.join(F.broadcast(terms.select("token")), "token")
+    tf = matched.groupBy(id_col, "token", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
     )
+    if literal_df is not None:
+        df_expr = F.lit(None).cast("bigint")
+        for tok, dfv in literal_df.items():
+            df_expr = F.when(F.col("token") == tok, F.lit(dfv)).otherwise(
+                df_expr
+            )
+        scored_src = tf.withColumn("df", df_expr).crossJoin(F.broadcast(stats))
+    else:
+        scored_src = tf.join(F.broadcast(terms), "token").crossJoin(
+            F.broadcast(stats)
+        )
     # dl/avgdl as (dl * N) / total_dl: integer product (exact in
     # double far beyond any real corpus), ONE correctly-rounded
     # division — identical bits in Spark and DuckDB.
@@ -153,15 +178,11 @@ def bm25_scores(
         + F.lit(BM25_K1)
         * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * ratio)
     )
-    scored = (
-        tf.join(F.broadcast(terms), "token")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(id_col),
-            _round_like_duckdb(idf * sat * F.lit(1e6), 0)
-            .cast("bigint")
-            .alias("s_micro"),
-        )
+    scored = scored_src.select(
+        F.col(id_col),
+        _round_like_duckdb(idf * sat * F.lit(1e6), 0)
+        .cast("bigint")
+        .alias("s_micro"),
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_terms"),

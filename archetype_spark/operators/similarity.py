@@ -1018,9 +1018,15 @@ def pq_adc_topk(
         if not len(probe_pdf) or not len(build_pdf):
             return empty
         bids = build_pdf["_bid"].to_numpy(dtype=_np.int64)
+        # bid-ascending build order: column index order IS the
+        # tie-break order, so one stable score sort replaces the
+        # per-row Python lexsort loop below (r16: the loop was the
+        # kernel's hot spot — one interpreted lexsort per query row)
+        border = _np.argsort(bids, kind="stable")
+        bids = bids[border]
         BC = _np.stack(
             [_np.asarray(c, dtype=_np.int64) for c in build_pdf["_bc"]]
-        )
+        )[border]
         qids = probe_pdf[idc].to_numpy(dtype=_np.int64)
         X = _np.stack(
             [_np.asarray(v, dtype=_np.float64) for v in probe_pdf[vcc]]
@@ -1037,20 +1043,34 @@ def pq_adc_topk(
         # the query id actually exists in the build set (foreign probe
         # ids must still get k neighbors when k are available).
         has_self = self_mask.any(axis=1)
-        out_q, out_r, out_o, out_d = [], [], [], []
-        for r in range(len(qids)):
-            take = min(topk, len(bids) - int(has_self[r]))
-            order = _np.lexsort((bids, scores[r]))[:take]
-            out_q.append(_np.full(take, qids[r], dtype=_np.int64))
-            out_r.append(_np.arange(1, take + 1, dtype=_np.int32))
-            out_o.append(bids[order])
-            out_d.append(scores[r][order])
+        nq, nb = scores.shape
+        # vectorized row-wise top-k by (score, bid): argpartition to a
+        # width-(k+1) slab (+1 leaves room for the int64.max self
+        # sentinel), sort slab columns ascending (== bid order), then
+        # a stable score argsort breaks ties by bid exactly like the
+        # old per-row lexsort
+        width = min(topk + 1, nb)
+        part = _np.sort(
+            _np.argpartition(scores, width - 1, axis=1)[:, :width], axis=1
+        )
+        slab = _np.take_along_axis(scores, part, axis=1)
+        sel = _np.take_along_axis(
+            part, _np.argsort(slab, axis=1, kind="stable"), axis=1
+        )
+        takes = _np.minimum(topk, nb - has_self.astype(_np.int64))
+        ranks = _np.broadcast_to(
+            _np.arange(1, width + 1, dtype=_np.int32), sel.shape
+        )
+        valid = (ranks <= takes[:, None]).ravel()
+        flat = sel.ravel()[valid]
         return _pd.DataFrame(
             {
-                "vec_id": _np.concatenate(out_q),
-                "rank": _np.concatenate(out_r),
-                "other_vec_id": _np.concatenate(out_o),
-                "dist_micro": _np.concatenate(out_d),
+                "vec_id": _np.repeat(qids, width)[valid],
+                "rank": ranks.ravel()[valid],
+                "other_vec_id": bids[flat],
+                "dist_micro": _np.take_along_axis(scores, sel, axis=1).ravel()[
+                    valid
+                ],
             }
         )
 
@@ -1199,7 +1219,14 @@ def ivf_pq_topk(
         Q = _np.stack([_np.asarray(v, dtype=_np.int64) for v in probe_pdf["_qm"]])
         R = Q - CM[cell][None, :]
         bids = build_pdf["_bid"].to_numpy(dtype=_np.int64)
-        BC = _np.stack([_np.asarray(c, dtype=_np.int64) for c in build_pdf["_bc"]])
+        # bid-ascending build order + vectorized row-wise top-k (the
+        # pq_adc_topk r16 kernel shape): one stable slab sort replaces
+        # the per-row Python lexsort loop
+        border = _np.argsort(bids, kind="stable")
+        bids = bids[border]
+        BC = _np.stack([_np.asarray(c, dtype=_np.int64) for c in build_pdf["_bc"]])[
+            border
+        ]
         scores = _np.zeros((len(qids), len(bids)), dtype=_np.int64)
         for sub in range(m_):
             Rs = R[:, sub * ds_ : (sub + 1) * ds_]
@@ -1208,18 +1235,28 @@ def ivf_pq_topk(
         self_mask = qids[:, None] == bids[None, :]
         scores[self_mask] = _np.iinfo(_np.int64).max
         has_self = self_mask.any(axis=1)
-        out_q, out_o, out_d = [], [], []
-        for r in range(len(qids)):
-            take = min(topk, len(bids) - int(has_self[r]))
-            order = _np.lexsort((bids, scores[r]))[:take]
-            out_q.append(_np.full(take, qids[r], dtype=_np.int64))
-            out_o.append(bids[order])
-            out_d.append(scores[r][order])
+        nq, nb = scores.shape
+        width = min(topk + 1, nb)
+        part = _np.sort(
+            _np.argpartition(scores, width - 1, axis=1)[:, :width], axis=1
+        )
+        slab = _np.take_along_axis(scores, part, axis=1)
+        sel = _np.take_along_axis(
+            part, _np.argsort(slab, axis=1, kind="stable"), axis=1
+        )
+        takes = _np.minimum(topk, nb - has_self.astype(_np.int64))
+        ranks = _np.broadcast_to(
+            _np.arange(1, width + 1, dtype=_np.int32), sel.shape
+        )
+        valid = (ranks <= takes[:, None]).ravel()
+        flat = sel.ravel()[valid]
         return _pd.DataFrame(
             {
-                "vec_id": _np.concatenate(out_q),
-                "other_vec_id": _np.concatenate(out_o),
-                "dist_micro": _np.concatenate(out_d),
+                "vec_id": _np.repeat(qids, width)[valid],
+                "other_vec_id": bids[flat],
+                "dist_micro": _np.take_along_axis(scores, sel, axis=1).ravel()[
+                    valid
+                ],
             }
         )
 

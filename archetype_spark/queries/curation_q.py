@@ -782,6 +782,25 @@ AB_VARIANTS["q84"] = {
 }
 
 
+def q91_pairwise_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-only (`bench.py --ab q91`): q91 scoring EVERY same-bucket
+    pair with the exact JVM fold (the pre-r16 shape) instead of the
+    per-bucket GEMM top-k candidate cut. Rows identical by the merge
+    property + margin-superset argument (projections.py)."""
+    from archetype_spark.operators import projections
+
+    e = load(spark, sf_dir, "embeddings")
+    return projections.signcode_topk(
+        e, k=3, code_bits=4, n_bands=4, seed=0, strategy="pairwise"
+    )
+
+
+AB_VARIANTS["q91"] = {
+    "group_gemm": q91_signcode_topk,
+    "pairwise": q91_pairwise_variant,
+}
+
+
 def q89_distinct_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B-only (`bench.py --ab q89`): q89 with distinct-pair scoring
     (ln once per distinct bigram, weighted by tf) instead of
