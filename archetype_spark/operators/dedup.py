@@ -572,6 +572,12 @@ def simhash_pairs_from_fingerprints(
             )
         ).alias("_band_idx", "_bv"),
     )
+    # Exchange barrier before the self-join (the minhash_lsh_pairs /
+    # ngram_jaccard_pairs pattern): without it BOTH aliases re-run the
+    # upstream fingerprint pipeline (token hashing + vote aggregation
+    # — the expensive stage) from the scan; with it the second alias
+    # is a ReusedExchange of one computed banding.
+    banded = banded.repartition("_band_idx", "_bv")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -648,6 +654,11 @@ def containment_pairs(
         "_n_sh",
         F.when(F.col("_s0").isNotNull(), F.xxhash64("_s0")).alias("_s"),
     )
+    # NO exchange barrier here, unlike ngram_jaccard_pairs: AQE already
+    # reuses the pre-explode stage across the two aliases, and the
+    # shingle explode + hash projection are cheap to re-run relative
+    # to shuffling the exploded rows (same-JVM A/B at sf0.1: a `_s`
+    # barrier read 1.80 -> 2.10 s — regression, reverted).
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))

@@ -26,9 +26,11 @@ star-contraction (Kiveris et al., "Connected Components in MapReduce
 and Beyond": alternating large-star/small-star rounds, each a
 groupBy-min + equi-join on the node id), which converges in
 O(log^2 n) rounds regardless of diameter. Lineage is truncated every
-round with an eager localCheckpoint, so the plan stays O(1) deep
-regardless of iteration count (the classic iterative-algorithm trap:
-without it, round k replays rounds 1..k-1).
+round with a LAZY localCheckpoint materialized by that round's
+fixpoint-check action (one driver job per round, not two — the local
+per-job floor is ~0.2 s), so the plan stays O(1) deep regardless of
+iteration count (the classic iterative-algorithm trap: without it,
+round k replays rounds 1..k-1).
 """
 
 from __future__ import annotations
@@ -62,7 +64,12 @@ def connected_components(
         raise ValueError(f"on_max_iter must be 'star' or 'raise', got {on_max_iter!r}")
     e = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
     sym = e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
-    sym = sym.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the loop: every eager checkpoint is
+    # its own driver job, and the local per-job floor is ~0.2 s. With
+    # eager=False the fixpoint-sum action below materializes (and
+    # lineage-truncates) the checkpoint in the SAME job — one job per
+    # round instead of two, identical blocks afterwards.
+    sym = sym.localCheckpoint(eager=False)
     # Fused init: label every node with the min of its CLOSED
     # neighborhood (itself and its direct neighbors) — identical to
     # the identity-label init followed by one propagation round, for
@@ -76,7 +83,7 @@ def connected_components(
             F.col("_a").alias("node"),
             F.least("_a", "_mn").alias("component"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     def _label_sum(lbl: DataFrame) -> int:
         # decimal accumulator: node ids are arbitrary bigints and a
@@ -94,7 +101,7 @@ def connected_components(
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # fixpoint check via the label-sum invariant: min-label
         # propagation only ever LOWERS a node's label, so the total is
@@ -181,17 +188,21 @@ def star_contraction_components(
     e0 = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")).filter(
         F.col("_a") != F.col("_b")
     )
+    # Lazy checkpoints, as in the min-label loop: the per-round
+    # checksum action materializes the round's checkpoint in the same
+    # job. `nodes` is only consumed by the final join, so its
+    # materialization rides that job instead of paying its own.
     nodes = (
         e0.select("_a")
         .union(e0.select("_b"))
         .distinct()
         .withColumnRenamed("_a", "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    e = e0.distinct().localCheckpoint(eager=True)
+    e = e0.distinct().localCheckpoint(eager=False)
     prev = _edge_checksum(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _edge_checksum(e)
         if cur == prev:
             stars = e.select(F.col("_a").alias("node"), F.col("_b").alias("component"))

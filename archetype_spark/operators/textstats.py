@@ -124,7 +124,15 @@ def tf_idf(
     toks = df.select(
         F.col(id_col).alias(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # Lazy localCheckpoint (the dsir_importance pattern): `tf` feeds
+    # BOTH the document-frequency aggregate and the probe join — each
+    # reference otherwise re-runs the token explode + count pipeline
+    # from the scan (2 scans / 2 Generates in the executed q63 plan).
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
@@ -370,8 +378,20 @@ def bigram_surprisal(
         "_id", F.col("_z")["0"].alias("_a"), F.col("_z")["1"].alias("_b")
     )
     cab = grams.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_cab"))
-    ca = toks.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
-    v = toks.agg(F.countDistinct("_a").alias("_v"))
+    # Lazy localCheckpoint (the dsir_importance pattern): `ca` is
+    # consumed by BOTH the vocabulary count and the probe join, and
+    # each reference otherwise re-runs the token explode + count
+    # pipeline from the scan.
+    ca = (
+        toks.groupBy("_a")
+        .agg(F.count(F.lit(1)).alias("_ca"))
+        .localCheckpoint(eager=False)
+    )
+    # |V| = countDistinct(_a) over toks == the number of groups in
+    # `ca` — same value by definition, zero extra passes over the
+    # corpus (the countDistinct form cost one more explode scan plus
+    # a two-exchange distinct aggregate).
+    v = ca.agg(F.count(F.lit(1)).alias("_v"))
     s_int = round_like_duckdb(
         -F.log((F.col("_cab") + 1) / (F.col("_ca") + F.col("_v"))) * 1e6, 0
     ).cast("bigint")
@@ -538,6 +558,15 @@ def dsir_importance(
         F.count(F.lit(1)).alias("_craw"),
         F.sum(F.col("_tgt").cast("bigint")).alias("_ctgt"),
     )
+    # Lazy localCheckpoint on the <= n_buckets-row distribution: it is
+    # referenced TWICE below (the totals aggregate and the score
+    # projection), and each reference otherwise re-instantiates the
+    # whole gram-explode + count pipeline (3 Generate stages in the
+    # executed q102 plan). The checkpoint makes both references read
+    # ONE computed RDD; eager=False so materialization rides the first
+    # consuming job instead of paying its own (same-JVM 9-rep medians
+    # 1.28 -> 1.11 s, rows identical).
+    dist = dist.localCheckpoint(eager=False)
     totals = dist.agg(
         F.sum("_craw").alias("_nraw"), F.sum("_ctgt").alias("_ntgt")
     )

@@ -13,7 +13,7 @@ northstar.py stays navigable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from archetype_spark.tables import load
@@ -269,6 +269,16 @@ def q95_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = kept.select(
         "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
     )
+    # Exchange barrier on the cleaned-flat frame: `flat` is referenced
+    # by BOTH downstream arms (the mixed-language gate and the pool
+    # join), and the pool is referenced twice again inside
+    # temperature_resample — without a barrier Catalyst inlines the
+    # whole chunk+boilerplate pipeline per reference (~6 copies, 30
+    # parquet scans in the executed plan). The hash exchange makes
+    # every alias a ReusedExchange of ONE computed pipeline (the
+    # minhash_lsh_pairs pattern; same-JVM quiet-rep medians
+    # 3.52 -> 3.08 s).
+    flat = flat.repartition("doc_id")
     pure = textstats.mixed_language_stats(flat, window=16).filter(
         ~F.col("is_mixed")
     )
@@ -406,8 +416,17 @@ def q99_stream_curation_face(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     stamped = d.withColumn("fingerprint", fingerprint60_portable("text"))
-    keep = stamped.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    uniq = stamped.join(keep, ["fingerprint", "doc_id"]).drop("fingerprint")
+    # Min-id keeper as ONE fingerprint-keyed window (the hash_dedup /
+    # q57 shape) instead of groupBy-min + join-back: doc_id is unique,
+    # so row_number()==1 under (fingerprint ORDER BY doc_id) IS the
+    # min-id winner — same rows, one exchange instead of two plus a
+    # join (same-JVM 7-rep medians 2.45 -> 1.95 s).
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    uniq = (
+        stamped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
     surv = curation.stateless_curation(uniq)
     return (
         surv.groupBy("lang")

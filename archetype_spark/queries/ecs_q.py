@@ -52,9 +52,18 @@ def q50_ecs_tsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = tempfile.mkdtemp(prefix="tsim_wh_")
     world = make_world(spark, wh, simulation="tsim", run="r1")
     world.add_processor(MovementProcessor())
-    world.spawn(Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=1.0))
-    world.spawn(Position(x=10.0, y=5.0), Velocity(vx=2.0, vy=-1.0))
-    world.spawn(Position(x=-5.0, y=-10.0), Velocity(vx=-0.5, vy=0.5))
+    # One batch spawn, not three: ids are allocated by list position
+    # (1..3, identical to sequential world.spawn calls) and the three
+    # step-0 rows land in ONE commit instead of three — each commit is
+    # a full Spark job, and the local job floor is ~0.2 s regardless
+    # of row count. History output is byte-identical.
+    world.spawn_many(
+        [
+            [Position(x=0.0, y=0.0), Velocity(vx=1.0, vy=1.0)],
+            [Position(x=10.0, y=5.0), Velocity(vx=2.0, vy=-1.0)],
+            [Position(x=-5.0, y=-10.0), Velocity(vx=-0.5, vy=0.5)],
+        ]
+    )
     for _ in range(10):
         world.step(dt=0.1)
     (history,) = world.get_history(Position).values()
