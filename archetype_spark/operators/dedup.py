@@ -445,8 +445,11 @@ def ingest_dedup(
     # localCheckpoint BEFORE the append: `fresh`'s lineage reads
     # table_path (the seen-fingerprint scan), so writing to the same
     # path from the live plan would race its own input; pinning also
-    # keeps the returned frame valid after the append.
-    fresh = fresh.select(*out_cols).localCheckpoint(eager=True)
+    # keeps the returned frame valid after the append. LAZY: the
+    # count() below is the first action and materializes (and
+    # truncates) the checkpoint in the same job — two jobs per batch
+    # instead of three, with the pin still in place before the write.
+    fresh = fresh.select(*out_cols).localCheckpoint(eager=False)
     if fresh.count() > 0:
         fresh.write.mode("append").parquet(table_path)
     return fresh

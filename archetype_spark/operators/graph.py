@@ -69,7 +69,12 @@ def connected_components(
     # eager=False the fixpoint-sum action below materializes (and
     # lineage-truncates) the checkpoint in the SAME job — one job per
     # round instead of two, identical blocks afterwards.
-    sym = sym.localCheckpoint(eager=False)
+    # Pre-partition the static join side by the key EVERY round joins
+    # on: the checkpointed frame keeps its output partitioning, so
+    # each round's sym-side exchange disappears (one shuffle paid at
+    # init instead of one per round; same-JVM medians q66 2.33->2.18,
+    # q74 2.72->2.58).
+    sym = sym.repartition("_b").localCheckpoint(eager=False)
     # Fused init: label every node with the min of its CLOSED
     # neighborhood (itself and its direct neighbors) — identical to
     # the identity-label init followed by one propagation round, for

@@ -251,7 +251,15 @@ def relative_quality_gate(
     scored = scored.withColumn(
         score_col, F.round(F.col(score_col).cast("double"), 6)
     )
-    hist = scored.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("_c"))
+    # Lazy localCheckpoint on the bounded histogram (the
+    # dsir_importance pattern): `hist` feeds BOTH the cumulative
+    # window and the per-group totals — each reference otherwise
+    # re-runs the scored-input pipeline from the scan.
+    hist = (
+        scored.groupBy(group_col, score_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     w = (
         Window.partitionBy(group_col)
         .orderBy(score_col)

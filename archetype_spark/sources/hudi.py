@@ -1177,9 +1177,16 @@ def _parse_log_frame(
     arrays pass through as-is (from_json parses them as
     array<struct<key,value>> and `_rebuild_from_parsed` restores the
     MapType downstream)."""
+    # parallelize with explicit slices, NOT createDataFrame +
+    # repartition: the local-relation + exchange form spends a whole
+    # shuffle stage distributing a handful of path strings; RDD
+    # slicing hands each worker its paths with zero stages.
     path_df = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    ).repartition(min(len(paths), 32))
+        spark.sparkContext.parallelize(
+            [(p,) for p in paths], min(len(paths), 32)
+        ),
+        "path string",
+    )
     plans = dict(plans or {})
 
     def parse(batches):

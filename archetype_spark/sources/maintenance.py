@@ -113,11 +113,14 @@ def distributed_reclaim(
                     pass  # concurrent reclaim already got it
             yield _pd.DataFrame({"n": [n]})
 
-    listed = (
-        spark.createDataFrame(units, "dir string, recurse boolean")
-        .repartition(min(len(units), 32))
-        .mapInPandas(list_files, "path string")
-    )
+    # parallelize with explicit slices, NOT createDataFrame +
+    # repartition: the local-relation + exchange form spends a whole
+    # shuffle stage distributing a handful of directory names (same
+    # fix as hudi._parse_log_frame).
+    listed = spark.createDataFrame(
+        spark.sparkContext.parallelize(units, min(len(units), 32)),
+        "dir string, recurse boolean",
+    ).mapInPandas(list_files, "path string")
     keep_df = spark.createDataFrame(
         [(p,) for p in keep] or [], "path string"
     )
