@@ -435,6 +435,15 @@ _MODULES = (
 #       50 pins + 0 unpinned gated = 50 exactly; 100 deferred; 150
 #       gated total. New r16 queries pin on landing by swapping out
 #       tail fills (q18, then q17, ...) late-r15 style.
+#   r17 sketch (optimization round 2 — no new queries): the STALEST
+#       cohort is the r15-green block deferred for r16 (no driver row
+#       since r15): q36/q42/q112, the q57-q79/q82 tail, q119-q130,
+#       q133/q134, q141-q146, q151/q152 — more than 50, so take the
+#       lake/multimodal half first (q119-q130, q133/q134, q141-q146,
+#       q151/q152 = 22) plus q36/q42/q112 and fill from the q57-q79
+#       tail to exactly 50; defer the freshly-r16-green pins above.
+#       Rule unchanged: any query whose COMPUTATION changes in r17
+#       pins that round; window stays 50 exactly.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
