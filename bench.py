@@ -225,7 +225,25 @@ def main() -> None:
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
         },
     }
-    print(json.dumps(out))
+    # The one-line JSON is both printed as the FINAL stdout line and
+    # mirrored whole to BENCH_last.json: the r16 round comparison was
+    # lost because the driver's 2000-char stdout-tail capture
+    # truncated the (now ~4.5 KB) line mid-way (PERF_r16
+    # prev_bench_ok=false). The mirror file carries the identical
+    # payload so any consumer can read it regardless of how much of
+    # the stream survives. Measurement methodology is unchanged.
+    line = json.dumps(out)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_last.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
