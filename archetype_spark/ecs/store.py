@@ -344,8 +344,12 @@ class ArchetypeStore:
 
     #: Partition values that can be written as literal hive directory
     #: names without escaping. Anything else falls back to the dynamic
-    #: partitionBy writer (which owns hive escaping).
-    _SAFE_PART = re.compile(r"^[A-Za-z0-9_.\-]+$")
+    #: partitionBy writer (which owns hive escaping). Values starting
+    #: with "__HIVE" are excluded even though they match the character
+    #: class: the sentinel "__HIVE_DEFAULT_PARTITION__" written
+    #: verbatim would be read back as NULL by partition discovery
+    #: (ADVICE r16 low).
+    _SAFE_PART = re.compile(r"^(?!__HIVE)[A-Za-z0-9_.\-]+$")
 
     def _append(self, hash_val: str, df: DataFrame) -> None:
         """All mutations funnel here: partition-local append, sorted

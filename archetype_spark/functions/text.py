@@ -52,10 +52,17 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     w = tokens(text)
     ln = F.greatest(F.size(w) - n + 1, F.lit(0))
     zipped = F.arrays_zip(*[F.slice(w, i + 1, ln) for i in range(n)])
-    return F.array_distinct(
-        F.transform(
-            zipped, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
-        )
+    return F.coalesce(
+        F.array_distinct(
+            F.transform(
+                zipped, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
+            )
+        ),
+        # NULL text: slice/arrays_zip propagate NULL where the pre-r16
+        # form returned [] — identical under explode(), but SIZE
+        # consumers (minhash set size, ann n_sh) must keep seeing 0
+        # (ADVICE r16 low).
+        F.array().cast("array<string>"),
     )
 
 

@@ -59,6 +59,15 @@ BM25_B = 0.75
 #: RRF smoothing constant (Cormack & Clarke use 60).
 RRF_K = 60
 
+#: Ceiling on the derived-term when-chain literal fold (guide §7.3:
+#: one plan node per term re-creates the planning-cost trap the
+#: simhash packed-counter fix removed). At or under the cutoff the
+#: fold wins execution time (r16 batch 11c measurements); past it
+#: bm25_scores attaches df via a broadcast join of the same collected
+#: rows. The token isin() filter stays in both regimes — it plans as
+#: a single InSet predicate regardless of term count.
+_LITERAL_FOLD_MAX_TERMS = 64
+
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, dl, token): one row per token occurrence, each carrying the
@@ -122,7 +131,16 @@ def bm25_scores(
     one wide aggregation — groupBy (doc, term, dl) — carries only
     query-term occurrences; corpus stats (N, total token count) are a
     one-row broadcast crossJoin; df rides along on the broadcast term
-    rows. No join is keyed on anything wider than (doc, term)."""
+    rows. No join is keyed on anything wider than (doc, term).
+
+    CONSTRUCTION-TIME EAGER when terms is None: the derived term set
+    is collected (one bounded Spark job) while the DataFrame is being
+    BUILT, and the term/df values are frozen into the plan as
+    literals. Build and execute against the same sf_dir snapshot —
+    if the underlying table changes between construction and
+    execution the folded df values describe the old snapshot
+    (ADVICE r16 low; acceptable under the documented collect-cap
+    discipline, noted here so callers can't miss it)."""
     literal_df = None
     if terms is None:
         # Materialize the derived term set (n_terms rows of bounded
@@ -153,13 +171,23 @@ def bm25_scores(
     tf = matched.groupBy(id_col, "token", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    if literal_df is not None:
+    if literal_df is not None and len(literal_df) <= _LITERAL_FOLD_MAX_TERMS:
         df_expr = F.lit(None).cast("bigint")
         for tok, dfv in literal_df.items():
             df_expr = F.when(F.col("token") == tok, F.lit(dfv)).otherwise(
                 df_expr
             )
         scored_src = tf.withColumn("df", df_expr).crossJoin(F.broadcast(stats))
+    elif literal_df is not None:
+        # Past the cutoff the when-chain is the §7.3 planning-cost
+        # trap the simhash fix removed (one plan node per term);
+        # attach df by broadcast-joining the collected rows instead.
+        term_rows = F.broadcast(
+            docs.sparkSession.createDataFrame(
+                [(t, d) for t, d in literal_df.items()], "token string, df long"
+            )
+        )
+        scored_src = tf.join(term_rows, "token").crossJoin(F.broadcast(stats))
     else:
         scored_src = tf.join(F.broadcast(terms), "token").crossJoin(
             F.broadcast(stats)

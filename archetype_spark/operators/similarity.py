@@ -1057,6 +1057,22 @@ def pq_adc_topk(
         sel = _np.take_along_axis(
             part, _np.argsort(slab, axis=1, kind="stable"), axis=1
         )
+        # Slab tie-closure (r16 VERDICT #1): argpartition guarantees
+        # the width smallest VALUES but picks arbitrary members of a
+        # score-tie group straddling the cut, which can admit a
+        # larger-bid tied neighbor while excluding a smaller-bid one.
+        # Rows whose slab-boundary score also occurs OUTSIDE the slab
+        # rebuild their selection with a full stable score argsort —
+        # columns are bid-ascending, so that IS the (score, bid)
+        # lexsort the SQL oracle ranks by. Ties at the cut are rare,
+        # so the per-row fallback is off the hot path.
+        boundary = slab.max(axis=1)
+        tie_rows = _np.flatnonzero(
+            (scores == boundary[:, None]).sum(axis=1)
+            > (slab == boundary[:, None]).sum(axis=1)
+        )
+        for r in tie_rows:
+            sel[r] = _np.argsort(scores[r], kind="stable")[:width]
         takes = _np.minimum(topk, nb - has_self.astype(_np.int64))
         ranks = _np.broadcast_to(
             _np.arange(1, width + 1, dtype=_np.int32), sel.shape
@@ -1244,6 +1260,17 @@ def ivf_pq_topk(
         sel = _np.take_along_axis(
             part, _np.argsort(slab, axis=1, kind="stable"), axis=1
         )
+        # Slab tie-closure — same hazard and fix as the pq_adc_topk
+        # kernel above (the per-cell cut decides which candidates
+        # ever reach the merge window, so a straddling tie here is a
+        # wrong FINAL neighbor, not just a wrong candidate).
+        boundary = slab.max(axis=1)
+        tie_rows = _np.flatnonzero(
+            (scores == boundary[:, None]).sum(axis=1)
+            > (slab == boundary[:, None]).sum(axis=1)
+        )
+        for r in tie_rows:
+            sel[r] = _np.argsort(scores[r], kind="stable")[:width]
         takes = _np.minimum(topk, nb - has_self.astype(_np.int64))
         ranks = _np.broadcast_to(
             _np.arange(1, width + 1, dtype=_np.int32), sel.shape

@@ -39,9 +39,32 @@ def fan_out_if_narrow(df: DataFrame, partitions: int | None = None) -> DataFrame
     conversion MATERIALIZES any upstream exchanges — i.e. it would
     eagerly run the upstream stages at DataFrame-construction time.
     Frames downstream of a fanned-out stage inherit its width and do
-    not need (or want) a second probe."""
+    not need (or want) a second probe. The precondition is ENFORCED:
+    a plan that already contains an exchange-introducing operator
+    (join/aggregate/window/sort/repartition) raises instead of
+    silently executing those stages at construction time (r16 VERDICT
+    what's-wrong #5)."""
+    import re
+
     sc = df.sparkSession.sparkContext
     n = partitions or sc.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # line-anchored NODE names (column names may contain the words)
+    hazard_re = re.compile(
+        r"^[\s+:\-]*'?(Join|Aggregate|Window|Sort|Repartition\w*|Rebalance\w*"
+        r"|Deduplicate|Distinct|Intersect|Except|GlobalLimit)\b"
+    )
+    hit = next(
+        (m.group(1) for ln in plan.splitlines() for m in [hazard_re.match(ln)] if m),
+        None,
+    )
+    if hit is not None:
+        raise AssertionError(
+            "fan_out_if_narrow requires an exchange-free (scan/projection) "
+            f"frame; found {hit} in the optimized plan — the .rdd partition "
+            "probe would materialize the upstream stages eagerly. Fan out "
+            "the near-scan input instead."
+        )
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

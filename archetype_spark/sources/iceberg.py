@@ -890,6 +890,18 @@ _BOUND_PACK = {
 }
 
 
+def _epoch_micros(ts) -> int:
+    """Naive datetime -> exact epoch micros from the timedelta's
+    integer components. `total_seconds() * 1e6` goes through one
+    double, which stops being micro-exact past 2^53 µs (~year 2255 /
+    before ~1685) — a wrongly-rounded BOUND can prune a file whose
+    true range intersects the probe (ADVICE r16 medium)."""
+    import datetime as _dt
+
+    delta = ts - _dt.datetime(1970, 1, 1)
+    return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+
+
 def _bound_bytes(v, ice_type: str) -> bytes | None:
     """One python stats value -> the spec's binary single-value form
     (None = unencodable, record no bound)."""
@@ -908,10 +920,7 @@ def _bound_bytes(v, ice_type: str) -> bytes | None:
             ts = v
             if ts.tzinfo is not None:
                 ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            micros = int(
-                (ts - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6
-            )
-            return _struct.pack("<q", micros)
+            return _struct.pack("<q", _epoch_micros(ts))
     except (ValueError, OverflowError, _struct.error, AttributeError):
         return None
     return None
@@ -953,7 +962,7 @@ def _to_bound_domain(v, ice_type: str):
             ts = v
             if ts.tzinfo is not None:
                 ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            return int((ts - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+            return _epoch_micros(ts)
         if ice_type == "string":
             return str(v)
     except (TypeError, AttributeError):

@@ -261,3 +261,20 @@ def test_minhash_containment_classifies_pair_type(spark, tmp_path):
             assert max(
                 r["est_containment"], r["other_est_containment"]
             ) > r["est_jaccard"]
+
+
+def test_shingles_null_text_is_empty_array(spark):
+    """shingles(NULL) must return [] (the pre-r16 contract), not NULL:
+    F.size() consumers (minhash set size, ann n_sh, containment and
+    Jaccard denominators) rely on 0 for NULL/short text (ADVICE r16)."""
+    from archetype_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b"), (4, "a b c d")],
+        "doc_id long, text string",
+    ).select("doc_id", shingles("text", 3).alias("sh"), F.size(shingles("text", 3)).alias("n"))
+    got = {r["doc_id"]: (r["sh"], r["n"]) for r in df.collect()}
+    assert got[1] == ([], 0)
+    assert got[2] == ([], 0)
+    assert got[3] == ([], 0)  # shorter than n
+    assert got[4] == (["a b c", "b c d"], 2)

@@ -1000,3 +1000,38 @@ def test_iceberg_bounds_conservative_and_foreign_strings(spark, tmp_path):
     assert _entry_survives_bounds(bad, bad, {"n": 7}, fi)
     # unfiltered columns' bounds are irrelevant
     assert _entry_survives_bounds(lower, upper, {"n": 7}, fi)
+
+
+def test_timestamp_bounds_exact_micros_past_double_precision():
+    """_bound_bytes/_to_bound_domain must derive epoch micros from
+    integer timedelta components: the old total_seconds()*1e6 path
+    rounds through one double, which is off by up to several micros
+    past 2^53 us (~year 2255) — a wrongly-rounded bound can prune a
+    file whose true range intersects the probe."""
+    import datetime as dt
+    import struct
+
+    from archetype_spark.sources.iceberg import (
+        _bound_bytes,
+        _epoch_micros,
+        _to_bound_domain,
+    )
+
+    # 2^53 us past epoch lands in 2255; +1 us is not representable in
+    # double, so the float path misrounds it to an even neighbor.
+    base = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=2**53)
+    for odd_off in (1, 3, 5):
+        ts = base + dt.timedelta(microseconds=odd_off)
+        exact = 2**53 + odd_off
+        assert _epoch_micros(ts) == exact
+        assert _to_bound_domain(ts, "timestamp") == exact
+        packed = _bound_bytes(ts, "timestamp")
+        assert struct.unpack("<q", packed)[0] == exact
+        # the double path provably differs on these inputs
+        assert int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 1e6) != exact
+
+    # sanity: ordinary modern timestamps are unchanged
+    ts = dt.datetime(2026, 8, 18, 1, 2, 3, 123456)
+    assert _to_bound_domain(ts, "timestamp") == int(
+        (ts - dt.datetime(1970, 1, 1)) / dt.timedelta(microseconds=1)
+    )

@@ -262,6 +262,63 @@ def test_pq_adc_foreign_probe_ids_get_full_k(spark, pq_emb, tmp_path):
     assert all(r["vec_id"] == 9999 for r in rows)
 
 
+@pytest.fixture(scope="module")
+def tie_emb(spark):
+    """8 build vectors engineered so a probe at id 5's position sees
+    the ADC score row [T,T,T,T,T,S,T,T] (S strictly smallest, all T
+    EXACTLY tied — ids 0-4,6,7 are byte-identical vectors, so they
+    share quantizer codes). With k=3 the tie group straddles the
+    vectorized kernel's argpartition slab cut: numpy introselect on
+    this comparison pattern selects index 3 over index 1 (reproduced:
+    argpartition([5,5,5,5,5,1,5,5], 3) keeps {5,0,3}), while the
+    (score, bid) order the SQL oracle computes demands [5, 0, 1]."""
+    far = [4.0, -4.0, 4.0, -4.0, 4.0, -4.0, 4.0, -4.0]
+    near = [0.25, 0.5, -0.25, 0.75, 0.0, -0.5, 0.25, -0.75]
+    rows = [(i, list(far)) for i in range(8)]
+    rows[5] = (5, list(near))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _tie_probe(spark):
+    near = [0.25, 0.5, -0.25, 0.75, 0.0, -0.5, 0.25, -0.75]
+    return spark.createDataFrame(
+        [(9999, list(near))], "vec_id long, embedding array<float>"
+    )
+
+
+def test_pq_adc_boundary_tie_breaks_by_bid(spark, tie_emb, tmp_path):
+    """Score ties straddling the top-k slab boundary must resolve to
+    the LOWEST build ids — the (score, bid) lexsort order the oracle
+    mirrors — not whichever tied columns argpartition happened to
+    keep (ADVICE r16 high / VERDICT r16 what's-wrong #1)."""
+    idx = str(tmp_path / "pq_tie")
+    book, codes = ann_index.ensure_pq(tie_emb, idx, m=4, n_codes=4, seed=42)
+    rows = similarity.pq_adc_topk(_tie_probe(spark), book, codes, k=3).collect()
+    assert [r["other_vec_id"] for r in rows] == [5, 0, 1]
+    # ranks 2 and 3 carry the tied score; rank 1 is strictly closer
+    assert rows[1]["dist_micro"] == rows[2]["dist_micro"]
+    assert rows[0]["dist_micro"] < rows[1]["dist_micro"]
+
+
+def test_ivf_pq_boundary_tie_breaks_by_bid(spark, tie_emb, tmp_path):
+    """Same contract for the composite-kernel twin (the per-cell cut
+    decides which candidates ever reach the merge window). Two ids at
+    a third, far-away position absorb the second KMeans centroid so
+    the whole tie pattern lands inside ONE probed cell."""
+    absorber = spark.createDataFrame(
+        [(20, [100.0] * 8), (21, [100.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf_pq_tie")
+    cells, book, codes = ann_index.ensure_ivf_pq(
+        tie_emb.unionByName(absorber), idx, n_clusters=2, m=4, n_codes=4, seed=42
+    )
+    rows = similarity.ivf_pq_topk(
+        _tie_probe(spark), cells, book, codes, k=3, n_probe=1
+    ).collect()
+    assert [r["other_vec_id"] for r in rows] == [5, 0, 1]
+
+
 # ------------------------------------------------------------- IVF_PQ
 @pytest.fixture(scope="module")
 def ivf_pq_emb(spark):
