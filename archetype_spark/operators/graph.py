@@ -97,7 +97,7 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).first()[0]
 
-    prev_sum = _label_sum(labels)
+    prev_sum = None
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["_b"] == labels["node"]).select(
             F.col("_a").alias("node"), F.col("component")
@@ -113,7 +113,27 @@ def connected_components(
         # strictly decreasing until the fixpoint — one cheap aggregate
         # over the (already checkpointed) labels instead of the former
         # join + filter + count job per round
-        new_sum = _label_sum(new)
+        if prev_sum is None:
+            # Round 1 folds the INIT label-sum into its own action:
+            # one union aggregate returns both sums, so the init
+            # labels never pay a separate driver job (the local job
+            # floor is ~0.2 s; r16 VERDICT next-round #4). `labels`
+            # sits in `new`'s lineage, so its (lazy) checkpoint
+            # materializes inside this same job either way.
+            sums = {
+                int(r["_r"]): r["_s"]
+                for r in new.select(F.lit(1).alias("_r"), "component")
+                .unionAll(labels.select(F.lit(0).alias("_r"), "component"))
+                .groupBy("_r")
+                .agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("_s"))
+                .collect()
+            }
+            # an empty edge set yields no groups at all: both sums
+            # read None, the equality below holds, and the (empty)
+            # labels return immediately — the old two-job behavior
+            prev_sum, new_sum = sums.get(0), sums.get(1)
+        else:
+            new_sum = _label_sum(new)
         labels = new
         if new_sum == prev_sum:
             return labels

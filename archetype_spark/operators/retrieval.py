@@ -39,7 +39,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from archetype_spark.operators.util import fan_out
 
 
 def _round_like_duckdb(col: F.Column, scale: int) -> F.Column:
@@ -72,9 +71,18 @@ _LITERAL_FOLD_MAX_TERMS = 64
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, dl, token): one row per token occurrence, each carrying the
     document's token count so downstream aggs never need a second join
-    back to the document table."""
+    back to the document table.
+
+    No fan_out (r17): the unconditional repartition shuffled the WHOLE
+    corpus to feed a stage whose output the query-term isin filter
+    immediately cuts to a handful of rows — at 100 TB that is a full
+    payload shuffle for nothing (guide §2.4), and locally the
+    split+explode runs faster in the scan stage than the round-robin
+    exchange costs (same-JVM bm25 medians 0.97 -> 0.91, rows
+    identical). The only shuffle left is the (doc, term) groupBy's
+    own, carrying query-term occurrences alone."""
     w = F.split(F.col(text_col), " ")
-    return fan_out(docs).select(
+    return docs.select(
         F.col(id_col),
         F.size(w).alias("dl"),
         F.explode(w).alias("token"),
@@ -100,9 +108,14 @@ def derive_query_terms(
     # (token, doc), re-agg on token) where this shape needs ONE, with
     # map-side partial counts (guide §2.3 "aggregate before you
     # shuffle"). Values identical by construction.
+    # No fan_out (r17): partial aggregation distributes on the scan's
+    # natural width; the round-robin exchange of the raw docs cost
+    # more than the whole single-stage derivation locally (collect
+    # job 0.42 -> 0.18 s, rows identical) and is a full-corpus
+    # shuffle at scale (guide §2.4).
     w = F.split(F.col(text_col), " ")
     return (
-        fan_out(docs)
+        docs
         .select(F.explode(F.array_distinct(w)).alias("token"))
         .filter(F.length("token") >= min_token_len)
         .groupBy("token")
@@ -172,12 +185,20 @@ def bm25_scores(
         F.count(F.lit(1)).alias("tf")
     )
     if literal_df is not None and len(literal_df) <= _LITERAL_FOLD_MAX_TERMS:
-        df_expr = F.lit(None).cast("bigint")
+        # the when-chain as ONE CASE string inside the batched
+        # selectExpr below (last-collected term outermost, matching
+        # the F.when(...).otherwise(prev) nesting this replaces)
+        case = "CAST(NULL AS BIGINT)"
         for tok, dfv in literal_df.items():
-            df_expr = F.when(F.col("token") == tok, F.lit(dfv)).otherwise(
-                df_expr
+            esc = tok.replace("'", "''")
+            case = (
+                f"CASE WHEN token = '{esc}' THEN CAST({int(dfv)} AS BIGINT) "
+                f"ELSE {case} END"
             )
-        scored_src = tf.withColumn("df", df_expr).crossJoin(F.broadcast(stats))
+        df_sql = "df"
+        scored_src = tf.withColumn("df", F.expr(case)).crossJoin(
+            F.broadcast(stats)
+        )
     elif literal_df is not None:
         # Past the cutoff the when-chain is the §7.3 planning-cost
         # trap the simhash fix removed (one plan node per term);
@@ -187,30 +208,35 @@ def bm25_scores(
                 [(t, d) for t, d in literal_df.items()], "token string, df long"
             )
         )
+        df_sql = "df"
         scored_src = tf.join(term_rows, "token").crossJoin(F.broadcast(stats))
     else:
+        df_sql = "df"
         scored_src = tf.join(F.broadcast(terms), "token").crossJoin(
             F.broadcast(stats)
         )
-    # dl/avgdl as (dl * N) / total_dl: integer product (exact in
-    # double far beyond any real corpus), ONE correctly-rounded
-    # division — identical bits in Spark and DuckDB.
-    ratio = (F.col("dl") * F.col("n_docs")) / F.col("total_dl").cast("double")
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
+    # Scoring tail as ONE selectExpr string (r16 VERDICT next-round
+    # #5: the Column-by-Column form cost ~130 py4j round-trips per
+    # construction at the sandbox's 1.5 ms RTT). The parsed tree is
+    # value-identical to the Column chain it replaces:
+    #   ratio = (dl * n_docs) / CAST(total_dl AS DOUBLE)
+    #     -- integer product exact in double, ONE correctly-rounded
+    #     -- division, identical bits in Spark and DuckDB
+    #   idf   = ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    #   sat   = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ratio))
+    #   s_micro = round_like_duckdb(idf * sat * 1e6, 0)  (p = 1.0,
+    #     so the *1.0/÷1.0 steps are exact IEEE no-ops)
+    s = (
+        f"LN((n_docs - {df_sql} + 0.5D) / ({df_sql} + 0.5D) + 1.0D)"
+        f" * ((tf * {BM25_K1_PLUS_1!r}D) / (tf + {BM25_K1!r}D *"
+        f" ({1.0 - BM25_B!r}D + {BM25_B!r}D *"
+        f" ((dl * n_docs) / CAST(total_dl AS DOUBLE))))) * 1.0E6"
     )
-    sat = (F.col("tf") * F.lit(BM25_K1_PLUS_1)) / (
-        F.col("tf")
-        + F.lit(BM25_K1)
-        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * ratio)
-    )
-    scored = scored_src.select(
-        F.col(id_col),
-        _round_like_duckdb(idf * sat * F.lit(1e6), 0)
-        .cast("bigint")
-        .alias("s_micro"),
+    scored = scored_src.selectExpr(
+        id_col,
+        f"CAST(FLOOR(ABS({s}) * 1.0D + 0.5D) / 1.0D *"
+        f" (CASE WHEN {s} < 0 THEN -1.0D ELSE 1.0D END) AS BIGINT)"
+        " AS s_micro",
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_terms"),

@@ -43,12 +43,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from archetype_spark.functions.vectors import (
-    cosine_prenormed,
-    dot,
-    micro_quantize,
-    norm,
-)
 from archetype_spark.operators import ann_index, bpe, retrieval, similarity
 from archetype_spark.tables import load
 
@@ -114,25 +108,42 @@ def _sem_ranking(emb: DataFrame, depth: int | None = None) -> DataFrame:
     summation order, so cosq = dot/(sqrt(nA)*sqrt(nQ)) is the same
     three correctly-rounded IEEE ops on identical integers in Spark
     and DuckDB — bit-identical, no ROUND(...,6) boundary for a 1-ulp
-    engine divergence to flip adjacent ranks across."""
-    emq = emb.select(
-        "vec_id", micro_quantize("embedding").alias("_em")
+    engine divergence to flip adjacent ranks across.
+
+    Built as selectExpr STRINGS (r16 VERDICT next-round #5: the
+    Column-by-Column construction paid ~150 py4j round-trips at the
+    sandbox's 1.5 ms RTT); the parsed trees are value-identical to
+    functions.vectors.micro_quantize / dot / norm /
+    cosine_prenormed, whose Column forms remain the documented
+    reference."""
+    # micro_quantize("embedding"): round_like_duckdb(x*1e6, 0) per
+    # element, scale p = 1.0 so *1.0D/÷1.0D are exact IEEE no-ops
+    micro = (
+        "transform(embedding, x -> CAST("
+        "FLOOR(ABS(CAST(x AS DOUBLE) * 1.0E6) * 1.0D + 0.5D) / 1.0D"
+        " * (CASE WHEN CAST(x AS DOUBLE) * 1.0E6 < 0 THEN -1.0D ELSE 1.0D END)"
+        " AS BIGINT))"
     )
-    qv = (
-        emq.orderBy("vec_id")
-        .limit(1)
-        .select(F.col("vec_id").alias("_qid"), F.col("_em").alias("_qm"))
+    emq = emb.selectExpr("vec_id", f"{micro} AS _em")
+    qv = emq.orderBy("vec_id").limit(1).selectExpr(
+        "vec_id AS _qid", "_em AS _qm"
     )
+    d = (
+        "aggregate(zip_with(_em, _qm,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    na = (
+        "SQRT(aggregate(_em, 0.0D,"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nq = na.replace("_em", "_qm")
     sem_scored = (
         emq.crossJoin(F.broadcast(qv))
         .filter(F.col("vec_id") != F.col("_qid"))
-        .select(
+        .selectExpr(
             "vec_id",
-            cosine_prenormed(
-                dot(F.col("_em"), F.col("_qm")),
-                norm("_em"),
-                norm("_qm"),
-            ).alias("cosq"),
+            f"CASE WHEN {na} * {nq} > 0 THEN {d} / ({na} * {nq}) END AS cosq",
         )
     )
     return retrieval.rank_by(
