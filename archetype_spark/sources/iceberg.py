@@ -1532,24 +1532,41 @@ def _apply_equality_deletes(
             )
         eq_cols = [id_to_name[i] for i in ids]
         sub = StructType([schema[c] for c in eq_cols])
-        delseq_df = spark.createDataFrame(
-            [(os.path.abspath(p), int(s)) for p, s, _rc in entries],
-            "__eq_path string, __eq_seq bigint",
-        )
-        dels = (
-            spark.read.schema(sub)
-            .parquet(*[p for p, _s, _rc in entries])
-            .withColumn(
-                "__eq_path",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
-                ),
+        seqs = {int(s) for _p, s, _rc in entries}
+        if len(seqs) == 1:
+            # every delete file in this group carries the same data
+            # sequence number (one commit's deletes): attach it as a
+            # literal — no local-relation build, no path recovery, no
+            # broadcast join (r17, the r16 hudi path-frame lesson)
+            dels = (
+                spark.read.schema(sub)
+                .parquet(*[p for p, _s, _rc in entries])
+                .select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in eq_cols],
+                    F.lit(next(iter(seqs)))
+                    .cast("bigint")
+                    .alias("__eq_seq"),
+                )
             )
-            .join(F.broadcast(delseq_df), "__eq_path")
-            .select(
-                *[F.col(c).alias(f"__eq_{c}") for c in eq_cols], "__eq_seq"
+        else:
+            delseq_df = spark.createDataFrame(
+                [(os.path.abspath(p), int(s)) for p, s, _rc in entries],
+                "__eq_path string, __eq_seq bigint",
             )
-        )
+            dels = (
+                spark.read.schema(sub)
+                .parquet(*[p for p, _s, _rc in entries])
+                .withColumn(
+                    "__eq_path",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
+                    ),
+                )
+                .join(F.broadcast(delseq_df), "__eq_path")
+                .select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in eq_cols], "__eq_seq"
+                )
+            )
         counts = [rc for _p, _s, rc in entries]
         if all(rc is not None for rc in counts) and (
             sum(counts) <= _EQ_DELETE_BROADCAST_ROWS
