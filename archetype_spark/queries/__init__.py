@@ -444,65 +444,130 @@ _MODULES = (
 #       tail to exactly 50; defer the freshly-r16-green pins above.
 #       Rule unchanged: any query whose COMPUTATION changes in r17
 #       pins that round; window stays 50 exactly.
+#   r17 EXECUTED (CORRECTNESS_r16 landed 50/50, nothing red): the
+#       sketch's stalest cohort rotates in — q119-q130, q133/q134,
+#       q141-q146, q151/q152 (22), q36/q42/q112 (3), and the full
+#       q57-q79 tail (23) = 48; the last two slots PIN q114/q118
+#       (the r17 PQ slab tie-closure is a computation-BEARING kernel
+#       change — outputs can differ from r16 on boundary-tie data,
+#       so the changed-computation rule applies; q125 shares the
+#       kernel and is already in the rotated-in cohort). The sketch's
+#       q82 + q19 fills yield those two slots and stay deferred (q82
+#       r15-green, q19 r14-green — next-stalest for r18). Deferred in
+#       exchange: the freshly-r16-green window (q150, q131/q132,
+#       q135-q140, q107-q111, q113/q115/q116/q117, q95-q106, q01-q18)
+#       plus the rest of the r14-green block. 50 pins + 100 deferred
+#       = 150 gated exactly.
+#   r18 sketch: stalest after this round = the r14-green mid-block
+#       (q19-q35/q37-q41/q43-q55 minus rotations, q80-q94,
+#       q147-q149) — no driver row since r14; rotate them in first
+#       (q19/q82 lead, yielded their r17 slots to the tie-closure
+#       pins), fill from the freshly-r17-green lake cohort last.
 DRIVER_WINDOW = 50
 #: Queries guaranteed a driver CORRECTNESS row this round: registered
 #: FIRST, ahead of the alphabetical oracle-gated block.
 _PINNED: tuple[str, ...] = (
-    "q150_iceberg_nested_scan",
-    "q131_iceberg_eq_changelog",
-    "q132_iceberg_mixed_formats",
-    "q135_warc_pipeline",
-    "q136_image_near_dups",
-    "q137_video_frames",
-    "q138_delta_mirror_scan",
-    "q139_hudi_scan",
-    "q140_tri_lake_consistency",
-    "q107_delta_changes",
-    "q108_lake_federation",
-    "q109_iceberg_metadata_counts",
-    "q110_delta_evolution_scan",
-    "q111_iceberg_changes",
-    "q113_hybrid_rrf",
+    "q119_delta_deletes_scan",
+    "q120_iceberg_deletes_scan",
+    "q121_image_pixel_decode",
+    "q122_iceberg_cdc_scan",
+    "q123_iceberg_day_prune_scan",
+    "q124_delta_mapped_scan",
+    "q125_ivf_pq_rerank",
+    "q126_lake_replication",
+    "q127_delta_cdf_scan",
+    "q128_cdf_mirror_scan",
+    "q129_audio_spectral",
+    "q130_iceberg_changelog",
+    "q133_html_extract",
+    "q134_pdf_extract",
+    "q141_hudi_mor_scan",
+    "q142_hudi_changes",
+    "q143_hudi_read_optimized",
+    "q144_hudi_clustered_scan",
+    "q145_hudi_cleaned_scan",
+    "q146_hudi_replication_mesh",
+    "q151_iceberg_bounds_prune",
+    "q152_delta_stats_prune",
+    "q36_ngram_jaccard",
+    "q42_lsh_topk",
+    "q112_bm25_topk",
+    "q57_training_pipeline",
+    "q58_list_agg",
+    "q59_full_outer_join",
+    "q60_stats_math",
+    "q61_ivf_topk",
+    "q62_url_fetch",
+    "q63_tf_idf",
+    "q64_ingest_dedup",
+    "q65_minhash_fast",
+    "q66_dedup_clusters",
+    "q67_training_mix",
+    "q68_sequence_pack",
+    "q69_repetition",
+    "q70_corpus_curation",
+    "q71_decontamination",
+    "q72_semantic_dedup",
+    "q73_stop_shingle_jaccard",
+    "q74_quality_keeper",
+    "q75_mixture_sample",
+    "q76_relative_quality_gate",
+    "q77_filtered_ivf_topk",
+    "q78_mixture_resample",
+    "q79_pack_payloads",
     "q114_pq_adc_topk",
-    "q115_bpe_token_counts",
-    "q116_zorder_scan",
-    "q95_curation_v2",
-    "q96_cluster_cap",
-    "q97_verbatim_leaks",
-    "q98_minhash_containment",
-    "q99_stream_curation_face",
-    "q100_binary_ingest",
-    "q101_simhash_fast",
-    "q102_dsir_importance",
-    "q103_quality_tiers",
-    "q104_delta_scan",
-    "q105_iceberg_scan",
-    "q106_delta_merge_upsert",
-    "q117_hybrid_rrf_bounded",
     "q118_ivf_pq_topk",
-    "q01_scan_filter_project",
-    "q02_in_list",
-    "q03_compound_predicate",
-    "q04_computed_columns",
-    "q05_inner_join",
-    "q06_multiway_join",
-    "q07_left_join",
-    "q08_semi_join",
-    "q09_anti_join",
-    "q10_cross_join",
-    "q11_global_agg",
-    "q12_grouped_agg",
-    "q13_count_distinct",
-    "q14_having",
-    "q15_rollup",
-    "q16_topk",
-    "q17_string_fns",
-    "q18_date_fns",
 )
 _DEFERRED: frozenset[str] = frozenset(
     {
-        # r16: everything gated outside the 50 explicit pins -
-        # all green r11-r15 and locally hash-checked each run.
+        # r17: everything gated outside the 50 explicit pins -
+        # all green r11-r16 and locally hash-checked each run.
+        "q01_scan_filter_project",
+        "q02_in_list",
+        "q03_compound_predicate",
+        "q04_computed_columns",
+        "q05_inner_join",
+        "q06_multiway_join",
+        "q07_left_join",
+        "q08_semi_join",
+        "q09_anti_join",
+        "q100_binary_ingest",
+        "q101_simhash_fast",
+        "q102_dsir_importance",
+        "q103_quality_tiers",
+        "q104_delta_scan",
+        "q105_iceberg_scan",
+        "q106_delta_merge_upsert",
+        "q107_delta_changes",
+        "q108_lake_federation",
+        "q109_iceberg_metadata_counts",
+        "q10_cross_join",
+        "q110_delta_evolution_scan",
+        "q111_iceberg_changes",
+        "q113_hybrid_rrf",
+        "q115_bpe_token_counts",
+        "q116_zorder_scan",
+        "q117_hybrid_rrf_bounded",
+        "q11_global_agg",
+        "q12_grouped_agg",
+        "q131_iceberg_eq_changelog",
+        "q132_iceberg_mixed_formats",
+        "q135_warc_pipeline",
+        "q136_image_near_dups",
+        "q137_video_frames",
+        "q138_delta_mirror_scan",
+        "q139_hudi_scan",
+        "q13_count_distinct",
+        "q140_tri_lake_consistency",
+        "q147_hudi_archived_scan",
+        "q148_iceberg_v3_dv_scan",
+        "q149_lake_relay",
+        "q14_having",
+        "q150_iceberg_nested_scan",
+        "q15_rollup",
+        "q16_topk",
+        "q17_string_fns",
+        "q18_date_fns",
         "q19_math_fns",
         "q20_case_coalesce",
         "q21_ranking_window",
@@ -519,13 +584,11 @@ _DEFERRED: frozenset[str] = frozenset(
         "q33_hash_dedup",
         "q34_token_stats",
         "q35_doc_quality",
-        "q36_ngram_jaccard",
         "q37_embedding_dups",
         "q38_lang_id",
         "q39_top_tokens",
         "q40_minhash_pairs",
         "q41_simhash_pairs",
-        "q42_lsh_topk",
         "q43_media_decode",
         "q44_fingerprints",
         "q45_tumbling_window",
@@ -539,29 +602,6 @@ _DEFERRED: frozenset[str] = frozenset(
         "q53_cube",
         "q54_percentiles",
         "q55_unpivot",
-        "q57_training_pipeline",
-        "q58_list_agg",
-        "q59_full_outer_join",
-        "q60_stats_math",
-        "q61_ivf_topk",
-        "q62_url_fetch",
-        "q63_tf_idf",
-        "q64_ingest_dedup",
-        "q65_minhash_fast",
-        "q66_dedup_clusters",
-        "q67_training_mix",
-        "q68_sequence_pack",
-        "q69_repetition",
-        "q70_corpus_curation",
-        "q71_decontamination",
-        "q72_semantic_dedup",
-        "q73_stop_shingle_jaccard",
-        "q74_quality_keeper",
-        "q75_mixture_sample",
-        "q76_relative_quality_gate",
-        "q77_filtered_ivf_topk",
-        "q78_mixture_resample",
-        "q79_pack_payloads",
         "q80_boilerplate_lines",
         "q81_pii_scrub",
         "q82_exact_pack",
@@ -577,32 +617,11 @@ _DEFERRED: frozenset[str] = frozenset(
         "q92_mixed_language",
         "q93_span_corruption",
         "q94_weighted_sample",
-        "q112_bm25_topk",
-        "q119_delta_deletes_scan",
-        "q120_iceberg_deletes_scan",
-        "q121_image_pixel_decode",
-        "q122_iceberg_cdc_scan",
-        "q123_iceberg_day_prune_scan",
-        "q124_delta_mapped_scan",
-        "q125_ivf_pq_rerank",
-        "q126_lake_replication",
-        "q127_delta_cdf_scan",
-        "q128_cdf_mirror_scan",
-        "q129_audio_spectral",
-        "q130_iceberg_changelog",
-        "q133_html_extract",
-        "q134_pdf_extract",
-        "q141_hudi_mor_scan",
-        "q142_hudi_changes",
-        "q143_hudi_read_optimized",
-        "q144_hudi_clustered_scan",
-        "q145_hudi_cleaned_scan",
-        "q146_hudi_replication_mesh",
-        "q147_hudi_archived_scan",
-        "q148_iceberg_v3_dv_scan",
-        "q149_lake_relay",
-        "q151_iceberg_bounds_prune",
-        "q152_delta_stats_prune",
+        "q95_curation_v2",
+        "q96_cluster_cap",
+        "q97_verbatim_leaks",
+        "q98_minhash_containment",
+        "q99_stream_curation_face",
     }
 )
 
