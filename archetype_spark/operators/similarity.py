@@ -1050,29 +1050,36 @@ def pq_adc_topk(
         # a stable score argsort breaks ties by bid exactly like the
         # old per-row lexsort
         width = min(topk + 1, nb)
-        part = _np.sort(
-            _np.argpartition(scores, width - 1, axis=1)[:, :width], axis=1
-        )
-        slab = _np.take_along_axis(scores, part, axis=1)
-        sel = _np.take_along_axis(
-            part, _np.argsort(slab, axis=1, kind="stable"), axis=1
-        )
         # Slab tie-closure (r16 VERDICT #1): argpartition guarantees
         # the width smallest VALUES but picks arbitrary members of a
         # score-tie group straddling the cut, which can admit a
         # larger-bid tied neighbor while excluding a smaller-bid one.
-        # Rows whose slab-boundary score also occurs OUTSIDE the slab
-        # rebuild their selection with a full stable score argsort —
-        # columns are bid-ascending, so that IS the (score, bid)
-        # lexsort the SQL oracle ranks by. Ties at the cut are rare,
-        # so the per-row fallback is off the hot path.
-        boundary = slab.max(axis=1)
-        tie_rows = _np.flatnonzero(
-            (scores == boundary[:, None]).sum(axis=1)
-            > (slab == boundary[:, None]).sum(axis=1)
+        # Partitioning at BOTH width-1 and width puts the smallest
+        # EXCLUDED value at column `width` for free (no extra matrix
+        # pass — a full-matrix equality scan measured +14% on q114);
+        # a straddling tie exists exactly when it equals the slab
+        # boundary. Flagged rows rebuild their selection with a full
+        # stable score argsort — columns are bid-ascending, so that
+        # IS the (score, bid) lexsort the SQL oracle ranks by. Ties
+        # at the cut are rare, so the per-row fallback is off the hot
+        # path.
+        if width < nb:
+            apart = _np.argpartition(scores, (width - 1, width), axis=1)
+            first_out = _np.take_along_axis(
+                scores, apart[:, width : width + 1], axis=1
+            )[:, 0]
+        else:
+            apart = _np.argpartition(scores, width - 1, axis=1)
+            first_out = None
+        part = _np.sort(apart[:, :width], axis=1)
+        slab = _np.take_along_axis(scores, part, axis=1)
+        sel = _np.take_along_axis(
+            part, _np.argsort(slab, axis=1, kind="stable"), axis=1
         )
-        for r in tie_rows:
-            sel[r] = _np.argsort(scores[r], kind="stable")[:width]
+        if first_out is not None:
+            tie_rows = _np.flatnonzero(first_out == slab.max(axis=1))
+            for r in tie_rows:
+                sel[r] = _np.argsort(scores[r], kind="stable")[:width]
         takes = _np.minimum(topk, nb - has_self.astype(_np.int64))
         ranks = _np.broadcast_to(
             _np.arange(1, width + 1, dtype=_np.int32), sel.shape
@@ -1253,24 +1260,29 @@ def ivf_pq_topk(
         has_self = self_mask.any(axis=1)
         nq, nb = scores.shape
         width = min(topk + 1, nb)
-        part = _np.sort(
-            _np.argpartition(scores, width - 1, axis=1)[:, :width], axis=1
-        )
+        # Slab tie-closure — same hazard and fix as the pq_adc_topk
+        # kernel above (the per-cell cut decides which candidates
+        # ever reach the merge window, so a straddling tie here is a
+        # wrong FINAL neighbor, not just a wrong candidate); same
+        # zero-extra-pass detection via the (width-1, width) double
+        # partition.
+        if width < nb:
+            apart = _np.argpartition(scores, (width - 1, width), axis=1)
+            first_out = _np.take_along_axis(
+                scores, apart[:, width : width + 1], axis=1
+            )[:, 0]
+        else:
+            apart = _np.argpartition(scores, width - 1, axis=1)
+            first_out = None
+        part = _np.sort(apart[:, :width], axis=1)
         slab = _np.take_along_axis(scores, part, axis=1)
         sel = _np.take_along_axis(
             part, _np.argsort(slab, axis=1, kind="stable"), axis=1
         )
-        # Slab tie-closure — same hazard and fix as the pq_adc_topk
-        # kernel above (the per-cell cut decides which candidates
-        # ever reach the merge window, so a straddling tie here is a
-        # wrong FINAL neighbor, not just a wrong candidate).
-        boundary = slab.max(axis=1)
-        tie_rows = _np.flatnonzero(
-            (scores == boundary[:, None]).sum(axis=1)
-            > (slab == boundary[:, None]).sum(axis=1)
-        )
-        for r in tie_rows:
-            sel[r] = _np.argsort(scores[r], kind="stable")[:width]
+        if first_out is not None:
+            tie_rows = _np.flatnonzero(first_out == slab.max(axis=1))
+            for r in tie_rows:
+                sel[r] = _np.argsort(scores[r], kind="stable")[:width]
         takes = _np.minimum(topk, nb - has_self.astype(_np.int64))
         ranks = _np.broadcast_to(
             _np.arange(1, width + 1, dtype=_np.int32), sel.shape
